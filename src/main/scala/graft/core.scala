@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One registered engine query.
+  *
+  * @param name   stable key; used by the driver's correctness + bench gates
+  * @param fn     (session, sfDir) => result DataFrame. Column names MUST match
+  *               the oracle's aliases exactly (driver sorts columns by name
+  *               before hashing values).
+  * @param oracle equivalent DuckDB-runnable SQL over the same parquet tables
+  *               (table names resolve to `<sfDir>/<name>.parquet`). None for
+  *               ops that aren't SQL-expressible => driver does rows-only check.
+  * @param doc    what this exercises (ties back to SURVEY.md §2).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+/** Parquet table loaders for the driver testdata star schema (TESTDATA.md). */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by default.
+    * Read it as raw long nanos (legacy conf) and floor-convert to a
+    * microsecond timestamp — identical to DuckDB's ns->us cast semantics.
+    * Integer `div` keeps full precision (a double division would lose bits
+    * above 2^53). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** Exact-money arithmetic shared by Spark queries and their DuckDB oracles.
+  *
+  * All money/ratio columns in the testdata are 2-decimal values stored as
+  * doubles. Summing doubles is order-dependent (Spark partial aggregation vs
+  * DuckDB's scan order differ in low-order bits), which would break the
+  * driver's hash compare. Instead we convert to integer cents
+  * (`round(x*100)` is within 1e-9 of an integer for every row, so both
+  * engines agree), sum exactly as BIGINT, and divide once at the end — a
+  * fully deterministic double in both engines. This is also the faster plan
+  * at scale: integer sum aggregation, no decimal overhead.
+  */
+object Money {
+  /** Integer cents of a 2-decimal double column. */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Exact, order-independent sum of a 2-decimal double column, as double. */
+  def sum2(c: Column): Column = (sum(cents(c)) / 100.0)
+
+  /** Exact average of a 2-decimal double column, as double. */
+  def avg2(c: Column): Column = sum(cents(c)) / 100.0 / count(lit(1))
+
+  /** Exact sum of price*(1-discount): cents * (100 - disc%) summed as
+    * BIGINT, scaled back by 1e4. */
+  def sumDiscounted(price: Column, disc: Column): Column =
+    sum(cents(price) * (lit(100L) - cents(disc))) / 10000.0
+
+  // The same expressions in DuckDB SQL, for oracle authoring:
+  def sqlCents(e: String): String = s"cast(round(($e)*100) as bigint)"
+  def sqlSum2(e: String): String = s"sum(${sqlCents(e)})/100.0"
+  def sqlAvg2(e: String): String = s"sum(${sqlCents(e)})/100.0/count(*)"
+  def sqlSumDiscounted(p: String, d: String): String =
+    s"sum(${sqlCents(p)} * (100 - ${sqlCents(d)}))/10000.0"
+}
