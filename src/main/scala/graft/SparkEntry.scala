@@ -11,7 +11,9 @@ object SparkEntry {
 
   /** Every registered query, in registration order. */
   def all: Seq[QueryDef] =
-    operators.Relational.defs
+    operators.Relational.defs ++
+      functions.Functions.defs ++
+      operators.Temporal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * revenue by region through the broadcast dim chain. */

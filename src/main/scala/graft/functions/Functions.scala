@@ -1,0 +1,198 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{Money, QueryDef, Tables}
+
+/** Scalar function families (SURVEY.md §2.2: string / date / math / array /
+  * map / JSON). Everything is built from `org.apache.spark.sql.functions`
+  * so the whole plan stays inside whole-stage codegen — no UDFs.
+  *
+  * Cross-engine determinism notes (these queries are hash-compared against
+  * DuckDB): only IEEE-exact math is used (+,-,*,/ on integers-in-double,
+  * sqrt, abs, floor, ceil); `pow`/`exp`/`ln` are avoided because libm
+  * implementations differ in the last ulp.
+  */
+object Functions {
+  import Tables._
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q16_string_fns",
+      (s, d) =>
+        part(s, d)
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("name_upper"),
+            length(col("p_name")).as("name_len"),
+            substring(col("p_brand"), 7, 10).as("brand_num"),
+            regexp_replace(col("p_name"), "\\s+", "_").as("name_snake"),
+            regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+            concat_ws("|", col("p_type"), col("p_brand")).as("type_brand"),
+            when(col("p_name").startsWith("small"), lit("S"))
+              .when(col("p_name").endsWith("bolt"), lit("B"))
+              .otherwise(lit("-")).as("flag"),
+            trim(lit("  pad  ")).as("trimmed"))
+          .orderBy(col("p_partkey")),
+      Some("""
+        SELECT p_partkey,
+               upper(p_name) AS name_upper,
+               length(p_name) AS name_len,
+               substring(p_brand, 7, 10) AS brand_num,
+               regexp_replace(p_name, '\s+', '_', 'g') AS name_snake,
+               regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+               concat_ws('|', p_type, p_brand) AS type_brand,
+               CASE WHEN p_name LIKE 'small%' THEN 'S'
+                    WHEN p_name LIKE '%bolt' THEN 'B'
+                    ELSE '-' END AS flag,
+               trim('  pad  ') AS trimmed
+        FROM part
+        ORDER BY p_partkey"""),
+      "string family: upper/length/substring/regexp_replace/regexp_extract/concat_ws/prefix-suffix/trim"),
+
+    QueryDef(
+      "q17_date_fns",
+      (s, d) =>
+        orders(s, d)
+          .groupBy(
+            date_trunc("month", col("o_orderdate")).as("order_month"),
+            year(col("o_orderdate")).as("order_year"),
+            quarter(col("o_orderdate")).as("order_quarter"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            Money.sum2(col("o_totalprice")).as("revenue"),
+            max(dayofmonth(col("o_orderdate"))).as("max_dom"),
+            min(dayofweek(col("o_orderdate"))).as("min_dow"))
+          .orderBy(col("order_month")),
+      Some(s"""
+        SELECT date_trunc('month', o_orderdate) AS order_month,
+               year(o_orderdate) AS order_year,
+               quarter(o_orderdate) AS order_quarter,
+               count(*) AS n_orders,
+               ${Money.sqlSum2("o_totalprice")} AS revenue,
+               max(dayofmonth(o_orderdate)) AS max_dom,
+               min(dayofweek(o_orderdate) + 1) AS min_dow
+        FROM orders
+        GROUP BY 1, 2, 3
+        ORDER BY order_month"""),
+      "date family: date_trunc/year/quarter/dayofmonth/dayofweek (Spark dow is 1-based Sunday, DuckDB 0-based)"),
+
+    QueryDef(
+      "q18_math_fns",
+      (s, d) =>
+        lineitem(s, d)
+          .filter(col("l_orderkey") <= 1000)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice") / 7.0, 2).as("price_div"),
+            floor(col("l_quantity") / 3.0).cast("long").as("qty_floor"),
+            ceil(col("l_quantity") / 3.0).cast("long").as("qty_ceil"),
+            abs(col("l_discount") - 0.05).as("disc_dev"),
+            sqrt(col("l_quantity")).as("qty_sqrt"),
+            (Money.cents(col("l_quantity")) % 7).as("qty_mod"),
+            greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+            least(col("l_discount"), col("l_tax")).as("min_rate"),
+            signum(col("l_discount") - col("l_tax")).as("rate_sign"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice / 7.0, 2) AS price_div,
+               cast(floor(l_quantity / 3.0) as bigint) AS qty_floor,
+               cast(ceil(l_quantity / 3.0) as bigint) AS qty_ceil,
+               abs(l_discount - 0.05) AS disc_dev,
+               sqrt(l_quantity) AS qty_sqrt,
+               cast(round(l_quantity*100) as bigint) % 7 AS qty_mod,
+               greatest(l_discount, l_tax) AS max_rate,
+               least(l_discount, l_tax) AS min_rate,
+               CASE WHEN l_discount > l_tax THEN 1.0
+                    WHEN l_discount < l_tax THEN -1.0 ELSE 0.0 END AS rate_sign
+        FROM lineitem
+        WHERE l_orderkey <= 1000
+        ORDER BY l_orderkey, l_linenumber"""),
+      "math family: round/floor/ceil/abs/sqrt/mod/greatest/least/signum (IEEE-exact ops only)"),
+
+    QueryDef(
+      "q19_array_fns",
+      (s, d) =>
+        // tokenize -> explode -> word frequency; the array ops run inside
+        // codegen, the explode is a Generate node feeding a hash agg.
+        documents(s, d)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word"))
+          .limit(20),
+      Some("""
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+        ORDER BY n DESC, word
+        LIMIT 20"""),
+      "array family: split + explode (Generate) + agg; top-20 word frequency"),
+
+    QueryDef(
+      "q20_map_fns",
+      (s, d) => {
+        // per-document word->count map built with map_from_entries, probed
+        // with element_at — the Spark-native form of the reference's
+        // dictionary lookups (SURVEY R5/R10/R11).
+        val words = documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("cnt"))
+        words
+          .groupBy(col("doc_id"))
+          .agg(map_from_entries(collect_list(struct(col("word"), col("cnt")))).as("wc"),
+               sum(col("cnt")).as("n_words"))
+          .select(
+            col("doc_id"),
+            col("n_words"),
+            size(map_keys(col("wc"))).as("n_distinct_words"),
+            coalesce(element_at(col("wc"), "spark"), lit(0L)).as("n_spark"),
+            coalesce(element_at(col("wc"), "join"), lit(0L)).as("n_join"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               sum(cnt) AS n_words,
+               count(*) AS n_distinct_words,
+               coalesce(sum(CASE WHEN word = 'spark' THEN cnt END), 0) AS n_spark,
+               coalesce(sum(CASE WHEN word = 'join' THEN cnt END), 0) AS n_join
+        FROM (SELECT doc_id, word, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+              WHERE word <> ''
+              GROUP BY doc_id, word)
+        GROUP BY doc_id
+        ORDER BY doc_id"""),
+      "map family: map_from_entries/map_keys/element_at as distributed dictionary lookup"),
+
+    QueryDef(
+      "q21_json_fns",
+      (s, d) =>
+        events(s, d)
+          .select(
+            col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            max(col("k")).as("max_k"),
+            count(when(col("k") > 50, 1)).as("n_high"))
+          .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type,
+               count(*) AS n,
+               sum(cast(json_extract_string(props, '$.k') as bigint)) AS sum_k,
+               max(cast(json_extract_string(props, '$.k') as bigint)) AS max_k,
+               count(CASE WHEN cast(json_extract_string(props, '$.k') as bigint) > 50
+                          THEN 1 END) AS n_high
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""),
+      "JSON family: get_json_object path extraction + typed aggregation over events.props")
+  )
+}

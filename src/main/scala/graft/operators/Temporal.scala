@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Temporal operators over the events stream table (SURVEY.md §2.2: range /
+  * interval join, as-of join, tumbling / sliding / session windows, keyed
+  * dedup). All are batch forms; the streaming module reuses the same
+  * shapes with watermarks.
+  *
+  * The oracle SQL casts `events.ts` (nanosecond parquet) to microseconds
+  * first so both engines compare identical instants — see
+  * [[graft.Tables.events]].
+  */
+object Temporal {
+  import Tables._
+
+  /** DuckDB-side events relation with Spark-identical microsecond ts. */
+  private val EV = "(SELECT event_id, cast(ts as timestamp) AS ts, user_id, event_type, value, props FROM events)"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q22_range_join",
+      (s, d) => {
+        // interval join: errors within 10 minutes after each purchase, same
+        // user. Equi key (user_id) carries the shuffle; the time range is a
+        // residual filter on the sort-merge join — no pair-space blowup.
+        val ev = events(s, d)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+        val e = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts").as("ets"))
+        p.join(e,
+            p("user_id") === e("user_id") &&
+              e("ets") >= p("pts") &&
+              e("ets") < p("pts") + expr("INTERVAL 10 MINUTES"))
+          .groupBy(col("purchase_id"))
+          .agg(count(lit(1)).as("n_errors_10m"))
+          .orderBy(col("purchase_id"))
+      },
+      Some(s"""
+        WITH ev AS (SELECT * FROM $EV)
+        SELECT p.event_id AS purchase_id, count(*) AS n_errors_10m
+        FROM ev p JOIN ev e
+          ON p.user_id = e.user_id
+         AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 10 MINUTE
+        WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+        GROUP BY p.event_id
+        ORDER BY p.event_id"""),
+      "range/interval join: equi-key shuffle + time-range residual"),
+
+    QueryDef(
+      "q23_asof_join",
+      (s, d) => {
+        // latest signup at-or-before each purchase, per user — the
+        // single-shuffle union+window as-of join (operators.AsOfJoin).
+        val ev = events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"))
+        AsOfJoin.backward(purchases, signups, key = "user_id", ts = "ts",
+            payload = Seq("ts"))
+          .select(
+            col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("purchase_us"),
+            unix_micros(col("matched_ts")).as("signup_us"),
+            (unix_micros(col("ts")) - unix_micros(col("matched_ts"))).as("gap_us"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""
+        WITH ev AS (SELECT * FROM $EV),
+        p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+        sg AS (SELECT user_id, ts FROM ev WHERE event_type = 'signup')
+        SELECT p.event_id, p.user_id,
+               epoch_us(p.ts) AS purchase_us,
+               epoch_us(sg.ts) AS signup_us,
+               epoch_us(p.ts) - epoch_us(sg.ts) AS gap_us
+        FROM p ASOF LEFT JOIN sg
+          ON p.user_id = sg.user_id AND p.ts >= sg.ts
+        ORDER BY p.event_id"""),
+      "as-of join (backward, inclusive) == DuckDB ASOF LEFT JOIN"),
+
+    QueryDef(
+      "q24_tumbling_window",
+      (s, d) =>
+        events(s, d)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               graft.Money.sum2(col("value")).as("sum_value"))
+          .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
+          .orderBy(col("bucket"), col("event_type")),
+      Some(s"""
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               count(*) AS n,
+               sum(cast(round("value"*100) as bigint))/100.0 AS sum_value
+        FROM $EV
+        GROUP BY 1, 2
+        ORDER BY bucket, event_type"""),
+      "tumbling window aggregation (window() generator == epoch-aligned date_trunc)"),
+
+    QueryDef(
+      "q25_sliding_window",
+      (s, d) =>
+        // 1-hour windows sliding every 30 min: each event lands in 2 windows.
+        events(s, d)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n"),
+               countDistinct(col("user_id")).as("n_users"))
+          .select(col("w.start").as("bucket"), col("n"), col("n_users"))
+          .orderBy(col("bucket")),
+      Some(s"""
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) - g.off AS bucket,
+               count(*) AS n,
+               count(DISTINCT user_id) AS n_users
+        FROM $EV
+        CROSS JOIN (SELECT unnest([INTERVAL 0 MINUTE, INTERVAL 30 MINUTE]) AS off) g
+        GROUP BY 1
+        ORDER BY bucket"""),
+      "sliding window: each row expands into size/slide windows"),
+
+    QueryDef(
+      "q26_session_window",
+      (s, d) =>
+        // session_window: native Spark session assignment (state-store-backed
+        // in streaming; sort-based here). 30-minute inactivity gap.
+        events(s, d)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"),
+               min(unix_micros(col("ts"))).as("first_us"),
+               max(unix_micros(col("ts"))).as("last_us"))
+          .select(col("user_id"), col("first_us"), col("last_us"), col("n_events"))
+          .orderBy(col("user_id"), col("first_us")),
+      Some(s"""
+        WITH ordered AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS is_new
+          FROM $EV),
+        sess AS (
+          SELECT user_id, ts,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM ordered)
+        SELECT user_id,
+               epoch_us(min(ts)) AS first_us,
+               epoch_us(max(ts)) AS last_us,
+               count(*) AS n_events
+        FROM sess
+        GROUP BY user_id, sid
+        ORDER BY user_id, first_us"""),
+      "session window (30-min gap); oracle derives sessions via lag+cumsum"),
+
+    QueryDef(
+      "q27_dedup_keep_first",
+      (s, d) => {
+        // deterministic keyed dedup: first event per (user_id, event_type)
+        // by (ts, event_id) — the scale-correct dropDuplicates: one shuffle
+        // on the key, per-partition top-1, no global sort.
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"),
+                  unix_micros(col("ts")).as("first_us"), col("event_id"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some(s"""
+        SELECT user_id, event_type, epoch_us(ts) AS first_us, event_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                           ORDER BY ts, event_id) AS rn
+              FROM $EV)
+        WHERE rn = 1
+        ORDER BY user_id, event_type"""),
+      "keyed keep-first dedup (deterministic dropDuplicates)")
+  )
+}
