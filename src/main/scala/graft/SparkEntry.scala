@@ -13,7 +13,10 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     operators.Relational.defs ++
       functions.Functions.defs ++
-      operators.Temporal.defs
+      operators.Temporal.defs ++
+      functions.TextAnalysis.defs ++
+      functions.Dedup.defs ++
+      functions.Similarity.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * revenue by region through the broadcast dim chain. */

@@ -1,0 +1,247 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Deduplication suite for training-data pipelines (builder mandate):
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+  *
+  * Scale design:
+  *   - exact dedup = hash-groupBy on a fingerprint (one shuffle);
+  *   - Jaccard pairs use an inverted-index self-join (shuffle on token),
+  *     never a cartesian;
+  *   - MinHash/LSH banding turns all-pairs into an equi join on
+  *     (band, band_hash) buckets — the 100 TB path;
+  *   - SimHash buckets on 16-bit signature chunks (any pair within
+  *     hamming<=3 shares a chunk by pigeonhole);
+  *   - embedding near-dup shown brute-force here, with the LSH variant in
+  *     [[Similarity]] as the scale path.
+  */
+object Dedup {
+  import Tables._
+  import TextAnalysis.tokens
+
+  private val SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** (doc_id, lang, source, word) distinct token relation. */
+  private def docTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(tokens(col("text")))).as("word"))
+
+  val MINHASH_PERMS = 32
+  val MINHASH_BANDS = 8 // 4 rows per band
+
+  /** MinHash signature per doc: sig_i = min over words of xxhash64(word, i).
+    * `scope` columns (e.g. lang/source) are carried through for
+    * partition-scoped LSH. */
+  def minhashSignatures(toks: DataFrame, scope: Seq[String]): DataFrame = {
+    val sigCols = (0 until MINHASH_PERMS).map(i =>
+      min(xxhash64(col("word"), lit(i))).as(s"sig_$i"))
+    toks.groupBy((col("doc_id") +: scope.map(col)): _*)
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select((col("doc_id") +: scope.map(col)) :+
+        array((0 until MINHASH_PERMS).map(i => col(s"sig_$i")): _*).as("sig"): _*)
+  }
+
+  /** MinHash + LSH near-dup pairs.
+    *
+    * Candidate generation is an equi join on (scope..., band, band_hash) —
+    * never the cartesian pair space. Scoping the buckets (here by
+    * lang+source, mirroring partition-scoped dedup in production pipelines)
+    * bounds bucket size even on corpora where everything resembles
+    * everything, which is what makes the plan survive 100 TB.
+    */
+  def minhashPairs(toks: DataFrame, scope: Seq[String], threshold: Double): DataFrame = {
+    val sigs = minhashSignatures(toks, scope).cache()
+    val rowsPerBand = MINHASH_PERMS / MINHASH_BANDS
+    val banded = sigs.select(
+      (col("doc_id") +: scope.map(col)) :+
+        explode(array((0 until MINHASH_BANDS).map { bandId =>
+          struct(lit(bandId).as("band"),
+            xxhash64((bandId * rowsPerBand until (bandId + 1) * rowsPerBand)
+              .map(i => col("sig").getItem(i)): _*).as("bh"))
+        }: _*)).as("bk"): _*)
+      .select((col("doc_id") +: scope.map(col)) :+ col("bk.band") :+ col("bk.bh"): _*)
+    val joinKeys = scope ++ Seq("band", "bh")
+    val cand = banded.alias("x")
+      .join(banded.alias("y"), joinKeys)
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("ia"), col("sig").as("siga"))
+    val sb = sigs.select(col("doc_id").as("ib"), col("sig").as("sigb"))
+    cand.join(sa, "ia").join(sb, "ib")
+      .select(col("ia"), col("ib"),
+        (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
+          b => b)) * lit(1.0) / MINHASH_PERMS).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** SimHash: 64-bit signature; bit b set iff sum of (+tf / -tf) weighted
+    * by bit b of xxhash64(word) is positive. */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val tf = documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("word")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"w_$b")
+    }
+    val assembled = (0 until 64)
+      .map(b => when(col(s"w_$b") > 0, lit(1L << b)).otherwise(lit(0L)): Column)
+      .reduce(_ + _) // bit positions are disjoint, so + == bitwise OR
+    tf.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), assembled.as("simhash"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q34_dedup_exact",
+      (s, d) => {
+        val fp = documents(s, d).select(
+          col("lang"), col("doc_id"),
+          md5(col("text")).as("fp_exact"),
+          TextAnalysis.canonicalFingerprint(col("text")).as("fp_canon"))
+        val survivors = fp.groupBy(col("fp_canon"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_sz"))
+        fp.join(survivors, "fp_canon")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("fp_exact")).as("n_exact_distinct"),
+            countDistinct(col("fp_canon")).as("n_canon_distinct"),
+            count(when(col("doc_id") === col("keep_id"), 1)).as("n_survivors"),
+            count(when(col("group_sz") > 1, 1)).as("n_in_dup_groups"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""
+        WITH fp AS (
+          SELECT lang, doc_id,
+                 md5(text) AS fp_exact,
+                 md5(array_to_string(list_sort(list_distinct($SQL_TOKENS)), ' ')) AS fp_canon
+          FROM documents),
+        g AS (SELECT fp_canon, min(doc_id) AS keep_id, count(*) AS group_sz
+              FROM fp GROUP BY fp_canon)
+        SELECT lang,
+               count(*) AS n_docs,
+               count(DISTINCT fp_exact) AS n_exact_distinct,
+               count(DISTINCT fp_canon) AS n_canon_distinct,
+               count(CASE WHEN doc_id = keep_id THEN 1 END) AS n_survivors,
+               count(CASE WHEN group_sz > 1 THEN 1 END) AS n_in_dup_groups
+        FROM fp JOIN g USING (fp_canon)
+        GROUP BY lang
+        ORDER BY lang"""),
+      "exact dedup: hash-groupBy on content fingerprint, min-id survivor policy"),
+
+    QueryDef(
+      "q35_ngram_jaccard",
+      (s, d) => {
+        // inverted-index pair generation: join docs through shared tokens
+        // within a (lang, source) bucket — shuffles on the token, never
+        // builds the cartesian pair space.
+        val toks = docTokens(s, d)
+        val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val a = toks.select(col("lang"), col("source"), col("word"), col("doc_id").as("ia"))
+        val b = toks.select(col("lang"), col("source"), col("word"), col("doc_id").as("ib"))
+        val inter = a.join(b, Seq("lang", "source", "word"))
+          .filter(col("ia") < col("ib"))
+          .groupBy(col("ia"), col("ib"))
+          .agg(count(lit(1)).as("i"))
+        val sa = sizes.select(col("doc_id").as("ia"), col("sz").as("sza"))
+        val sb = sizes.select(col("doc_id").as("ib"), col("sz").as("szb"))
+        inter.join(sa, "ia").join(sb, "ib")
+          .select(col("ia"), col("ib"),
+            round(col("i") * lit(1.0) / (col("sza") + col("szb") - col("i")), 4).as("jaccard"))
+          .filter(col("jaccard") >= 0.8)
+          .orderBy(col("ia"), col("ib"))
+      },
+      Some(s"""
+        WITH dtok AS (
+          SELECT DISTINCT doc_id, lang, source, unnest($SQL_TOKENS) AS word
+          FROM documents),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM dtok GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+          FROM dtok a JOIN dtok b
+            ON a.word = b.word AND a.lang = b.lang AND a.source = b.source
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT ia, ib,
+               round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON ia = sa.doc_id
+        JOIN sizes sb ON ib = sb.doc_id
+        WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.8
+        ORDER BY ia, ib"""),
+      "near-dup pairs by word-set Jaccard >= 0.8 via inverted-index join"),
+
+    QueryDef(
+      "q36_minhash_lsh",
+      (s, d) =>
+        minhashPairs(docTokens(s, d), Seq("lang", "source"), 0.75)
+          .orderBy(col("ia"), col("ib")),
+      None, // xxhash64 permutations aren't expressible in the oracle;
+            // covered by DedupSpec against exact Jaccard instead.
+      "MinHash(32 perms) + LSH(8 bands x 4): shingle->minhash->band->bucket-join"),
+
+    QueryDef(
+      "q37_simhash",
+      (s, d) => {
+        // SimHash near-dup: bucket by 16-bit signature chunks (pigeonhole:
+        // hamming<=3 pairs always share a chunk), verify by bit_count(xor).
+        val sh = simhash(s, d).cache()
+        val chunked = sh.select(
+          col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(c =>
+            struct(lit(c).as("c"),
+              shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("ck"))
+          .select(col("doc_id"), col("simhash"), col("ck.c"), col("ck.chunk"))
+        chunked.alias("x").join(chunked.alias("y"), Seq("c", "chunk"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"),
+            bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 6)
+          .orderBy(col("ia"), col("ib"))
+      },
+      None, // xxhash64 bit weights aren't oracle-expressible; see DedupSpec.
+      "SimHash 64-bit near-dup with chunked LSH bucketing + hamming verify"),
+
+    QueryDef(
+      "q38_embedding_neardup",
+      (s, d) => {
+        // brute-force cosine near-dup candidates (threshold tuned to this
+        // synthetic space, max pair cosine ~0.46). One side is broadcast;
+        // at real scale swap in the LSH bucketing of q41.
+        val e = embeddings(s, d).select(
+          col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+          .withColumn("nrm", VectorOps.norm(col("v")))
+        val a = e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+        a.join(broadcast(b), col("ia") < col("ib"))
+          .select(col("ia"), col("ib"),
+            round(VectorOps.cosinePre(VectorOps.dot(col("va"), col("vb")),
+              col("na"), col("nb")), 6).as("cos"))
+          .filter(col("cos") >= 0.4)
+          .orderBy(col("ia"), col("ib"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                     6) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                    6) >= 0.4
+        ORDER BY ia, ib"""),
+      "embedding-cosine near-dup, brute force in double precision")
+  )
+}

@@ -1,0 +1,175 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Text-analysis operators for training-data pipelines (builder mandate +
+  * SURVEY.md §2.2 "Text analysis"): token counting, quality scoring,
+  * heuristic language ID, document fingerprinting.
+  *
+  * Everything is codegen'd `functions._` expressions over `documents.text`
+  * — per-row work with no shuffle until the final aggregate, so the plans
+  * scale linearly with input splits.
+  */
+object TextAnalysis {
+  import Tables._
+
+  /** Whitespace tokens with empties dropped — the shared tokenizer.
+    * (Spark `split` is regex-based but a single space is literal here,
+    * matching DuckDB's `string_split`.) */
+  def tokens(text: Column): Column = filter(split(text, " "), t => t =!= "")
+
+  /** BPE-ish lexer token count: letter runs, digit runs, or single
+    * non-alnum-non-space chars. */
+  def lexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Canonical content fingerprint: md5 of the sorted distinct word set.
+    * Collapses word-order-only variation (rolling-hash analog that is
+    * exactly reproducible in any engine). */
+  def canonicalFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  private val STOPWORDS = Seq("the", "a", "of", "to", "and")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(STOPWORDS.map(lit): _*)))
+
+  // DuckDB fragments used by several oracles below.
+  private val SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
+  private val SQL_STOP = STOPWORDS.map(w => s"'$w'").mkString("(", ",", ")")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q30_text_tokens",
+      (s, d) =>
+        documents(s, d)
+          .select(
+            col("lang"),
+            size(tokens(col("text"))).as("n_ws"),
+            lexTokenCount(col("text")).as("n_lex"),
+            length(col("text")).as("n_chars"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_ws")).as("total_ws_tokens"),
+            sum(col("n_lex")).as("total_lex_tokens"),
+            max(col("n_ws")).as("max_ws_tokens"),
+            round(sum(col("n_ws")) * lit(1.0) / sum(col("n_chars")), 6).as("tokens_per_char"))
+          .orderBy(col("lang")),
+      Some(s"""
+        SELECT lang,
+               count(*) AS n_docs,
+               sum(len($SQL_TOKENS)) AS total_ws_tokens,
+               sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS total_lex_tokens,
+               max(len($SQL_TOKENS)) AS max_ws_tokens,
+               round(sum(len($SQL_TOKENS)) * 1.0 / sum(length(text)), 6) AS tokens_per_char
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang"""),
+      "token counting: whitespace tokenizer + BPE-ish lexer regex"),
+
+    QueryDef(
+      "q31_text_quality",
+      (s, d) =>
+        documents(s, d)
+          .select(
+            col("doc_id"),
+            length(col("text")).as("len"),
+            size(tokens(col("text"))).as("n_tokens"),
+            stopwordCount(col("text")).as("n_stop"),
+            size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).as("n_punct"))
+          .select(
+            col("doc_id"), col("len"), col("n_tokens"),
+            round(col("n_stop") * lit(1.0) / col("n_tokens"), 6).as("stopword_ratio"),
+            round(col("n_punct") * lit(1.0) / col("len"), 6).as("punct_ratio"),
+            round(col("len") * lit(1.0) / col("n_tokens"), 6).as("avg_token_len"),
+            (col("len") >= 50 && col("len") <= 5000 &&
+              col("n_stop") * lit(1.0) / col("n_tokens") < 0.5).as("passes_quality"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 length(text) AS len,
+                 len($SQL_TOKENS) AS n_tokens,
+                 len(list_filter($SQL_TOKENS, t -> t IN $SQL_STOP)) AS n_stop,
+                 len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+          FROM documents)
+        SELECT doc_id, len, n_tokens,
+               round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+               round(n_punct * 1.0 / len, 6) AS punct_ratio,
+               round(len * 1.0 / n_tokens, 6) AS avg_token_len,
+               (len >= 50 AND len <= 5000 AND n_stop * 1.0 / n_tokens < 0.5) AS passes_quality
+        FROM t
+        ORDER BY doc_id"""),
+      "quality scoring: length / punctuation / stopword ratios + pass flag"),
+
+    QueryDef(
+      "q32_text_langid",
+      (s, d) => {
+        // heuristic n-gram language ID: score per language profile = count
+        // of profile marker tokens, argmax with lexicographic tiebreak.
+        val toks = tokens(col("text"))
+        def score(markers: Seq[String]): Column =
+          size(filter(toks, t => t.isin(markers.map(lit): _*)))
+        documents(s, d)
+          .select(
+            col("doc_id"), col("lang"),
+            score(Seq("the", "a", "fast", "slow")).as("s_prose"),
+            score(Seq("spark", "query", "join", "scan", "hash")).as("s_query"),
+            score(Seq("row", "table", "value", "data")).as("s_data"))
+          .withColumn("guess",
+            when(col("s_prose") >= col("s_query") && col("s_prose") >= col("s_data"), "prose")
+              .when(col("s_query") >= col("s_data"), "query")
+              .otherwise("data"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH sc AS (
+          SELECT doc_id, lang,
+                 len(list_filter($SQL_TOKENS, t -> t IN ('the','a','fast','slow'))) AS s_prose,
+                 len(list_filter($SQL_TOKENS, t -> t IN ('spark','query','join','scan','hash'))) AS s_query,
+                 len(list_filter($SQL_TOKENS, t -> t IN ('row','table','value','data'))) AS s_data
+          FROM documents)
+        SELECT doc_id, lang, s_prose, s_query, s_data,
+               CASE WHEN s_prose >= s_query AND s_prose >= s_data THEN 'prose'
+                    WHEN s_query >= s_data THEN 'query'
+                    ELSE 'data' END AS guess
+        FROM sc
+        ORDER BY doc_id"""),
+      "heuristic language/domain ID: marker-token profiles + argmax"),
+
+    QueryDef(
+      "q33_fingerprint",
+      (s, d) =>
+        documents(s, d)
+          .select(
+            col("source"),
+            md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp_exact"),
+            canonicalFingerprint(col("text")).as("fp_canon"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("fp_exact")).as("n_exact_fp"),
+            countDistinct(col("fp_canon")).as("n_canon_fp"),
+            min(col("fp_canon")).as("min_canon_fp"))
+          .orderBy(col("source")),
+      Some(s"""
+        WITH fp AS (
+          SELECT source,
+                 md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_exact,
+                 md5(array_to_string(list_sort(list_distinct($SQL_TOKENS)), ' ')) AS fp_canon
+          FROM documents)
+        SELECT source,
+               count(*) AS n_docs,
+               count(DISTINCT fp_exact) AS n_exact_fp,
+               count(DISTINCT fp_canon) AS n_canon_fp,
+               min(fp_canon) AS min_canon_fp
+        FROM fp
+        GROUP BY source
+        ORDER BY source"""),
+      "document fingerprinting: normalized md5 + canonical word-set md5")
+  )
+}

@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector primitives as pure Catalyst expressions (no UDFs —
+  * `zip_with`/`aggregate` stay in codegen and need no serialization).
+  *
+  * All math is done in double: parquet float32 embeddings are widened
+  * exactly, and a sequential left-to-right `aggregate` sum makes the
+  * result reproducible across engines for oracle comparison.
+  */
+object VectorOps {
+
+  /** Exact float32 -> float64 widening of an embedding column. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Sequential dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity with precomputed norms (precompute per row before a
+    * pairwise join — norms are O(n), pairs are O(n^2)). */
+  def cosinePre(dotAB: Column, normA: Column, normB: Column): Column =
+    dotAB / (normA * normB)
+
+  /** Cosine similarity of two raw vectors. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+}
