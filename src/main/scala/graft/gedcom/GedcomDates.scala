@@ -1,0 +1,88 @@
+package graft.gedcom
+
+import java.sql.Date
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.udf
+
+/** GEDCOM date grammar parser — the reference's own TODO ("Convert dates to
+  * more useful format", README.md:55); SURVEY M3.
+  *
+  * Grammar handled:
+  *   [qualifier] [day] [month] year        e.g. "ABT 12 JAN 1900", "1900"
+  *   BET a AND b / FROM a TO b             ranges (second date captured)
+  * Qualifiers: ABT EST CAL BEF AFT FROM TO INT BET.
+  * Unparseable strings yield a null date with qualifier "RAW".
+  */
+object GedcomDates {
+
+  final case class GedDate(
+      qualifier: String,      // EXACT/ABT/EST/CAL/BEF/AFT/FROM/TO/BET/INT/RAW
+      year: Option[Int],
+      month: Option[Int],
+      day: Option[Int],
+      year2: Option[Int],     // range end (BET..AND / FROM..TO)
+      month2: Option[Int],
+      day2: Option[Int])
+
+  private val Months = Seq("JAN", "FEB", "MAR", "APR", "MAY", "JUN",
+    "JUL", "AUG", "SEP", "OCT", "NOV", "DEC").zipWithIndex.map { case (m, i) => m -> (i + 1) }.toMap
+
+  private val Simple = """(?:(\d{1,2})\s+)?(?:([A-Za-z]{3,4})\s+)?(\d{3,4})""".r
+  private val Qualified = """(ABT|EST|CAL|BEF|AFT|FROM|TO|INT)\.?\s+(.*)""".r
+  private val Between = """(?:BET|BETWEEN)\.?\s+(.*?)\s+AND\s+(.*)""".r
+  private val FromTo = """FROM\s+(.*?)\s+TO\s+(.*)""".r
+
+  private def part(s: String): Option[(Option[Int], Option[Int], Option[Int])] =
+    s.trim.toUpperCase match {
+      case Simple(day, mon, year) =>
+        val m = Option(mon).flatMap(x => Months.get(x.take(3)))
+        if (mon != null && m.isEmpty) None
+        else Some((Some(year.toInt), m, Option(day).map(_.toInt)))
+      case _ => None
+    }
+
+  def parse(raw: String): GedDate = {
+    val s = Option(raw).getOrElse("").trim.toUpperCase
+    def made(q: String, a: Option[(Option[Int], Option[Int], Option[Int])],
+             b: Option[(Option[Int], Option[Int], Option[Int])] = None): GedDate =
+      GedDate(q,
+        a.flatMap(_._1), a.flatMap(_._2), a.flatMap(_._3),
+        b.flatMap(_._1), b.flatMap(_._2), b.flatMap(_._3))
+    s match {
+      case "" => made("RAW", None)
+      case Between(a, b) if part(a).isDefined && part(b).isDefined =>
+        made("BET", part(a), part(b))
+      case FromTo(a, b) if part(a).isDefined && part(b).isDefined =>
+        made("FROM", part(a), part(b))
+      case Qualified(q, rest) if part(rest).isDefined => made(q, part(rest))
+      case other if part(other).isDefined => made("EXACT", part(other))
+      case _ => made("RAW", None)
+    }
+  }
+
+  /** Best-effort java.sql.Date (missing month/day floor to 1). */
+  def toDate(d: GedDate): Option[Date] =
+    d.year.map(y => Date.valueOf(
+      f"$y%04d-${d.month.getOrElse(1)}%02d-${d.day.getOrElse(1)}%02d"))
+
+  private val parseUdf = udf { s: String =>
+    val d = parse(s)
+    (d.qualifier, d.year, d.month, d.day, d.year2, d.month2, d.day2)
+  }
+
+  /** Adds `<out>_qualifier` / `<out>_date` columns parsed from a raw GEDCOM
+    * date column. (A udf is acceptable here: date parsing is off the hot
+    * path and the grammar is too irregular for a regexp cascade to stay
+    * readable.) */
+  def withParsedDate(df: DataFrame, dateCol: Column, out: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("_g", parseUdf(dateCol))
+      .withColumn(s"${out}_qualifier", col("_g._1"))
+      .withColumn(s"${out}_date",
+        when(col("_g._2").isNotNull,
+          to_date(format_string("%04d-%02d-%02d",
+            col("_g._2"), coalesce(col("_g._3"), lit(1)), coalesce(col("_g._4"), lit(1))))))
+      .drop("_g")
+  }
+}

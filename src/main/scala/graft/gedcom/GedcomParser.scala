@@ -1,0 +1,72 @@
+package graft.gedcom
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** One parsed GEDCOM line. `recordNo` is the global 1-based index of the
+  * level-0 record the line belongs to. */
+final case class GedLine(
+    lineNo: Long,
+    recordNo: Long,
+    level: Int,
+    xref: Option[String],
+    tag: String,
+    value: String)
+
+/** Distributed GEDCOM line parser (reference capability R2-R4, SURVEY §2.1;
+  * the reference delegates tokenizing to the external `gedcom-stream`
+  * package — index.js:5,70,77).
+  *
+  * Grammar per line: `LEVEL [@XREF@] TAG [VALUE]`.
+  *
+  * Record assignment — "which level-0 record does this line belong to" — is
+  * a global running count of level-0 lines. A naive
+  * `Window.orderBy(lineNo)` collapses to a single partition, so this uses
+  * the two-pass per-partition prefix-sum plan from SURVEY §4.2: pass 1
+  * counts level-0 lines per partition (tiny driver collect: one long per
+  * partition), pass 2 assigns `recordNo` with the broadcast prefix offsets.
+  * No shuffle at all; scales to any number of input splits.
+  */
+object GedcomParser {
+
+  private val LineRe = """^\s*(\d+)\s+(?:@([^@]+)@\s+)?(\S+)(?:\s(.*))?$""".r
+
+  /** Parse a single raw line; None for unparseable/blank lines. */
+  def parseLine(raw: String, lineNo: Long): Option[GedLine] = raw match {
+    case LineRe(level, xref, tag, value) =>
+      Some(GedLine(lineNo, -1L, level.toInt, Option(xref), tag,
+        Option(value).getOrElse("")))
+    case _ => None
+  }
+
+  def parse(spark: SparkSession, path: String): Dataset[GedLine] =
+    fromLines(spark.read.textFile(path))
+
+  def fromLines(raw: Dataset[String]): Dataset[GedLine] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+
+    val parsed = raw.rdd
+      .zipWithIndex() // order-preserving; no shuffle
+      .flatMap { case (line, no) => parseLine(line, no) }
+    parsed.persist(StorageLevel.MEMORY_AND_DISK)
+
+    // pass 1: per-partition level-0 counts -> global prefix offsets
+    val counts = parsed
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.count(_.level == 0).toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    // pass 2: assign recordNo by per-partition running count + offset
+    val assigned = parsed.mapPartitionsWithIndex { (i, it) =>
+      var rec = bc.value(i)
+      it.map { l =>
+        if (l.level == 0) rec += 1
+        l.copy(recordNo = rec)
+      }
+    }
+    // recordNo 0 = preamble junk before the first level-0 line
+    spark.createDataset(assigned).filter(_.recordNo > 0L)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.gedcom
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point — the Spark-native analog of the reference's
+  * `index.js` option surface (R1: `-s/-d/-b/-t/-q/-v`).
+  *
+  * Usage:
+  *   graft.gedcom.Main -s <gedcom file> -t <csv scratch dir>
+  *                     [-d <neo4j data dir>] [-b <neo4j bin dir>] [-q] [-v]
+  *
+  * Parses + flattens the GEDCOM into per-(kind,tag) CSVs, prints the
+  * diagnostics the reference logs (skip/missing/unused events,
+  * lib/csv_writer.js:97-104) and the bulk-import command it would spawn.
+  * Actually executing `neo4j-import` and the atomic directory swap
+  * (AtomicPublish) stay external-process concerns, as in the reference.
+  */
+object Main {
+
+  final case class Opts(
+      src: Option[String] = None,
+      dest: Option[String] = None,
+      binDir: String = "/usr/bin",
+      tmpDir: String = sys.props("java.io.tmpdir") + "/ged2neo-csvs",
+      quiet: Boolean = false,
+      verbose: Boolean = false)
+
+  def parseArgs(args: List[String], acc: Opts = Opts()): Opts = args match {
+    case Nil => acc
+    case ("-s" | "--src") :: v :: rest => parseArgs(rest, acc.copy(src = Some(v)))
+    case ("-d" | "--dest") :: v :: rest => parseArgs(rest, acc.copy(dest = Some(v)))
+    case ("-b" | "--bindir") :: v :: rest => parseArgs(rest, acc.copy(binDir = v))
+    case ("-t" | "--tmpdir") :: v :: rest => parseArgs(rest, acc.copy(tmpDir = v))
+    case ("-q" | "--quiet") :: rest => parseArgs(rest, acc.copy(quiet = true))
+    case ("-v" | "--verbose") :: rest => parseArgs(rest, acc.copy(verbose = true))
+    case other :: _ => throw new IllegalArgumentException(s"unknown option: $other")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args.toList)
+    val src = opts.src.getOrElse {
+      System.err.println("required: -s <gedcom file> (stdin is not a Spark source; stage to a file)")
+      sys.exit(2)
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("ged2neo")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(if (opts.verbose) "INFO" else "WARN")
+
+    val t0 = System.nanoTime()
+    val res = GedcomPipeline.run(spark, src, opts.tmpDir)
+    def log(s: String): Unit = if (!opts.quiet) println(s)
+
+    log(f"Finished writing intermediate csv files. Time elapsed: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    log(s"nodes: ${res.graph.nodes.count()}  edges: ${res.graph.edges.count()}  " +
+      s"skipped: ${res.graph.skipped.count()}")
+    val unused = res.graph.unusedTags.collect().map(_.getString(0)).sorted
+    if (unused.nonEmpty) log(s"Missing Tags: ${unused.mkString(", ")}")
+    val missing = res.graph.missingTemples.collect().map(_.getString(0)).sorted
+    if (missing.nonEmpty) log(s"Missing Temple Codes: ${missing.mkString(", ")}")
+    res.outputs.foreach(o => log(s"generated ${o.kind}-${o.rawTag}: ${o.path}"))
+
+    opts.dest.foreach { dest =>
+      val cmd = GedcomPipeline.importCommand(opts.binDir, s"$dest.tmp", res.importArgs)
+      log(s"import command: ${cmd.mkString(" ")}")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.gedcom._
+
+/** Golden end-to-end GEDCOM pipeline spec against src/test/resources/m1.ged,
+  * asserting the correctness-bearing reference semantics from SURVEY §2.1
+  * (notes 1-6) plus the documented CONC/CONT deviation. */
+class GedcomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixture = getClass.getResource("/m1.ged").getPath
+
+  lazy val graph: GedcomGraph.Graph = GedcomGraph.fromFile(spark, fixture)
+
+  private def props(rawTag: String, id: String): Map[String, String] =
+    graph.nodes
+      .filter(col("rawTag") === rawTag &&
+        col("props").getItem("Gedcom Id:ID") === id)
+      .select("props").as[Map[String, String]].head()
+
+  test("parser assigns records and levels") {
+    val lines = GedcomParser.parse(spark, fixture).collect()
+    assert(lines.map(_.recordNo).distinct.length == 6) // HEAD,I1,I2,F1,ZZZZ,TRLR
+    assert(lines.count(_.level == 0) == 6)
+    assert(lines.find(_.tag == "INDI").flatMap(_.xref).contains("I1"))
+  }
+
+  test("individual node flattens with transforms, EVEN promotion, last-wins") {
+    val p = props("INDI", "I1")
+    assert(p("Name") == "John /Smith/ Jr.")
+    assert(p("Given Name") == "John ")          // pre-slash, trailing space kept
+    assert(p("Surname") == "Smith")             // suffix after 2nd slash dropped
+    assert(p("Sex") == "M")
+    assert(p("Birth Date") == "12 JAN 1900")
+    assert(p("Birth Place") == "Salt Lake City Utah Temple") // PLAC temple rewrite
+    assert(p("Universally Unique ID") == "abc123")
+    assert(p("Primary") == "True")              // non-empty value => True
+    assert(p("Print in Italics") == "False")    // empty value => False
+    assert(p("Graduation Date") == "1920")      // EVEN promoted by its Type
+    assert(!p.contains("Event Date") && !p.contains("Graduation Type"))
+    assert(p("Note") == "part1part2\nnext line") // CONC + CONT merge
+    assert(p("Residence Date") == "1940")       // repeated RESI: last wins
+    assert(p(":LABEL") == "Individual")
+  }
+
+  test("TEMP lookup hits, misses are accounted, last-wins applies") {
+    val p = props("INDI", "I2")
+    assert(p("Given Name") == "Mary")           // no-slash NAME => all given
+    assert(p("Sealing to Parents Temple") == "NOWHERE") // last-wins, unknown code
+    val missing = graph.missingTemples.as[String].collect().toSet
+    assert(missing == Set("NOWHERE"))           // SLAKE resolved, not missing
+  }
+
+  test("edges come from the root id at any depth, typed by mapped name") {
+    val es = graph.edges.as[RecordAssembler.Edge].collect()
+    val fams = es.find(_.rawTag == "FAMS").get
+    assert(fams == RecordAssembler.Edge("I1", "F1", "Spouse in Family", "FAMS"))
+    val fam = es.filter(_.src == "F1").map(e => (e.dst, e.relType)).toSet
+    assert(fam == Set(("I1", "Husband"), ("I2", "Wife"), ("I3", "Child")))
+  }
+
+  test("unmapped top-level records are skipped whole; TRLR writes no node") {
+    assert(graph.skipped.select("rawTag").as[String].collect().toSeq == Seq("ZZZZ"))
+    // FOO inside the skipped record is never visited => not in unused tags
+    assert(graph.unusedTags.as[String].collect().toSet == Set("BOGUS"))
+    assert(graph.nodes.filter(col("rawTag") === "TRLR").count() == 0)
+  }
+
+  test("HEAD becomes a Header node") {
+    val head = graph.nodes.filter(col("rawTag") === "HEAD")
+      .select("props").as[Map[String, String]].head()
+    assert(head(":LABEL") == "Header" && head("Source") == "test")
+    assert(!head.contains("Gedcom Id:ID"))
+  }
+
+  test("csv sink fans out per (kind, tag) with union headers") {
+    val out = java.nio.file.Files.createTempDirectory("gedcsv").toString
+    val res = GedcomPipeline.run(spark, fixture, out)
+    val kinds = res.outputs.map(o => (o.kind, o.rawTag)).toSet
+    assert(kinds.contains(("nodes", "INDI")))
+    assert(kinds.contains(("relationships", "FAMS")))
+    assert(kinds.contains(("relationships", "CHIL")))
+    // read INDI back: header is the union of both individuals' columns
+    // multiLine: the Note property legitimately contains a quoted newline
+    // (CONT); the writer emits RFC-4180 quoting
+    val indi = spark.read.option("header", true).option("multiLine", true)
+      .csv(s"$out/nodes-INDI")
+    assert(indi.columns.head == "Gedcom Id:ID" && indi.columns.last == ":LABEL")
+    assert(indi.columns.contains("Graduation Date")) // only on I1
+    assert(indi.count() == 2)
+    val rels = spark.read.option("header", true).csv(s"$out/relationships-CHIL")
+    assert(rels.columns.toSeq == Seq(":START_ID", ":END_ID", ":TYPE"))
+    // import args: one --kind group per part file (each part has a header)
+    assert(res.importArgs.count(_ == "--nodes") >= res.outputs.count(_.kind == "nodes"))
+    assert(res.importArgs.grouped(2).forall {
+      case Seq(k, v) => k.startsWith("--") && new java.io.File(v).isFile
+      case _ => false
+    })
+    val cmd = GedcomPipeline.importCommand("/usr/bin", s"$out/db.tmp", res.importArgs)
+    assert(cmd.head == "/usr/bin/neo4j-import" && cmd(1) == "--into")
+  }
+
+  test("atomic publish swaps with backup and rolls back on failed validation") {
+    import java.nio.file._
+    val base = Files.createTempDirectory("pub")
+    def mk(name: String, marker: String): Path = {
+      val p = base.resolve(name); Files.createDirectories(p)
+      Files.writeString(p.resolve("marker"), marker); p
+    }
+    val real = mk("db", "old")
+    val tmp = mk("db.tmp", "new")
+    assert(AtomicPublish.publish(real, tmp)(true))
+    assert(Files.readString(real.resolve("marker")) == "new")
+    assert(Files.readString(AtomicPublish.bakOf(real).resolve("marker")) == "old")
+    // now a failing validation must restore the previous version
+    val tmp2 = mk("db.tmp2", "bad")
+    assert(!AtomicPublish.publish(real, tmp2)(false))
+    assert(Files.readString(real.resolve("marker")) == "new") // rolled back
+  }
+
+  test("record assignment holds across many partitions") {
+    val text = (0 until 500).flatMap { i =>
+      Seq(s"0 @X$i@ INDI", "1 SEX M", s"1 NOTE note$i")
+    }
+    val ds = spark.createDataset(text)(org.apache.spark.sql.Encoders.STRING).repartition(13)
+    // repartition shuffles line order, so feed via the order-preserving path:
+    val lines = GedcomParser.fromLines(spark.createDataset(text)(org.apache.spark.sql.Encoders.STRING))
+    val grouped = lines.groupByKey(_.recordNo).mapGroups((k, it) => (k, it.size)).collect()
+    assert(grouped.length == 500 && grouped.forall(_._2 == 3))
+    val g = GedcomGraph.fromLines(lines)
+    assert(g.nodes.count() == 500)
+    val sample = g.nodes.filter(col("props").getItem("Gedcom Id:ID") === "X42")
+      .select("props").as[Map[String, String]].head()
+    assert(sample("Note") == "note42")
+  }
+}
