@@ -16,7 +16,8 @@ object SparkEntry {
       operators.Temporal.defs ++
       functions.TextAnalysis.defs ++
       functions.Dedup.defs ++
-      functions.Similarity.defs
+      functions.Similarity.defs ++
+      functions.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * revenue by region through the broadcast dim chain. */

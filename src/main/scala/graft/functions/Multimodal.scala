@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Multimodal-column plumbing (builder mandate): image/audio/video payloads
+  * as opaque `binary` columns with typed metadata, decoded and
+  * feature-extracted in executor-side batches.
+  *
+  * The Spark-side shape is real and tested — schema, partitioning, batch
+  * grouping, feature arrays. The actual media decode is a clearly-marked
+  * STUB (`decodeStub`): this container has no image/audio codecs, so the
+  * stub produces a deterministic fake (byte histogram + hash-derived
+  * dimensions). Swapping in a real decoder (JNI/ffmpeg/javacv) changes only
+  * that one function; everything around it — batch size, schema, shuffle
+  * behavior — is production plumbing.
+  *
+  * Batching mirrors `mapInPandas`: `mapPartitions` pulls rows in groups of
+  * [[BATCH_SIZE]] so a real decoder could amortize model/codec init per
+  * batch instead of per row.
+  */
+object Multimodal {
+  import Tables._
+
+  val BATCH_SIZE = 64
+  val FEATURE_DIM = 16
+
+  /** Typed metadata carried next to every binary payload. */
+  final case class MediaMeta(
+      kind: String,          // image | audio | video | text
+      formatHint: String,    // container/extension hint
+      nBytes: Long)
+
+  final case class MediaAsset(asset_id: Long, payload: Array[Byte], meta: MediaMeta)
+
+  final case class MediaFeatures(
+      asset_id: Long,
+      kind: String,
+      n_bytes: Long,
+      width: Int,            // STUB-decoded "dimensions"
+      height: Int,
+      features: Array[Float])
+
+  /** STUB decoder ===========================================================
+    * Real implementation would decode the payload with a codec and return
+    * pixels/samples. Here: deterministic fake — dimensions derived from a
+    * content hash, features = L1-normalized 16-bin byte histogram. Replace
+    * this single function to go live.
+    * ======================================================================= */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    val h = java.util.Arrays.hashCode(payload)
+    val width = 16 + math.abs(h % 1024)
+    val height = 16 + math.abs((h / 1024) % 1024)
+    val hist = new Array[Float](FEATURE_DIM)
+    payload.foreach(b => hist((b & 0xFF) / FEATURE_DIM) += 1f)
+    val total = math.max(payload.length, 1).toFloat
+    (width, height, hist.map(_ / total))
+  }
+
+  /** documents.text bytes as stand-in binary payloads — exercises the full
+    * binary-column path with real distributed data. */
+  def assets(s: SparkSession, d: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        col("source"), length(col("text")).cast("long").as("n"))
+      .map(r => MediaAsset(
+        r.getLong(0), r.getAs[Array[Byte]](1),
+        MediaMeta("text", r.getString(2), r.getLong(3))))
+  }
+
+  /** Batched decode + feature extraction. Rows are pulled in BATCH_SIZE
+    * groups per partition (the mapInPandas batch shape); output is a flat
+    * typed Dataset. */
+  def extractFeatures(in: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import in.sparkSession.implicits._
+    in.mapPartitions { rows =>
+      rows.grouped(BATCH_SIZE).flatMap { batch =>
+        // per-batch init hook for a real decoder goes here
+        batch.iterator.map { a =>
+          val (w, h, feat) = decodeStub(a.payload)
+          MediaFeatures(a.asset_id, a.meta.kind, a.meta.nBytes, w, h, feat)
+        }
+      }
+    }
+  }
+
+  /** Deterministic frame sampling STUB for video payloads: byte offsets of
+    * every `stride`-th fake frame. Real version seeks keyframes. */
+  def sampleFrameOffsets(nBytes: Long, stride: Long = 4096L): Seq[Long] =
+    (0L until nBytes by stride).toSeq
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q41_multimodal_features",
+      (s, d) => {
+        import s.implicits._
+        extractFeatures(assets(s, d)).toDF()
+          .select(col("asset_id"), col("kind"), col("n_bytes"),
+            col("width"), col("height"),
+            round(aggregate(col("features"),
+              lit(0.0), (acc, x) => acc + x.cast("double")), 6).as("feat_l1"))
+          .orderBy(col("asset_id"))
+      },
+      None, // decode is a stub; plumbing asserted in MultimodalSpec
+      "binary-column batched decode + feature extraction (stubbed codec)")
+  )
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+/** Streaming operators driven through MemoryStream -> memory sink, and
+  * checked for batch/stream parity where the shape exists in both. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(min: Int): Timestamp = new Timestamp(3600_000L * 24 + min * 60_000L)
+
+  private val sample = Seq(
+    Event(1, ts(0), 1, "purchase", 10.0, "{}"),
+    Event(2, ts(5), 1, "purchase", 12.0, "{}"),
+    Event(3, ts(10), 1, "purchase", 100.0, "{}"), // >3x mean(10,12) => alert
+    Event(4, ts(61), 2, "click", 1.0, "{}"),
+    Event(5, ts(62), 2, "purchase", 5.0, "{}"),
+    Event(5, ts(62), 2, "purchase", 5.0, "{}"),   // exact duplicate
+    Event(6, ts(200), 2, "click", 2.0, "{}"))
+
+  private def runStream[T](df: org.apache.spark.sql.Dataset[T], name: String,
+      mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling counts match the batch plan") {
+    val in = MemoryStream[Event]
+    in.addData(sample: _*)
+    val out = runStream(StreamingOps.tumblingCounts(in.toDF(), "1 hour"), "tumb", "complete")
+      .select("bucket", "event_type", "n").as[(Timestamp, String, Long)].collect().toSet
+    val batch = StreamingOps.tumblingCounts(sample.toDF(), "1 hour")
+      .select("bucket", "event_type", "n").as[(Timestamp, String, Long)].collect().toSet
+    assert(out == batch)
+    assert(out.exists { case (_, t, n) => t == "purchase" && n == 3 }) // hour 1, user 1
+  }
+
+  test("sessionize closes sessions on gap") {
+    val in = MemoryStream[Event]
+    in.addData(sample: _*)
+    val out = runStream(StreamingOps.sessionize(in.toDF(), "30 minutes"), "sess", "complete")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSet
+    // user1: one session (0,5,10); user2: (61,62,62) and (200)
+    assert(out == Set((1L, 3L), (2L, 3L), (2L, 1L)))
+  }
+
+  test("streaming dedup drops the exact duplicate") {
+    val in = MemoryStream[Event]
+    in.addData(sample: _*)
+    val out = runStream(StreamingOps.dedupEvents(in.toDF()), "dedup")
+    assert(out.count() == sample.size - 1)
+  }
+
+  test("flatMapGroupsWithState emits anomaly alerts with running state") {
+    val in = MemoryStream[Event]
+    in.addData(sample: _*)
+    val out = runStream(StreamingOps.purchaseAnomalies(in.toDS()), "alerts")
+      .as[StreamingOps.Alert].collect()
+    assert(out.toSeq.map(_.event_id) == Seq(3L))
+    assert(math.abs(out.head.mean_before - 11.0) < 1e-9)
+  }
+
+  test("file-source event stream aggregates the sf0.001 table like batch") {
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    // stage the driver parquet into a stream-source dir
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val stream = StreamingOps.readEventStream(spark, dir)
+    val out = runStream(StreamingOps.tumblingCounts(stream, "1 hour"), "filetumb", "complete")
+    val batch = StreamingOps.tumblingCounts(
+      Tables.events(spark, "/root/testdata/sf0.001"), "1 hour")
+    assert(out.agg(sum("n")).head.getLong(0) == 1000L)
+    assert(out.count() == batch.count())
+  }
+}
