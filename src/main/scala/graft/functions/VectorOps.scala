@@ -15,8 +15,16 @@ object VectorOps {
   /** Exact float32 -> float64 widening of an embedding column. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Sequential dot product of two array<double> columns. */
+  /** Dot product of two array<double> columns — the native codegen'd
+    * expression (primitive loop, no per-element lambda or allocation).
+    * Evaluation order is the same sequential left-to-right sum as the
+    * composed form, so oracle results are unchanged. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.expressions.VectorExpressions.vecDot(a, b)
+
+  /** The pure-functions composed form (kept as the reference
+    * implementation; see VectorExpressionsSpec for the equivalence test). */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** L2 norm. */

@@ -1,0 +1,65 @@
+package graft
+
+/** Physical-plan shape assertions: the properties that make these queries
+  * survive a 100x scale-up are pinned here, so a regression that silently
+  * de-broadcasts a dim join or un-pushes a filter fails the suite. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, SF).queryExecution.executedPlan.toString
+
+  test("q01 pushes the shipdate filter and prunes columns at the scan") {
+    val p = plan("q01_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
+    // only the 5 referenced columns are read, not all 16
+    assert(p.contains("ReadSchema") && !p.contains("l_partkey"), p)
+  }
+
+  test("q02 dim chain is broadcast joins, no shuffle joins") {
+    val p = plan("q02_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q03 fact-fact join is an equi hash join, never a nested loop") {
+    // at sf0.001 Catalyst correctly auto-broadcasts the small side; the
+    // invariant that holds at every scale is equi-join keys + no loop join
+    val p = plan("q03_join_shuffle")
+    assert(p.contains("Join [l_orderkey"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q04/q05 plan as semi/anti joins, not materialized subqueries") {
+    assert(plan("q04_semi_join").contains("LeftSemi"), plan("q04_semi_join"))
+    assert(plan("q05_anti_join").contains("LeftAnti"), plan("q05_anti_join"))
+  }
+
+  test("q12 global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = plan("q12_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01 aggregation is partial+final (map-side combine)") {
+    val p = plan("q01_agg")
+    assert(p.contains("partial_"), p) // HashAggregate(..., functions=[partial_...])
+  }
+
+  test("q39 scoring runs in whole-stage codegen with the native vec_dot") {
+    val df = SparkEntry.queries("q39_knn_brute")(spark, SF)
+    df.collect() // execute this exact plan so AQE finalizes it
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("vec_dot"), formatted)
+    assert(formatted.contains("codegen id"), formatted) // whole-stage codegen spans
+  }
+
+  test("q39 per-group top-k uses WindowGroupLimit (rank pushdown, no full materialization)") {
+    val p = plan("q39_knn_brute")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q24 window aggregation prunes unused event columns") {
+    val p = plan("q24_tumbling_window")
+    assert(!p.contains("props"), p) // json column not read for this query
+  }
+}
