@@ -12,6 +12,7 @@ object SparkEntry {
   /** Every registered query, in registration order. */
   def all: Seq[QueryDef] =
     operators.Relational.defs ++
+      operators.Aggregates.defs ++
       functions.Functions.defs ++
       operators.Temporal.defs ++
       functions.TextAnalysis.defs ++

@@ -1,6 +1,11 @@
 package graft.gedcom
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 
 /** Partitioned multiplexing CSV sink (reference R15, lib/csv_writer.js:85-113):
@@ -12,11 +17,13 @@ import org.apache.spark.sql.functions._
   * Documented fix over the reference (SURVEY §4.3.1): fast-csv derives the
   * header from early rows and silently misaligns later rows with novel
   * columns; here each tag's schema is the union of all its rows' keys
-  * (`Gedcom Id:ID` first, properties sorted, `:LABEL` last).
+  * (`Gedcom Id:ID` first, properties sorted, `:LABEL` last), computed in a
+  * single aggregation pass.
   *
-  * Each output is a directory of part files (parallel write; the analog of
-  * the reference's single file) — `neo4j-import` accepts the
-  * `header,part,part` form the import-args builder produces.
+  * Per-tag outputs are independent Spark jobs, submitted concurrently (the
+  * scheduler interleaves their stages across the cluster) — wall-clock is
+  * bounded by the largest tag, not the sum. Each output is a directory of
+  * part files; `neo4j-import` receives one `--<kind>` group per part.
   */
 object CsvSink {
 
@@ -29,36 +36,48 @@ object CsvSink {
   }
 
   def write(graph: GedcomGraph.Graph, outDir: String): Seq[Output] = {
+    // materialize once: every per-tag job below re-scans these, and nodes/
+    // edges are much narrower than the full flat frame they derive from
     val nodes = graph.nodes.cache()
     val edges = graph.edges.cache()
 
-    val nodeTags = nodes.select("rawTag").distinct().collect().map(_.getString(0)).sorted
-    val nodeOuts = nodeTags.map { tag =>
-      val forTag = nodes.filter(col("rawTag") === tag)
-      // union of this tag's keys — a small driver-side set (bounded by the
-      // flattened-column vocabulary, not by data volume)
-      val keys = forTag
-        .select(explode(map_keys(col("props"))).as("k"))
-        .distinct().collect().map(_.getString(0)).toSet
-      val cols = nodeColumns(keys)
-      val path = s"$outDir/nodes-$tag"
-      forTag
-        .select(cols.map(k => col("props").getItem(k).as(k)): _*)
-        .write.mode(SaveMode.Overwrite).option("header", true).csv(path)
-      Output("nodes", tag, path)
-    }
+    // one pass: distinct (tag, column key) pairs — driver-side size is
+    // bounded by the tag-dictionary x flattened-key vocabulary, not by rows
+    val keysByTag: Map[String, Set[String]] = nodes
+      .select(col("rawTag"), explode(map_keys(col("props"))).as("k"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).map { case (t, rs) => t -> rs.map(_.getString(1)).toSet }
 
     val edgeTags = edges.select("rawTag").distinct().collect().map(_.getString(0)).sorted
-    val edgeOuts = edgeTags.map { tag =>
-      val path = s"$outDir/relationships-$tag"
-      edges.filter(col("rawTag") === tag)
-        .select(col("src").as(":START_ID"), col("dst").as(":END_ID"),
-          col("relType").as(":TYPE"))
-        .write.mode(SaveMode.Overwrite).option("header", true).csv(path)
-      Output("relationships", tag, path)
-    }
 
-    (nodeOuts ++ edgeOuts).toSeq
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val nodeJobs = keysByTag.toSeq.sortBy(_._1).map { case (tag, keys) =>
+        Future {
+          val path = s"$outDir/nodes-$tag"
+          nodes.filter(col("rawTag") === tag)
+            .select(nodeColumns(keys).map(k => col("props").getItem(k).as(k)): _*)
+            .write.mode(SaveMode.Overwrite).option("header", true).csv(path)
+          Output("nodes", tag, path)
+        }
+      }
+      val edgeJobs = edgeTags.toSeq.map { tag =>
+        Future {
+          val path = s"$outDir/relationships-$tag"
+          edges.filter(col("rawTag") === tag)
+            .select(col("src").as(":START_ID"), col("dst").as(":END_ID"),
+              col("relType").as(":TYPE"))
+            .write.mode(SaveMode.Overwrite).option("header", true).csv(path)
+          Output("relationships", tag, path)
+        }
+      }
+      Await.result(Future.sequence(nodeJobs ++ edgeJobs), Duration.Inf)
+    } finally {
+      pool.shutdown()
+      nodes.unpersist()
+      edges.unpersist()
+    }
   }
 
   /** `neo4j-admin import`-style argument list from the written outputs

@@ -39,16 +39,31 @@ object GedcomParser {
     case _ => None
   }
 
-  def parse(spark: SparkSession, path: String): Dataset[GedLine] =
-    fromLines(spark.read.textFile(path))
+  def parse(spark: SparkSession, path: String): Dataset[GedLine] = {
+    // explicit split count: the default 128 MB file split would give a
+    // ~150 MB file two partitions and serialize the whole parse stage;
+    // byte-range splits keep global line order across partition indexes
+    val minParts = spark.sparkContext.defaultParallelism * 2
+    fromLineRdd(spark, spark.sparkContext.textFile(path, minParts))
+  }
 
-  def fromLines(raw: Dataset[String]): Dataset[GedLine] = {
-    val spark = raw.sparkSession
+  def fromLines(raw: Dataset[String]): Dataset[GedLine] =
+    fromLineRdd(raw.sparkSession, raw.rdd)
+
+  def fromLineRdd(spark: SparkSession, raw: org.apache.spark.rdd.RDD[String]): Dataset[GedLine] = {
     import spark.implicits._
 
-    val parsed = raw.rdd
-      .zipWithIndex() // order-preserving; no shuffle
-      .flatMap { case (line, no) => parseLine(line, no) }
+    // Ordering key without zipWithIndex's extra counting pass over the
+    // input: (partitionIndex << 40) | localLineNo is monotonically
+    // increasing in file order (byte-range splits are ordered by index),
+    // so the single real pass over the text both parses and keys.
+    val parsed = raw.mapPartitionsWithIndex { (pi, it) =>
+      var j = 0L
+      it.flatMap { line =>
+        j += 1
+        parseLine(line, (pi.toLong << 40) | j)
+      }
+    }
     parsed.persist(StorageLevel.MEMORY_AND_DISK)
 
     // pass 1: per-partition level-0 counts -> global prefix offsets

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.{Money, QueryDef, Tables}
+
+/** Aggregation extensions beyond the built-ins (SURVEY §2.2 UDAF row):
+  *
+  *   - q42: the SQL entry point — identical plans come out of `spark.sql`
+  *     and the DataFrame API, so the engine is usable from both surfaces;
+  *   - q43: HLL `approx_count_distinct` next to the exact count — the
+  *     100 TB path for distinct cardinalities (fixed-size sketch, one pass,
+  *     mergeable across partitions);
+  *   - q44: a custom typed [[Aggregator]] computing a bounded top-k heap
+  *     per group — the SURVEY §4.2 alternative to rank-then-filter that
+  *     never materializes more than k rows per group per partition.
+  */
+object Aggregates {
+  import Tables._
+
+  /** Bounded top-k aggregator: keeps the k largest (value, tag) pairs.
+    * Partial buffers are size-capped, merge is k-bounded — at any data
+    * volume each partition contributes at most k candidates to the final
+    * merge (classic partial-agg-friendly top-k). */
+  final class TopK(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[Double]] {
+    override def zero: Seq[(Double, Long)] = Vector.empty
+    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.sortBy { case (v, id) => (-v, id) }.take(k)
+    override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+      trim(b :+ a)
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trim(a ++ b)
+    override def finish(r: Seq[(Double, Long)]): Seq[Double] =
+      r.map(_._1)
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q42_sql_surface",
+      (s, d) => {
+        // same engine through the SQL front door: views + spark.sql
+        lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        orders(s, d).createOrReplaceTempView("v_orders")
+        // 100.0D: Spark SQL parses a bare `100.0` literal as DECIMAL(4,1)
+        // (DataFrame lit(100.0) is double) — the D suffix keeps the result
+        // type double, matching the oracle
+        s.sql(s"""
+          SELECT o_orderpriority,
+                 count(*) AS n_orders,
+                 sum(cast(round(l_extendedprice*100) as bigint))/100.0D AS revenue
+          FROM v_orders JOIN v_lineitem ON o_orderkey = l_orderkey
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      Some("""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               sum(cast(round(l_extendedprice*100) as bigint))/100.0 AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""),
+      "SQL API surface: spark.sql over temp views, same Catalyst plan as the DataFrame form"),
+
+    QueryDef(
+      "q43_approx_distinct",
+      (s, d) =>
+        // HLL sketch vs exact: the cheap scale path plus its error bound.
+        // Both engines' sketches differ, so the oracle-checked columns are
+        // the exact ones; the HLL column is asserted within 5% in
+        // AggregatesSpec instead.
+        lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag")),
+      Some("""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS exact_parts,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""),
+      "distinct cardinality: exact (oracle) + HLL approx (spec-checked tolerance)"),
+
+    QueryDef(
+      "q44_topk_aggregator",
+      (s, d) => {
+        // custom bounded-heap top-k per customer: k values survive per
+        // partition per group, vs rank-over-window which sorts everything.
+        import s.implicits._
+        val topk = udaf(new TopK(3))
+        orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top3"))
+          .select(col("o_custkey"),
+            round(try_element_at(col("top3"), lit(1)), 2).as("top1"),
+            round(coalesce(try_element_at(col("top3"), lit(2)), lit(0.0)), 2).as("top2"),
+            round(coalesce(try_element_at(col("top3"), lit(3)), lit(0.0)), 2).as("top3"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""
+        SELECT o_custkey,
+               round(max(CASE WHEN rk = 1 THEN o_totalprice END), 2) AS top1,
+               round(coalesce(max(CASE WHEN rk = 2 THEN o_totalprice END), 0), 2) AS top2,
+               round(coalesce(max(CASE WHEN rk = 3 THEN o_totalprice END), 0), 2) AS top3
+        FROM (SELECT o_custkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders)
+        WHERE rk <= 3
+        GROUP BY o_custkey
+        ORDER BY o_custkey"""),
+      "custom Aggregator UDAF: bounded top-k heap with k-capped partial buffers")
+  )
+}

@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted join for skewed keys (SURVEY §2.2 / builder scale mandate).
+  *
+  * When one join key carries a disproportionate share of rows, the shuffle
+  * partition holding it becomes the straggler. Salting splits each key into
+  * `buckets` synthetic sub-keys: the skewed side gets a deterministic salt
+  * from a row hash, the (smaller) build side is replicated across all
+  * salts. Equivalent rows, `buckets`-way parallelism on the hot key.
+  *
+  * AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`) covers
+  * sort-merge joins at runtime; explicit salting remains the tool for
+  * aggregation-free hash joins and for engines/pipelines where AQE can't
+  * see the skew (e.g. streaming joins).
+  */
+object SkewJoin {
+
+  /** Inner-join `skewed` with `dim` on `key`, spreading each key over
+    * `buckets` salts. `dim` is replicated `buckets` times — keep it the
+    * small side. */
+  def saltedJoin(skewed: DataFrame, dim: DataFrame, key: String, buckets: Int): DataFrame = {
+    require(buckets > 0)
+    val salted = skewed.withColumn(
+      "_salt", pmod(hash(struct(skewed.columns.map(col): _*)), lit(buckets)))
+    val replicated = dim.withColumn(
+      "_salt", explode(array((0 until buckets).map(lit): _*)))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+}

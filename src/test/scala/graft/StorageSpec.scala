@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.operators.SkewJoin
+
+/** Source/sink format coverage, salted skew join, and bucketed co-located
+  * joins (SURVEY §2.2 storage + partitioning rows). */
+class StorageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val li = Tables.lineitem(spark, SF)
+    .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+
+  test("orc/csv/json round-trip preserves rows") {
+    val dir = java.nio.file.Files.createTempDirectory("fmt").toString
+    val want = li.count()
+    li.write.mode(SaveMode.Overwrite).orc(s"$dir/orc")
+    li.write.mode(SaveMode.Overwrite).option("header", true).csv(s"$dir/csv")
+    li.write.mode(SaveMode.Overwrite).json(s"$dir/json")
+    assert(spark.read.orc(s"$dir/orc").count() == want)
+    val csv = spark.read.option("header", true).option("inferSchema", true).csv(s"$dir/csv")
+    assert(csv.count() == want)
+    assert(spark.read.json(s"$dir/json").count() == want)
+    // orc round-trip is type-exact
+    assert(spark.read.orc(s"$dir/orc").schema == li.schema)
+  }
+
+  test("orc scans get filter pushdown too") {
+    val dir = java.nio.file.Files.createTempDirectory("orcpd").toString
+    li.write.mode(SaveMode.Overwrite).orc(dir)
+    val p = spark.read.orc(dir).filter(col("l_orderkey") === 42)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]"), p)
+  }
+
+  test("salted join equals the plain join on skewed data") {
+    val rnd = new scala.util.Random(11)
+    // 90% of rows share one key — the classic hot-key shape
+    val skewed = Seq.fill(2000)(
+      (if (rnd.nextInt(10) < 9) 7L else rnd.nextInt(100).toLong, rnd.nextInt(1000)))
+      .toDF("k", "payload")
+    val dim = (0L until 100L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = skewed.join(dim, "k").groupBy("k").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+    val salted = SkewJoin.saltedJoin(skewed, dim, "k", 8)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+    assert(plain.exceptAll(salted).count() == 0 && salted.exceptAll(plain).count() == 0)
+    // and the salt really spreads the hot key across buckets
+    val spread = skewed.withColumn("_salt",
+        pmod(hash(struct(skewed.columns.map(col): _*)), lit(8)))
+      .filter(col("k") === 7).select("_salt").distinct().count()
+    assert(spread >= 6, s"hot key only hit $spread of 8 salt buckets")
+  }
+
+  test("bucketed tables join without an exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Tables.orders(spark, SF).write.mode(SaveMode.Overwrite)
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    Tables.lineitem(spark, SF).write.mode(SaveMode.Overwrite)
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("x", col("l_quantity") * 2) // defeat trivial pruning
+    // disable auto-broadcast so the test exercises the co-located path
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      assert(joined.count() == Tables.lineitem(spark, SF).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+}
