@@ -13,6 +13,7 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     operators.Relational.defs ++
       operators.Aggregates.defs ++
+      operators.Advanced.defs ++
       functions.Functions.defs ++
       operators.Temporal.defs ++
       functions.TextAnalysis.defs ++

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{Money, QueryDef, Tables}
+
+/** Second wave of relational coverage: native pivot, correlated scalar
+  * subquery, GROUPING SETS + grouping_id, exact interpolated percentiles,
+  * argmax-style ordered aggregates, and a GraphX connected-components
+  * query over the part-supplier bipartite graph. */
+object Advanced {
+  import Tables._
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q45_native_pivot",
+      (s, d) =>
+        // relational pivot with pinned value set (deterministic columns —
+        // never let pivot scan for values at scale)
+        events(s, d)
+          .groupBy(col("user_id"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(sum(Money.cents(col("value"))))
+          .select(col("user_id"),
+            (coalesce(col("click"), lit(0L)) / 100.0).as("click_value"),
+            (coalesce(col("error"), lit(0L)) / 100.0).as("error_value"),
+            (coalesce(col("purchase"), lit(0L)) / 100.0).as("purchase_value"),
+            (coalesce(col("signup"), lit(0L)) / 100.0).as("signup_value"),
+            (coalesce(col("view"), lit(0L)) / 100.0).as("view_value"))
+          .orderBy(col("user_id")),
+      Some("""
+        SELECT user_id,
+               coalesce(sum(CASE WHEN event_type = 'click' THEN cast(round("value"*100) as bigint) END), 0)/100.0 AS click_value,
+               coalesce(sum(CASE WHEN event_type = 'error' THEN cast(round("value"*100) as bigint) END), 0)/100.0 AS error_value,
+               coalesce(sum(CASE WHEN event_type = 'purchase' THEN cast(round("value"*100) as bigint) END), 0)/100.0 AS purchase_value,
+               coalesce(sum(CASE WHEN event_type = 'signup' THEN cast(round("value"*100) as bigint) END), 0)/100.0 AS signup_value,
+               coalesce(sum(CASE WHEN event_type = 'view' THEN cast(round("value"*100) as bigint) END), 0)/100.0 AS view_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id"""),
+      "native pivot with pinned values (Expand-free single agg)"),
+
+    QueryDef(
+      "q46_correlated_subquery",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("v_orders2")
+        s.sql("""
+          SELECT o_orderkey, o_custkey, o_totalprice
+          FROM v_orders2 o
+          WHERE o_totalprice > 2 * (
+            SELECT avg(o_totalprice) FROM v_orders2 i
+            WHERE i.o_custkey = o.o_custkey)
+          ORDER BY o_orderkey""")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 2 * (
+          SELECT avg(o_totalprice) FROM orders i
+          WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey"""),
+      "correlated scalar subquery (Catalyst de-correlates to an aggregate + join)"),
+
+    QueryDef(
+      "q47_grouping_sets",
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("v_lineitem2")
+        s.sql("""
+          SELECT l_returnflag, l_linestatus,
+                 grouping(l_returnflag) AS g_flag,
+                 grouping(l_linestatus) AS g_status,
+                 count(*) AS n,
+                 sum(cast(round(l_quantity*100) as bigint))/100.0D AS sum_qty
+          FROM v_lineitem2
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+          ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status,
+               count(*) AS n,
+               sum(cast(round(l_quantity*100) as bigint))/100.0 AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
+      "arbitrary GROUPING SETS with grouping() disambiguation"),
+
+    QueryDef(
+      "q48_percentiles",
+      (s, d) =>
+        // exact interpolated percentiles over integer cents: the (n-1)*q
+        // linear interpolation is identical arithmetic in both engines
+        lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            (percentile(Money.cents(col("l_extendedprice")), lit(0.5)) / 100.0).as("p50"),
+            (percentile(Money.cents(col("l_extendedprice")), lit(0.9)) / 100.0).as("p90"),
+            (percentile(Money.cents(col("l_extendedprice")), lit(0.99)) / 100.0).as("p99"),
+            (max(Money.cents(col("l_extendedprice"))) / 100.0).as("pmax"))
+          .orderBy(col("l_returnflag")),
+      Some("""
+        SELECT l_returnflag,
+               quantile_cont(cast(round(l_extendedprice*100) as bigint), 0.5)/100.0 AS p50,
+               quantile_cont(cast(round(l_extendedprice*100) as bigint), 0.9)/100.0 AS p90,
+               quantile_cont(cast(round(l_extendedprice*100) as bigint), 0.99)/100.0 AS p99,
+               max(cast(round(l_extendedprice*100) as bigint))/100.0 AS pmax
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""),
+      "exact interpolated percentiles (sort-based) over exact cents"),
+
+    QueryDef(
+      "q49_argmax",
+      (s, d) =>
+        // ordered/argmax aggregates; ties broken by orderkey via struct
+        // ordering so both engines pick the same winner
+        orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(
+            max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("best_order"),
+            min_by(col("o_orderkey"), struct(col("o_totalprice"), negate(col("o_orderkey")))).as("worst_order"),
+            (max(Money.cents(col("o_totalprice"))) / 100.0).as("best_price"))
+          .orderBy(col("o_custkey")),
+      Some("""
+        WITH r AS (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rb,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice ASC, o_orderkey ASC) AS rw
+          FROM orders)
+        SELECT o_custkey,
+               max(CASE WHEN rb = 1 THEN o_orderkey END) AS best_order,
+               max(CASE WHEN rw = 1 THEN o_orderkey END) AS worst_order,
+               max(cast(round(o_totalprice*100) as bigint))/100.0 AS best_price
+        FROM r
+        GROUP BY o_custkey
+        ORDER BY o_custkey"""),
+      "max_by/min_by with deterministic struct tiebreak == argmax via ranking"),
+
+    QueryDef(
+      "q50_graph_components",
+      (s, d) => {
+        // GraphX over relational data: connected components of the
+        // part-supplier bipartite graph (parts and suppliers linked by
+        // lineitem co-occurrence). Iterative traversal no SQL engine
+        // expresses without recursion — the rows-only check covers it.
+        val spark = s
+        import spark.implicits._
+        val edges = lineitem(s, d)
+          .select(concat(lit("P"), col("l_partkey")).as("src"),
+            concat(lit("S"), col("l_suppkey")).as("dst"))
+          .distinct()
+          .withColumn("relType", lit("supplies"))
+        val cc = graft.gedcom.GraphOps.familyClusters(edges)
+        cc.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+          .groupBy()
+          .agg(count(lit(1)).as("n_components"),
+            max(col("sz")).as("max_component"),
+            sum(col("sz")).as("n_vertices"))
+      },
+      None, // iterative graph algorithm — not oracle-expressible
+      "GraphX connected components over a bipartite co-occurrence graph")
+  )
+}

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.PosixFilePermissions
+
+import graft.gedcom.Neo4jAdmin
+
+/** Saga/orchestration spec against stub binaries — asserts the reference's
+  * import -> stop -> swap -> start order, log streaming, and rollback on a
+  * failed start (lib/neo4j.js:78-110 semantics). */
+class Neo4jAdminSpec extends SparkSpec {
+
+  private def writeBin(dir: Path, name: String, script: String): Unit = {
+    val p = dir.resolve(name)
+    Files.writeString(p, s"#!/bin/bash\n$script")
+    Files.setPosixFilePermissions(p, PosixFilePermissions.fromString("rwxr-xr-x"))
+  }
+
+  private def setup(startExit: String): (Path, Path, Path) = {
+    val base = Files.createTempDirectory("neo")
+    val bin = Files.createDirectories(base.resolve("bin"))
+    val data = Files.createDirectories(base.resolve("data"))
+    Files.writeString(data.resolve("marker"), "old")
+    val logFile = base.resolve("calls.log")
+    writeBin(bin, "neo4j-import",
+      s"""echo "import $$@" >> $logFile; echo "imported" > "$$2/marker"; echo done-import""")
+    writeBin(bin, "neo4j",
+      s"""echo "neo4j $$1" >> $logFile
+         |if [ "$$1" = start ]; then exit $startExit; fi
+         |exit 0""".stripMargin)
+    (bin, data, logFile)
+  }
+
+  test("successful saga: import, stop, swap with backup, start") {
+    val (bin, data, logFile) = setup(startExit = "0")
+    val lines = collection.mutable.ArrayBuffer.empty[String]
+    val admin = new Neo4jAdmin(bin.toString, data.toString, (s, l) => lines += s"$s:$l")
+    assert(admin.importAndPublish(Seq("--nodes", "x.csv")))
+    val calls = Files.readAllLines(logFile)
+    assert(calls.get(0).startsWith("import --into") && calls.get(0).endsWith("--nodes x.csv"))
+    assert(calls.get(1) == "neo4j stop" && calls.get(2) == "neo4j start")
+    assert(Files.readString(data.resolve("marker")) == "imported\n")
+    assert(Files.readString(data.resolveSibling("data.bak").resolve("marker")) == "old")
+    assert(lines.exists(_.contains("done-import"))) // stdout streamed to the log sink
+  }
+
+  test("failed start rolls back to the old data dir and restarts") {
+    val (bin, data, logFile) = setup(startExit = "1")
+    val admin = new Neo4jAdmin(bin.toString, data.toString)
+    assert(!admin.importAndPublish(Seq("--nodes", "x.csv")))
+    assert(Files.readString(data.resolve("marker")) == "old") // restored
+    val calls = Files.readAllLines(logFile)
+    // import, stop, failed start, recovery start
+    assert(calls.size() == 4 && calls.get(3) == "neo4j start")
+  }
+
+  test("failed import aborts before touching the live dir") {
+    val (bin, data, _) = setup(startExit = "0")
+    writeBin(bin, "neo4j-import", "exit 3")
+    val admin = new Neo4jAdmin(bin.toString, data.toString)
+    assert(!admin.importAndPublish(Nil))
+    assert(Files.readString(data.resolve("marker")) == "old")
+    assert(!Files.exists(data.resolveSibling("data.tmp")))
+  }
+}
