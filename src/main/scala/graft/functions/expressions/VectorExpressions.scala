@@ -66,4 +66,10 @@ object VectorExpressions {
   def vecDot(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       VecDot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Make `vec_dot` callable from SQL text in this session
+    * (`SELECT vec_dot(a, b) FROM ...`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
 }

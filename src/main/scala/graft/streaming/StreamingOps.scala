@@ -89,6 +89,32 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream interval join: purchases joined to the errors that
+    * follow them within 10 minutes for the same user (the streaming form of
+    * q22). Both sides are watermarked so the state store can discard
+    * buffered rows once the event-time bound passes — the join condition's
+    * time range is what makes the state finite. */
+  def purchaseErrorJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("pts"))
+      .withWatermark("pts", "10 minutes")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("ets"))
+      .withWatermark("ets", "10 minutes")
+    purchases.join(errors,
+      col("p_user") === col("e_user") &&
+        col("ets") >= col("pts") &&
+        col("ets") < col("pts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("pts"), col("ets"))
+  }
+
+  /** Stream-static enrichment: a streaming fact joined to a static
+    * dimension frame — planned as a broadcast join per micro-batch, no
+    * streaming state at all. */
+  def enrichWithStatic(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+
   /** File-source stream over a directory of parquet events (raw nanosecond
     * ts converted like the batch loader). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {

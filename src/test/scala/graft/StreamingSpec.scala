@@ -68,6 +68,53 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(out.head.mean_before - 11.0) < 1e-9)
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val data = Seq(
+      Event(1, ts(0), 1, "purchase", 10.0, "{}"),
+      Event(2, ts(5), 1, "error", 0.0, "{}"),    // within 10 min of 1
+      Event(3, ts(20), 1, "error", 0.0, "{}"),   // outside
+      Event(4, ts(6), 2, "error", 0.0, "{}"),    // other user
+      Event(5, ts(30), 2, "purchase", 5.0, "{}"),
+      Event(6, ts(31), 2, "error", 0.0, "{}"),   // within
+      Event(7, ts(300), 9, "view", 0.0, "{}"))   // watermark pusher
+    val in = MemoryStream[Event]
+    in.addData(data: _*)
+    val out = runStream(StreamingOps.purchaseErrorJoin(in.toDF()), "ssjoin")
+      .select("purchase_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 5L))
+    val batch = StreamingOps.purchaseErrorJoin(data.toDF())
+      .select("purchase_id").as[Long].collect().sorted
+    assert(batch.toSeq == out.toSeq)
+  }
+
+  test("stream-static join enriches per micro-batch without state") {
+    val in = MemoryStream[Event]
+    in.addData(sample: _*)
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val out = runStream(StreamingOps.enrichWithStatic(in.toDF(), dim), "enrich")
+    assert(out.count() == sample.size)
+    assert(out.filter($"user_id" === 1L).select("tier").distinct().head().getString(0) == "gold")
+  }
+
+  test("checkpointed file sink survives a query restart without duplicates") {
+    val base = java.nio.file.Files.createTempDirectory("ckpt")
+    val (src, ckpt, sink) = (s"$base/src", s"$base/ckpt", s"$base/sink")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    def copyChunk(name: String): Unit =
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        java.nio.file.Paths.get(src, name))
+    def runOnce(): Unit = {
+      val q = StreamingOps.readEventStream(spark, src)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    copyChunk("a.parquet"); runOnce()
+    copyChunk("b.parquet"); runOnce() // restart: only the new file processes
+    assert(spark.read.parquet(sink).count() == 2000L) // 1000 per chunk, no dupes
+  }
+
   test("file-source event stream aggregates the sf0.001 table like batch") {
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
     // stage the driver parquet into a stream-source dir

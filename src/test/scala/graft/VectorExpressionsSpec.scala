@@ -21,6 +21,13 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("vec_dot registers as a SQL function") {
+    graft.functions.expressions.VectorExpressions.register(spark)
+    val got = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
+    assert(got == 11.0)
+  }
+
   test("vec_dot handles nulls and mismatched lengths") {
     val df = Seq(
       (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(4.0, 5.0, 6.0))),
