@@ -58,6 +58,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("pair-generation queries never degenerate to a cartesian") {
+    // LSH/banding and the interval join keep an equi key under the
+    // residual condition; only the explicitly-brute-force baselines
+    // (q38/q39) are allowed a broadcast nested loop.
+    for (q <- Seq("q22_range_join", "q35_ngram_jaccard", "q36_minhash_lsh", "q37_simhash")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
   test("q24 window aggregation prunes unused event columns") {
     val p = plan("q24_tumbling_window")
     assert(!p.contains("props"), p) // json column not read for this query
