@@ -140,6 +140,57 @@ object Advanced {
       "max_by/min_by with deterministic struct tiebreak == argmax via ranking"),
 
     QueryDef(
+      "q51_recursive_cte",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("v_orders3")
+        s.sql("""
+          WITH RECURSIVE spine(m) AS (
+            SELECT (SELECT min(date_trunc('month', o_orderdate)) FROM v_orders3)
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM spine
+            WHERE m < (SELECT max(date_trunc('month', o_orderdate)) FROM v_orders3))
+          SELECT spine.m AS month, coalesce(r.n, 0) AS n_orders
+          FROM spine LEFT JOIN (
+            SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n
+            FROM v_orders3 GROUP BY 1) r ON spine.m = r.m
+          ORDER BY month""")
+      },
+      Some("""
+        WITH RECURSIVE spine(m) AS (
+          SELECT (SELECT min(date_trunc('month', o_orderdate)) FROM orders)
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM spine
+          WHERE m < (SELECT max(date_trunc('month', o_orderdate)) FROM orders))
+        SELECT spine.m AS month, coalesce(r.n, 0) AS n_orders
+        FROM spine LEFT JOIN (
+          SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n
+          FROM orders GROUP BY 1) r ON spine.m = r.m
+        ORDER BY month"""),
+      "recursive CTE: month spine generation + gap-filling left join"),
+
+    QueryDef(
+      "q52_lateral",
+      (s, d) => {
+        nation(s, d).createOrReplaceTempView("v_nation")
+        customer(s, d).createOrReplaceTempView("v_customer")
+        s.sql("""
+          SELECT n_name, c.c_custkey, c.c_acctbal
+          FROM v_nation, LATERAL (
+            SELECT c_custkey, c_acctbal FROM v_customer
+            WHERE c_nationkey = n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+          ORDER BY n_name, c.c_acctbal DESC, c.c_custkey""")
+      },
+      Some("""
+        SELECT n_name, c.c_custkey, c.c_acctbal
+        FROM nation, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        ORDER BY n_name, c.c_acctbal DESC, c.c_custkey"""),
+      "LATERAL correlated subquery with per-row top-k"),
+
+    QueryDef(
       "q50_graph_components",
       (s, d) => {
         // GraphX over relational data: connected components of the
