@@ -170,6 +170,53 @@ object Functions {
       "map family: map_from_entries/map_keys/element_at as distributed dictionary lookup"),
 
     QueryDef(
+      "q53_generators",
+      (s, d) =>
+        // generator family: posexplode over tokens (position-aware UDTF
+        // analog) — position of each word's first occurrence per doc
+        documents(s, d)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
+          .groupBy(col("doc_id"), col("col").as("word"))
+          .agg(min(col("pos")).as("first_pos"), count(lit(1)).as("n"))
+          .orderBy(col("doc_id"), col("first_pos"), col("word")),
+      Some("""
+        SELECT doc_id, word, min(pos - 1) AS first_pos, count(*) AS n
+        FROM (SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word,
+                     generate_subscripts(list_filter(string_split(text, ' '), t -> t <> ''), 1) AS pos
+              FROM documents)
+        WHERE doc_id < 100
+        GROUP BY doc_id, word
+        ORDER BY doc_id, first_pos, word"""),
+      "posexplode generator: position-aware flatten (Spark 0-based vs SQL 1-based aligned)"),
+
+    QueryDef(
+      "q54_bigrams",
+      (s, d) => {
+        // n-gram mining: adjacent-token bigrams via 1-based element_at over
+        // a generated index sequence — same construction as the SQL side
+        val toks = TextAnalysis.tokens(col("text"))
+        documents(s, d)
+          .select(explode(transform(sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))).as("bigram"))
+          .groupBy(col("bigram"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(15)
+      },
+      Some("""
+        WITH bg AS (
+          SELECT unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS bigram
+          FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS a FROM documents))
+        SELECT bigram, count(*) AS n
+        FROM bg
+        GROUP BY bigram
+        ORDER BY n DESC, bigram
+        LIMIT 15"""),
+      "bigram n-gram mining via sequence+element_at generator"),
+
+    QueryDef(
       "q21_json_fns",
       (s, d) =>
         events(s, d)
