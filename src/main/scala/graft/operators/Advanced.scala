@@ -143,12 +143,15 @@ object Advanced {
       "q51_recursive_cte",
       (s, d) => {
         orders(s, d).createOrReplaceTempView("v_orders3")
+        // the upper bound rides along in the recursion so each iteration
+        // touches one row — a scalar subquery in the recursive step would
+        // re-scan orders every iteration (measured 20s vs 1s at sf0.1)
         s.sql("""
-          WITH RECURSIVE spine(m) AS (
-            SELECT (SELECT min(date_trunc('month', o_orderdate)) FROM v_orders3)
+          WITH RECURSIVE spine(m, mx) AS (
+            SELECT min(date_trunc('month', o_orderdate)),
+                   max(date_trunc('month', o_orderdate)) FROM v_orders3
             UNION ALL
-            SELECT m + INTERVAL 1 MONTH FROM spine
-            WHERE m < (SELECT max(date_trunc('month', o_orderdate)) FROM v_orders3))
+            SELECT m + INTERVAL 1 MONTH, mx FROM spine WHERE m < mx)
           SELECT spine.m AS month, coalesce(r.n, 0) AS n_orders
           FROM spine LEFT JOIN (
             SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n
@@ -156,11 +159,11 @@ object Advanced {
           ORDER BY month""")
       },
       Some("""
-        WITH RECURSIVE spine(m) AS (
-          SELECT (SELECT min(date_trunc('month', o_orderdate)) FROM orders)
+        WITH RECURSIVE spine(m, mx) AS (
+          SELECT min(date_trunc('month', o_orderdate)),
+                 max(date_trunc('month', o_orderdate)) FROM orders
           UNION ALL
-          SELECT m + INTERVAL 1 MONTH FROM spine
-          WHERE m < (SELECT max(date_trunc('month', o_orderdate)) FROM orders))
+          SELECT m + INTERVAL 1 MONTH, mx FROM spine WHERE m < mx)
         SELECT spine.m AS month, coalesce(r.n, 0) AS n_orders
         FROM spine LEFT JOIN (
           SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n
