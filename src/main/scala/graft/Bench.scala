@@ -32,13 +32,20 @@ object Bench {
 
     val results = SparkEntry.all.map { q =>
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      try {
+        q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        q.name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          // a failed query must be visible in the output, not reported as a
+          // suspiciously fast success
+          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+          q.name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -197,8 +197,13 @@ object Functions {
         // n-gram mining: adjacent-token bigrams via 1-based element_at over
         // a generated index sequence — same construction as the SQL side
         val toks = TextAnalysis.tokens(col("text"))
+        // guard: sequence(1, 0) would count DOWN and element_at(_, 0) throws,
+        // so short docs (<2 tokens) must produce an empty bigram list — the
+        // behavior DuckDB's range(1, len) gives for free
+        val idx = when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
+          .otherwise(array().cast("array<int>"))
         documents(s, d)
-          .select(explode(transform(sequence(lit(1), size(toks) - 1),
+          .select(explode(transform(idx,
             i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))).as("bigram"))
           .groupBy(col("bigram"))
           .agg(count(lit(1)).as("n"))

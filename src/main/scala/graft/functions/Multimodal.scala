@@ -65,7 +65,10 @@ object Multimodal {
     import s.implicits._
     documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
-        col("source"), length(col("text")).cast("long").as("n"))
+        col("source"),
+        // byte length of the encoded payload, not the character count —
+        // they differ on any multi-byte content
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n"))
       .map(r => MediaAsset(
         r.getLong(0), r.getAs[Array[Byte]](1),
         MediaMeta("text", r.getString(2), r.getLong(3))))

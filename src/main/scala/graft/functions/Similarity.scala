@@ -12,9 +12,9 @@ import graft.{QueryDef, Tables}
   *
   * Brute force broadcasts the (small) query set against the full candidate
   * table — a map-side nested loop, no shuffle, linear in candidates. The
-  * LSH variant buckets both sides on a 16-bit hyperplane sign code, turning
-  * the pair space into an equi join; recall is measured against the exact
-  * baseline in SimilaritySpec.
+  * LSH variant buckets both sides on an 8-bit hyperplane sign code (256
+  * buckets) with radius-2 multi-probe, turning the pair space into an equi
+  * join; recall is measured against the exact baseline in SimilaritySpec.
   */
 object Similarity {
   import Tables._

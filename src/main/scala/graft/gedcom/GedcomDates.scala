@@ -61,10 +61,16 @@ object GedcomDates {
     }
   }
 
-  /** Best-effort java.sql.Date (missing month/day floor to 1). */
+  /** Best-effort java.sql.Date (missing month/day floor to 1);
+    * calendar-invalid combinations like "31 FEB 1900" yield None rather
+    * than throwing. */
   def toDate(d: GedDate): Option[Date] =
-    d.year.map(y => Date.valueOf(
-      f"$y%04d-${d.month.getOrElse(1)}%02d-${d.day.getOrElse(1)}%02d"))
+    d.year.flatMap { y =>
+      try {
+        val ld = java.time.LocalDate.of(y, d.month.getOrElse(1), d.day.getOrElse(1))
+        Some(Date.valueOf(ld))
+      } catch { case _: java.time.DateTimeException => None }
+    }
 
   private val parseUdf = udf { s: String =>
     val d = parse(s)
@@ -81,7 +87,9 @@ object GedcomDates {
       .withColumn(s"${out}_qualifier", col("_g._1"))
       .withColumn(s"${out}_date",
         when(col("_g._2").isNotNull,
-          to_date(format_string("%04d-%02d-%02d",
+          // try_to_date: calendar-invalid day/month combos (e.g. 31 FEB)
+          // must become null, not an ANSI runtime error
+          try_to_date(format_string("%04d-%02d-%02d",
             col("_g._2"), coalesce(col("_g._3"), lit(1)), coalesce(col("_g._4"), lit(1))))))
       .drop("_g")
   }

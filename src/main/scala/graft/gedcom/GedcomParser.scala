@@ -115,6 +115,11 @@ object GedcomParser {
     val offsets = counts.scanLeft(0L)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
 
+    // release the pass-1 cache now: pass 2 re-derives the lines (one extra
+    // parse) instead of pinning the whole input in the block manager for
+    // the session's lifetime — this entry point has no later unpersist hook
+    parsed.unpersist(blocking = false)
+
     // pass 2: assign recordNo by per-partition running count + offset
     val assigned = parsed.mapPartitionsWithIndex { (i, it) =>
       var rec = bc.value(i)

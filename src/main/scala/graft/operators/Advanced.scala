@@ -44,19 +44,24 @@ object Advanced {
       "q46_correlated_subquery",
       (s, d) => {
         orders(s, d).createOrReplaceTempView("v_orders2")
+        // the correlated average uses exact integer cents like every other
+        // money aggregate: a raw double avg is partial-agg-order dependent
+        // and could flip membership of rows sitting within an ulp of 2*avg
         s.sql("""
           SELECT o_orderkey, o_custkey, o_totalprice
           FROM v_orders2 o
-          WHERE o_totalprice > 2 * (
-            SELECT avg(o_totalprice) FROM v_orders2 i
+          WHERE cast(round(o_totalprice*100) as bigint) > 2 * (
+            SELECT sum(cast(round(o_totalprice*100) as bigint)) * 1.0D / count(*)
+            FROM v_orders2 i
             WHERE i.o_custkey = o.o_custkey)
           ORDER BY o_orderkey""")
       },
       Some("""
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders o
-        WHERE o_totalprice > 2 * (
-          SELECT avg(o_totalprice) FROM orders i
+        WHERE cast(round(o_totalprice*100) as bigint) > 2 * (
+          SELECT sum(cast(round(o_totalprice*100) as bigint)) * 1.0 / count(*)
+          FROM orders i
           WHERE i.o_custkey = o.o_custkey)
         ORDER BY o_orderkey"""),
       "correlated scalar subquery (Catalyst de-correlates to an aggregate + join)"),

@@ -39,10 +39,17 @@ object AsOfJoin {
     val matched = payload.map(c => s"matched_$c")
     val leftCols = left.columns.toSeq
 
+    // All payload columns travel in ONE struct that is non-null exactly for
+    // right rows: a single last(ignoreNulls) then picks the whole matched
+    // row atomically. Per-column last() would skip legitimately-null payload
+    // values and could mix columns from different right rows.
+    val payloadStructType = org.apache.spark.sql.types.StructType(
+      payload.map(p => org.apache.spark.sql.types.StructField(p, rtype(p))))
+
     val leftU = left
       .select(
         leftCols.map(col) ++
-          payload.zip(matched).map { case (p, m) => lit(null).cast(rtype(p)).as(m) } ++
+          Seq(lit(null).cast(payloadStructType).as("_m")) ++
           tiebreak.map(c => lit(null).cast(rtype(c)).as(s"_tb_$c")) :+
           lit(1).as("_side"): _*)
     val rightU = right
@@ -51,7 +58,7 @@ object AsOfJoin {
           case c if c == key || c == ts => col(c)
           case c => lit(null).cast(left.schema(c).dataType).as(c)
         } ++
-          payload.zip(matched).map { case (p, m) => col(p).as(m) } ++
+          Seq(struct(payload.map(col): _*).cast(payloadStructType).as("_m")) ++
           tiebreak.map(c => col(c).as(s"_tb_$c")) :+
           lit(0).as("_side"): _*)
 
@@ -63,9 +70,11 @@ object AsOfJoin {
     leftU.unionByName(rightU)
       .select(
         leftCols.map(col) ++
-          matched.map(m => last(col(m), ignoreNulls = true).over(w).as(m)) :+
+          Seq(last(col("_m"), ignoreNulls = true).over(w).as("_m")) :+
           col("_side"): _*)
       .filter(col("_side") === 1)
-      .drop("_side")
+      .select(
+        leftCols.map(col) ++
+          payload.zip(matched).map { case (p, m) => col("_m").getField(p).as(m) }: _*)
   }
 }

@@ -23,8 +23,10 @@ object SkewJoin {
     * small side. */
   def saltedJoin(skewed: DataFrame, dim: DataFrame, key: String, buckets: Int): DataFrame = {
     require(buckets > 0)
+    // salt by row position, not row content: duplicate-heavy hot keys (the
+    // classic skew shape) would all hash to one bucket under a content salt
     val salted = skewed.withColumn(
-      "_salt", pmod(hash(struct(skewed.columns.map(col): _*)), lit(buckets)))
+      "_salt", pmod(monotonically_increasing_id(), lit(buckets.toLong)))
     val replicated = dim.withColumn(
       "_salt", explode(array((0 until buckets).map(lit): _*)))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

@@ -1,0 +1,44 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = new Timestamp(m * 60000L)
+
+  test("backward match picks the latest right row atomically, nulls included") {
+    // the true as-of match at ts=10 has a NULL payload — it must win, and
+    // its null must be returned (not an older non-null value)
+    val left = Seq((1L, ts(12)), (1L, ts(7))).toDF("k", "ts")
+    val right = Seq(
+      (1L, ts(5), Option("a"), Option(100)),
+      (1L, ts(10), Option.empty[String], Option(200))).toDF("k", "ts", "x", "y")
+    val out = AsOfJoin.backward(left, right, "k", "ts", Seq("x", "y"))
+      .orderBy(col("ts"))
+      .select("ts", "matched_x", "matched_y")
+      .as[(Timestamp, Option[String], Option[Int])].collect()
+    assert(out(0) == ((ts(7), Some("a"), Some(100))))   // ts=5 is the match
+    assert(out(1) == ((ts(12), None, Some(200))))       // ts=10 row, null x kept
+  }
+
+  test("unmatched left rows keep all-null payloads") {
+    val left = Seq((9L, ts(1))).toDF("k", "ts")
+    val right = Seq((9L, ts(5), "late")).toDF("k", "ts", "x")
+    val out = AsOfJoin.backward(left, right, "k", "ts", Seq("x"))
+      .select("matched_x").as[Option[String]].collect()
+    assert(out.toSeq == Seq(None))
+  }
+
+  test("equal timestamps match inclusively with tiebreak") {
+    val left = Seq((1L, ts(5))).toDF("k", "ts")
+    val right = Seq((1L, ts(5), "exact"), (1L, ts(4), "older")).toDF("k", "ts", "x")
+    val out = AsOfJoin.backward(left, right, "k", "ts", Seq("x"), tiebreak = Seq("x"))
+      .select("matched_x").as[String].head()
+    assert(out == "exact")
+  }
+}

@@ -26,6 +26,17 @@ class GedcomDatesSpec extends SparkSpec {
       GedDate("FROM", Some(1900), Some(1), Some(1), Some(1901), Some(2), Some(5)))
   }
 
+  test("calendar-invalid dates degrade to None, never throw") {
+    assert(GedcomDates.toDate(GedcomDates.parse("31 FEB 1900")).isEmpty)
+    assert(GedcomDates.toDate(GedcomDates.parse("99 JAN 1900")).isEmpty)
+    assert(GedcomDates.toDate(GedcomDates.parse("29 FEB 2000")).contains(
+      java.sql.Date.valueOf("2000-02-29"))) // leap day is valid
+    val df = Seq("31 FEB 1900").toDF("d")
+    val out = GedcomDates.withParsedDate(df, org.apache.spark.sql.functions.col("d"), "b")
+      .select("b_qualifier", "b_date").collect().head
+    assert(out.getString(0) == "EXACT" && out.isNullAt(1))
+  }
+
   test("garbage degrades to RAW, never throws") {
     for (s <- Seq("", "unknown", "13 XXX 1", "SOMEDAY", null))
       assert(GedcomDates.parse(s).qualifier == "RAW")

@@ -45,6 +45,12 @@ class GedcomSpec extends SparkSpec {
     assert(p(":LABEL") == "Individual")
   }
 
+  test("temple names with accents decode to real characters") {
+    assert(gedcom.Dictionaries.templeCodes("ASUNC") == "Asunción Paraguay")
+    assert(gedcom.Dictionaries.templeCodes("BOGOT") == "Bogotá Colombia")
+    assert(!gedcom.Dictionaries.templeCodes.values.exists(_.contains("\\u")))
+  }
+
   test("TEMP lookup hits, misses are accounted, last-wins applies") {
     val p = props("INDI", "I2")
     assert(p("Given Name") == "Mary")           // no-slash NAME => all given

@@ -15,6 +15,18 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q54 bigrams survives documents with fewer than two tokens") {
+    import spark.implicits._
+    val tiny = Seq((0L, "solo", "en", "s", 4L), (1L, "two words here", "en", "s", 14L),
+      (2L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("tinydocs").toString
+    tiny.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q54_bigrams")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("two words" -> 1L, "words here" -> 1L))
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
