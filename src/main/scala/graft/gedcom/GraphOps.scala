@@ -69,6 +69,46 @@ object GraphOps {
     children.join(parents, "family").select(col("child"), col("parent")).distinct()
   }
 
+  /** PageRank over the property graph — relative structural importance of
+    * individuals/families (hub families rank high). Standard GraphX
+    * iterate-until-tolerance implementation. */
+  def pageRank(edges: DataFrame, tol: Double = 1e-4): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val g = toGraphX(edges)
+    g.vertices.join(g.pageRank(tol).vertices)
+      .map { case (_, (xref, rank)) => (xref, rank) }
+      .toDF("xref", "rank")
+  }
+
+  /** Triangle count per vertex over the undirected view — cohesion measure
+    * (in family graphs, triangles arise from intermarriage patterns). */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val g = toGraphX(edges)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+    g.vertices.join(g.triangleCount().vertices)
+      .map { case (_, (xref, n)) => (xref, n) }
+      .toDF("xref", "triangles")
+  }
+
+  /** Undirected hop distance from each vertex to the given landmarks. */
+  def hopDistances(edges: DataFrame, landmarks: Seq[String]): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val g = toGraphX(edges)
+    // undirected view: add reversed edges
+    val und = GXGraph(g.vertices, g.edges.union(g.edges.reverse))
+    val res = org.apache.spark.graphx.lib.ShortestPaths.run(und, landmarks.map(vertexId))
+    val names = landmarks.map(l => vertexId(l) -> l).toMap
+    g.vertices.join(res.vertices)
+      .flatMap { case (_, (xref, dists)) =>
+        dists.map { case (lm, d) => (xref, names(lm), d) }
+      }
+      .toDF("xref", "landmark", "hops")
+  }
+
   /** Transitive ancestor closure from `start`, via Pregel BFS over the
     * child->parent graph. Returns (xref, generation) with generation = 1 for
     * parents, 2 for grandparents, ... Iterations are bounded by `maxGen` —

@@ -34,6 +34,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(pe == Set(("P", "GP"), ("P", "GM"), ("C", "P"), ("C", "S"), ("Z", "Q")))
   }
 
+  test("pageRank ranks the hub family highest") {
+    val pr = GraphOps.pageRank(edges).as[(String, Double)].collect().toMap
+    // F1 and F2 receive in-links (FAMC) AND have out-links; GP/GM/S/C are
+    // leaves. The child-in-family targets (F1, F2) should outrank leaves.
+    assert(pr("F1") > pr("GP") && pr("F2") > pr("S"))
+  }
+
+  test("triangle counts see the H-W-C family triangle") {
+    // close the triangle: spouse link between GP and GM
+    val withSpouse = edges.union(Seq(("GP", "GM", "Spouse")).toDF("src", "dst", "relType"))
+    val tc = GraphOps.triangleCounts(withSpouse).as[(String, Int)].collect().toMap
+    assert(tc("GP") >= 1 && tc("GM") >= 1 && tc("F1") >= 1)
+    assert(tc("Z") == 0)
+  }
+
+  test("hop distances from a landmark") {
+    val d = GraphOps.hopDistances(edges, Seq("C"))
+      .as[(String, String, Int)].collect()
+      .map { case (x, _, h) => x -> h }.toMap
+    assert(d("C") == 0 && d("F2") == 1 && d("P") == 2 && d("GP") == 4)
+    assert(!d.contains("Z") || d("Z") > 100) // other island unreachable
+  }
+
   test("ancestor closure walks generations") {
     val anc = GraphOps.ancestorsOf(edges, "C").as[(String, Int)].collect().toMap
     assert(anc == Map("P" -> 1, "S" -> 1, "GP" -> 2, "GM" -> 2))

@@ -115,6 +115,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == 2000L) // 1000 per chunk, no dupes
   }
 
+  test("streaming GEDCOM ingestion processes arriving files exactly once") {
+    val base = java.nio.file.Files.createTempDirectory("gedstream")
+    val (watch, out) = (s"$base/in", s"$base/out")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
+    def drop(name: String, people: Range): Unit = {
+      val body = "0 HEAD\n1 SOUR stream\n" + people.map { i =>
+        s"0 @I$i@ INDI\n1 NAME P$i /Fam/\n1 FAMS @F0@\n"
+      }.mkString + "0 TRLR\n"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(watch, name), body)
+    }
+    drop("a.ged", 0 until 5)
+    val q = graft.streaming.GedcomStreamIngest.start(spark, watch, out)
+    try {
+      q.processAllAvailable()
+      drop("b.ged", 5 until 12)
+      q.processAllAvailable()
+    } finally q.stop()
+    val nodes = spark.read.parquet(s"$out/nodes")
+    // 12 INDI + 2 HEAD nodes across the two files; every edge from FAMS
+    assert(nodes.filter($"rawTag" === "INDI").count() == 12)
+    assert(nodes.filter($"rawTag" === "HEAD").count() == 2)
+    assert(spark.read.parquet(s"$out/edges").count() == 12)
+    // restart the stream: nothing reprocesses
+    val q2 = graft.streaming.GedcomStreamIngest.start(spark, watch, out)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$out/nodes").count() == 14)
+  }
+
   test("file-source event stream aggregates the sf0.001 table like batch") {
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
     // stage the driver parquet into a stream-source dir
