@@ -115,6 +115,31 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == 2000L) // 1000 per chunk, no dupes
   }
 
+  test("late data beyond the watermark is dropped in append mode") {
+    val in = MemoryStream[Event]
+    val agg = StreamingOps.tumblingCounts(in.toDF(), "1 hour")
+    val q = agg.writeStream.format("memory").queryName("late").outputMode("append").start()
+    try {
+      // batch 1: hour-1 events + an hour-4 event that pushes the watermark
+      // to 3:50, far past hour 1
+      in.addData(
+        Event(1, ts(10), 1, "click", 1.0, "{}"),
+        Event(2, ts(20), 1, "click", 1.0, "{}"),
+        Event(3, ts(240), 1, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      // batch 2: a straggler for hour 1 — behind the watermark, must be dropped
+      in.addData(Event(4, ts(30), 1, "click", 99.0, "{}"))
+      q.processAllAvailable()
+      // batch 3: advance the watermark past hour 4 to flush remaining state
+      in.addData(Event(5, ts(600), 1, "view", 1.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hour1 = spark.table("late")
+      .filter($"bucket" === new Timestamp(3600_000L * 24) && $"event_type" === "click")
+      .select("n").as[Long].collect()
+    assert(hour1.toSeq == Seq(2L), s"late event leaked in: ${hour1.toSeq}") // not 3
+  }
+
   test("streaming GEDCOM ingestion processes arriving files exactly once") {
     val base = java.nio.file.Files.createTempDirectory("gedstream")
     val (watch, out) = (s"$base/in", s"$base/out")
