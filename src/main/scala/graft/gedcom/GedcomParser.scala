@@ -1,7 +1,6 @@
 package graft.gedcom
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.storage.StorageLevel
 
 /** One parsed GEDCOM line. `recordNo` is the global 1-based index of the
   * level-0 record the line belongs to. */
@@ -106,7 +105,6 @@ object GedcomParser {
         parseLine(line, (pi.toLong << 40) | j)
       }
     }
-    parsed.persist(StorageLevel.MEMORY_AND_DISK)
 
     // pass 1: per-partition level-0 counts -> global prefix offsets
     val counts = parsed
@@ -115,12 +113,10 @@ object GedcomParser {
     val offsets = counts.scanLeft(0L)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
 
-    // release the pass-1 cache now: pass 2 re-derives the lines (one extra
-    // parse) instead of pinning the whole input in the block manager for
-    // the session's lifetime — this entry point has no later unpersist hook
-    parsed.unpersist(blocking = false)
-
-    // pass 2: assign recordNo by per-partition running count + offset
+    // pass 2: assign recordNo by per-partition running count + offset.
+    // Deliberately uncached: pass 1 only counts, so caching the parsed
+    // lines would cost a full materialization with a single reader — the
+    // recompute is cheaper and leaves nothing pinned in the block manager.
     val assigned = parsed.mapPartitionsWithIndex { (i, it) =>
       var rec = bc.value(i)
       it.map { l =>

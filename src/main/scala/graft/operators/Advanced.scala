@@ -47,22 +47,24 @@ object Advanced {
         // the correlated average uses exact integer cents like every other
         // money aggregate: a raw double avg is partial-agg-order dependent
         // and could flip membership of rows sitting within an ulp of 2*avg
+        // all-integer comparison (cents*count > 2*sum): no division at all,
+        // so there is no float/decimal boundary to disagree on
         s.sql("""
           SELECT o_orderkey, o_custkey, o_totalprice
           FROM v_orders2 o
-          WHERE cast(round(o_totalprice*100) as bigint) > 2 * (
-            SELECT sum(cast(round(o_totalprice*100) as bigint)) * 1.0D / count(*)
-            FROM v_orders2 i
-            WHERE i.o_custkey = o.o_custkey)
+          WHERE cast(round(o_totalprice*100) as bigint) * (
+            SELECT count(*) FROM v_orders2 i WHERE i.o_custkey = o.o_custkey) > 2 * (
+            SELECT sum(cast(round(o_totalprice*100) as bigint))
+            FROM v_orders2 i WHERE i.o_custkey = o.o_custkey)
           ORDER BY o_orderkey""")
       },
       Some("""
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders o
-        WHERE cast(round(o_totalprice*100) as bigint) > 2 * (
-          SELECT sum(cast(round(o_totalprice*100) as bigint)) * 1.0 / count(*)
-          FROM orders i
-          WHERE i.o_custkey = o.o_custkey)
+        WHERE cast(round(o_totalprice*100) as bigint) * (
+          SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey) > 2 * (
+          SELECT sum(cast(round(o_totalprice*100) as bigint))
+          FROM orders i WHERE i.o_custkey = o.o_custkey)
         ORDER BY o_orderkey"""),
       "correlated scalar subquery (Catalyst de-correlates to an aggregate + join)"),
 

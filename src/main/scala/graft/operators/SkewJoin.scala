@@ -21,12 +21,16 @@ object SkewJoin {
   /** Inner-join `skewed` with `dim` on `key`, spreading each key over
     * `buckets` salts. `dim` is replicated `buckets` times — keep it the
     * small side. */
+  /** Salt by row position, not row content: duplicate-heavy hot keys (the
+    * classic skew shape) would all hash to one bucket under a content
+    * salt. Exposed so tests assert the spread of the expression actually
+    * shipped. */
+  def saltColumn(buckets: Int): org.apache.spark.sql.Column =
+    pmod(monotonically_increasing_id(), lit(buckets.toLong))
+
   def saltedJoin(skewed: DataFrame, dim: DataFrame, key: String, buckets: Int): DataFrame = {
     require(buckets > 0)
-    // salt by row position, not row content: duplicate-heavy hot keys (the
-    // classic skew shape) would all hash to one bucket under a content salt
-    val salted = skewed.withColumn(
-      "_salt", pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+    val salted = skewed.withColumn("_salt", saltColumn(buckets))
     val replicated = dim.withColumn(
       "_salt", explode(array((0 until buckets).map(lit): _*)))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

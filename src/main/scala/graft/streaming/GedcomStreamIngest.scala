@@ -11,9 +11,10 @@ import graft.gedcom.GedcomGraph
   *
   * `maxFilesPerTrigger = 1` makes every micro-batch exactly one whole file,
   * so record boundaries never straddle batches; inside the batch the
-  * regular (shuffle-free) assembly runs via `foreachBatch` and appends to
-  * parquet node/edge tables. Checkpointing gives exactly-once per file —
-  * a restart neither drops nor re-processes arrivals.
+  * regular (shuffle-free) assembly runs via `foreachBatch` into
+  * batchId-keyed parquet directories. The batchId-overwrite layout plus the
+  * checkpoint gives exactly-once per file: a replayed batch rewrites its own
+  * directory instead of appending duplicates.
   */
 object GedcomStreamIngest {
 
@@ -27,15 +28,29 @@ object GedcomStreamIngest {
       .writeStream
       .option("checkpointLocation", s"$outDir/ckpt")
       .trigger(Trigger.ProcessingTime("1 second"))
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          // keep the file's natural line order — a repartition here would
-          // shuffle lines and break record contiguity
-          val g = GedcomGraph.fromTextRdd(batch.sparkSession,
-            batch.rdd.flatMap(_.getString(0).split("\n", -1)))
-          g.nodes.write.mode("append").parquet(s"$outDir/nodes")
-          g.edges.write.mode("append").parquet(s"$outDir/edges")
-        }
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // keep the file's natural line order — a repartition here would
+        // shuffle lines and break record contiguity. CRLF/CR/LF all split
+        // (batch must match what sc.textFile does for the batch path).
+        // The line RDD is cached for the batch: the assembly makes two
+        // passes plus the emptiness probe, and the lineage re-reads and
+        // re-splits the whole file otherwise.
+        val lines = batch.rdd
+          .flatMap(_.getString(0).split("\\r\\n|\\r|\\n", -1))
+        lines.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!lines.isEmpty()) {
+            val g = GedcomGraph.fromTextRdd(batch.sparkSession, lines)
+            try {
+              // idempotent per-batch output: a replayed batch (crash between
+              // the writes and the checkpoint commit) overwrites its own
+              // directory instead of appending duplicates — this is what
+              // makes the pipeline exactly-once rather than at-least-once
+              g.nodes.write.mode("overwrite").parquet(s"$outDir/nodes/batch=$batchId")
+              g.edges.write.mode("overwrite").parquet(s"$outDir/edges/batch=$batchId")
+            } finally g.flat.unpersist(blocking = false)
+          }
+        } finally lines.unpersist(blocking = false)
       }
       .start()
 }

@@ -46,10 +46,11 @@ class StorageSpec extends SparkSpec {
     val salted = SkewJoin.saltedJoin(skewed, dim, "k", 8)
       .groupBy("k").agg(count(lit(1)).as("n"), sum("payload").as("s"))
     assert(plain.exceptAll(salted).count() == 0 && salted.exceptAll(plain).count() == 0)
-    // and the salt really spreads the hot key across buckets
-    val spread = skewed.withColumn("_salt",
-        pmod(hash(struct(skewed.columns.map(col): _*)), lit(8)))
-      .filter(col("k") === 7).select("_salt").distinct().count()
+    // and the SHIPPED salt expression really spreads the hot key — even
+    // when all hot-key rows are identical (content hashing would collapse)
+    val dupHot = Seq.fill(64)((7L, 1)).toDF("k", "payload")
+    val spread = dupHot.withColumn("_salt", SkewJoin.saltColumn(8))
+      .select("_salt").distinct().count()
     assert(spread >= 6, s"hot key only hit $spread of 8 salt buckets")
   }
 
