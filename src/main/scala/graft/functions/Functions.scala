@@ -222,6 +222,70 @@ object Functions {
       "bigram n-gram mining via sequence+element_at generator"),
 
     QueryDef(
+      "q55_null_semantics",
+      (s, d) =>
+        // three-valued logic family: nullif/coalesce/is-distinct-from and
+        // null-aware counting — the semantics joins and aggregates hinge on
+        orders(s, d)
+          .select(
+            col("o_orderkey"),
+            nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+            coalesce(nullif(col("o_orderpriority"), lit("3-MEDIUM")),
+              lit("(default)")).as("prio_defaulted"),
+            (col("o_orderstatus") <=> "F").as("is_f"),
+            nvl2(nullif(col("o_orderstatus"), lit("O")), lit("kept"), lit("nulled"))
+              .as("nvl2_tag"))
+          .groupBy(col("nvl2_tag"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("status_or_null")).as("n_nonnull"),
+            countDistinct(col("status_or_null")).as("n_distinct_nonnull"),
+            count(when(col("is_f"), 1)).as("n_f"))
+          .orderBy(col("nvl2_tag")),
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey,
+                 nullif(o_orderstatus, 'O') AS status_or_null,
+                 coalesce(nullif(o_orderpriority, '3-MEDIUM'), '(default)') AS prio_defaulted,
+                 o_orderstatus IS NOT DISTINCT FROM 'F' AS is_f,
+                 CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL
+                      THEN 'kept' ELSE 'nulled' END AS nvl2_tag
+          FROM orders)
+        SELECT nvl2_tag,
+               count(*) AS n_rows,
+               count(status_or_null) AS n_nonnull,
+               count(DISTINCT status_or_null) AS n_distinct_nonnull,
+               count(CASE WHEN is_f THEN 1 END) AS n_f
+        FROM t
+        GROUP BY nvl2_tag
+        ORDER BY nvl2_tag"""),
+      "null semantics: nullif/coalesce/nvl2/null-safe-equal + null-aware counts"),
+
+    QueryDef(
+      "q56_intervals",
+      (s, d) =>
+        orders(s, d)
+          .filter(col("o_orderkey") <= 2000)
+          .select(
+            col("o_orderkey"),
+            (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_30d"),
+            (col("o_orderdate") + expr("INTERVAL 3 MONTHS")).as("due_3mo"),
+            (col("o_orderdate") - expr("INTERVAL 1 WEEK")).as("week_before"),
+            datediff(lit("1996-01-01").cast("timestamp"), col("o_orderdate"))
+              .cast("long").as("days_to_96"))
+          .orderBy(col("o_orderkey")),
+      Some("""
+        SELECT o_orderkey,
+               o_orderdate + INTERVAL 30 DAY AS due_30d,
+               o_orderdate + INTERVAL 3 MONTH AS due_3mo,
+               o_orderdate - INTERVAL 1 WEEK AS week_before,
+               datediff('day', cast(o_orderdate as date), DATE '1996-01-01') AS days_to_96
+        FROM orders
+        WHERE o_orderkey <= 2000
+        ORDER BY o_orderkey"""),
+      "interval arithmetic: day/month/week shifts (month-end clamping identical) + datediff"),
+
+    QueryDef(
       "q21_json_fns",
       (s, d) =>
         events(s, d)
