@@ -38,9 +38,15 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args.toList)
+    // no -s => read STDIN, staged to a temp file (reference R3,
+    // index.js:122-125: `process.stdin.pipe(gedcom)`; Spark has no stdin
+    // source, so the stage-to-file step replaces the pipe)
     val src = opts.src.getOrElse {
-      System.err.println("required: -s <gedcom file> (stdin is not a Spark source; stage to a file)")
-      sys.exit(2)
+      val tmp = java.nio.file.Files.createTempFile("ged-stdin", ".ged")
+      java.nio.file.Files.copy(System.in, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      if (!opts.quiet) println(s"Reading from STDIN (staged to $tmp)")
+      tmp.toString
     }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
