@@ -115,4 +115,23 @@ object GedcomProps extends Properties("gedcom") {
       run(rs).skipped.count() ==
         rs.count(r => !Dictionaries.tagNames.contains(r.tag))
     }
+
+  /** The production zero-shuffle boundary-stitch path must produce exactly
+    * the same graph as the shuffle path, for any record batch and any
+    * split count (splits land mid-record on purpose). */
+  property("boundary-stitch path == shuffle path for any split count") =
+    Prop.forAll(batchGen, Gen.chooseNum(1, 7)) { (rs, slices) =>
+      val text = serialize(rs)
+      val viaShuffle = run(rs)
+      val viaBoundary = GedcomGraph.fromTextRdd(spark,
+        spark.sparkContext.parallelize(text, slices))
+      def nodeSet(g: GedcomGraph.Graph) =
+        g.nodes.select("rawTag", "props").collect()
+          .map(r => (r.getString(0), r.getAs[Map[String, String]](1))).toSet
+      def edgeSet(g: GedcomGraph.Graph) =
+        g.edges.collect().map(_.toSeq).toSet
+      nodeSet(viaBoundary) == nodeSet(viaShuffle) &&
+        edgeSet(viaBoundary) == edgeSet(viaShuffle) &&
+        viaBoundary.skipped.count() == viaShuffle.skipped.count()
+    }
 }
