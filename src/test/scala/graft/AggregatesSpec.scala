@@ -19,6 +19,16 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("percentile_approx tracks the exact percentile within its accuracy bound") {
+    val li = Tables.lineitem(spark, SF)
+    val (approx, exact) = li.agg(
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)),
+      percentile(col("l_extendedprice"), lit(0.5)))
+      .as[(Double, Double)].head()
+    // the sketch path for 100 TB: bounded memory, mergeable, small error
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx $approx exact $exact")
+  }
+
   test("TopK aggregator matches rank-over-window on random data") {
     val rnd = new scala.util.Random(3)
     val df = Seq.fill(500)((rnd.nextInt(20).toLong, rnd.nextInt(10000) / 100.0, rnd.nextLong().abs))

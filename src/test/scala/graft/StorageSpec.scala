@@ -54,6 +54,28 @@ class StorageSpec extends SparkSpec {
     assert(spread >= 6, s"hot key only hit $spread of 8 salt buckets")
   }
 
+  test("partitionBy layout gives partition pruning on read") {
+    val dir = java.nio.file.Files.createTempDirectory("ppart").toString
+    Tables.lineitem(spark, SF)
+      .write.mode(SaveMode.Overwrite).partitionBy("l_returnflag").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("l_returnflag") === "R")
+    val p = pruned.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (directory pruning),
+    // not in PushedFilters (row-group filtering)
+    assert(p.contains("PartitionFilters: [isnotnull(l_returnflag"), p)
+    assert(pruned.count() ==
+      Tables.lineitem(spark, SF).filter(col("l_returnflag") === "R").count())
+  }
+
+  test("seeded sampling is reproducible and near the target fraction") {
+    val li = Tables.lineitem(spark, SF)
+    val a = li.sample(withReplacement = false, 0.2, seed = 42).count()
+    val b = li.sample(withReplacement = false, 0.2, seed = 42).count()
+    assert(a == b) // same seed + same partitioning => identical sample
+    val frac = a.toDouble / li.count()
+    assert(frac > 0.15 && frac < 0.25, s"sample fraction $frac")
+  }
+
   test("bucketed tables join without an exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
