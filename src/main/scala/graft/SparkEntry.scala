@@ -14,6 +14,7 @@ object SparkEntry {
     operators.Relational.defs ++
       operators.Aggregates.defs ++
       operators.Advanced.defs ++
+      operators.Windows.defs ++
       functions.Functions.defs ++
       operators.Temporal.defs ++
       functions.TextAnalysis.defs ++
