@@ -28,10 +28,11 @@ object GedcomDates {
   private val Months = Seq("JAN", "FEB", "MAR", "APR", "MAY", "JUN",
     "JUL", "AUG", "SEP", "OCT", "NOV", "DEC").zipWithIndex.map { case (m, i) => m -> (i + 1) }.toMap
 
-  private val Simple = """(?:(\d{1,2})\s+)?(?:([A-Za-z]{3,4})\s+)?(\d{3,4})""".r
+  private val Simple = """(?:(\d{1,2})\s+)?(?:([A-Za-z]{3,4})\s+)?(\d{3,4})(?:/\d{1,2})?""".r
   private val Qualified = """(ABT|EST|CAL|BEF|AFT|FROM|TO|INT)\.?\s+(.*)""".r
   private val Between = """(?:BET|BETWEEN)\.?\s+(.*?)\s+AND\s+(.*)""".r
   private val FromTo = """FROM\s+(.*?)\s+TO\s+(.*)""".r
+  private val Phrase = """(.*?)\s*\(.*\)""".r // "INT 1900 (guessed from census)"
 
   private def part(s: String): Option[(Option[Int], Option[Int], Option[Int])] =
     s.trim.toUpperCase match {
@@ -49,7 +50,12 @@ object GedcomDates {
       GedDate(q,
         a.flatMap(_._1), a.flatMap(_._2), a.flatMap(_._3),
         b.flatMap(_._1), b.flatMap(_._2), b.flatMap(_._3))
-    s match {
+    // trailing date phrases ("(guessed from census)") are descriptive only
+    val cleaned = s match {
+      case Phrase(core) if core.nonEmpty => core
+      case other => other
+    }
+    cleaned match {
       case "" => made("RAW", None)
       case Between(a, b) if part(a).isDefined && part(b).isDefined =>
         made("BET", part(a), part(b))

@@ -19,6 +19,15 @@ class GedcomDatesSpec extends SparkSpec {
     assert(GedcomDates.parse("aft 1900").qualifier == "AFT") // case-insensitive
   }
 
+  test("interpreted dates with phrases and dual years") {
+    assert(GedcomDates.parse("INT 1900 (guessed from census)") ==
+      GedDate("INT", Some(1900), None, None, None, None, None))
+    // dual (old/new style) year "1750/51" keeps the first year
+    assert(GedcomDates.parse("12 MAR 1750/51") ==
+      GedDate("EXACT", Some(1750), Some(3), Some(12), None, None, None))
+    assert(GedcomDates.parse("ABT 1750/51").qualifier == "ABT")
+  }
+
   test("ranges") {
     assert(GedcomDates.parse("BET 1900 AND 1910") ==
       GedDate("BET", Some(1900), None, None, Some(1910), None, None))
