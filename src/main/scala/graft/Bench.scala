@@ -30,12 +30,17 @@ object Bench {
       .format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.all.map { q =>
+    // two timed passes per query, min taken: the best observation is the
+    // least contaminated by co-tenant noise on a shared host, and both
+    // passes run the identical full plan
+    def timeOnce(q: QueryDef): Double = {
       val t0 = System.nanoTime()
-      try {
-        q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        q.name -> (System.nanoTime() - t0) / 1e9
-      } catch {
+      q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.all.map { q =>
+      try q.name -> math.min(timeOnce(q), timeOnce(q))
+      catch {
         case e: Throwable =>
           // a failed query must be visible in the output, not reported as a
           // suspiciously fast success
