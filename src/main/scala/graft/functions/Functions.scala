@@ -222,6 +222,45 @@ object Functions {
       "bigram n-gram mining via sequence+element_at generator"),
 
     QueryDef(
+      "q60_array_setops",
+      (s, d) => {
+        // array set algebra between the word sets of paired documents
+        val a = documents(s, d).filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") / 2).cast("long").as("pair"),
+            array_sort(array_distinct(TextAnalysis.tokens(col("text")))).as("wa"))
+        val b = documents(s, d).filter(col("doc_id") % 2 === 1)
+          .select(((col("doc_id") - 1) / 2).cast("long").as("pair"),
+            array_sort(array_distinct(TextAnalysis.tokens(col("text")))).as("wb"))
+        a.join(b, "pair")
+          .select(
+            col("pair"),
+            // scalar projection of the set — array-typed result columns
+            // don't hash portably across engines
+            array_join(array_sort(array_intersect(col("wa"), col("wb"))), " ").as("common"),
+            size(array_intersect(col("wa"), col("wb"))).as("n_common"),
+            size(array_union(col("wa"), col("wb"))).as("n_union"),
+            size(array_except(col("wa"), col("wb"))).as("n_only_a"),
+            arrays_overlap(col("wa"), col("wb")).as("overlaps"))
+          .orderBy(col("pair"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 list_sort(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS w
+          FROM documents),
+        a AS (SELECT doc_id // 2 AS pair, w AS wa FROM t WHERE doc_id % 2 = 0),
+        b AS (SELECT (doc_id - 1) // 2 AS pair, w AS wb FROM t WHERE doc_id % 2 = 1)
+        SELECT pair,
+               array_to_string(list_sort(list_intersect(wa, wb)), ' ') AS common,
+               len(list_intersect(wa, wb)) AS n_common,
+               len(list_distinct(list_concat(wa, wb))) AS n_union,
+               len(list_filter(wa, x -> NOT list_contains(wb, x))) AS n_only_a,
+               len(list_intersect(wa, wb)) > 0 AS overlaps
+        FROM a JOIN b USING (pair)
+        ORDER BY pair"""),
+      "array set algebra: intersect/union/except/overlap on word sets"),
+
+    QueryDef(
       "q55_null_semantics",
       (s, d) =>
         // three-valued logic family: nullif/coalesce/is-distinct-from and

@@ -159,4 +159,17 @@ object GedcomGraph {
     val minParts = spark.sparkContext.defaultParallelism * 2
     fromTextRdd(spark, spark.sparkContext.textFile(path, minParts))
   }
+
+  /** Wide, directly queryable table for one record type: the union of the
+    * tag's flattened property keys as real columns (same layout as the
+    * CSV sink's output, but as a DataFrame — callers can filter/join/agg
+    * the property graph without going through Neo4j at all). */
+  def nodesWide(graph: Graph, rawTag: String): DataFrame = {
+    val forTag = graph.nodes.filter(col("rawTag") === rawTag)
+    val keys = forTag
+      .select(explode(map_keys(col("props"))).as("k"))
+      .distinct().collect().map(_.getString(0)).toSet
+    forTag.select(
+      CsvSink.nodeColumns(keys).map(k => col("props").getItem(k).as(k)): _*)
+  }
 }

@@ -81,6 +81,18 @@ class GedcomSpec extends SparkSpec {
     assert(!head.contains("Gedcom Id:ID"))
   }
 
+  test("nodesWide exposes the graph as a queryable wide table") {
+    val wide = GedcomGraph.nodesWide(graph, "INDI")
+    assert(wide.columns.head == "Gedcom Id:ID" && wide.columns.last == ":LABEL")
+    // relational query straight over the property graph: join individuals
+    // to their family edges
+    val withFams = wide.join(graph.edges.filter(col("rawTag") === "FAMS"),
+      wide("Gedcom Id:ID") === col("src"))
+    assert(withFams.count() == 1)
+    assert(withFams.select("Given Name").head().getString(0) == "John ")
+    assert(wide.filter(col("Surname") === "Smith").count() == 1)
+  }
+
   test("csv sink fans out per (kind, tag) with union headers") {
     val out = java.nio.file.Files.createTempDirectory("gedcsv").toString
     val res = GedcomPipeline.run(spark, fixture, out)

@@ -23,6 +23,11 @@ def load_spark(outdir, name):
 
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
+    # list/array cells aren't hashable for sorting — stringify them
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (list, tuple)) or
+                     getattr(v, "ndim", 0) == 1).any():
+            df[c] = df[c].map(lambda v: str(list(v)) if v is not None else None)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
