@@ -28,7 +28,7 @@ object GedcomDates {
   private val Months = Seq("JAN", "FEB", "MAR", "APR", "MAY", "JUN",
     "JUL", "AUG", "SEP", "OCT", "NOV", "DEC").zipWithIndex.map { case (m, i) => m -> (i + 1) }.toMap
 
-  private val Simple = """(?:(\d{1,2})\s+)?(?:([A-Za-z]{3,4})\s+)?(\d{3,4})(?:/\d{1,2})?""".r
+  private val Simple = """(?:(\d{1,2})\s+)?(?:([A-Za-z]{3,4})\s+)?(\d{3,4})(?:/\d{1,4})?""".r
   private val Qualified = """(ABT|EST|CAL|BEF|AFT|FROM|TO|INT)\.?\s+(.*)""".r
   private val Between = """(?:BET|BETWEEN)\.?\s+(.*?)\s+AND\s+(.*)""".r
   private val FromTo = """FROM\s+(.*?)\s+TO\s+(.*)""".r

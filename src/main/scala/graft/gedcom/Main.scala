@@ -43,8 +43,12 @@ object Main {
     // source, so the stage-to-file step replaces the pipe)
     val src = opts.src.getOrElse {
       val tmp = java.nio.file.Files.createTempFile("ged-stdin", ".ged")
+      tmp.toFile.deleteOnExit()
       java.nio.file.Files.copy(System.in, tmp,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      if (sys.env.get("SPARK_MASTER").exists(m => !m.startsWith("local")))
+        System.err.println(
+          s"warning: stdin staged to driver-local $tmp — remote executors cannot read it; use -s with a shared path")
       if (!opts.quiet) println(s"Reading from STDIN (staged to $tmp)")
       tmp.toString
     }

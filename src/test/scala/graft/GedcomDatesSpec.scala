@@ -26,6 +26,8 @@ class GedcomDatesSpec extends SparkSpec {
     assert(GedcomDates.parse("12 MAR 1750/51") ==
       GedDate("EXACT", Some(1750), Some(3), Some(12), None, None, None))
     assert(GedcomDates.parse("ABT 1750/51").qualifier == "ABT")
+    // 4-digit dual years appear in real exports even though 5.5 says 2
+    assert(GedcomDates.parse("12 MAR 1750/1751").year.contains(1750))
   }
 
   test("ranges") {

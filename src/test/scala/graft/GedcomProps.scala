@@ -130,8 +130,12 @@ object GedcomProps extends Properties("gedcom") {
           .map(r => (r.getString(0), r.getAs[Map[String, String]](1))).toSet
       def edgeSet(g: GedcomGraph.Graph) =
         g.edges.collect().map(_.toSeq).toSet
+      // counts too: set equality alone is blind to dropped/doubled
+      // duplicates of structurally identical records
       nodeSet(viaBoundary) == nodeSet(viaShuffle) &&
         edgeSet(viaBoundary) == edgeSet(viaShuffle) &&
+        viaBoundary.nodes.count() == viaShuffle.nodes.count() &&
+        viaBoundary.edges.count() == viaShuffle.edges.count() &&
         viaBoundary.skipped.count() == viaShuffle.skipped.count()
     }
 }
