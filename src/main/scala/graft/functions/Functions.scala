@@ -235,7 +235,9 @@ object Functions {
           .select(
             col("pair"),
             // scalar projection of the set — array-typed result columns
-            // don't hash portably across engines
+            // don't hash portably across engines. (Oracle side needs
+            // coalesce: DuckDB's array_to_string of an empty list is NULL
+            // where Spark's array_join is ''.)
             array_join(array_sort(array_intersect(col("wa"), col("wb"))), " ").as("common"),
             size(array_intersect(col("wa"), col("wb"))).as("n_common"),
             size(array_union(col("wa"), col("wb"))).as("n_union"),
@@ -251,7 +253,7 @@ object Functions {
         a AS (SELECT doc_id // 2 AS pair, w AS wa FROM t WHERE doc_id % 2 = 0),
         b AS (SELECT (doc_id - 1) // 2 AS pair, w AS wb FROM t WHERE doc_id % 2 = 1)
         SELECT pair,
-               array_to_string(list_sort(list_intersect(wa, wb)), ' ') AS common,
+               coalesce(array_to_string(list_sort(list_intersect(wa, wb)), ' '), '') AS common,
                len(list_intersect(wa, wb)) AS n_common,
                len(list_distinct(list_concat(wa, wb))) AS n_union,
                len(list_filter(wa, x -> NOT list_contains(wb, x))) AS n_only_a,
