@@ -222,6 +222,26 @@ object Advanced {
             sum(col("sz")).as("n_vertices"))
       },
       None, // iterative graph algorithm — not oracle-expressible
-      "GraphX connected components over a bipartite co-occurrence graph")
+      "GraphX connected components over a bipartite co-occurrence graph"),
+
+    QueryDef(
+      "q61_cc_dataframe",
+      (s, d) => {
+        // same computation as q50 through the DataFrame hash-min iteration
+        // (no RDD/GraphX machinery; equivalence proven in IterativeGraphSpec)
+        val edges = lineitem(s, d)
+          .select(concat(lit("P"), col("l_partkey")).as("src"),
+            concat(lit("S"), col("l_suppkey")).as("dst"))
+          .distinct()
+          .withColumn("relType", lit("supplies"))
+        IterativeGraph.connectedComponents(edges)
+          .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+          .groupBy()
+          .agg(count(lit(1)).as("n_components"),
+            max(col("sz")).as("max_component"),
+            sum(col("sz")).as("n_vertices"))
+      },
+      None, // iterative; cross-checked against q50's GraphX result in specs
+      "DataFrame-native hash-min connected components (Catalyst-planned iteration)")
   )
 }
