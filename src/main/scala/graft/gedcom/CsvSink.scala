@@ -89,9 +89,19 @@ object CsvSink {
     outputs.flatMap { o =>
       val dir = new java.io.File(o.path)
       Option(dir.listFiles())
-        .map(_.filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
-          .map(_.getPath).sorted)
+        .map(_.filter { f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".csv") &&
+            hasDataRows(f)
+        }.map(_.getPath).sorted)
         .getOrElse(Array.empty[String])
         .flatMap(p => Seq(s"--${o.kind}", p))
     }
+
+  /** true when the csv part has at least one row beyond the header —
+    * empty partitions produce header-only parts that would just clutter
+    * the import command. */
+  private def hasDataRows(f: java.io.File): Boolean = {
+    val r = new java.io.BufferedReader(new java.io.FileReader(f))
+    try { r.readLine(); r.readLine() != null } finally r.close()
+  }
 }
