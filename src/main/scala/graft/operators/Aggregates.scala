@@ -20,6 +20,8 @@ import graft.{Money, QueryDef, Tables}
 object Aggregates {
   import Tables._
 
+  private def dbl(c: String) = col(c).cast("double")
+
   /** Bounded top-k aggregator: keeps the k largest (value, tag) pairs.
     * Partial buffers are size-capped, merge is k-bounded — at any data
     * volume each partition contributes at most k candidates to the final
@@ -90,6 +92,55 @@ object Aggregates {
         GROUP BY l_returnflag
         ORDER BY l_returnflag"""),
       "distinct cardinality: exact (oracle) + HLL approx (spec-checked tolerance)"),
+
+    QueryDef(
+      "q62_stats_moments",
+      (s, d) =>
+        // correlation/covariance from exact integer-cents moment sums: the
+        // five sums are exact bigints, the closed-form combination is one
+        // deterministic double expression — unlike corr()/covar_pop(),
+        // whose streaming accumulation is partition-order dependent
+        lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(Money.cents(col("l_quantity"))).as("sx"),
+            sum(Money.cents(col("l_extendedprice"))).as("sy"),
+            sum(Money.cents(col("l_quantity")) * Money.cents(col("l_quantity"))).as("sxx"),
+            sum(Money.cents(col("l_extendedprice")) * Money.cents(col("l_extendedprice"))).as("syy"),
+            sum(Money.cents(col("l_quantity")) * Money.cents(col("l_extendedprice"))).as("sxy"))
+          .select(
+            col("l_returnflag"), col("n"),
+            // exact integer sums, then ONE deterministic double conversion
+            // each before combining — products like syy*n overflow int64
+            // in Spark while DuckDB silently promotes to HUGEINT, so the
+            // combination must happen in double on both sides
+            round((dbl("sxy") * dbl("n") - dbl("sx") * dbl("sy")) /
+              (sqrt(dbl("sxx") * dbl("n") - dbl("sx") * dbl("sx")) *
+                sqrt(dbl("syy") * dbl("n") - dbl("sy") * dbl("sy"))), 8).as("corr_qty_price"),
+            round((dbl("sxy") / dbl("n") -
+              (dbl("sx") / dbl("n")) * (dbl("sy") / dbl("n"))) / 10000.0, 4)
+              .as("covar_pop"))
+          .orderBy(col("l_returnflag")),
+      Some("""
+        WITH m AS (
+          SELECT l_returnflag,
+                 count(*) AS n,
+                 sum(cast(round(l_quantity*100) as bigint)) AS sx,
+                 sum(cast(round(l_extendedprice*100) as bigint)) AS sy,
+                 sum(cast(round(l_quantity*100) as bigint) * cast(round(l_quantity*100) as bigint)) AS sxx,
+                 sum(cast(round(l_extendedprice*100) as bigint) * cast(round(l_extendedprice*100) as bigint)) AS syy,
+                 sum(cast(round(l_quantity*100) as bigint) * cast(round(l_extendedprice*100) as bigint)) AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               round((cast(sxy as double) * cast(n as double) - cast(sx as double) * cast(sy as double)) /
+                 (sqrt(cast(sxx as double) * cast(n as double) - cast(sx as double) * cast(sx as double)) *
+                  sqrt(cast(syy as double) * cast(n as double) - cast(sy as double) * cast(sy as double))), 8) AS corr_qty_price,
+               round((cast(sxy as double) / cast(n as double) -
+                      (cast(sx as double) / cast(n as double)) * (cast(sy as double) / cast(n as double))) / 10000.0, 4) AS covar_pop
+        FROM m
+        ORDER BY l_returnflag"""),
+      "correlation/covariance via exact integer moment sums (order-independent)"),
 
     QueryDef(
       "q44_topk_aggregator",
