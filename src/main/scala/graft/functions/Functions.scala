@@ -157,10 +157,10 @@ object Functions {
       },
       Some("""
         SELECT doc_id,
-               sum(cnt) AS n_words,
+               cast(sum(cnt) as bigint) AS n_words,
                count(*) AS n_distinct_words,
-               coalesce(sum(CASE WHEN word = 'spark' THEN cnt END), 0) AS n_spark,
-               coalesce(sum(CASE WHEN word = 'join' THEN cnt END), 0) AS n_join
+               cast(coalesce(sum(CASE WHEN word = 'spark' THEN cnt END), 0) as bigint) AS n_spark,
+               cast(coalesce(sum(CASE WHEN word = 'join' THEN cnt END), 0) as bigint) AS n_join
         FROM (SELECT doc_id, word, count(*) AS cnt
               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
               WHERE word <> ''
@@ -194,17 +194,21 @@ object Functions {
     QueryDef(
       "q54_bigrams",
       (s, d) => {
-        // n-gram mining: adjacent-token bigrams via 1-based element_at over
-        // a generated index sequence — same construction as the SQL side
-        val toks = TextAnalysis.tokens(col("text"))
-        // guard: sequence(1, 0) would count DOWN and element_at(_, 0) throws,
-        // so short docs (<2 tokens) must produce an empty bigram list — the
-        // behavior DuckDB's range(1, len) gives for free
-        val idx = when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
-          .otherwise(array().cast("array<int>"))
+        // n-gram mining: adjacent-token bigrams as zip_with over two slices
+        // of a MATERIALIZED token array. The tokenizer runs once per doc in
+        // its own projection; embedding it in the HOF lambda would re-split
+        // the document per bigram (O(tokens²) per doc).
+        val n = size(col("toks"))
+        // guard: docs with <2 tokens must yield an empty bigram list (what
+        // DuckDB's range(1, len) gives for free); slice with length 0 is
+        // invalid, so gate on size — CaseWhen only evaluates the taken branch
+        val bigrams = when(n >= 2,
+          zip_with(slice(col("toks"), lit(1), n - 1), slice(col("toks"), lit(2), n - 1),
+            (a, b) => concat_ws(" ", a, b)))
+          .otherwise(array().cast("array<string>"))
         documents(s, d)
-          .select(explode(transform(idx,
-            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))).as("bigram"))
+          .select(TextAnalysis.tokens(col("text")).as("toks"))
+          .select(explode(bigrams).as("bigram"))
           .groupBy(col("bigram"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("bigram"))
@@ -232,17 +236,21 @@ object Functions {
           .select(((col("doc_id") - 1) / 2).cast("long").as("pair"),
             array_sort(array_distinct(TextAnalysis.tokens(col("text")))).as("wb"))
         a.join(b, "pair")
+          // materialize the intersection once — three downstream columns use
+          // it and Project does not CSE array expressions
+          .select(col("pair"), col("wa"), col("wb"),
+            array_sort(array_intersect(col("wa"), col("wb"))).as("wi"))
           .select(
             col("pair"),
             // scalar projection of the set — array-typed result columns
             // don't hash portably across engines. (Oracle side needs
             // coalesce: DuckDB's array_to_string of an empty list is NULL
             // where Spark's array_join is ''.)
-            array_join(array_sort(array_intersect(col("wa"), col("wb"))), " ").as("common"),
-            size(array_intersect(col("wa"), col("wb"))).as("n_common"),
+            array_join(col("wi"), " ").as("common"),
+            size(col("wi")).as("n_common"),
             size(array_union(col("wa"), col("wb"))).as("n_union"),
             size(array_except(col("wa"), col("wb"))).as("n_only_a"),
-            arrays_overlap(col("wa"), col("wb")).as("overlaps"))
+            (size(col("wi")) > 0).as("overlaps"))
           .orderBy(col("pair"))
       },
       Some("""
@@ -343,7 +351,7 @@ object Functions {
       Some("""
         SELECT event_type,
                count(*) AS n,
-               sum(cast(json_extract_string(props, '$.k') as bigint)) AS sum_k,
+               cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS sum_k,
                max(cast(json_extract_string(props, '$.k') as bigint)) AS max_k,
                count(CASE WHEN cast(json_extract_string(props, '$.k') as bigint) > 50
                           THEN 1 END) AS n_high

@@ -62,8 +62,8 @@ object TextAnalysis {
       Some(s"""
         SELECT lang,
                count(*) AS n_docs,
-               sum(len($SQL_TOKENS)) AS total_ws_tokens,
-               sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS total_lex_tokens,
+               cast(sum(len($SQL_TOKENS)) as bigint) AS total_ws_tokens,
+               cast(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) as bigint) AS total_lex_tokens,
                max(len($SQL_TOKENS)) AS max_ws_tokens,
                round(sum(len($SQL_TOKENS)) * 1.0 / sum(length(text)), 6) AS tokens_per_char
         FROM documents
@@ -111,10 +111,12 @@ object TextAnalysis {
       (s, d) => {
         // heuristic n-gram language ID: score per language profile = count
         // of profile marker tokens, argmax with lexicographic tiebreak.
-        val toks = tokens(col("text"))
+        // Tokenize once into a materialized column — three score columns
+        // probe it and Project does not CSE the split.
         def score(markers: Seq[String]): Column =
-          size(filter(toks, t => t.isin(markers.map(lit): _*)))
+          size(filter(col("toks"), t => t.isin(markers.map(lit): _*)))
         documents(s, d)
+          .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
           .select(
             col("doc_id"), col("lang"),
             score(Seq("the", "a", "fast", "slow")).as("s_prose"),

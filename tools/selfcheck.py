@@ -28,6 +28,12 @@ def norm(df):
         if df[c].map(lambda v: isinstance(v, (list, tuple)) or
                      getattr(v, "ndim", 0) == 1).any():
             df[c] = df[c].map(lambda v: str(list(v)) if v is not None else None)
+        # Canonicalize integer widths (int32 vs int64 is tolerated by the
+        # driver) but do NOT silently coerce float/object — a DuckDB HUGEINT
+        # (bare sum(BIGINT)) arrives as float64/object and must FAIL here.
+        if str(df[c].dtype) in ("int8", "int16", "int32", "uint8", "uint16",
+                                "uint32", "uint64"):
+            df[c] = df[c].astype("int64")
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
@@ -57,7 +63,7 @@ def main():
         if len(a) != len(b):
             print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); n_fail += 1; continue
         try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+            pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=True)
             print(f"PASS {name} ({len(a)} rows)"); n_pass += 1
         except AssertionError as e:
             print(f"FAIL {name}: value mismatch\n{str(e)[:500]}"); n_fail += 1
