@@ -57,8 +57,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failed query (-1) must poison the headline, not quietly shrink it:
+    // value goes null and the failure count is explicit
+    val failed = results.count(_._2 < 0)
+    val total =
+      if (failed > 0) "null" else results.map(_._2).sum.toString
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,7 +20,8 @@ object SparkEntry {
       functions.TextAnalysis.defs ++
       functions.Dedup.defs ++
       functions.Similarity.defs ++
-      functions.Multimodal.defs
+      functions.Multimodal.defs ++
+      gedcom.GedcomQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * revenue by region through the broadcast dim chain. */

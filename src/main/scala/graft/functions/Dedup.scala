@@ -25,6 +25,27 @@ object Dedup {
 
   private val SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  /** Shared by q35 (inverted-index) and q65 (prefix-filtered): both are
+    * EXACT Jaccard >= 0.8 pair joins, so they answer to the same oracle. */
+  private val JACCARD_ORACLE = s"""
+        WITH dtok AS (
+          SELECT DISTINCT doc_id, lang, source, unnest($SQL_TOKENS) AS word
+          FROM documents),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM dtok GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+          FROM dtok a JOIN dtok b
+            ON a.word = b.word AND a.lang = b.lang AND a.source = b.source
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT ia, ib,
+               round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON ia = sa.doc_id
+        JOIN sizes sb ON ib = sb.doc_id
+        WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.8
+        ORDER BY ia, ib"""
+
   /** (doc_id, lang, source, word) distinct token relation. */
   private def docTokens(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -78,6 +99,68 @@ object Dedup {
         (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
           b => b)) * lit(1.0) / MINHASH_PERMS).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard >= t pairs via the inverted-index self-join: shuffles on
+    * the token, never builds the cartesian pair space — but a token in D
+    * docs still yields ~D^2/2 candidate pairs (see [[jaccardPairsPrefix]]
+    * for the df-skew-proof variant with identical output). */
+  def jaccardPairsExact(toks: DataFrame, t: Double): DataFrame = {
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = toks.select(col("lang"), col("source"), col("word"), col("doc_id").as("ia"))
+    val b = toks.select(col("lang"), col("source"), col("word"), col("doc_id").as("ib"))
+    val inter = a.join(b, Seq("lang", "source", "word"))
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(count(lit(1)).as("i"))
+    val sa = sizes.select(col("doc_id").as("ia"), col("sz").as("sza"))
+    val sb = sizes.select(col("doc_id").as("ib"), col("sz").as("szb"))
+    inter.join(sa, "ia").join(sb, "ib")
+      .select(col("ia"), col("ib"),
+        round(col("i") * lit(1.0) / (col("sza") + col("szb") - col("i")), 4).as("jaccard"))
+      .filter(col("jaccard") >= t)
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  /** AllPairs/PPJoin-style prefix of each document's token set under a
+    * global rarest-first order: length |d| - ceil(t*|d|) + 1. Any pair with
+    * Jaccard >= t must share a prefix token (Bayardo et al., WWW'07), and a
+    * universal stopword (max df) sorts LAST in every document, so it lands
+    * in no prefix and its D^2-pair bucket never exists. */
+  def prefixTokens(toks: DataFrame, t: Double): DataFrame = {
+    val dfreq = toks.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    toks.join(dfreq, "word")
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("word"))))
+      .join(sizes, "doc_id")
+      .filter(col("rnk") <= col("sz") - ceil(col("sz") * t) + 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("word"))
+  }
+
+  /** Output-identical to [[jaccardPairsExact]] (same rounding, same rows)
+    * but candidates come from the prefix index and the exact verification
+    * joins by doc id (bounded per-doc arrays) — no token-df skew bomb. */
+  def jaccardPairsPrefix(toks: DataFrame, t: Double): DataFrame = {
+    val prefix = prefixTokens(toks, t)
+    val a = prefix.select(col("lang"), col("source"), col("word"), col("doc_id").as("ia"))
+    val b = prefix.select(col("lang"), col("source"), col("word"), col("doc_id").as("ib"))
+    val cand = a.join(b, Seq("lang", "source", "word"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib")).distinct()
+    val tokArr = toks.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("word"))).as("ws"))
+    cand
+      .join(tokArr.select(col("doc_id").as("ia"), col("ws").as("wsa")), "ia")
+      .join(tokArr.select(col("doc_id").as("ib"), col("ws").as("wsb")), "ib")
+      .select(col("ia"), col("ib"),
+        size(array_intersect(col("wsa"), col("wsb"))).as("i"),
+        size(col("wsa")).as("sza"), size(col("wsb")).as("szb"))
+      .select(col("ia"), col("ib"),
+        round(col("i") * lit(1.0) / (col("sza") + col("szb") - col("i")), 4).as("jaccard"))
+      .filter(col("jaccard") >= t)
+      .orderBy(col("ia"), col("ib"))
   }
 
   /** SimHash: 64-bit signature; bit b set iff sum of (+tf / -tf) weighted
@@ -141,44 +224,8 @@ object Dedup {
 
     QueryDef(
       "q35_ngram_jaccard",
-      (s, d) => {
-        // inverted-index pair generation: join docs through shared tokens
-        // within a (lang, source) bucket — shuffles on the token, never
-        // builds the cartesian pair space.
-        val toks = docTokens(s, d)
-        val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        val a = toks.select(col("lang"), col("source"), col("word"), col("doc_id").as("ia"))
-        val b = toks.select(col("lang"), col("source"), col("word"), col("doc_id").as("ib"))
-        val inter = a.join(b, Seq("lang", "source", "word"))
-          .filter(col("ia") < col("ib"))
-          .groupBy(col("ia"), col("ib"))
-          .agg(count(lit(1)).as("i"))
-        val sa = sizes.select(col("doc_id").as("ia"), col("sz").as("sza"))
-        val sb = sizes.select(col("doc_id").as("ib"), col("sz").as("szb"))
-        inter.join(sa, "ia").join(sb, "ib")
-          .select(col("ia"), col("ib"),
-            round(col("i") * lit(1.0) / (col("sza") + col("szb") - col("i")), 4).as("jaccard"))
-          .filter(col("jaccard") >= 0.8)
-          .orderBy(col("ia"), col("ib"))
-      },
-      Some(s"""
-        WITH dtok AS (
-          SELECT DISTINCT doc_id, lang, source, unnest($SQL_TOKENS) AS word
-          FROM documents),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM dtok GROUP BY doc_id),
-        inter AS (
-          SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
-          FROM dtok a JOIN dtok b
-            ON a.word = b.word AND a.lang = b.lang AND a.source = b.source
-           AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-        SELECT ia, ib,
-               round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
-        FROM inter
-        JOIN sizes sa ON ia = sa.doc_id
-        JOIN sizes sb ON ib = sb.doc_id
-        WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.8
-        ORDER BY ia, ib"""),
+      (s, d) => jaccardPairsExact(docTokens(s, d), 0.8),
+      Some(JACCARD_ORACLE),
       "near-dup pairs by word-set Jaccard >= 0.8 via inverted-index join"),
 
     QueryDef(
@@ -216,9 +263,9 @@ object Dedup {
     QueryDef(
       "q38_embedding_neardup",
       (s, d) => {
-        // brute-force cosine near-dup candidates (threshold tuned to this
-        // synthetic space, max pair cosine ~0.46). One side is broadcast;
-        // at real scale swap in the LSH bucketing of q41.
+        // brute-force cosine near-dup: the VERIFICATION BASELINE for the
+        // LSH-bucketed default (q64_neardup_lsh) — O(n^2) by construction,
+        // kept because it is oracle-exact; never the path you run at scale.
         val e = embeddings(s, d).select(
           col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
           .withColumn("nrm", VectorOps.norm(col("v")))
@@ -242,6 +289,44 @@ object Dedup {
                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
                     6) >= 0.4
         ORDER BY ia, ib"""),
-      "embedding-cosine near-dup, brute force in double precision")
+      "embedding-cosine near-dup, brute force in double precision (verification baseline for q64)"),
+
+    QueryDef(
+      "q64_neardup_lsh",
+      (s, d) => {
+        // DEFAULT embedding near-dup — the 100 TB path. Hyperplane-LSH sign
+        // codes + radius-2 multi-probe turn the O(n^2) pair space into an
+        // equi join on the bucket code; every candidate is then verified
+        // with the exact cosine, so precision is exact and only recall
+        // depends on the bucketing (measured against q38 in DedupSpec).
+        val e = embeddings(s, d).select(
+          col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+          .withColumn("nrm", VectorOps.norm(col("v")))
+          .withColumn("code", Similarity.lshCode(col("v")))
+          .cache()
+        // radius 3 (not q40's 2): near-dup thresholds sit much closer to
+        // the decision boundary than top-k neighbors, so recall needs the
+        // wider probe ring (93/256 of the space — still sub-quadratic)
+        val probes = e.select(
+          col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"),
+          explode(array(Similarity.probeMasksUpTo(3).map(m =>
+            col("code").bitwiseXOR(lit(m))): _*)).as("code"))
+        probes.join(e, "code")
+          .filter(col("ia") < col("vec_id"))
+          .select(col("ia"), col("vec_id").as("ib"),
+            round(VectorOps.cosinePre(VectorOps.dot(col("va"), col("v")),
+              col("na"), col("nrm")), 6).as("cos"))
+          .filter(col("cos") >= 0.4)
+          .distinct()
+          .orderBy(col("ia"), col("ib"))
+      },
+      None, // approximate candidate generation; recall vs exact q38 pinned in DedupSpec
+      "embedding near-dup via hyperplane LSH + multi-probe equi join (default scale path)"),
+
+    QueryDef(
+      "q65_jaccard_prefix",
+      (s, d) => jaccardPairsPrefix(docTokens(s, d), 0.8),
+      Some(JACCARD_ORACLE),
+      "prefix-filtered exact Jaccard pairs (AllPairs): df-skew-proof, oracle-identical to q35")
   )
 }

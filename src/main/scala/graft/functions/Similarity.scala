@@ -36,11 +36,14 @@ object Similarity {
       .map(p => when(VectorOps.dot(v, typedlit(planes(p))) > 0, lit(1L << p)).otherwise(lit(0L)): Column)
       .reduce(_ + _)
 
-  /** Multi-probe masks: all codes within `PROBE_RADIUS` bit flips. Similar
+  /** Multi-probe masks: all codes within `radius` bit flips. Similar
     * vectors differ in few sign bits, so probing nearby buckets recovers
-    * most true neighbors while still only touching 37/256 of the space. */
-  lazy val probeMasks: Seq[Long] =
-    (0L until (1L << N_PLANES)).filter(m => java.lang.Long.bitCount(m) <= PROBE_RADIUS)
+    * most true neighbors while touching only a fraction of the space
+    * (radius 2 = 37/256 of it, radius 3 = 93/256). */
+  def probeMasksUpTo(radius: Int): Seq[Long] =
+    (0L until (1L << N_PLANES)).filter(m => java.lang.Long.bitCount(m) <= radius)
+
+  lazy val probeMasks: Seq[Long] = probeMasksUpTo(PROBE_RADIUS)
 
   private def prepared(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
@@ -107,6 +110,6 @@ object Similarity {
           .orderBy(col("qid"), col("rk"))
       },
       None, // approximate by construction; recall vs q39 asserted in SimilaritySpec
-      "LSH-bucketed ANN: 16 random hyperplanes -> equi join on sign code")
+      s"LSH-bucketed ANN: $N_PLANES random hyperplanes -> equi join on sign code")
   )
 }

@@ -3,6 +3,7 @@ package graft.gedcom
 import java.io.{BufferedWriter, FileWriter}
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** GEDCOM-path throughput bench against the reference's headline number
   * (~145 MB in ~6 s => ~24 MB/s single-node parse->CSV, BASELINE.md).
@@ -67,6 +68,25 @@ object GedcomBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // GEDBENCH_PROBE=1: time the pipeline's layers separately (raw line
+    // scan, scala-side flatten, SQL encode) to localize throughput costs
+    if (sys.env.contains("GEDBENCH_PROBE")) {
+      import spark.implicits._
+      val minParts = spark.sparkContext.defaultParallelism * 2
+      def t(name: String)(f: => Any): Unit = {
+        val s0 = System.nanoTime(); f
+        System.err.println(f"[probe] $name: ${(System.nanoTime() - s0) / 1e9}%.2f s")
+      }
+      t("raw-line-count") { spark.sparkContext.textFile(ged, minParts).count() }
+      t("flatten-count") {
+        val acc = new GedcomGraph.BoundsAccumulator
+        spark.sparkContext.register(acc, "probeBounds")
+        GedcomGraph.containedRecords(
+          spark.sparkContext.textFile(ged, minParts), acc).count()
+      }
+      spark.stop(); sys.exit(0)
+    }
+
     val t0 = System.nanoTime()
     def phase(name: String)(f: => Unit): Unit = {
       val s = System.nanoTime(); f
@@ -83,8 +103,15 @@ object GedcomBench {
       if (sys.env.contains("GEDBENCH_REPEAT"))
         phase("csv-warm")(CsvSink.write(g, outDir + "2"))
     } else res = GedcomPipeline.run(spark, ged, outDir)
-    val nodes = res.graph.nodes.count()
-    val edges = res.graph.edges.count()
+    // both diagnostics in ONE scan of the checkpointed flat frame
+    // (sql.functions.size spelled out: the local `size` val shadows it)
+    val cnt = res.graph.flat.agg(
+      sum(when(!col("skipped") &&
+          org.apache.spark.sql.functions.size(map_keys(col("props"))) > 0, 1L)
+        .otherwise(0L)).as("n"),
+      sum(org.apache.spark.sql.functions.size(col("edges"))).as("e")).head()
+    val nodes = cnt.getLong(0)
+    val edges = cnt.getLong(1)
     val sec = (System.nanoTime() - t0) / 1e9
     val mb = size / 1e6
     println(f"""{"metric":"gedcom_throughput","value":${mb / sec}%.1f,"unit":"MB/s","mb":$mb%.1f,"sec":$sec%.2f,"nodes":$nodes,"edges":$edges}""")

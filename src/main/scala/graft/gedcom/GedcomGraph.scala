@@ -1,8 +1,12 @@
 package graft.gedcom
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Dataset-level wiring of parse -> assemble -> flatten into the property
   * graph (nodes + edges + diagnostics), the Spark analog of the reference's
@@ -46,68 +50,120 @@ object GedcomGraph {
     fromFlat(flat.toDF())
   }
 
-  /** Fast path for text input — zero shuffle.
+  /** Fast path for text input — zero shuffle, ONE pass over the text.
     *
     * GEDCOM records are contiguous runs of lines, so grouping them never
     * needs a cluster-wide shuffle: each input split assembles the records
     * it fully contains in one local pass, and only the split-boundary
     * fragments (the lines before a split's first level-0 line and from its
     * last level-0 line to the end — at most one record each) travel to the
-    * driver to be stitched. Two parallel reads of the input replace the
+    * driver to be stitched. The fragments ride back on a partition-keyed
+    * accumulator populated by the SAME pass that assembles the contained
+    * records (keying by partition index makes retried/speculated tasks
+    * idempotent), so the whole parse is one scan — replacing the
     * parse->persist->count->assign->shuffle->sort chain; at 100 TB that
-    * trades a full-data shuffle for one extra scan, which is the winning
-    * trade on any storage that can stream faster than the network can
-    * re-shard.
+    * removes both the full-data shuffle and the second read.
     */
   def fromTextRdd(spark: SparkSession, raw: RDD[String]): Graph = {
     import spark.implicits._
-
-    // pass A (light): per-split boundary fragments
-    final case class Bound(pi: Int, prefix: Seq[GedLine], suffix: Seq[GedLine], hasLevel0: Boolean)
-    val bounds = raw.mapPartitionsWithIndex { (pi, it) =>
-      val prefix = scala.collection.mutable.ArrayBuffer.empty[GedLine]
-      val suffix = scala.collection.mutable.ArrayBuffer.empty[GedLine]
-      var seen0 = false
-      var j = 0L
-      it.foreach { s =>
-        GedcomParser.parseLine(s, (pi.toLong << 40) | j).foreach { l =>
-          j += 1
-          if (l.level == 0) { seen0 = true; suffix.clear() }
-          if (!seen0) prefix += l else suffix += l
-        }
-      }
-      Iterator(Bound(pi, prefix.toSeq, suffix.toSeq, seen0))
-    }.collect().sortBy(_.pi)
-
-    // driver-side stitch of boundary records (at most one per split edge)
-    val stitched = scala.collection.mutable.ArrayBuffer.empty[Seq[GedLine]]
-    var current = scala.collection.mutable.ArrayBuffer.empty[GedLine]
-    bounds.foreach { b =>
-      current ++= b.prefix
-      if (b.hasLevel0) {
-        if (current.nonEmpty) stitched += current.toSeq
-        current = scala.collection.mutable.ArrayBuffer(b.suffix: _*)
-      }
+    val acc = new BoundsAccumulator
+    spark.sparkContext.register(acc, "gedcomBounds")
+    // hot path: InternalRows built by hand — the reflective product encoder
+    // (ExternalMapToCatalyst per props entry + nested serializers) measured
+    // ~2.7 s of pure overhead on the 150 MB bench vs ~0 for direct rows.
+    // One UnsafeProjection per partition compacts them so the downstream
+    // checkpoint pins flat byte rows, not boxed object graphs.
+    val schema = flatSchema
+    val unsafeRows = containedRecords(raw, acc).mapPartitions { it =>
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
+      it.map(r => proj(toInternal(r)).copy(): InternalRow)
     }
-    if (current.nonEmpty) stitched += current.toSeq
-    val boundaryFlat = stitched.toSeq
-      .filter(_.head.level == 0) // a non-record head is pre-file junk
-      .zipWithIndex.map { case (g, i) =>
-        RecordAssembler.flatten(-(i + 1L), RecordAssembler.assemble(g.iterator))
-      }
+    // EAGER checkpoint = the one real job over the text; afterwards the
+    // accumulator holds every split's boundary fragments for the stitch
+    val containedDF = GraftSqlBridge
+      .internalCreateDataFrame(spark, unsafeRows, schema)
+      .localCheckpoint(true)
+    val bounds = acc.value
+    require(bounds.size == raw.getNumPartitions,
+      s"boundary accumulator saw ${bounds.size} of ${raw.getNumPartitions} splits")
+    val boundaryFlat = stitchBounds(bounds)
+    // union of pinned blocks + a driver-local handful needs no re-pinning
+    fromFlat(containedDF.unionByName(spark.createDataset(boundaryFlat).toDF()),
+      pinned = true)
+  }
 
-    // pass B (heavy, fully parallel): records fully contained in each split
-    val contained = raw.mapPartitionsWithIndex { (pi, it) =>
+  /** Schema of the flat frame — taken from the case-class encoder so the
+    * hand-built rows and the (tiny) encoder-built boundary frame agree. */
+  private lazy val flatSchema = Encoders.product[RecordAssembler.FlatRecord].schema
+
+  private def toInternal(r: RecordAssembler.FlatRecord): InternalRow = {
+    val n = r.props.size
+    val ks = new Array[Any](n)
+    val vs = new Array[Any](n)
+    var i = 0
+    r.props.foreach { case (k, v) =>
+      ks(i) = UTF8String.fromString(k); vs(i) = UTF8String.fromString(v); i += 1
+    }
+    val es = new Array[Any](r.edges.size)
+    i = 0
+    r.edges.foreach { e =>
+      es(i) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(e.src), UTF8String.fromString(e.dst),
+        UTF8String.fromString(e.relType), UTF8String.fromString(e.rawTag)))
+      i += 1
+    }
+    def sarr(xs: Seq[String]): GenericArrayData =
+      new GenericArrayData(xs.iterator.map(UTF8String.fromString(_): Any).toArray)
+    new GenericInternalRow(Array[Any](
+      r.recordNo, UTF8String.fromString(r.rawTag), UTF8String.fromString(r.label),
+      r.skipped,
+      new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs)),
+      new GenericArrayData(es), sarr(r.unusedTags), sarr(r.missingTemples)))
+  }
+
+  /** A split's boundary fragments: the lines before its first level-0 line
+    * and from its last level-0 line to the end (at most one record each). */
+  private[gedcom] final case class Bound(
+      pi: Int, prefix: Seq[GedLine], suffix: Seq[GedLine], hasLevel0: Boolean)
+
+  /** Partition-index-keyed accumulator: `add` is last-wins per split, so a
+    * retried or speculated task (which re-derives the identical Bound from
+    * the identical split) cannot double-count. */
+  private[gedcom] final class BoundsAccumulator
+      extends org.apache.spark.util.AccumulatorV2[Bound, Map[Int, Bound]] {
+    private val m = scala.collection.mutable.Map.empty[Int, Bound]
+    override def isZero: Boolean = m.isEmpty
+    override def copy(): BoundsAccumulator = {
+      val c = new BoundsAccumulator; c.m ++= m; c
+    }
+    override def reset(): Unit = m.clear()
+    override def add(b: Bound): Unit = m(b.pi) = b
+    override def merge(o: org.apache.spark.util.AccumulatorV2[Bound, Map[Int, Bound]]): Unit =
+      m ++= o.asInstanceOf[BoundsAccumulator].m
+    override def value: Map[Int, Bound] = m.toMap
+  }
+
+  /** The single parse pass: assembles every record fully contained in its
+    * split and reports the split's boundary fragments through `acc` when
+    * the iterator exhausts. */
+  private[gedcom] def containedRecords(
+      raw: RDD[String], acc: BoundsAccumulator): RDD[RecordAssembler.FlatRecord] =
+    raw.mapPartitionsWithIndex { (pi, it) =>
       new Iterator[RecordAssembler.FlatRecord] {
         private var j = 0L
         private val lines = it.flatMap { s =>
           val l = GedcomParser.parseLine(s, (pi.toLong << 40) | j); j += 1; l
         }.buffered
-        // drop this split's prefix fragment (assembled via pass A)
-        while (lines.hasNext && lines.head.level != 0) lines.next()
+        // capture this split's prefix fragment (stitched on the driver)
+        private val prefix = scala.collection.mutable.ArrayBuffer.empty[GedLine]
+        locally {
+          while (lines.hasNext && lines.head.level != 0) prefix += lines.next()
+        }
+        private val seen0 = lines.hasNext
         private var group = scala.collection.mutable.ArrayBuffer.empty[GedLine]
         private var pending: Option[RecordAssembler.FlatRecord] = None
         private var recIdx = 0L
+        private var reported = false
         private def advance(): Unit = {
           while (pending.isEmpty && lines.hasNext) {
             val l = lines.next()
@@ -118,8 +174,12 @@ object GedcomGraph {
               group = scala.collection.mutable.ArrayBuffer(l)
             } else group += l
           }
-          // the trailing group is this split's suffix fragment — never
-          // emitted here (pass A owns it)
+          // at exhaustion the trailing group is this split's suffix
+          // fragment — report both fragments exactly once
+          if (pending.isEmpty && !lines.hasNext && !reported) {
+            reported = true
+            acc.add(Bound(pi, prefix.toSeq, group.toSeq, seen0))
+          }
         }
         override def hasNext: Boolean = { advance(); pending.nonEmpty }
         override def next(): RecordAssembler.FlatRecord = {
@@ -128,16 +188,36 @@ object GedcomGraph {
       }
     }
 
-    val flat = spark.createDataset(contained).toDF()
-      .unionByName(spark.createDataset(boundaryFlat).toDF())
-    fromFlat(flat)
+  /** Driver-side stitch of boundary records (at most one per split edge). */
+  private def stitchBounds(bounds: Map[Int, Bound]): Seq[RecordAssembler.FlatRecord] = {
+    val stitched = scala.collection.mutable.ArrayBuffer.empty[Seq[GedLine]]
+    var current = scala.collection.mutable.ArrayBuffer.empty[GedLine]
+    bounds.values.toSeq.sortBy(_.pi).foreach { b =>
+      current ++= b.prefix
+      if (b.hasLevel0) {
+        if (current.nonEmpty) stitched += current.toSeq
+        current = scala.collection.mutable.ArrayBuffer(b.suffix: _*)
+      }
+    }
+    if (current.nonEmpty) stitched += current.toSeq
+    stitched.toSeq
+      .filter(_.head.level == 0) // a non-record head is pre-file junk
+      .zipWithIndex.map { case (g, i) =>
+        RecordAssembler.flatten(-(i + 1L), RecordAssembler.assemble(g.iterator))
+      }
   }
 
   /** Derived outputs — pure Column algebra over the cached row frame, so no
     * pass deserializes the per-record maps back into JVM objects (a
     * typed-lambda version spent most of its runtime doing exactly that). */
-  private def fromFlat(flatIn: DataFrame): Graph = {
-    val flat = flatIn.cache()
+  private def fromFlat(flatIn: DataFrame, pinned: Boolean = false): Graph = {
+    // localCheckpoint, NOT cache(): checkpoint blocks keep the raw
+    // UnsafeRows, while the columnar cache would re-encode every props map
+    // and edge array into column builders (measured ~6 s of the 150 MB
+    // bench) for zero pruning benefit — every consumer reads the map
+    // columns whole. Lazy: materialized by the first downstream action.
+    // `pinned` callers (fromTextRdd) already hold checkpointed blocks.
+    val flat = if (pinned) flatIn else flatIn.localCheckpoint(false)
 
     val nodes = flat
       .filter(!col("skipped") && size(map_keys(col("props"))) > 0)

@@ -105,8 +105,12 @@ object RecordAssembler {
                   val childObj = recordToNode(child, includeId = false)
                   if (key == "Event") {
                     // EVEN promotion: the nested Type value becomes the
-                    // column namespace (lib/csv_writer.js:159-163)
-                    key = childObj.remove("Type").getOrElse("")
+                    // column namespace (lib/csv_writer.js:159-163). An EVEN
+                    // with no Type is pinned to REFERENCE PARITY: JS reads
+                    // child_obj['Type'] as undefined and string-joins it,
+                    // so the composite key prefix is literally "undefined"
+                    // (SURVEY §4.3; GedcomSpec pins this).
+                    key = childObj.remove("Type").getOrElse("undefined")
                   }
                   childObj.foreach { case (ck, cv) => node(s"$key $ck") = cv }
                 }

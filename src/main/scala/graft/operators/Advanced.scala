@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Money, QueryDef, Tables}
@@ -10,6 +12,31 @@ import graft.{Money, QueryDef, Tables}
   * query over the part-supplier bipartite graph. */
 object Advanced {
   import Tables._
+
+  /** DuckDB oracle for the q50/q61 component summary: undirected reachability
+    * as a recursive CTE (set-semantics UNION terminates at the closure),
+    * component label = min reachable vertex — the textbook spec both Spark
+    * implementations must agree with. Declared BEFORE defs (initialization
+    * order: a forward reference inside the defs Seq would be null). */
+  private val GRAPH_ORACLE_SQL = """
+    WITH RECURSIVE
+    edges AS (
+      SELECT DISTINCT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst
+      FROM lineitem),
+    sym AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION
+      SELECT dst AS a, src AS b FROM edges),
+    reach(v, r) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT reach.v, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+    labels AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+    sizes AS (SELECT comp, count(*) AS sz FROM labels GROUP BY comp)
+    SELECT count(*) AS n_components,
+           max(sz) AS max_component,
+           cast(sum(sz) AS bigint) AS n_vertices
+    FROM sizes"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -95,17 +122,47 @@ object Advanced {
 
     QueryDef(
       "q48_percentiles",
-      (s, d) =>
-        // exact interpolated percentiles over integer cents: the (n-1)*q
-        // linear interpolation is identical arithmetic in both engines
-        lineitem(s, d)
-          .groupBy(col("l_returnflag"))
-          .agg(
-            (percentile(Money.cents(col("l_extendedprice")), lit(0.5)) / 100.0).as("p50"),
-            (percentile(Money.cents(col("l_extendedprice")), lit(0.9)) / 100.0).as("p90"),
-            (percentile(Money.cents(col("l_extendedprice")), lit(0.99)) / 100.0).as("p99"),
-            (max(Money.cents(col("l_extendedprice"))) / 100.0).as("pmax"))
-          .orderBy(col("l_returnflag")),
+      (s, d) => {
+        // Exact interpolated percentiles WITHOUT buffering every value per
+        // group: `percentile()` is a sort-buffer ImperativeAggregate that
+        // holds the whole group in one executor — an OOM at 100x scale.
+        // Instead: cents histogram (bounded distinct cardinality) +
+        // cumulative window over one-row-per-distinct-cent + closed-form
+        // interpolation that replicates percentile()'s arithmetic exactly
+        // ((hi_idx-pos)*lo + (pos-lo_idx)*hi, with the integral-position
+        // and equal-key shortcuts) so the result is bit-identical.
+        val hist = lineitem(s, d)
+          .groupBy(col("l_returnflag"), Money.cents(col("l_extendedprice")).as("c"))
+          .agg(count(lit(1)).as("cnt"))
+        val cum = hist.withColumn("cum",
+          sum(col("cnt")).over(Window.partitionBy("l_returnflag").orderBy("c")))
+        val tot = hist.groupBy(col("l_returnflag")).agg(sum(col("cnt")).as("n"))
+        val j = cum.join(tot, "l_returnflag")
+        def pos(q: Double): Column = (col("n") - 1).cast("double") * lit(q)
+        // value at 0-based sorted index idx = the unique histogram bucket
+        // covering it (cum-cnt <= idx < cum); max(when) selects it in-agg
+        def at(idx: Column): Column =
+          max(when(col("cum") - col("cnt") <= idx && idx < col("cum"), col("c")))
+        val agg = j.groupBy(col("l_returnflag"))
+          .agg(max(col("n")).as("n"),
+            at(floor(pos(0.5))).as("lo50"), at(ceil(pos(0.5))).as("hi50"),
+            at(floor(pos(0.9))).as("lo90"), at(ceil(pos(0.9))).as("hi90"),
+            at(floor(pos(0.99))).as("lo99"), at(ceil(pos(0.99))).as("hi99"),
+            (max(col("c")) / 100.0).as("pmax"))
+        def interp(q: Double, l: Column, h: Column): Column = {
+          val p = (col("n") - 1).cast("double") * lit(q)
+          val lower = floor(p)
+          val higher = ceil(p)
+          when(lower === higher || l === h, l.cast("double"))
+            .otherwise((higher - p) * l.cast("double") + (p - lower) * h.cast("double")) / 100.0
+        }
+        agg.select(col("l_returnflag"),
+          interp(0.5, col("lo50"), col("hi50")).as("p50"),
+          interp(0.9, col("lo90"), col("hi90")).as("p90"),
+          interp(0.99, col("lo99"), col("hi99")).as("p99"),
+          col("pmax"))
+          .orderBy(col("l_returnflag"))
+      },
       Some("""
         SELECT l_returnflag,
                quantile_cont(cast(round(l_extendedprice*100) as bigint), 0.5)/100.0 AS p50,
@@ -126,7 +183,7 @@ object Advanced {
           .groupBy(col("o_custkey"))
           .agg(
             max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("best_order"),
-            min_by(col("o_orderkey"), struct(col("o_totalprice"), negate(col("o_orderkey")))).as("worst_order"),
+            min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("worst_order"),
             (max(Money.cents(col("o_totalprice"))) / 100.0).as("best_price"))
           .orderBy(col("o_custkey")),
       Some("""
@@ -221,7 +278,10 @@ object Advanced {
             max(col("sz")).as("max_component"),
             sum(col("sz")).as("n_vertices"))
       },
-      None, // iterative graph algorithm — not oracle-expressible
+      // Oracle: components via recursive transitive closure + min-label.
+      // Fine at oracle scale (sf0.01 closure ~= |V|^2 rows); the Spark side
+      // is the one that has to scale, and it never builds the closure.
+      Some(GRAPH_ORACLE_SQL),
       "GraphX connected components over a bipartite co-occurrence graph"),
 
     QueryDef(
@@ -241,7 +301,7 @@ object Advanced {
             max(col("sz")).as("max_component"),
             sum(col("sz")).as("n_vertices"))
       },
-      None, // iterative; cross-checked against q50's GraphX result in specs
-      "DataFrame-native hash-min connected components (Catalyst-planned iteration)")
+      Some(GRAPH_ORACLE_SQL), // same summary, independently derived in DuckDB
+      "DataFrame-native large-star/small-star connected components (Catalyst-planned iteration)")
   )
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph algorithms expressed purely in the DataFrame API —
@@ -25,14 +24,30 @@ object IterativeGraph {
     * member, so edge (u, root) IS the label assignment. Returns
     * (xref, component) where component is the smallest member.
     *
-    * One action per round: the new edge set is materialized by the same
-    * aggregation that computes its convergence signature
-    * (count, bit_xor(xxhash64(u,v))) — equal signatures on consecutive
-    * rounds mean the set reached the fixpoint (the changed-row join +
-    * count() of the old hash-min loop was a second job per round).
-    * XOR is a safe set checksum here: the set is distinct (no
-    * cancelling duplicates) and XOR cannot overflow under ANSI mode.
-    * localCheckpoint every few rounds keeps lineage flat.
+    * Physical shape (the part that must survive 100 TB):
+    *   - per-vertex minima come from `groupBy(u).agg(min(v))` + an equi
+    *     join back — partial (map-side) aggregation absorbs hub skew. A
+    *     window `min().over(partitionBy(u))` would instead shuffle every
+    *     neighbor row of a vertex into ONE task and sort it; at the
+    *     fixpoint the component root's partition holds the entire
+    *     component — a single-task straggler by construction, i.e.
+    *     exactly the skew large-star exists to avoid.
+    *   - the edge set is eagerly `localCheckpoint`ed EVERY round. cache()
+    *     does not truncate the logical plan, so without per-round
+    *     truncation the plan doubles each round and driver-side Catalyst
+    *     analysis dominates late rounds (geometric subtree blowup).
+    *
+    * Convergence: equal (count, bit_xor(xxhash64(u,v))) signatures on
+    * consecutive rounds mean the set reached the fixpoint. XOR is a safe
+    * set checksum here: the set is distinct (no cancelling duplicates)
+    * and XOR cannot overflow under ANSI mode. A cross-round signature
+    * collision (~2^-64 per round) would terminate early with an
+    * unconverged labeling — accepted and documented.
+    *
+    * Throws if maxIter is exhausted before the fixpoint: a non-star
+    * intermediate edge set maps one vertex to several targets, so
+    * returning it would yield duplicate xrefs with conflicting labels —
+    * worse than a silently-wrong answer.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     // canonical orientation u > v, self-loops dropped
@@ -41,9 +56,7 @@ object IterativeGraph {
         least(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .cache()
-
-    val byU = Window.partitionBy("u")
+      .localCheckpoint() // eager: truncate lineage before the loop
     var prevSig: (Long, Long) = null
     var converged = e.isEmpty
     var iter = 0
@@ -54,19 +67,22 @@ object IterativeGraph {
       // the round's final distinct drops them — saves a shuffle per round.
       val sym = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
-      val large = sym
-        .withColumn("m", least(min(col("v")).over(byU), col("u")))
+      val minL = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = sym.join(minL, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
       // small-star: neighbors of u are all smaller, m = their minimum;
-      // relink them (and u itself) to m.
-      val withM = large.withColumn("m", min(col("v")).over(byU))
-      val next = withM.filter(col("v") =!= col("m"))
+      // relink them (and u itself) to m. minS(u, m) already IS the
+      // distinct (u, m) row set, so only the relinked neighbors join.
+      val minS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = large.join(minS, "u")
+        .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
-        .union(withM.select(col("u"), col("m").as("v")))
+        .union(minS.select(col("u"), col("m").as("v")))
         .distinct()
-      val mat =
-        if ((iter + 1) % 5 == 0) next.localCheckpoint(false) else next.cache()
+      val mat = next.localCheckpoint() // eager, every round
       val row = mat
         .agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)))
         .head()
@@ -77,6 +93,10 @@ object IterativeGraph {
       prevSig = sig
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIter rounds " +
+          "(intermediate edge sets carry conflicting labels; raise maxIter)")
 
     // at the fixpoint e maps every non-root vertex to its component root;
     // roots (never on the u side) map to themselves

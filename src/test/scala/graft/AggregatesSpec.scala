@@ -29,6 +29,55 @@ class AggregatesSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05, s"approx $approx exact $exact")
   }
 
+  test("q49 min_by/max_by tiebreaks match the oracle's ASC/ASC and DESC/DESC rankings") {
+    // constructed ties: custkey 1 has two orders at the same minimum AND the
+    // same maximum price — min_by must pick the SMALLEST orderkey among tied
+    // minimums (the oracle's ORDER BY price ASC, key ASC), max_by the
+    // LARGEST among tied maximums (DESC, DESC)
+    val df = Seq(
+      (1L, 10L, 5.0), (1L, 20L, 5.0),   // tied minimum
+      (1L, 30L, 9.0), (1L, 40L, 9.0),   // tied maximum
+      (2L, 50L, 3.0))
+      .toDF("o_custkey", "o_orderkey", "o_totalprice")
+    val agg = df.groupBy(col("o_custkey"))
+      .agg(
+        max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("best"),
+        min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("worst"))
+      .orderBy("o_custkey")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(agg == Seq((1L, 40L, 10L), (2L, 50L, 50L)))
+    // and the ranking formulation (the oracle's shape, run in Spark) agrees
+    import org.apache.spark.sql.expressions.Window
+    val rb = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+    val rw = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val ranked = df
+      .withColumn("rb", row_number().over(rb)).withColumn("rw", row_number().over(rw))
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("rb") === 1, col("o_orderkey"))).as("best"),
+        max(when(col("rw") === 1, col("o_orderkey"))).as("worst"))
+      .orderBy("o_custkey")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(ranked == agg)
+  }
+
+  test("q48 histogram percentiles are bit-identical to percentile() on lineitem") {
+    // the scale-safe histogram+interpolation rewrite must reproduce the
+    // buffer-all percentile() arithmetic exactly (it replicates the
+    // (hi-pos)*lo + (pos-lo)*hi two-sided form with both shortcuts)
+    val q48 = operators.Advanced.defs.find(_.name == "q48_percentiles").get
+    val hist = q48.fn(spark, SF).as[(String, Double, Double, Double, Double)].collect().toSeq
+    val ref = Tables.lineitem(spark, SF)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        (percentile(Money.cents(col("l_extendedprice")), lit(0.5)) / 100.0).as("p50"),
+        (percentile(Money.cents(col("l_extendedprice")), lit(0.9)) / 100.0).as("p90"),
+        (percentile(Money.cents(col("l_extendedprice")), lit(0.99)) / 100.0).as("p99"),
+        (max(Money.cents(col("l_extendedprice"))) / 100.0).as("pmax"))
+      .orderBy(col("l_returnflag"))
+      .as[(String, Double, Double, Double, Double)].collect().toSeq
+    assert(hist == ref)
+  }
+
   test("TopK aggregator matches rank-over-window on random data") {
     val rnd = new scala.util.Random(3)
     val df = Seq.fill(500)((rnd.nextInt(20).toLong, rnd.nextInt(10000) / 100.0, rnd.nextLong().abs))

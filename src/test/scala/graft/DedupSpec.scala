@@ -85,6 +85,40 @@ class DedupSpec extends SparkSpec {
     assert(hashes(1L) == hashes(2L))
   }
 
+  test("prefix-filtered jaccard (q65) is row-identical to the inverted-index join (q35)") {
+    // planted corpus + a universal stopword appended to EVERY doc: the
+    // worst-case df bomb for the naive inverted index
+    val stop = corpus.withColumn("text", concat(col("text"), lit(" zzzstop")))
+    val t = toks(stop)
+    val exact = Dedup.jaccardPairsExact(t, 0.8).collect()
+    val pref = Dedup.jaccardPairsPrefix(t, 0.8).collect()
+    assert(exact.nonEmpty, "planted dups should survive the stopword")
+    assert(exact.toSeq == pref.toSeq) // same pairs AND same jaccard values
+  }
+
+  test("universal stopword lands in no prefix: its candidate bucket never exists") {
+    val stop = corpus.withColumn("text", concat(col("text"), lit(" zzzstop")))
+    val prefix = Dedup.prefixTokens(toks(stop), 0.8)
+    assert(prefix.filter(col("word") === "zzzstop").count() == 0)
+    // and the largest surviving bucket is small relative to corpus size
+    val maxBucket = prefix.groupBy("word").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxBucket < 50, s"prefix bucket unexpectedly large: $maxBucket")
+  }
+
+  test("LSH near-dup (q64) has exact precision and usable recall vs brute force (q38)") {
+    val sf = "/root/testdata/sf0.001"
+    def pairs(name: String): Set[(Long, Long)] =
+      Dedup.defs.find(_.name == name).get.fn(spark, sf)
+        .select(col("ia").cast("long"), col("ib").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    val brute = pairs("q38_embedding_neardup")
+    val lsh = pairs("q64_neardup_lsh")
+    assert(lsh.subsetOf(brute), "q64 verifies with the exact cosine => no false positives")
+    val recall = if (brute.isEmpty) 1.0 else lsh.size.toDouble / brute.size
+    assert(recall >= 0.5, s"q64 recall $recall < 0.5 (|brute|=${brute.size}, |lsh|=${lsh.size})")
+  }
+
   test("exact dedup survivor policy keeps min doc_id per canonical group") {
     val df = Seq(
       (5L, "b a", "xx", "s"), (3L, "a b", "xx", "s"), (9L, "c d", "xx", "s"))

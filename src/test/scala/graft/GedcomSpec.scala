@@ -81,6 +81,19 @@ class GedcomSpec extends SparkSpec {
     assert(!head.contains("Gedcom Id:ID"))
   }
 
+  test("EVEN without Type pins reference parity: literal 'undefined' prefix") {
+    // lib/csv_writer.js:159-163 reads child_obj['Type'] (undefined when the
+    // EVEN has no TYPE child) and string-joins it into the composite key —
+    // the columns come out prefixed with the literal string "undefined".
+    val lines = Seq(
+      GedLine(1, 1, 0, Some("I9"), "INDI", ""),
+      GedLine(2, 1, 1, None, "EVEN", ""),
+      GedLine(3, 1, 2, None, "DATE", "1910"))
+    val r = RecordAssembler.flattenRecord(1, lines)
+    assert(r.props("undefined Date") == "1910")
+    assert(!r.props.contains(" Date") && !r.props.contains("Event Date"))
+  }
+
   test("nodesWide exposes the graph as a queryable wide table") {
     val wide = GedcomGraph.nodesWide(graph, "INDI")
     assert(wide.columns.head == "Gedcom Id:ID" && wide.columns.last == ":LABEL")
@@ -108,7 +121,8 @@ class GedcomSpec extends SparkSpec {
     assert(indi.columns.head == "Gedcom Id:ID" && indi.columns.last == ":LABEL")
     assert(indi.columns.contains("Graduation Date")) // only on I1
     assert(indi.count() == 2)
-    val rels = spark.read.option("header", true).csv(s"$out/relationships-CHIL")
+    val chilPath = res.outputs.find(o => o.kind == "relationships" && o.rawTag == "CHIL").get.path
+    val rels = spark.read.option("header", true).csv(chilPath)
     assert(rels.columns.toSeq == Seq(":START_ID", ":END_ID", ":TYPE"))
     // import args: one --kind group per part file (each part has a header)
     assert(res.importArgs.count(_ == "--nodes") >= res.outputs.count(_.kind == "nodes"))

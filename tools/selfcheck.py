@@ -31,9 +31,24 @@ def norm(df):
         # Canonicalize integer widths (int32 vs int64 is tolerated by the
         # driver) but do NOT silently coerce float/object — a DuckDB HUGEINT
         # (bare sum(BIGINT)) arrives as float64/object and must FAIL here.
-        if str(df[c].dtype) in ("int8", "int16", "int32", "uint8", "uint16",
-                                "uint32", "uint64"):
+        # uint64 only when every value fits int64 (astype would wrap);
+        # pandas nullable extension ints (Int8..Int64/UInt*) canonicalize the
+        # same way, but only when null-free (int64 can't hold NA).
+        dt = str(df[c].dtype)
+        # timestamp width is a storage detail (Spark parquet = ns,
+        # DuckDB .df() = us); the driver tolerates it — canonicalize
+        if dt in ("datetime64[us]", "datetime64[ms]", "datetime64[s]"):
+            df[c] = df[c].astype("datetime64[ns]")
+        if dt in ("int8", "int16", "int32", "uint8", "uint16", "uint32"):
             df[c] = df[c].astype("int64")
+        elif dt == "uint64":
+            if len(df) == 0 or df[c].max() <= 2**63 - 1:
+                df[c] = df[c].astype("int64")
+        elif dt in ("Int8", "Int16", "Int32", "Int64",
+                    "UInt8", "UInt16", "UInt32", "UInt64"):
+            if not df[c].isna().any() and (
+                    len(df) == 0 or dt != "UInt64" or df[c].max() <= 2**63 - 1):
+                df[c] = df[c].astype("int64")
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
