@@ -128,13 +128,15 @@ object Dedup {
     * universal stopword (max df) sorts LAST in every document, so it lands
     * in no prefix and its D^2-pair bucket never exists. */
   def prefixTokens(toks: DataFrame, t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dfreq = toks.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // rank and doc size from the SAME doc_id partitioning — one shuffle,
+    // no separate sizes aggregation + join
+    val byDoc = Window.partitionBy(col("doc_id"))
     toks.join(dfreq, "word")
-      .withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("df"), col("word"))))
-      .join(sizes, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("word"),
+        row_number().over(byDoc.orderBy(col("df"), col("word"))).as("rnk"),
+        count(lit(1)).over(byDoc).as("sz"))
       .filter(col("rnk") <= col("sz") - ceil(col("sz") * t) + 1)
       .select(col("doc_id"), col("lang"), col("source"), col("word"))
   }

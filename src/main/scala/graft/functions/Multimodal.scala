@@ -108,6 +108,37 @@ object Multimodal {
           .orderBy(col("asset_id"))
       },
       None, // decode is a stub; plumbing asserted in MultimodalSpec
-      "binary-column batched decode + feature extraction (stubbed codec)")
+      "binary-column batched decode + feature extraction (stubbed codec)"),
+
+    QueryDef(
+      "q66_multimodal_meta",
+      (s, d) => {
+        import s.implicits._
+        // the SQL-expressible face of the multimodal plumbing: typed
+        // payload+metadata Dataset end-to-end, plus the frame-sampling stub
+        // (codec-dependent features stay in q41's rows-only check). The
+        // 4096-byte stride divides exactly in binary, so ceil() agrees
+        // bit-for-bit across engines.
+        assets(s, d)
+          .map(a => (a.meta.formatHint, a.meta.nBytes,
+            sampleFrameOffsets(a.meta.nBytes).size.toLong))
+          .toDF("source", "n_bytes", "n_frames")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_bytes")).as("total_bytes"),
+            max(col("n_bytes")).as("max_bytes"),
+            sum(col("n_frames")).as("total_frames"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        SELECT source,
+               count(*) AS n,
+               cast(sum(octet_length(encode(text))) AS bigint) AS total_bytes,
+               max(octet_length(encode(text))) AS max_bytes,
+               cast(sum(cast(ceil(octet_length(encode(text)) / 4096.0) AS bigint)) AS bigint) AS total_frames
+        FROM documents
+        GROUP BY source
+        ORDER BY source"""),
+      "typed multimodal metadata + frame-sampling stub as an oracle-checkable aggregate")
   )
 }

@@ -43,12 +43,14 @@ object CsvSink {
     val nodes = graph.nodes
     val edges = graph.edges
 
-    // one pass: distinct (tag, column key) pairs — driver-side size is
+    // per-tag column union: free when the parse pass folded it (text fast
+    // path); otherwise one distinct (tag, key) scan — driver-side size is
     // bounded by the tag-dictionary x flattened-key vocabulary, not by rows
-    val keysByTag: Map[String, Set[String]] = nodes
-      .select(col("rawTag"), explode(map_keys(col("props"))).as("k"))
-      .distinct().collect()
-      .groupBy(_.getString(0)).map { case (t, rs) => t -> rs.map(_.getString(1)).toSet }
+    val keysByTag: Map[String, Set[String]] = graph.keysByTag.getOrElse(
+      nodes
+        .select(col("rawTag"), explode(map_keys(col("props"))).as("k"))
+        .distinct().collect()
+        .groupBy(_.getString(0)).map { case (t, rs) => t -> rs.map(_.getString(1)).toSet })
 
     val pool = Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)

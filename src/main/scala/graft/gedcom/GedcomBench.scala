@@ -103,15 +103,17 @@ object GedcomBench {
       if (sys.env.contains("GEDBENCH_REPEAT"))
         phase("csv-warm")(CsvSink.write(g, outDir + "2"))
     } else res = GedcomPipeline.run(spark, ged, outDir)
-    // both diagnostics in ONE scan of the checkpointed flat frame
+    // diagnostics come from the parse pass's folded stats when available;
+    // otherwise one scan of the checkpointed flat frame
     // (sql.functions.size spelled out: the local `size` val shadows it)
-    val cnt = res.graph.flat.agg(
-      sum(when(!col("skipped") &&
-          org.apache.spark.sql.functions.size(map_keys(col("props"))) > 0, 1L)
-        .otherwise(0L)).as("n"),
-      sum(org.apache.spark.sql.functions.size(col("edges"))).as("e")).head()
-    val nodes = cnt.getLong(0)
-    val edges = cnt.getLong(1)
+    val (nodes, edges) = res.graph.counts.getOrElse {
+      val cnt = res.graph.flat.agg(
+        sum(when(!col("skipped") &&
+            org.apache.spark.sql.functions.size(map_keys(col("props"))) > 0, 1L)
+          .otherwise(0L)).as("n"),
+        sum(org.apache.spark.sql.functions.size(col("edges"))).as("e")).head()
+      (cnt.getLong(0), cnt.getLong(1))
+    }
     val sec = (System.nanoTime() - t0) / 1e9
     val mb = size / 1e6
     println(f"""{"metric":"gedcom_throughput","value":${mb / sec}%.1f,"unit":"MB/s","mb":$mb%.1f,"sec":$sec%.2f,"nodes":$nodes,"edges":$edges}""")

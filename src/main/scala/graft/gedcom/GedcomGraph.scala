@@ -24,7 +24,11 @@ object GedcomGraph {
       edges: DataFrame,   // src, dst, relType, rawTag
       skipped: DataFrame, // recordNo, rawTag
       unusedTags: DataFrame,      // tag (distinct)
-      missingTemples: DataFrame)  // code (distinct)
+      missingTemples: DataFrame,  // code (distinct)
+      // populated by the text fast path's parse pass (None => derive by
+      // scanning): per-tag union of node prop keys, (nodeRows, edgeRows)
+      keysByTag: Option[Map[String, Set[String]]] = None,
+      counts: Option[(Long, Long)] = None)
 
   /** General path for pre-parsed line Datasets: one hash shuffle on
     * recordNo + one Tungsten sort per partition, then streaming assembly
@@ -87,9 +91,13 @@ object GedcomGraph {
     require(bounds.size == raw.getNumPartitions,
       s"boundary accumulator saw ${bounds.size} of ${raw.getNumPartitions} splits")
     val boundaryFlat = stitchBounds(bounds)
+    val stats = (bounds.values.map(_.stats) ++ Seq(SplitStats.of(boundaryFlat)))
+      .reduce(SplitStats.merge)
     // union of pinned blocks + a driver-local handful needs no re-pinning
     fromFlat(containedDF.unionByName(spark.createDataset(boundaryFlat).toDF()),
-      pinned = true)
+      pinned = true,
+      keysByTag = Some(stats.keysByTag),
+      counts = Some((stats.nodes, stats.edges)))
   }
 
   /** Schema of the flat frame — taken from the case-class encoder so the
@@ -121,10 +129,39 @@ object GedcomGraph {
       new GenericArrayData(es), sarr(r.unusedTags), sarr(r.missingTemples)))
   }
 
+  /** Per-split output summary, folded while the records stream by: node
+    * prop-key union per raw tag (drives the CSV sinks' schemas), plus node
+    * and edge row counts — all deterministic functions of the split, so
+    * last-wins-per-pi accumulation stays retry-safe. */
+  private[gedcom] final case class SplitStats(
+      keysByTag: Map[String, Set[String]], nodes: Long, edges: Long) {
+    def add(r: RecordAssembler.FlatRecord): SplitStats = {
+      val isNode = !r.skipped && r.props.nonEmpty
+      SplitStats(
+        if (isNode)
+          keysByTag.updated(r.rawTag,
+            keysByTag.getOrElse(r.rawTag, Set.empty) ++ r.props.keysIterator)
+        else keysByTag,
+        nodes + (if (isNode) 1 else 0),
+        edges + r.edges.size)
+    }
+  }
+  private[gedcom] object SplitStats {
+    val empty: SplitStats = SplitStats(Map.empty, 0L, 0L)
+    def of(rs: Iterable[RecordAssembler.FlatRecord]): SplitStats =
+      rs.foldLeft(empty)(_.add(_))
+    def merge(a: SplitStats, b: SplitStats): SplitStats = SplitStats(
+      b.keysByTag.foldLeft(a.keysByTag) { case (m, (t, ks)) =>
+        m.updated(t, m.getOrElse(t, Set.empty) ++ ks)
+      },
+      a.nodes + b.nodes, a.edges + b.edges)
+  }
+
   /** A split's boundary fragments: the lines before its first level-0 line
     * and from its last level-0 line to the end (at most one record each). */
   private[gedcom] final case class Bound(
-      pi: Int, prefix: Seq[GedLine], suffix: Seq[GedLine], hasLevel0: Boolean)
+      pi: Int, prefix: Seq[GedLine], suffix: Seq[GedLine], hasLevel0: Boolean,
+      stats: SplitStats = SplitStats.empty)
 
   /** Partition-index-keyed accumulator: `add` is last-wins per split, so a
     * retried or speculated task (which re-derives the identical Bound from
@@ -164,21 +201,24 @@ object GedcomGraph {
         private var pending: Option[RecordAssembler.FlatRecord] = None
         private var recIdx = 0L
         private var reported = false
+        private var stats = SplitStats.empty
         private def advance(): Unit = {
           while (pending.isEmpty && lines.hasNext) {
             val l = lines.next()
             if (l.level == 0 && group.nonEmpty) {
               recIdx += 1
-              pending = Some(RecordAssembler.flatten((pi.toLong << 40) | recIdx,
-                RecordAssembler.assemble(group.iterator)))
+              val rec = RecordAssembler.flatten((pi.toLong << 40) | recIdx,
+                RecordAssembler.assemble(group.iterator))
+              stats = stats.add(rec)
+              pending = Some(rec)
               group = scala.collection.mutable.ArrayBuffer(l)
             } else group += l
           }
           // at exhaustion the trailing group is this split's suffix
-          // fragment — report both fragments exactly once
+          // fragment — report fragments + folded stats exactly once
           if (pending.isEmpty && !lines.hasNext && !reported) {
             reported = true
-            acc.add(Bound(pi, prefix.toSeq, group.toSeq, seen0))
+            acc.add(Bound(pi, prefix.toSeq, group.toSeq, seen0, stats))
           }
         }
         override def hasNext: Boolean = { advance(); pending.nonEmpty }
@@ -210,7 +250,11 @@ object GedcomGraph {
   /** Derived outputs — pure Column algebra over the cached row frame, so no
     * pass deserializes the per-record maps back into JVM objects (a
     * typed-lambda version spent most of its runtime doing exactly that). */
-  private def fromFlat(flatIn: DataFrame, pinned: Boolean = false): Graph = {
+  private def fromFlat(
+      flatIn: DataFrame,
+      pinned: Boolean = false,
+      keysByTag: Option[Map[String, Set[String]]] = None,
+      counts: Option[(Long, Long)] = None): Graph = {
     // localCheckpoint, NOT cache(): checkpoint blocks keep the raw
     // UnsafeRows, while the columnar cache would re-encode every props map
     // and edge array into column builders (measured ~6 s of the 150 MB
@@ -232,7 +276,8 @@ object GedcomGraph {
     val unusedTags = flat.select(explode(col("unusedTags")).as("tag")).distinct()
     val missingTemples = flat.select(explode(col("missingTemples")).as("code")).distinct()
 
-    Graph(flat, nodes, edges, skipped, unusedTags, missingTemples)
+    Graph(flat, nodes, edges, skipped, unusedTags, missingTemples,
+      keysByTag, counts)
   }
 
   def fromFile(spark: SparkSession, path: String): Graph = {
