@@ -62,11 +62,34 @@ class PlanSpec extends SparkSpec {
     // LSH/banding and the interval join keep an equi key under the
     // residual condition; only the explicitly-brute-force baselines
     // (q38/q39) are allowed a broadcast nested loop.
-    for (q <- Seq("q22_range_join", "q35_ngram_jaccard", "q36_minhash_lsh", "q37_simhash")) {
+    for (q <- Seq("q22_range_join", "q35_ngram_jaccard", "q36_minhash_lsh",
+        "q37_simhash", "q64_neardup_lsh", "q65_jaccard_prefix")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
     }
+  }
+
+  test("q61 per-round minima are hash aggregates (partial+final), not windows") {
+    // the round-2 regression: min().over(partitionBy(u)) shuffles a whole
+    // component into one task at the fixpoint; the fix computes minima as
+    // partial+final hash aggregates joined back. Pin the absence of Window
+    // in the first round's plan.
+    import org.apache.spark.sql.functions._
+    val e = Tables.lineitem(spark, SF)
+      .select(concat(lit("P"), col("l_partkey")).as("u"),
+        concat(lit("S"), col("l_suppkey")).as("v"))
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val minL = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+    // min(string) buffers aren't hash-aggregable, so this plans as a
+    // Sort/HashAggregate pair — either way it's a real aggregate exchange
+    // with map-side partials, and crucially NOT a Window
+    val p = sym.join(minL, "u").queryExecution.executedPlan.toString
+    assert(p.contains("Aggregate"), p)
+    assert(!p.contains("Window"), p)
+    val full = SparkEntry.queries("q61_cc_dataframe")(spark, SF)
+      .queryExecution.analyzed.toString
+    assert(!full.contains("window"), "q61 must not plan any window operator")
   }
 
   test("q24 window aggregation prunes unused event columns") {
