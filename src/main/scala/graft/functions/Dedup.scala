@@ -105,7 +105,8 @@ object Dedup {
     * the token, never builds the cartesian pair space — but a token in D
     * docs still yields ~D^2/2 candidate pairs (see [[jaccardPairsPrefix]]
     * for the df-skew-proof variant with identical output). */
-  def jaccardPairsExact(toks: DataFrame, t: Double): DataFrame = {
+  def jaccardPairsExact(toksIn: DataFrame, t: Double): DataFrame = {
+    val toks = toksIn.cache() // three consumers; don't re-tokenize per branch
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = toks.select(col("lang"), col("source"), col("word"), col("doc_id").as("ia"))
     val b = toks.select(col("lang"), col("source"), col("word"), col("doc_id").as("ib"))
@@ -144,7 +145,8 @@ object Dedup {
   /** Output-identical to [[jaccardPairsExact]] (same rounding, same rows)
     * but candidates come from the prefix index and the exact verification
     * joins by doc id (bounded per-doc arrays) — no token-df skew bomb. */
-  def jaccardPairsPrefix(toks: DataFrame, t: Double): DataFrame = {
+  def jaccardPairsPrefix(toksIn: DataFrame, t: Double): DataFrame = {
+    val toks = toksIn.cache() // consumed by dfreq, prefix rank and verify arrays
     val prefix = prefixTokens(toks, t)
     val a = prefix.select(col("lang"), col("source"), col("word"), col("doc_id").as("ia"))
     val b = prefix.select(col("lang"), col("source"), col("word"), col("doc_id").as("ib"))
