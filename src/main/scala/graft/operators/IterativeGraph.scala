@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Iterative graph algorithms expressed purely in the DataFrame API —
   * the Catalyst-planned alternative to GraphX's RDD machinery for the
@@ -32,10 +35,15 @@ object IterativeGraph {
     *     fixpoint the component root's partition holds the entire
     *     component — a single-task straggler by construction, i.e.
     *     exactly the skew large-star exists to avoid.
-    *   - the edge set is eagerly `localCheckpoint`ed EVERY round. cache()
-    *     does not truncate the logical plan, so without per-round
-    *     truncation the plan doubles each round and driver-side Catalyst
-    *     analysis dominates late rounds (geometric subtree blowup).
+    *   - the edge set's lineage is truncated EVERY round: the round's rows
+    *     are persisted as a raw-row RDD and the frame is rebuilt from it
+    *     (LogicalRDD), so the plan never grows. cache() alone does not
+    *     truncate the logical plan — without per-round truncation the plan
+    *     doubles each round and driver-side Catalyst analysis dominates
+    *     late rounds (geometric subtree blowup). Doing the truncation by
+    *     hand (instead of an eager localCheckpoint) lets the convergence
+    *     signature be the SAME job that materializes the round — one job
+    *     per round, not two.
     *
     * Convergence: equal (count, bit_xor(xxhash64(u,v))) signatures on
     * consecutive rounds mean the set reached the fixpoint. XOR is a safe
@@ -50,13 +58,22 @@ object IterativeGraph {
     * worse than a silently-wrong answer.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+
+    // pin a frame's rows and rebuild it lineage-free: rows must be copied
+    // (toRdd reuses per-partition buffers) before persisting
+    def pin(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
+      val rdd = df.queryExecution.toRdd.map(_.copy())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (GraftSqlBridge.internalCreateDataFrame(spark, rdd, df.schema), rdd)
+    }
+
     // canonical orientation u > v, self-loops dropped
-    var e = edges
+    var (e, eRdd) = pin(edges
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint() // eager: truncate lineage before the loop
+      .distinct())
     var prevSig: (Long, Long) = null
     var converged = e.isEmpty
     var iter = 0
@@ -82,13 +99,16 @@ object IterativeGraph {
         .select(col("v").as("u"), col("m").as("v"))
         .union(minS.select(col("u"), col("m").as("v")))
         .distinct()
-      val mat = next.localCheckpoint() // eager, every round
+      val (mat, matRdd) = pin(next)
+      // ONE job: computes the round, fills the persisted blocks, and
+      // produces the convergence signature from them
       val row = mat
         .agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)))
         .head()
       val sig = (row.getLong(0), row.getLong(1))
-      e.unpersist(blocking = false)
+      eRdd.unpersist(blocking = false)
       e = mat
+      eRdd = matRdd
       converged = sig == prevSig
       prevSig = sig
       iter += 1
