@@ -123,41 +123,47 @@ object Dedup {
       .orderBy(col("ia"), col("ib"))
   }
 
-  /** AllPairs/PPJoin-style prefix of each document's token set under a
-    * global rarest-first order: length |d| - ceil(t*|d|) + 1. Any pair with
-    * Jaccard >= t must share a prefix token (Bayardo et al., WWW'07), and a
-    * universal stopword (max df) sorts LAST in every document, so it lands
-    * in no prefix and its D^2-pair bucket never exists. */
-  def prefixTokens(toks: DataFrame, t: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Per-doc arrays for the AllPairs prefix join, from ONE aggregation:
+    * `ws` = the doc's sorted token set (exact-verification side) and
+    * `prefix` = the first |d| - ceil(t*|d|) + 1 tokens under the global
+    * rarest-first (df, word) order. Any pair with Jaccard >= t must share a
+    * prefix token (Bayardo et al., WWW'07), and a universal stopword
+    * (max df) sorts LAST in every document, so it lands in no prefix and
+    * its D^2-pair bucket never exists. */
+  private def docPrefixArrays(toks: DataFrame, t: Double): DataFrame = {
     val dfreq = toks.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    // rank and doc size from the SAME doc_id partitioning — one shuffle,
-    // no separate sizes aggregation + join
-    val byDoc = Window.partitionBy(col("doc_id"))
     toks.join(dfreq, "word")
-      .select(col("doc_id"), col("lang"), col("source"), col("word"),
-        row_number().over(byDoc.orderBy(col("df"), col("word"))).as("rnk"),
-        count(lit(1)).over(byDoc).as("sz"))
-      .filter(col("rnk") <= col("sz") - ceil(col("sz") * t) + 1)
-      .select(col("doc_id"), col("lang"), col("source"), col("word"))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(sort_array(collect_list(struct(col("df"), col("word")))).as("tw"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        transform(col("tw"), x => x.getField("word")).as("byrank"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_sort(col("byrank")).as("ws"),
+        slice(col("byrank"), lit(1),
+          (size(col("byrank")) - ceil(size(col("byrank")) * t) + 1).cast("int"))
+          .as("prefix"))
   }
+
+  /** Flattened prefix index (doc_id, lang, source, word) — the only tokens
+    * that ever key a candidate join. */
+  def prefixTokens(toks: DataFrame, t: Double): DataFrame =
+    docPrefixArrays(toks, t)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(col("prefix")).as("word"))
 
   /** Output-identical to [[jaccardPairsExact]] (same rounding, same rows)
     * but candidates come from the prefix index and the exact verification
     * joins by doc id (bounded per-doc arrays) — no token-df skew bomb. */
   def jaccardPairsPrefix(toksIn: DataFrame, t: Double): DataFrame = {
-    val toks = toksIn.cache() // consumed by dfreq, prefix rank and verify arrays
-    val prefix = prefixTokens(toks, t)
-    val a = prefix.select(col("lang"), col("source"), col("word"), col("doc_id").as("ia"))
-    val b = prefix.select(col("lang"), col("source"), col("word"), col("doc_id").as("ib"))
-    val cand = a.join(b, Seq("lang", "source", "word"))
+    val docs = docPrefixArrays(toksIn, t).cache() // candidates + both verify sides
+    def side(n: String) = docs.select(col("lang"), col("source"),
+      col("doc_id").as(n), explode(col("prefix")).as("word"))
+    val cand = side("ia").join(side("ib"), Seq("lang", "source", "word"))
       .filter(col("ia") < col("ib"))
       .select(col("ia"), col("ib")).distinct()
-    val tokArr = toks.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("word"))).as("ws"))
     cand
-      .join(tokArr.select(col("doc_id").as("ia"), col("ws").as("wsa")), "ia")
-      .join(tokArr.select(col("doc_id").as("ib"), col("ws").as("wsb")), "ib")
+      .join(docs.select(col("doc_id").as("ia"), col("ws").as("wsa")), "ia")
+      .join(docs.select(col("doc_id").as("ib"), col("ws").as("wsb")), "ib")
       .select(col("ia"), col("ib"),
         size(array_intersect(col("wsa"), col("wsb"))).as("i"),
         size(col("wsa")).as("sza"), size(col("wsb")).as("szb"))
