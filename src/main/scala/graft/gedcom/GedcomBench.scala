@@ -84,6 +84,22 @@ object GedcomBench {
         GedcomGraph.containedRecords(
           spark.sparkContext.textFile(ged, minParts), acc).count()
       }
+      // isolate the CSV phase's extraction cost from its formatting+write
+      // cost: same scan + per-key map lookups, noop sink
+      val g = GedcomGraph.fromFile(spark, ged)
+      val indiKeys = g.keysByTag.get("INDI")
+      val indiCols = CsvSink.nodeColumns(indiKeys)
+        .map(k => org.apache.spark.sql.functions.col("props").getItem(k).as(k))
+      t("indi-extract-noop") {
+        g.nodes.filter(org.apache.spark.sql.functions.col("rawTag") === "INDI")
+          .select(indiCols: _*)
+          .write.format("noop").mode("overwrite").save()
+      }
+      t("indi-extract-csv") {
+        g.nodes.filter(org.apache.spark.sql.functions.col("rawTag") === "INDI")
+          .select(indiCols: _*)
+          .write.mode("overwrite").option("header", true).csv("/tmp/gedprobe-indi")
+      }
       spark.stop(); sys.exit(0)
     }
 
