@@ -35,13 +35,15 @@ object RecordAssembler {
       var value: String,
       val children: mutable.ArrayBuffer[Tree] = mutable.ArrayBuffer.empty)
 
-  /** Flattened output of one record. */
+  /** Flattened output of one record. `props` is collection.Map so the
+    * assembler's LinkedHashMap flows through without a per-record copy
+    * (870k `toMap` copies measured as real time on the 150 MB bench). */
   final case class FlatRecord(
       recordNo: Long,
       rawTag: String,
       label: String,          // empty when skipped
       skipped: Boolean,
-      props: Map[String, String],     // includes ":LABEL" when a node row exists
+      props: scala.collection.Map[String, String], // includes ":LABEL" when a node row exists
       edges: Seq[Edge],
       unusedTags: Seq[String],
       missingTemples: Seq[String])
@@ -120,8 +122,8 @@ object RecordAssembler {
         }
 
         val node = recordToNode(root, includeId = true)
-        val props =
-          if (node.nonEmpty) { node(":LABEL") = label; node.toMap }
+        val props: scala.collection.Map[String, String] =
+          if (node.nonEmpty) { node(":LABEL") = label; node }
           else Map.empty[String, String]
         FlatRecord(recordNo, root.name, label, skipped = false, props,
           edges.toSeq, unused.distinct.toSeq, missingTemples.distinct.toSeq)
