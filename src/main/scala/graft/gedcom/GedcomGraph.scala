@@ -80,7 +80,17 @@ object GedcomGraph {
     val schema = flatSchema
     val unsafeRows = containedRecords(raw, acc).mapPartitions { it =>
       val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
-      it.map(r => proj(toInternal(r)).copy(): InternalRow)
+      // prop keys / tags / labels / relTypes repeat across nearly every
+      // record (bounded vocabulary) — intern their UTF8 encodings per
+      // partition instead of re-encoding ~12 of them per record. Sharing
+      // is safe: the projection copies bytes into each row's buffer.
+      val interned = new java.util.HashMap[String, UTF8String]()
+      val intern: String => UTF8String = { s =>
+        var v = interned.get(s)
+        if (v == null) { v = UTF8String.fromString(s); interned.put(s, v) }
+        v
+      }
+      it.map(r => proj(toInternal(r, intern)).copy(): InternalRow)
     }
     // EAGER checkpoint = the one real job over the text; afterwards the
     // accumulator holds every split's boundary fragments for the stitch
@@ -104,26 +114,31 @@ object GedcomGraph {
     * hand-built rows and the (tiny) encoder-built boundary frame agree. */
   private lazy val flatSchema = Encoders.product[RecordAssembler.FlatRecord].schema
 
-  private def toInternal(r: RecordAssembler.FlatRecord): InternalRow = {
+  /** FlatRecord -> InternalRow. `intern` encodes a string drawn from a
+    * bounded vocabulary (keys/tags/labels/relTypes); free-form values use
+    * a fresh encode. */
+  private def toInternal(
+      r: RecordAssembler.FlatRecord,
+      intern: String => UTF8String): InternalRow = {
     val n = r.props.size
     val ks = new Array[Any](n)
     val vs = new Array[Any](n)
     var i = 0
     r.props.foreach { case (k, v) =>
-      ks(i) = UTF8String.fromString(k); vs(i) = UTF8String.fromString(v); i += 1
+      ks(i) = intern(k); vs(i) = UTF8String.fromString(v); i += 1
     }
     val es = new Array[Any](r.edges.size)
     i = 0
     r.edges.foreach { e =>
       es(i) = new GenericInternalRow(Array[Any](
         UTF8String.fromString(e.src), UTF8String.fromString(e.dst),
-        UTF8String.fromString(e.relType), UTF8String.fromString(e.rawTag)))
+        intern(e.relType), intern(e.rawTag)))
       i += 1
     }
     def sarr(xs: Seq[String]): GenericArrayData =
-      new GenericArrayData(xs.iterator.map(UTF8String.fromString(_): Any).toArray)
+      new GenericArrayData(xs.iterator.map(intern(_): Any).toArray)
     new GenericInternalRow(Array[Any](
-      r.recordNo, UTF8String.fromString(r.rawTag), UTF8String.fromString(r.label),
+      r.recordNo, intern(r.rawTag), intern(r.label),
       r.skipped,
       new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs)),
       new GenericArrayData(es), sarr(r.unusedTags), sarr(r.missingTemples)))
