@@ -55,14 +55,19 @@ object Bench {
         case (None, None) => q.name -> -1.0
       }
     }
+    println(renderJson(results, sfDir))
+    spark.stop()
+  }
+
+  /** One-line bench JSON. A failed query (recorded as -1) must poison the
+    * headline, not quietly shrink it: `value` goes null and `failed` is
+    * explicit. Factored out so the poisoning is unit-testable. */
+  def renderJson(results: Seq[(String, Double)], sfDir: String): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // a failed query (-1) must poison the headline, not quietly shrink it:
-    // value goes null and the failure count is explicit
     val failed = results.count(_._2 < 0)
     val total =
       if (failed > 0) "null" else results.map(_._2).sum.toString
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
   }
 }

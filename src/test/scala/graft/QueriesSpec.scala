@@ -39,4 +39,12 @@ class QueriesSpec extends SparkSpec {
   test("oracle map only references registered queries") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("a failed bench query poisons the headline JSON") {
+    val ok = Bench.renderJson(Seq("a" -> 1.5, "b" -> 2.0), "sf")
+    assert(ok.contains("\"value\":3.5") && ok.contains("\"failed\":0"), ok)
+    val broken = Bench.renderJson(Seq("a" -> 1.5, "b" -> -1.0), "sf")
+    assert(broken.contains("\"value\":null") && broken.contains("\"failed\":1"), broken)
+    assert(broken.contains("\"b\":-1.0"), broken) // per-query failure visible too
+  }
 }
