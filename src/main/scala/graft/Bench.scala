@@ -36,7 +36,12 @@ object Bench {
     def timeOnce(q: QueryDef): Double = {
       val t0 = System.nanoTime()
       q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // queries that cache intermediates (token relations, LSH codes) must
+      // not leave them resident: later queries would run under their memory
+      // pressure and a second pass would measure a half-warm hybrid
+      spark.catalog.clearCache()
+      sec
     }
     val results = SparkEntry.all.map { q =>
       def attempt(): Option[Double] =

@@ -316,18 +316,27 @@ object Dedup {
           .cache()
         // radius 3 (not q40's 2): near-dup thresholds sit much closer to
         // the decision boundary than top-k neighbors, so recall needs the
-        // wider probe ring (93/256 of the space — still sub-quadratic)
-        val probes = e.select(
-          col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"),
+        // wider probe ring (93/256 of the space — still sub-quadratic).
+        // Candidate generation shuffles ONLY (id, code) — the 93x probe
+        // explosion must not replicate the vectors; they join back by id
+        // for the exact verification. No dedup needed: a pair can match
+        // through exactly one mask (m = code_a XOR code_b), so candidates
+        // are unique by construction.
+        val codes = e.select(col("vec_id"), col("code"))
+        val probes = codes.select(col("vec_id").as("ia"),
           explode(array(Similarity.probeMasksUpTo(3).map(m =>
             col("code").bitwiseXOR(lit(m))): _*)).as("code"))
-        probes.join(e, "code")
-          .filter(col("ia") < col("vec_id"))
-          .select(col("ia"), col("vec_id").as("ib"),
-            round(VectorOps.cosinePre(VectorOps.dot(col("va"), col("v")),
-              col("na"), col("nrm")), 6).as("cos"))
+        val cand = probes
+          .join(codes.select(col("vec_id").as("ib"), col("code")), "code")
+          .filter(col("ia") < col("ib"))
+          .select(col("ia"), col("ib"))
+        cand
+          .join(e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na")), "ia")
+          .join(e.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb")), "ib")
+          .select(col("ia"), col("ib"),
+            round(VectorOps.cosinePre(VectorOps.dot(col("va"), col("vb")),
+              col("na"), col("nb")), 6).as("cos"))
           .filter(col("cos") >= 0.4)
-          .distinct()
           .orderBy(col("ia"), col("ib"))
       },
       None, // approximate candidate generation; recall vs exact q38 pinned in DedupSpec

@@ -73,10 +73,23 @@ object CsvSink {
             col("dst").as(":END_ID"), col("relType").as(":TYPE"))
           .write.partitionBy("rawTag").mode(SaveMode.Overwrite)
           .option("header", true).csv(base)
-        Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("rawTag="))
-          .map(f => Output("relationships", f.getName.stripPrefix("rawTag="), f.getPath))
-          .sortBy(_.rawTag).toSeq
+        // enumerate the per-tag dirs through the Hadoop FS of the output
+        // path — java.io.File would silently return nothing for any
+        // non-plain-local URI and the import command would drop all edges
+        val basePath = new org.apache.hadoop.fs.Path(base)
+        val fs = basePath.getFileSystem(
+          edges.sparkSession.sparkContext.hadoopConfiguration)
+        fs.listStatus(basePath).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("rawTag="))
+          .map { st =>
+            val p = st.getPath
+            // keep plain local paths plain (the bulk-import command and the
+            // part-file scan are local-process consumers)
+            val pathStr =
+              if (p.toUri.getScheme == "file") p.toUri.getPath else p.toString
+            Output("relationships", p.getName.stripPrefix("rawTag="), pathStr)
+          }
+          .sortBy(_.rawTag)
       }
       Await.result(Future.sequence(nodeJobs :+ edgeJob), Duration.Inf).flatten
     } finally pool.shutdown()

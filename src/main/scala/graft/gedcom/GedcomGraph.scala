@@ -28,7 +28,12 @@ object GedcomGraph {
       // populated by the text fast path's parse pass (None => derive by
       // scanning): per-tag union of node prop keys, (nodeRows, edgeRows)
       keysByTag: Option[Map[String, Set[String]]] = None,
-      counts: Option[(Long, Long)] = None)
+      counts: Option[(Long, Long)] = None,
+      // frees the pinned row blocks backing `flat`. Dataset.unpersist
+      // cannot do it: the frames are pinned at the RDD level (LogicalRDD),
+      // which the SQL CacheManager knows nothing about. Long-lived callers
+      // (streaming ingest) MUST call this per batch.
+      release: () => Unit = () => ())
 
   /** General path for pre-parsed line Datasets: one hash shuffle on
     * recordNo + one Tungsten sort per partition, then streaming assembly
@@ -92,11 +97,14 @@ object GedcomGraph {
       }
       it.map(r => proj(toInternal(r, intern)).copy(): InternalRow)
     }
-    // EAGER checkpoint = the one real job over the text; afterwards the
-    // accumulator holds every split's boundary fragments for the stitch
-    val containedDF = GraftSqlBridge
-      .internalCreateDataFrame(spark, unsafeRows, schema)
-      .localCheckpoint(true)
+    // pin the rows at the RDD level (releasable, unlike a Dataset
+    // localCheckpoint) and truncate physical lineage once materialized
+    val pinnedRdd = unsafeRows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinnedRdd.localCheckpoint()
+    val containedDF = GraftSqlBridge.internalCreateDataFrame(spark, pinnedRdd, schema)
+    // EAGER materialization = the one real job over the text; afterwards
+    // the accumulator holds every split's boundary fragments for the stitch
+    pinnedRdd.count()
     val bounds = acc.value
     require(bounds.size == raw.getNumPartitions,
       s"boundary accumulator saw ${bounds.size} of ${raw.getNumPartitions} splits")
@@ -107,7 +115,8 @@ object GedcomGraph {
     fromFlat(containedDF.unionByName(spark.createDataset(boundaryFlat).toDF()),
       pinned = true,
       keysByTag = Some(stats.keysByTag),
-      counts = Some((stats.nodes, stats.edges)))
+      counts = Some((stats.nodes, stats.edges)),
+      release0 = () => pinnedRdd.unpersist(blocking = false))
   }
 
   /** Schema of the flat frame — taken from the case-class encoder so the
@@ -269,14 +278,24 @@ object GedcomGraph {
       flatIn: DataFrame,
       pinned: Boolean = false,
       keysByTag: Option[Map[String, Set[String]]] = None,
-      counts: Option[(Long, Long)] = None): Graph = {
-    // localCheckpoint, NOT cache(): checkpoint blocks keep the raw
-    // UnsafeRows, while the columnar cache would re-encode every props map
-    // and edge array into column builders (measured ~6 s of the 150 MB
-    // bench) for zero pruning benefit — every consumer reads the map
-    // columns whole. Lazy: materialized by the first downstream action.
-    // `pinned` callers (fromTextRdd) already hold checkpointed blocks.
-    val flat = if (pinned) flatIn else flatIn.localCheckpoint(false)
+      counts: Option[(Long, Long)] = None,
+      release0: () => Unit = () => ()): Graph = {
+    // Pin raw UnsafeRow blocks, NOT the columnar cache: the cache would
+    // re-encode every props map and edge array into column builders
+    // (measured ~6 s of the 150 MB bench) for zero pruning benefit —
+    // every consumer reads the map columns whole. RDD-level persist (not
+    // Dataset.localCheckpoint) so Graph.release() can actually free the
+    // blocks. Lazy: materialized by the first downstream action.
+    // `pinned` callers (fromTextRdd) already hold their blocks.
+    val (flat, release) =
+      if (pinned) (flatIn, release0)
+      else {
+        val rdd = flatIn.queryExecution.toRdd.map(_.copy())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rdd.localCheckpoint() // truncate physical lineage once materialized
+        (GraftSqlBridge.internalCreateDataFrame(flatIn.sparkSession, rdd, flatIn.schema),
+          () => rdd.unpersist(blocking = false): Unit)
+      }
 
     val nodes = flat
       .filter(!col("skipped") && size(map_keys(col("props"))) > 0)
@@ -292,7 +311,7 @@ object GedcomGraph {
     val missingTemples = flat.select(explode(col("missingTemples")).as("code")).distinct()
 
     Graph(flat, nodes, edges, skipped, unusedTags, missingTemples,
-      keysByTag, counts)
+      keysByTag, counts, release)
   }
 
   def fromFile(spark: SparkSession, path: String): Graph = {

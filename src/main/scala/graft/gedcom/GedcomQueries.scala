@@ -18,8 +18,20 @@ import graft.QueryDef
   */
 object GedcomQueries {
 
-  /** Checked-in fixture (same one GedcomSpec pins record-by-record). */
-  val FixturePath = "/root/repo/src/test/resources/m1.ged"
+  /** Checked-in fixture (same one GedcomSpec pins record-by-record),
+    * shipped on the main classpath so the query works from any launch
+    * directory or packaged jar: the resource is materialized once per JVM
+    * to a temp file for `sc.textFile`. */
+  lazy val FixturePath: String = {
+    val in = getClass.getResourceAsStream("/m1.ged")
+    require(in != null, "fixture /m1.ged missing from classpath")
+    val tmp = java.nio.file.Files.createTempFile("gedcom-fixture", ".ged")
+    try java.nio.file.Files.copy(in, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    tmp.toFile.deleteOnExit()
+    tmp.toString
+  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(

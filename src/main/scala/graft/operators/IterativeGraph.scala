@@ -61,10 +61,14 @@ object IterativeGraph {
     val spark = edges.sparkSession
 
     // pin a frame's rows and rebuild it lineage-free: rows must be copied
-    // (toRdd reuses per-partition buffers) before persisting
+    // (toRdd reuses per-partition buffers) before persisting. The RDD
+    // localCheckpoint truncates PHYSICAL lineage at first materialization,
+    // so a lost block late in the loop cannot cascade recomputation
+    // through every earlier round.
     def pin(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
       val rdd = df.queryExecution.toRdd.map(_.copy())
         .persist(StorageLevel.MEMORY_AND_DISK)
+      rdd.localCheckpoint()
       (GraftSqlBridge.internalCreateDataFrame(spark, rdd, df.schema), rdd)
     }
 
@@ -113,10 +117,12 @@ object IterativeGraph {
       prevSig = sig
       iter += 1
     }
-    if (!converged)
+    if (!converged) {
+      eRdd.unpersist(blocking = false) // don't leak the pinned blocks on failure
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIter rounds " +
           "(intermediate edge sets carry conflicting labels; raise maxIter)")
+    }
 
     // at the fixpoint e maps every non-root vertex to its component root;
     // roots (never on the u side) map to themselves

@@ -48,7 +48,7 @@ object GedcomStreamIngest {
               // makes the pipeline exactly-once rather than at-least-once
               g.nodes.write.mode("overwrite").parquet(s"$outDir/nodes/batch=$batchId")
               g.edges.write.mode("overwrite").parquet(s"$outDir/edges/batch=$batchId")
-            } finally g.flat.unpersist(blocking = false)
+            } finally g.release() // RDD-level pin: Dataset.unpersist can't free it
           }
         } finally lines.unpersist(blocking = false)
       }
