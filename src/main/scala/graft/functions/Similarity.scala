@@ -23,6 +23,9 @@ object Similarity {
   val N_QUERIES = 20
   val N_PLANES = 8
   val PROBE_RADIUS = 2
+  val N_CENTROIDS = 16
+  val N_PROBE = 4
+  val LLOYD_ROUNDS = 2
 
   /** Deterministic random hyperplanes (seed 42), dim 64. */
   lazy val planes: Seq[Seq[Double]] = {
@@ -44,6 +47,61 @@ object Similarity {
     (0L until (1L << N_PLANES)).filter(m => java.lang.Long.bitCount(m) <= radius)
 
   lazy val probeMasks: Seq[Long] = probeMasksUpTo(PROBE_RADIUS)
+
+  /** Per-centroid (similarity, cid) structs for a vector column. Centroids
+    * are pre-normalized, so argmax dot == argmax cosine (|v| is constant
+    * across candidates for one row). */
+  private def centScores(v: Column, cents: Seq[Seq[Double]]): Column =
+    array(cents.zipWithIndex.map { case (c, cid) =>
+      struct(VectorOps.dot(v, typedlit(c)).as("s"), lit(cid).as("cid"))
+    }: _*)
+
+  /** Nearest-centroid id (struct max compares s first; cid breaks ties
+    * deterministically). */
+  def nearestCid(v: Column, cents: Seq[Seq[Double]]): Column =
+    array_max(centScores(v, cents)).getField("cid")
+
+  /** The `nprobe` closest centroid ids, best first. */
+  def topProbeCids(v: Column, cents: Seq[Seq[Double]], nprobe: Int): Column =
+    transform(
+      slice(sort_array(centScores(v, cents), asc = false), 1, nprobe),
+      x => x.getField("cid"))
+
+  /** IVF coarse quantizer: Lloyd's k-means over (vec_id, v) with
+    * deterministic init (the first `c` vectors by id). Each round is ONE
+    * distributed job — nearest-centroid assignment fused with a
+    * (cid, pos) partial-aggregated sum — and collects only c×dim
+    * (sum, count) cells to the driver, so driver state is bounded by the
+    * codebook size, never the corpus. At 100 TB you train on a sample:
+    * pass e.g. `e.filter(pmod(xxhash64($"vec_id"), lit(S)) === 0)` —
+    * the index/query path below accepts any codebook. */
+  def trainCentroids(e: DataFrame, c: Int, rounds: Int): Seq[Seq[Double]] = {
+    def normalize(x: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(x.map(y => y * y).sum)
+      if (n == 0) x else x.map(_ / n)
+    }
+    var cents: Seq[Seq[Double]] = e
+      .filter(col("vec_id") < c).orderBy(col("vec_id")).select(col("v"))
+      .collect().map(r => normalize(r.getSeq[Double](0))).toSeq
+    for (_ <- 1 to rounds) {
+      val cells = e
+        .select(nearestCid(col("v"), cents).as("cid"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byCid = cells.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, cid) =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            normalize(rows.sortBy(_.getInt(1))
+              .map(r => r.getDouble(2) / r.getLong(3)).toSeq)
+          case None => old // empty cluster keeps its centroid
+        }
+      }
+    }
+    cents
+  }
 
   private def prepared(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
@@ -110,6 +168,35 @@ object Similarity {
           .orderBy(col("qid"), col("rk"))
       },
       None, // approximate by construction; recall vs q39 asserted in SimilaritySpec
-      s"LSH-bucketed ANN: $N_PLANES random hyperplanes -> equi join on sign code")
+      s"LSH-bucketed ANN: $N_PLANES random hyperplanes -> equi join on sign code"),
+
+    QueryDef(
+      "q67_knn_ivf",
+      (s, d) => {
+        // IVF ANN: a k-means codebook partitions the corpus into inverted
+        // lists; each query probes only its nprobe closest lists. Candidate
+        // generation is an equi join on cid — per query it scores
+        // ~nprobe/C of the corpus, and the inverted lists are exactly a
+        // partitioning key at 100 TB (write the index bucketed by cid and
+        // the probe join co-locates without a shuffle).
+        val e = prepared(s, d).cache()
+        val cents = trainCentroids(e, N_CENTROIDS, LLOYD_ROUNDS)
+        val indexed = e.withColumn("cid", nearestCid(col("v"), cents))
+        val q = indexed.filter(col("vec_id") < N_QUERIES)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+            explode(topProbeCids(col("v"), cents, N_PROBE)).as("cid"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("ib"))
+        indexed.join(broadcast(q), Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("ib"),
+            round(VectorOps.cosinePre(VectorOps.dot(col("v"), col("qv")),
+              col("nrm"), col("qn")), 6).as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= K)
+          .select(col("qid"), col("rk"), col("ib"), col("cos"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      None, // approximate by construction; recall vs q39 asserted in SimilaritySpec
+      s"IVF ANN: $N_CENTROIDS-centroid Lloyd codebook, nprobe=$N_PROBE inverted-list equi join")
   )
 }

@@ -44,4 +44,38 @@ class SimilaritySpec extends SparkSpec {
     // 1 + C(8,1) + C(8,2) = 37
     assert(Similarity.probeMasks.size == 37)
   }
+
+  test("IVF ANN reaches strong recall vs brute force on clustered data") {
+    val exact = topk("q39_knn_brute")
+    val approx = topk("q67_knn_ivf")
+    val recalls = exact.map { case (q, ex) =>
+      approx.get(q).map(ap => ex.count(ap.toSet).toDouble / ex.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // the embeddings table is 10-way clustered, so a 16-cell codebook with
+    // nprobe=4 should capture most true neighbors (measured ~0.9+); 0.6
+    // guards the contract without flaking on retrains
+    assert(mean >= 0.6, s"mean recall@${Similarity.K} = $mean < 0.6")
+  }
+
+  test("IVF codebook is deterministic and its lists cover the corpus") {
+    val e = spark.read.parquet(s"$SF/embeddings.parquet")
+      .select(col("vec_id"),
+        graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
+    val c1 = Similarity.trainCentroids(e, Similarity.N_CENTROIDS, Similarity.LLOYD_ROUNDS)
+    val c2 = Similarity.trainCentroids(e, Similarity.N_CENTROIDS, Similarity.LLOYD_ROUNDS)
+    assert(c1 == c2, "training is not deterministic")
+    assert(c1.size == Similarity.N_CENTROIDS)
+    // unit-normalized codebook
+    c1.foreach { c =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+    // every vector lands in exactly one list, and no list is the whole corpus
+    val assigned = e.withColumn("cid", Similarity.nearestCid(col("v"), c1))
+    val n = assigned.count()
+    val sizes = assigned.groupBy("cid").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.sum == n)
+    assert(sizes.max < n, "degenerate codebook: one list holds everything")
+  }
 }
