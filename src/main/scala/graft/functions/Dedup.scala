@@ -25,10 +25,10 @@ object Dedup {
 
   private val SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
-  /** Shared by q35 (inverted-index) and q65 (prefix-filtered): both are
-    * EXACT Jaccard >= 0.8 pair joins, so they answer to the same oracle. */
-  private val JACCARD_ORACLE = s"""
-        WITH dtok AS (
+  /** The exact Jaccard >= 0.8 pair relation as DuckDB CTEs — shared by the
+    * q35/q65 pair queries and q68's closure oracle. */
+  private val PAIR_CTES = s"""
+        dtok AS (
           SELECT DISTINCT doc_id, lang, source, unnest($SQL_TOKENS) AS word
           FROM documents),
         sizes AS (SELECT doc_id, count(*) AS sz FROM dtok GROUP BY doc_id),
@@ -37,7 +37,12 @@ object Dedup {
           FROM dtok a JOIN dtok b
             ON a.word = b.word AND a.lang = b.lang AND a.source = b.source
            AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
+          GROUP BY 1, 2)"""
+
+  /** Shared by q35 (inverted-index) and q65 (prefix-filtered): both are
+    * EXACT Jaccard >= 0.8 pair joins, so they answer to the same oracle. */
+  private val JACCARD_ORACLE = s"""
+        WITH $PAIR_CTES
         SELECT ia, ib,
                round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
         FROM inter
@@ -45,6 +50,28 @@ object Dedup {
         JOIN sizes sb ON ib = sb.doc_id
         WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.8
         ORDER BY ia, ib"""
+
+  /** q68 oracle: the same pair relation, closed transitively (recursive
+    * CTE, min reachable doc = survivor) — the canonical removal list. */
+  private val CLUSTER_ORACLE = s"""
+        WITH RECURSIVE $PAIR_CTES,
+        pairs AS (
+          SELECT ia, ib FROM inter
+          JOIN sizes sa ON ia = sa.doc_id
+          JOIN sizes sb ON ib = sb.doc_id
+          WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.8),
+        sym AS (
+          SELECT ia AS a, ib AS b FROM pairs
+          UNION
+          SELECT ib AS a, ia AS b FROM pairs),
+        reach(v, r) AS (
+          SELECT a, a FROM sym
+          UNION
+          SELECT reach.v, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+        labels AS (SELECT v AS doc_id, min(r) AS survivor FROM reach GROUP BY v)
+        SELECT doc_id, survivor, doc_id <> survivor AS is_dup
+        FROM labels
+        ORDER BY doc_id"""
 
   /** (doc_id, lang, source, word) distinct token relation. */
   private def docTokens(s: SparkSession, d: String): DataFrame =
@@ -346,6 +373,26 @@ object Dedup {
       "q65_jaccard_prefix",
       (s, d) => jaccardPairsPrefix(docTokens(s, d), 0.8),
       Some(JACCARD_ORACLE),
-      "prefix-filtered exact Jaccard pairs (AllPairs): df-skew-proof, oracle-identical to q35")
+      "prefix-filtered exact Jaccard pairs (AllPairs): df-skew-proof, oracle-identical to q35"),
+
+    QueryDef(
+      "q68_dedup_clusters",
+      (s, d) => {
+        // the pipeline capstone: near-dup PAIRS are not a removal list —
+        // transitive chains (A~B, B~C, A!~C) must collapse to one cluster
+        // and keep exactly one survivor. Pairs come from the skew-proof
+        // prefix join; the closure is large-star/small-star CC (near-dup
+        // components are tiny, so it converges in a couple of rounds at
+        // any corpus size). Docs in no pair keep themselves implicitly —
+        // the output is the removal/rewrite map for the docs it names.
+        val pairs = jaccardPairsPrefix(docTokens(s, d), 0.8)
+          .select(col("ia").as("src"), col("ib").as("dst"))
+        graft.operators.IterativeGraph.connectedComponents(pairs)
+          .select(col("xref").as("doc_id"), col("component").as("survivor"),
+            (col("xref") =!= col("component")).as("is_dup"))
+          .orderBy(col("doc_id"))
+      },
+      Some(CLUSTER_ORACLE),
+      "near-dup clusters: prefix-join pairs -> CC closure -> min-doc survivor per cluster")
   )
 }
