@@ -172,6 +172,86 @@ object TextAnalysis {
         FROM fp
         GROUP BY source
         ORDER BY source"""),
-      "document fingerprinting: normalized md5 + canonical word-set md5")
+      "document fingerprinting: normalized md5 + canonical word-set md5"),
+
+    QueryDef(
+      "q69_repetition",
+      (s, d) => {
+        // Gopher-style repetition quality signals: the fraction of mass in
+        // the most frequent word / bigram and the duplicate-token fraction.
+        // Per-doc token counting is two partial-aggregated groupBys — no
+        // per-doc state beyond the (doc, gram) counts, so it scales with
+        // corpus size, not document size.
+        val n = size(col("toks"))
+        val bigrams = when(n >= 2,
+          zip_with(slice(col("toks"), lit(1), n - 1), slice(col("toks"), lit(2), n - 1),
+            (a, b) => concat_ws(" ", a, b)))
+          .otherwise(array().cast("array<string>"))
+        val toks = documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"), bigrams.as("bigs"))
+        val wstats = toks.select(col("doc_id"), explode(col("toks")).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("c")).as("topw"), sum(col("c")).as("nw"),
+            count(lit(1)).as("ndw"))
+        val bstats = toks.select(col("doc_id"), explode(col("bigs")).as("b"))
+          .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("c")).as("topb"), sum(col("c")).as("nb"))
+        // left join: a 1-token doc has words but no bigrams on both engines
+        wstats.join(bstats, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            round(col("topw") * 1.0 / col("nw"), 4).as("top_word_frac"),
+            round((col("nw") - col("ndw")) * 1.0 / col("nw"), 4).as("dup_word_frac"),
+            coalesce(round(col("topb") * 1.0 / col("nb"), 4), lit(0.0)).as("top_bigram_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest($SQL_TOKENS) AS w FROM documents),
+        wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        ws AS (SELECT doc_id, max(c) AS topw, sum(c) AS nw, count(*) AS ndw
+               FROM wc GROUP BY 1),
+        bg AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS b
+          FROM (SELECT doc_id, $SQL_TOKENS AS a FROM documents)),
+        bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        bs AS (SELECT doc_id, max(c) AS topb, sum(c) AS nb FROM bc GROUP BY 1)
+        SELECT ws.doc_id,
+               round(topw * 1.0 / nw, 4) AS top_word_frac,
+               round((nw - ndw) * 1.0 / nw, 4) AS dup_word_frac,
+               coalesce(round(topb * 1.0 / nb, 4), 0.0) AS top_bigram_frac
+        FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+        ORDER BY ws.doc_id"""),
+      "repetition quality signals: top-word/top-bigram mass + duplicate-token fraction"),
+
+    QueryDef(
+      "q70_hash_split",
+      (s, d) =>
+        // deterministic train/val/test assignment: hex-prefix ranges of
+        // md5(doc_id) — content-stable (same doc -> same split on every
+        // run, engine, and cluster size; no RNG or partitioning state),
+        // embarrassingly parallel, and exact across engines because the
+        // split is a pure string comparison. '0c'/256 ≈ 4.7% test,
+        // '0c'..'1a' ≈ 5.5% val, rest train.
+        documents(s, d)
+          .select(col("lang"), col("source"),
+            when(md5(col("doc_id").cast("string")) < "0c", "test")
+              .when(md5(col("doc_id").cast("string")) < "1a", "val")
+              .otherwise("train").as("split"))
+          .groupBy(col("lang"), col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("source"), col("split")),
+      Some("""
+        SELECT lang, source,
+               CASE WHEN md5(doc_id::VARCHAR) < '0c' THEN 'test'
+                    WHEN md5(doc_id::VARCHAR) < '1a' THEN 'val'
+                    ELSE 'train' END AS split,
+               count(*) AS n_docs
+        FROM documents
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3"""),
+      "deterministic md5-prefix train/val/test split: content-stable stratified sampling")
   )
 }
