@@ -181,7 +181,12 @@ object Dedup {
   /** Output-identical to [[jaccardPairsExact]] (same rounding, same rows)
     * but candidates come from the prefix index and the exact verification
     * joins by doc id (bounded per-doc arrays) — no token-df skew bomb. */
-  def jaccardPairsPrefix(toksIn: DataFrame, t: Double): DataFrame = {
+  def jaccardPairsPrefix(toksIn: DataFrame, t: Double): DataFrame =
+    jaccardPairsPrefixUnordered(toksIn, t).orderBy(col("ia"), col("ib"))
+
+  /** The pair relation without the presentation sort — consumers that
+    * re-shuffle anyway (q68's closure) must not pay a global order. */
+  def jaccardPairsPrefixUnordered(toksIn: DataFrame, t: Double): DataFrame = {
     val docs = docPrefixArrays(toksIn, t).cache() // candidates + both verify sides
     def side(n: String) = docs.select(col("lang"), col("source"),
       col("doc_id").as(n), explode(col("prefix")).as("word"))
@@ -197,7 +202,6 @@ object Dedup {
       .select(col("ia"), col("ib"),
         round(col("i") * lit(1.0) / (col("sza") + col("szb") - col("i")), 4).as("jaccard"))
       .filter(col("jaccard") >= t)
-      .orderBy(col("ia"), col("ib"))
   }
 
   /** SimHash: 64-bit signature; bit b set iff sum of (+tf / -tf) weighted
@@ -385,8 +389,11 @@ object Dedup {
         // components are tiny, so it converges in a couple of rounds at
         // any corpus size). Docs in no pair keep themselves implicitly —
         // the output is the removal/rewrite map for the docs it names.
-        val pairs = jaccardPairsPrefix(docTokens(s, d), 0.8)
-          .select(col("ia").as("src"), col("ib").as("dst"))
+        // cache the pair frame: connectedComponents consumes it twice
+        // (the pinned edge set AND the vertex list) — without the cache
+        // the whole prefix-join pipeline would execute twice
+        val pairs = jaccardPairsPrefixUnordered(docTokens(s, d), 0.8)
+          .select(col("ia").as("src"), col("ib").as("dst")).cache()
         graft.operators.IterativeGraph.connectedComponents(pairs)
           .select(col("xref").as("doc_id"), col("component").as("survivor"),
             (col("xref") =!= col("component")).as("is_dup"))

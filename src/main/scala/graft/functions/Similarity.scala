@@ -68,21 +68,27 @@ object Similarity {
       x => x.getField("cid"))
 
   /** IVF coarse quantizer: Lloyd's k-means over (vec_id, v) with
-    * deterministic init (the first `c` vectors by id). Each round is ONE
-    * distributed job — nearest-centroid assignment fused with a
-    * (cid, pos) partial-aggregated sum — and collects only c×dim
-    * (sum, count) cells to the driver, so driver state is bounded by the
-    * codebook size, never the corpus. At 100 TB you train on a sample:
-    * pass e.g. `e.filter(pmod(xxhash64($"vec_id"), lit(S)) === 0)` —
-    * the index/query path below accepts any codebook. */
+    * deterministic init (the first `c` rows of the passed frame by id —
+    * NOT an absolute id range, so a sampled frame still seeds a full
+    * codebook). Each round is ONE distributed job — nearest-centroid
+    * assignment fused with a (cid, pos) partial-aggregated sum — and
+    * collects only c×dim (sum, count) cells to the driver, so driver
+    * state is bounded by the codebook size, never the corpus. At 100 TB
+    * you train on a sample: pass e.g.
+    * `e.filter(pmod(xxhash64($"vec_id"), lit(S)) === 0)` — the
+    * index/query path below accepts any codebook. Centroid means are
+    * rounded to 1e-6 before normalizing: partial double sums merge in
+    * shuffle-arrival order, and the rounding squashes the order-dependent
+    * low bits so the codebook is stable across cluster layouts too. */
   def trainCentroids(e: DataFrame, c: Int, rounds: Int): Seq[Seq[Double]] = {
     def normalize(x: Seq[Double]): Seq[Double] = {
       val n = math.sqrt(x.map(y => y * y).sum)
       if (n == 0) x else x.map(_ / n)
     }
     var cents: Seq[Seq[Double]] = e
-      .filter(col("vec_id") < c).orderBy(col("vec_id")).select(col("v"))
+      .orderBy(col("vec_id")).limit(c).select(col("v"))
       .collect().map(r => normalize(r.getSeq[Double](0))).toSeq
+    require(cents.nonEmpty, "trainCentroids: empty training frame")
     for (_ <- 1 to rounds) {
       val cells = e
         .select(nearestCid(col("v"), cents).as("cid"),
@@ -95,7 +101,8 @@ object Similarity {
         byCid.get(cid) match {
           case Some(rows) =>
             normalize(rows.sortBy(_.getInt(1))
-              .map(r => r.getDouble(2) / r.getLong(3)).toSeq)
+              .map(r => math.rint(r.getDouble(2) / r.getLong(3) * 1e6) / 1e6)
+              .toSeq)
           case None => old // empty cluster keeps its centroid
         }
       }
@@ -108,27 +115,36 @@ object Similarity {
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
 
-  /** Exact top-k: per query, rank all candidates by rounded cosine with
-    * neighbor-id tiebreak (deterministic across engines). */
-  def bruteForceTopK(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+  /** Shared scoring tail of q39/q40/q67: a joined frame carrying
+    * candidate (vec_id, v, nrm) × query (qid, qv, qn) becomes the
+    * per-query top-k by rounded cosine with neighbor-id tiebreak
+    * (deterministic across engines). One definition so the ranking
+    * contract cannot drift between the exact and ANN paths. */
+  private def scoreTopK(joined: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("ib"))
-    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+    joined
+      .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("ib"),
         round(VectorOps.cosinePre(VectorOps.dot(col("v"), col("qv")), col("nrm"), col("qn")), 6)
           .as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("ib"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Exact top-k: broadcast query set, map-side scoring over every
+    * candidate. */
+  def bruteForceTopK(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    scoreTopK(e.crossJoin(broadcast(q)), k)
   }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q39_knn_brute",
-      (s, d) =>
-        bruteForceTopK(prepared(s, d), N_QUERIES, K)
-          .select(col("qid"), col("rk"), col("ib"), col("cos"))
-          .orderBy(col("qid"), col("rk")),
+      (s, d) => bruteForceTopK(prepared(s, d), N_QUERIES, K),
       Some(s"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -156,16 +172,7 @@ object Similarity {
           .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
             explode(array(probeMasks.map(m =>
               col("code").bitwiseXOR(lit(m))): _*)).as("code"))
-        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("ib"))
-        e.join(broadcast(q), Seq("code"))
-          .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("ib"),
-            round(VectorOps.cosinePre(VectorOps.dot(col("v"), col("qv")),
-              col("nrm"), col("qn")), 6).as("cos"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= K)
-          .select(col("qid"), col("rk"), col("ib"), col("cos"))
-          .orderBy(col("qid"), col("rk"))
+        scoreTopK(e.join(broadcast(q), Seq("code")), K)
       },
       None, // approximate by construction; recall vs q39 asserted in SimilaritySpec
       s"LSH-bucketed ANN: $N_PLANES random hyperplanes -> equi join on sign code"),
@@ -185,16 +192,7 @@ object Similarity {
         val q = indexed.filter(col("vec_id") < N_QUERIES)
           .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
             explode(topProbeCids(col("v"), cents, N_PROBE)).as("cid"))
-        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("ib"))
-        indexed.join(broadcast(q), Seq("cid"))
-          .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("ib"),
-            round(VectorOps.cosinePre(VectorOps.dot(col("v"), col("qv")),
-              col("nrm"), col("qn")), 6).as("cos"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= K)
-          .select(col("qid"), col("rk"), col("ib"), col("cos"))
-          .orderBy(col("qid"), col("rk"))
+        scoreTopK(indexed.join(broadcast(q), Seq("cid")), K)
       },
       None, // approximate by construction; recall vs q39 asserted in SimilaritySpec
       s"IVF ANN: $N_CENTROIDS-centroid Lloyd codebook, nprobe=$N_PROBE inverted-list equi join")

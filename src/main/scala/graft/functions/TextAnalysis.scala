@@ -190,6 +190,7 @@ object TextAnalysis {
         val toks = documents(s, d)
           .select(col("doc_id"), tokens(col("text")).as("toks"))
           .select(col("doc_id"), col("toks"), bigrams.as("bigs"))
+          .cache() // two consumers; don't re-scan and re-tokenize per branch
         val wstats = toks.select(col("doc_id"), explode(col("toks")).as("w"))
           .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id"))
@@ -237,8 +238,10 @@ object TextAnalysis {
         // '0c'..'1a' ≈ 5.5% val, rest train.
         documents(s, d)
           .select(col("lang"), col("source"),
-            when(md5(col("doc_id").cast("string")) < "0c", "test")
-              .when(md5(col("doc_id").cast("string")) < "1a", "val")
+            md5(col("doc_id").cast("string")).as("h"))
+          .select(col("lang"), col("source"),
+            when(col("h") < "0c", "test")
+              .when(col("h") < "1a", "val")
               .otherwise("train").as("split"))
           .groupBy(col("lang"), col("source"), col("split"))
           .agg(count(lit(1)).as("n_docs"))

@@ -28,15 +28,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("LSH ANN reaches useful recall vs brute force") {
+  private def meanRecall(name: String): Double = {
     val exact = topk("q39_knn_brute")
-    val approx = topk("q40_knn_lsh")
+    val approx = topk(name)
     val recalls = exact.map { case (q, ex) =>
       approx.get(q).map(ap => ex.count(ap.toSet).toDouble / ex.size).getOrElse(0.0)
     }
-    val mean = recalls.sum / recalls.size
+    recalls.sum / recalls.size
+  }
+
+  test("LSH ANN reaches useful recall vs brute force") {
     // random-hyperplane LSH with radius-2 multiprobe on random gaussian
     // data: modest recall is expected; this guards against total breakage.
+    val mean = meanRecall("q40_knn_lsh")
     assert(mean >= 0.2, s"mean recall@${Similarity.K} = $mean < 0.2")
   }
 
@@ -46,15 +50,10 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("IVF ANN reaches strong recall vs brute force on clustered data") {
-    val exact = topk("q39_knn_brute")
-    val approx = topk("q67_knn_ivf")
-    val recalls = exact.map { case (q, ex) =>
-      approx.get(q).map(ap => ex.count(ap.toSet).toDouble / ex.size).getOrElse(0.0)
-    }
-    val mean = recalls.sum / recalls.size
     // the embeddings table is 10-way clustered, so a 16-cell codebook with
     // nprobe=4 should capture most true neighbors (measured ~0.9+); 0.6
     // guards the contract without flaking on retrains
+    val mean = meanRecall("q67_knn_ivf")
     assert(mean >= 0.6, s"mean recall@${Similarity.K} = $mean < 0.6")
   }
 
