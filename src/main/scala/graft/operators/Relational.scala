@@ -354,6 +354,39 @@ object Relational {
           FROM part GROUP BY p_size % 10) b
           ON part.p_size % 10 = b.size_mod AND p_retailprice > avg_price * 1.02
         ORDER BY p_partkey, size_mod"""),
-      "theta join (equi + inequality residual) against a broadcast aggregate")
+      "theta join (equi + inequality residual) against a broadcast aggregate"),
+
+    QueryDef(
+      "q71_unpivot",
+      (s, d) =>
+        // pivot's inverse: wide per-flag aggregates melted to (metric,
+        // value) long form via the native unpivot operator (an Expand
+        // node — one pass, no join or union of self-scans)
+        lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            Money.sum2(col("l_quantity")).as("sum_qty"),
+            Money.sum2(col("l_extendedprice")).as("sum_price"),
+            (count(lit(1)) * 1.0).as("n_rows"))
+          .unpivot(
+            Array(col("l_returnflag")),
+            Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+            "metric", "value")
+          .orderBy(col("l_returnflag"), col("metric")),
+      Some("""
+        WITH agg AS (
+          SELECT l_returnflag,
+                 sum(cast(round(l_quantity*100) as bigint))/100.0 AS sum_qty,
+                 sum(cast(round(l_extendedprice*100) as bigint))/100.0 AS sum_price,
+                 count(*) * 1.0 AS n_rows
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, metric, value FROM (
+          SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+          UNION ALL
+          SELECT l_returnflag, 'sum_price', sum_price FROM agg
+          UNION ALL
+          SELECT l_returnflag, 'n_rows', n_rows FROM agg)
+        ORDER BY l_returnflag, metric"""),
+      "unpivot/melt: wide aggregates to long form through the native Expand")
   )
 }

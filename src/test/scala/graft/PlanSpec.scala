@@ -58,6 +58,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q71 unpivot plans as a single-pass Expand, not a union of self-scans") {
+    val p = plan("q71_unpivot")
+    assert(p.contains("Expand"), p)
+    // one scan of lineitem feeds the melt — a UNION ALL rewrite would show 3
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("pair-generation queries never degenerate to a cartesian") {
     // LSH/banding and the interval join keep an equi key under the
     // residual condition; only the explicitly-brute-force baselines
