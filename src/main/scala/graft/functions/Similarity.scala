@@ -67,7 +67,10 @@ object Similarity {
       slice(sort_array(centScores(v, cents), asc = false), 1, nprobe),
       x => x.getField("cid"))
 
-  /** IVF coarse quantizer: Lloyd's k-means over (vec_id, v) with
+  /** IVF coarse quantizer (the inverted-file layer of Jégou, Douze &
+    * Schmid, "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011 — coarse cells + probed lists, without the PQ residual
+    * codes): Lloyd's k-means over (vec_id, v) with
     * deterministic init (the first `c` rows of the passed frame by id —
     * NOT an absolute id range, so a sampled frame still seeds a full
     * codebook). Each round is ONE distributed job — nearest-centroid

@@ -177,8 +177,11 @@ object TextAnalysis {
     QueryDef(
       "q69_repetition",
       (s, d) => {
-        // Gopher-style repetition quality signals: the fraction of mass in
-        // the most frequent word / bigram and the duplicate-token fraction.
+        // Repetition quality signals as used by large-corpus filters
+        // (Rae et al., "Scaling Language Models: ... Gopher", 2021, §A1.1
+        // repetition rules; C4's boilerplate filters, Raffel et al. 2020):
+        // the fraction of mass in the most frequent word / bigram and the
+        // duplicate-token fraction.
         // Per-doc token counting is two partial-aggregated groupBys — no
         // per-doc state beyond the (doc, gram) counts, so it scales with
         // corpus size, not document size.
