@@ -373,11 +373,11 @@ object Relational {
             Array(col("sum_qty"), col("sum_price"), col("n_rows")),
             "metric", "value")
           .orderBy(col("l_returnflag"), col("metric")),
-      Some("""
+      Some(s"""
         WITH agg AS (
           SELECT l_returnflag,
-                 sum(cast(round(l_quantity*100) as bigint))/100.0 AS sum_qty,
-                 sum(cast(round(l_extendedprice*100) as bigint))/100.0 AS sum_price,
+                 ${Money.sqlSum2("l_quantity")} AS sum_qty,
+                 ${Money.sqlSum2("l_extendedprice")} AS sum_price,
                  count(*) * 1.0 AS n_rows
           FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag, metric, value FROM (

@@ -28,8 +28,11 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  // computed once: the brute-force cross product is the suite's most
+  // expensive query and every recall test needs the same baseline
+  private lazy val exact: Map[Long, Seq[Long]] = topk("q39_knn_brute")
+
   private def meanRecall(name: String): Double = {
-    val exact = topk("q39_knn_brute")
     val approx = topk(name)
     val recalls = exact.map { case (q, ex) =>
       approx.get(q).map(ap => ex.count(ap.toSet).toDouble / ex.size).getOrElse(0.0)
