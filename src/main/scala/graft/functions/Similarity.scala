@@ -8,45 +8,91 @@ import graft.{QueryDef, Tables}
 
 /** Approximate-nearest-neighbor search over the embedding column
   * (builder mandate): brute-force cosine top-k as the exact baseline, and
-  * a random-hyperplane LSH bucketed variant as the 100 TB path.
+  * two ANN variants — random-hyperplane LSH and IVF — as the 100 TB paths.
   *
   * Brute force broadcasts the (small) query set against the full candidate
-  * table — a map-side nested loop, no shuffle, linear in candidates. The
-  * LSH variant buckets both sides on an 8-bit hyperplane sign code (256
-  * buckets) with radius-2 multi-probe, turning the pair space into an equi
-  * join; recall is measured against the exact baseline in SimilaritySpec.
+  * table — a map-side nested loop, no shuffle, linear in candidates.
+  *
+  * The ANN code spaces are SIZED FROM THE CORPUS, not compile-time
+  * constants: the LSH plane count grows as log2(N / target-bucket) so
+  * expected bucket occupancy stays ~[[TARGET_BUCKET]] at any N, and the IVF
+  * codebook grows as sqrt(N) (the classical IVF operating point). With
+  * occupancy pinned, LSH candidate volume is ~N * |probes| * B — linear in
+  * N times a polylog probe factor — instead of the constant fraction of N^2
+  * that any fixed code space degrades to at scale. Recall is measured
+  * against the exact baseline in SimilaritySpec at multiple plane counts.
   */
 object Similarity {
   import Tables._
 
   val K = 5
   val N_QUERIES = 20
-  val N_PLANES = 8
   val PROBE_RADIUS = 2
-  val N_CENTROIDS = 16
-  val N_PROBE = 4
   val LLOYD_ROUNDS = 2
 
-  /** Deterministic random hyperplanes (seed 42), dim 64. */
-  lazy val planes: Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(N_PLANES)(Seq.fill(64)(rnd.nextGaussian()))
+  /** Embedding dimensionality of the corpus (embeddings.parquet schema). */
+  val DIM = 64
+
+  /** Target expected vectors per LSH bucket; planes are chosen so
+    * N / 2^planes ~= this. 8 keeps per-probe verification work tiny while
+    * leaving enough co-bucketed neighbors for recall. */
+  val TARGET_BUCKET = 8
+
+  val MIN_PLANES = 4
+
+  /** Probe-ring cap: at 24 planes a radius-3 ring is C(24,<=3) = 2,325
+    * probe rows per query — the practical explode budget. Beyond ~2^24
+    * expected buckets (N ~ 10^8 per scope at B=8), grow the OTHER axis:
+    * scope the buckets by a partition key (lang/source), exactly as
+    * [[Dedup.minhashPairs]] does, so each scope re-earns the full code
+    * space. */
+  val MAX_PLANES = 24
+
+  /** log2(N/B) planes, clamped to [MIN_PLANES, MAX_PLANES]: the code space
+    * tracks the corpus so bucket occupancy stays ~B as N grows. */
+  def planesForCorpus(n: Long, targetBucket: Long = TARGET_BUCKET): Int = {
+    val raw = math.ceil(math.log(math.max(n, 1).toDouble / targetBucket) / math.log(2.0)).toInt
+    math.max(MIN_PLANES, math.min(MAX_PLANES, raw))
   }
 
-  /** Sign code of a vector against the fixed hyperplanes. */
-  def lshCode(v: Column): Column =
-    (0 until N_PLANES)
+  /** sqrt(N) coarse cells — the standard IVF operating point (total probe
+    * cost ~ nprobe * N / C is minimized near C = sqrt(N)). Clamped so the
+    * driver-held codebook (C x DIM doubles) stays bounded; at 100 TB you
+    * also train on a sample (see [[trainCentroids]]). */
+  def centroidsForCorpus(n: Long): Int =
+    math.max(4, math.min(65536, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** Probe a constant fraction (~1/4) of the inverted lists; floor of 4
+    * keeps tiny codebooks honest. */
+  def nprobeFor(c: Int): Int = math.max(2, math.min(c, math.ceil(c / 4.0).toInt))
+
+  /** Deterministic random hyperplanes (seed 42), dim [[DIM]]. Prefix-stable:
+    * the first k planes are identical for every requested count, so growing
+    * the code space only appends sign bits. */
+  def hyperplanes(nPlanes: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(nPlanes)(Seq.fill(DIM)(rnd.nextGaussian()))
+  }
+
+  /** Sign code of a vector against the first `nPlanes` hyperplanes. */
+  def lshCode(v: Column, nPlanes: Int): Column = {
+    require(nPlanes >= 1 && nPlanes <= MAX_PLANES, s"nPlanes $nPlanes not in [1, $MAX_PLANES]")
+    val planes = hyperplanes(nPlanes)
+    (0 until nPlanes)
       .map(p => when(VectorOps.dot(v, typedlit(planes(p))) > 0, lit(1L << p)).otherwise(lit(0L)): Column)
       .reduce(_ + _)
+  }
 
-  /** Multi-probe masks: all codes within `radius` bit flips. Similar
-    * vectors differ in few sign bits, so probing nearby buckets recovers
-    * most true neighbors while touching only a fraction of the space
-    * (radius 2 = 37/256 of it, radius 3 = 93/256). */
-  def probeMasksUpTo(radius: Int): Seq[Long] =
-    (0L until (1L << N_PLANES)).filter(m => java.lang.Long.bitCount(m) <= radius)
-
-  lazy val probeMasks: Seq[Long] = probeMasksUpTo(PROBE_RADIUS)
+  /** Multi-probe masks: all codes within `radius` bit flips of `nPlanes`
+    * sign bits. Similar vectors differ in few sign bits, so probing nearby
+    * buckets recovers most true neighbors while the ring stays polynomial
+    * in the plane count (sum of C(nPlanes, r) for r <= radius), NOT
+    * proportional to the 2^nPlanes code space. Built combinatorially so
+    * any plane count up to [[MAX_PLANES]] enumerates only its own ring. */
+  def probeMasks(nPlanes: Int, radius: Int): Seq[Long] =
+    (0 to math.min(radius, nPlanes)).flatMap(r =>
+      (0 until nPlanes).combinations(r)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq)
 
   /** Per-centroid (similarity, cid) structs for a vector column. Centroids
     * are pre-normalized, so argmax dot == argmax cosine (|v| is constant
@@ -113,7 +159,8 @@ object Similarity {
     cents
   }
 
-  private def prepared(s: SparkSession, d: String): DataFrame =
+  /** (vec_id, v, nrm) frame every similarity query starts from. */
+  def prepared(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
@@ -144,6 +191,33 @@ object Similarity {
     scoreTopK(e.crossJoin(broadcast(q)), k)
   }
 
+  /** LSH ANN top-k at an explicit plane count: candidates = vectors in any
+    * probed bucket; the bucket equi join is the only pairwise work. Per
+    * query it touches ~|probes| * TARGET_BUCKET candidates when the plane
+    * count matches the corpus ([[planesForCorpus]]). */
+  def lshTopK(e: DataFrame, nPlanes: Int, radius: Int, nQueries: Int, k: Int): DataFrame = {
+    val coded = e.withColumn("code", lshCode(col("v"), nPlanes))
+    val q = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(array(probeMasks(nPlanes, radius).map(m =>
+          col("code").bitwiseXOR(lit(m))): _*)).as("code"))
+    scoreTopK(coded.join(broadcast(q), Seq("code")), k)
+  }
+
+  /** IVF ANN top-k against a trained codebook: each query probes only its
+    * nprobe closest inverted lists; candidate generation is an equi join
+    * on cid. The inverted lists are exactly a partitioning key at 100 TB —
+    * write the index bucketed by cid and the probe join co-locates without
+    * a shuffle. */
+  def ivfTopK(e: DataFrame, cents: Seq[Seq[Double]], nprobe: Int,
+      nQueries: Int, k: Int): DataFrame = {
+    val indexed = e.withColumn("cid", nearestCid(col("v"), cents))
+    val q = indexed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(topProbeCids(col("v"), cents, nprobe)).as("cid"))
+    scoreTopK(indexed.join(broadcast(q), Seq("cid")), k)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q39_knn_brute",
@@ -167,37 +241,28 @@ object Similarity {
     QueryDef(
       "q40_knn_lsh",
       (s, d) => {
-        // ANN: candidates = vectors in any probed bucket. At 100 TB the
-        // bucket equi join is the only pairwise work — per query it touches
-        // ~|probes|/2^planes of the corpus instead of all of it.
-        val e = prepared(s, d).withColumn("code", lshCode(col("v"))).cache()
-        val q = e.filter(col("vec_id") < N_QUERIES)
-          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-            explode(array(probeMasks.map(m =>
-              col("code").bitwiseXOR(lit(m))): _*)).as("code"))
-        scoreTopK(e.join(broadcast(q), Seq("code")), K)
+        // the plane count is derived from the corpus (log2(N/B)), so the
+        // code space — and with it the candidate volume per query — tracks
+        // N instead of capping at a compile-time constant.
+        val e = prepared(s, d).cache()
+        val p = planesForCorpus(e.count())
+        lshTopK(e, p, PROBE_RADIUS, N_QUERIES, K)
       },
       None, // approximate by construction; recall vs q39 asserted in SimilaritySpec
-      s"LSH-bucketed ANN: $N_PLANES random hyperplanes -> equi join on sign code"),
+      "LSH-bucketed ANN: corpus-sized hyperplane code -> equi join on sign code"),
 
     QueryDef(
       "q67_knn_ivf",
       (s, d) => {
         // IVF ANN: a k-means codebook partitions the corpus into inverted
-        // lists; each query probes only its nprobe closest lists. Candidate
-        // generation is an equi join on cid — per query it scores
-        // ~nprobe/C of the corpus, and the inverted lists are exactly a
-        // partitioning key at 100 TB (write the index bucketed by cid and
-        // the probe join co-locates without a shuffle).
+        // lists; codebook size follows sqrt(N) and nprobe a fixed fraction
+        // of it, so probe cost per query stays ~sqrt(N) as the corpus grows.
         val e = prepared(s, d).cache()
-        val cents = trainCentroids(e, N_CENTROIDS, LLOYD_ROUNDS)
-        val indexed = e.withColumn("cid", nearestCid(col("v"), cents))
-        val q = indexed.filter(col("vec_id") < N_QUERIES)
-          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-            explode(topProbeCids(col("v"), cents, N_PROBE)).as("cid"))
-        scoreTopK(indexed.join(broadcast(q), Seq("cid")), K)
+        val c = centroidsForCorpus(e.count())
+        val cents = trainCentroids(e, c, LLOYD_ROUNDS)
+        ivfTopK(e, cents, nprobeFor(c), N_QUERIES, K)
       },
       None, // approximate by construction; recall vs q39 asserted in SimilaritySpec
-      s"IVF ANN: $N_CENTROIDS-centroid Lloyd codebook, nprobe=$N_PROBE inverted-list equi join")
+      "IVF ANN: sqrt(N)-centroid Lloyd codebook, inverted-list equi join")
   )
 }
