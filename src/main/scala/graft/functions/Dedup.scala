@@ -336,26 +336,33 @@ object Dedup {
       "q64_neardup_lsh",
       (s, d) => {
         // DEFAULT embedding near-dup — the 100 TB path. Hyperplane-LSH sign
-        // codes + radius-2 multi-probe turn the O(n^2) pair space into an
-        // equi join on the bucket code; every candidate is then verified
-        // with the exact cosine, so precision is exact and only recall
-        // depends on the bucketing (measured against q38 in DedupSpec).
+        // codes + multi-probe turn the O(n^2) pair space into an equi join
+        // on the bucket code; every candidate is then verified with the
+        // exact cosine, so precision is exact and only recall depends on
+        // the bucketing (measured against q38 in DedupSpec).
+        //
+        // The plane count is derived from the corpus with a LARGER target
+        // bucket than q40's top-k search (32 vs 8): near-dup thresholds sit
+        // close to the decision boundary, so recall wants co-bucketed
+        // neighbors more than it wants tiny verify lists. With p planes the
+        // radius-3 ring is sum C(p,<=3) buckets of 2^p — a VANISHING
+        // fraction of the code space as p grows (at p=16: 697/65536 ~ 1%),
+        // so candidate volume stays ~N * ring * bucket, linear in N — not
+        // the constant fraction of N^2 a fixed 8-plane code degrades to.
         val e = embeddings(s, d).select(
           col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
           .withColumn("nrm", VectorOps.norm(col("v")))
-          .withColumn("code", Similarity.lshCode(col("v")))
           .cache()
-        // radius 3 (not q40's 2): near-dup thresholds sit much closer to
-        // the decision boundary than top-k neighbors, so recall needs the
-        // wider probe ring (93/256 of the space — still sub-quadratic).
-        // Candidate generation shuffles ONLY (id, code) — the 93x probe
-        // explosion must not replicate the vectors; they join back by id
-        // for the exact verification. No dedup needed: a pair can match
+        val p = Similarity.planesForCorpus(e.count(), targetBucket = 32)
+        val coded = e.withColumn("code", Similarity.lshCode(col("v"), p))
+        // Candidate generation shuffles ONLY (id, code) — the ring-size
+        // probe explosion must not replicate the vectors; they join back by
+        // id for the exact verification. No dedup needed: a pair can match
         // through exactly one mask (m = code_a XOR code_b), so candidates
         // are unique by construction.
-        val codes = e.select(col("vec_id"), col("code"))
+        val codes = coded.select(col("vec_id"), col("code"))
         val probes = codes.select(col("vec_id").as("ia"),
-          explode(array(Similarity.probeMasksUpTo(3).map(m =>
+          explode(array(Similarity.probeMasks(p, 3).map(m =>
             col("code").bitwiseXOR(lit(m))): _*)).as("code"))
         val cand = probes
           .join(codes.select(col("vec_id").as("ib"), col("code")), "code")

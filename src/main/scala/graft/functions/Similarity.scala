@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
+import graft.functions.expressions.VectorExpressions
 
 /** Approximate-nearest-neighbor search over the embedding column
   * (builder mandate): brute-force cosine top-k as the exact baseline, and
@@ -27,8 +28,14 @@ object Similarity {
 
   val K = 5
   val N_QUERIES = 20
-  val PROBE_RADIUS = 2
   val LLOYD_ROUNDS = 2
+
+  /** Training sample size per centroid: Lloyd runs over at most
+    * C * this rows (deterministically hash-sampled inside
+    * [[trainCentroids]]), so training cost is ~C^2 * this — never N * C —
+    * regardless of corpus size. 64 points per cell is plenty to place a
+    * coarse quantizer. */
+  val TRAIN_PER_CENTROID = 64L
 
   /** Embedding dimensionality of the corpus (embeddings.parquet schema). */
   val DIM = 64
@@ -56,15 +63,27 @@ object Similarity {
   }
 
   /** sqrt(N) coarse cells — the standard IVF operating point (total probe
-    * cost ~ nprobe * N / C is minimized near C = sqrt(N)). Clamped so the
-    * driver-held codebook (C x DIM doubles) stays bounded; at 100 TB you
-    * also train on a sample (see [[trainCentroids]]). */
+    * cost ~ nprobe * N / C is minimized near C = sqrt(N)). The clamp bounds
+    * the driver-held codebook at 65536 x DIM doubles (~32 MB — a broadcast,
+    * not a corpus). Per-row assignment cost is C x DIM multiply-adds in ONE
+    * codegen'd loop ([[expressions.CentroidTopK]] carries the codebook as a
+    * reference object), so C does not grow the expression tree or the
+    * generated method — the classical IVF trade, not a codegen hazard. */
   def centroidsForCorpus(n: Long): Int =
     math.max(4, math.min(65536, math.ceil(math.sqrt(n.toDouble)).toInt))
 
-  /** Probe a constant fraction (~1/4) of the inverted lists; floor of 4
-    * keeps tiny codebooks honest. */
-  def nprobeFor(c: Int): Int = math.max(2, math.min(c, math.ceil(c / 4.0).toInt))
+  /** log2(C) probed lists, floored at 4: per-query candidate volume is
+    * ~nprobe * N/C = log2(sqrt N) * sqrt(N) — near-sqrt, NOT a constant
+    * fraction of the corpus (a c/4 rule would make it N/4: linear). */
+  def nprobeFor(c: Int): Int =
+    math.min(c, math.max(4, math.ceil(math.log(c.toDouble) / math.log(2.0)).toInt))
+
+  /** Probe radius grows with the plane count: a fixed radius covers a
+    * vanishing share of bit-flip space as the code widens, so recall would
+    * silently decay with N. The step keeps the ring inside the explode
+    * budget (C(24,<=3) = 2,325 probes at the widest code). Recall at high
+    * plane counts is pinned in SimilaritySpec. */
+  def radiusFor(nPlanes: Int): Int = if (nPlanes <= 12) 2 else 3
 
   /** Deterministic random hyperplanes (seed 42), dim [[DIM]]. Prefix-stable:
     * the first k planes are identical for every requested count, so growing
@@ -94,38 +113,33 @@ object Similarity {
       (0 until nPlanes).combinations(r)
         .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq)
 
-  /** Per-centroid (similarity, cid) structs for a vector column. Centroids
-    * are pre-normalized, so argmax dot == argmax cosine (|v| is constant
-    * across candidates for one row). */
-  private def centScores(v: Column, cents: Seq[Seq[Double]]): Column =
-    array(cents.zipWithIndex.map { case (c, cid) =>
-      struct(VectorOps.dot(v, typedlit(c)).as("s"), lit(cid).as("cid"))
-    }: _*)
-
-  /** Nearest-centroid id (struct max compares s first; cid breaks ties
-    * deterministically). */
+  /** Nearest-centroid id. Centroids are pre-normalized, so argmax dot ==
+    * argmax cosine (|v| is constant across candidates for one row); equal
+    * scores break to the higher cid, deterministically. One codegen'd loop
+    * over a reference-object codebook — NOT C inlined literals, so the
+    * expression tree stays O(1) in C (see [[expressions.CentroidTopK]]). */
   def nearestCid(v: Column, cents: Seq[Seq[Double]]): Column =
-    array_max(centScores(v, cents)).getField("cid")
+    element_at(VectorExpressions.centroidTopK(v, cents, 1), 1)
 
-  /** The `nprobe` closest centroid ids, best first. */
+  /** The `nprobe` closest centroid ids, best first — same single-loop
+    * expression, selecting top-nprobe in-place (no C-element sort). */
   def topProbeCids(v: Column, cents: Seq[Seq[Double]], nprobe: Int): Column =
-    transform(
-      slice(sort_array(centScores(v, cents), asc = false), 1, nprobe),
-      x => x.getField("cid"))
+    VectorExpressions.centroidTopK(v, cents, nprobe)
 
   /** IVF coarse quantizer (the inverted-file layer of Jégou, Douze &
     * Schmid, "Product Quantization for Nearest Neighbor Search",
     * TPAMI 2011 — coarse cells + probed lists, without the PQ residual
     * codes): Lloyd's k-means over (vec_id, v) with
-    * deterministic init (the first `c` rows of the passed frame by id —
-    * NOT an absolute id range, so a sampled frame still seeds a full
-    * codebook). Each round is ONE distributed job — nearest-centroid
-    * assignment fused with a (cid, pos) partial-aggregated sum — and
-    * collects only c×dim (sum, count) cells to the driver, so driver
-    * state is bounded by the codebook size, never the corpus. At 100 TB
-    * you train on a sample: pass e.g.
-    * `e.filter(pmod(xxhash64($"vec_id"), lit(S)) === 0)` — the
-    * index/query path below accepts any codebook. Centroid means are
+    * deterministic init (the first `c` rows of the training frame by id —
+    * NOT an absolute id range, so the sampled frame still seeds a full
+    * codebook). Training SAMPLES INTERNALLY: when the corpus exceeds
+    * c * [[TRAIN_PER_CENTROID]] rows, a deterministic xxhash64 filter
+    * keeps ~that many, so Lloyd cost is ~C^2 * 64 — independent of N —
+    * instead of N * C (~N^1.5 at C = sqrt N). Each round is ONE
+    * distributed job — nearest-centroid assignment fused with a
+    * (cid, pos) partial-aggregated sum — and collects only c×dim
+    * (sum, count) cells to the driver, so driver state is bounded by the
+    * codebook size, never the corpus. Centroid means are
     * rounded to 1e-6 before normalizing: partial double sums merge in
     * shuffle-arrival order, and the rounding squashes the order-dependent
     * low bits so the codebook is stable across cluster layouts too. */
@@ -134,12 +148,18 @@ object Similarity {
       val n = math.sqrt(x.map(y => y * y).sum)
       if (n == 0) x else x.map(_ / n)
     }
-    var cents: Seq[Seq[Double]] = e
+    val target = c.toLong * TRAIN_PER_CENTROID
+    val total = e.count()
+    val train =
+      if (total > target)
+        e.filter(pmod(xxhash64(col("vec_id")), lit(total / target)) === 0)
+      else e
+    var cents: Seq[Seq[Double]] = train
       .orderBy(col("vec_id")).limit(c).select(col("v"))
       .collect().map(r => normalize(r.getSeq[Double](0))).toSeq
     require(cents.nonEmpty, "trainCentroids: empty training frame")
     for (_ <- 1 to rounds) {
-      val cells = e
+      val cells = train
         .select(nearestCid(col("v"), cents).as("cid"),
           posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
@@ -246,7 +266,7 @@ object Similarity {
         // N instead of capping at a compile-time constant.
         val e = prepared(s, d).cache()
         val p = planesForCorpus(e.count())
-        lshTopK(e, p, PROBE_RADIUS, N_QUERIES, K)
+        lshTopK(e, p, radiusFor(p), N_QUERIES, K)
       },
       None, // approximate by construction; recall vs q39 asserted in SimilaritySpec
       "LSH-bucketed ANN: corpus-sized hyperplane code -> equi join on sign code"),
@@ -255,8 +275,8 @@ object Similarity {
       "q67_knn_ivf",
       (s, d) => {
         // IVF ANN: a k-means codebook partitions the corpus into inverted
-        // lists; codebook size follows sqrt(N) and nprobe a fixed fraction
-        // of it, so probe cost per query stays ~sqrt(N) as the corpus grows.
+        // lists; codebook size follows sqrt(N) and nprobe log2(C), so probe
+        // cost per query stays ~log(N) * sqrt(N) as the corpus grows.
         val e = prepared(s, d).cache()
         val c = centroidsForCorpus(e.count())
         val cents = trainCentroids(e, c, LLOYD_ROUNDS)

@@ -2,10 +2,10 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expressions for the embedding hot path.
   *
@@ -61,11 +61,123 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The `k` nearest codebook centroids of a vector, best first, as
+  * `array<int>` of centroid ids.
+  *
+  * The codebook rides the expression as a REFERENCE OBJECT (one
+  * `double[][]` handed to the generated class), not as C inlined literal
+  * sub-expressions: a `typedlit`-per-centroid encoding grows the Catalyst
+  * tree — and the generated method body — linearly in C, which blows past
+  * JIT/codegen method limits long before a real IVF codebook size
+  * (C ~ sqrt(N)). Here the tree is one node at any C and the scan stays a
+  * tight primitive loop (C x dim multiply-adds per row, no boxing, no
+  * intermediate array).
+  *
+  * Tiebreak matches the `struct(s, cid)` max/sort it replaces: equal
+  * scores prefer the HIGHER centroid id, so codebook assignment is
+  * deterministic and bit-identical to the prior implementation. */
+case class CentroidTopK(child: Expression, codebook: Seq[Seq[Double]], k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"centroid_topk needs k >= 1, got $k")
+  require(codebook.nonEmpty, "centroid_topk needs a non-empty codebook")
+
+  @transient private lazy val cb: Array[Array[Double]] =
+    codebook.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"centroid_topk requires an array<double> input, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "centroid_topk"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val kk = math.min(k, cb.length)
+    val topS = Array.fill(kk)(Double.NegativeInfinity)
+    val topC = Array.fill(kk)(-1)
+    var c = 0
+    while (c < cb.length) {
+      val row = cb(c)
+      val n = math.min(dim, row.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * row(i); i += 1 }
+      val last = kk - 1
+      if (s > topS(last) || (s == topS(last) && c > topC(last))) {
+        topS(last) = s; topC(last) = c
+        var j = last
+        while (j > 0 && (topS(j) > topS(j - 1) ||
+            (topS(j) == topS(j - 1) && topC(j) > topC(j - 1)))) {
+          val ts = topS(j); topS(j) = topS(j - 1); topS(j - 1) = ts
+          val tc = topC(j); topC(j) = topC(j - 1); topC(j - 1) = tc
+          j -= 1
+        }
+      }
+      c += 1
+    }
+    new GenericArrayData(topC)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cbRef = ctx.addReferenceObj("codebook", cb, "double[][]")
+      val kk = math.min(k, cb.length)
+      val dim = ctx.freshName("dim")
+      val topS = ctx.freshName("topS")
+      val topC = ctx.freshName("topC")
+      val c = ctx.freshName("c")
+      val row = ctx.freshName("row")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val ts = ctx.freshName("ts")
+      val tc = ctx.freshName("tc")
+      s"""
+         |int $dim = $a.numElements();
+         |double[] $topS = new double[$kk];
+         |int[] $topC = new int[$kk];
+         |for (int $j = 0; $j < $kk; $j++) {
+         |  $topS[$j] = Double.NEGATIVE_INFINITY; $topC[$j] = -1;
+         |}
+         |for (int $c = 0; $c < $cbRef.length; $c++) {
+         |  double[] $row = $cbRef[$c];
+         |  int $n = java.lang.Math.min($dim, $row.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $row[$i]; }
+         |  if ($s > $topS[${kk - 1}] ||
+         |      ($s == $topS[${kk - 1}] && $c > $topC[${kk - 1}])) {
+         |    $topS[${kk - 1}] = $s; $topC[${kk - 1}] = $c;
+         |    for (int $j = ${kk - 1};
+         |         $j > 0 && ($topS[$j] > $topS[$j - 1] ||
+         |                    ($topS[$j] == $topS[$j - 1] && $topC[$j] > $topC[$j - 1]));
+         |         $j--) {
+         |      double $ts = $topS[$j]; $topS[$j] = $topS[$j - 1]; $topS[$j - 1] = $ts;
+         |      int $tc = $topC[$j]; $topC[$j] = $topC[$j - 1]; $topC[$j - 1] = $tc;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($topC);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidTopK =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two array<double> columns. */
   def vecDot(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       VecDot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Codegen'd k-nearest-centroid ids (best first) for an array<double>
+    * column against a driver-held codebook. */
+  def centroidTopK(v: Column, codebook: Seq[Seq[Double]], k: Int): Column =
+    GraftSqlBridge.column(CentroidTopK(GraftSqlBridge.expression(v), codebook, k))
 
   /** Make `vec_dot` callable from SQL text in this session
     * (`SELECT vec_dot(a, b) FROM ...`). */

@@ -41,33 +41,97 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("LSH ANN reaches useful recall vs brute force") {
-    // random-hyperplane LSH with radius-2 multiprobe on random gaussian
-    // data: modest recall is expected; this guards against total breakage.
+    // random-hyperplane LSH with corpus-derived planes (N=500 -> 6) and
+    // radius-2 multiprobe on random gaussian data: modest recall is
+    // expected; this guards against total breakage.
     val mean = meanRecall("q40_knn_lsh")
     assert(mean >= 0.2, s"mean recall@${Similarity.K} = $mean < 0.2")
   }
 
-  test("probe mask set has the right size") {
-    // 1 + C(8,1) + C(8,2) = 37
-    assert(Similarity.probeMasks.size == 37)
+  test("probe mask rings are combinatorial in the plane count") {
+    assert(Similarity.probeMasks(8, 2).size == 37) // 1 + 8 + C(8,2)
+    assert(Similarity.probeMasks(4, 2).size == 11) // 1 + 4 + C(4,2)
+    assert(Similarity.probeMasks(24, 3).size == 2325) // the stated explode budget
+    // a ring never exceeds its own code space
+    assert(Similarity.probeMasks(4, 9).size == 16)
+  }
+
+  test("code space tracks the corpus; hyperplanes are prefix-stable") {
+    assert(Similarity.planesForCorpus(500) == 6) // ceil(log2(500/8))
+    assert(Similarity.planesForCorpus(1) == Similarity.MIN_PLANES)
+    assert(Similarity.planesForCorpus(1L << 50) == Similarity.MAX_PLANES)
+    // doubling the corpus adds one plane: occupancy stays ~TARGET_BUCKET
+    assert(Similarity.planesForCorpus(1L << 20) + 1 == Similarity.planesForCorpus(1L << 21))
+    // growing the code space only appends sign bits — codes at p planes
+    // are a bit-prefix of codes at p' > p planes
+    assert(Similarity.hyperplanes(16).take(8) == Similarity.hyperplanes(8))
+  }
+
+  private lazy val vecs = spark.read.parquet(s"$SF/embeddings.parquet")
+    .select(col("vec_id"),
+      graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
+
+  test("bucket occupancy shrinks as the plane count grows") {
+    def maxBucket(p: Int): Long =
+      vecs.withColumn("code", Similarity.lshCode(col("v"), p))
+        .groupBy("code").count().agg(max("count")).first().getLong(0)
+    val occ = Seq(4, 8, 12).map(maxBucket)
+    assert(occ(0) > occ(1) && occ(1) > occ(2),
+      s"occupancy did not shrink with planes: $occ")
+  }
+
+  test("radius scaling mitigates recall decay at wide codes") {
+    // the decay regime radiusFor exists for: a code 2^16 wide over only
+    // 500 vectors (planesForCorpus would pick 6 — p=16 is what a ~500k
+    // corpus earns). Buckets are near-singleton, so recall comes entirely
+    // from the probe ring; this pins that the widened radius-3 ring
+    // (radiusFor(16) = 3) recovers strictly more than the narrow radius-2
+    // ring would, i.e. the radius must keep tracking the plane count.
+    val e = Similarity.prepared(spark, SF).cache()
+    val p = 16
+    def recallAt(radius: Int): Double = {
+      val approx = Similarity
+        .lshTopK(e, p, radius, Similarity.N_QUERIES, Similarity.K)
+        .select(col("qid"), col("ib"))
+        .as[(Long, Long)].collect().toSeq
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2) }
+      val recalls = exact.map { case (q, ex) =>
+        approx.get(q).map(ap => ex.count(ap.toSet).toDouble / ex.size).getOrElse(0.0)
+      }
+      recalls.sum / recalls.size
+    }
+    assert(Similarity.radiusFor(p) == 3)
+    val narrow = recallAt(2)
+    val scaled = recallAt(3)
+    assert(scaled > narrow,
+      s"radius-3 recall $scaled did not beat radius-2 recall $narrow at $p planes")
+    assert(scaled >= 0.05, s"recall collapsed entirely at $p planes: $scaled")
   }
 
   test("IVF ANN reaches strong recall vs brute force on clustered data") {
-    // the embeddings table is 10-way clustered, so a 16-cell codebook with
-    // nprobe=4 should capture most true neighbors (measured ~0.9+); 0.6
-    // guards the contract without flaking on retrains
+    // the embeddings table is 10-way clustered, so a sqrt(N)=23-cell
+    // codebook probing its nprobe=5 best lists should capture most true
+    // neighbors; 0.6 guards the contract without flaking on retrains
     val mean = meanRecall("q67_knn_ivf")
     assert(mean >= 0.6, s"mean recall@${Similarity.K} = $mean < 0.6")
   }
 
+  test("derived IVF knobs: sqrt(N) cells, log2(C) probes") {
+    assert(Similarity.centroidsForCorpus(500) == 23)
+    assert(Similarity.centroidsForCorpus(1) == 4)
+    assert(Similarity.centroidsForCorpus(Long.MaxValue) == 65536)
+    assert(Similarity.nprobeFor(4) == 4) // floor binds, clamped to C
+    assert(Similarity.nprobeFor(23) == 5) // ceil(log2 23)
+    assert(Similarity.nprobeFor(65536) == 16) // log2, not C/4=16384
+  }
+
   test("IVF codebook is deterministic and its lists cover the corpus") {
-    val e = spark.read.parquet(s"$SF/embeddings.parquet")
-      .select(col("vec_id"),
-        graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
-    val c1 = Similarity.trainCentroids(e, Similarity.N_CENTROIDS, Similarity.LLOYD_ROUNDS)
-    val c2 = Similarity.trainCentroids(e, Similarity.N_CENTROIDS, Similarity.LLOYD_ROUNDS)
+    val e = vecs
+    val nCents = Similarity.centroidsForCorpus(e.count())
+    val c1 = Similarity.trainCentroids(e, nCents, Similarity.LLOYD_ROUNDS)
+    val c2 = Similarity.trainCentroids(e, nCents, Similarity.LLOYD_ROUNDS)
     assert(c1 == c2, "training is not deterministic")
-    assert(c1.size == Similarity.N_CENTROIDS)
+    assert(c1.size == nCents)
     // unit-normalized codebook
     c1.foreach { c =>
       assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9)
