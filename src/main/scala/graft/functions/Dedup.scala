@@ -26,7 +26,7 @@ object Dedup {
   private val SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
   /** The exact Jaccard >= 0.8 pair relation as DuckDB CTEs — shared by the
-    * q35/q65 pair queries and q68's closure oracle. */
+    * q65 pair query and q68's closure oracle. */
   private val PAIR_CTES = s"""
         dtok AS (
           SELECT DISTINCT doc_id, lang, source, unnest($SQL_TOKENS) AS word
@@ -39,8 +39,9 @@ object Dedup {
            AND a.doc_id < b.doc_id
           GROUP BY 1, 2)"""
 
-  /** Shared by q35 (inverted-index) and q65 (prefix-filtered): both are
-    * EXACT Jaccard >= 0.8 pair joins, so they answer to the same oracle. */
+  /** The oracle of the exact Jaccard >= 0.8 pair relation (q65; formerly
+    * also the unregistered inverted-index baseline — both are exact, so
+    * they answer to the same SQL). */
   private val JACCARD_ORACLE = s"""
         WITH $PAIR_CTES
         SELECT ia, ib,
@@ -128,10 +129,12 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** Exact Jaccard >= t pairs via the inverted-index self-join: shuffles on
-    * the token, never builds the cartesian pair space — but a token in D
-    * docs still yields ~D^2/2 candidate pairs (see [[jaccardPairsPrefix]]
-    * for the df-skew-proof variant with identical output). */
+  /** Exact Jaccard >= t pairs via the inverted-index self-join — the
+    * VERIFICATION BASELINE for [[jaccardPairsPrefix]], not a registered
+    * query: it shuffles on the token, never builds the cartesian pair
+    * space, but a token in D docs still yields ~D^2/2 candidate pairs, so
+    * its candidate count is unbounded in token df. DedupSpec pins that the
+    * prefix-filtered variant is row-identical on a stopword-bombed corpus. */
   def jaccardPairsExact(toksIn: DataFrame, t: Double): DataFrame = {
     val toks = toksIn.cache() // three consumers; don't re-tokenize per branch
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
@@ -263,12 +266,14 @@ object Dedup {
         ORDER BY lang"""),
       "exact dedup: hash-groupBy on content fingerprint, min-id survivor policy"),
 
-    QueryDef(
-      "q35_ngram_jaccard",
-      (s, d) => jaccardPairsExact(docTokens(s, d), 0.8),
-      Some(JACCARD_ORACLE),
-      "near-dup pairs by word-set Jaccard >= 0.8 via inverted-index join"),
-
+    // NOTE: the naive inverted-index pair join (jaccardPairsExact) is
+    // deliberately NOT registered: a token appearing in D docs yields
+    // ~D^2/2 candidates, so its candidate count is unbounded in token df —
+    // the registry is the product surface, and every registered query must
+    // carry a scale-sane plan. q65 answers the identical oracle with the
+    // prefix-filtered join; the naive form stays as the verification
+    // baseline (DedupSpec proves them row-identical on a stopword-bombed
+    // corpus).
     QueryDef(
       "q36_minhash_lsh",
       (s, d) =>
@@ -384,7 +389,7 @@ object Dedup {
       "q65_jaccard_prefix",
       (s, d) => jaccardPairsPrefix(docTokens(s, d), 0.8),
       Some(JACCARD_ORACLE),
-      "prefix-filtered exact Jaccard pairs (AllPairs): df-skew-proof, oracle-identical to q35"),
+      "prefix-filtered exact Jaccard pairs (AllPairs): df-skew-proof inverted-index join"),
 
     QueryDef(
       "q68_dedup_clusters",

@@ -10,12 +10,16 @@ import graft.{QueryDef, Tables}
   * feature-extracted in executor-side batches.
   *
   * The Spark-side shape is real and tested — schema, partitioning, batch
-  * grouping, feature arrays. The actual media decode is a clearly-marked
-  * STUB (`decodeStub`): this container has no image/audio codecs, so the
-  * stub produces a deterministic fake (byte histogram + hash-derived
-  * dimensions). Swapping in a real decoder (JNI/ffmpeg/javacv) changes only
-  * that one function; everything around it — batch size, schema, shuffle
-  * behavior — is production plumbing.
+  * grouping, feature arrays. The decode seam ([[decode]]) dispatches on
+  * `meta.kind`:
+  *   - `image` decodes LIVE via JDK-only `javax.imageio` (PNG/JPEG/BMP/GIF
+  *     readers ship with the JDK — no external codec): real pixel
+  *     dimensions + an L1-normalized luminance histogram;
+  *   - audio/video (and unreadable payloads) fall back to the
+  *     clearly-marked STUB (`decodeStub`) — this container has no
+  *     audio/video codecs, so the stub produces a deterministic fake
+  *     (byte histogram + hash-derived dimensions). Swapping in a real
+  *     decoder (JNI/ffmpeg/javacv) changes only that one function.
   *
   * Batching mirrors `mapInPandas`: `mapPartitions` pulls rows in groups of
   * [[BATCH_SIZE]] so a real decoder could amortize model/codec init per
@@ -44,10 +48,11 @@ object Multimodal {
       features: Array[Float])
 
   /** STUB decoder ===========================================================
-    * Real implementation would decode the payload with a codec and return
-    * pixels/samples. Here: deterministic fake — dimensions derived from a
-    * content hash, features = L1-normalized 16-bin byte histogram. Replace
-    * this single function to go live.
+    * Fallback for kinds without a codec in this environment (audio/video)
+    * and for unreadable payloads. Deterministic fake — dimensions derived
+    * from a content hash, features = L1-normalized 16-bin byte histogram.
+    * Replace this single function to take audio/video live; images already
+    * decode for real via [[decodeImage]].
     * ======================================================================= */
   def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     val h = java.util.Arrays.hashCode(payload)
@@ -58,6 +63,46 @@ object Multimodal {
     val total = math.max(payload.length, 1).toFloat
     (width, height, hist.map(_ / total))
   }
+
+  /** LIVE image decoder: JDK-only `javax.imageio` (PNG/JPEG/BMP/GIF readers
+    * ship with every JDK). Returns real pixel dimensions and an
+    * L1-normalized [[FEATURE_DIM]]-bin luminance histogram (ITU-R BT.601
+    * integer weights). None when no installed reader recognizes the bytes —
+    * the caller falls back to the stub so one corrupt payload can't fail a
+    * 100 TB decode job. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val hist = new Array[Float](FEATURE_DIM)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+          hist(lum * FEATURE_DIM / 256) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val total = math.max(w.toLong * h, 1L).toFloat
+      Some((w, h, hist.map(_ / total)))
+    }
+  }
+
+  /** The decode seam q41 runs through: images decode for real, everything
+    * else (and any unreadable image) takes the deterministic stub. */
+  def decode(kind: String, payload: Array[Byte]): (Int, Int, Array[Float]) =
+    kind match {
+      case "image" => decodeImage(payload).getOrElse(decodeStub(payload))
+      case _ => decodeStub(payload)
+    }
 
   /** documents.text bytes as stand-in binary payloads — exercises the full
     * binary-column path with real distributed data. */
@@ -83,7 +128,7 @@ object Multimodal {
       rows.grouped(BATCH_SIZE).flatMap { batch =>
         // per-batch init hook for a real decoder goes here
         batch.iterator.map { a =>
-          val (w, h, feat) = decodeStub(a.payload)
+          val (w, h, feat) = decode(a.meta.kind, a.payload)
           MediaFeatures(a.asset_id, a.meta.kind, a.meta.nBytes, w, h, feat)
         }
       }

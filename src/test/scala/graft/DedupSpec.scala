@@ -85,7 +85,7 @@ class DedupSpec extends SparkSpec {
     assert(hashes(1L) == hashes(2L))
   }
 
-  test("prefix-filtered jaccard (q65) is row-identical to the inverted-index join (q35)") {
+  test("prefix-filtered jaccard (q65) is row-identical to the naive inverted-index baseline") {
     // planted corpus + a universal stopword appended to EVERY doc: the
     // worst-case df bomb for the naive inverted index
     val stop = corpus.withColumn("text", concat(col("text"), lit(" zzzstop")))

@@ -35,6 +35,51 @@ class MultimodalSpec extends SparkSpec {
     assert((w1, h1) == ((w2, h2)) && f1.sameElements(f2))
   }
 
+  // in-memory PNG fixture: solid w x h image of one RGB color, written by
+  // the JDK's own encoder (the decode side must not trust the encoder, so
+  // dims/histogram below are asserted from first principles)
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("image payloads decode with the real JDK codec") {
+    val Some((bw, bh, bf)) = Multimodal.decodeImage(png(20, 10, 0x000000))
+    assert(bw == 20 && bh == 10)
+    assert(bf(0) == 1f && bf.drop(1).forall(_ == 0f)) // all-black: luminance bin 0
+    val Some((ww, wh, wf)) = Multimodal.decodeImage(png(7, 5, 0xFFFFFF))
+    assert(ww == 7 && wh == 5)
+    assert(wf.last == 1f) // all-white: luminance 255 -> top bin
+    assert(math.abs(wf.map(_.toDouble).sum - 1.0) < 1e-5)
+    // bytes no reader recognizes -> None (callers fall back to the stub)
+    assert(Multimodal.decodeImage(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("the decode seam dispatches by kind through the distributed path") {
+    import Multimodal.{MediaAsset, MediaMeta}
+    val black = png(20, 10, 0x000000)
+    val corrupt = Array[Byte](9, 9, 9)
+    val text = "plain".getBytes("UTF-8")
+    val ds = Seq(
+      MediaAsset(1L, black, MediaMeta("image", "png", black.length.toLong)),
+      MediaAsset(2L, corrupt, MediaMeta("image", "png", corrupt.length.toLong)),
+      MediaAsset(3L, text, MediaMeta("text", "txt", text.length.toLong))).toDS()
+    val out = Multimodal.extractFeatures(ds).collect().sortBy(_.asset_id)
+    assert(out(0).width == 20 && out(0).height == 10 && out(0).features(0) == 1f)
+    // corrupt image bytes take the stub instead of failing the job
+    val (sw, sh, sfeat) = Multimodal.decodeStub(corrupt)
+    assert(out(1).width == sw && out(1).height == sh &&
+      out(1).features.sameElements(sfeat))
+    // non-image kinds keep the stub path
+    val (tw, th, tfeat) = Multimodal.decodeStub(text)
+    assert(out(2).width == tw && out(2).height == th &&
+      out(2).features.sameElements(tfeat))
+  }
+
   test("frame sampling strides the payload") {
     assert(Multimodal.sampleFrameOffsets(10000, 4096) == Seq(0L, 4096L, 8192L))
   }

@@ -69,7 +69,7 @@ class PlanSpec extends SparkSpec {
     // LSH/banding and the interval join keep an equi key under the
     // residual condition; only the explicitly-brute-force baselines
     // (q38/q39) are allowed a broadcast nested loop.
-    for (q <- Seq("q22_range_join", "q35_ngram_jaccard", "q36_minhash_lsh",
+    for (q <- Seq("q22_range_join", "q36_minhash_lsh",
         "q37_simhash", "q64_neardup_lsh", "q65_jaccard_prefix",
         "q67_knn_ivf")) {
       val p = plan(q)
