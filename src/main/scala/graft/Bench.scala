@@ -60,19 +60,40 @@ object Bench {
         case (None, None) => q.name -> -1.0
       }
     }
-    println(renderJson(results, sfDir))
+    // The reference's ONE published number is GEDCOM parse->CSV throughput
+    // (~145 MB in ~6 s => ~24 MB/s, BASELINE.md). Track it in the same
+    // artifact so the driver regression-checks it per round instead of it
+    // living only in README prose. A failure records null, not a crash.
+    val gedcomMBs: Option[Double] =
+      try {
+        val ged = "/tmp/graft-bench-150mb.ged"
+        val f = new java.io.File(ged)
+        val size =
+          if (f.exists()) f.length()
+          else gedcom.GedcomBench.generate(ged, 150L << 20)
+        val t0 = System.nanoTime()
+        gedcom.GedcomPipeline.run(spark, ged, "/tmp/graft-bench-gedcsv")
+        Some(size / 1e6 / ((System.nanoTime() - t0) / 1e9))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] gedcom throughput FAILED: ${e.getMessage}")
+          None
+      }
+    println(renderJson(results, sfDir, gedcomMBs))
     spark.stop()
   }
 
   /** One-line bench JSON. A failed query (recorded as -1) must poison the
     * headline, not quietly shrink it: `value` goes null and `failed` is
     * explicit. Factored out so the poisoning is unit-testable. */
-  def renderJson(results: Seq[(String, Double)], sfDir: String): String = {
+  def renderJson(results: Seq[(String, Double)], sfDir: String,
+      gedcomMBs: Option[Double] = None): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total =
       if (failed > 0) "null" else results.map(_._2).sum.toString
-    s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    val ged = gedcomMBs.map(v => math.rint(v * 10) / 10).map(_.toString).getOrElse("null")
+    s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"gedcom_mb_per_s":$ged,"queries":$qs,"sf":"$sfDir"}"""
   }
 }

@@ -59,6 +59,15 @@ object GedcomGraph {
     fromFlat(flat.toDF())
   }
 
+  /** Above this split count the stitch path's driver state stops being
+    * negligible — each split parks up to one record of boundary lines on
+    * the driver, so a literal 100 TB text input (~800k x 128 MB splits)
+    * could park GBs. 2^16 splits (~8 TB at 128 MB splits) caps the
+    * fragment memory at a comfortable bound; past it the shuffle path is
+    * the right plan anyway (its one shuffle amortizes better the bigger
+    * the input). */
+  val MAX_STITCH_SPLITS: Int = 1 << 16
+
   /** Fast path for text input — zero shuffle, ONE pass over the text.
     *
     * GEDCOM records are contiguous runs of lines, so grouping them never
@@ -72,9 +81,16 @@ object GedcomGraph {
     * idempotent), so the whole parse is one scan — replacing the
     * parse->persist->count->assign->shuffle->sort chain; at 100 TB that
     * removes both the full-data shuffle and the second read.
+    *
+    * Inputs wider than `maxStitchSplits` fall back to [[fromLines]] (the
+    * shuffle path) so driver fragment memory stays bounded; GedcomProps
+    * proves the two paths produce identical graphs.
     */
-  def fromTextRdd(spark: SparkSession, raw: RDD[String]): Graph = {
+  def fromTextRdd(spark: SparkSession, raw: RDD[String],
+      maxStitchSplits: Int = MAX_STITCH_SPLITS): Graph = {
     import spark.implicits._
+    if (raw.getNumPartitions > maxStitchSplits)
+      return fromLines(GedcomParser.fromLineRdd(spark, raw))
     val acc = new BoundsAccumulator
     spark.sparkContext.register(acc, "gedcomBounds")
     // hot path: InternalRows built by hand — the reflective product encoder

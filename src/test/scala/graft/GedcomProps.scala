@@ -138,4 +138,24 @@ object GedcomProps extends Properties("gedcom") {
         viaBoundary.edges.count() == viaShuffle.edges.count() &&
         viaBoundary.skipped.count() == viaShuffle.skipped.count()
     }
+
+  /** The split-count guard: past maxStitchSplits, fromTextRdd must refuse
+    * the driver-side stitch and take the shuffle path — same graph out. */
+  property("fromTextRdd falls back to the shuffle path above the split cap") =
+    Prop.forAll(batchGen, Gen.chooseNum(2, 7)) { (rs, slices) =>
+      val text = serialize(rs)
+      val rdd = spark.sparkContext.parallelize(text, slices)
+      // cap below the split count -> the fallback branch MUST run; its
+      // graph has no folded parse stats (those exist only on the stitch
+      // path), which pins that the fallback actually engaged
+      val viaFallback = GedcomGraph.fromTextRdd(spark, rdd, maxStitchSplits = 1)
+      val viaStitch = GedcomGraph.fromTextRdd(spark, rdd)
+      def nodeSet(g: GedcomGraph.Graph) =
+        g.nodes.select("rawTag", "props").collect()
+          .map(r => (r.getString(0), r.getAs[Map[String, String]](1))).toSet
+      viaFallback.counts.isEmpty && viaStitch.counts.nonEmpty &&
+        nodeSet(viaFallback) == nodeSet(viaStitch) &&
+        viaFallback.edges.count() == viaStitch.edges.count() &&
+        viaFallback.skipped.count() == viaStitch.skipped.count()
+    }
 }

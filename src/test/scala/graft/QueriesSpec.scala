@@ -41,10 +41,12 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("a failed bench query poisons the headline JSON") {
-    val ok = Bench.renderJson(Seq("a" -> 1.5, "b" -> 2.0), "sf")
+    val ok = Bench.renderJson(Seq("a" -> 1.5, "b" -> 2.0), "sf", Some(41.96))
     assert(ok.contains("\"value\":3.5") && ok.contains("\"failed\":0"), ok)
+    assert(ok.contains("\"gedcom_mb_per_s\":42.0"), ok)
     val broken = Bench.renderJson(Seq("a" -> 1.5, "b" -> -1.0), "sf")
     assert(broken.contains("\"value\":null") && broken.contains("\"failed\":1"), broken)
     assert(broken.contains("\"b\":-1.0"), broken) // per-query failure visible too
+    assert(broken.contains("\"gedcom_mb_per_s\":null"), broken)
   }
 }
