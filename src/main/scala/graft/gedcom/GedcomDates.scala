@@ -83,10 +83,11 @@ object GedcomDates {
     (d.qualifier, d.year, d.month, d.day, d.year2, d.month2, d.day2)
   }
 
-  /** Adds `<out>_qualifier` / `<out>_date` columns parsed from a raw GEDCOM
-    * date column. (A udf is acceptable here: date parsing is off the hot
-    * path and the grammar is too irregular for a regexp cascade to stay
-    * readable.) */
+  /** Adds `<out>_qualifier` / `<out>_date` / `<out>_year2` columns parsed
+    * from a raw GEDCOM date column (`year2` = the range end of BET..AND /
+    * FROM..TO dates, null otherwise). (A udf is acceptable here: date
+    * parsing is off the hot path and the grammar is too irregular for a
+    * regexp cascade to stay readable.) */
   def withParsedDate(df: DataFrame, dateCol: Column, out: String): DataFrame = {
     import org.apache.spark.sql.functions._
     df.withColumn("_g", parseUdf(dateCol))
@@ -97,6 +98,7 @@ object GedcomDates {
           // must become null, not an ANSI runtime error
           try_to_date(format_string("%04d-%02d-%02d",
             col("_g._2"), coalesce(col("_g._3"), lit(1)), coalesce(col("_g._4"), lit(1))))))
+      .withColumn(s"${out}_year2", col("_g._5"))
       .drop("_g")
   }
 }

@@ -81,6 +81,67 @@ class GedcomSpec extends SparkSpec {
     assert(!head.contains("Gedcom Id:ID"))
   }
 
+  // ===== m2.ged: the semantics corners m1 leaves unexercised (q72's
+  // oracle rows are each independently backed by one assertion here) =====
+
+  lazy val graph2: GedcomGraph.Graph =
+    GedcomGraph.fromFile(spark, getClass.getResource("/m2.ged").getPath)
+
+  private def props2(id: String): Map[String, String] =
+    graph2.nodes.filter(col("props").getItem("Gedcom Id:ID") === id)
+      .select("props").as[Map[String, String]].head()
+
+  test("m2: level-3 nesting flattens by concatenating every ancestor key") {
+    val p = props2("I10")
+    assert(p("Residence Address") == "Hauptstrasse 1")
+    assert(p("Residence Address City") == "Heidelberg")
+    assert(p("Residence Address Country") == "Germany")
+  }
+
+  test("m2: CONC chain merges verbatim, CONT inserts the newline") {
+    assert(props2("I10")("Note") == "abcdefghi\ntail")
+  }
+
+  test("m2: repeated OCCU is last-wins; EVEN without Type prefixes 'undefined'") {
+    val p = props2("I10")
+    assert(p("Occupation") == "miller")
+    assert(p("undefined Date") == "5 MAY 1920")
+  }
+
+  test("m2: pointer at depth 2 still edges from the root record") {
+    val es = graph2.edges.as[RecordAssembler.Edge].collect()
+    assert(es.find(_.rawTag == "FAMC").contains(
+      RecordAssembler.Edge("I10", "F9", "Child in Family", "FAMC")))
+    // and a dangling target still emits its edge
+    assert(es.exists(e => e.src == "F9" && e.dst == "I12" && e.relType == "Husband"))
+  }
+
+  test("m2: NAME with empty pre-slash text yields Surname but no Given Name") {
+    val p = props2("I11")
+    assert(p("Surname") == "Stone" && !p.contains("Given Name"))
+    assert(p("Name") == "/Stone/")
+  }
+
+  test("m2: TEMP hit maps, TEMP miss keeps the code and records it; PLAC is not TEMP") {
+    assert(props2("I10")("Sealing to Parents Temple") == "Logan Utah")
+    assert(props2("I11")("Sealing to Parents Temple") == "ZION")
+    // MARR > PLAC NOWHERE is a PLAC (kept verbatim), never a temple miss
+    assert(props2("F9")("Marriage Place") == "NOWHERE")
+    assert(graph2.missingTemples.as[String].collect().toSet == Set("ZION"))
+  }
+
+  test("m2: date grammar — dual-year, interpreted phrase, range end") {
+    import graft.gedcom.GedcomDates
+    val p = props2("I10")
+    val dual = GedcomDates.parse(p("Birth Date"))
+    assert(dual.qualifier == "EXACT" && dual.year.contains(1900) &&
+      dual.month.contains(2) && dual.day.contains(2))
+    val int = GedcomDates.parse(p("Death Date"))
+    assert(int.qualifier == "INT" && int.year.contains(1980))
+    val bet = GedcomDates.parse(props2("F9")("Marriage Date"))
+    assert(bet.qualifier == "BET" && bet.year.contains(1880) && bet.year2.contains(1890))
+  }
+
   test("EVEN without Type pins reference parity: literal 'undefined' prefix") {
     // lib/csv_writer.js:159-163 reads child_obj['Type'] (undefined when the
     // EVEN has no TYPE child) and string-joins it into the composite key —
