@@ -89,6 +89,101 @@ object StreamingOps {
       }
   }
 
+  /** Streaming document input for the near-dup operator. */
+  final case class DocIn(
+      doc_id: Long, lang: String, source: String, text: String,
+      ts: java.sql.Timestamp)
+  // private[streaming], not private: the encoders' generated deserializers
+  // are separate JVM classes and cannot touch a JVM-private nested type
+  private[streaming] final case class BandedDoc(
+      doc_id: Long, lang: String, source: String, ts: java.sql.Timestamp,
+      sig: Seq[Long], band: Int, bh: Long)
+  private[streaming] final case class SigEntry(id: Long, sig: Seq[Long])
+  private[streaming] final case class BucketState(entries: Seq[SigEntry])
+  final case class DupPair(ia: Long, ib: Long, est_jaccard: Double)
+
+  /** Streaming MinHash near-dup pairs — the LSH family member of the batch
+    * dedup suite ([[graft.functions.Dedup.minhashPairs]] / q36), stream-
+    * capable: emits (ia, ib, est_jaccard) whenever an arriving document
+    * estimates Jaccard >= threshold against ANY previously seen document.
+    *
+    * Shape: the 32-perm signature is computed PER ROW (min over the doc's
+    * own tokens needs no shuffle — unlike the batch path's explode+groupBy,
+    * which would be a second stateful operator in a stream), then each doc
+    * fans out to its 8 LSH band buckets and the ONLY stateful operator is
+    * `flatMapGroupsWithState` keyed by (lang, source, band, band_hash):
+    * state = the bucket's signatures. An arriving doc verifies against its
+    * co-bucketed signatures exactly like the batch join, so the emitted
+    * est values are bit-identical to q36's (StreamingSpec replays a corpus
+    * and asserts set equality; a pair sharing several bands emits once per
+    * band — identical rows, collapsed by distinct/upsert downstream).
+    *
+    * State is bounded three ways, matching the batch plan's 100 TB story:
+    * buckets are scoped by (lang, source); band buckets are small by
+    * construction (xxhash64 spreads non-dups); and EventTimeTimeout
+    * expires buckets idle past `stateTtlMs` once the watermark passes, so
+    * state tracks the active window of the corpus, not its history.
+    * Docs with no tokens have no signature and never pair (batch parity:
+    * their exploded token set is empty). */
+  def minhashNearDups(docs: Dataset[DocIn], threshold: Double = 0.75,
+      watermarkDelay: String = "10 minutes",
+      stateTtlMs: Long = 3600_000L): Dataset[DupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nPerms = graft.functions.Dedup.MINHASH_PERMS
+    val nBands = graft.functions.Dedup.MINHASH_BANDS
+    val rowsPer = nPerms / nBands
+    val toks = graft.functions.TextAnalysis.tokens(col("text"))
+    val sig = array((0 until nPerms).map(i =>
+      array_min(transform(toks, w => xxhash64(w, lit(i))))): _*)
+    val banded = docs.toDF()
+      .filter(size(toks) > 0)
+      .withColumn("sig", sig)
+      .select(col("doc_id"), col("lang"), col("source"), col("ts"), col("sig"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((b * rowsPer until (b + 1) * rowsPer)
+              .map(i => col("sig").getItem(i)): _*).as("bh"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("lang"), col("source"), col("ts"),
+        col("sig"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .as[BandedDoc]
+    banded
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(d => (d.lang, d.source, d.band, d.bh))
+      .flatMapGroupsWithState[BucketState, DupPair](OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_, rows: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var entries = state.getOption.map(_.entries.toVector)
+              .getOrElse(Vector.empty[SigEntry])
+            val out = Vector.newBuilder[DupPair]
+            var maxTs = 0L
+            // doc_id order makes within-batch emission deterministic
+            rows.toSeq.sortBy(_.doc_id).foreach { d =>
+              maxTs = math.max(maxTs, d.ts.getTime)
+              entries.foreach { e =>
+                if (e.id != d.doc_id) {
+                  val est = e.sig.iterator.zip(d.sig.iterator)
+                    .count { case (a, b) => a == b }.toDouble / nPerms
+                  if (est >= threshold)
+                    out += DupPair(math.min(e.id, d.doc_id),
+                      math.max(e.id, d.doc_id), est)
+                }
+              }
+              entries :+= SigEntry(d.doc_id, d.sig)
+            }
+            state.update(BucketState(entries))
+            // never set a timeout at/behind the watermark (illegal): a
+            // bucket fed only near-late rows still expires ttl past NOW
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs()) + stateTtlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Stream-stream interval join: purchases joined to the errors that
     * follow them within 10 minutes for the same user (the streaming form of
     * q22). Both sides are watermarked so the state store can discard

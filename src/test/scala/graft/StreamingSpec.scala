@@ -168,6 +168,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/nodes").count() == 14)
   }
 
+  test("streaming MinHash near-dup matches batch q36 on a replayed corpus") {
+    import graft.streaming.StreamingOps.{DocIn, DupPair}
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => DocIn(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), new Timestamp(86400_000L + r.getLong(0) * 1000)))
+      .sortBy(_.doc_id)
+    val in = MemoryStream[DocIn]
+    val q = StreamingOps.minhashNearDups(in.toDS())
+      .writeStream.format("memory").queryName("neardup").outputMode("append").start()
+    try {
+      // three micro-batches split mid-corpus: pairs whose members arrive in
+      // DIFFERENT batches only exist if the bucket state carries across
+      val (b1, rest) = docs.splitAt(150)
+      val (b2, b3) = rest.splitAt(200)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    // set semantics collapse the per-band duplicate emissions (identical
+    // rows by construction: same signatures => same est)
+    val stream = spark.table("neardup").as[DupPair].collect()
+      .map(p => (p.ia, p.ib, p.est_jaccard)).toSet
+    val batch = SparkEntry.queries("q36_minhash_lsh")(spark, SF)
+      .select(col("ia").cast("long"), col("ib").cast("long"), col("est_jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty, "replayed corpus has no near-dups to find")
+    assert(stream == batch,
+      s"stream-only: ${stream -- batch}; batch-only: ${batch -- stream}")
+  }
+
   test("file-source event stream aggregates the sf0.001 table like batch") {
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
     // stage the driver parquet into a stream-source dir
