@@ -349,11 +349,14 @@ object Dedup {
         // The plane count is derived from the corpus with a LARGER target
         // bucket than q40's top-k search (32 vs 8): near-dup thresholds sit
         // close to the decision boundary, so recall wants co-bucketed
-        // neighbors more than it wants tiny verify lists. With p planes the
-        // radius-3 ring is sum C(p,<=3) buckets of 2^p — a VANISHING
-        // fraction of the code space as p grows (at p=16: 697/65536 ~ 1%),
-        // so candidate volume stays ~N * ring * bucket, linear in N — not
-        // the constant fraction of N^2 a fixed 8-plane code degrades to.
+        // neighbors more than it wants tiny verify lists — measured at
+        // sf0.1, B=32 recalls 0.98 vs 0.78 at B=16 and 0.67 at B=8 for
+        // ~1.8x the verify work (RecallReport; floor pinned in DedupSpec).
+        // With p planes the radius-3 ring is sum C(p,<=3) buckets of 2^p —
+        // a VANISHING fraction of the code space as p grows (at p=16:
+        // 697/65536 ~ 1%), so candidate volume stays ~N * ring * bucket,
+        // linear in N — not the constant fraction of N^2 a fixed 8-plane
+        // code degrades to.
         val e = embeddings(s, d).select(
           col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
           .withColumn("nrm", VectorOps.norm(col("v")))

@@ -116,7 +116,10 @@ class DedupSpec extends SparkSpec {
     val lsh = pairs("q64_neardup_lsh")
     assert(lsh.subsetOf(brute), "q64 verifies with the exact cosine => no false positives")
     val recall = if (brute.isEmpty) 1.0 else lsh.size.toDouble / brute.size
-    assert(recall >= 0.5, s"q64 recall $recall < 0.5 (|brute|=${brute.size}, |lsh|=${lsh.size})")
+    // the B=32 target bucket exists to buy this recall (0.97 measured;
+    // B=16 drops to ~0.9 here and ~0.78 at sf0.1) — the floor pins the
+    // choice so a cheaper bucketing can't silently ship
+    assert(recall >= 0.9, s"q64 recall $recall < 0.9 (|brute|=${brute.size}, |lsh|=${lsh.size})")
   }
 
   test("exact dedup survivor policy keeps min doc_id per canonical group") {
