@@ -258,6 +258,68 @@ object TextAnalysis {
         FROM documents
         GROUP BY 1, 2, 3
         ORDER BY 1, 2, 3"""),
-      "deterministic md5-prefix train/val/test split: content-stable stratified sampling")
+      "deterministic md5-prefix train/val/test split: content-stable stratified sampling"),
+
+    QueryDef(
+      "q73_decontamination",
+      (s, d) => {
+        // Benchmark decontamination (the GPT-3 appendix-C / Gopher
+        // pre-release filter): flag training documents sharing word
+        // n-grams with an evaluation set so eval scores aren't measuring
+        // memorized training text. Here the 'benchmark' is the src0 slice
+        // of the corpus; everything else is the training side.
+        //
+        // 100 TB shape: the benchmark gram set is TINY next to the corpus
+        // (eval suites are MBs, corpora are TBs) -> broadcast it; the
+        // probe is then a map-side equi join on (lang, gram) with no
+        // shuffle of the corpus grams. The benchmark side is DISTINCT, so
+        // each training gram matches at most one row — candidate volume is
+        // bounded by the training gram count, df-skew-free by
+        // construction. Counts partial-aggregate before the per-doc join.
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"),
+            tokens(col("text")).as("w"))
+          .filter(size(col("w")) >= 3)
+        val grams = toks.select(col("doc_id"), col("lang"), col("source"),
+          explode(array_distinct(
+            transform(sequence(lit(0), size(col("w")) - 3), i =>
+              concat_ws(" ", element_at(col("w"), i + 1),
+                element_at(col("w"), i + 2),
+                element_at(col("w"), i + 3))))).as("g"))
+        val bench = grams.filter(col("source") === "src0")
+          .select(col("lang"), col("g")).distinct()
+        val train = grams.filter(col("source") =!= "src0")
+          .select(col("doc_id"), col("lang"), col("g"))
+        val hits = train.join(broadcast(bench), Seq("lang", "g"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            round(coalesce(col("n_hits"), lit(0L)) * lit(1.0) / col("n_grams"), 4)
+              .as("contamination"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang, source, $SQL_TOKENS AS w
+          FROM documents),
+        grams AS (
+          SELECT doc_id, lang, source, unnest(list_distinct(
+            list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS g
+          FROM toks WHERE len(w) >= 3),
+        bench AS (SELECT DISTINCT lang, g FROM grams WHERE source = 'src0'),
+        train AS (SELECT doc_id, lang, g FROM grams WHERE source <> 'src0'),
+        hits AS (
+          SELECT t.doc_id, count(*) AS n_hits
+          FROM train t JOIN bench b ON t.lang = b.lang AND t.g = b.g
+          GROUP BY 1),
+        tot AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY 1)
+        SELECT tot.doc_id, n_grams, coalesce(n_hits, 0) AS n_hits,
+               round(coalesce(n_hits, 0) * 1.0 / n_grams, 4) AS contamination
+        FROM tot LEFT JOIN hits USING (doc_id)
+        ORDER BY doc_id"""),
+      "benchmark decontamination: trigram overlap of training docs vs the eval slice, broadcast probe")
   )
 }

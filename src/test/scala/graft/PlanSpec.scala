@@ -53,6 +53,25 @@ class PlanSpec extends SparkSpec {
     assert(formatted.contains("codegen id"), formatted) // whole-stage codegen spans
   }
 
+  test("q67 centroid assignment is one native expression inside codegen") {
+    // the codebook rides CentroidTopK as a reference object: C centroids
+    // must appear as ONE expression node in ONE codegen span, never as C
+    // inlined typedlit structs (which grow the generated method with C)
+    val df = SparkEntry.queries("q67_knn_ivf")(spark, SF)
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("centroid_topk"), formatted)
+    assert(formatted.contains("codegen id"), formatted)
+  }
+
+  test("q73 benchmark probe broadcasts the eval gram set") {
+    // the corpus-side gram stream must not shuffle to meet the (tiny)
+    // benchmark set; contamination hits come from a broadcast hash join
+    val p = plan("q73_decontamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q39 per-group top-k uses WindowGroupLimit (rank pushdown, no full materialization)") {
     val p = plan("q39_knn_brute")
     assert(p.contains("WindowGroupLimit"), p)

@@ -97,4 +97,33 @@ class StorageSpec extends SparkSpec {
       assert(joined.count() == Tables.lineitem(spark, SF).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
+
+  test("IVF index bucketed by cid probes without shuffling the index side") {
+    // proves q67's scale claim: the inverted lists ARE a partitioning key.
+    // Write the index bucketed by cid once; every probe query then equi
+    // joins on cid with NO Exchange under the index scan — only the (tiny)
+    // probe side shuffles to meet the bucket layout.
+    import graft.functions.Similarity
+    val e = Similarity.prepared(spark, SF)
+    val cents = Similarity.trainCentroids(e, 8, 1)
+    spark.sql("DROP TABLE IF EXISTS ivf_index")
+    e.withColumn("cid", Similarity.nearestCid(col("v"), cents))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(4, "cid").saveAsTable("ivf_index")
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(Similarity.topProbeCids(col("v"), cents, 2)).as("cid"))
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("ivf_index").join(probes, Seq("cid"))
+        .select(col("qid"), col("vec_id"),
+          graft.functions.VectorOps.dot(col("v"), col("qv")).as("s"))
+      val p = joined.queryExecution.executedPlan.toString
+      // exactly one Exchange: the probe side; the bucketed index scan has none
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges == 1, s"expected only the probe-side shuffle, got $exchanges:\n$p")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
 }
