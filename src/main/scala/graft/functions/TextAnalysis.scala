@@ -320,6 +320,98 @@ object TextAnalysis {
                round(coalesce(n_hits, 0) * 1.0 / n_grams, 4) AS contamination
         FROM tot LEFT JOIN hits USING (doc_id)
         ORDER BY doc_id"""),
-      "benchmark decontamination: trigram overlap of training docs vs the eval slice, broadcast probe")
+      "benchmark decontamination: trigram overlap of training docs vs the eval slice, broadcast probe"),
+
+    QueryDef(
+      "q74_tfidf",
+      (s, d) => {
+        // TF-IDF keyword extraction, language-scoped (idf computed within
+        // each language's sub-corpus — a multilingual corpus must not let
+        // English df deflate Chinese idf). Two partial-aggregated groupBys
+        // (tf per doc-word, df per lang-word) + a per-lang doc count — all
+        // equi joins on bounded keys, no driver state. The top-3 terms per
+        // doc rank on the ROUNDED score with a term-asc tiebreak, so the
+        // ordering is identical in any engine regardless of last-bit ln()
+        // differences.
+        import org.apache.spark.sql.expressions.Window
+        val docs = documents(s, d)
+        val nl = docs.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+        val tf = docs.select(col("doc_id"), col("lang"),
+            explode(tokens(col("text"))).as("word"))
+          .groupBy(col("doc_id"), col("lang"), col("word"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("lang"), col("word"))
+          .agg(count(lit(1)).as("df"))
+        val scored = tf.join(dfreq, Seq("lang", "word"))
+          .join(broadcast(nl), Seq("lang"))
+          .select(col("doc_id"), col("word"),
+            round(col("tf") * log(col("nl") * lit(1.0) / col("df")), 4).as("tfidf"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("word"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("word"), col("tfidf"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some(s"""
+        WITH words AS (
+          SELECT doc_id, lang, unnest($SQL_TOKENS) AS word FROM documents),
+        tf AS (
+          SELECT doc_id, lang, word, count(*) AS tf
+          FROM words
+          GROUP BY 1, 2, 3),
+        dfreq AS (SELECT lang, word, count(*) AS df FROM tf GROUP BY 1, 2),
+        nl AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1),
+        scored AS (
+          SELECT tf.doc_id, tf.word,
+                 round(tf.tf * ln(nl.nl * 1.0 / dfreq.df), 4) AS tfidf
+          FROM tf
+          JOIN dfreq ON tf.lang = dfreq.lang AND tf.word = dfreq.word
+          JOIN nl ON tf.lang = nl.lang),
+        ranked AS (
+          SELECT doc_id, word, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, word) AS rk
+          FROM scored)
+        SELECT doc_id, rk, word, tfidf FROM ranked WHERE rk <= 3
+        ORDER BY doc_id, rk"""),
+      "language-scoped TF-IDF top-3 keywords per document (partial-agg tf/df, broadcast doc counts)"),
+
+    QueryDef(
+      "q75_weighted_sample",
+      (s, d) => {
+        // Quality-weighted deterministic downsampling (the C4/FineWeb
+        // pattern: keep probability follows a per-doc quality weight).
+        // Like q70 the coin is an md5-prefix range — content-stable, no
+        // RNG, exact across engines because keep/drop is a pure string
+        // comparison — but the THRESHOLD now depends on the doc's quality
+        // tier (token count as the stand-in signal): long docs keep at
+        // ~80% ('cc'/256), mid at ~50% ('80'), short at ~10% ('1a').
+        // Embarrassingly parallel: per-row hash + compare, one final agg.
+        val docs = documents(s, d)
+        val n = size(tokens(col("text")))
+        val tier = when(n >= 60, "long").when(n >= 40, "mid").otherwise("short")
+        val cut = when(n >= 60, "cc").when(n >= 40, "80").otherwise("1a")
+        docs.select(col("lang"), tier.as("tier"),
+            (md5(col("doc_id").cast("string")) < cut).as("kept"))
+          .groupBy(col("lang"), col("tier"), col("kept"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("tier"), col("kept"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT lang, len($SQL_TOKENS) AS n,
+                 md5(doc_id::VARCHAR) AS h
+          FROM documents)
+        SELECT lang,
+               CASE WHEN n >= 60 THEN 'long'
+                    WHEN n >= 40 THEN 'mid' ELSE 'short' END AS tier,
+               h < (CASE WHEN n >= 60 THEN 'cc'
+                         WHEN n >= 40 THEN '80' ELSE '1a' END) AS kept,
+               count(*) AS n_docs
+        FROM t
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3"""),
+      "quality-weighted deterministic sampling: md5-coin with tier-dependent keep thresholds")
   )
 }
