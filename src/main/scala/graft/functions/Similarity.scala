@@ -30,6 +30,12 @@ object Similarity {
   val N_QUERIES = 20
   val LLOYD_ROUNDS = 2
 
+  /** Independent LSH hash tables for q40's top-k search: recall rises as
+    * 1-(1-p)^L while index size and candidate volume scale linearly in L.
+    * 3 roughly doubles single-table recall on gaussian data (COVERAGE.md
+    * has the measured curve). */
+  val N_TABLES = 3
+
   /** Training sample size per centroid: Lloyd runs over at most
     * C * this rows (deterministically hash-sampled inside
     * [[trainCentroids]]), so training cost is ~C^2 * this — never N * C —
@@ -93,10 +99,16 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(DIM)(rnd.nextGaussian()))
   }
 
-  /** Sign code of a vector against the first `nPlanes` hyperplanes. */
-  def lshCode(v: Column, nPlanes: Int): Column = {
+  /** Sign code of a vector against `nPlanes` hyperplanes. `table` selects
+    * an INDEPENDENT plane set (slice `table` of the prefix-stable stream):
+    * multi-table LSH unions candidates over several codes, trading index
+    * size for recall — the classical L-tables knob. Table 0 is bit-
+    * identical to the single-table code. */
+  def lshCode(v: Column, nPlanes: Int, table: Int = 0): Column = {
     require(nPlanes >= 1 && nPlanes <= MAX_PLANES, s"nPlanes $nPlanes not in [1, $MAX_PLANES]")
-    val planes = hyperplanes(nPlanes)
+    require(table >= 0, s"table $table < 0")
+    val planes = hyperplanes((table + 1) * nPlanes)
+      .slice(table * nPlanes, (table + 1) * nPlanes)
     (0 until nPlanes)
       .map(p => when(VectorOps.dot(v, typedlit(planes(p))) > 0, lit(1L << p)).otherwise(lit(0L)): Column)
       .reduce(_ + _)
@@ -211,17 +223,32 @@ object Similarity {
     scoreTopK(e.crossJoin(broadcast(q)), k)
   }
 
-  /** LSH ANN top-k at an explicit plane count: candidates = vectors in any
-    * probed bucket; the bucket equi join is the only pairwise work. Per
-    * query it touches ~|probes| * TARGET_BUCKET candidates when the plane
-    * count matches the corpus ([[planesForCorpus]]). */
-  def lshTopK(e: DataFrame, nPlanes: Int, radius: Int, nQueries: Int, k: Int): DataFrame = {
-    val coded = e.withColumn("code", lshCode(col("v"), nPlanes))
-    val q = coded.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-        explode(array(probeMasks(nPlanes, radius).map(m =>
+  /** LSH ANN top-k at an explicit plane count: candidates = vectors
+    * sharing any probed bucket in ANY of `nTables` independent hash
+    * tables; each table's bucket equi join is the only pairwise work. Per
+    * query it touches ~nTables * |probes| * TARGET_BUCKET candidates when
+    * the plane count matches the corpus ([[planesForCorpus]]); recall
+    * rises as 1-(1-p)^L in the table count (the classical multi-table
+    * trade; measured in SimilaritySpec/COVERAGE.md).
+    *
+    * Candidate generation shuffles ONLY (table, code, id) — the vectors
+    * join back by id for scoring, never riding the probe explosion. */
+  def lshTopK(e: DataFrame, nPlanes: Int, radius: Int, nQueries: Int, k: Int,
+      nTables: Int = 1): DataFrame = {
+    val masks = probeMasks(nPlanes, radius)
+    val codes = e.select(col("vec_id"),
+        posexplode(array((0 until nTables).map(t =>
+          lshCode(col("v"), nPlanes, t)): _*)).as(Seq("t", "code")))
+    val qcodes = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("t"),
+        explode(array(masks.map(m =>
           col("code").bitwiseXOR(lit(m))): _*)).as("code"))
-    scoreTopK(coded.join(broadcast(q), Seq("code")), k)
+    // distinct: a pair may co-bucket in several tables but must score once
+    val cand = codes.join(broadcast(qcodes), Seq("t", "code"))
+      .select(col("qid"), col("vec_id")).distinct()
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    scoreTopK(cand.join(e, "vec_id").join(broadcast(qs), "qid"), k)
   }
 
   /** IVF ANN top-k against a trained codebook: each query probes only its
@@ -263,10 +290,12 @@ object Similarity {
       (s, d) => {
         // the plane count is derived from the corpus (log2(N/B)), so the
         // code space — and with it the candidate volume per query — tracks
-        // N instead of capping at a compile-time constant.
+        // N instead of capping at a compile-time constant; N_TABLES
+        // independent tables buy the recall a single code can't reach at
+        // top-k granularity (measured in COVERAGE.md).
         val e = prepared(s, d).cache()
         val p = planesForCorpus(e.count())
-        lshTopK(e, p, radiusFor(p), N_QUERIES, K)
+        lshTopK(e, p, radiusFor(p), N_QUERIES, K, N_TABLES)
       },
       None, // approximate by construction; recall vs q39 asserted in SimilaritySpec
       "LSH-bucketed ANN: corpus-sized hyperplane code -> equi join on sign code"),

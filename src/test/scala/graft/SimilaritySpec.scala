@@ -40,12 +40,32 @@ class SimilaritySpec extends SparkSpec {
     recalls.sum / recalls.size
   }
 
-  test("LSH ANN reaches useful recall vs brute force") {
-    // random-hyperplane LSH with corpus-derived planes (N=500 -> 6) and
-    // radius-2 multiprobe on random gaussian data: modest recall is
-    // expected; this guards against total breakage.
+  test("LSH ANN reaches strong recall vs brute force") {
+    // corpus-derived planes (N=500 -> 6), radius-2 multiprobe, 3
+    // independent tables: measured 0.88 here (0.95 at sf0.01, 0.81 at
+    // sf0.1); the floor pins the multi-table contract — single-table
+    // recall is ~0.5 and would fail it.
     val mean = meanRecall("q40_knn_lsh")
-    assert(mean >= 0.2, s"mean recall@${Similarity.K} = $mean < 0.2")
+    assert(mean >= 0.7, s"mean recall@${Similarity.K} = $mean < 0.7")
+  }
+
+  test("multi-table LSH recall dominates single-table at equal planes") {
+    val e = Similarity.prepared(spark, SF).cache()
+    val p = Similarity.planesForCorpus(e.count())
+    def recallAt(tables: Int): Double = {
+      val approx = Similarity
+        .lshTopK(e, p, Similarity.radiusFor(p), Similarity.N_QUERIES,
+          Similarity.K, tables)
+        .select(col("qid"), col("ib"))
+        .as[(Long, Long)].collect().toSeq
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2) }
+      exact.map { case (q, ex) =>
+        approx.get(q).map(ap => ex.count(ap.toSet).toDouble / ex.size).getOrElse(0.0)
+      }.sum / exact.size
+    }
+    // candidates are a superset per added table, so recall is monotone
+    assert(recallAt(3) > recallAt(1),
+      "3-table recall did not beat single-table")
   }
 
   test("probe mask rings are combinatorial in the plane count") {
