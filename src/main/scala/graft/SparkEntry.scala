@@ -20,6 +20,7 @@ object SparkEntry {
       functions.TextAnalysis.defs ++
       functions.Dedup.defs ++
       functions.Similarity.defs ++
+      functions.Search.defs ++
       functions.Multimodal.defs ++
       gedcom.GedcomQueries.defs
 

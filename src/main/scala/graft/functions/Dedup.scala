@@ -415,6 +415,92 @@ object Dedup {
           .orderBy(col("doc_id"))
       },
       Some(CLUSTER_ORACLE),
-      "near-dup clusters: prefix-join pairs -> CC closure -> min-doc survivor per cluster")
+      "near-dup clusters: prefix-join pairs -> CC closure -> min-doc survivor per cluster"),
+
+    QueryDef(
+      "q79_semdedup",
+      (s, d) => semdedup(Similarity.prepared(s, d), SEMDEDUP_CLUSTER, 0.4),
+      None, // k-means assignment isn't oracle-expressible; DedupSpec pins
+            // removal recall vs the exact q38 pair baseline instead
+      "SemDeDup: k-means cluster the embedding space, remove within-cluster cosine dups")
   )
+
+  /** Target vectors per SemDeDup cluster: within-cluster pair work is
+    * ~N * B, so B is the knob that keeps the quadratic local. 25 keeps the
+    * registered query's clusters comfortably mid-sized at sf0.01-0.1. */
+  val SEMDEDUP_CLUSTER = 25L
+
+  /** Clusters each vector probes for candidates. 1 reproduces the paper's
+    * hard assignment — correct when dups are near-identical (cos ~0.95+,
+    * which co-clusters almost surely). This corpus's planted near-dups sit
+    * at cos ~0.4-0.55 — far enough apart that a Voronoi boundary often
+    * separates them — so candidates come from the P nearest cells, the
+    * same boundary fix as IVF's nprobe. Pair work is ~N * P^2 * B / 2:
+    * still linear in the corpus, P^2 is the recall price (measured in
+    * DedupSpec: P=4 recovers the full removal list — recall 1.0 at
+    * sf0.001, floor pinned at 0.8 — where P=1 collapses to ~0.2). */
+  val SEMDEDUP_PROBES = 4
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): k-means cluster the
+    * embeddings, then look for cosine near-dups only among vectors sharing
+    * a probed cluster ([[SEMDEDUP_PROBES]] nearest cells per vector) and
+    * remove every vector that duplicates a lower-id one. Unlike the
+    * paper's fixed k this derives C = ceil(N / clusterTarget), so expected
+    * cluster size stays ~clusterTarget and total pair work is
+    * ~N * clusterTarget — LINEAR in the corpus, the whole point of
+    * clustering before comparing. The codebook reuses [[Similarity]]'s
+    * internally-sampled Lloyd trainer (cost ~C^2 * 64, driver state = the
+    * codebook). Past the 65536-centroid clamp (N ~ 1.6 M per scope),
+    * shard the corpus by a partition key (lang/source) exactly as
+    * [[minhashPairs]] scopes its buckets — each scope re-earns the full
+    * codebook — or go two-level (cluster within cluster).
+    *
+    * Output: per-cluster size + removal count (the dup rate the paper
+    * reports); recall of the removal set vs the exact all-pairs baseline
+    * is measured in DedupSpec. */
+  def semdedup(e: DataFrame, clusterTarget: Long, thresh: Double): DataFrame = {
+    val (idx, removed) = semdedupAssignments(e, clusterTarget, thresh)
+    idx.select(col("cid"), col("vec_id"))
+      .join(removed.withColumn("rm", lit(true)), Seq("cid", "vec_id"), "left")
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"))
+      .orderBy(col("cid"))
+  }
+
+  /** The (cid-indexed corpus, removal list) pair behind [[semdedup]] —
+    * exposed so DedupSpec can measure removal recall against the exact
+    * all-pairs baseline. `idx` comes back cached (two consumers). */
+  def semdedupAssignments(e: DataFrame, clusterTarget: Long,
+      thresh: Double): (DataFrame, DataFrame) = {
+    val n = e.count()
+    val c = math.max(2, math.min(65536,
+      math.ceil(n.toDouble / clusterTarget).toInt))
+    val p = math.min(c, SEMDEDUP_PROBES)
+    val cents = Similarity.trainCentroids(e, c, Similarity.LLOYD_ROUNDS)
+    // home cell (first probe) labels the output; the full probe list only
+    // feeds candidate generation. Shuffle carries (cid, id) probes — the
+    // vectors join back by id for exact verification, IVF-style.
+    val idx = e.withColumn("probes",
+        Similarity.topProbeCids(col("v"), cents, p))
+      .withColumn("cid", element_at(col("probes"), 1))
+      .cache()
+    val probed = idx.select(col("vec_id"), explode(col("probes")).as("pc"))
+    val cand = probed.alias("x")
+      .join(probed.alias("y"), Seq("pc"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"))
+      .distinct() // a pair may share several probed cells; verify once
+    val removed = cand
+      .join(idx.select(col("vec_id").as("ia"),
+        col("v").as("va"), col("nrm").as("na")), "ia")
+      .join(idx.select(col("vec_id").as("ib"), col("cid"),
+        col("v").as("vb"), col("nrm").as("nb")), "ib")
+      .filter(round(VectorOps.cosinePre(VectorOps.dot(col("va"), col("vb")),
+        col("na"), col("nb")), 6) >= thresh)
+      .select(col("cid"), col("ib").as("vec_id"))
+      .distinct()
+    (idx, removed)
+  }
 }

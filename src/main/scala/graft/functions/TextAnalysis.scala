@@ -412,6 +412,110 @@ object TextAnalysis {
         FROM t
         GROUP BY 1, 2, 3
         ORDER BY 1, 2, 3"""),
-      "quality-weighted deterministic sampling: md5-coin with tier-dependent keep thresholds")
+      "quality-weighted deterministic sampling: md5-coin with tier-dependent keep thresholds"),
+
+    QueryDef(
+      "q76_pii_redaction",
+      (s, d) => {
+        // PII detection/redaction audit (the C4 / FineWeb pre-release
+        // scrub): count and mask pattern families per document slice. The
+        // patterns use only RE2-safe syntax (classes, bounded repeats, \b)
+        // so Java regex (Spark) and RE2 (DuckDB) agree match-for-match.
+        // The synthetic corpus contains no digits or @-tokens, so the PII
+        // counters are legitimately zero here — their match semantics are
+        // pinned on real fixtures in TextAnalysisSpec; the long-word
+        // channel exercises the same count+replace machinery with nonzero,
+        // hash-checked output. Per-row regex work, one final aggregate —
+        // embarrassingly parallel at any corpus size.
+        val EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val IPV4 = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+        val PHONE = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+        val LONG = "\\b[a-z]{6,}\\b"
+        documents(s, d)
+          .select(col("lang"), col("source"),
+            regexp_count(col("text"), lit(EMAIL)).as("n_email"),
+            regexp_count(col("text"), lit(IPV4)).as("n_ipv4"),
+            regexp_count(col("text"), lit(PHONE)).as("n_phone"),
+            regexp_count(col("text"), lit(LONG)).as("n_long"),
+            length(regexp_replace(col("text"), LONG, "[TOK]")).as("masked_len"))
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_email")).as("n_email"),
+            sum(col("n_ipv4")).as("n_ipv4"),
+            sum(col("n_phone")).as("n_phone"),
+            sum(col("n_long")).as("n_long"),
+            sum(col("masked_len")).as("masked_chars"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT lang, source,
+                 len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                 len(regexp_extract_all(text, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS n_ipv4,
+                 len(regexp_extract_all(text, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS n_phone,
+                 len(regexp_extract_all(text, '\b[a-z]{6,}\b')) AS n_long,
+                 length(regexp_replace(text, '\b[a-z]{6,}\b', '[TOK]', 'g')) AS masked_len
+          FROM documents)
+        SELECT lang, source, count(*) AS n_docs,
+               cast(sum(n_email) as bigint) AS n_email,
+               cast(sum(n_ipv4) as bigint) AS n_ipv4,
+               cast(sum(n_phone) as bigint) AS n_phone,
+               cast(sum(n_long) as bigint) AS n_long,
+               cast(sum(masked_len) as bigint) AS masked_chars
+        FROM m
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""),
+      "PII redaction audit: RE2-safe pattern counts + masked-length checksum per slice"),
+
+    QueryDef(
+      "q77_span_dedup",
+      (s, d) => {
+        // Cross-document duplicated-span fraction (the RefinedWeb /
+        // Dolma "duplicated n-gram fraction" signal, Penedo et al. 2023):
+        // for each doc, the share of its distinct 5-gram spans that also
+        // appear in ANOTHER document. Unlike q69 (intra-doc repetition)
+        // this measures corpus-level boilerplate.
+        //
+        // 100 TB shape: grams aggregate to (gram, df) first — a partial-
+        // aggregated groupBy, so a boilerplate gram in a million docs is
+        // ONE row after the map-side combine — then each doc's grams
+        // equi-join that df table by gram. Candidate volume is the gram
+        // count itself (linear), never a pair space: this is the
+        // df-aggregation shape, not q35's pair-join bomb.
+        val n = 5
+        val toks = documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .filter(size(col("w")) >= n)
+        val grams = toks.select(col("doc_id"),
+          explode(array_distinct(
+            transform(sequence(lit(0), size(col("w")) - n), i =>
+              concat_ws(" ", (0 until n).map(j =>
+                element_at(col("w"), i + j + 1)): _*)))).as("g"))
+        // grams are distinct within a doc, so count(*) == doc frequency
+        val gdf = grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+        grams.join(gdf, Seq("g"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("gdf") > 1, 1L).otherwise(0L)).as("n_shared"))
+          .select(col("doc_id"), col("n_grams"), col("n_shared"),
+            round(col("n_shared") * lit(1.0) / col("n_grams"), 4).as("shared_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, $SQL_TOKENS AS w FROM documents),
+        grams AS (
+          SELECT doc_id, unnest(list_distinct(
+            list_transform(range(1, len(w) - 3),
+              i -> array_to_string(w[i:i+4], ' ')))) AS g
+          FROM toks WHERE len(w) >= 5),
+        gd AS (SELECT g, count(*) AS gdf FROM grams GROUP BY 1)
+        SELECT doc_id, count(*) AS n_grams,
+               cast(sum(CASE WHEN gdf > 1 THEN 1 ELSE 0 END) as bigint) AS n_shared,
+               round(sum(CASE WHEN gdf > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS shared_frac
+        FROM grams JOIN gd USING (g)
+        GROUP BY doc_id
+        ORDER BY doc_id"""),
+      "cross-doc duplicated 5-gram span fraction: gram-df aggregation, no pair join")
   )
 }

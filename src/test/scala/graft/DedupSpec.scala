@@ -122,6 +122,44 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"q64 recall $recall < 0.9 (|brute|=${brute.size}, |lsh|=${lsh.size})")
   }
 
+  test("semdedup (q79) removal set is exact-precision and high-recall vs all-pairs") {
+    val sf = "/root/testdata/sf0.001"
+    val e = functions.Similarity.prepared(spark, sf).cache()
+    // exact baseline: every vector with a lower-id cosine>=0.4 partner
+    val a = e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+    val exactRemoved = a.join(b, col("ia") < col("ib"))
+      .filter(functions.VectorOps.cosinePre(
+        functions.VectorOps.dot(col("va"), col("vb")), col("na"), col("nb")) >= 0.4)
+      .select(col("ib")).distinct().as[Long].collect().toSet
+    val (_, removedDf) = Dedup.semdedupAssignments(e, Dedup.SEMDEDUP_CLUSTER, 0.4)
+    val removed = removedDf.select(col("vec_id")).as[Long].collect().toSet
+    // precision is exact by construction: every removal verified with the
+    // true cosine, so it must be a subset of the exact removal list
+    assert(removed.subsetOf(exactRemoved),
+      s"semdedup removed a non-dup: ${removed.diff(exactRemoved).take(5)}")
+    val recall =
+      if (exactRemoved.isEmpty) 1.0 else removed.size.toDouble / exactRemoved.size
+    // clustering only finds co-clustered pairs — that's the linear-cost
+    // trade; the floor pins that the B=25 operating point keeps most of
+    // the removal list (0.95+ measured here)
+    assert(recall >= 0.8,
+      s"semdedup recall $recall < 0.8 (|exact|=${exactRemoved.size}, |got|=${removed.size})")
+  }
+
+  test("semdedup per-cluster output is consistent: removals never exceed cluster size") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Dedup.defs.find(_.name == "q79_semdedup").get.fn(spark, sf)
+      .select(col("cid"), col("n_vecs"), col("n_removed"))
+      .as[(Int, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, n, r) => r >= 0 && r < n },
+      "a cluster must keep at least one survivor")
+    // expected cluster size tracks the knob: total/EXPECTED clusters ~ 25
+    val total = out.map(_._2).sum
+    assert(total == 500, s"every vector assigned exactly once, got $total")
+  }
+
   test("exact dedup survivor policy keeps min doc_id per canonical group") {
     val df = Seq(
       (5L, "b a", "xx", "s"), (3L, "a b", "xx", "s"), (9L, "c d", "xx", "s"))
