@@ -15,9 +15,12 @@ import graft.{QueryDef, Tables}
   *   - `image` decodes LIVE via JDK-only `javax.imageio` (PNG/JPEG/BMP/GIF
   *     readers ship with the JDK — no external codec): real pixel
   *     dimensions + an L1-normalized luminance histogram;
-  *   - audio/video (and unreadable payloads) fall back to the
+  *   - `audio` decodes LIVE via JDK-only `javax.sound.sampled` (WAV/AIFF/AU
+  *     parsers ship with the JDK): sample rate + channels + an amplitude
+  *     histogram;
+  *   - video (and compressed-audio/unreadable payloads) fall back to the
   *     clearly-marked STUB (`decodeStub`) — this container has no
-  *     audio/video codecs, so the stub produces a deterministic fake
+  *     video codecs, so the stub produces a deterministic fake
   *     (byte histogram + hash-derived dimensions). Swapping in a real
   *     decoder (JNI/ffmpeg/javacv) changes only that one function.
   *
@@ -96,11 +99,48 @@ object Multimodal {
     }
   }
 
-  /** The decode seam q41 runs through: images decode for real, everything
-    * else (and any unreadable image) takes the deterministic stub. */
+  /** LIVE audio decoder: JDK-only `javax.sound.sampled` (WAV/AIFF/AU
+    * parsers ship with every JDK — no external codec). Decodes to signed
+    * 16-bit PCM and returns (sample_rate, channels) as the "dimensions"
+    * plus an L1-normalized [[FEATURE_DIM]]-bin amplitude histogram — the
+    * audio analog of the image luminance histogram. None when no installed
+    * reader recognizes the bytes (MP3/OGG land here until a real codec is
+    * wired in); the caller falls back to the stub so one bad payload can't
+    * fail a 100 TB decode job. */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val raw = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val f = raw.getFormat
+      val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+        f.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(pcmFmt, raw)
+      val bytes = pcm.readAllBytes()
+      val hist = new Array[Float](FEATURE_DIM)
+      var i = 0
+      while (i + 1 < bytes.length) {
+        val s = ((bytes(i) & 0xFF) | (bytes(i + 1) << 8)).toShort
+        hist((s + 32768) / (65536 / FEATURE_DIM)) += 1f
+        i += 2
+      }
+      val n = math.max(bytes.length / 2, 1).toFloat
+      Some((f.getSampleRate.toInt, f.getChannels, hist.map(_ / n)))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+      case _: IllegalArgumentException => None // no PCM conversion path
+    }
+  }
+
+  /** The decode seam q41 runs through: images and audio decode for real
+    * (JDK codecs), video and any unreadable payload take the deterministic
+    * stub. */
   def decode(kind: String, payload: Array[Byte]): (Int, Int, Array[Float]) =
     kind match {
       case "image" => decodeImage(payload).getOrElse(decodeStub(payload))
+      case "audio" => decodeAudio(payload).getOrElse(decodeStub(payload))
       case _ => decodeStub(payload)
     }
 

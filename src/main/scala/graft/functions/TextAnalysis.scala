@@ -516,6 +516,113 @@ object TextAnalysis {
         FROM grams JOIN gd USING (g)
         GROUP BY doc_id
         ORDER BY doc_id"""),
-      "cross-doc duplicated 5-gram span fraction: gram-df aggregation, no pair join")
+      "cross-doc duplicated 5-gram span fraction: gram-df aggregation, no pair join"),
+
+    QueryDef(
+      "q80_shard_packing",
+      (s, d) => {
+        // Deterministic training-shard packing: docs are laid out in
+        // doc_id order and cut into shards of ~BUDGET tokens (a doc starts
+        // its shard at floor(running_tokens / BUDGET) — the sequence-
+        // packing layout step every pretraining pipeline runs last).
+        //
+        // The naive plan is sum(t) OVER (ORDER BY doc_id) — a global-order
+        // window, which Spark executes in ONE partition: the classic scale
+        // killer. This computes the SAME running sum hierarchically:
+        // per-bucket token sums (tiny: N/BUCKET rows) take the global
+        // window, each doc adds its bucket's offset (broadcast join) to a
+        // bucket-partitioned window. The only global ordering that ever
+        // runs is over the bucket-sum relation — thousands of rows at any
+        // corpus size. PlanSpec pins that no corpus-sized empty-partition
+        // window survives.
+        import org.apache.spark.sql.expressions.Window
+        val BUDGET = 2000L
+        val BUCKET = 64L
+        val toks = documents(s, d)
+          .select(col("doc_id"), size(tokens(col("text"))).as("t"))
+          .withColumn("bkt", expr(s"doc_id div $BUCKET"))
+        val bsums = toks.groupBy(col("bkt")).agg(sum(col("t")).as("bt"))
+        val wOff = Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = bsums.select(col("bkt"),
+          coalesce(sum(col("bt")).over(wOff), lit(0L)).as("off"))
+        val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        toks.join(broadcast(offs), Seq("bkt"))
+          .withColumn("start",
+            col("off") + coalesce(sum(col("t")).over(wIn), lit(0L)))
+          .withColumn("shard", expr(s"start div $BUDGET"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy(col("shard"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, len($SQL_TOKENS) AS t FROM documents),
+        c AS (
+          SELECT doc_id, t,
+                 cast(coalesce(sum(t) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) AS start
+          FROM t)
+        SELECT start // 2000 AS shard,
+               count(*) AS n_docs,
+               cast(sum(t) as bigint) AS n_tokens,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM c
+        GROUP BY 1
+        ORDER BY 1"""),
+      "training-shard packing: hierarchical prefix sum (bucket offsets + partitioned window), no global-order window"),
+
+    QueryDef(
+      "q81_mixture_balance",
+      (s, d) => {
+        // Data-mixture rebalancing: downsample every source to the
+        // smallest source's size WITHIN its language (uniform source
+        // mixture per lang — the static version of Pile/DoReMi domain
+        // reweighting). The keep decision is a 16-bit md5 coin against a
+        // per-source threshold k = (min_count * 65536) div count —
+        // ALL-INTEGER arithmetic and a lexicographic hex compare, so the
+        // kept set is bit-identical on any engine, cluster layout, or
+        // rerun, and changing one source's size never reshuffles another
+        // source's kept set (per-doc independence). Per-source counts are
+        // one partial-agg groupBy; thresholds broadcast back — no
+        // corpus-sized shuffle beyond the count itself.
+        val counts = documents(s, d)
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+        val minc = counts.groupBy(col("lang")).agg(min(col("n_docs")).as("min_docs"))
+        val thresholds = counts.join(broadcast(minc), Seq("lang"))
+          .withColumn("k", expr("(min_docs * 65536) div n_docs"))
+        documents(s, d)
+          .join(broadcast(thresholds), Seq("lang", "source"))
+          .withColumn("kept",
+            col("k") >= 65536 ||
+              substring(md5(col("doc_id").cast("string")), 1, 4) <
+                lower(lpad(hex(col("k")), 4, "0")))
+          .groupBy(col("lang"), col("source"), col("n_docs"), col("k"))
+          .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""
+        WITH counts AS (
+          SELECT lang, source, count(*) AS n_docs
+          FROM documents GROUP BY 1, 2),
+        minc AS (SELECT lang, min(n_docs) AS min_docs FROM counts GROUP BY 1),
+        thresholds AS (
+          SELECT lang, source, n_docs,
+                 (min_docs * 65536) // n_docs AS k
+          FROM counts JOIN minc USING (lang))
+        SELECT d.lang, d.source, t.n_docs, t.k,
+               cast(sum(CASE WHEN t.k >= 65536 OR
+                 substr(md5(d.doc_id::VARCHAR), 1, 4) <
+                   lower(lpad(hex(t.k), 4, '0'))
+                 THEN 1 ELSE 0 END) as bigint) AS n_kept
+        FROM documents d
+        JOIN thresholds t ON d.lang = t.lang AND d.source = t.source
+        GROUP BY 1, 2, 3, 4
+        ORDER BY 1, 2"""),
+      "mixture rebalancing: per-source integer-hex coin thresholds -> uniform source mix per language")
   )
 }

@@ -59,6 +59,36 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  /** In-memory WAV: 16-bit PCM mono sine at the given rate. */
+  private def wav(sampleRate: Int, nSamples: Int, amp: Short): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val data = new Array[Byte](nSamples * 2)
+    for (i <- 0 until nSamples) {
+      val s = (math.sin(2 * math.Pi * i / 32) * amp).toInt.toShort
+      data(i * 2) = (s & 0xFF).toByte
+      data(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio payloads decode with the real JDK codec") {
+    val Some((rate, ch, hist)) = Multimodal.decodeAudio(wav(8000, 256, 16000))
+    assert(rate == 8000 && ch == 1)
+    assert(math.abs(hist.map(_.toDouble).sum - 1.0) < 1e-5)
+    // a +/-16000-amplitude sine never reaches the outermost bins
+    assert(hist(0) == 0f && hist.last == 0f)
+    // silence concentrates in the zero-crossing bin (bin 8 = [0, 4096))
+    val Some((_, _, flat)) = Multimodal.decodeAudio(wav(8000, 64, 0))
+    assert(flat(8) == 1f, flat.toSeq.toString)
+    // bytes no parser recognizes -> None (callers fall back to the stub)
+    assert(Multimodal.decodeAudio(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("the decode seam dispatches by kind through the distributed path") {
     import Multimodal.{MediaAsset, MediaMeta}
     val black = png(20, 10, 0x000000)

@@ -119,6 +119,47 @@ class PlanSpec extends SparkSpec {
     assert(!full.contains("window"), "q61 must not plan any window operator")
   }
 
+  test("q78 BM25 probe broadcasts every small side; the corpus shuffles only for tf") {
+    // the inverted-index shape: query terms, df table, and corpus stats are
+    // tiny and must ride broadcasts — the only corpus-sized exchange is the
+    // (doc, term) tf aggregation itself
+    val p = plan("q78_bm25")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // stats (one row) joins via a broadcast nested loop by construction —
+    // that's a 1-row cross join, fine at any scale; what must NOT happen is
+    // the qterms/dfreq joins degrading to SortMergeJoin of corpus data
+    assert("SortMergeJoin".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q76/q77 read only the columns they project") {
+    val p76 = plan("q76_pii_redaction")
+    assert(!p76.contains("doc_id"), p76) // only (lang, source, text) read
+    val p77 = plan("q77_span_dedup")
+    assert(!p77.contains("n_chars"), p77) // only (doc_id, text) read
+  }
+
+  test("q79 semdedup candidates come from an equi join on probed cells") {
+    val p = plan("q79_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q80 doc-level running sum is bucket-partitioned, never a global-order window") {
+    // the corpus-sized window must carry a partition spec (bkt); only the
+    // tiny bucket-sum relation may take an unpartitioned ordered window
+    val p = plan("q80_shard_packing")
+    assert("windowspecdefinition\\(bkt#\\d+L?, doc_id".r.findFirstIn(p).nonEmpty,
+      s"doc-level window must partition by bkt:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p) // bucket offsets broadcast back
+  }
+
+  test("q81 thresholds broadcast back to the corpus scan") {
+    val p = plan("q81_mixture_balance")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q24 window aggregation prunes unused event columns") {
     val p = plan("q24_tumbling_window")
     assert(!p.contains("props"), p) // json column not read for this query

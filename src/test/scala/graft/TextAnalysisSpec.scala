@@ -70,4 +70,55 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == 0, s"doc3 shares nothing, got ${out(3L)}")
     assert(fn.oracle.nonEmpty, "q77 must stay oracle-checked")
   }
+
+  test("q80 hierarchical prefix sum equals the naive global-order window") {
+    // the scalable two-level running sum (bucket offsets + partitioned
+    // window) must be value-identical to sum() OVER (ORDER BY doc_id) —
+    // including across bucket boundaries and with gaps in doc_id
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).filter(_ => rnd.nextDouble() < 0.8)
+      .map(i => (i.toLong, rnd.nextInt(50) + 1L))
+    val df = rows.toDF("doc_id", "t")
+    val naive = df.withColumn("start",
+        coalesce(sum(col("t")).over(Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("start"))
+      .as[(Long, Long)].collect().toMap
+    val BUCKET = 64L
+    val bucketed = df.withColumn("bkt", expr(s"doc_id div $BUCKET"))
+    val offs = bucketed.groupBy(col("bkt")).agg(sum(col("t")).as("bt"))
+      .select(col("bkt"), coalesce(sum(col("bt")).over(
+        Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).as("off"))
+    val hier = bucketed.join(broadcast(offs), Seq("bkt"))
+      .withColumn("start", col("off") + coalesce(sum(col("t")).over(
+        Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("start"))
+      .as[(Long, Long)].collect().toMap
+    assert(hier == naive, s"hierarchical != naive; diff=${
+      hier.collect { case (k, v) if naive(k) != v => (k, v, naive(k)) }.take(5)}")
+  }
+
+  test("q81 rebalancing drives every source toward the language minimum") {
+    val out = TextAnalysis.defs.find(_.name == "q81_mixture_balance").get
+      .fn(spark, SF)
+      .select(col("lang"), col("source"), col("n_docs"), col("k"), col("n_kept"))
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val byLang = out.groupBy(_._1)
+    byLang.foreach { case (lang, rows) =>
+      val minDocs = rows.map(_._3).min
+      rows.foreach { case (_, src, n, k, kept) =>
+        assert(kept <= n)
+        // the minimum source keeps everything (k >= 65536)
+        if (n == minDocs) assert(kept == n, s"$lang/$src min source must keep all")
+        // a 16-bit coin binomial around n*k/65536: allow generous slack
+        val expect = n * k / 65536.0
+        assert(math.abs(kept - expect) <= math.max(8.0, 4 * math.sqrt(expect)),
+          s"$lang/$src kept=$kept expected~$expect")
+      }
+    }
+  }
 }
