@@ -265,7 +265,54 @@ object Similarity {
     scoreTopK(indexed.join(broadcast(q), Seq("cid")), k)
   }
 
+  /** Johnson-Lindenstrauss target dimension for [[projected]]. 24 of 64
+    * dims cuts every downstream dot product ~2.7x; the distance distortion
+    * that buys is measured (not assumed) in SimilaritySpec — at k=16 the
+    * median-threshold near-dup prefilter drops to 0.94 recall, so 24 is
+    * the operating point that holds the 0.95 contract. */
+  val PROJ_DIM = 24
+
+  /** Deterministic gaussian projection matrix (seed 7 — independent of the
+    * LSH plane stream), scaled 1/sqrt(k) so expected squared norms are
+    * preserved (the JL estimator). */
+  def projectionPlanes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    val s = 1.0 / math.sqrt(PROJ_DIM.toDouble)
+    Seq.fill(PROJ_DIM)(Seq.fill(DIM)(rnd.nextGaussian() * s))
+  }
+
+  /** Random-projection dimensionality reduction (Johnson & Lindenstrauss;
+    * the dense-gaussian variant of Achlioptas 2003): v'_i = r_i . v /
+    * sqrt(k). Pure map-side codegen'd work — each output dim is one
+    * [[VectorOps.dot]] against a literal row — so at 100 TB this is a
+    * free-riding projection inside whatever scan already reads the
+    * vectors, and every downstream ANN/dedup pass pays DIM/k of the
+    * arithmetic. The matrix is a compile-time constant, which is what
+    * makes the q82 output exactly reproducible in any engine. */
+  def projected(e: DataFrame): DataFrame = {
+    val planes = projectionPlanes
+    e.select((col("vec_id") +:
+      planes.zipWithIndex.map { case (r, i) =>
+        round(VectorOps.dot(col("v"), typedlit(r)), 6).as(s"d$i")
+      }): _*)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q82_random_projection",
+      (s, d) => projected(prepared(s, d)).orderBy(col("vec_id")),
+      Some {
+        val rows = projectionPlanes.map(_.map(_.toString).mkString("[", ",", "]"))
+        s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT vec_id,
+               ${rows.zipWithIndex.map { case (r, i) =>
+                 s"round(list_dot_product(v, $r), 6) AS d$i" }.mkString(",\n               ")}
+        FROM e
+        ORDER BY vec_id"""
+      },
+      "JL random projection 64->24: codegen'd literal-matrix dots, engine-exact output"),
+
     QueryDef(
       "q39_knn_brute",
       (s, d) => bruteForceTopK(prepared(s, d), N_QUERIES, K),

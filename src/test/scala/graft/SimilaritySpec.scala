@@ -145,6 +145,49 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.nprobeFor(65536) == 16) // log2, not C/4=16384
   }
 
+  test("JL projection (q82) preserves relative distances and top-k candidates") {
+    import spark.implicits._
+    val e = Similarity.prepared(spark, "/root/testdata/sf0.001").cache()
+    val proj = Similarity.projected(e)
+      .collect().map(r => r.getLong(0) ->
+        (1 until 1 + Similarity.PROJ_DIM).map(r.getDouble).toArray).toMap
+    val full = e.select(col("vec_id"), col("v"))
+      .as[(Long, Seq[Double])].collect().map { case (i, v) => i -> v.toArray }.toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // JL estimator: projected squared distances concentrate around the
+    // originals — the MEAN ratio must sit near 1 (per-pair distortion at
+    // k=16 is ~sqrt(ln n / k), so individual pairs swing; the mean pins
+    // the 1/sqrt(k) scaling is right, not accidentally k-dependent)
+    val ids = full.keys.toSeq.sorted.take(60)
+    val ratios = for {
+      i <- ids; j <- ids if i < j
+      df2 = d2(full(i), full(j)) if df2 > 0
+    } yield d2(proj(i), proj(j)) / df2
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.85 && mean < 1.15, s"mean distance ratio $mean far from 1")
+    // pipeline property: the near-dup PAIRS (cosine >= 0.4 in full space —
+    // the pairs with real structure, vs the near-uniform background) must
+    // stay separable after projection: a coarse filter at the background
+    // median keeps them. JL guarantees (1 +/- eps) DISTANCES, not rank
+    // order among near-equal background distances — so the prefilter
+    // contract, not generic top-k overlap, is the one worth pinning.
+    val dups = e.alias("a").join(e.alias("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(functions.VectorOps.cosinePre(
+        functions.VectorOps.dot(col("a.v"), col("b.v")),
+        col("a.nrm"), col("b.nrm")) >= 0.4)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .as[(Long, Long)].collect()
+    assert(dups.nonEmpty)
+    val bgPairs = for (i <- ids; j <- ids if i < j) yield d2(proj(i), proj(j))
+    val median = bgPairs.sorted.apply(bgPairs.size / 2)
+    val kept = dups.count { case (i, j) => d2(proj(i), proj(j)) < median }
+    val recall = kept.toDouble / dups.length
+    assert(recall >= 0.95,
+      s"projected-space prefilter at the background median keeps only $recall of near-dups")
+  }
+
   test("IVF codebook is deterministic and its lists cover the corpus") {
     val e = vecs
     val nCents = Similarity.centroidsForCorpus(e.count())
