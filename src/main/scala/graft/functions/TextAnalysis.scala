@@ -623,6 +623,86 @@ object TextAnalysis {
         JOIN thresholds t ON d.lang = t.lang AND d.source = t.source
         GROUP BY 1, 2, 3, 4
         ORDER BY 1, 2"""),
-      "mixture rebalancing: per-source integer-hex coin thresholds -> uniform source mix per language")
+      "mixture rebalancing: per-source integer-hex coin thresholds -> uniform source mix per language"),
+
+    QueryDef(
+      "q83_unigram_xent",
+      (s, d) => unigramXent(documents(s, d)),
+      Some(s"""
+        WITH words AS (
+          SELECT doc_id, lang, unnest($SQL_TOKENS) AS word FROM documents),
+        wc AS (SELECT lang, word, count(*) AS wc FROM words GROUP BY 1, 2),
+        totals AS (SELECT lang, cast(sum(wc) as bigint) AS wtot FROM wc GROUP BY 1),
+        cost AS (
+          SELECT w.doc_id, w.lang,
+                 cast(round(-ln(wc.wc * 1.0 / totals.wtot) * 1000000) as bigint) AS c6
+          FROM words w
+          JOIN wc ON w.lang = wc.lang AND w.word = wc.word
+          JOIN totals ON w.lang = totals.lang),
+        perdoc AS (
+          SELECT doc_id, lang, count(*) AS n_tokens,
+                 (cast(sum(c6) as bigint) // count(*)) // 100 AS x4
+          FROM cost GROUP BY 1, 2),
+        stats AS (
+          SELECT lang,
+                 cast(sum(x4) as bigint) * 1.0 / count(*) AS mu4,
+                 sqrt(cast(sum(x4 * x4) as bigint) * 1.0 / count(*) -
+                      (cast(sum(x4) as bigint) * 1.0 / count(*)) *
+                      (cast(sum(x4) as bigint) * 1.0 / count(*))) AS sd4
+          FROM perdoc GROUP BY 1)
+        SELECT doc_id, n_tokens, x4 / 10000.0 AS xent,
+               abs(x4 - mu4) > 2.0 * sd4 AS is_outlier
+        FROM perdoc JOIN stats USING (lang)
+        ORDER BY doc_id"""),
+      "unigram cross-entropy quality filter: CCNet-style LM scoring with exact integer accumulation")
   )
+
+  /** Language-model quality proxy (the CCNet filter, Wenzek et al. 2020,
+    * with a unigram model standing in for KenLM): per-doc cross-entropy
+    * under the language's own unigram distribution — low = stereotyped/
+    * repetitive, high = vocabulary the corpus finds surprising. Docs
+    * outside mean +/- 2 sigma of their language are flagged, the CCNet
+    * head/tail bucketing collapsed to a flag.
+    *
+    * Determinism: per-token ln p is rounded to 1e-6 and summed as BIGINT
+    * micros (per-doc), then per-doc xent is rounded to 1e-4 and the lang
+    * mean/variance accumulate those exact ten-thousandths as BIGINTs — no
+    * float summation order anywhere. 100 TB shape: unigram counts are one
+    * partial-agg groupBy (lang, word); docs re-join that table by
+    * (lang, word) — the q74 df shape, linear, never a pair space; lang
+    * totals broadcast. (The sum(x4^2) accumulator holds to ~10^12 docs per
+    * language in a signed 64-bit — center x4 on a per-lang baseline first
+    * if a corpus ever exceeds that.) */
+  def unigramXent(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"), col("lang"),
+      explode(tokens(col("text"))).as("word"))
+    val wc = words.groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("wc"))
+    val totals = wc.groupBy(col("lang")).agg(sum(col("wc")).as("wtot"))
+    // ln p(w|lang) in exact micros, negated (cross-entropy is positive)
+    val tokenCost = words
+      .join(wc, Seq("lang", "word"))
+      .join(broadcast(totals), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        round(-log(col("wc") * lit(1.0) / col("wtot")) * lit(1000000))
+          .cast("long").as("c6"))
+    val perDoc = tokenCost.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        // xent in exact ten-thousandths: micros summed, scaled once;
+        // all-positive integer division so div == DuckDB's //
+        expr("(sum(c6) div count(*)) div 100").as("x4"))
+      .withColumn("xent", col("x4") / 10000.0)
+    val langStats = perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("nd"), sum(col("x4")).as("sx"),
+        sum(col("x4") * col("x4")).as("sxx"))
+      .select(col("lang"),
+        (col("sx") * lit(1.0) / col("nd")).as("mu4"),
+        sqrt(col("sxx") * lit(1.0) / col("nd") -
+          (col("sx") * lit(1.0) / col("nd")) * (col("sx") * lit(1.0) / col("nd")))
+          .as("sd4"))
+    perDoc.join(broadcast(langStats), Seq("lang"))
+      .select(col("doc_id"), col("n_tokens"), col("xent"),
+        (abs(col("x4") - col("mu4")) > lit(2.0) * col("sd4")).as("is_outlier"))
+      .orderBy(col("doc_id"))
+  }
 }

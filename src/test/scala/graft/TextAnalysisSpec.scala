@@ -101,6 +101,24 @@ class TextAnalysisSpec extends SparkSpec {
       hier.collect { case (k, v) if naive(k) != v => (k, v, naive(k)) }.take(5)}")
   }
 
+  test("q83 unigram cross-entropy ranks repetitive below diverse text") {
+    // 8 mid-frequency docs anchor the distribution; one doc repeats a
+    // single common word (low surprise) and one is all rare words (high):
+    // the LM proxy must order them and flag both extremes
+    val common = (1 to 8).map(i => (i.toLong, s"alpha beta gamma delta w$i"))
+    val fixture = (common :+
+      (100L, "alpha alpha alpha alpha alpha alpha alpha alpha") :+
+      (200L, "zeta1 zeta2 zeta3 zeta4 zeta5 zeta6 zeta7 zeta8"))
+      .map { case (i, t) => (i, t, "xx", "s") }
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.unigramXent(fixture)
+      .select(col("doc_id"), col("xent"), col("is_outlier"))
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(100L)._1 < out(1L)._1, "repetitive doc must score lowest")
+    assert(out(200L)._1 > out(1L)._1, "rare-vocab doc must score highest")
+    assert(out(100L)._1 < out(200L)._1)
+  }
+
   test("q81 rebalancing drives every source toward the language minimum") {
     val out = TextAnalysis.defs.find(_.name == "q81_mixture_balance").get
       .fn(spark, SF)
