@@ -34,6 +34,18 @@ object TextAnalysis {
 
   private val STOPWORDS = Seq("the", "a", "of", "to", "and")
 
+  /** Distinct word-trigram set of a token array — the q73 decontamination
+    * gram unit, factored so the streaming probe
+    * ([[graft.streaming.StreamingOps.contaminationProbe]]) matches the
+    * batch semantics expression-for-expression. Callers guard
+    * `size(w) >= 3`. */
+  def trigramSet(w: Column): Column =
+    array_distinct(
+      transform(sequence(lit(0), size(w) - 3), i =>
+        concat_ws(" ", element_at(w, i + 1),
+          element_at(w, i + 2),
+          element_at(w, i + 3))))
+
   def stopwordCount(text: Column): Column =
     size(filter(tokens(text), t => t.isin(STOPWORDS.map(lit): _*)))
 
@@ -281,11 +293,7 @@ object TextAnalysis {
             tokens(col("text")).as("w"))
           .filter(size(col("w")) >= 3)
         val grams = toks.select(col("doc_id"), col("lang"), col("source"),
-          explode(array_distinct(
-            transform(sequence(lit(0), size(col("w")) - 3), i =>
-              concat_ws(" ", element_at(col("w"), i + 1),
-                element_at(col("w"), i + 2),
-                element_at(col("w"), i + 3))))).as("g"))
+          explode(trigramSet(col("w"))).as("g"))
         val bench = grams.filter(col("source") === "src0")
           .select(col("lang"), col("g")).distinct()
         val train = grams.filter(col("source") =!= "src0")

@@ -210,6 +210,32 @@ object StreamingOps {
   def enrichWithStatic(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
 
+  /** Streaming benchmark decontamination — q73's probe made ingest-time:
+    * arriving documents explode to their distinct trigrams, hit the STATIC
+    * benchmark gram set through a stream-static broadcast join (stateless
+    * per micro-batch — eval suites are MBs, so the broadcast is the same
+    * one the batch plan uses), and per-doc hit counts aggregate under an
+    * event-time window + watermark so append mode can emit closed windows.
+    * Only contaminated docs emit rows (inner join): the clean majority
+    * costs zero state, which is what lets this run unbounded — state is
+    * one count per (window, contaminated doc), expired by the watermark.
+    * StreamingSpec replays a corpus and asserts the emitted hit counts
+    * equal batch q73's n_hits for every contaminated doc. */
+  def contaminationProbe(docs: Dataset[DocIn], bench: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      windowSize: String = "1 hour"): DataFrame = {
+    val grams = docs.toDF()
+      .withColumn("w", graft.functions.TextAnalysis.tokens(col("text")))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("lang"), col("ts"),
+        explode(graft.functions.TextAnalysis.trigramSet(col("w"))).as("g"))
+    grams.withWatermark("ts", watermarkDelay)
+      .join(org.apache.spark.sql.functions.broadcast(bench), Seq("lang", "g"))
+      .groupBy(window(col("ts"), windowSize), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("n_hits"))
+  }
+
   /** File-source stream over a directory of parquet events (raw nanosecond
     * ts converted like the batch loader). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {

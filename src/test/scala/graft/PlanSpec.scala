@@ -160,6 +160,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q83 LM scoring joins word counts by key and broadcasts the stats") {
+    val p = plan("q83_unigram_xent")
+    assert(p.contains("BroadcastHashJoin"), p) // lang totals + lang stats
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p) // unigram counts map-side combine
+  }
+
   test("q24 window aggregation prunes unused event columns") {
     val p = plan("q24_tumbling_window")
     assert(!p.contains("props"), p) // json column not read for this query

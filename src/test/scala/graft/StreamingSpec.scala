@@ -199,6 +199,43 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${stream -- batch}; batch-only: ${batch -- stream}")
   }
 
+  test("streaming contamination probe matches batch q73 hit counts") {
+    import graft.streaming.StreamingOps.DocIn
+    import graft.functions.TextAnalysis
+    val docsDf = spark.read.parquet(s"$SF/documents.parquet")
+    // the static bench side, built exactly like batch q73 (src0 slice)
+    val bench = docsDf
+      .select(col("lang"), col("source"), TextAnalysis.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3 && col("source") === "src0")
+      .select(col("lang"), explode(TextAnalysis.trigramSet(col("w"))).as("g"))
+      .distinct()
+    val docs = docsDf.filter(col("source") =!= "src0")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => DocIn(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), new Timestamp(86400_000L + r.getLong(0) * 1000)))
+      .sortBy(_.doc_id)
+    val in = MemoryStream[DocIn]
+    val q = StreamingOps.contaminationProbe(in.toDS(), bench)
+      .writeStream.format("memory").queryName("contam").outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      // advance the watermark past every window so append mode flushes:
+      // a sentinel doc far in the future with no grams in the bench
+      in.addData(DocIn(999999L, "zz", "none", "solo tok stream",
+        new Timestamp(86400_000L * 30))); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("contam")
+      .select(col("doc_id"), col("n_hits")).as[(Long, Long)].collect().toMap
+    val batch = SparkEntry.queries("q73_decontamination")(spark, SF)
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("n_hits")).as[(Long, Long)].collect().toMap
+    assert(batch.nonEmpty, "replayed corpus has no contaminated docs")
+    assert(stream == batch,
+      s"stream-only: ${stream.toSet -- batch.toSet}; batch-only: ${batch.toSet -- stream.toSet}")
+  }
+
   test("file-source event stream aggregates the sf0.001 table like batch") {
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
     // stage the driver parquet into a stream-source dir
