@@ -94,6 +94,34 @@ object Aggregates {
       "distinct cardinality: exact (oracle) + HLL approx (spec-checked tolerance)"),
 
     QueryDef(
+      "q84_approx_percentiles",
+      (s, d) =>
+        // Quantile sketch (Greenwald-Khanna via approx_percentile): the
+        // sketch family's member for order statistics, next to HLL (q43)
+        // for cardinality. The sketch is mergeable — partial aggregation
+        // works map-side, so at 100 TB this is one shuffle of bounded
+        // summaries where q48's exact cents-histogram shuffles its full
+        // (group, cent) domain. accuracy=10000 bounds rank error at
+        // n/10000; AggregatesSpec measures the value error against q48's
+        // exact interpolation. Sketch internals differ per engine, so
+        // there's no hash oracle — the spec's tolerance against exact IS
+        // the correctness contract.
+        graft.Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)")
+              .as("approx_pcts"))
+          .select(col("l_returnflag"), col("n"),
+            round(element_at(col("approx_pcts"), 1), 2).as("p50"),
+            round(element_at(col("approx_pcts"), 2), 2).as("p95"),
+            round(element_at(col("approx_pcts"), 3), 2).as("p99"))
+          .orderBy(col("l_returnflag")),
+      None, // sketch values are algorithm-specific; AggregatesSpec bounds
+            // them against q48's exact percentiles instead
+      "approx percentiles: mergeable GK quantile sketch (bounded partial-agg state)"),
+
+    QueryDef(
       "q62_stats_moments",
       (s, d) =>
         // correlation/covariance from exact integer-cents moment sums: the

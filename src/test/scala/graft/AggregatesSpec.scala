@@ -29,6 +29,26 @@ class AggregatesSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05, s"approx $approx exact $exact")
   }
 
+  test("q84 sketch percentiles track the exact per-group order statistics") {
+    val out = SparkEntry.queries("q84_approx_percentiles")(spark, SF)
+      .select(col("l_returnflag"), col("p50"), col("p95"), col("p99"))
+      .as[(String, Double, Double, Double)].collect()
+    assert(out.nonEmpty)
+    val exact = Tables.lineitem(spark, SF).groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("e50"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("e95"),
+        percentile(col("l_extendedprice"), lit(0.99)).as("e99"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    out.foreach { case (f, p50, p95, p99) =>
+      val (e50, e95, e99) = exact(f)
+      Seq(("p50", p50, e50), ("p95", p95, e95), ("p99", p99, e99)).foreach {
+        case (n, a, e) =>
+          assert(math.abs(a - e) / e < 0.02, s"$f $n: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("q49 min_by/max_by tiebreaks match the oracle's ASC/ASC and DESC/DESC rankings") {
     // constructed ties: custkey 1 has two orders at the same minimum AND the
     // same maximum price — min_by must pick the SMALLEST orderkey among tied
