@@ -46,6 +46,22 @@ object RecallReport {
     println(f"q64_neardup_lsh vs brute-cosine(q38): ${pairRecall("q64_neardup_lsh", cosine)}%.3f")
     println(f"q40_knn_lsh mean recall@5 vs q39: ${knnRecall("q40_knn_lsh", knnExact)}%.3f")
     println(f"q67_knn_ivf mean recall@5 vs q39: ${knnRecall("q67_knn_ivf", knnExact)}%.3f")
+
+    // q79: removal-set recall vs the exact all-pairs removal list
+    val e = graft.functions.Similarity.prepared(spark, sf).cache()
+    val exactRemoved = e.alias("a").join(e.alias("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(graft.functions.VectorOps.cosinePre(
+        graft.functions.VectorOps.dot(col("a.v"), col("b.v")),
+        col("a.nrm"), col("b.nrm")) >= 0.4)
+      .select(col("b.vec_id")).distinct().as[Long].collect().toSet
+    val semRemoved = graft.functions.Dedup
+      .semdedupAssignments(e, graft.functions.Dedup.SEMDEDUP_CLUSTER, 0.4)
+      ._2.select(col("vec_id")).as[Long].collect().toSet
+    val semRecall =
+      if (exactRemoved.isEmpty) 1.0
+      else semRemoved.count(exactRemoved).toDouble / exactRemoved.size
+    println(f"q79_semdedup removal recall vs all-pairs: $semRecall%.3f")
     spark.stop()
   }
 }
