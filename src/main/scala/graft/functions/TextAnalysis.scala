@@ -662,7 +662,48 @@ object TextAnalysis {
                abs(x4 - mu4) > 2.0 * sd4 AS is_outlier
         FROM perdoc JOIN stats USING (lang)
         ORDER BY doc_id"""),
-      "unigram cross-entropy quality filter: CCNet-style LM scoring with exact integer accumulation")
+      "unigram cross-entropy quality filter: CCNet-style LM scoring with exact integer accumulation"),
+
+    QueryDef(
+      "q85_vocab_stats",
+      (s, d) => {
+        // Corpus vocabulary report (the curation-dashboard numbers every
+        // corpus release publishes): per language — token mass, vocabulary
+        // size, hapax count (words seen once — the Zipf tail), type-token
+        // ratio, and top-word mass share. One partial-agg groupBy
+        // (lang, word) then a per-lang rollup of that bounded relation;
+        // nothing corpus-sized survives the first aggregate.
+        val wc = documents(s, d)
+          .select(col("lang"), explode(tokens(col("text"))).as("word"))
+          .groupBy(col("lang"), col("word"))
+          .agg(count(lit(1)).as("c"))
+        wc.groupBy(col("lang"))
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("vocab"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+            max(col("c")).as("top_word_count"))
+          .select(col("lang"), col("n_tokens"), col("vocab"), col("hapax"),
+            round(col("vocab") * lit(1.0) / col("n_tokens"), 6).as("type_token_ratio"),
+            round(col("top_word_count") * lit(1.0) / col("n_tokens"), 6).as("top_word_share"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""
+        WITH wc AS (
+          SELECT lang, unnest($SQL_TOKENS) AS word FROM documents),
+        counts AS (SELECT lang, word, count(*) AS c FROM wc GROUP BY 1, 2),
+        agg AS (
+          SELECT lang,
+                 cast(sum(c) as bigint) AS n_tokens,
+                 count(*) AS vocab,
+                 cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) as bigint) AS hapax,
+                 max(c) AS top_word_count
+          FROM counts GROUP BY 1)
+        SELECT lang, n_tokens, vocab, hapax,
+               round(vocab * 1.0 / n_tokens, 6) AS type_token_ratio,
+               round(top_word_count * 1.0 / n_tokens, 6) AS top_word_share
+        FROM agg
+        ORDER BY lang"""),
+      "corpus vocabulary report: token mass, vocab, hapax tail, type-token ratio per language")
   )
 
   /** Language-model quality proxy (the CCNet filter, Wenzek et al. 2020,

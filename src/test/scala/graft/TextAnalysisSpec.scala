@@ -119,6 +119,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(100L)._1 < out(200L)._1)
   }
 
+  test("pipeline ops tolerate degenerate inputs") {
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    assert(TextAnalysis.unigramXent(empty).count() == 0)
+    // a single-doc language has sigma 0 => the doc is not its own outlier
+    val one = Seq((1L, "a b c", "xx", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val flags = TextAnalysis.unigramXent(one)
+      .select(col("is_outlier")).as[Boolean].collect().toSeq
+    assert(flags == Seq(false))
+    // trigram guard: a 3-token doc has exactly one trigram, shorter none
+    val sets = Seq((1L, "a b c"), (2L, "a b"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        when(size(TextAnalysis.tokens(col("text"))) >= 3,
+          TextAnalysis.trigramSet(TextAnalysis.tokens(col("text"))))
+          .otherwise(array().cast("array<string>")).as("g"))
+      .select(col("doc_id"), size(col("g")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(sets(1L) == 1 && sets(2L) == 0)
+  }
+
   test("q81 rebalancing drives every source toward the language minimum") {
     val out = TextAnalysis.defs.find(_.name == "q81_mixture_balance").get
       .fn(spark, SF)
