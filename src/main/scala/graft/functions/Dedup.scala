@@ -95,7 +95,26 @@ object Dedup {
         array((0 until MINHASH_PERMS).map(i => col(s"sig_$i")): _*).as("sig"): _*)
   }
 
-  /** MinHash + LSH near-dup pairs.
+  /** Per-row MinHash signatures: sig_i = min over the doc's distinct
+    * tokens of xxhash64(word, i), folded INSIDE the row with
+    * array_min(transform(...)) — same values as [[minhashSignatures]]
+    * (identical hash of the identical word set), but zero shuffle: the
+    * exploded path moves the whole (doc, word) token stream through an
+    * exchange just to take 32 mins, which at 100 TB is the single largest
+    * shuffle in the dedup pipeline. Here signatures fall out of the scan
+    * map-side and only (doc, band) keys ever shuffle. Token-less docs are
+    * filtered (the exploded groupBy never emits them); DedupSpec pins
+    * row-identity between the two paths. */
+  def minhashSignaturesRowwise(docs: DataFrame, scope: Seq[String]): DataFrame = {
+    val tokArr = array_distinct(TextAnalysis.tokens(col("text")))
+    docs.select((col("doc_id") +: scope.map(col)) :+ tokArr.as("toks"): _*)
+      .filter(size(col("toks")) > 0)
+      .select((col("doc_id") +: scope.map(col)) :+
+        array((0 until MINHASH_PERMS).map(i =>
+          array_min(transform(col("toks"), w => xxhash64(w, lit(i))))): _*).as("sig"): _*)
+  }
+
+  /** MinHash + LSH near-dup pairs over a precomputed signature frame.
     *
     * Candidate generation is an equi join on (scope..., band, band_hash) —
     * never the cartesian pair space. Scoping the buckets (here by
@@ -103,8 +122,9 @@ object Dedup {
     * bounds bucket size even on corpora where everything resembles
     * everything, which is what makes the plan survive 100 TB.
     */
-  def minhashPairs(toks: DataFrame, scope: Seq[String], threshold: Double): DataFrame = {
-    val sigs = minhashSignatures(toks, scope).cache()
+  def minhashPairsFromSigs(sigsIn: DataFrame, scope: Seq[String],
+      threshold: Double): DataFrame = {
+    val sigs = sigsIn.cache()
     val rowsPerBand = MINHASH_PERMS / MINHASH_BANDS
     val banded = sigs.select(
       (col("doc_id") +: scope.map(col)) :+
@@ -128,6 +148,11 @@ object Dedup {
           b => b)) * lit(1.0) / MINHASH_PERMS).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
+
+  /** The exploded-token entry point, kept as the verification twin of the
+    * row-wise path (DedupSpec proves the signatures identical). */
+  def minhashPairs(toks: DataFrame, scope: Seq[String], threshold: Double): DataFrame =
+    minhashPairsFromSigs(minhashSignatures(toks, scope), scope, threshold)
 
   /** Exact Jaccard >= t pairs via the inverted-index self-join — the
     * VERIFICATION BASELINE for [[jaccardPairsPrefix]], not a registered
@@ -277,7 +302,11 @@ object Dedup {
     QueryDef(
       "q36_minhash_lsh",
       (s, d) =>
-        minhashPairs(docTokens(s, d), Seq("lang", "source"), 0.75)
+        // row-wise signatures: the only corpus-sized shuffle left in this
+        // plan is the (scope, band, bh) bucket join itself
+        minhashPairsFromSigs(
+          minhashSignaturesRowwise(documents(s, d), Seq("lang", "source")),
+          Seq("lang", "source"), 0.75)
           .orderBy(col("ia"), col("ib")),
       None, // xxhash64 permutations aren't expressible in the oracle;
             // covered by DedupSpec against exact Jaccard instead.

@@ -122,6 +122,24 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"q64 recall $recall < 0.9 (|brute|=${brute.size}, |lsh|=${lsh.size})")
   }
 
+  test("row-wise minhash signatures are identical to the exploded-shuffle path") {
+    // q36's map-side signature fold must equal the groupBy-of-explode
+    // reference value-for-value — same docs, same 32 mins — on the real
+    // corpus (token-less docs excluded by both)
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    def collect(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.select(col("doc_id"), col("sig")).as[(Long, Seq[Long])].collect().toMap
+    val rowwise = collect(
+      Dedup.minhashSignaturesRowwise(docs, Seq("lang", "source")))
+    val exploded = collect(Dedup.minhashSignatures(
+      docs.select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("word")),
+      Seq("lang", "source")))
+    assert(rowwise == exploded,
+      s"paths differ for docs ${rowwise.keySet.diff(exploded.keySet).take(3)}...")
+  }
+
   test("semdedup (q79) removal set is exact-precision and high-recall vs all-pairs") {
     val sf = "/root/testdata/sf0.001"
     val e = functions.Similarity.prepared(spark, sf).cache()

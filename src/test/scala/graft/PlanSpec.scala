@@ -167,6 +167,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p) // unigram counts map-side combine
   }
 
+  test("q36 minhash signatures fold map-side: no aggregate computes the mins") {
+    // the row-wise rewrite: signatures come from array_min(transform(...))
+    // inside the scan projection, so the plan must contain no partial_min
+    // aggregation (the old exploded path shuffled every (doc, word) row
+    // into a 32-min groupBy)
+    val p = plan("q36_minhash_lsh")
+    assert(!p.contains("partial_min"), p)
+    assert(p.contains("array_min"), p)
+  }
+
   test("q24 window aggregation prunes unused event columns") {
     val p = plan("q24_tumbling_window")
     assert(!p.contains("props"), p) // json column not read for this query
