@@ -233,9 +233,35 @@ object Dedup {
   }
 
   /** SimHash: 64-bit signature; bit b set iff sum of (+tf / -tf) weighted
-    * by bit b of xxhash64(word) is positive. */
+    * by bit b of xxhash64(word) is positive.
+    *
+    * Computed MAP-SIDE like the row-wise MinHash path: summing +/-1 per
+    * token OCCURRENCE equals the per-word tf-weighted sum (sum over
+    * occurrences == sum over words of tf * sign), so the 64 bit weights
+    * fold inside the row — each token is hashed once and every bit weight
+    * accumulates from that one hash column — and no (doc, word) tf
+    * aggregation ever shuffles. DedupSpec pins identity with the exploded
+    * tf reference on the real corpus. Token-less docs carry signature 0
+    * under both paths' semantics — the exploded path simply has no row, so
+    * they're filtered for exact parity. */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val tf = documents(s, d)
+    val hashes = transform(tokens(col("text")), w => xxhash64(w))
+    val bitWeight = (b: Int) =>
+      aggregate(col("hs"), lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+    val assembled = (0 until 64)
+      .map(b => when(bitWeight(b) > 0, lit(1L << b)).otherwise(lit(0L)): Column)
+      .reduce(_ + _) // bit positions are disjoint, so + == bitwise OR
+    documents(s, d)
+      .select(col("doc_id"), hashes.as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), assembled.as("simhash"))
+  }
+
+  /** The exploded (doc, word) tf reference for [[simhash]] — kept as the
+    * verification twin (DedupSpec proves value identity). */
+  def simhashExploded(docs: DataFrame): DataFrame = {
+    val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
@@ -246,7 +272,7 @@ object Dedup {
     }
     val assembled = (0 until 64)
       .map(b => when(col(s"w_$b") > 0, lit(1L << b)).otherwise(lit(0L)): Column)
-      .reduce(_ + _) // bit positions are disjoint, so + == bitwise OR
+      .reduce(_ + _)
     tf.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), assembled.as("simhash"))

@@ -140,6 +140,15 @@ class DedupSpec extends SparkSpec {
       s"paths differ for docs ${rowwise.keySet.diff(exploded.keySet).take(3)}...")
   }
 
+  test("row-wise simhash equals the exploded tf-weighted reference") {
+    val sf = "/root/testdata/sf0.001"
+    val rowwise = Dedup.simhash(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val exploded = Dedup.simhashExploded(Tables.documents(spark, sf))
+      .as[(Long, Long)].collect().toMap
+    assert(rowwise == exploded)
+  }
+
   test("semdedup (q79) removal set is exact-precision and high-recall vs all-pairs") {
     val sf = "/root/testdata/sf0.001"
     val e = functions.Similarity.prepared(spark, sf).cache()

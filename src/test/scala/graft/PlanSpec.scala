@@ -175,6 +175,10 @@ class PlanSpec extends SparkSpec {
     val p = plan("q36_minhash_lsh")
     assert(!p.contains("partial_min"), p)
     assert(p.contains("array_min"), p)
+    // same rewrite for simhash: bit weights fold per row via aggregate(),
+    // so the only aggregation left in q37 is the candidate distinct
+    val p37 = plan("q37_simhash")
+    assert(!p37.contains("partial_sum"), p37)
   }
 
   test("q24 window aggregation prunes unused event columns") {
