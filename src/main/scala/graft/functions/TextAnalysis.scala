@@ -194,33 +194,34 @@ object TextAnalysis {
         // repetition rules; C4's boilerplate filters, Raffel et al. 2020):
         // the fraction of mass in the most frequent word / bigram and the
         // duplicate-token fraction.
-        // Per-doc token counting is two partial-aggregated groupBys — no
-        // per-doc state beyond the (doc, gram) counts, so it scales with
-        // corpus size, not document size.
+        //
+        // Every statistic is WITHIN-document, so nothing shuffles: the
+        // mode counts fold per row (count each distinct gram against the
+        // gram array — O(tokens x distinct) inside the scan, the same
+        // rewrite as q36/q37's map-side signatures), where the previous
+        // shape exploded to (doc, gram) and shuffled two groupBys just to
+        // come back to one row per doc. Zero-token docs emit no row on
+        // either engine (unnest of empty == no exploded rows).
+        def modeCount(arr: Column): Column =
+          array_max(transform(array_distinct(arr), g =>
+            size(filter(arr, x => x === g))))
         val n = size(col("toks"))
         val bigrams = when(n >= 2,
           zip_with(slice(col("toks"), lit(1), n - 1), slice(col("toks"), lit(2), n - 1),
             (a, b) => concat_ws(" ", a, b)))
           .otherwise(array().cast("array<string>"))
-        val toks = documents(s, d)
+        documents(s, d)
           .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
           .select(col("doc_id"), col("toks"), bigrams.as("bigs"))
-          .cache() // two consumers; don't re-scan and re-tokenize per branch
-        val wstats = toks.select(col("doc_id"), explode(col("toks")).as("w"))
-          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id"))
-          .agg(max(col("c")).as("topw"), sum(col("c")).as("nw"),
-            count(lit(1)).as("ndw"))
-        val bstats = toks.select(col("doc_id"), explode(col("bigs")).as("b"))
-          .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id"))
-          .agg(max(col("c")).as("topb"), sum(col("c")).as("nb"))
-        // left join: a 1-token doc has words but no bigrams on both engines
-        wstats.join(bstats, Seq("doc_id"), "left")
           .select(col("doc_id"),
-            round(col("topw") * 1.0 / col("nw"), 4).as("top_word_frac"),
-            round((col("nw") - col("ndw")) * 1.0 / col("nw"), 4).as("dup_word_frac"),
-            coalesce(round(col("topb") * 1.0 / col("nb"), 4), lit(0.0)).as("top_bigram_frac"))
+            round(modeCount(col("toks")) * 1.0 / size(col("toks")), 4)
+              .as("top_word_frac"),
+            round((size(col("toks")) - size(array_distinct(col("toks")))) * 1.0 /
+              size(col("toks")), 4).as("dup_word_frac"),
+            when(size(col("bigs")) > 0,
+              round(modeCount(col("bigs")) * 1.0 / size(col("bigs")), 4))
+              .otherwise(0.0).as("top_bigram_frac"))
           .orderBy(col("doc_id"))
       },
       Some(s"""

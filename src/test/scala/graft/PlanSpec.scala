@@ -179,6 +179,11 @@ class PlanSpec extends SparkSpec {
     // so the only aggregation left in q37 is the candidate distinct
     val p37 = plan("q37_simhash")
     assert(!p37.contains("partial_sum"), p37)
+    // and for q69: every stat is within-document, so the plan must hold
+    // NO aggregate at all — just scan, project, sort
+    val p69 = plan("q69_repetition")
+    assert(!p69.contains("HashAggregate") && !p69.contains("SortAggregate")
+      && !p69.contains("ObjectHashAggregate"), p69)
   }
 
   test("q24 window aggregation prunes unused event columns") {
