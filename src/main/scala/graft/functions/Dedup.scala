@@ -235,16 +235,25 @@ object Dedup {
   /** SimHash: 64-bit signature; bit b set iff sum of (+tf / -tf) weighted
     * by bit b of xxhash64(word) is positive.
     *
-    * Computed MAP-SIDE like the row-wise MinHash path: summing +/-1 per
-    * token OCCURRENCE equals the per-word tf-weighted sum (sum over
-    * occurrences == sum over words of tf * sign), so the 64 bit weights
-    * fold inside the row — each token is hashed once and every bit weight
-    * accumulates from that one hash column — and no (doc, word) tf
-    * aggregation ever shuffles. DedupSpec pins identity with the exploded
-    * tf reference on the real corpus. Token-less docs carry signature 0
-    * under both paths' semantics — the exploded path simply has no row, so
-    * they're filtered for exact parity. */
-  def simhash(s: SparkSession, d: String): DataFrame = {
+    * Registered shape: (doc, word) tf groupBy + 64 bit-sum aggregates —
+    * two partial-aggregated exchanges whose volume after the map-side
+    * combine is one row per (doc, distinct word). The shuffle-free
+    * [[simhashRowwise]] twin folds the weights inside the row
+    * (value-identical, spec-pinned) but runs ~2x slower here: its
+    * higher-order-function lambdas evaluate interpreted, outside
+    * whole-stage codegen. Pick the twin when network bandwidth, not CPU,
+    * binds the cluster. */
+  def simhash(s: SparkSession, d: String): DataFrame =
+    simhashExploded(documents(s, d))
+
+  /** Shuffle-free twin of [[simhash]]: summing +/-1 per token OCCURRENCE
+    * equals the per-word tf-weighted sum (sum over occurrences == sum over
+    * words of tf * sign), so the 64 bit weights fold inside the row and no
+    * (doc, word) tf aggregation ever shuffles. Token-less docs are
+    * filtered (the exploded groupBy never emits them). DedupSpec pins
+    * value identity on the real corpus; see [[simhash]] for the measured
+    * CPU-vs-network trade. */
+  def simhashRowwise(docs: DataFrame): DataFrame = {
     val hashes = transform(tokens(col("text")), w => xxhash64(w))
     val bitWeight = (b: Int) =>
       aggregate(col("hs"), lit(0L), (acc, h) =>
@@ -252,14 +261,12 @@ object Dedup {
     val assembled = (0 until 64)
       .map(b => when(bitWeight(b) > 0, lit(1L << b)).otherwise(lit(0L)): Column)
       .reduce(_ + _) // bit positions are disjoint, so + == bitwise OR
-    documents(s, d)
-      .select(col("doc_id"), hashes.as("hs"))
+    docs.select(col("doc_id"), hashes.as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), assembled.as("simhash"))
   }
 
-  /** The exploded (doc, word) tf reference for [[simhash]] — kept as the
-    * verification twin (DedupSpec proves value identity). */
+  /** The exploded (doc, word) tf form behind [[simhash]]. */
   def simhashExploded(docs: DataFrame): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))

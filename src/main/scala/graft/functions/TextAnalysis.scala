@@ -195,33 +195,32 @@ object TextAnalysis {
         // the fraction of mass in the most frequent word / bigram and the
         // duplicate-token fraction.
         //
-        // Every statistic is WITHIN-document, so nothing shuffles: the
-        // mode counts fold per row (count each distinct gram against the
-        // gram array — O(tokens x distinct) inside the scan, the same
-        // rewrite as q36/q37's map-side signatures), where the previous
-        // shape exploded to (doc, gram) and shuffled two groupBys just to
-        // come back to one row per doc. Zero-token docs emit no row on
-        // either engine (unnest of empty == no exploded rows).
-        def modeCount(arr: Column): Column =
-          array_max(transform(array_distinct(arr), g =>
-            size(filter(arr, x => x === g))))
-        val n = size(col("toks"))
-        val bigrams = when(n >= 2,
-          zip_with(slice(col("toks"), lit(1), n - 1), slice(col("toks"), lit(2), n - 1),
-            (a, b) => concat_ws(" ", a, b)))
-          .otherwise(array().cast("array<string>"))
-        documents(s, d)
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .filter(size(col("toks")) > 0)
-          .select(col("doc_id"), col("toks"), bigrams.as("bigs"))
+        // Registered shape: two partial-aggregated groupBys. After the
+        // map-side combine the exchanges carry one row per (doc, DISTINCT
+        // gram) — bounded by document length, linear in the corpus. The
+        // shuffle-free per-row fold exists as [[repetitionRowwise]]
+        // (value-identical, spec-pinned) but loses 4x wall-clock here:
+        // higher-order-function lambdas evaluate interpreted, outside
+        // whole-stage codegen, so the mode fold's O(len x distinct)
+        // comparisons cost more than the combined shuffle saves on a
+        // single node. Pick the row-wise twin when the network, not CPU,
+        // is the binding constraint.
+        val toks = repetitionTokens(documents(s, d)).cache()
+        val wstats = toks.select(col("doc_id"), explode(col("toks")).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("c")).as("topw"), sum(col("c")).as("nw"),
+            count(lit(1)).as("ndw"))
+        val bstats = toks.select(col("doc_id"), explode(col("bigs")).as("b"))
+          .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("c")).as("topb"), sum(col("c")).as("nb"))
+        // left join: a 1-token doc has words but no bigrams on both engines
+        wstats.join(bstats, Seq("doc_id"), "left")
           .select(col("doc_id"),
-            round(modeCount(col("toks")) * 1.0 / size(col("toks")), 4)
-              .as("top_word_frac"),
-            round((size(col("toks")) - size(array_distinct(col("toks")))) * 1.0 /
-              size(col("toks")), 4).as("dup_word_frac"),
-            when(size(col("bigs")) > 0,
-              round(modeCount(col("bigs")) * 1.0 / size(col("bigs")), 4))
-              .otherwise(0.0).as("top_bigram_frac"))
+            round(col("topw") * 1.0 / col("nw"), 4).as("top_word_frac"),
+            round((col("nw") - col("ndw")) * 1.0 / col("nw"), 4).as("dup_word_frac"),
+            coalesce(round(col("topb") * 1.0 / col("nb"), 4), lit(0.0)).as("top_bigram_frac"))
           .orderBy(col("doc_id"))
       },
       Some(s"""
@@ -706,6 +705,41 @@ object TextAnalysis {
         ORDER BY lang"""),
       "corpus vocabulary report: token mass, vocab, hapax tail, type-token ratio per language")
   )
+
+  /** (doc_id, toks, bigs) frame shared by both q69 implementations. */
+  private def repetitionTokens(docs: DataFrame): DataFrame = {
+    val n = size(col("toks"))
+    val bigrams = when(n >= 2,
+      zip_with(slice(col("toks"), lit(1), n - 1), slice(col("toks"), lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), bigrams.as("bigs"))
+  }
+
+  /** Shuffle-free twin of q69: every statistic folds inside the row
+    * (count each distinct gram against the gram array), so the plan holds
+    * no aggregate at all — one scan, one projection. Value-identical to
+    * the registered groupBy shape (spec-pinned). The trade, measured at
+    * sf0.1 local[32]: ~4x slower wall-clock, because higher-order-function
+    * lambdas run interpreted outside whole-stage codegen — use this
+    * variant when network bandwidth, not CPU, binds the cluster. */
+  def repetitionRowwise(docs: DataFrame): DataFrame = {
+    def modeCount(arr: Column): Column =
+      array_max(transform(array_distinct(arr), g =>
+        size(filter(arr, x => x === g))))
+    repetitionTokens(docs)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        round(modeCount(col("toks")) * 1.0 / size(col("toks")), 4)
+          .as("top_word_frac"),
+        round((size(col("toks")) - size(array_distinct(col("toks")))) * 1.0 /
+          size(col("toks")), 4).as("dup_word_frac"),
+        when(size(col("bigs")) > 0,
+          round(modeCount(col("bigs")) * 1.0 / size(col("bigs")), 4))
+          .otherwise(0.0).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Language-model quality proxy (the CCNet filter, Wenzek et al. 2020,
     * with a unigram model standing in for KenLM): per-doc cross-entropy

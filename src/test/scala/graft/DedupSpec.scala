@@ -140,11 +140,11 @@ class DedupSpec extends SparkSpec {
       s"paths differ for docs ${rowwise.keySet.diff(exploded.keySet).take(3)}...")
   }
 
-  test("row-wise simhash equals the exploded tf-weighted reference") {
+  test("row-wise simhash equals the registered exploded tf path") {
     val sf = "/root/testdata/sf0.001"
-    val rowwise = Dedup.simhash(spark, sf)
+    val rowwise = Dedup.simhashRowwise(Tables.documents(spark, sf))
       .as[(Long, Long)].collect().toMap
-    val exploded = Dedup.simhashExploded(Tables.documents(spark, sf))
+    val exploded = Dedup.simhash(spark, sf)
       .as[(Long, Long)].collect().toMap
     assert(rowwise == exploded)
   }

