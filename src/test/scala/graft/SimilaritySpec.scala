@@ -188,6 +188,37 @@ class SimilaritySpec extends SparkSpec {
       s"projected-space prefilter at the background median keeps only $recall of near-dups")
   }
 
+  test("IVF-PQ (q86) reaches usable recall and its codes actually compress") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    def topk(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf)
+        .select(col("qid"), col("ib")).as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = topk("q39_knn_brute")
+    val pq = topk("q86_knn_ivfpq")
+    val recall = exact.map { case (q, ex) =>
+      pq.get(q).map(s => ex.count(s).toDouble / ex.size).getOrElse(0.0)
+    }.sum / exact.size
+    // 0.90 measured at K=32/adcK=10K (0.86 at K=16); the floor pins the
+    // operating point against silent cheapening
+    assert(recall >= 0.8, s"q86 recall $recall < 0.8")
+    // the compression claim: every code must fit 5 bits (K=32 cells)
+    val e = Similarity.prepared(spark, sf)
+    val subDim = Similarity.DIM / Similarity.PQ_M
+    val books = (0 until Similarity.PQ_M).map { m =>
+      Similarity.trainSubCentroidsL2(
+        e.select(col("vec_id"), slice(col("v"), m * subDim + 1, subDim).as("v")),
+        Similarity.PQ_K, Similarity.LLOYD_ROUNDS)
+    }
+    val codes = e.select(Similarity.pqCodes(col("v"), books).as("c"))
+      .select(explode(col("c")).as("code")).as[Int].collect()
+    assert(codes.nonEmpty)
+    assert(codes.forall(c => c >= 0 && c < Similarity.PQ_K))
+    assert(codes.distinct.size > Similarity.PQ_K / 2,
+      "sub-codebooks must actually spread the corpus across cells")
+  }
+
   test("IVF codebook is deterministic and its lists cover the corpus") {
     val e = vecs
     val nCents = Similarity.centroidsForCorpus(e.count())
