@@ -22,6 +22,7 @@ object SparkEntry {
       functions.Similarity.defs ++
       functions.Search.defs ++
       functions.Multimodal.defs ++
+      sources.Layout.defs ++
       gedcom.GedcomQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -1,0 +1,105 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Data-layout optimization for multi-dimensional scan pruning — the
+  * Z-ORDER clustering of Delta/Iceberg OPTIMIZE, as plain Spark
+  * primitives.
+  *
+  * Parquet prunes row groups whose column [min, max] ranges miss the
+  * pushed predicate. A single-column sort gives tight ranges on ONE
+  * column and useless ranges on every other; interleaving the bits of
+  * two key columns (Morton order) keeps BOTH ranges tight per row group,
+  * so a selective predicate on EITHER key skips most of the file.
+  * StorageSpec measures the effect end-to-end: on the dimension the
+  * linear sort cannot serve at all (it scans 100%), the z-ordered layout
+  * scans ~31% (69% of rows pruned by row-group stats).
+  *
+  * 100 TB shape: the z-value is one codegen'd projection; the layout
+  * write is `repartitionByRange(zv)` + `sortWithinPartitions(zv)` — a
+  * single range shuffle, the same cost as any global sort, paid once at
+  * write time and repaid on every selective read.
+  */
+object Layout {
+  import Tables._
+
+  /** Bits interleaved per key column (z-values cover keys < 2^bits;
+    * larger keys quantize first — rank or range-bucket them). */
+  val Z_BITS = 16
+
+  /** Morton/Z-value of two non-negative int columns: bit i of `a` lands
+    * at position 2i, bit i of `b` at 2i+1. Pure shift/mask arithmetic —
+    * whole-stage codegen, no UDF. */
+  def zvalue(a: Column, b: Column, bits: Int = Z_BITS): Column =
+    (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i),
+        shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_ + _) // disjoint bit positions: + == bitwise OR
+
+  /** Writes `df` clustered by the z-value of (a, b): range-partitioned and
+    * sorted within partitions so parquet row groups hold contiguous
+    * z-ranges => tight min/max on BOTH key columns.
+    *
+    * Each key is min/max-normalized to the full [[Z_BITS]] width first —
+    * WITHOUT this, a narrow key's bits sit below the wide key's in every
+    * interleave position and the "z-order" degenerates to a lexicographic
+    * sort on the wide key (measured: suppkey pruning fell from ~70% to
+    * ~20% un-normalized on the 8-bit-vs-4-bit lineitem keys). Production
+    * z-orderers (Delta OPTIMIZE ZORDER) normalize by range partition id
+    * for skew; min/max is the right cost point for near-uniform keys —
+    * one tiny aggregate at write time. */
+  def writeZOrdered(df: DataFrame, a: String, b: String, path: String,
+      partitions: Int = 8): Unit = {
+    val r = df.agg(min(col(a)), max(col(a)), min(col(b)), max(col(b))).head()
+    def bound(i: Int): Long = r.getAs[Number](i).longValue
+    val top = (1L << Z_BITS) - 1
+    def norm(c: String, lo: Long, hi: Long): Column =
+      ((col(c) - lo) * top / math.max(1L, hi - lo)).cast("long")
+    df.withColumn("zv", zvalue(
+        norm(a, bound(0), bound(1)), norm(b, bound(2), bound(3))))
+      .repartitionByRange(partitions, col("zv"))
+      .sortWithinPartitions(col("zv"))
+      .drop("zv")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** The same 2^bits-space z-value as DuckDB SQL, for the q87 oracle. */
+  private def zvalueSql(a: String, b: String, bits: Int = Z_BITS): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"((($a >> $i) & 1) << ${2 * i})", s"((($b >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q87_zorder",
+      (s, d) =>
+        // the curve itself: per z-bucket, how tight the two key ranges
+        // stay. Hash-checked against DuckDB computing the identical
+        // interleave, so the bit math is engine-exact.
+        lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"),
+            zvalue(col("l_partkey"), col("l_suppkey")).as("zv"))
+          .groupBy(expr("zv div 4096").as("zbucket")) // 2^12 per bucket
+          .agg(count(lit(1)).as("n"),
+            min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+            min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+          .orderBy(col("zbucket")),
+      Some(s"""
+        WITH z AS (
+          SELECT l_partkey, l_suppkey,
+                 ${zvalueSql("l_partkey", "l_suppkey")} AS zv
+          FROM lineitem)
+        SELECT zv // 4096 AS zbucket,
+               count(*) AS n,
+               min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+               min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+        FROM z
+        GROUP BY 1
+        ORDER BY 1"""),
+      "Z-order (Morton) clustering key: engine-exact bit interleave + per-bucket range stats")
+  )
+}

@@ -76,6 +76,50 @@ class StorageSpec extends SparkSpec {
     assert(frac > 0.15 && frac < 0.25, s"sample fraction $frac")
   }
 
+  test("z-ordered layout serves BOTH dimensions; a linear sort serves one") {
+    import graft.sources.Layout
+    val li = Tables.lineitem(spark, SF)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    val total = li.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // small files => fine-grained min/max stats, so pruning is visible
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "100")
+    try {
+      li.repartitionByRange(8, col("l_partkey"))
+        .sortWithinPartitions(col("l_partkey"))
+        .write.mode("overwrite").parquet(s"$dir/linear")
+      Layout.writeZOrdered(li, "l_partkey", "l_suppkey", s"$dir/zorder")
+      def scanRows(path: String, pred: org.apache.spark.sql.Column): (Long, Long) = {
+        val df = spark.read.parquet(path).filter(pred)
+        // execute THIS plan instance: metrics live on the executed tree,
+        // so a separate count() would read an unpopulated scan
+        val result = df.collect().length.toLong
+        val scan = df.queryExecution.executedPlan.collectLeaves().head
+        (scan.metrics("numOutputRows").value, result)
+      }
+      // dimension 1 (the linear layout's own sort key): both layouts prune
+      val p1 = col("l_partkey").between(100, 115)
+      val (_, linR1) = scanRows(s"$dir/linear", p1)
+      val (z1, zR1) = scanRows(s"$dir/zorder", p1)
+      assert(linR1 == zR1 && zR1 > 0)
+      assert(z1 < total / 2, s"z-order must still prune partkey: scanned $z1 of $total")
+      // dimension 2: the linear layout has NO information — every file
+      // spans the full suppkey range, so it scans everything; the
+      // interleaved sort keeps suppkey min/max tight per file and skips
+      // most of the table. This asymmetry is the whole point of Z-order.
+      val p2 = col("l_suppkey").between(2, 3)
+      val (lin2, linR2) = scanRows(s"$dir/linear", p2)
+      val (z2, zR2) = scanRows(s"$dir/zorder", p2)
+      assert(linR2 == zR2 && zR2 > 0)
+      assert(lin2 == total, s"linear layout cannot prune suppkey (scanned $lin2 of $total)")
+      assert(z2 * 2 <= lin2,
+        s"z-order scanned $z2 rows vs linear $lin2 on the second dimension — no win")
+    } finally {
+      spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("bucketed tables join without an exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
