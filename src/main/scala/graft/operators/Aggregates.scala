@@ -42,6 +42,40 @@ object Aggregates {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 
+  /** Mergeable Misra-Gries heavy-hitters summary (Agarwal et al.,
+    * "Mergeable Summaries", PODS 2012): at most k counters; inserting
+    * past capacity subtracts the (k+1)-th largest count from every
+    * counter and drops the zeros. Guarantees, at any merge order:
+    * estimate ∈ [true - N/(k+1), true], so every item with true frequency
+    * above N/(k+1) SURVIVES the sketch — which is what makes it a safe
+    * candidate generator (sketch to prune, exact-count the ≤k survivors
+    * to emit deterministic results). Partial buffers are k-bounded like
+    * [[TopK]]; the corpus never collects. The synthetic testdata is
+    * near-uniform (no true heavy hitters at any useful threshold), so
+    * this ships as a library aggregator with the guarantee proven in
+    * AggregatesSpec on a planted-skew corpus rather than as a registered
+    * degenerate-output query. */
+  final class HeavyHitters(k: Int)
+      extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
+    override def zero: Map[String, Long] = Map.empty
+    private def trim(m: Map[String, Long]): Map[String, Long] =
+      if (m.size <= k) m
+      else {
+        val cut = m.values.toSeq.sorted(Ordering[Long].reverse).apply(k)
+        m.collect { case (i, c) if c > cut => i -> (c - cut) }
+      }
+    override def reduce(b: Map[String, Long], a: String): Map[String, Long] =
+      trim(b.updated(a, b.getOrElse(a, 0L) + 1))
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      trim(b.foldLeft(a) { case (m, (i, c)) => m.updated(i, m.getOrElse(i, 0L) + c) })
+    override def finish(m: Map[String, Long]): Seq[(String, Long)] =
+      m.toSeq.sortBy { case (i, c) => (-c, i) }
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q42_sql_surface",

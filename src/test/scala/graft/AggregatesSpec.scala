@@ -98,6 +98,37 @@ class AggregatesSpec extends SparkSpec {
     assert(hist == ref)
   }
 
+  test("Misra-Gries heavy hitters keep every item above N/(k+1) at any partitioning") {
+    import graft.operators.Aggregates.HeavyHitters
+    // planted zipf-ish skew: item "hot0" 40%, "hot1" 20%, "hot2" 10%,
+    // tail of 200 distinct items sharing the remaining 30%
+    val rnd = new scala.util.Random(13)
+    val items = Seq.fill(8000) {
+      val r = rnd.nextDouble()
+      if (r < 0.4) "hot0" else if (r < 0.6) "hot1"
+      else if (r < 0.7) "hot2" else s"tail${rnd.nextInt(200)}"
+    }
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = items.size.toLong
+    val k = 20
+    for (parts <- Seq(1, 7)) { // merge order must not break the guarantee
+      val sketch = spark.createDataset(items).repartition(parts)
+        .select(udaf(new HeavyHitters(k)).apply(col("value")).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e._1").as("item"), col("e._2").as("est"))
+        .as[(String, Long)].collect().toMap
+      assert(sketch.size <= k)
+      val threshold = n / (k + 1)
+      exact.filter(_._2 > threshold).keys.foreach { hot =>
+        assert(sketch.contains(hot), s"true heavy hitter $hot lost at parts=$parts")
+        // estimates under-count by at most N/(k+1) and never over-count
+        assert(sketch(hot) <= exact(hot) &&
+          sketch(hot) >= exact(hot) - threshold,
+          s"$hot est=${sketch(hot)} true=${exact(hot)} at parts=$parts")
+      }
+    }
+  }
+
   test("TopK aggregator matches rank-over-window on random data") {
     val rnd = new scala.util.Random(3)
     val df = Seq.fill(500)((rnd.nextInt(20).toLong, rnd.nextInt(10000) / 100.0, rnd.nextLong().abs))
