@@ -180,6 +180,55 @@ object Multimodal {
   def sampleFrameOffsets(nBytes: Long, stride: Long = 4096L): Seq[Long] =
     (0L until nBytes by stride).toSeq
 
+  /** LIVE image resize (JDK-only: `java.awt.Graphics2D` bilinear scale +
+    * `ImageIO` PNG re-encode — the preprocessing step every vision-data
+    * pipeline runs before feature extraction). Returns the resized PNG
+    * bytes, or None when no reader recognizes the payload (callers keep
+    * the original, same contract as [[decodeImage]]). Runs inside the
+    * batched [[extractFeatures]]-style `mapPartitions` shape: pure
+    * executor-side CPU, no shuffle, scales with input splits. */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    require(w > 0 && h > 0, s"resize target ${w}x$h")
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    }
+  }
+
+  /** Batched resize over a binary-column Dataset: images scale to
+    * `w` x `h`, everything else passes through untouched — the
+    * decode-seam dispatch pattern applied to a TRANSFORM (new payload +
+    * corrected metadata) instead of an extraction. */
+  def resizeAssets(in: Dataset[MediaAsset], w: Int, h: Int): Dataset[MediaAsset] = {
+    import in.sparkSession.implicits._
+    in.mapPartitions { rows =>
+      rows.grouped(BATCH_SIZE).flatMap { batch =>
+        batch.iterator.map { a =>
+          if (a.meta.kind != "image") a
+          else resizeImage(a.payload, w, h) match {
+            case Some(p) =>
+              MediaAsset(a.asset_id, p, a.meta.copy(nBytes = p.length.toLong))
+            case None => a
+          }
+        }
+      }
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q41_multimodal_features",

@@ -89,6 +89,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAudio(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("image resize scales payloads for real and round-trips the decoder") {
+    import Multimodal.{MediaAsset, MediaMeta}
+    val big = png(64, 32, 0xFF0000)
+    // direct: resized PNG decodes to the target dims, all-red preserved
+    val Some(small) = Multimodal.resizeImage(big, 16, 8)
+    val Some((w, h, hist)) = Multimodal.decodeImage(small)
+    assert(w == 16 && h == 8)
+    // pure red: luminance 76 -> bin 4 of 16; bilinear scaling of a solid
+    // color must not invent other luminances
+    assert(hist(76 * Multimodal.FEATURE_DIM / 256) == 1f, hist.toSeq.toString)
+    // unreadable bytes: None, caller keeps the original
+    assert(Multimodal.resizeImage(Array[Byte](3, 1, 4), 8, 8).isEmpty)
+    // distributed transform: images shrink, non-images pass untouched
+    val text = "keep me".getBytes("UTF-8")
+    val ds = Seq(
+      MediaAsset(1L, big, MediaMeta("image", "png", big.length.toLong)),
+      MediaAsset(2L, text, MediaMeta("text", "txt", text.length.toLong))).toDS()
+    val out = Multimodal.resizeAssets(ds, 16, 8).collect().sortBy(_.asset_id)
+    val Some((rw, rh, _)) = Multimodal.decodeImage(out(0).payload)
+    assert(rw == 16 && rh == 8)
+    assert(out(0).meta.nBytes == out(0).payload.length.toLong)
+    assert(out(1).payload.sameElements(text) && out(1).meta.nBytes == text.length)
+  }
+
   test("the decode seam dispatches by kind through the distributed path") {
     import Multimodal.{MediaAsset, MediaMeta}
     val black = png(20, 10, 0x000000)
