@@ -209,9 +209,12 @@ object Similarity {
     * ||c||^2/2): append 1.0 to x and -||c||^2/2 to c. Same determinism
     * story as [[trainCentroids]]: internal hash sampling, deterministic
     * init, 1e-6-rounded means. */
-  def trainSubCentroidsL2(sub: DataFrame, k: Int, rounds: Int): Seq[Seq[Double]] = {
+  def trainSubCentroidsL2(sub: DataFrame, k: Int, rounds: Int,
+      knownTotal: Long = -1L): Seq[Seq[Double]] = {
     val target = k.toLong * TRAIN_PER_CENTROID
-    val total = sub.count()
+    // every subspace has the same row count: the caller passes it once so
+    // 8 sub-books don't re-count the corpus 8 times
+    val total = if (knownTotal >= 0) knownTotal else sub.count()
     val train =
       if (total > target)
         sub.filter(pmod(xxhash64(col("vec_id")), lit(total / target)) === 0)
@@ -485,17 +488,18 @@ object Similarity {
       "q86_knn_ivfpq",
       (s, d) => {
         // IVF-PQ: coarse cells prune the corpus, 5-bit-per-subspace PQ
-        // codes score the survivors (64x smaller than raw vectors), exact
-        // rerank of the ADC top-3k. Codebooks derive from the corpus like
-        // every other ANN knob here.
+        // codes score the survivors, exact rerank of the ADC top-10K.
+        // Codebooks derive from the corpus like every other ANN knob here;
+        // the corpus row count is taken once and shared by all 9 trainers.
         val e = prepared(s, d).cache()
-        val c = centroidsForCorpus(e.count())
+        val n = e.count()
+        val c = centroidsForCorpus(n)
         val cents = trainCentroids(e, c, LLOYD_ROUNDS)
         val subDim = DIM / PQ_M
         val books = (0 until PQ_M).map { m =>
           trainSubCentroidsL2(
             e.select(col("vec_id"), slice(col("v"), m * subDim + 1, subDim).as("v")),
-            PQ_K, LLOYD_ROUNDS)
+            PQ_K, LLOYD_ROUNDS, knownTotal = n)
         }
         ivfPqTopK(e, cents, books, nprobeFor(c), N_QUERIES, K, adcK = 10 * K)
       },
