@@ -178,6 +178,66 @@ object Temporal {
               FROM $EV)
         WHERE rn = 1
         ORDER BY user_id, event_type"""),
-      "keyed keep-first dedup (deterministic dropDuplicates)")
+      "keyed keep-first dedup (deterministic dropDuplicates)"),
+
+    QueryDef(
+      "q88_resample",
+      (s, d) => {
+        // Time-series resample to a regular hourly grid + forward-fill
+        // (the gap-filling every monitoring/feature pipeline needs): a
+        // (type x hour) spine left-joins the observed hourly aggregates;
+        // missing hours carry the last observed revenue forward and an
+        // explicit observed flag. The spine is TIME-bounded (hours in the
+        // data's range x distinct types — tiny at any corpus size, so the
+        // cross join broadcasts), the heavy aggregation partial-aggregates
+        // before it, and the fill window is per-type over the spine, never
+        // over raw events. Revenue uses the exact-cents sum so the filled
+        // values hash identically across engines.
+        val ev = events(s, d).select(col("event_type").as("typ"),
+          date_trunc("hour", col("ts")).as("h"), col("value"))
+        val hourly = ev.groupBy(col("typ"), col("h"))
+          .agg(graft.Money.sum2(col("value")).as("rev"), count(lit(1)).as("n"))
+        val spine = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("INTERVAL 1 HOUR"))).as("h"))
+        val types = ev.select(col("typ")).distinct()
+        val w = Window.partitionBy(col("typ")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        types.crossJoin(spine)
+          .join(hourly, Seq("typ", "h"), "left")
+          .select(col("typ"), unix_micros(col("h")).as("hour_us"),
+            coalesce(col("n"), lit(0L)).as("n_events"),
+            col("rev").isNotNull.as("observed"),
+            coalesce(round(last(col("rev"), ignoreNulls = true).over(w), 2),
+              lit(0.0)).as("rev_ff"))
+          .orderBy(col("typ"), col("hour_us"))
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT event_type AS typ, date_trunc('hour', ts) AS h, value
+          FROM $EV),
+        hourly AS (
+          SELECT typ, h,
+                 cast(sum(cast(round(value*100) as bigint)) as bigint)/100.0 AS rev,
+                 count(*) AS n
+          FROM ev GROUP BY 1, 2),
+        bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+        spine AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+          FROM bounds),
+        grid AS (
+          SELECT typ, h FROM (SELECT DISTINCT typ FROM ev) CROSS JOIN spine),
+        j AS (
+          SELECT g.typ, g.h, hourly.rev, hourly.n
+          FROM grid g LEFT JOIN hourly USING (typ, h))
+        SELECT typ, epoch_us(h) AS hour_us,
+               cast(coalesce(n, 0) as bigint) AS n_events,
+               rev IS NOT NULL AS observed,
+               coalesce(round(last_value(rev IGNORE NULLS) OVER (
+                 PARTITION BY typ ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2), 0.0) AS rev_ff
+        FROM j
+        ORDER BY typ, hour_us"""),
+      "time-series resample: hourly grid spine + forward-fill with exact-cents revenue")
   )
 }
