@@ -238,6 +238,74 @@ object Temporal {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2), 0.0) AS rev_ff
         FROM j
         ORDER BY typ, hour_us"""),
-      "time-series resample: hourly grid spine + forward-fill with exact-cents revenue")
+      "time-series resample: hourly grid spine + forward-fill with exact-cents revenue"),
+
+    QueryDef(
+      "q89_funnel",
+      (s, d) => {
+        // Ordered funnel analysis (the product-analytics sequence match):
+        // how many users progress signup -> view -> click -> purchase,
+        // where each step's FIRST qualifying occurrence must fall within
+        // [prev_t, prev_t + 1 day] — the conversion window that makes the
+        // funnel discriminative (150 -> 39 -> 16 -> 5 at sf0.01; without a
+        // window every active user eventually completes every step).
+        // Each stage is one conditional
+        // aggregation: the (user, t_prev) frame from stage k-1 — one row
+        // per qualifying user — joins back to that user's events and takes
+        // min(ts > t_prev). Every stage shuffles on user_id, so after the
+        // first exchange the joins are co-partitioned; per-stage state is
+        // one timestamp per surviving user, monotonically shrinking down
+        // the funnel. Timestamps compare as integer micros — exact.
+        val ev = events(s, d).select(col("user_id"),
+          col("event_type").as("typ"), unix_micros(col("ts")).as("us"))
+        val s1 = ev.filter(col("typ") === "signup")
+          .groupBy(col("user_id")).agg(min(col("us")).as("t"))
+        val winUs = 86400000000L // 1-day conversion window, micros
+        def next(prev: org.apache.spark.sql.DataFrame, typ: String) =
+          ev.filter(col("typ") === typ)
+            .join(prev, "user_id")
+            .filter(col("us") > col("t") && col("us") <= col("t") + winUs)
+            .groupBy(col("user_id")).agg(min(col("us")).as("t"))
+        val s2 = next(s1, "view")
+        val s3 = next(s2, "click")
+        val s4 = next(s3, "purchase")
+        val counts = Seq((1, "signup", s1), (2, "view", s2),
+          (3, "click", s3), (4, "purchase", s4))
+          .map { case (i, name, df) =>
+            df.agg(count(lit(1)).as("n_users"))
+              .select(lit(i).as("step"), lit(name).as("stage"), col("n_users"))
+          }.reduce(_.unionAll(_))
+        val first = counts.filter(col("step") === 1)
+          .select(col("n_users").as("n0"))
+        counts.crossJoin(first)
+          .select(col("step"), col("stage"), col("n_users"),
+            round(col("n_users") * lit(1.0) / col("n0"), 4).as("conversion"))
+          .orderBy(col("step"))
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT user_id, event_type AS typ, epoch_us(ts) AS us FROM $EV),
+        s1 AS (SELECT user_id, min(us) AS t FROM ev
+               WHERE typ = 'signup' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.us) AS t
+               FROM ev e JOIN s1 USING (user_id)
+               WHERE e.typ = 'view' AND e.us > s1.t AND e.us <= s1.t + 86400000000 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(e.us) AS t
+               FROM ev e JOIN s2 USING (user_id)
+               WHERE e.typ = 'click' AND e.us > s2.t AND e.us <= s2.t + 86400000000 GROUP BY 1),
+        s4 AS (SELECT e.user_id, min(e.us) AS t
+               FROM ev e JOIN s3 USING (user_id)
+               WHERE e.typ = 'purchase' AND e.us > s3.t AND e.us <= s3.t + 86400000000 GROUP BY 1),
+        counts AS (
+          SELECT 1 AS step, 'signup' AS stage, count(*) AS n_users FROM s1
+          UNION ALL SELECT 2, 'view', count(*) FROM s2
+          UNION ALL SELECT 3, 'click', count(*) FROM s3
+          UNION ALL SELECT 4, 'purchase', count(*) FROM s4),
+        f AS (SELECT n_users AS n0 FROM counts WHERE step = 1)
+        SELECT step, stage, n_users,
+               round(n_users * 1.0 / n0, 4) AS conversion
+        FROM counts CROSS JOIN f
+        ORDER BY step"""),
+      "ordered funnel: sequential conditional min-ts aggregation, per-stage state = one ts per user")
   )
 }
