@@ -306,6 +306,51 @@ object Temporal {
                round(n_users * 1.0 / n0, 4) AS conversion
         FROM counts CROSS JOIN f
         ORDER BY step"""),
-      "ordered funnel: sequential conditional min-ts aggregation, per-stage state = one ts per user")
+      "ordered funnel: sequential conditional min-ts aggregation, per-stage state = one ts per user"),
+
+    QueryDef(
+      "q90_retention",
+      (s, d) => {
+        // Weekly retention cohorts (the funnel's companion report): users
+        // grouped by first-seen week; for each later week, the share of
+        // the cohort still active. Two partial-agg groupBys — first-seen
+        // per user, then distinct (user, week) activity — joined on
+        // user_id and rolled up to (cohort, week_offset). The cohort
+        // matrix is weeks^2 rows at ANY corpus size; nothing user-sized
+        // leaves the first aggregation. date_trunc('week') is identical
+        // Monday-aligned in both engines.
+        val ev = events(s, d).select(col("user_id"),
+          date_trunc("week", col("ts")).as("wk"))
+        val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("c0"))
+        val active = ev.select(col("user_id"), col("wk")).distinct()
+        val sizes = cohort.groupBy(col("c0")).agg(count(lit(1)).as("cohort_n"))
+        active.join(cohort, "user_id")
+          .groupBy(col("c0"), col("wk"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(sizes, Seq("c0"))
+          .select(unix_micros(col("c0")).as("cohort_us"),
+            ((unix_micros(col("wk")) - unix_micros(col("c0"))) /
+              (7L * 86400000000L)).cast("long").as("week_offset"),
+            col("n_active"), col("cohort_n"),
+            round(col("n_active") * lit(1.0) / col("cohort_n"), 4).as("retention"))
+          .orderBy(col("cohort_us"), col("week_offset"))
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT user_id, date_trunc('week', ts) AS wk FROM $EV),
+        cohort AS (SELECT user_id, min(wk) AS c0 FROM ev GROUP BY 1),
+        active AS (SELECT DISTINCT user_id, wk FROM ev),
+        sizes AS (SELECT c0, count(*) AS cohort_n FROM cohort GROUP BY 1),
+        cells AS (
+          SELECT c0, wk, count(*) AS n_active
+          FROM active JOIN cohort USING (user_id)
+          GROUP BY 1, 2)
+        SELECT epoch_us(c0) AS cohort_us,
+               (epoch_us(wk) - epoch_us(c0)) // ${7L * 86400000000L} AS week_offset,
+               n_active, cohort_n,
+               round(n_active * 1.0 / cohort_n, 4) AS retention
+        FROM cells JOIN sizes USING (c0)
+        ORDER BY cohort_us, week_offset"""),
+      "weekly retention cohorts: first-seen week x activity week matrix, bounded by weeks^2")
   )
 }
