@@ -703,7 +703,90 @@ object TextAnalysis {
                round(top_word_count * 1.0 / n_tokens, 6) AS top_word_share
         FROM agg
         ORDER BY lang"""),
-      "corpus vocabulary report: token mass, vocab, hapax tail, type-token ratio per language")
+      "corpus vocabulary report: token mass, vocab, hapax tail, type-token ratio per language"),
+
+    QueryDef(
+      "q91_span_removal",
+      (s, d) => {
+        // Duplicated-span REMOVAL (the rewrite step of Lee et al.,
+        // "Deduplicating Training Data Makes Language Models Better",
+        // 2021): where q77 only measures cross-doc duplicated 5-gram
+        // spans, this excises them — every token position covered by a
+        // gram that also appears in another document is dropped and the
+        // cleaned text is re-emitted (fingerprinted here so the oracle
+        // hash-checks the rewrite itself).
+        //
+        // Shape: gram-df aggregation exactly like q77 (linear, no pair
+        // join); the per-doc rewrite is pure array arithmetic — covered
+        // positions = union of [i, i+4] over duplicated gram starts —
+        // inside the row. A doc with no duplicated spans passes through
+        // byte-identical.
+        val n = 5
+        val toks = documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .filter(size(col("w")) >= n)
+        val grams = toks.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), size(col("w")) - n), i =>
+            concat_ws(" ", (0 until n).map(j =>
+              element_at(col("w"), i + j + 1)): _*))).as(Seq("i", "g")))
+        // doc frequency needs DISTINCT docs (a gram repeated within one
+        // doc is q69's business, not cross-doc boilerplate)
+        val gdf = grams.select(col("doc_id"), col("g")).distinct()
+          .groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+        val dupStarts = grams.join(gdf, Seq("g"))
+          .filter(col("gdf") > 1)
+          .groupBy(col("doc_id"))
+          .agg(collect_set(col("i")).as("starts"))
+        toks.join(dupStarts, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("w"),
+            coalesce(array_distinct(flatten(transform(
+              coalesce(col("starts"), array().cast("array<int>")),
+              i => sequence(i, i + n - 1)))), array().cast("array<int>"))
+              .as("covered"))
+          .select(col("doc_id"),
+            size(col("w")).as("n_tokens"),
+            size(col("covered")).as("n_removed"),
+            md5(concat_ws(" ",
+              filter(transform(sequence(lit(0), size(col("w")) - 1), p =>
+                when(array_contains(col("covered"), p), lit(null))
+                  .otherwise(element_at(col("w"), p + 1))),
+                t => t.isNotNull))).as("cleaned_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, $SQL_TOKENS AS w FROM documents),
+        docs AS (SELECT doc_id, w FROM toks WHERE len(w) >= 5),
+        grams AS (
+          SELECT doc_id, i - 1 AS i, array_to_string(w[i:i+4], ' ') AS g
+          FROM docs, unnest(range(1, len(w) - 3)) AS t(i)),
+        gdf AS (
+          SELECT g, count(*) AS gdf
+          FROM (SELECT DISTINCT doc_id, g FROM grams) GROUP BY 1),
+        dup AS (
+          SELECT doc_id, list(DISTINCT grams.i) AS starts
+          FROM grams JOIN gdf USING (g)
+          WHERE gdf > 1
+          GROUP BY 1),
+        covered AS (
+          SELECT d.doc_id, d.w,
+                 coalesce(list_distinct(flatten(list_transform(
+                   coalesce(dup.starts, []),
+                   i -> range(i, i + 5)))), []) AS cov
+          FROM docs d LEFT JOIN dup USING (doc_id))
+        SELECT doc_id,
+               len(w) AS n_tokens,
+               len(cov) AS n_removed,
+               -- coalesce: array_to_string([]) is NULL in DuckDB where
+               -- Spark's concat_ws gives '' (a fully-excised doc)
+               md5(coalesce(array_to_string(
+                 list_filter(list_transform(range(0, len(w)),
+                   p -> CASE WHEN list_contains(cov, p) THEN NULL
+                             ELSE w[p + 1] END),
+                   t -> t IS NOT NULL), ' '), '')) AS cleaned_fp
+        FROM covered
+        ORDER BY doc_id"""),
+      "cross-doc duplicated-span removal: gram-df detection + in-row span excision, hash-checked rewrite")
   )
 
   /** (doc_id, toks, bigs) frame shared by both q69 implementations. */
