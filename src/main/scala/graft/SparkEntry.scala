@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Windows.defs ++
       functions.Functions.defs ++
       operators.Temporal.defs ++
+      operators.Quality.defs ++
       functions.TextAnalysis.defs ++
       functions.Dedup.defs ++
       functions.Similarity.defs ++

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Data-quality constraint validation (the Deequ/Great-Expectations layer
+  * a training pipeline runs before anything reads the tables): each
+  * constraint is one aggregate over its target table, reported as a
+  * (check, target, metric, threshold, passed) row.
+  *
+  * 100 TB shape: every check is a partial-aggregated scan of exactly one
+  * table — uniqueness via count vs count-distinct, referential integrity
+  * via a left-anti count (broadcast when the dimension is small) — then a
+  * union of one-row frames. No check materializes row-level violations
+  * here; the report bounds the output at one row per constraint, and a
+  * violating pipeline drills in with the corresponding filter query.
+  */
+object Quality {
+  import Tables._
+
+  private def check(name: String, target: String, metric: DataFrame,
+      threshold: Double): DataFrame =
+    metric.select(
+      lit(name).as("check"), lit(target).as("target"),
+      round(col("metric") * 1.0, 6).as("metric"),
+      lit(threshold).as("threshold"),
+      (col("metric") <= threshold).as("passed"))
+
+  def report(s: SparkSession, d: String): DataFrame = {
+    // metric convention: a VIOLATION measure, passing when <= threshold
+    val o = orders(s, d)
+    val li = lineitem(s, d)
+    val cust = customer(s, d)
+    val docs = documents(s, d)
+    val ev = events(s, d)
+    val checks = Seq(
+      // primary-key uniqueness: duplicate key count must be 0
+      check("pk_unique", "orders.o_orderkey",
+        o.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("metric")), 0),
+      check("pk_unique", "customer.c_custkey",
+        cust.agg((count(lit(1)) - countDistinct(col("c_custkey"))).as("metric")), 0),
+      // referential integrity: orphan foreign keys must be 0 (anti join;
+      // the dimension side broadcasts)
+      check("fk_orphans", "orders.o_custkey -> customer",
+        o.join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("metric")), 0),
+      check("fk_orphans", "lineitem.l_orderkey -> orders",
+        li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("metric")), 0),
+      // completeness: null fraction must be 0
+      check("null_frac", "documents.text",
+        docs.agg((sum(when(col("text").isNull, 1L).otherwise(0L)) * lit(1.0) /
+          count(lit(1))).as("metric")), 0),
+      // domain range: lineitem quantities outside [1, 50] must be 0
+      check("out_of_range", "lineitem.l_quantity in [1,50]",
+        li.agg(sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("metric")), 0),
+      // non-negative money
+      check("out_of_range", "orders.o_totalprice >= 0",
+        o.agg(sum(when(col("o_totalprice") < 0, 1L).otherwise(0L)).as("metric")), 0),
+      // event-type domain: unexpected categories must be 0
+      check("domain", "events.event_type",
+        ev.agg(sum(when(!col("event_type").isin(
+          "signup", "view", "click", "purchase", "error"), 1L)
+          .otherwise(0L)).as("metric")), 0))
+    checks.reduce(_.unionAll(_)).orderBy(col("check"), col("target"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q92_data_quality",
+      (s, d) => report(s, d),
+      Some("""
+        WITH checks AS (
+          SELECT 'pk_unique' AS check, 'orders.o_orderkey' AS target,
+                 count(*) - count(DISTINCT o_orderkey) AS metric, 0.0 AS threshold
+          FROM orders
+          UNION ALL
+          SELECT 'pk_unique', 'customer.c_custkey',
+                 count(*) - count(DISTINCT c_custkey), 0.0
+          FROM customer
+          UNION ALL
+          SELECT 'fk_orphans', 'orders.o_custkey -> customer',
+                 (SELECT count(*) FROM orders o
+                  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                    WHERE c.c_custkey = o.o_custkey)), 0.0
+          UNION ALL
+          SELECT 'fk_orphans', 'lineitem.l_orderkey -> orders',
+                 (SELECT count(*) FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                    WHERE o.o_orderkey = l.l_orderkey)), 0.0
+          UNION ALL
+          SELECT 'null_frac', 'documents.text',
+                 sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 0.0
+          FROM documents
+          UNION ALL
+          SELECT 'out_of_range', 'lineitem.l_quantity in [1,50]',
+                 sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END), 0.0
+          FROM lineitem
+          UNION ALL
+          SELECT 'out_of_range', 'orders.o_totalprice >= 0',
+                 sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END), 0.0
+          FROM orders
+          UNION ALL
+          SELECT 'domain', 'events.event_type',
+                 sum(CASE WHEN event_type NOT IN
+                   ('signup','view','click','purchase','error')
+                   THEN 1 ELSE 0 END), 0.0
+          FROM events)
+        SELECT "check", target, round(metric * 1.0, 6) AS metric,
+               threshold, metric <= threshold AS passed
+        FROM checks
+        ORDER BY "check", target"""),
+      "data-quality constraint report: pk/fk/null/range/domain checks, one partial-agg scan each")
+  )
+}
