@@ -191,6 +191,20 @@ class PlanSpec extends SparkSpec {
         && !p.contains("ObjectHashAggregate"), p)
   }
 
+  test("q88-q92 analytics ops broadcast their small sides, no cartesians") {
+    // q88: the (type x hour) spine join; q90: cohort sizes; q92: the fk
+    // dimension anti joins — each must ride a broadcast. q89's stage
+    // joins are user-keyed equi joins. q92's report is a union of 1-row
+    // aggregates, so its only joins are the anti-join checks.
+    for (q <- Seq("q88_resample", "q89_funnel", "q90_retention",
+        "q91_span_removal", "q92_data_quality")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    assert(plan("q92_data_quality").contains("BroadcastHashJoin"),
+      plan("q92_data_quality"))
+  }
+
   test("q24 window aggregation prunes unused event columns") {
     val p = plan("q24_tumbling_window")
     assert(!p.contains("props"), p) // json column not read for this query

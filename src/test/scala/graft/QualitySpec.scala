@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Quality
+
+/** q92's constraint checks must actually CATCH violations — the clean
+  * testdata passes everything, so this plants one violation per check
+  * family in a fixture star schema and asserts each is flagged with the
+  * right metric. */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("every q92 check family flags its planted violation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-quality").toString
+    // orders: duplicate pk (1 twice), one orphan custkey (99), one
+    // negative total
+    Seq(
+      (1L, 10L, "O", 100.0, java.sql.Timestamp.valueOf("1995-06-01 00:00:00"), "1-URGENT"),
+      (1L, 10L, "O", 50.0, java.sql.Timestamp.valueOf("1995-06-02 00:00:00"), "1-URGENT"),
+      (2L, 99L, "F", -5.0, java.sql.Timestamp.valueOf("1995-06-03 00:00:00"), "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, "Customer#10", 1L, 0.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // lineitem: one orphan orderkey (7), one out-of-range quantity (99)
+    Seq((1L, 1L, 1L, 99.0, 10.0), (7L, 1L, 1L, 5.0, 10.0))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // documents: one null text
+    Seq((1L, Option("some text"), "en", "s", 9L), (2L, None, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // events: one unknown event_type; ts stored as raw nanos (the events
+    // loader expects TIMESTAMP(NANOS)-as-long parquet)
+    Seq((1L, 1000000000L, 1L, "purchase", 1.0, "{}"),
+      (2L, 2000000000L, 1L, "bogus", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out = Quality.report(spark, dir)
+      .select(col("check"), col("target"), col("metric"), col("passed"))
+      .as[(String, String, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out.size == 8)
+    // every family catches its planted violation with the exact count
+    assert(out(("pk_unique", "orders.o_orderkey")) == (1.0, false))
+    assert(out(("pk_unique", "customer.c_custkey")) == (0.0, true))
+    assert(out(("fk_orphans", "orders.o_custkey -> customer")) == (1.0, false))
+    assert(out(("fk_orphans", "lineitem.l_orderkey -> orders")) == (1.0, false))
+    assert(out(("null_frac", "documents.text")) == (0.5, false))
+    assert(out(("out_of_range", "lineitem.l_quantity in [1,50]")) == (1.0, false))
+    assert(out(("out_of_range", "orders.o_totalprice >= 0")) == (1.0, false))
+    assert(out(("domain", "events.event_type")) == (1.0, false))
+  }
+}
