@@ -1,51 +1,44 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
-/** Backward as-of join (SURVEY.md §2.2 "As-of join": absent from both the
+/** As-of joins (SURVEY.md §2.2 "As-of join": absent from both the
   * reference and Spark's built-ins; composed from existing operators,
   * preference (a) of the custom-operator ladder).
   *
-  * For every left row, attaches the right row with the greatest
-  * `ts <= left.ts` for the same key (inclusive, like DuckDB's
-  * `ASOF JOIN ... ON l.ts >= r.ts`). Unmatched left rows keep nulls
-  * (left-outer semantics).
+  * Three directions over the same single-shuffle shape:
+  *   - [[backward]]: greatest right `ts <= left.ts` (inclusive — DuckDB's
+  *     `ASOF JOIN ... ON l.ts >= r.ts`, q23's oracle);
+  *   - [[forward]]: smallest right `ts >= left.ts` (inclusive);
+  *   - [[nearest]]: whichever of the two is closer, ties to backward.
   *
-  * Implementation: tag and union both sides, then one running
-  * `last(..., ignoreNulls)` window per payload column. This costs a single
-  * shuffle on `key` and streams each partition once — it never materializes
-  * the O(left x right) pair space an inequality join would, so it survives
-  * arbitrarily long per-key histories. At equal timestamps the right row
-  * sorts first (`_side` 0 < 1), giving the inclusive match.
+  * Implementation: tag and union both sides, then running
+  * `last/first(..., ignoreNulls)` windows per direction. This costs ONE
+  * shuffle on `key` and streams each partition once — it never
+  * materializes the O(left x right) pair space an inequality join would,
+  * so it survives arbitrarily long per-key histories. All payload columns
+  * travel in one struct that is non-null exactly for right rows, so a
+  * single window picks the whole matched row atomically (per-column
+  * windows could mix columns from different right rows when payload
+  * values are legitimately null).
   */
 object AsOfJoin {
 
-  /** @param payload right-side columns to carry; appear as `matched_<name>`.
-    * @param tiebreak extra right-side ordering columns for determinism when
-    *                 several right rows share (key, ts) — the greatest wins.
-    */
-  def backward(
-      left: DataFrame,
-      right: DataFrame,
-      key: String,
-      ts: String,
-      payload: Seq[String],
-      tiebreak: Seq[String] = Nil): DataFrame = {
+  /** The tagged union both directions run over: left columns + `_m`
+    * (right payload struct, ts included for gap math) + tiebreak echoes +
+    * `_side`. Right rows carry `_side = 0`. */
+  private def tagged(
+      left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String], tiebreak: Seq[String]): (DataFrame, StructType) = {
     val rightSchema = right.schema
     def rtype(c: String) = rightSchema(c).dataType
-
-    val matched = payload.map(c => s"matched_$c")
     val leftCols = left.columns.toSeq
-
-    // All payload columns travel in ONE struct that is non-null exactly for
-    // right rows: a single last(ignoreNulls) then picks the whole matched
-    // row atomically. Per-column last() would skip legitimately-null payload
-    // values and could mix columns from different right rows.
-    val payloadStructType = org.apache.spark.sql.types.StructType(
-      payload.map(p => org.apache.spark.sql.types.StructField(p, rtype(p))))
-
+    val structCols = (payload :+ ts).distinct
+    val payloadStructType = StructType(
+      structCols.map(p => StructField(p, rtype(p))))
     val leftU = left
       .select(
         leftCols.map(col) ++
@@ -58,23 +51,92 @@ object AsOfJoin {
           case c if c == key || c == ts => col(c)
           case c => lit(null).cast(left.schema(c).dataType).as(c)
         } ++
-          Seq(struct(payload.map(col): _*).cast(payloadStructType).as("_m")) ++
+          Seq(struct(structCols.map(col): _*).cast(payloadStructType).as("_m")) ++
           tiebreak.map(c => col(c).as(s"_tb_$c")) :+
           lit(0).as("_side"): _*)
+    (leftU.unionByName(rightU), payloadStructType)
+  }
 
-    val w = Window
-      .partitionBy(col(key))
-      .orderBy(col(ts).asc +: col("_side").asc +: tiebreak.map(c => col(s"_tb_$c").asc): _*)
+  private def extract(leftCols: Seq[String], payload: Seq[String],
+      m: Column): Seq[Column] =
+    leftCols.map(col) ++ payload.map(p => m.getField(p).as(s"matched_$p"))
+
+  /** Greatest right `ts <= left.ts` per key (inclusive). Unmatched left
+    * rows keep nulls (left-outer semantics).
+    *
+    * @param payload right-side columns to carry; appear as `matched_<name>`.
+    * @param tiebreak extra right-side ordering columns for determinism when
+    *                 several right rows share (key, ts) — the greatest wins.
+    */
+  def backward(
+      left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String], tiebreak: Seq[String] = Nil): DataFrame = {
+    val (u, _) = tagged(left, right, key, ts, payload, tiebreak)
+    // right rows sort before left at equal ts (_side 0 < 1) => inclusive
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc +: col("_side").asc +:
+        tiebreak.map(c => col(s"_tb_$c").asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    leftU.unionByName(rightU)
-      .select(
-        leftCols.map(col) ++
-          Seq(last(col("_m"), ignoreNulls = true).over(w).as("_m")) :+
-          col("_side"): _*)
+    val leftCols = left.columns.toSeq
+    u.select(leftCols.map(col) ++
+        Seq(last(col("_m"), ignoreNulls = true).over(w).as("_m")) :+
+        col("_side"): _*)
       .filter(col("_side") === 1)
-      .select(
-        leftCols.map(col) ++
-          payload.zip(matched).map { case (p, m) => col("_m").getField(p).as(m) }: _*)
+      .select(extract(leftCols, payload, col("_m")): _*)
+  }
+
+  /** Smallest right `ts >= left.ts` per key (inclusive) — the mirror of
+    * [[backward]]: left rows sort before right at equal ts (_side desc)
+    * so the following-window sees the equal-ts match; among right rows
+    * sharing (key, ts) the SMALLEST tiebreak wins (mirror-symmetric of
+    * backward's greatest). */
+  def forward(
+      left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String], tiebreak: Seq[String] = Nil): DataFrame = {
+    val (u, _) = tagged(left, right, key, ts, payload, tiebreak)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc +: col("_side").desc +:
+        tiebreak.map(c => col(s"_tb_$c").asc): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val leftCols = left.columns.toSeq
+    u.select(leftCols.map(col) ++
+        Seq(first(col("_m"), ignoreNulls = true).over(w).as("_m")) :+
+        col("_side"): _*)
+      .filter(col("_side") === 1)
+      .select(extract(leftCols, payload, col("_m")): _*)
+  }
+
+  /** The closer of backward/forward per left row; equal gaps (including
+    * an exact-ts match, gap 0 backward) resolve to backward. Both
+    * directions run as two windows over ONE sorted union — still a single
+    * shuffle. The equal-ts right row is credited to the backward side
+    * (side asc ordering keeps it out of the strictly-following window),
+    * which is exactly the tie rule. Adds a `matched_dir` column
+    * ('backward' | 'forward' | null). */
+  def nearest(
+      left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String], tiebreak: Seq[String] = Nil): DataFrame = {
+    val (u, _) = tagged(left, right, key, ts, payload, tiebreak)
+    val ord = col(ts).asc +: col("_side").asc +:
+      tiebreak.map(c => col(s"_tb_$c").asc)
+    val wB = Window.partitionBy(col(key)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col(key)).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val leftCols = left.columns.toSeq
+    val both = u.select(leftCols.map(col) ++ Seq(
+        last(col("_m"), ignoreNulls = true).over(wB).as("_mb"),
+        first(col("_m"), ignoreNulls = true).over(wF).as("_mf")) :+
+        col("_side"): _*)
+      .filter(col("_side") === 1)
+    val gapB = col(ts).cast("long") - col("_mb").getField(ts).cast("long")
+    val gapF = col("_mf").getField(ts).cast("long") - col(ts).cast("long")
+    val pickB = col("_mf").isNull || (col("_mb").isNotNull && gapB <= gapF)
+    both.select(leftCols.map(col) ++
+        Seq(when(pickB, col("_mb")).otherwise(col("_mf")).as("_m"),
+          when(col("_mb").isNull && col("_mf").isNull, lit(null))
+            .otherwise(when(pickB, lit("backward")).otherwise(lit("forward")))
+            .as("matched_dir")): _*)
+      .select(extract(leftCols, payload, col("_m")) :+ col("matched_dir"): _*)
   }
 }

@@ -34,11 +34,22 @@ object Layout {
     * at position 2i, bit i of `b` at 2i+1. Pure shift/mask arithmetic —
     * whole-stage codegen, no UDF. */
   def zvalue(a: Column, b: Column, bits: Int = Z_BITS): Column =
-    (0 until bits).flatMap { i =>
-      Seq(
-        shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i),
-        shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i + 1))
+    zvalueN(Seq(a, b), bits)
+
+  /** N-way Morton interleave (Delta's ZORDER BY takes any column count):
+    * bit i of column c lands at position i * n + c — round-robin, so
+    * every dimension's high bits stay high in the combined key. Total
+    * bits n * `bits` must fit a long (n <= 3 at the default 16 bits;
+    * lower `bits` for wider column sets — resolution per dimension
+    * trades against dimension count, the standard z-order compromise). */
+  def zvalueN(cols: Seq[Column], bits: Int = Z_BITS): Column = {
+    require(cols.nonEmpty, "zvalueN of no columns")
+    require(cols.size * bits <= 63, s"${cols.size} x $bits bits overflow a long")
+    cols.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until bits).map(i =>
+        shiftleft(shiftright(c, i).bitwiseAND(1), i * cols.size + ci))
     }.reduce(_ + _) // disjoint bit positions: + == bitwise OR
+  }
 
   /** Writes `df` clustered by the z-value of (a, b): range-partitioned and
     * sorted within partitions so parquet row groups hold contiguous

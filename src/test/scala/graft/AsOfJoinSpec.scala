@@ -41,4 +41,37 @@ class AsOfJoinSpec extends SparkSpec {
       .select("matched_x").as[String].head()
     assert(out == "exact")
   }
+
+  test("forward match picks the smallest following right row, inclusive at equal ts") {
+    val left = Seq((1L, 10L), (1L, 5L), (1L, 100L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, "at10"), (1L, 20L, "at20")).toDF("k", "ts", "x")
+    val out = AsOfJoin.forward(left, right, "k", "ts", Seq("x"))
+      .orderBy(col("ts")).select("ts", "matched_x")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(out == Seq((5L, Some("at10")), (10L, Some("at10")), (100L, None)))
+  }
+
+  test("forward tiebreak: smallest wins among equal right timestamps") {
+    val left = Seq((1L, 5L)).toDF("k", "ts")
+    val right = Seq((1L, 7L, "b"), (1L, 7L, "a")).toDF("k", "ts", "x")
+    val out = AsOfJoin.forward(left, right, "k", "ts", Seq("x"), tiebreak = Seq("x"))
+      .select("matched_x").as[String].head()
+    assert(out == "a") // mirror of backward's greatest-wins
+  }
+
+  test("nearest picks the closer side and ties to backward") {
+    val left = Seq((1L, 10L), (1L, 14L), (1L, 15L), (1L, 2L), (2L, 1L))
+      .toDF("k", "ts")
+    val right = Seq((1L, 8L, "b8"), (1L, 20L, "f20")).toDF("k", "ts", "x")
+    val out = AsOfJoin.nearest(left, right, "k", "ts", Seq("x"))
+      .orderBy(col("k"), col("ts"))
+      .select("k", "ts", "matched_x", "matched_dir")
+      .as[(Long, Long, Option[String], Option[String])].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, Some("b8"), Some("forward")),    // nothing behind; next is ts=8
+      (1L, 10L, Some("b8"), Some("backward")),  // gap 2 vs 10
+      (1L, 14L, Some("b8"), Some("backward")),  // equal gaps 6/6 -> backward
+      (1L, 15L, Some("f20"), Some("forward")),  // gap 7 vs 5
+      (2L, 1L, None, None)))                    // no right rows for key
+  }
 }

@@ -76,6 +76,24 @@ class StorageSpec extends SparkSpec {
     assert(frac > 0.15 && frac < 0.25, s"sample fraction $frac")
   }
 
+  test("N-way z-value interleaves round-robin and reduces to the 2-way form") {
+    import graft.sources.Layout
+    val row = Seq((5L, 3L, 1L)).toDF("a", "b", "c")
+    // a=101b, b=011b, c=001b at 3 bits, n=3: bit i of col ci -> 3i+ci
+    // a: bits 0,2 -> pos 0,6; b: bits 0,1 -> pos 1,4; c: bit 0 -> pos 2
+    val got = row.select(
+      Layout.zvalueN(Seq(col("a"), col("b"), col("c")), bits = 3).as("z"),
+      Layout.zvalue(col("a"), col("b"), bits = 3).as("z2"),
+      Layout.zvalueN(Seq(col("a"), col("b")), bits = 3).as("z2n"))
+      .as[(Long, Long, Long)].head()
+    assert(got._1 == ((1L << 0) | (1L << 6) | (1L << 1) | (1L << 4) | (1L << 2)),
+      s"3-way interleave wrong: ${got._1.toBinaryString}")
+    assert(got._2 == got._3, "2-way zvalue must be the n=2 special case")
+    intercept[IllegalArgumentException] {
+      Layout.zvalueN(Seq.fill(4)(col("a")), bits = 16) // 64 bits > long
+    }
+  }
+
   test("z-ordered layout serves BOTH dimensions; a linear sort serves one") {
     import graft.sources.Layout
     val li = Tables.lineitem(spark, SF)
