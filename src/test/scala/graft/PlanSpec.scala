@@ -65,6 +65,15 @@ class PlanSpec extends SparkSpec {
     assert(formatted.contains("codegen id"), formatted)
   }
 
+  test("q82 JL projection is 24 native dots inside whole-stage codegen") {
+    val df = SparkEntry.queries("q82_random_projection")(spark, SF)
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("vec_dot"), formatted)
+    assert(formatted.contains("codegen id"), formatted)
+  }
+
   test("q73 benchmark probe broadcasts the eval gram set") {
     // the corpus-side gram stream must not shuffle to meet the (tiny)
     // benchmark set; contamination hits come from a broadcast hash join
