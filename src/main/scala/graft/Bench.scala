@@ -79,7 +79,19 @@ object Bench {
           System.err.println(s"[bench] gedcom throughput FAILED: ${e.getMessage}")
           None
       }
-    println(renderJson(results, sfDir, gedcomMBs))
+    val json = renderJson(results, sfDir, gedcomMBs)
+    println(json)
+    // the driver captures only a log TAIL, which can truncate the line —
+    // persist the full JSON so every round's artifact parses without
+    // reconstruction
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, json + "\n")
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 

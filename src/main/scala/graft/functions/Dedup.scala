@@ -121,6 +121,11 @@ object Dedup {
     * lang+source, mirroring partition-scoped dedup in production pipelines)
     * bounds bucket size even on corpora where everything resembles
     * everything, which is what makes the plan survive 100 TB.
+    *
+    * Cache ownership: `sigsIn` is cached here (three consumers) and must
+    * stay resident until the returned frame is consumed — the CALLER
+    * releases it afterwards (Bench/Verify `clearCache()` per query; API
+    * callers unpersist the signature frame they passed in).
     */
   def minhashPairsFromSigs(sigsIn: DataFrame, scope: Seq[String],
       threshold: Double): DataFrame = {
@@ -175,6 +180,26 @@ object Dedup {
       .select(col("ia"), col("ib"),
         round(col("i") * lit(1.0) / (col("sza") + col("szb") - col("i")), 4).as("jaccard"))
       .filter(col("jaccard") >= t)
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  /** Brute-force cosine near-dup pairs — the VERIFICATION BASELINE for
+    * the LSH-bucketed default (q64_neardup_lsh). O(N^2) by construction,
+    * which is exactly why it is NOT a registered query (the registry is
+    * the scale contract): it exists so DedupSpec/RecallReport can measure
+    * q64's recall against an exact answer at small scale factors. Never
+    * the path you run at 100 TB. */
+  def embeddingPairsBrute(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(
+      col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+    val a = e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        round(VectorOps.cosinePre(VectorOps.dot(col("va"), col("vb")),
+          col("na"), col("nb")), 6).as("cos"))
+      .filter(col("cos") >= 0.4)
       .orderBy(col("ia"), col("ib"))
   }
 
@@ -368,37 +393,13 @@ object Dedup {
       None, // xxhash64 bit weights aren't oracle-expressible; see DedupSpec.
       "SimHash 64-bit near-dup with chunked LSH bucketing + hamming verify"),
 
-    QueryDef(
-      "q38_embedding_neardup",
-      (s, d) => {
-        // brute-force cosine near-dup: the VERIFICATION BASELINE for the
-        // LSH-bucketed default (q64_neardup_lsh) — O(n^2) by construction,
-        // kept because it is oracle-exact; never the path you run at scale.
-        val e = embeddings(s, d).select(
-          col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
-          .withColumn("nrm", VectorOps.norm(col("v")))
-        val a = e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
-        val b = e.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
-        a.join(broadcast(b), col("ia") < col("ib"))
-          .select(col("ia"), col("ib"),
-            round(VectorOps.cosinePre(VectorOps.dot(col("va"), col("vb")),
-              col("na"), col("nb")), 6).as("cos"))
-          .filter(col("cos") >= 0.4)
-          .orderBy(col("ia"), col("ib"))
-      },
-      Some("""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-        SELECT a.vec_id AS ia, b.vec_id AS ib,
-               round(list_dot_product(a.v, b.v) /
-                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                     6) AS cos
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE round(list_dot_product(a.v, b.v) /
-                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                    6) >= 0.4
-        ORDER BY ia, ib"""),
-      "embedding-cosine near-dup, brute force in double precision (verification baseline for q64)"),
-
+    // NOTE: the brute-force cosine pair scan ([[embeddingPairsBrute]],
+    // formerly registered as q38) is deliberately NOT in the registry:
+    // its pair space is O(N^2) by construction, and the registry is the
+    // 100 TB product surface — no registered query may carry a cost
+    // quadratic in the corpus. q64 is the sole registered embedding
+    // near-dup; DedupSpec still pins q64's recall against the brute
+    // baseline, which stays available as a verification function.
     QueryDef(
       "q64_neardup_lsh",
       (s, d) => {
@@ -406,7 +407,8 @@ object Dedup {
         // codes + multi-probe turn the O(n^2) pair space into an equi join
         // on the bucket code; every candidate is then verified with the
         // exact cosine, so precision is exact and only recall depends on
-        // the bucketing (measured against q38 in DedupSpec).
+        // the bucketing (measured against the unregistered brute
+        // baseline in DedupSpec).
         //
         // The plane count is derived from the corpus with a LARGER target
         // bucket than q40's top-k search (32 vs 8): near-dup thresholds sit
@@ -447,7 +449,8 @@ object Dedup {
           .filter(col("cos") >= 0.4)
           .orderBy(col("ia"), col("ib"))
       },
-      None, // approximate candidate generation; recall vs exact q38 pinned in DedupSpec
+      None, // approximate candidate generation; recall vs the exact brute
+            // baseline pinned in DedupSpec
       "embedding near-dup via hyperplane LSH + multi-probe equi join (default scale path)"),
 
     QueryDef(
@@ -483,7 +486,7 @@ object Dedup {
       "q79_semdedup",
       (s, d) => semdedup(Similarity.prepared(s, d), SEMDEDUP_CLUSTER, 0.4),
       None, // k-means assignment isn't oracle-expressible; DedupSpec pins
-            // removal recall vs the exact q38 pair baseline instead
+            // removal recall vs the exact all-pairs baseline instead
       "SemDeDup: k-means cluster the embedding space, remove within-cluster cosine dups")
   )
 
@@ -523,17 +526,25 @@ object Dedup {
     * is measured in DedupSpec. */
   def semdedup(e: DataFrame, clusterTarget: Long, thresh: Double): DataFrame = {
     val (idx, removed) = semdedupAssignments(e, clusterTarget, thresh)
-    idx.select(col("cid"), col("vec_id"))
+    val out = idx.select(col("cid"), col("vec_id"))
       .join(removed.withColumn("rm", lit(true)), Seq("cid", "vec_id"), "left")
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"))
       .orderBy(col("cid"))
+      // materialize the bounded result (one row per cluster, <= the 65536
+      // codebook clamp) so the corpus-sized idx cache can be released now
+      // instead of accumulating across registered-query runs
+      .localCheckpoint(true)
+    idx.unpersist()
+    out
   }
 
   /** The (cid-indexed corpus, removal list) pair behind [[semdedup]] —
     * exposed so DedupSpec can measure removal recall against the exact
-    * all-pairs baseline. `idx` comes back cached (two consumers). */
+    * all-pairs baseline. `idx` comes back cached (two consumers): the
+    * CALLER owns that cache and must `idx.unpersist()` once both frames
+    * have been consumed ([[semdedup]] does). */
   def semdedupAssignments(e: DataFrame, clusterTarget: Long,
       thresh: Double): (DataFrame, DataFrame) = {
     val n = e.count()
@@ -559,8 +570,12 @@ object Dedup {
         col("v").as("va"), col("nrm").as("na")), "ia")
       .join(idx.select(col("vec_id").as("ib"), col("cid"),
         col("v").as("vb"), col("nrm").as("nb")), "ib")
-      .filter(round(VectorOps.cosinePre(VectorOps.dot(col("va"), col("vb")),
-        col("na"), col("nb")), 6) >= thresh)
+      // unrounded cosine: the exact baseline (DedupSpec/RecallReport)
+      // compares raw cosine >= thresh, so rounding here would admit pairs
+      // just below the boundary (e.g. 0.3999996) and break the
+      // removed-is-a-subset-of-exact precision contract
+      .filter(VectorOps.cosinePre(VectorOps.dot(col("va"), col("vb")),
+        col("na"), col("nb")) >= thresh)
       .select(col("cid"), col("ib").as("vec_id"))
       .distinct()
     (idx, removed)

@@ -175,6 +175,55 @@ object Multimodal {
     }
   }
 
+  /** Solid-color PNG, encoded with the JDK's own ImageIO writer. A
+    * library building block (test-image synthesis) and the image side of
+    * [[syntheticAssets]]. */
+  def encodeSolidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Silent 16-bit PCM mono WAV at the given rate — the audio side of
+    * [[syntheticAssets]]. */
+  def encodeSilentWav(sampleRate: Int, nSamples: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](nSamples * 2)),
+      fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic binary-asset fixture, synthesized EXECUTOR-SIDE (no
+    * checked-in binaries): 16 solid-gray PNGs whose gray level encodes
+    * the expected luminance bin (v = 16i + 8 -> bin i exactly, since the
+    * BT.601 weights sum to 1000) and 8 silent WAVs at distinct sample
+    * rates (silence -> the zero-crossing bin, 8). Every decoded fact —
+    * dimensions, sample rate, channel count, histogram argmax — is
+    * derivable from first principles, so q94 can hash-check the LIVE
+    * JDK decoders against a closed-form oracle: a decoder regression
+    * turns a driver CORRECTNESS row red instead of only a spec. */
+  def syntheticAssets(s: SparkSession): Dataset[MediaAsset] = {
+    import s.implicits._
+    s.range(0, 24).map { i =>
+      if (i < 16) {
+        val v = i.toInt * 16 + 8
+        val p = encodeSolidPng(8 + i.toInt, 4 + i.toInt, (v << 16) | (v << 8) | v)
+        MediaAsset(i, p, MediaMeta("image", "png", p.length.toLong))
+      } else {
+        val p = encodeSilentWav(8000 + 1000 * (i.toInt - 16), 256)
+        MediaAsset(i, p, MediaMeta("audio", "wav", p.length.toLong))
+      }
+    }
+  }
+
   /** Deterministic frame sampling STUB for video payloads: byte offsets of
     * every `stride`-th fake frame. Real version seeks keyframes. */
   def sampleFrameOffsets(nBytes: Long, stride: Long = 4096L): Seq[Long] =
@@ -221,7 +270,10 @@ object Multimodal {
           if (a.meta.kind != "image") a
           else resizeImage(a.payload, w, h) match {
             case Some(p) =>
-              MediaAsset(a.asset_id, p, a.meta.copy(nBytes = p.length.toLong))
+              // the resize re-encodes as PNG regardless of the original
+              // container, so the hint must follow the bytes
+              MediaAsset(a.asset_id, p,
+                a.meta.copy(formatHint = "png", nBytes = p.length.toLong))
             case None => a
           }
         }
@@ -273,6 +325,38 @@ object Multimodal {
         FROM documents
         GROUP BY source
         ORDER BY source"""),
-      "typed multimodal metadata + frame-sampling stub as an oracle-checkable aggregate")
+      "typed multimodal metadata + frame-sampling stub as an oracle-checkable aggregate"),
+
+    QueryDef(
+      "q94_multimodal_decode",
+      (s, _) => {
+        // the LIVE decoders under the driver gate: [[syntheticAssets]]
+        // payloads go through the identical batched mapPartitions path as
+        // q41, but every output fact is closed-form — solid-gray PNG i
+        // decodes to (8+i, 4+i) with all luminance mass in bin i; silent
+        // WAV i decodes to (8000+1000i Hz, 1 channel) with all amplitude
+        // mass in bin 8 — so the oracle is a pure range() expression and
+        // any decodeImage/decodeAudio regression hash-mismatches.
+        extractFeatures(syntheticAssets(s)).toDF()
+          .select(col("asset_id"), col("kind"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            (expr("array_position(features, array_max(features))") - 1L)
+              .as("top_bin"),
+            round(expr("array_max(features)").cast("double"), 6).as("top_val"))
+          .orderBy(col("asset_id"))
+      },
+      Some("""
+        SELECT cast(i AS bigint) AS asset_id, 'image' AS kind,
+               cast(8 + i AS bigint) AS width, cast(4 + i AS bigint) AS height,
+               cast(i AS bigint) AS top_bin, cast(1.0 AS double) AS top_val
+        FROM range(16) t(i)
+        UNION ALL
+        SELECT cast(16 + i AS bigint), 'audio',
+               cast(8000 + 1000 * i AS bigint), cast(1 AS bigint),
+               cast(8 AS bigint), cast(1.0 AS double)
+        FROM range(8) t(i)
+        ORDER BY asset_id"""),
+      "live JDK image+audio decode over a deterministic synthesized fixture, closed-form oracle")
   )
 }

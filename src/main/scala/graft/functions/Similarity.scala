@@ -491,6 +491,9 @@ object Similarity {
         // codes score the survivors, exact rerank of the ADC top-10K.
         // Codebooks derive from the corpus like every other ANN knob here;
         // the corpus row count is taken once and shared by all 9 trainers.
+        // The cache must outlive the returned lazy frame (10 trainer
+        // consumers + the scan); the RUNNER releases it after consuming
+        // (Bench/Verify clearCache per query).
         val e = prepared(s, d).cache()
         val n = e.count()
         val c = centroidsForCorpus(n)

@@ -112,6 +112,18 @@ object CsvSink {
         .flatMap(p => Seq(s"--${o.kind}", p))
     }
 
+  /** Remove the scratch CSV directory after a successful publish — the
+    * reference's `csvs.cleanup()` (lib/csv_writer.js:27-29, invoked from
+    * index.js:105-108 only on the success path; failures keep the CSVs
+    * for inspection/retry, and so do we). */
+  def cleanup(outDir: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
+      f.delete(): Unit
+    }
+    rec(new java.io.File(outDir))
+  }
+
   /** true when the csv part has at least one row beyond the header —
     * empty partitions produce header-only parts that would just clutter
     * the import command. */

@@ -9,11 +9,13 @@ import org.apache.spark.sql.SparkSession
   *   graft.gedcom.Main -s <gedcom file> -t <csv scratch dir>
   *                     [-d <neo4j data dir>] [-b <neo4j bin dir>] [-q] [-v]
   *
-  * Parses + flattens the GEDCOM into per-(kind,tag) CSVs, prints the
+  * Parses + flattens the GEDCOM into per-(kind,tag) CSVs and prints the
   * diagnostics the reference logs (skip/missing/unused events,
-  * lib/csv_writer.js:97-104) and the bulk-import command it would spawn.
-  * Actually executing `neo4j-import` and the atomic directory swap
-  * (AtomicPublish) stay external-process concerns, as in the reference.
+  * lib/csv_writer.js:97-104). With `-d`, runs the reference's full
+  * import/publish saga end-to-end (index.js:91-108): `neo4j-import` into
+  * `<dest>.tmp` -> stop -> atomic swap with backup -> start, then removes
+  * the scratch CSVs (`csvs.cleanup()`); on any failure the CSVs are
+  * RETAINED for inspection/retry and the exit code is nonzero.
   */
 object Main {
 
@@ -61,8 +63,18 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel(if (opts.verbose) "INFO" else "WARN")
 
+    val code = run(opts.copy(src = Some(src)), spark)
+    spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+
+  /** Everything after session setup, returning the process exit code —
+    * factored from [[main]] so specs can drive the complete CLI
+    * (including the `-d` saga against stub binaries) on a shared
+    * SparkSession without the stop/exit side effects. */
+  def run(opts: Opts, spark: SparkSession): Int = {
     val t0 = System.nanoTime()
-    val res = GedcomPipeline.run(spark, src, opts.tmpDir)
+    val res = GedcomPipeline.run(spark, opts.src.get, opts.tmpDir)
     def log(s: String): Unit = if (!opts.quiet) println(s)
 
     log(f"Finished writing intermediate csv files. Time elapsed: ${(System.nanoTime() - t0) / 1e9}%.2fs")
@@ -74,10 +86,22 @@ object Main {
     if (missing.nonEmpty) log(s"Missing Temple Codes: ${missing.mkString(", ")}")
     res.outputs.foreach(o => log(s"generated ${o.kind}-${o.rawTag}: ${o.path}"))
 
-    opts.dest.foreach { dest =>
-      val cmd = GedcomPipeline.importCommand(opts.binDir, s"$dest.tmp", res.importArgs)
-      log(s"import command: ${cmd.mkString(" ")}")
-    }
-    spark.stop()
+    // -d: the reference's end-to-end load (index.js:91-108) — import into
+    // <dest>.tmp, stop, atomic swap (previous kept as .bak), start; only a
+    // FULLY published database earns the scratch-CSV cleanup.
+    opts.dest.map { dest =>
+      val admin = new Neo4jAdmin(opts.binDir, dest,
+        (stream, line) => if (opts.verbose) println(s"[$stream] $line"))
+      log("import command: " + GedcomPipeline
+        .importCommand(opts.binDir, s"$dest.tmp", res.importArgs).mkString(" "))
+      if (admin.importAndPublish(res.importArgs)) {
+        CsvSink.cleanup(opts.tmpDir) // csvs.cleanup(), success path only
+        log(s"Published $dest (previous kept at $dest.bak); scratch CSVs removed")
+        0
+      } else {
+        log(s"import/publish FAILED; scratch CSVs retained at ${opts.tmpDir}")
+        1
+      }
+    }.getOrElse(0)
   }
 }

@@ -50,11 +50,11 @@ object Aggregates {
     * above N/(k+1) SURVIVES the sketch — which is what makes it a safe
     * candidate generator (sketch to prune, exact-count the ≤k survivors
     * to emit deterministic results). Partial buffers are k-bounded like
-    * [[TopK]]; the corpus never collects. The synthetic testdata is
-    * near-uniform (no true heavy hitters at any useful threshold), so
-    * this ships as a library aggregator with the guarantee proven in
-    * AggregatesSpec on a planted-skew corpus rather than as a registered
-    * degenerate-output query. */
+    * [[TopK]]; the corpus never collects. Registered as q93 in exactly
+    * that sketch-then-rescan shape over the one genuinely skewed domain
+    * of this corpus (lang within source, en ~ 44%); the eviction-order
+    * guarantee is additionally proven in AggregatesSpec on a
+    * planted-skew corpus. */
   final class HeavyHitters(k: Int)
       extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
     override def zero: Map[String, Long] = Map.empty
@@ -232,6 +232,49 @@ object Aggregates {
         WHERE rk <= 3
         GROUP BY o_custkey
         ORDER BY o_custkey"""),
-      "custom Aggregator UDAF: bounded top-k heap with k-capped partial buffers")
+      "custom Aggregator UDAF: bounded top-k heap with k-capped partial buffers"),
+
+    QueryDef(
+      "q93_heavy_hitters",
+      (s, d) => {
+        // Misra-Gries as a CANDIDATE GENERATOR — the only way a sketch
+        // ships deterministic output: the k=3 sketch per source can never
+        // evict an item with frequency above N/(k+1) = 25% (mergeable-
+        // summaries guarantee), so its <=k survivors are a superset of
+        // the true heavy hitters; an exact rescan of just those
+        // candidates emits exact counts. lang-within-source is this
+        // corpus's genuinely skewed domain (en ~ 44%), and 5 langs vs 3
+        // counters means eviction REALLY runs — an MG regression that
+        // dropped a guaranteed survivor would lose a row vs the oracle.
+        // 100 TB shape: sketch = one partial-agg shuffle of k-bounded
+        // buffers; rescan = a groupBy over only the <=k*|groups|
+        // candidate keys (left-semi pruned before the count).
+        val hh = udaf(new HeavyHitters(3))
+        val docs = documents(s, d)
+        val cand = docs
+          .groupBy(col("source"))
+          .agg(hh(col("lang")).as("sketch"))
+          .select(col("source"), explode(col("sketch")).as("c"))
+          .select(col("source"), col("c._1").as("lang"))
+        val exact = docs
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n"))
+        val totals = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("tot"))
+        exact.join(cand, Seq("source", "lang"), "left_semi")
+          .join(totals, "source")
+          .filter(col("n") * 4 > col("tot"))
+          .select(col("source"), col("lang").as("item"), col("n"))
+          .orderBy(col("source"), col("item"))
+      },
+      Some("""
+        WITH c AS (SELECT source, lang, count(*) AS n
+                   FROM documents GROUP BY 1, 2),
+        t AS (SELECT source, sum(n) AS tot FROM c GROUP BY 1)
+        SELECT c.source, c.lang AS item, c.n
+        FROM c JOIN t USING (source)
+        WHERE c.n * 4 > t.tot
+        ORDER BY source, item"""),
+      "Misra-Gries heavy hitters: k-bounded mergeable sketch prunes candidates, exact rescan confirms")
   )
 }

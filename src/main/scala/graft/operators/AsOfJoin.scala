@@ -129,8 +129,19 @@ object AsOfJoin {
         first(col("_m"), ignoreNulls = true).over(wF).as("_mf")) :+
         col("_side"): _*)
       .filter(col("_side") === 1)
-    val gapB = col(ts).cast("long") - col("_mb").getField(ts).cast("long")
-    val gapF = col("_mf").getField(ts).cast("long") - col(ts).cast("long")
+    // gap math must not lose precision: cast("long") truncates timestamps
+    // to whole seconds, so sub-second gaps would compare equal (or
+    // inverted) and the farther side could win. Dispatch on the ts type:
+    // timestamps measure in microseconds, integral/date types use the raw
+    // value.
+    val toGapUnits: Column => Column = left.schema(ts).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros _
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        c => unix_micros(c.cast("timestamp"))
+      case _ => _.cast("long")
+    }
+    val gapB = toGapUnits(col(ts)) - toGapUnits(col("_mb").getField(ts))
+    val gapF = toGapUnits(col("_mf").getField(ts)) - toGapUnits(col(ts))
     val pickB = col("_mf").isNull || (col("_mb").isNotNull && gapB <= gapF)
     both.select(leftCols.map(col) ++
         Seq(when(pickB, col("_mb")).otherwise(col("_mf")).as("_m"),

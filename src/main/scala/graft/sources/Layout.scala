@@ -87,23 +87,50 @@ object Layout {
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q87_zorder",
-      (s, d) =>
+      (s, d) => {
         // the curve itself: per z-bucket, how tight the two key ranges
         // stay. Hash-checked against DuckDB computing the identical
         // interleave, so the bit math is engine-exact.
+        //
+        // Keys min/max-normalize into the Z_BITS space first
+        // ([[writeZOrdered]]'s rule): interleaving RAW keys would silently
+        // drop bits >= 2^Z_BITS at larger scale factors and alias distinct
+        // key ranges into one z-bucket — and an oracle computing the
+        // identical truncation could never catch the degradation. Bounds
+        // cost one tiny aggregate; integral `div` on bigint keeps both
+        // engines bit-identical (all operands non-negative, so Spark's
+        // truncating div == DuckDB's floor //).
+        val r = lineitem(s, d).agg(
+          min(col("l_partkey")), max(col("l_partkey")),
+          min(col("l_suppkey")), max(col("l_suppkey"))).head()
+        def b(i: Int): Long = r.getAs[Number](i).longValue
+        val top = (1L << Z_BITS) - 1
+        def norm(c: String, lo: Long, hi: Long): Column =
+          expr(s"(cast($c as bigint) - ${lo}L) * ${top}L div ${math.max(1L, hi - lo)}L")
         lineitem(s, d)
           .select(col("l_partkey"), col("l_suppkey"),
-            zvalue(col("l_partkey"), col("l_suppkey")).as("zv"))
+            zvalue(norm("l_partkey", b(0), b(1)),
+              norm("l_suppkey", b(2), b(3))).as("zv"))
           .groupBy(expr("zv div 4096").as("zbucket")) // 2^12 per bucket
           .agg(count(lit(1)).as("n"),
             min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
             min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
-          .orderBy(col("zbucket")),
+          .orderBy(col("zbucket"))
+      },
       Some(s"""
-        WITH z AS (
+        WITH b AS (
+          SELECT min(l_partkey) AS plo, max(l_partkey) AS phi,
+                 min(l_suppkey) AS slo, max(l_suppkey) AS shi
+          FROM lineitem),
+        n AS (
           SELECT l_partkey, l_suppkey,
-                 ${zvalueSql("l_partkey", "l_suppkey")} AS zv
-          FROM lineitem)
+                 (cast(l_partkey AS bigint) - plo) * 65535 // greatest(1, phi - plo) AS np,
+                 (cast(l_suppkey AS bigint) - slo) * 65535 // greatest(1, shi - slo) AS ns
+          FROM lineitem, b),
+        z AS (
+          SELECT l_partkey, l_suppkey,
+                 ${zvalueSql("np", "ns")} AS zv
+          FROM n)
         SELECT zv // 4096 AS zbucket,
                count(*) AS n,
                min(l_partkey) AS min_part, max(l_partkey) AS max_part,
@@ -111,6 +138,6 @@ object Layout {
         FROM z
         GROUP BY 1
         ORDER BY 1"""),
-      "Z-order (Morton) clustering key: engine-exact bit interleave + per-bucket range stats")
+      "Z-order (Morton) clustering key: min/max-normalized engine-exact bit interleave + per-bucket range stats")
   )
 }

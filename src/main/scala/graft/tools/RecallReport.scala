@@ -38,12 +38,15 @@ object RecallReport {
 
     // exact baselines
     val jaccard = pairs("q65_jaccard_prefix") // exact Jaccard >= 0.8
-    val cosine = pairs("q38_embedding_neardup")
+    // unregistered O(N^2) baseline — verification-only by design
+    val cosine = graft.functions.Dedup.embeddingPairsBrute(spark, sf)
+      .select(col("ia").cast("long"), col("ib").cast("long"))
+      .as[(Long, Long)].collect().toSet
     val knnExact = topk("q39_knn_brute")
 
     println(f"q36_minhash_lsh vs exact-jaccard(q65): ${pairRecall("q36_minhash_lsh", jaccard)}%.3f")
     println(f"q37_simhash raw-pair count: ${pairs("q37_simhash").size}")
-    println(f"q64_neardup_lsh vs brute-cosine(q38): ${pairRecall("q64_neardup_lsh", cosine)}%.3f")
+    println(f"q64_neardup_lsh vs brute-cosine: ${pairRecall("q64_neardup_lsh", cosine)}%.3f")
     println(f"q40_knn_lsh mean recall@5 vs q39: ${knnRecall("q40_knn_lsh", knnExact)}%.3f")
     println(f"q67_knn_ivf mean recall@5 vs q39: ${knnRecall("q67_knn_ivf", knnExact)}%.3f")
     println(f"q86_knn_ivfpq mean recall@5 vs q39: ${knnRecall("q86_knn_ivfpq", knnExact)}%.3f")

@@ -74,4 +74,19 @@ class AsOfJoinSpec extends SparkSpec {
       (1L, 15L, Some("f20"), Some("forward")),  // gap 7 vs 5
       (2L, 1L, None, None)))                    // no right rows for key
   }
+
+  test("nearest resolves SUB-SECOND timestamp gaps (microsecond precision)") {
+    // regression: cast("long") truncates timestamps to whole seconds, so a
+    // left row 100 ms after one right row and 400 ms before another saw
+    // equal (0) gaps and could pick the farther side
+    def t(ms: Long) = new Timestamp(ms)
+    val left = Seq((1L, t(1100))).toDF("k", "ts") // 1.100 s
+    val right = Seq(
+      (1L, t(1000), "b100ms"),                    // 100 ms behind
+      (1L, t(1500), "f400ms")).toDF("k", "ts", "x") // 400 ms ahead
+    val out = AsOfJoin.nearest(left, right, "k", "ts", Seq("x"))
+      .select("matched_x", "matched_dir").as[(String, String)].head()
+    assert(out == (("b100ms", "backward")),
+      s"sub-second gap must pick the 100 ms side, got $out")
+  }
 }

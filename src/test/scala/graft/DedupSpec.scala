@@ -106,14 +106,16 @@ class DedupSpec extends SparkSpec {
     assert(maxBucket < 50, s"prefix bucket unexpectedly large: $maxBucket")
   }
 
-  test("LSH near-dup (q64) has exact precision and usable recall vs brute force (q38)") {
+  test("LSH near-dup (q64) has exact precision and usable recall vs brute force") {
     val sf = "/root/testdata/sf0.001"
-    def pairs(name: String): Set[(Long, Long)] =
-      Dedup.defs.find(_.name == name).get.fn(spark, sf)
-        .select(col("ia").cast("long"), col("ib").cast("long"))
+    def collectPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("ia").cast("long"), col("ib").cast("long"))
         .as[(Long, Long)].collect().toSet
-    val brute = pairs("q38_embedding_neardup")
-    val lsh = pairs("q64_neardup_lsh")
+    // the brute baseline is deliberately unregistered (O(N^2)); it lives
+    // on as a verification function exactly for this pin
+    val brute = collectPairs(Dedup.embeddingPairsBrute(spark, sf))
+    val lsh = collectPairs(
+      Dedup.defs.find(_.name == "q64_neardup_lsh").get.fn(spark, sf))
     assert(lsh.subsetOf(brute), "q64 verifies with the exact cosine => no false positives")
     val recall = if (brute.isEmpty) 1.0 else lsh.size.toDouble / brute.size
     // the B=32 target bucket exists to buy this recall (0.97 measured;

@@ -1,9 +1,9 @@
 package graft
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths}
 import java.nio.file.attribute.PosixFilePermissions
 
-import graft.gedcom.Neo4jAdmin
+import graft.gedcom.{Main, Neo4jAdmin}
 
 /** Saga/orchestration spec against stub binaries — asserts the reference's
   * import -> stop -> swap -> start order, log streaming, and rollback on a
@@ -52,6 +52,42 @@ class Neo4jAdminSpec extends SparkSpec {
     val calls = Files.readAllLines(logFile)
     // import, stop, failed start, recovery start
     assert(calls.size() == 4 && calls.get(3) == "neo4j start")
+  }
+
+  test("CLI -d drives the whole saga end-to-end and cleans the scratch CSVs") {
+    // the reference user's one command (index.js:91-108): parse -> CSVs ->
+    // import -> stop -> swap -> start -> csvs.cleanup(). Everything through
+    // Main.run, against stub binaries.
+    val (bin, data, logFile) = setup(startExit = "0")
+    val tmpDir = Files.createTempDirectory("ged-cli-csvs").toString
+    val opts = Main.Opts(
+      src = Some(getClass.getResource("/m1.ged").getPath),
+      dest = Some(data.toString), binDir = bin.toString,
+      tmpDir = tmpDir, quiet = true)
+    assert(Main.run(opts, spark) == 0)
+    val calls = Files.readAllLines(logFile)
+    assert(calls.size() == 3, calls.toString)
+    assert(calls.get(0).startsWith("import --into"), calls.get(0))
+    assert(calls.get(0).contains("--nodes"), "import must receive the CSV args")
+    assert(calls.get(1) == "neo4j stop" && calls.get(2) == "neo4j start")
+    assert(Files.readString(data.resolve("marker")) == "imported\n")
+    assert(Files.readString(data.resolveSibling("data.bak").resolve("marker")) == "old")
+    assert(!Files.exists(Paths.get(tmpDir)),
+      "scratch CSVs must be removed after a successful publish")
+  }
+
+  test("CLI -d failure retains the scratch CSVs and reports nonzero") {
+    val (bin, data, _) = setup(startExit = "1") // start fails => rollback
+    val tmpDir = Files.createTempDirectory("ged-cli-csvs").toString
+    val opts = Main.Opts(
+      src = Some(getClass.getResource("/m1.ged").getPath),
+      dest = Some(data.toString), binDir = bin.toString,
+      tmpDir = tmpDir, quiet = true)
+    assert(Main.run(opts, spark) == 1)
+    assert(Files.readString(data.resolve("marker")) == "old", "rolled back")
+    assert(Files.exists(Paths.get(tmpDir)) &&
+      Option(Paths.get(tmpDir).toFile.listFiles()).exists(_.nonEmpty),
+      "scratch CSVs retained for inspection/retry on failure")
   }
 
   test("failed import aborts before touching the live dir") {

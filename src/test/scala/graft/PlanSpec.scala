@@ -95,8 +95,9 @@ class PlanSpec extends SparkSpec {
 
   test("pair-generation queries never degenerate to a cartesian") {
     // LSH/banding and the interval join keep an equi key under the
-    // residual condition; only the explicitly-brute-force baselines
-    // (q38/q39) are allowed a broadcast nested loop.
+    // residual condition; only the explicitly-brute-force q39 baseline
+    // (and the unregistered embeddingPairsBrute verification function)
+    // are allowed a broadcast nested loop.
     for (q <- Seq("q22_range_join", "q36_minhash_lsh",
         "q37_simhash", "q64_neardup_lsh", "q65_jaccard_prefix",
         "q67_knn_ivf")) {

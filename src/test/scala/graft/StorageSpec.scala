@@ -129,7 +129,12 @@ class StorageSpec extends SparkSpec {
       val (lin2, linR2) = scanRows(s"$dir/linear", p2)
       val (z2, zR2) = scanRows(s"$dir/zorder", p2)
       assert(linR2 == zR2 && zR2 > 0)
-      assert(lin2 == total, s"linear layout cannot prune suppkey (scanned $lin2 of $total)")
+      // ratios, not exact counts: min/max stats may prune a stray file or
+      // two of the linear layout by luck, but never a material fraction
+      assert(lin2 * 100 >= total * 95,
+        s"linear layout should barely prune suppkey (scanned $lin2 of $total)")
+      assert(z2 * 2 <= total,
+        s"z-order must prune >=50% on the second dimension (scanned $z2 of $total)")
       assert(z2 * 2 <= lin2,
         s"z-order scanned $z2 rows vs linear $lin2 on the second dimension — no win")
     } finally {
