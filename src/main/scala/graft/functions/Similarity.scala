@@ -32,9 +32,11 @@ object Similarity {
 
   /** Independent LSH hash tables for q40's top-k search: recall rises as
     * 1-(1-p)^L while index size and candidate volume scale linearly in L.
-    * 3 roughly doubles single-table recall on gaussian data (COVERAGE.md
-    * has the measured curve). */
-  val N_TABLES = 3
+    * Operating point L=4, chosen from the measured curve in COVERAGE.md
+    * (sf0.01: L=3 -> 0.96, L=4 -> 0.99; sf0.1: L=3 -> 0.81): the point
+    * where recall clears 0.9 at every tested scale factor while candidate
+    * volume stays ~L * |probes| * TARGET_BUCKET per query. */
+  val N_TABLES = 4
 
   /** Training sample size per centroid: Lloyd runs over at most
     * C * this rows (deterministically hash-sampled inside

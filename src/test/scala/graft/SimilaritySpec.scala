@@ -41,12 +41,13 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("LSH ANN reaches strong recall vs brute force") {
-    // corpus-derived planes (N=500 -> 6), radius-2 multiprobe, 3
-    // independent tables: measured 0.88 here (0.95 at sf0.01, 0.81 at
-    // sf0.1); the floor pins the multi-table contract — single-table
-    // recall is ~0.5 and would fail it.
+    // corpus-derived planes (N=500 -> 6), radius-2 multiprobe, L=4
+    // independent tables (the COVERAGE.md operating point): measured
+    // 0.93 here, 0.99 at sf0.01, 0.91 at sf0.1 — >= 0.9 at every tested
+    // scale. The floor pins that contract; everything is deterministic
+    // (seeded planes, fixed corpus), so 0.93 is exact, not noisy.
     val mean = meanRecall("q40_knn_lsh")
-    assert(mean >= 0.7, s"mean recall@${Similarity.K} = $mean < 0.7")
+    assert(mean >= 0.9, s"mean recall@${Similarity.K} = $mean < 0.9")
   }
 
   test("multi-table LSH recall dominates single-table at equal planes") {
