@@ -112,16 +112,34 @@ object CsvSink {
         .flatMap(p => Seq(s"--${o.kind}", p))
     }
 
-  /** Remove the scratch CSV directory after a successful publish — the
-    * reference's `csvs.cleanup()` (lib/csv_writer.js:27-29, invoked from
+  /** Remove the scratch CSVs after a successful publish — the reference's
+    * `csvs.cleanup()` (lib/csv_writer.js:27-29, invoked from
     * index.js:105-108 only on the success path; failures keep the CSVs
-    * for inspection/retry, and so do we). */
-  def cleanup(outDir: String): Unit = {
+    * for inspection/retry, and so do we). Unlike the reference's
+    * `fs.remove(scratch_dir)` (which owns a dedicated mkdirp'd dir), the
+    * `-t` dir here is user-supplied, so only what THIS run wrote is
+    * deleted: the recorded output dirs, Spark's job markers beside them,
+    * and the scratch dir itself only once it is empty — pre-existing user
+    * files survive. */
+  def cleanup(outputs: Seq[Output], outDir: String): Unit = {
     def rec(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
       f.delete(): Unit
     }
-    rec(new java.io.File(outDir))
+    outputs.foreach(o => rec(new java.io.File(o.path)))
+    // the partitioned relationships job leaves _SUCCESS/.crc markers in its
+    // base dir (the rawTag= children are the recorded outputs); a dir
+    // holding ONLY such markers is ours and collapses
+    def sweepMarkers(dir: java.io.File): Unit = {
+      Option(dir.listFiles()).foreach(_.foreach { f =>
+        if (!f.isDirectory &&
+            (f.getName == "_SUCCESS" || f.getName.endsWith(".crc")))
+          f.delete(): Unit
+      })
+      dir.delete(): Unit // succeeds only when nothing user-placed remains
+    }
+    sweepMarkers(new java.io.File(outDir, "relationships"))
+    new java.io.File(outDir).delete(): Unit // succeeds only when empty
   }
 
   /** true when the csv part has at least one row beyond the header —

@@ -95,7 +95,7 @@ object Main {
       log("import command: " + GedcomPipeline
         .importCommand(opts.binDir, s"$dest.tmp", res.importArgs).mkString(" "))
       if (admin.importAndPublish(res.importArgs)) {
-        CsvSink.cleanup(opts.tmpDir) // csvs.cleanup(), success path only
+        CsvSink.cleanup(res.outputs, opts.tmpDir) // csvs.cleanup(), success path only
         log(s"Published $dest (previous kept at $dest.bak); scratch CSVs removed")
         0
       } else {

@@ -249,8 +249,13 @@ object Aggregates {
         // 100 TB shape: sketch = one partial-agg shuffle of k-bounded
         // buffers; rescan = a groupBy over only the <=k*|groups|
         // candidate keys (left-semi pruned before the count).
+        // lang coalesces to a sentinel BEFORE grouping on both engines:
+        // the plain equi left-semi join drops NULL keys while DuckDB's
+        // GROUP BY keeps a NULL group, so a null-heavy corpus would
+        // diverge (and a null would also hit the String-typed UDAF).
         val hh = udaf(new HeavyHitters(3))
         val docs = documents(s, d)
+          .withColumn("lang", coalesce(col("lang"), lit("__null__")))
         val cand = docs
           .groupBy(col("source"))
           .agg(hh(col("lang")).as("sketch"))
@@ -268,7 +273,7 @@ object Aggregates {
           .orderBy(col("source"), col("item"))
       },
       Some("""
-        WITH c AS (SELECT source, lang, count(*) AS n
+        WITH c AS (SELECT source, coalesce(lang, '__null__') AS lang, count(*) AS n
                    FROM documents GROUP BY 1, 2),
         t AS (SELECT source, sum(n) AS tot FROM c GROUP BY 1)
         SELECT c.source, c.lang AS item, c.n

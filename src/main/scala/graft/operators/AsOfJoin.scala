@@ -116,7 +116,7 @@ object AsOfJoin {
   def nearest(
       left: DataFrame, right: DataFrame, key: String, ts: String,
       payload: Seq[String], tiebreak: Seq[String] = Nil): DataFrame = {
-    val (u, _) = tagged(left, right, key, ts, payload, tiebreak)
+    val (u, mType) = tagged(left, right, key, ts, payload, tiebreak)
     val ord = col(ts).asc +: col("_side").asc +:
       tiebreak.map(c => col(s"_tb_$c").asc)
     val wB = Window.partitionBy(col(key)).orderBy(ord: _*)
@@ -131,17 +131,25 @@ object AsOfJoin {
       .filter(col("_side") === 1)
     // gap math must not lose precision: cast("long") truncates timestamps
     // to whole seconds, so sub-second gaps would compare equal (or
-    // inverted) and the farther side could win. Dispatch on the ts type:
-    // timestamps measure in microseconds, integral/date types use the raw
-    // value.
-    val toGapUnits: Column => Column = left.schema(ts).dataType match {
-      case org.apache.spark.sql.types.TimestampType => unix_micros _
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        c => unix_micros(c.cast("timestamp"))
-      case _ => _.cast("long")
-    }
-    val gapB = toGapUnits(col(ts)) - toGapUnits(col("_mb").getField(ts))
-    val gapF = toGapUnits(col("_mf").getField(ts)) - toGapUnits(col(ts))
+    // inverted) and the farther side could win. Every type converts to a
+    // microsecond scale so gaps stay commensurate even when the union
+    // coerced one side (e.g. left DATE vs right TIMESTAMP). Dispatch is
+    // PER COLUMN: the unified ts column and the right-side struct field
+    // can carry different types, so each uses its own conversion
+    // (a DATE->BIGINT cast is illegal in Spark — dates go through
+    // unix_date instead).
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    def gapUnits(dt: org.apache.spark.sql.types.DataType)(c: Column): Column =
+      dt match {
+        case TimestampType => unix_micros(c)
+        case TimestampNTZType => unix_micros(c.cast("timestamp"))
+        case DateType => unix_date(c).cast("long") * lit(86400000000L)
+        case _ => c.cast("long")
+      }
+    val leftGap = gapUnits(u.schema(ts).dataType) _
+    val rightGap = gapUnits(mType(ts).dataType) _
+    val gapB = leftGap(col(ts)) - rightGap(col("_mb").getField(ts))
+    val gapF = rightGap(col("_mf").getField(ts)) - leftGap(col(ts))
     val pickB = col("_mf").isNull || (col("_mb").isNotNull && gapB <= gapF)
     both.select(leftCols.map(col) ++
         Seq(when(pickB, col("_mb")).otherwise(col("_mf")).as("_m"),

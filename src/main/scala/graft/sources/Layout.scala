@@ -124,8 +124,8 @@ object Layout {
           FROM lineitem),
         n AS (
           SELECT l_partkey, l_suppkey,
-                 (cast(l_partkey AS bigint) - plo) * 65535 // greatest(1, phi - plo) AS np,
-                 (cast(l_suppkey AS bigint) - slo) * 65535 // greatest(1, shi - slo) AS ns
+                 (cast(l_partkey AS bigint) - plo) * ${(1L << Z_BITS) - 1} // greatest(1, phi - plo) AS np,
+                 (cast(l_suppkey AS bigint) - slo) * ${(1L << Z_BITS) - 1} // greatest(1, shi - slo) AS ns
           FROM lineitem, b),
         z AS (
           SELECT l_partkey, l_suppkey,

@@ -89,4 +89,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == (("b100ms", "backward")),
       s"sub-second gap must pick the 100 ms side, got $out")
   }
+
+  test("nearest supports DateType ts columns") {
+    // regression: DATE->BIGINT casts are illegal in Spark, so a DateType
+    // ts column used to throw AnalysisException in nearest (backward and
+    // forward never convert and were fine); dates now go through
+    // unix_date. Gap math: 2020-01-10 is 3 days from the 01-07 row and
+    // 5 days from the 01-15 row.
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val left = Seq((1L, d("2020-01-10"))).toDF("k", "ts")
+    val right = Seq(
+      (1L, d("2020-01-07"), "b3d"),
+      (1L, d("2020-01-15"), "f5d")).toDF("k", "ts", "x")
+    val out = AsOfJoin.nearest(left, right, "k", "ts", Seq("x"))
+      .select("matched_x", "matched_dir").as[(String, String)].head()
+    assert(out == (("b3d", "backward")), s"date gaps must compare in days, got $out")
+  }
 }

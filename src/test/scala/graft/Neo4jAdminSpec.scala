@@ -76,6 +76,25 @@ class Neo4jAdminSpec extends SparkSpec {
       "scratch CSVs must be removed after a successful publish")
   }
 
+  test("cleanup deletes only the run's outputs — pre-existing files survive") {
+    // the -t dir is user-supplied (unlike the reference's dedicated mkdirp'd
+    // scratch dir), so cleanup must not take unrelated files with it
+    val (bin, data, _) = setup(startExit = "0")
+    val tmpDir = Files.createTempDirectory("ged-cli-csvs")
+    val keepMe = tmpDir.resolve("precious.txt")
+    Files.writeString(keepMe, "user data")
+    val opts = Main.Opts(
+      src = Some(getClass.getResource("/m1.ged").getPath),
+      dest = Some(data.toString), binDir = bin.toString,
+      tmpDir = tmpDir.toString, quiet = true)
+    assert(Main.run(opts, spark) == 0)
+    assert(Files.readString(keepMe) == "user data",
+      "pre-existing user file must survive cleanup")
+    val leftovers = tmpDir.toFile.listFiles().map(_.getName).toSet
+    assert(leftovers == Set("precious.txt"),
+      s"only the user's file may remain, got $leftovers")
+  }
+
   test("CLI -d failure retains the scratch CSVs and reports nonzero") {
     val (bin, data, _) = setup(startExit = "1") // start fails => rollback
     val tmpDir = Files.createTempDirectory("ged-cli-csvs").toString
