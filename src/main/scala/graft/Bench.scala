@@ -52,8 +52,14 @@ object Bench {
             None
         }
       // keep the best successful observation; a transient second-pass
-      // failure must not discard a valid first-pass measurement
+      // failure must not discard a valid first-pass measurement. When the
+      // two passes disagree by >1.5x, one of them was almost certainly
+      // co-tenant noise (round-6 driver artifacts recorded a 4.4x phantom
+      // regression this way) — spend a third pass on just those queries
+      // and report min-of-three.
       (attempt(), attempt()) match {
+        case (Some(a), Some(b)) if math.max(a, b) > 1.5 * math.min(a, b) =>
+          q.name -> math.min(math.min(a, b), attempt().getOrElse(Double.MaxValue))
         case (Some(a), Some(b)) => q.name -> math.min(a, b)
         case (Some(a), None) => q.name -> a
         case (None, Some(b)) => q.name -> b
@@ -61,25 +67,29 @@ object Bench {
       }
     }
     // The reference's ONE published number is GEDCOM parse->CSV throughput
-    // (~145 MB in ~6 s => ~24 MB/s, BASELINE.md). Track it in the same
-    // artifact so the driver regression-checks it per round instead of it
-    // living only in README prose. A failure records null, not a crash.
-    val gedcomMBs: Option[Double] =
+    // (~145 MB in ~6 s => ~24 MB/s, BASELINE.md; its README records
+    // 35-42 MB/s sustained at 0.5-1 GB). Track BOTH operating points in
+    // the artifact — the reference headline size and a ~1 GB sustained
+    // run — so the driver regression-checks throughput at file sizes
+    // where one-time costs do and don't amortize. Synthetic inputs are
+    // cached on disk across rounds. A failure records null, not a crash.
+    def gedcomLeg(label: String, path: String, targetBytes: Long): Option[Double] =
       try {
-        val ged = "/tmp/graft-bench-150mb.ged"
-        val f = new java.io.File(ged)
+        val f = new java.io.File(path)
         val size =
           if (f.exists()) f.length()
-          else gedcom.GedcomBench.generate(ged, 150L << 20)
+          else gedcom.GedcomBench.generate(path, targetBytes)
         val t0 = System.nanoTime()
-        gedcom.GedcomPipeline.run(spark, ged, "/tmp/graft-bench-gedcsv")
+        gedcom.GedcomPipeline.run(spark, path, s"/tmp/graft-bench-gedcsv-$label")
         Some(size / 1e6 / ((System.nanoTime() - t0) / 1e9))
       } catch {
         case e: Throwable =>
-          System.err.println(s"[bench] gedcom throughput FAILED: ${e.getMessage}")
+          System.err.println(s"[bench] gedcom $label throughput FAILED: ${e.getMessage}")
           None
       }
-    val json = renderJson(results, sfDir, gedcomMBs)
+    val gedcom150m = gedcomLeg("150m", "/tmp/graft-bench-150mb.ged", 150L << 20)
+    val gedcom1g = gedcomLeg("1g", "/tmp/graft-bench-1gb.ged", 1L << 30)
+    val json = renderJson(results, sfDir, gedcom150m, gedcom1g)
     println(json)
     // the driver captures only a log TAIL, which can truncate the line —
     // persist the full JSON so every round's artifact parses without
@@ -99,13 +109,17 @@ object Bench {
     * headline, not quietly shrink it: `value` goes null and `failed` is
     * explicit. Factored out so the poisoning is unit-testable. */
   def renderJson(results: Seq[(String, Double)], sfDir: String,
-      gedcomMBs: Option[Double] = None): String = {
+      gedcomMBs: Option[Double] = None,
+      gedcom1gMBs: Option[Double] = None): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total =
       if (failed > 0) "null" else results.map(_._2).sum.toString
-    val ged = gedcomMBs.map(v => math.rint(v * 10) / 10).map(_.toString).getOrElse("null")
-    s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"gedcom_mb_per_s":$ged,"queries":$qs,"sf":"$sfDir"}"""
+    def r1(o: Option[Double]) =
+      o.map(v => math.rint(v * 10) / 10).map(_.toString).getOrElse("null")
+    // gedcom_mb_per_s keeps its historical meaning (the 150 MB reference
+    // headline) so cross-round artifact comparisons stay apples-to-apples
+    s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"gedcom_mb_per_s":${r1(gedcomMBs)},"gedcom_mb_per_s_150m":${r1(gedcomMBs)},"gedcom_mb_per_s_1g":${r1(gedcom1gMBs)},"queries":$qs,"sf":"$sfDir"}"""
   }
 }

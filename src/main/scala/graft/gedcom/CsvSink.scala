@@ -35,7 +35,25 @@ object CsvSink {
     special ++ keys.diff(Set("Gedcom Id:ID", ":LABEL")).toSeq.sorted :+ ":LABEL"
   }
 
-  def write(graph: GedcomGraph.Graph, outDir: String): Seq[Output] = {
+  /** Select list over the `props` map for one node tag: the ordered raw
+    * columns, and — in typed-date mode — a parsed `K:date` + `K Qualifier`
+    * pair directly after each date-grammar column K (the `:date` header
+    * suffix is `neo4j-import`'s own typed-property convention, so the bulk
+    * load ingests real dates with zero extra ceremony). Shared by the CSV
+    * sink and [[GedcomGraph.nodesWide]] so the two surfaces cannot drift. */
+  def typedNodeColumns(keys: Set[String],
+      typedDates: Boolean): Seq[org.apache.spark.sql.Column] =
+    nodeColumns(keys).flatMap { k =>
+      val raw = col("props").getItem(k)
+      if (typedDates && GedcomDates.isDateKey(k))
+        Seq(raw.as(k),
+          GedcomDates.typedDateCol(raw).as(s"$k:date"),
+          GedcomDates.qualifierCol(raw).as(s"$k Qualifier"))
+      else Seq(raw.as(k))
+    }
+
+  def write(graph: GedcomGraph.Graph, outDir: String,
+      typedDates: Boolean = false): Seq[Output] = {
     // no extra cache layer: graph.flat is already pinned as localCheckpoint
     // blocks of raw UnsafeRows, and re-scanning those per tag job is cheaper
     // than materializing (and holding) a second columnar copy of the props
@@ -59,7 +77,7 @@ object CsvSink {
         Future {
           val path = s"$outDir/nodes-$tag"
           nodes.filter(col("rawTag") === tag)
-            .select(nodeColumns(keys).map(k => col("props").getItem(k).as(k)): _*)
+            .select(typedNodeColumns(keys, typedDates): _*)
             .write.mode(SaveMode.Overwrite).option("header", true).csv(path)
           Seq(Output("nodes", tag, path))
         }

@@ -83,6 +83,34 @@ object GedcomDates {
     (d.qualifier, d.year, d.month, d.day, d.year2, d.month2, d.day2)
   }
 
+  /** Flattened property keys that carry the GEDCOM date grammar: the DATE
+    * tag maps to "Date" (Dictionaries), so composite keys end in " Date"
+    * ("Birth Date", "Marriage Date", EVEN's "undefined Date"). */
+  def isDateKey(k: String): Boolean = k == "Date" || k.endsWith(" Date")
+
+  /** Best-effort `DateType` column from a raw GEDCOM date string column
+    * (missing month/day floor to 1; calendar-invalid combos and RAW
+    * strings go null). The typed-date mode of [[GedcomGraph.nodesWide]] /
+    * [[CsvSink.write]] — the reference's own TODO (README.md:55 "Convert
+    * dates to more useful format") realized as a column beside the raw
+    * string, never replacing it. */
+  def typedDateCol(raw: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val g = parseUdf(raw)
+    when(g.getField("_2").isNotNull,
+      try_to_date(format_string("%04d-%02d-%02d",
+        g.getField("_2"), coalesce(g.getField("_3"), lit(1)),
+        coalesce(g.getField("_4"), lit(1)))))
+  }
+
+  /** Qualifier column (EXACT/ABT/EST/CAL/BEF/AFT/FROM/TO/BET/INT/RAW) for
+    * a raw GEDCOM date string column; null where the raw value is null
+    * (records without that date keep an all-null typed pair). */
+  def qualifierCol(raw: Column): Column = {
+    import org.apache.spark.sql.functions._
+    when(raw.isNotNull, parseUdf(raw).getField("_1"))
+  }
+
   /** Adds `<out>_qualifier` / `<out>_date` / `<out>_year2` columns parsed
     * from a raw GEDCOM date column (`year2` = the range end of BET..AND /
     * FROM..TO dates, null otherwise). (A udf is acceptable here: date

@@ -338,13 +338,20 @@ object GedcomGraph {
   /** Wide, directly queryable table for one record type: the union of the
     * tag's flattened property keys as real columns (same layout as the
     * CSV sink's output, but as a DataFrame — callers can filter/join/agg
-    * the property graph without going through Neo4j at all). */
-  def nodesWide(graph: Graph, rawTag: String): DataFrame = {
+    * the property graph without going through Neo4j at all).
+    *
+    * `typedDates = true` (opt-in; default is exact raw parity) additionally
+    * emits, directly after each date-grammar column K, a parsed
+    * `K:date` (`DateType`) and `K Qualifier` column — the reference's own
+    * TODO (README.md:55 "Convert dates to more useful format"). The raw
+    * string columns are untouched in both modes. */
+  def nodesWide(graph: Graph, rawTag: String,
+      typedDates: Boolean = false): DataFrame = {
     val forTag = graph.nodes.filter(col("rawTag") === rawTag)
     val keys = forTag
       .select(explode(map_keys(col("props"))).as("k"))
       .distinct().collect().map(_.getString(0)).toSet
     forTag.select(
-      CsvSink.nodeColumns(keys).map(k => col("props").getItem(k).as(k)): _*)
+      CsvSink.typedNodeColumns(keys, typedDates): _*)
   }
 }

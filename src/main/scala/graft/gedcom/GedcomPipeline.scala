@@ -21,10 +21,14 @@ object GedcomPipeline {
       outputs: Seq[CsvSink.Output],
       importArgs: Seq[String])
 
-  /** Parse + flatten + write CSVs. */
-  def run(spark: SparkSession, gedcomPath: String, csvOutDir: String): Result = {
+  /** Parse + flatten + write CSVs. `typedDates` opts into the parsed
+    * `K:date` / `K Qualifier` columns beside each raw date string
+    * ([[CsvSink.typedNodeColumns]]); the default stays raw reference
+    * parity. */
+  def run(spark: SparkSession, gedcomPath: String, csvOutDir: String,
+      typedDates: Boolean = false): Result = {
     val graph = GedcomGraph.fromFile(spark, gedcomPath)
-    val outputs = CsvSink.write(graph, csvOutDir)
+    val outputs = CsvSink.write(graph, csvOutDir, typedDates)
     Result(graph, outputs, CsvSink.importArgs(outputs))
   }
 

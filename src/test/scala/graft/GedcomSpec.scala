@@ -155,6 +155,49 @@ class GedcomSpec extends SparkSpec {
     assert(!r.props.contains(" Date") && !r.props.contains("Event Date"))
   }
 
+  test("m2: typed-date mode adds DateType + qualifier columns beside raw strings") {
+    // the reference's own TODO (README.md:55): opt-in parsed dates. Raw
+    // columns stay byte-identical; each date key K gains K:date (a real
+    // DateType) and K Qualifier directly after it.
+    val wide = GedcomGraph.nodesWide(graph2, "INDI", typedDates = true)
+    assert(wide.schema("Birth Date:date").dataType ==
+      org.apache.spark.sql.types.DateType)
+    val cols = wide.columns.toSeq
+    assert(cols.indexOf("Birth Date:date") == cols.indexOf("Birth Date") + 1)
+    assert(cols.head == "Gedcom Id:ID" && cols.last == ":LABEL")
+    val i10 = wide.filter(col("Gedcom Id:ID") === "I10")
+      .select("Birth Date", "Birth Date:date", "Birth Date Qualifier",
+        "Death Date:date", "Death Date Qualifier").head()
+    assert(i10.getString(0) == "2 FEB 1900/01") // raw untouched
+    assert(i10.getDate(1).toString == "1900-02-02")
+    assert(i10.getString(2) == "EXACT")
+    assert(i10.getDate(3).toString == "1980-01-01") // INT 1980 (phrase dropped)
+    assert(i10.getString(4) == "INT")
+    // a record without that date keeps an all-null typed pair
+    val i11 = wide.filter(col("Gedcom Id:ID") === "I11")
+      .select("Birth Date:date", "Birth Date Qualifier").head()
+    assert(i11.isNullAt(0) && i11.isNullAt(1))
+    // range grammar on the FAM record
+    val f9 = GedcomGraph.nodesWide(graph2, "FAM", typedDates = true)
+      .select(col("Marriage Date:date").cast("string"), col("Marriage Date Qualifier")).head()
+    assert(f9.getString(0) == "1880-01-01" && f9.getString(1) == "BET")
+    // default mode is raw parity: no typed columns anywhere
+    assert(!GedcomGraph.nodesWide(graph2, "INDI").columns.exists(c =>
+      c.endsWith(":date") || c.endsWith(" Qualifier")))
+  }
+
+  test("m2: csv sink typed-date mode writes parsed columns, raw mode unchanged") {
+    val out = java.nio.file.Files.createTempDirectory("gedcsv-typed").toString
+    CsvSink.write(graph2, out, typedDates = true)
+    val indi = spark.read.option("header", true).option("multiLine", true)
+      .csv(s"$out/nodes-INDI")
+    assert(indi.columns.contains("Birth Date:date")) // neo4j typed header
+    val row = indi.filter(col("Gedcom Id:ID") === "I10")
+      .select("Birth Date", "Birth Date:date", "Death Date Qualifier").head()
+    assert(row.getString(0) == "2 FEB 1900/01" &&
+      row.getString(1) == "1900-02-02" && row.getString(2) == "INT")
+  }
+
   test("nodesWide exposes the graph as a queryable wide table") {
     val wide = GedcomGraph.nodesWide(graph, "INDI")
     assert(wide.columns.head == "Gedcom Id:ID" && wide.columns.last == ":LABEL")
