@@ -18,11 +18,14 @@ import graft.{QueryDef, Tables}
   *   - `audio` decodes LIVE via JDK-only `javax.sound.sampled` (WAV/AIFF/AU
   *     parsers ship with the JDK): sample rate + channels + an amplitude
   *     histogram;
-  *   - video (and compressed-audio/unreadable payloads) fall back to the
-  *     clearly-marked STUB (`decodeStub`) — this container has no
-  *     video codecs, so the stub produces a deterministic fake
-  *     (byte histogram + hash-derived dimensions). Swapping in a real
-  *     decoder (JNI/ffmpeg/javacv) changes only that one function.
+  *   - `video` probes LIVE metadata from the public ISO BMFF box
+  *     structure ([[probeMp4]] — `moov/mvhd` duration, `trak/tkhd`
+  *     16.16 fixed-point dimensions; pure JVM, no codec), with the
+  *     payload byte histogram as features; FRAME decode stays behind the
+  *     clearly-marked STUB (this container has no video codecs —
+  *     swapping in a real decoder (JNI/ffmpeg/javacv) changes only
+  *     [[decodeStub]]/[[sampleFrameOffsets]]). Non-BMFF or truncated
+  *     payloads fall back to the stub.
   *
   * Batching mirrors `mapInPandas`: `mapPartitions` pulls rows in groups of
   * [[BATCH_SIZE]] so a real decoder could amortize model/codec init per
@@ -134,13 +137,95 @@ object Multimodal {
     }
   }
 
+  /** Parsed ISO BMFF movie-header facts (all from public box structure —
+    * no codec touched). */
+  final case class VideoMeta(width: Int, height: Int, durationMs: Long)
+
+  /** LIVE video metadata probe: walks the public ISO BMFF (MP4/MOV/M4A)
+    * box structure (ISO/IEC 14496-12) — `moov/mvhd` for
+    * timescale+duration, each `moov/trak/tkhd` for 16.16 fixed-point
+    * track dimensions (the video track is the one with nonzero extent).
+    * Pure JVM byte walking, no codec, never reads past the header boxes —
+    * at 100 TB this is exactly the kind of metadata pass that must not
+    * decode frames. None when the bytes aren't BMFF or the needed boxes
+    * are absent/truncated (the caller falls back to the stub). */
+  def probeMp4(payload: Array[Byte]): Option[VideoMeta] = {
+    val n = payload.length.toLong
+    def u32(o: Long): Long =
+      ((payload(o.toInt) & 0xFFL) << 24) | ((payload(o.toInt + 1) & 0xFFL) << 16) |
+        ((payload(o.toInt + 2) & 0xFFL) << 8) | (payload(o.toInt + 3) & 0xFFL)
+    def u64(o: Long): Long = (u32(o) << 32) | u32(o + 4)
+    def boxType(o: Long): String = new String(payload, o.toInt + 4, 4, "US-ASCII")
+    // (type, bodyStart, bodyEnd) of each box in [start, end); stops at the
+    // first malformed/truncated header rather than guessing
+    def children(start: Long, end: Long): Seq[(String, Long, Long)] = {
+      val out = Seq.newBuilder[(String, Long, Long)]
+      var off = start
+      var ok = true
+      while (ok && off + 8 <= end) {
+        val size0 = u32(off)
+        val (hdr, size) =
+          if (size0 == 1L && off + 16 <= end) (16L, u64(off + 8))
+          else if (size0 == 0L) (8L, end - off) // "to end of file" box
+          else (8L, size0)
+        if (size < hdr || off + size > end) ok = false
+        else {
+          out += ((boxType(off), off + hdr, off + size))
+          off += size
+        }
+      }
+      out.result()
+    }
+    def mvhdDuration(s: Long, e: Long): Option[Long] = {
+      val v = payload(s.toInt) & 0xFF
+      val need = if (v == 1) 32L else 20L
+      if (e - s < need) None
+      else {
+        val (ts, dur) =
+          if (v == 1) (u32(s + 20), u64(s + 24)) else (u32(s + 12), u32(s + 16))
+        if (ts <= 0) None else Some(dur * 1000L / ts)
+      }
+    }
+    def tkhdDims(s: Long, e: Long): Option[(Int, Int)] = {
+      val v = payload(s.toInt) & 0xFF
+      val off = s + (if (v == 1) 88L else 76L)
+      if (off + 8 > e) None
+      else Some(((u32(off) >> 16).toInt, (u32(off + 4) >> 16).toInt))
+    }
+    val top = children(0L, n)
+    // demand BMFF evidence, not just any parseable 8 bytes: an ftyp brand
+    // or a moov must lead the file
+    if (!top.exists(b => b._1 == "ftyp" || b._1 == "moov")) None
+    else top.find(_._1 == "moov").flatMap { case (_, ms, me) =>
+      val kids = children(ms, me)
+      kids.find(_._1 == "mvhd")
+        .flatMap { case (_, s, e) => mvhdDuration(s, e) }
+        .map { dur =>
+          val dims = kids.filter(_._1 == "trak")
+            .flatMap { case (_, ts, te) =>
+              children(ts, te).find(_._1 == "tkhd")
+                .flatMap { case (_, s, e) => tkhdDims(s, e) }
+            }
+            .filter { case (w, h) => w > 0 && h > 0 }
+          val (w, h) = if (dims.isEmpty) (0, 0)
+            else dims.maxBy { case (a, b) => a.toLong * b }
+          VideoMeta(w, h, dur)
+        }
+    }
+  }
+
   /** The decode seam q41 runs through: images and audio decode for real
-    * (JDK codecs), video and any unreadable payload take the deterministic
-    * stub. */
+    * (JDK codecs); video parses real header metadata ([[probeMp4]]) with
+    * the byte histogram as features (frame decode stays stubbed); any
+    * unreadable payload takes the deterministic stub. */
   def decode(kind: String, payload: Array[Byte]): (Int, Int, Array[Float]) =
     kind match {
       case "image" => decodeImage(payload).getOrElse(decodeStub(payload))
       case "audio" => decodeAudio(payload).getOrElse(decodeStub(payload))
+      case "video" => probeMp4(payload) match {
+        case Some(m) => (m.width, m.height, decodeStub(payload)._3)
+        case None => decodeStub(payload)
+      }
       case _ => decodeStub(payload)
     }
 
@@ -201,25 +286,102 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** MP4 pad geometry for [[buildMp4Header]] / the q94 oracle, fixed by
+    * the ISO BMFF layout itself: ftyp(16) + moov(8 + mvhd 108 + trak(8 +
+    * tkhd 92)) + free-header(8) = 240 bytes of structure, padded with
+    * [[MP4_PAD_BYTE]] to exactly [[MP4_TOTAL]] bytes. Every structure
+    * byte is < 0xF0 by construction (small sizes, ASCII types, unity
+    * matrix), so the byte histogram's top bin is bin 15 with EXACTLY
+    * `MP4_PAD` mass — a closed-form fact the oracle states from these
+    * constants, independent of the builder code. */
+  val MP4_TOTAL = 4096
+  val MP4_STRUCT = 240
+  val MP4_PAD = MP4_TOTAL - MP4_STRUCT // 3856 pad bytes
+  val MP4_PAD_BYTE: Byte = 0xF8.toByte // bin 15 of the 16-bin histogram
+
+  /** Minimal REAL ISO BMFF header (ftyp + moov/mvhd + moov/trak/tkhd,
+    * exactly the boxes ISO/IEC 14496-12 mandates for movie metadata) with
+    * a `free` box padding to [[MP4_TOTAL]] bytes — the video side of
+    * [[syntheticAssets]]. The boxes are genuine: any BMFF parser reads
+    * back the same width/height/duration [[probeMp4]] does. */
+  def buildMp4Header(width: Int, height: Int, durationMs: Int): Array[Byte] = {
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length)
+      bb.put(typ.getBytes("US-ASCII"))
+      bb.put(body)
+      bb.array()
+    }
+    def unityMatrix(bb: java.nio.ByteBuffer): Unit = {
+      bb.putInt(0x00010000); bb.putInt(0); bb.putInt(0)
+      bb.putInt(0); bb.putInt(0x00010000); bb.putInt(0)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0x40000000)
+    }
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0)               // version 0 + flags
+      bb.putInt(0); bb.putInt(0) // creation/modification time
+      bb.putInt(1000)            // timescale: 1 unit = 1 ms
+      bb.putInt(durationMs)
+      bb.putInt(0x00010000)      // rate 1.0
+      bb.putShort(0x0100.toShort) // volume 1.0
+      bb.putShort(0); bb.putLong(0L) // reserved
+      unityMatrix(bb)
+      (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
+      bb.putInt(2)               // next_track_ID
+      box("mvhd", bb.array())
+    }
+    val tkhd = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.putInt(0x00000007)      // version 0 + enabled|in-movie|in-preview
+      bb.putInt(0); bb.putInt(0) // creation/modification time
+      bb.putInt(1)               // track_ID
+      bb.putInt(0)               // reserved
+      bb.putInt(durationMs)
+      bb.putLong(0L)             // reserved
+      bb.putShort(0); bb.putShort(0) // layer, alternate_group
+      bb.putShort(0); bb.putShort(0) // volume (video track), reserved
+      unityMatrix(bb)
+      bb.putInt(width << 16)     // 16.16 fixed point
+      bb.putInt(height << 16)
+      box("tkhd", bb.array())
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0))
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    val structLen = ftyp.length + moov.length + 8
+    require(structLen == MP4_STRUCT,
+      s"BMFF layout drifted: $structLen structure bytes, expected $MP4_STRUCT")
+    ftyp ++ moov ++ box("free", Array.fill[Byte](MP4_TOTAL - structLen)(MP4_PAD_BYTE))
+  }
+
   /** Deterministic binary-asset fixture, synthesized EXECUTOR-SIDE (no
     * checked-in binaries): 16 solid-gray PNGs whose gray level encodes
     * the expected luminance bin (v = 16i + 8 -> bin i exactly, since the
-    * BT.601 weights sum to 1000) and 8 silent WAVs at distinct sample
-    * rates (silence -> the zero-crossing bin, 8). Every decoded fact —
-    * dimensions, sample rate, channel count, histogram argmax — is
-    * derivable from first principles, so q94 can hash-check the LIVE
-    * JDK decoders against a closed-form oracle: a decoder regression
-    * turns a driver CORRECTNESS row red instead of only a spec. */
+    * BT.601 weights sum to 1000), 8 silent WAVs at distinct sample
+    * rates (silence -> the zero-crossing bin, 8), and 8 minimal-but-real
+    * MP4 headers at distinct dimensions (probed live from tkhd; byte
+    * histogram peaks at the pad bin 15 with exactly MP4_PAD/MP4_TOTAL
+    * mass). Every decoded fact — dimensions, sample rate, channel count,
+    * histogram argmax — is derivable from first principles, so q94 can
+    * hash-check the LIVE decode/probe paths against a closed-form
+    * oracle: a regression turns a driver CORRECTNESS row red instead of
+    * only a spec. */
   def syntheticAssets(s: SparkSession): Dataset[MediaAsset] = {
     import s.implicits._
-    s.range(0, 24).map { i =>
+    s.range(0, 32).map { i =>
       if (i < 16) {
         val v = i.toInt * 16 + 8
         val p = encodeSolidPng(8 + i.toInt, 4 + i.toInt, (v << 16) | (v << 8) | v)
         MediaAsset(i, p, MediaMeta("image", "png", p.length.toLong))
-      } else {
+      } else if (i < 24) {
         val p = encodeSilentWav(8000 + 1000 * (i.toInt - 16), 256)
         MediaAsset(i, p, MediaMeta("audio", "wav", p.length.toLong))
+      } else {
+        // dimension/duration choices keep every encoded byte < 0xF0 (max
+        // height 236 = 0xEC) so the pad-bin count stays exactly MP4_PAD
+        val k = i.toInt - 24
+        val p = buildMp4Header(320 + 16 * k, 180 + 8 * k, 1500 * (k + 1))
+        MediaAsset(i, p, MediaMeta("video", "mp4", p.length.toLong))
       }
     }
   }
@@ -335,8 +497,10 @@ object Multimodal {
         // q41, but every output fact is closed-form — solid-gray PNG i
         // decodes to (8+i, 4+i) with all luminance mass in bin i; silent
         // WAV i decodes to (8000+1000i Hz, 1 channel) with all amplitude
-        // mass in bin 8 — so the oracle is a pure range() expression and
-        // any decodeImage/decodeAudio regression hash-mismatches.
+        // mass in bin 8; real BMFF header i probes to (320+16i, 180+8i)
+        // from tkhd with exactly MP4_PAD/MP4_TOTAL byte mass in the pad
+        // bin 15 — so the oracle is a pure range() expression and any
+        // decodeImage/decodeAudio/probeMp4 regression hash-mismatches.
         extractFeatures(syntheticAssets(s)).toDF()
           .select(col("asset_id"), col("kind"),
             col("width").cast("long").as("width"),
@@ -346,7 +510,7 @@ object Multimodal {
             round(expr("array_max(features)").cast("double"), 6).as("top_val"))
           .orderBy(col("asset_id"))
       },
-      Some("""
+      Some(s"""
         SELECT cast(i AS bigint) AS asset_id, 'image' AS kind,
                cast(8 + i AS bigint) AS width, cast(4 + i AS bigint) AS height,
                cast(i AS bigint) AS top_bin, cast(1.0 AS double) AS top_val
@@ -356,7 +520,13 @@ object Multimodal {
                cast(8000 + 1000 * i AS bigint), cast(1 AS bigint),
                cast(8 AS bigint), cast(1.0 AS double)
         FROM range(8) t(i)
+        UNION ALL
+        SELECT cast(24 + i AS bigint), 'video',
+               cast(320 + 16 * i AS bigint), cast(180 + 8 * i AS bigint),
+               cast(15 AS bigint),
+               round($MP4_PAD / $MP4_TOTAL.0, 6)
+        FROM range(8) t(i)
         ORDER BY asset_id"""),
-      "live JDK image+audio decode over a deterministic synthesized fixture, closed-form oracle")
+      "live JDK image+audio decode + BMFF header probe over a deterministic synthesized fixture, closed-form oracle")
   )
 }
