@@ -502,14 +502,23 @@ object Dedup {
     * separates them — so candidates come from the P nearest cells, the
     * same boundary fix as IVF's nprobe. Pair work is ~N * P^2 * B / 2:
     * still linear in the corpus, P^2 is the recall price (measured in
-    * DedupSpec: P=4 recovers the full removal list — recall 1.0 at
-    * sf0.001, floor pinned at 0.8 — where P=1 collapses to ~0.2). */
-  val SEMDEDUP_PROBES = 4
+    * DedupSpec: P>=4 recovers the full removal list — recall 1.0 at
+    * sf0.001, floor pinned at 0.8 — where P=1 collapses to ~0.2).
+    *
+    * P SCALES WITH THE CODE SPACE, floored at 4: a fixed probe count
+    * covers a vanishing fraction of cells as C grows with N, so recall
+    * would silently decay with scale (measured: P=4 held 1.0 at C=20 but
+    * only 0.80 at C=80). log2(C) probes keep pair work ~N * log^2(C) * B
+    * — the same probe-vs-code-space rule as [[Similarity.nprobeFor]] and
+    * q40's radius scaling. */
+  def semdedupProbes(c: Int): Int =
+    math.min(c, math.max(4,
+      math.ceil(math.log(c.toDouble) / math.log(2.0)).toInt))
 
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", 2023): k-means cluster the
     * embeddings, then look for cosine near-dups only among vectors sharing
-    * a probed cluster ([[SEMDEDUP_PROBES]] nearest cells per vector) and
+    * a probed cluster ([[semdedupProbes]] nearest cells per vector) and
     * remove every vector that duplicates a lower-id one. Unlike the
     * paper's fixed k this derives C = ceil(N / clusterTarget), so expected
     * cluster size stays ~clusterTarget and total pair work is
@@ -550,7 +559,7 @@ object Dedup {
     val n = e.count()
     val c = math.max(2, math.min(65536,
       math.ceil(n.toDouble / clusterTarget).toInt))
-    val p = math.min(c, SEMDEDUP_PROBES)
+    val p = semdedupProbes(c)
     val cents = Similarity.trainCentroids(e, c, Similarity.LLOYD_ROUNDS)
     // home cell (first probe) labels the output; the full probe list only
     // feeds candidate generation. Shuffle carries (cid, id) probes — the

@@ -506,7 +506,11 @@ object Similarity {
             e.select(col("vec_id"), slice(col("v"), m * subDim + 1, subDim).as("v")),
             PQ_K, LLOYD_ROUNDS, knownTotal = n)
         }
-        ivfPqTopK(e, cents, books, nprobeFor(c), N_QUERIES, K, adcK = 10 * K)
+        // adcK = 20K exact reranks per query: at sf0.1 the ADC top-10K cut
+        // dropped true neighbors the coarse layer had kept (IVF recall
+        // 0.96 vs IVF-PQ 0.86); doubling the rerank budget is ~100 exact
+        // dots per query — noise next to the code scan it filters
+        ivfPqTopK(e, cents, books, nprobeFor(c), N_QUERIES, K, adcK = 20 * K)
       },
       None, // approximate by construction; recall vs q39 asserted in SimilaritySpec
       "IVF-PQ ANN: coarse cells + 5-bit product-quantized ADC scan + exact rerank")

@@ -201,9 +201,10 @@ class SimilaritySpec extends SparkSpec {
     val recall = exact.map { case (q, ex) =>
       pq.get(q).map(s => ex.count(s).toDouble / ex.size).getOrElse(0.0)
     }.sum / exact.size
-    // 0.90 measured at K=32/adcK=10K (0.86 at K=16); the floor pins the
-    // operating point against silent cheapening
-    assert(recall >= 0.8, s"q86 recall $recall < 0.8")
+    // 0.91 measured at K=32/adcK=20K (0.86 at K=16; adcK=10K read 0.86 at
+    // sf0.1 where 20K reads 0.94); the floor pins the operating point
+    // against silent cheapening
+    assert(recall >= 0.9, s"q86 recall $recall < 0.9")
     // the compression claim: every code must fit 5 bits (K=32 cells)
     val e = Similarity.prepared(spark, sf)
     val subDim = Similarity.DIM / Similarity.PQ_M
