@@ -214,15 +214,132 @@ object Multimodal {
     }
   }
 
+  /** LIVE Matroska/WebM metadata probe — the EBML sibling of [[probeMp4]]
+    * (public structure per RFC 8794 + the Matroska element registry, no
+    * codec): `Segment/Info` for TimestampScale+Duration,
+    * `Segment/Tracks/TrackEntry/Video` for PixelWidth/PixelHeight. None
+    * unless the payload leads with the EBML magic and carries a parseable
+    * Segment. */
+  def probeMkv(payload: Array[Byte]): Option[VideoMeta] = {
+    val n = payload.length
+    // EBML variable-length integer at off: (value, encodedLength). Element
+    // IDs keep their marker bit (the registry lists them that way); sizes
+    // strip it. All-ones size payload = "unknown size" -> caller treats as
+    // to-end.
+    def vint(off: Int, keepMarker: Boolean): Option[(Long, Int)] = {
+      if (off >= n) None
+      else {
+        val b0 = payload(off) & 0xFF
+        if (b0 == 0) None
+        else {
+          val len = Integer.numberOfLeadingZeros(b0) - 23 // 1..8
+          if (off + len > n) None
+          else {
+            var v = (if (keepMarker) b0 else b0 & ((1 << (8 - len)) - 1)).toLong
+            var i = 1
+            while (i < len) { v = (v << 8) | (payload(off + i) & 0xFF); i += 1 }
+            Some((v, len))
+          }
+        }
+      }
+    }
+    def children(start: Int, end: Int): Seq[(Long, Int, Int)] = {
+      val out = Seq.newBuilder[(Long, Int, Int)]
+      var off = start
+      var ok = true
+      while (ok && off < end) {
+        val parsed = for {
+          (id, il) <- vint(off, keepMarker = true)
+          (sz, sl) <- vint(off + il, keepMarker = false)
+        } yield (id, off.toLong + il + sl, sz)
+        parsed match {
+          case Some((id, bodyStart, sz)) if bodyStart + sz <= end =>
+            out += ((id, bodyStart.toInt, (bodyStart + sz).toInt))
+            off = (bodyStart + sz).toInt
+          case _ => ok = false
+        }
+      }
+      out.result()
+    }
+    def uintAt(s: Int, e: Int): Long = {
+      var v = 0L; var i = s
+      while (i < e) { v = (v << 8) | (payload(i) & 0xFF); i += 1 }
+      v
+    }
+    def floatAt(s: Int, e: Int): Double = (e - s) match {
+      case 4 => java.lang.Float.intBitsToFloat(uintAt(s, e).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(uintAt(s, e))
+      case _ => 0.0
+    }
+    val top = children(0, n)
+    if (!top.headOption.exists(_._1 == 0x1A45DFA3L)) None // EBML magic first
+    else top.find(_._1 == 0x18538067L).flatMap { case (_, ss, se) => // Segment
+      val kids = children(ss, se)
+      kids.find(_._1 == 0x1549A966L).map { case (_, is, ie) => // Info
+        val info = children(is, ie)
+        val scaleNs = info.find(_._1 == 0x2AD7B1L)
+          .map { case (_, s, e) => uintAt(s, e) }.getOrElse(1000000L)
+        val durUnits = info.find(_._1 == 0x4489L)
+          .map { case (_, s, e) => floatAt(s, e) }.getOrElse(0.0)
+        val durMs = (durUnits * scaleNs / 1e6).toLong
+        val dims = kids.filter(_._1 == 0x1654AE6BL).flatMap { case (_, ts, te) => // Tracks
+          children(ts, te).filter(_._1 == 0xAEL).flatMap { case (_, es, ee) => // TrackEntry
+            children(es, ee).find(_._1 == 0xE0L).map { case (_, vs, ve) => // Video
+              val v = children(vs, ve)
+              (v.find(_._1 == 0xB0L).map { case (_, s, e) => uintAt(s, e).toInt }.getOrElse(0),
+                v.find(_._1 == 0xBAL).map { case (_, s, e) => uintAt(s, e).toInt }.getOrElse(0))
+            }
+          }
+        }.filter { case (w, h) => w > 0 && h > 0 }
+        val (w, h) = if (dims.isEmpty) (0, 0)
+          else dims.maxBy { case (a, b) => a.toLong * b }
+        VideoMeta(w, h, durMs)
+      }
+    }
+  }
+
+  /** Minimal real EBML/Matroska header (EBML magic + Segment/Info +
+    * Segment/Tracks/TrackEntry/Video) — the MKV counterpart of
+    * [[buildMp4Header]], used by MultimodalSpec to round-trip
+    * [[probeMkv]] against structure built from the registry, not from the
+    * probe's own code. */
+  def buildMkvHeader(width: Int, height: Int, durationMs: Int): Array[Byte] = {
+    def idBytes(id: Long): Array[Byte] = {
+      val len = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+      (1 to len).map(i => ((id >> (8 * (len - i))) & 0xFF).toByte).toArray
+    }
+    def sizeVint(sz: Int): Array[Byte] = {
+      require(sz < 0x7F, s"1-byte size vint overflow: $sz")
+      Array((0x80 | sz).toByte)
+    }
+    def el(id: Long, body: Array[Byte]): Array[Byte] =
+      idBytes(id) ++ sizeVint(body.length) ++ body
+    def uintBody(v: Long): Array[Byte] = {
+      val len = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+      (1 to len).map(i => ((v >> (8 * (len - i))) & 0xFF).toByte).toArray
+    }
+    val info = el(0x1549A966L,
+      el(0x2AD7B1L, uintBody(1000000L)) ++ // 1 ms timestamp scale
+        el(0x4489L, { // Duration as 4-byte float, in scale units (= ms)
+          val bits = java.lang.Float.floatToIntBits(durationMs.toFloat)
+          (1 to 4).map(i => ((bits >> (8 * (4 - i))) & 0xFF).toByte).toArray
+        }))
+    val tracks = el(0x1654AE6BL,
+      el(0xAEL, el(0xE0L,
+        el(0xB0L, uintBody(width.toLong)) ++ el(0xBAL, uintBody(height.toLong)))))
+    el(0x1A45DFA3L, Array.empty[Byte]) ++ el(0x18538067L, info ++ tracks)
+  }
+
   /** The decode seam q41 runs through: images and audio decode for real
-    * (JDK codecs); video parses real header metadata ([[probeMp4]]) with
-    * the byte histogram as features (frame decode stays stubbed); any
-    * unreadable payload takes the deterministic stub. */
+    * (JDK codecs); video parses real header metadata (BMFF via
+    * [[probeMp4]], then Matroska via [[probeMkv]]) with the byte
+    * histogram as features (frame decode stays stubbed); any unreadable
+    * payload takes the deterministic stub. */
   def decode(kind: String, payload: Array[Byte]): (Int, Int, Array[Float]) =
     kind match {
       case "image" => decodeImage(payload).getOrElse(decodeStub(payload))
       case "audio" => decodeAudio(payload).getOrElse(decodeStub(payload))
-      case "video" => probeMp4(payload) match {
+      case "video" => probeMp4(payload).orElse(probeMkv(payload)) match {
         case Some(m) => (m.width, m.height, decodeStub(payload)._3)
         case None => decodeStub(payload)
       }

@@ -8,6 +8,11 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   graft.gedcom.Main -s <gedcom file> -t <csv scratch dir>
   *                     [-d <neo4j data dir>] [-b <neo4j bin dir>] [-q] [-v]
+  *                     [--typed-dates]
+  *
+  * `--typed-dates` (extension beyond the reference surface — its own TODO,
+  * README.md:55) adds parsed `K:date` + `K Qualifier` columns beside each
+  * raw date string in the node CSVs; default output stays raw parity.
   *
   * Parses + flattens the GEDCOM into per-(kind,tag) CSVs and prints the
   * diagnostics the reference logs (skip/missing/unused events,
@@ -25,7 +30,8 @@ object Main {
       binDir: String = "/usr/bin",
       tmpDir: String = sys.props("java.io.tmpdir") + "/ged2neo-csvs",
       quiet: Boolean = false,
-      verbose: Boolean = false)
+      verbose: Boolean = false,
+      typedDates: Boolean = false)
 
   def parseArgs(args: List[String], acc: Opts = Opts()): Opts = args match {
     case Nil => acc
@@ -35,6 +41,7 @@ object Main {
     case ("-t" | "--tmpdir") :: v :: rest => parseArgs(rest, acc.copy(tmpDir = v))
     case ("-q" | "--quiet") :: rest => parseArgs(rest, acc.copy(quiet = true))
     case ("-v" | "--verbose") :: rest => parseArgs(rest, acc.copy(verbose = true))
+    case "--typed-dates" :: rest => parseArgs(rest, acc.copy(typedDates = true))
     case other :: _ => throw new IllegalArgumentException(s"unknown option: $other")
   }
 
@@ -74,7 +81,7 @@ object Main {
     * SparkSession without the stop/exit side effects. */
   def run(opts: Opts, spark: SparkSession): Int = {
     val t0 = System.nanoTime()
-    val res = GedcomPipeline.run(spark, opts.src.get, opts.tmpDir)
+    val res = GedcomPipeline.run(spark, opts.src.get, opts.tmpDir, opts.typedDates)
     def log(s: String): Unit = if (!opts.quiet) println(s)
 
     log(f"Finished writing intermediate csv files. Time elapsed: ${(System.nanoTime() - t0) / 1e9}%.2fs")

@@ -174,6 +174,18 @@ class MultimodalSpec extends SparkSpec {
     assert(gw == sw && gh == sh && gfeat.sameElements(sfeat))
   }
 
+  test("EBML probe reads width/height/duration from a Matroska header") {
+    val p = Multimodal.buildMkvHeader(1280, 720, 42000)
+    assert(Multimodal.probeMkv(p).contains(Multimodal.VideoMeta(1280, 720, 42000L)))
+    // the decode seam reaches MKV after BMFF misses
+    val (w, h, _) = Multimodal.decode("video", p)
+    assert(w == 1280 && h == 720)
+    // rejections: BMFF bytes, garbage, truncation
+    assert(Multimodal.probeMkv(Multimodal.buildMp4Header(320, 180, 1500)).isEmpty)
+    assert(Multimodal.probeMkv("EBML? not really".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.probeMkv(p.take(12)).isEmpty)
+  }
+
   test("video assets flow through the distributed decode path with live headers") {
     import Multimodal.{MediaAsset, MediaMeta}
     val p = Multimodal.buildMp4Header(640, 360, 3000)
