@@ -246,6 +246,60 @@ object Similarity {
     cents
   }
 
+  /** All [[PQ_M]] PQ sub-codebooks trained TOGETHER: one assignment +
+    * partial-agg job per Lloyd round for the whole codebook family
+    * (each row explodes into its M (m, cid, subvector) assignments, one
+    * grouped aggregation over (m, cid, pos)) and ONE init collect of k
+    * full vectors sliced driver-side — 2 + rounds driver round-trips
+    * instead of M * (1 + rounds) separate jobs. Numerically identical to
+    * training each book via [[trainSubCentroidsL2]]: same hash sample
+    * (the filter depends only on vec_id), same init rows, same 1e-6
+    * rounding — pinned by SimilaritySpec. */
+  def trainSubCentroidsL2All(e: DataFrame, k: Int, rounds: Int,
+      knownTotal: Long = -1L): Seq[Seq[Seq[Double]]] = {
+    val m = PQ_M
+    val subDim = DIM / m
+    val target = k.toLong * TRAIN_PER_CENTROID
+    val total = if (knownTotal >= 0) knownTotal else e.count()
+    val train =
+      if (total > target)
+        e.filter(pmod(xxhash64(col("vec_id")), lit(total / target)) === 0)
+      else e
+    val initRows = train.orderBy(col("vec_id")).limit(k).select(col("v"))
+      .collect().map(_.getSeq[Double](0).toIndexedSeq)
+    require(initRows.nonEmpty, "trainSubCentroidsL2All: empty training frame")
+    var books: Seq[Seq[Seq[Double]]] = (0 until m).map(mi =>
+      initRows.map(r => r.slice(mi * subDim, (mi + 1) * subDim).toSeq).toSeq)
+    for (_ <- 1 to rounds) {
+      val subAssign = array((0 until m).map { mi =>
+        val sv = slice(col("v"), mi * subDim + 1, subDim)
+        struct(lit(mi).as("m"), nearestL2Cid(sv, books(mi)).as("cid"), sv.as("sv"))
+      }: _*)
+      val cells = train
+        .select(explode(subAssign).as("a"))
+        .select(col("a.m").as("m"), col("a.cid").as("cid"),
+          posexplode(col("a.sv")).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("cid"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byM = cells.groupBy(_.getInt(0))
+      books = books.zipWithIndex.map { case (book, mi) =>
+        val byCid = byM.getOrElse(mi, Array.empty[org.apache.spark.sql.Row])
+          .groupBy(_.getInt(1))
+        book.zipWithIndex.map { case (old, cid) =>
+          byCid.get(cid) match {
+            case Some(rows) =>
+              rows.sortBy(_.getInt(2))
+                .map(r => math.rint(r.getDouble(3) / r.getLong(4) * 1e6) / 1e6)
+                .toSeq
+            case None => old
+          }
+        }
+      }
+    }
+    books
+  }
+
   /** argmin_c ||v - c||^2 via the augmented dot (see
     * [[trainSubCentroidsL2]]) — one codegen'd loop, ties to the higher
     * cid like [[nearestCid]]. */
@@ -490,22 +544,19 @@ object Similarity {
       "q86_knn_ivfpq",
       (s, d) => {
         // IVF-PQ: coarse cells prune the corpus, 5-bit-per-subspace PQ
-        // codes score the survivors, exact rerank of the ADC top-10K.
-        // Codebooks derive from the corpus like every other ANN knob here;
-        // the corpus row count is taken once and shared by all 9 trainers.
-        // The cache must outlive the returned lazy frame (10 trainer
+        // codes score the survivors, exact rerank of the ADC top-20K.
+        // Codebooks derive from the corpus like every other ANN knob
+        // here; the corpus row count is taken once, and the 8 PQ
+        // sub-books train FUSED (one job per Lloyd round for the whole
+        // family — trainSubCentroidsL2All) beside the coarse trainer.
+        // The cache must outlive the returned lazy frame (trainer
         // consumers + the scan); the RUNNER releases it after consuming
         // (Bench/Verify clearCache per query).
         val e = prepared(s, d).cache()
         val n = e.count()
         val c = centroidsForCorpus(n)
         val cents = trainCentroids(e, c, LLOYD_ROUNDS)
-        val subDim = DIM / PQ_M
-        val books = (0 until PQ_M).map { m =>
-          trainSubCentroidsL2(
-            e.select(col("vec_id"), slice(col("v"), m * subDim + 1, subDim).as("v")),
-            PQ_K, LLOYD_ROUNDS, knownTotal = n)
-        }
+        val books = trainSubCentroidsL2All(e, PQ_K, LLOYD_ROUNDS, knownTotal = n)
         // adcK = 20K exact reranks per query: at sf0.1 the ADC top-10K cut
         // dropped true neighbors the coarse layer had kept (IVF recall
         // 0.96 vs IVF-PQ 0.86); doubling the rerank budget is ~100 exact

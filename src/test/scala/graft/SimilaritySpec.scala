@@ -219,6 +219,12 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.forall(c => c >= 0 && c < Similarity.PQ_K))
     assert(codes.distinct.size > Similarity.PQ_K / 2,
       "sub-codebooks must actually spread the corpus across cells")
+    // the fused family trainer (one job per round for all M books — the
+    // path q86 runs) must produce the same codebooks as training each
+    // subspace independently: same sample, same init rows, same rounding
+    val fused = Similarity.trainSubCentroidsL2All(
+      e, Similarity.PQ_K, Similarity.LLOYD_ROUNDS)
+    assert(fused == books, "fused PQ training diverged from per-book training")
   }
 
   test("IVF codebook is deterministic and its lists cover the corpus") {
