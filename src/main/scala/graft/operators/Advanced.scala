@@ -288,12 +288,16 @@ object Advanced {
       "q61_cc_dataframe",
       (s, d) => {
         // same computation as q50 through the DataFrame hash-min iteration
-        // (no RDD/GraphX machinery; equivalence proven in IterativeGraphSpec)
+        // (no RDD/GraphX machinery; equivalence proven in IterativeGraphSpec).
+        // Vertices are dictionary-encoded to disjoint longs (part -> 2k,
+        // supplier -> 2k+1) before iterating — exactly what GraphX's Long
+        // VertexId forces q50 to do — so every loop shuffle moves 8-byte
+        // keys instead of strings; the component summary is invariant
+        // under the relabeling.
         val edges = lineitem(s, d)
-          .select(concat(lit("P"), col("l_partkey")).as("src"),
-            concat(lit("S"), col("l_suppkey")).as("dst"))
+          .select((col("l_partkey").cast("long") * 2).as("src"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
           .distinct()
-          .withColumn("relType", lit("supplies"))
         IterativeGraph.connectedComponents(edges)
           .groupBy(col("component")).agg(count(lit(1)).as("sz"))
           .groupBy()
