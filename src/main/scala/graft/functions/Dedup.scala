@@ -75,7 +75,7 @@ object Dedup {
         ORDER BY doc_id"""
 
   /** (doc_id, lang, source, word) distinct token relation. */
-  private def docTokens(s: SparkSession, d: String): DataFrame =
+  private[graft] def docTokens(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         explode(array_distinct(tokens(col("text")))).as("word"))
@@ -241,14 +241,25 @@ object Dedup {
     * re-shuffle anyway (q68's closure) must not pay a global order. */
   def jaccardPairsPrefixUnordered(toksIn: DataFrame, t: Double): DataFrame = {
     val docs = docPrefixArrays(toksIn, t).cache() // candidates + both verify sides
-    def side(n: String) = docs.select(col("lang"), col("source"),
-      col("doc_id").as(n), explode(col("prefix")).as("word"))
-    val cand = side("ia").join(side("ib"), Seq("lang", "source", "word"))
+    // the candidate join keys on xxhash64(lang, source, word) — one 8-byte
+    // key instead of three strings, so the prefix-index shuffle moves a
+    // fraction of the bytes. A hash collision can only ADD a candidate
+    // (equal triples always collide to equal keys), and every candidate is
+    // exactly verified below — including the scope equality, which closes
+    // the cross-scope-collision hole the structural join never had.
+    def side(n: String) = docs
+      .select(col("lang"), col("source"), col("doc_id").as(n),
+        explode(col("prefix")).as("word"))
+      .select(col(n), xxhash64(col("lang"), col("source"), col("word")).as("wk"))
+    val cand = side("ia").join(side("ib"), Seq("wk"))
       .filter(col("ia") < col("ib"))
       .select(col("ia"), col("ib")).distinct()
     cand
-      .join(docs.select(col("doc_id").as("ia"), col("ws").as("wsa")), "ia")
-      .join(docs.select(col("doc_id").as("ib"), col("ws").as("wsb")), "ib")
+      .join(docs.select(col("doc_id").as("ia"), col("ws").as("wsa"),
+        col("lang").as("la"), col("source").as("sa")), "ia")
+      .join(docs.select(col("doc_id").as("ib"), col("ws").as("wsb"),
+        col("lang").as("lb"), col("source").as("sb")), "ib")
+      .filter(col("la") === col("lb") && col("sa") === col("sb"))
       .select(col("ia"), col("ib"),
         size(array_intersect(col("wsa"), col("wsb"))).as("i"),
         size(col("wsa")).as("sza"), size(col("wsb")).as("szb"))
