@@ -27,14 +27,17 @@ object PlanLab {
       if (names.isEmpty) SparkEntry.all
       else SparkEntry.all.filter(q => names.contains(q.name))
     selected.foreach { q =>
-      val df = q.fn(spark, sfDir)
       if (doExplain) {
         println(s"==== ${q.name} ====")
-        df.explain("formatted")
+        q.fn(spark, sfDir).explain("formatted")
       }
+      // fn must run INSIDE the timer: iterative queries (CC, Lloyd
+      // trainers) execute driver-side jobs while BUILDING the frame, so
+      // timing only the final write would miss most of their cost
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+      q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"${q.name}: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

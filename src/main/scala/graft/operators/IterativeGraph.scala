@@ -182,17 +182,27 @@ object IterativeGraph {
       else deg.filter(col("nu") === 0L)
         .select(col("x").as("xref"), col("x").as("component"))
     val labeled = nonRoots.union(roots)
-    if (!hasSelfLoops) labeled
-    else {
-      val eVerts =
-        if (deg == null) e.limit(0).select(col("u").as("xref"))
-        else deg.select(col("x").as("xref"))
-      val selfOnly = canon.filter(col("u") === col("v"))
-        .select(col("u").as("xref"))
-        .join(eVerts, Seq("xref"), "left_anti")
-        .distinct()
-        .select(col("xref"), col("xref").as("component"))
-      labeled.union(selfOnly)
-    }
+    val full =
+      if (!hasSelfLoops) labeled
+      else {
+        val eVerts =
+          if (deg == null) e.limit(0).select(col("u").as("xref"))
+          else deg.select(col("x").as("xref"))
+        val selfOnly = canon.filter(col("u") === col("v"))
+          .select(col("u").as("xref"))
+          .join(eVerts, Seq("xref"), "left_anti")
+          .distinct()
+          .select(col("xref"), col("xref").as("component"))
+        labeled.union(selfOnly)
+      }
+    // materialize the O(V) label set eagerly and release every pinned
+    // O(E) block: the pins are raw RDD persists, which a runner-level
+    // spark.catalog.clearCache() cannot see — returning a lazy frame over
+    // them would leak an edge-set copy per invocation across a bench run.
+    val out = full.localCheckpoint(true)
+    if (eRdd != null) eRdd.unpersist(blocking = false)
+    if (degRdd != null) degRdd.unpersist(blocking = false)
+    canonRdd.unpersist(blocking = false)
+    out
   }
 }
