@@ -76,6 +76,30 @@ class Neo4jAdminSpec extends SparkSpec {
       "scratch CSVs must be removed after a successful publish")
   }
 
+  test("CLI arg parsing covers the full reference surface plus --typed-dates") {
+    val o = Main.parseArgs(List("-s", "in.ged", "-d", "/data", "-b", "/bin",
+      "-t", "/tmp/x", "-q", "--typed-dates"))
+    assert(o == Main.Opts(src = Some("in.ged"), dest = Some("/data"),
+      binDir = "/bin", tmpDir = "/tmp/x", quiet = true, typedDates = true))
+    assert(!Main.parseArgs(Nil).typedDates) // raw parity is the default
+    intercept[IllegalArgumentException](Main.parseArgs(List("--nope")))
+  }
+
+  test("CLI --typed-dates threads through to the written node CSVs") {
+    val tmpDir = Files.createTempDirectory("ged-cli-typed").toString
+    val opts = Main.Opts(
+      src = Some(getClass.getResource("/m2.ged").getPath),
+      tmpDir = tmpDir, quiet = true, typedDates = true)
+    assert(Main.run(opts, spark) == 0) // no -d: CSVs retained
+    val header = Files.readAllLines(
+      Files.list(Paths.get(tmpDir, "nodes-INDI"))
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".csv"))
+        .findFirst().get()).get(0)
+    assert(header.contains("Birth Date:date") && header.contains("Birth Date Qualifier"),
+      s"typed columns missing from CSV header: $header")
+  }
+
   test("cleanup deletes only the run's outputs — pre-existing files survive") {
     // the -t dir is user-supplied (unlike the reference's dedicated mkdirp'd
     // scratch dir), so cleanup must not take unrelated files with it
