@@ -387,6 +387,43 @@ object Relational {
           UNION ALL
           SELECT l_returnflag, 'n_rows', n_rows FROM agg)
         ORDER BY l_returnflag, metric"""),
-      "unpivot/melt: wide aggregates to long form through the native Expand")
+      "unpivot/melt: wide aggregates to long form through the native Expand"),
+
+    QueryDef(
+      "q95_bloom_join",
+      (s, d) => {
+        // Bloom-pruned shuffle join: the regime BETWEEN broadcast and plain
+        // shuffle join. The build side (urgent orders) is assumed too large
+        // to broadcast-hash-join at 100 TB, but its KEY SET fits a few MB of
+        // bloom bits — so the probe side (lineitem, the big fact) filters
+        // map-side BEFORE its exchange, and only rows that can possibly
+        // match are ever shuffled. False positives pass the bloom but die in
+        // the exact join that follows, so the output is bit-identical to the
+        // unpruned join (the oracle is the plain SQL join).
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        // size the bits from the real key count (what a 100 TB run would do)
+        val nKeys = math.max(o.count(), 1000L)
+        val bloom = o.stat.bloomFilter("o_orderkey", nKeys, 0.01)
+        val l = lineitem(s, d)
+          .filter(graft.functions.expressions.BloomExpressions
+            .mightContain(col("l_orderkey"), bloom))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+          .agg(
+            Money.sumDiscounted(col("l_extendedprice"), col("l_discount")).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("ship_month"))
+      },
+      Some(s"""
+        SELECT date_trunc('month', l_shipdate) AS ship_month,
+               ${Money.sqlSumDiscounted("l_extendedprice", "l_discount")} AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY 1
+        ORDER BY 1"""),
+      "bloom-filter-pruned shuffle join: probe side filtered map-side pre-exchange by a codegen'd sketch-membership expression; exact join guarantees output equality")
   )
 }
