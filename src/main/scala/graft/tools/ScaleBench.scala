@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Scale-up study: times representative queries at 1x/2x/4x/8x the sf0.1
+  * corpus (disjoint-universe amplification, [[ScaleUp]]) and reports the
+  * per-query scaling slope `log2(t_8x / t_1x) / 3` — the local[32] answer
+  * to "does this plan survive a corpus 8x bigger, and by extension the
+  * 100 TB cluster?". Slope ~1 = linear; at these toy sizes fixed per-stage
+  * overhead amortizes, so healthy queries sit BELOW 1; anything
+  * meaningfully above 1 is a superlinear plan (pair blowup, driver
+  * bottleneck, broadcast that stopped fitting) and a bug.
+  *
+  * Run: tools/run.sh graft.tools.ScaleBench [scaleBase] [maxK]
+  * (expects ScaleUp to have written scaleBase/x{1,2,4,..}).
+  */
+object ScaleBench {
+
+  // Representative scalable headliners: one per cost family. GEDCOM has
+  // its own two-size bench leg; q87 writes layout files (not sinkless).
+  val Queries = Seq(
+    "q01_agg",              // scan + partial/final agg
+    "q03_join_shuffle",     // fact-fact shuffle join
+    "q07_window_rank",      // partitioned window
+    "q11_distinct",         // shuffle distinct
+    "q24_tumbling_window",  // time-bucketed agg over events
+    "q34_dedup_exact",      // fingerprint hash-groupBy
+    "q36_minhash_lsh",      // banded LSH candidate join
+    "q61_cc_dataframe",     // iterative large/small-star CC
+    "q64_neardup_lsh",      // embedding LSH near-dup
+    "q65_jaccard_prefix",   // prefix-filtered AllPairs
+    "q79_semdedup",         // k-means cells + probe
+    "q80_shard_packing",    // hierarchical prefix-sum packing
+    "q86_knn_ivfpq",        // IVF-PQ ANN
+    "q95_bloom_join")       // bloom-pruned shuffle join
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/tmp/graft-scale")
+    val maxK = args.lift(1).map(_.toInt).getOrElse(8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ks = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxK).toSeq
+    def timeOnce(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      sec
+    }
+    // warmup
+    timeOnce("q01_agg", s"$base/x1")
+
+    val times: Map[String, Map[Int, Double]] = Queries.map { q =>
+      q -> ks.map { k =>
+        val dir = s"$base/x$k"
+        val (a, b) = (timeOnce(q, dir), timeOnce(q, dir))
+        k -> math.min(a, b)
+      }.toMap
+    }.toMap
+
+    val kLo = ks.head
+    val kHi = ks.last
+    val span = math.log(kHi.toDouble / kLo) / math.log(2.0)
+    val rows = Queries.map { q =>
+      val t = times(q)
+      val slope = math.log(t(kHi) / t(kLo)) / math.log(2.0) / span
+      val cells = ks.map(k => f""""x$k":${t(k)}%.2f""").mkString(",")
+      f""""$q":{$cells,"slope":$slope%.2f}"""
+    }
+    println(s"""{"metric":"scale_slopes","base":"$base","ks":[${ks.mkString(",")}],"queries":{${rows.mkString(",")}}}""")
+    spark.stop()
+  }
+}
