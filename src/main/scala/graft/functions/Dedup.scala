@@ -203,6 +203,61 @@ object Dedup {
       .orderBy(col("ia"), col("ib"))
   }
 
+  /** DEFAULT embedding near-dup (registered as q64) — the 100 TB path.
+    * Hyperplane-LSH sign codes + multi-probe + multi-table turn the O(n^2)
+    * pair space into an equi join on (table, bucket code); every candidate
+    * is then verified with the exact cosine, so precision is exact and only
+    * recall depends on the bucketing (measured against
+    * [[embeddingPairsBrute]] in DedupSpec and `tools.RecallReport`).
+    *
+    * Operating point (measured, see COVERAGE.md): `targetBucket=32` — a
+    * LARGER bucket than q40's top-k search (32 vs 8) because near-dup
+    * thresholds sit at the decision boundary (B=32: 0.98 vs B=16: 0.78 at
+    * sf0.1 single-table) — with `nTables=2` independent codes at radius 3:
+    * recall rises as 1-(1-r)^L like q40's table curve, clearing 0.9 at
+    * every tested scale factor where the single table measured 0.883 at
+    * sf0.1. With p planes the radius-3 ring is sum C(p,<=3) buckets of
+    * 2^p — a VANISHING fraction of the code space as p grows (at p=16:
+    * 697/65536 ~ 1%), so candidate volume stays ~N * L * ring * bucket,
+    * linear in N — not the constant fraction of N^2 a fixed 8-plane code
+    * degrades to.
+    *
+    * Candidate generation shuffles ONLY (table, code, id) — the ring-size
+    * probe explosion must not replicate the vectors; they join back by id
+    * for the exact verification. Within one table a pair can match through
+    * exactly one mask (m = code_a XOR code_b) so candidates are unique by
+    * construction; across tables the same pair can recur, so multi-table
+    * runs dedup candidates before the verify join (one extra shuffle that
+    * SHRINKS the verify input — the right side of the trade). */
+  def embeddingPairsLsh(s: SparkSession, d: String,
+      targetBucket: Long = 32, radius: Int = 3, nTables: Int = 2): DataFrame = {
+    val e = embeddings(s, d).select(
+      col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+      .cache()
+    val p = Similarity.planesForCorpus(e.count(), targetBucket)
+    val coded = e.select(col("vec_id"),
+      posexplode(array((0 until nTables).map(t =>
+        Similarity.lshCode(col("v"), p, t)): _*)).as(Seq("t", "code")))
+    val probes = coded.select(col("vec_id").as("ia"), col("t"),
+      explode(array(Similarity.probeMasks(p, radius).map(m =>
+        col("code").bitwiseXOR(lit(m))): _*)).as("code"))
+    val cand0 = probes
+      .join(coded.select(col("vec_id").as("ib"), col("t"), col("code")),
+        Seq("t", "code"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"))
+    val cand = if (nTables > 1) cand0.distinct() else cand0
+    cand
+      .join(e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na")), "ia")
+      .join(e.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb")), "ib")
+      .select(col("ia"), col("ib"),
+        round(VectorOps.cosinePre(VectorOps.dot(col("va"), col("vb")),
+          col("na"), col("nb")), 6).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy(col("ia"), col("ib"))
+  }
+
   /** Per-doc arrays for the AllPairs prefix join, from ONE aggregation:
     * `ws` = the doc's sorted token set (exact-verification side) and
     * `prefix` = the first |d| - ceil(t*|d|) + 1 tokens under the global
@@ -413,53 +468,7 @@ object Dedup {
     // baseline, which stays available as a verification function.
     QueryDef(
       "q64_neardup_lsh",
-      (s, d) => {
-        // DEFAULT embedding near-dup — the 100 TB path. Hyperplane-LSH sign
-        // codes + multi-probe turn the O(n^2) pair space into an equi join
-        // on the bucket code; every candidate is then verified with the
-        // exact cosine, so precision is exact and only recall depends on
-        // the bucketing (measured against the unregistered brute
-        // baseline in DedupSpec).
-        //
-        // The plane count is derived from the corpus with a LARGER target
-        // bucket than q40's top-k search (32 vs 8): near-dup thresholds sit
-        // close to the decision boundary, so recall wants co-bucketed
-        // neighbors more than it wants tiny verify lists — measured at
-        // sf0.1, B=32 recalls 0.98 vs 0.78 at B=16 and 0.67 at B=8 for
-        // ~1.8x the verify work (RecallReport; floor pinned in DedupSpec).
-        // With p planes the radius-3 ring is sum C(p,<=3) buckets of 2^p —
-        // a VANISHING fraction of the code space as p grows (at p=16:
-        // 697/65536 ~ 1%), so candidate volume stays ~N * ring * bucket,
-        // linear in N — not the constant fraction of N^2 a fixed 8-plane
-        // code degrades to.
-        val e = embeddings(s, d).select(
-          col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
-          .withColumn("nrm", VectorOps.norm(col("v")))
-          .cache()
-        val p = Similarity.planesForCorpus(e.count(), targetBucket = 32)
-        val coded = e.withColumn("code", Similarity.lshCode(col("v"), p))
-        // Candidate generation shuffles ONLY (id, code) — the ring-size
-        // probe explosion must not replicate the vectors; they join back by
-        // id for the exact verification. No dedup needed: a pair can match
-        // through exactly one mask (m = code_a XOR code_b), so candidates
-        // are unique by construction.
-        val codes = coded.select(col("vec_id"), col("code"))
-        val probes = codes.select(col("vec_id").as("ia"),
-          explode(array(Similarity.probeMasks(p, 3).map(m =>
-            col("code").bitwiseXOR(lit(m))): _*)).as("code"))
-        val cand = probes
-          .join(codes.select(col("vec_id").as("ib"), col("code")), "code")
-          .filter(col("ia") < col("ib"))
-          .select(col("ia"), col("ib"))
-        cand
-          .join(e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na")), "ia")
-          .join(e.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb")), "ib")
-          .select(col("ia"), col("ib"),
-            round(VectorOps.cosinePre(VectorOps.dot(col("va"), col("vb")),
-              col("na"), col("nb")), 6).as("cos"))
-          .filter(col("cos") >= 0.4)
-          .orderBy(col("ia"), col("ib"))
-      },
+      (s, d) => embeddingPairsLsh(s, d),
       None, // approximate candidate generation; recall vs the exact brute
             // baseline pinned in DedupSpec
       "embedding near-dup via hyperplane LSH + multi-probe equi join (default scale path)"),

@@ -118,10 +118,11 @@ class DedupSpec extends SparkSpec {
       Dedup.defs.find(_.name == "q64_neardup_lsh").get.fn(spark, sf))
     assert(lsh.subsetOf(brute), "q64 verifies with the exact cosine => no false positives")
     val recall = if (brute.isEmpty) 1.0 else lsh.size.toDouble / brute.size
-    // the B=32 target bucket exists to buy this recall (0.97 measured;
-    // B=16 drops to ~0.9 here and ~0.78 at sf0.1) — the floor pins the
-    // choice so a cheaper bucketing can't silently ship
-    assert(recall >= 0.9, s"q64 recall $recall < 0.9 (|brute|=${brute.size}, |lsh|=${lsh.size})")
+    // the B=32 bucket + L=2 tables operating point exists to buy this
+    // recall (Q64Tune grid: 1.0/1.0/0.991 at sf0.001/0.01/0.1, vs 0.883
+    // at sf0.1 for the single table) — the floor pins the choice so a
+    // cheaper bucketing can't silently ship
+    assert(recall >= 0.95, s"q64 recall $recall < 0.95 (|brute|=${brute.size}, |lsh|=${lsh.size})")
   }
 
   test("row-wise minhash signatures are identical to the exploded-shuffle path") {
