@@ -131,10 +131,14 @@ class SimilaritySpec extends SparkSpec {
 
   test("IVF ANN reaches strong recall vs brute force on clustered data") {
     // the embeddings table is 10-way clustered, so a sqrt(N)=23-cell
-    // codebook probing its nprobe=5 best lists should capture most true
-    // neighbors; 0.6 guards the contract without flaking on retrains
+    // codebook probing its nprobe=5 best lists captures most true
+    // neighbors. Training is fully deterministic (id-ordered init,
+    // order-independent rounded means), so the measured 0.91 here
+    // (0.96/0.96 at sf0.01/0.1, RecallReport) cannot flake — the floor
+    // pins the operating point, leaving headroom only for deliberate
+    // knob changes
     val mean = meanRecall("q67_knn_ivf")
-    assert(mean >= 0.6, s"mean recall@${Similarity.K} = $mean < 0.6")
+    assert(mean >= 0.85, s"mean recall@${Similarity.K} = $mean < 0.85")
   }
 
   test("derived IVF knobs: sqrt(N) cells, log2(C) probes") {
