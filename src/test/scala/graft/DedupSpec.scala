@@ -54,6 +54,24 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"minhash recall $recall < 0.8 (found ${found.size})")
   }
 
+  test("minhash LSH (q36) recalls the exact-Jaccard pairs on the real corpus") {
+    // the planted-dup tests exercise the mechanism; this pins the
+    // REGISTERED operating point against the oracle-checked exact
+    // baseline (q65, Jaccard >= 0.8) on real data — q36's banded
+    // signatures at threshold 0.75 must recover >= 0.9 of them
+    // (RecallReport measures 0.965/0.958/0.955 across scale factors;
+    // xxhash64 signatures are deterministic, so this cannot flake)
+    val sf = "/root/testdata/sf0.001"
+    def pairsOf(name: String): Set[(Long, Long)] =
+      Dedup.defs.find(_.name == name).get.fn(spark, sf)
+        .select(col("ia").cast("long"), col("ib").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    val exact = pairsOf("q65_jaccard_prefix")
+    assert(exact.nonEmpty, "exact baseline should find pairs at sf0.001")
+    val recall = pairsOf("q36_minhash_lsh").count(exact).toDouble / exact.size
+    assert(recall >= 0.9, s"q36 recall $recall < 0.9 vs ${exact.size} exact pairs")
+  }
+
   test("minhash LSH does not flood with false positives") {
     val found = Dedup.minhashPairs(toks(corpus), Seq("lang", "source"), 0.5)
       .select("ia", "ib").as[(Long, Long)].collect().toSet
