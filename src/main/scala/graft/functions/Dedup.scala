@@ -52,6 +52,20 @@ object Dedup {
         WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.8
         ORDER BY ia, ib"""
 
+  /** q96 oracle: the exact pair relation restricted to pairs involving the
+    * deterministic incoming batch (doc_id % 10 == 0) — incremental dedup
+    * must equal the full dedup filtered to incoming-involving pairs. */
+  private val INCREMENTAL_ORACLE = s"""
+        WITH $PAIR_CTES
+        SELECT ia, ib,
+               round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON ia = sa.doc_id
+        JOIN sizes sb ON ib = sb.doc_id
+        WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.8
+          AND (ia % 10 = 0 OR ib % 10 = 0)
+        ORDER BY ia, ib"""
+
   /** q68 oracle: the same pair relation, closed transitively (recursive
     * CTE, min reachable doc = survivor) — the canonical removal list. */
   private val CLUSTER_ORACLE = s"""
@@ -296,19 +310,49 @@ object Dedup {
     * re-shuffle anyway (q68's closure) must not pay a global order. */
   def jaccardPairsPrefixUnordered(toksIn: DataFrame, t: Double): DataFrame = {
     val docs = docPrefixArrays(toksIn, t).cache() // candidates + both verify sides
-    // the candidate join keys on xxhash64(lang, source, word) — one 8-byte
-    // key instead of three strings, so the prefix-index shuffle moves a
-    // fraction of the bytes. A hash collision can only ADD a candidate
-    // (equal triples always collide to equal keys), and every candidate is
-    // exactly verified below — including the scope equality, which closes
-    // the cross-scope-collision hole the structural join never had.
-    def side(n: String) = docs
-      .select(col("lang"), col("source"), col("doc_id").as(n),
-        explode(col("prefix")).as("word"))
-      .select(col(n), xxhash64(col("lang"), col("source"), col("word")).as("wk"))
-    val cand = side("ia").join(side("ib"), Seq("wk"))
+    val cand = prefixSide(docs, "ia").join(prefixSide(docs, "ib"), Seq("wk"))
       .filter(col("ia") < col("ib"))
       .select(col("ia"), col("ib")).distinct()
+    verifyPairs(docs, cand, t)
+  }
+
+  /** Incremental near-dup — the daily-onboarding pattern at 100 TB: exact
+    * Jaccard >= t pairs INVOLVING the incoming batch, without ever
+    * generating an existing-existing candidate. Bayardo's prefix-filter
+    * guarantee is per-member (J(a,b) >= t implies prefix(a) and prefix(b)
+    * intersect), so probing ONLY the incoming docs' prefixes against the
+    * full corpus's prefix index catches every qualifying pair with an
+    * incoming member. Candidate work is ~|incoming| x bucket sizes — the
+    * full-corpus scan builds only the (stored-index-shaped) prefix/token
+    * arrays, linear in the corpus, never its pair space. */
+  def jaccardPairsIncremental(toksIn: DataFrame, t: Double,
+      isIncoming: Column => Column): DataFrame = {
+    val docs = docPrefixArrays(toksIn, t).cache()
+    val cand = prefixSide(docs.filter(isIncoming(col("doc_id"))), "q")
+      .join(prefixSide(docs, "c"), Seq("wk"))
+      .filter(col("q") =!= col("c"))
+      // normalize: an incoming-incoming pair may arrive both ways
+      .select(least(col("q"), col("c")).as("ia"),
+        greatest(col("q"), col("c")).as("ib"))
+      .distinct()
+    verifyPairs(docs, cand, t)
+  }
+
+  /** One side of the candidate equi join: the doc's prefix tokens keyed on
+    * xxhash64(lang, source, word) — one 8-byte key instead of three
+    * strings, so the prefix-index shuffle moves a fraction of the bytes. A
+    * hash collision can only ADD a candidate (equal triples always collide
+    * to equal keys), and every candidate is exactly verified in
+    * [[verifyPairs]] — including the scope equality, which closes the
+    * cross-scope-collision hole the structural join never had. */
+  private def prefixSide(docs: DataFrame, n: String): DataFrame = docs
+    .select(col("lang"), col("source"), col("doc_id").as(n),
+      explode(col("prefix")).as("word"))
+    .select(col(n), xxhash64(col("lang"), col("source"), col("word")).as("wk"))
+
+  /** Exact-Jaccard verification of a candidate (ia, ib) relation against
+    * the docs' full token arrays; emits only pairs clearing `t`. */
+  private def verifyPairs(docs: DataFrame, cand: DataFrame, t: Double): DataFrame =
     cand
       .join(docs.select(col("doc_id").as("ia"), col("ws").as("wsa"),
         col("lang").as("la"), col("source").as("sa")), "ia")
@@ -321,7 +365,6 @@ object Dedup {
       .select(col("ia"), col("ib"),
         round(col("i") * lit(1.0) / (col("sza") + col("szb") - col("i")), 4).as("jaccard"))
       .filter(col("jaccard") >= t)
-  }
 
   /** SimHash: 64-bit signature; bit b set iff sum of (+tf / -tf) weighted
     * by bit b of xxhash64(word) is positive.
@@ -501,6 +544,19 @@ object Dedup {
       },
       Some(CLUSTER_ORACLE),
       "near-dup clusters: prefix-join pairs -> CC closure -> min-doc survivor per cluster"),
+
+    QueryDef(
+      "q96_incremental_dedup",
+      (s, d) =>
+        // deterministic 10% "incoming batch" (doc_id % 10 == 0) deduped
+        // against the remaining 90% "existing corpus" + itself — the
+        // daily-onboarding shape. Exact output (= the full pair relation
+        // restricted to pairs with an incoming member), so the oracle is
+        // plain SQL; only the CANDIDATE work shrinks to the batch.
+        jaccardPairsIncremental(docTokens(s, d), 0.8, _ % 10 === 0)
+          .orderBy(col("ia"), col("ib")),
+      Some(INCREMENTAL_ORACLE),
+      "incremental near-dup: incoming-batch prefixes probe the full-corpus prefix index; existing-existing pairs never generate"),
 
     QueryDef(
       "q79_semdedup",

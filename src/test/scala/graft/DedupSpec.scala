@@ -143,6 +143,20 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.95, s"q64 recall $recall < 0.95 (|brute|=${brute.size}, |lsh|=${lsh.size})")
   }
 
+  test("incremental dedup (q96) equals the full pair relation filtered to incoming") {
+    val sf = "/root/testdata/sf0.01" // sf0.001 has too few qualifying pairs
+    def norm(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select(col("ia").cast("long"), col("ib").cast("long"), col("jaccard"))
+        .as[(Long, Long, Double)].collect().toSet
+    val full = norm(Dedup.jaccardPairsPrefix(Dedup.docTokens(spark, sf), 0.8))
+      .filter { case (a, b, _) => a % 10 == 0 || b % 10 == 0 }
+    val inc = norm(
+      Dedup.defs.find(_.name == "q96_incremental_dedup").get.fn(spark, sf))
+    assert(inc == full,
+      s"incremental (${inc.size}) != filtered full (${full.size})")
+    assert(inc.nonEmpty, "expected incoming-involving pairs at sf0.01")
+  }
+
   test("row-wise minhash signatures are identical to the exploded-shuffle path") {
     // q36's map-side signature fold must equal the groupBy-of-explode
     // reference value-for-value — same docs, same 32 mins — on the real
