@@ -482,8 +482,15 @@ object Dedup {
     QueryDef(
       "q37_simhash",
       (s, d) => {
-        // SimHash near-dup: bucket by 16-bit signature chunks (pigeonhole:
-        // hamming<=3 pairs always share a chunk), verify by bit_count(xor).
+        // SimHash near-dup at the canonical 64-bit operating point
+        // (Manku, Jain & Sarma, WWW'07: k=3): bucket by 16-bit signature
+        // chunks and verify by bit_count(xor). With 4 chunks, 3 bit flips
+        // cannot dirty all of them — pigeonhole makes candidate generation
+        // EXACT for hamming<=3, so the output is the complete <=3 pair
+        // relation, not an approximation. (The old <=6 verify emitted a
+        // 4..6 band whose members were only found when their flips spared
+        // a chunk — silent partial recall; exactness is worth the
+        // stricter, standard threshold.)
         val sh = simhash(s, d).cache()
         val chunked = sh.select(
           col("doc_id"), col("simhash"),
@@ -496,11 +503,11 @@ object Dedup {
           .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"),
             bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
           .distinct()
-          .filter(col("hamming") <= 6)
+          .filter(col("hamming") <= 3)
           .orderBy(col("ia"), col("ib"))
       },
       None, // xxhash64 bit weights aren't oracle-expressible; see DedupSpec.
-      "SimHash 64-bit near-dup with chunked LSH bucketing + hamming verify"),
+      "SimHash 64-bit near-dup, Manku k=3: chunk-bucketed candidates are EXACT by pigeonhole"),
 
     // NOTE: the brute-force cosine pair scan ([[embeddingPairsBrute]],
     // formerly registered as q38) is deliberately NOT in the registry:

@@ -103,6 +103,26 @@ class DedupSpec extends SparkSpec {
     assert(hashes(1L) == hashes(2L))
   }
 
+  test("simhash chunk bucketing (q37) is EXACT for hamming<=3 by pigeonhole") {
+    // brute all-pairs over the 64-bit signatures (1 long per doc — cheap
+    // at spec scale) vs the registered chunk-bucketed query: with 4
+    // chunks and <=3 flips, some chunk is always clean, so the bucketed
+    // candidates must reproduce the complete pair relation exactly
+    val sf = "/root/testdata/sf0.001"
+    val sigs = Dedup.simhash(spark, sf)
+      .select(col("doc_id").cast("long"), col("simhash").cast("long"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, sa) <- sigs.iterator
+      (ib, sb) <- sigs.iterator
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val got = Dedup.defs.find(_.name == "q37_simhash").get.fn(spark, sf)
+      .select(col("ia").cast("long"), col("ib").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == brute, s"bucketed ${got.size} != brute ${brute.size}")
+  }
+
   test("prefix-filtered jaccard (q65) is row-identical to the naive inverted-index baseline") {
     // planted corpus + a universal stopword appended to EVERY doc: the
     // worst-case df bomb for the naive inverted index
