@@ -591,12 +591,15 @@ object Dedup {
     * P SCALES WITH THE CODE SPACE, floored at 4: a fixed probe count
     * covers a vanishing fraction of cells as C grows with N, so recall
     * would silently decay with scale (measured: P=4 held 1.0 at C=20 but
-    * only 0.80 at C=80). log2(C) probes keep pair work ~N * log^2(C) * B
+    * only 0.80 at C=80). log2(C)+1 probes keep pair work ~N * log^2(C) * B
     * — the same probe-vs-code-space rule as [[Similarity.nprobeFor]] and
-    * q40's radius scaling. */
+    * q40's radius scaling. The +1 is measured, not decorative (Q79Tune
+    * grid at sf0.1/C=80: P=7 recalls 0.949, P=8 0.977 for ~(8/7)^2 pair
+    * work — the first P clearing 0.95 at every tested scale factor;
+    * sf0.001/0.01 at their P=6 both measure 1.0). */
   def semdedupProbes(c: Int): Int =
     math.min(c, math.max(4,
-      math.ceil(math.log(c.toDouble) / math.log(2.0)).toInt))
+      math.ceil(math.log(c.toDouble) / math.log(2.0)).toInt + 1))
 
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", 2023): k-means cluster the
@@ -638,11 +641,11 @@ object Dedup {
     * CALLER owns that cache and must `idx.unpersist()` once both frames
     * have been consumed ([[semdedup]] does). */
   def semdedupAssignments(e: DataFrame, clusterTarget: Long,
-      thresh: Double): (DataFrame, DataFrame) = {
+      thresh: Double, probesOverride: Option[Int] = None): (DataFrame, DataFrame) = {
     val n = e.count()
     val c = math.max(2, math.min(65536,
       math.ceil(n.toDouble / clusterTarget).toInt))
-    val p = semdedupProbes(c)
+    val p = probesOverride.getOrElse(semdedupProbes(c))
     val cents = Similarity.trainCentroids(e, c, Similarity.LLOYD_ROUNDS)
     // home cell (first probe) labels the output; the full probe list only
     // feeds candidate generation. Shuffle carries (cid, id) probes — the
