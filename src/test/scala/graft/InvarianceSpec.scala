@@ -1,0 +1,36 @@
+package graft
+
+/** Partition-layout invariance: the engine's exactness claims (integer-cents
+  * money, deterministic tiebreaks, order-independent aggregation) mean a
+  * registered query's OUTPUT may not depend on how the shuffle is laid out.
+  * Run a representative slice of the registry at two very different
+  * shuffle-partition counts (3 and 17 — both unlike the suite's 4) and
+  * require bit-identical collected results. This is what guarantees the
+  * DuckDB oracle comparison holds on a 1000-executor cluster, not just at
+  * the gate's local partitioning. */
+class InvarianceSpec extends SparkSpec {
+
+  // one per aggregation family: partial/final sums (q01), windows (q08),
+  // percentile histogram+window (q48), exact moments (q62), cohort matrix
+  // (q90), sketch-prune+rescan (q93), pair generation + verify (q65)
+  private val queries = Seq("q01_agg", "q08_window_running",
+    "q48_percentiles", "q62_stats_moments", "q90_retention",
+    "q93_heavy_hitters", "q65_jaccard_prefix")
+
+  private def runAt(name: String, parts: Int): Seq[String] = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try SparkEntry.queries(name)(spark, SF).collect().map(_.toString).toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  for (q <- queries)
+    test(s"$q output is invariant to the shuffle partition count") {
+      val a = runAt(q, 3)
+      val b = runAt(q, 17)
+      assert(a == b,
+        s"$q differs between 3 and 17 shuffle partitions (${a.size}/${b.size} rows)")
+      assert(a.nonEmpty)
+      spark.catalog.clearCache()
+    }
+}
