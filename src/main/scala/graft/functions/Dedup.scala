@@ -250,11 +250,14 @@ object Dedup {
       .withColumn("nrm", VectorOps.norm(col("v")))
       .cache()
     val p = Similarity.planesForCorpus(e.count(), targetBucket)
+    // ring cap: at tested scales this IS `radius`; at extreme p it shrinks
+    // so per-item probe work stays bounded (see ringBoundedRadius)
+    val r = math.min(radius, Similarity.ringBoundedRadius(p, radius))
     val coded = e.select(col("vec_id"),
       posexplode(array((0 until nTables).map(t =>
         Similarity.lshCode(col("v"), p, t)): _*)).as(Seq("t", "code")))
     val probes = coded.select(col("vec_id").as("ia"), col("t"),
-      explode(array(Similarity.probeMasks(p, radius).map(m =>
+      explode(array(Similarity.probeMasks(p, r).map(m =>
         col("code").bitwiseXOR(lit(m))): _*)).as("code"))
     val cand0 = probes
       .join(coded.select(col("vec_id").as("ib"), col("t"), col("code")),

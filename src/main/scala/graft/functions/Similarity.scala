@@ -127,6 +127,22 @@ object Similarity {
       (0 until nPlanes).combinations(r)
         .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq)
 
+  /** Largest probe radius <= maxRadius whose ring (sum of C(p, <=r)) stays
+    * under `ringCap` buckets. The ring grows ~p^r as planes scale with the
+    * corpus (p = log2(N/B)), so a FIXED radius makes per-item probe work
+    * polylog-superlinear at extreme N: C(25, <=3) = 2,626 probes/item at
+    * N=1e9 where p=6 needed 42. Capping the ring bounds per-item candidate
+    * work at ringCap x bucket regardless of corpus size; recall at the
+    * shrunken radius is the multi-table knob's job (L tables recover
+    * 1-(1-r)^L like q40's measured curve). At every tested scale factor
+    * (p <= 9, ring <= 130) the cap is inactive — same plans, same outputs. */
+  def ringBoundedRadius(p: Int, maxRadius: Int = 3, ringCap: Int = 192): Int = {
+    def comb(n: Int, k: Int): Long =
+      (1 to k).foldLeft(1L)((a, i) => a * (n - i + 1) / i)
+    def ring(r: Int): Long = (0 to r).map(comb(p, _)).sum
+    (1 to maxRadius).reverse.find(ring(_) <= ringCap).getOrElse(1)
+  }
+
   /** Nearest-centroid id. Centroids are pre-normalized, so argmax dot ==
     * argmax cosine (|v| is constant across candidates for one row); equal
     * scores break to the higher cid, deterministically. One codegen'd loop

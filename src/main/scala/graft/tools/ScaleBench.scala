@@ -34,7 +34,8 @@ object ScaleBench {
     "q79_semdedup",         // k-means cells + probe
     "q80_shard_packing",    // hierarchical prefix-sum packing
     "q86_knn_ivfpq",        // IVF-PQ ANN
-    "q95_bloom_join")       // bloom-pruned shuffle join
+    "q95_bloom_join",       // bloom-pruned shuffle join
+    "q96_incremental_dedup")// batch-vs-corpus prefix probe
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")

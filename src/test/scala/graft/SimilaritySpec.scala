@@ -141,6 +141,15 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.85, s"mean recall@${Similarity.K} = $mean < 0.85")
   }
 
+  test("ring-bounded radius: full radius at tested scales, shrinks at extreme p") {
+    // tested scale factors sit at p=6..9 where the cap must be inactive
+    for (p <- 6 to 9)
+      assert(Similarity.ringBoundedRadius(p) == 3, s"cap fired at p=$p")
+    // C(12,<=3)=299 > 192 -> radius 2; C(25,<=2)=326 > 192 -> radius 1
+    assert(Similarity.ringBoundedRadius(12) == 2)
+    assert(Similarity.ringBoundedRadius(25) == 1)
+  }
+
   test("derived IVF knobs: sqrt(N) cells, log2(C) probes") {
     assert(Similarity.centroidsForCorpus(500) == 23)
     assert(Similarity.centroidsForCorpus(1) == 4)
