@@ -786,7 +786,84 @@ object TextAnalysis {
                    t -> t IS NOT NULL), ' '), '')) AS cleaned_fp
         FROM covered
         ORDER BY doc_id"""),
-      "cross-doc duplicated-span removal: gram-df detection + in-row span excision, hash-checked rewrite")
+      "cross-doc duplicated-span removal: gram-df detection + in-row span excision, hash-checked rewrite"),
+
+    QueryDef(
+      "q97_curation_pipeline",
+      (s, d) => {
+        // The composed curation run every pretraining pipeline executes —
+        // exact-dedup -> quality gate -> deterministic split -> shard
+        // packing — as ONE declarative plan, each stage in the exact
+        // semantics its standalone query pins (q34's canonical
+        // fingerprint, q70's md5-prefix coin, q80's hierarchical prefix
+        // sum). Composition is the product's real use; this puts the
+        // chained plan itself under the oracle so stage-boundary drift
+        // (a changed fingerprint, a reordered filter) can't hide behind
+        // individually-green stages. All linear: one fingerprint shuffle,
+        // map-side gates, the packing's bucket-sum spine.
+        import org.apache.spark.sql.expressions.Window
+        val BUDGET = 2000L
+        val BUCKET = 64L
+        val MIN_TOKENS = 30
+        // 1) exact dedup: min-doc_id survivor per canonical fingerprint
+        val surv = documents(s, d)
+          .select(col("doc_id"), col("text"),
+            canonicalFingerprint(col("text")).as("fp"))
+          .withColumn("keep_id",
+            min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+          .filter(col("doc_id") === col("keep_id"))
+        // 2) quality gate + 3) train-split coin (both map-side)
+        val train = surv
+          .select(col("doc_id"), size(tokens(col("text"))).as("t"))
+          .filter(col("t") >= MIN_TOKENS)
+          .filter(md5(col("doc_id").cast("string")) >= "1a")
+        // 4) q80's hierarchical prefix-sum packing over the curated stream
+        val toks = train.withColumn("bkt", expr(s"doc_id div $BUCKET"))
+        val bsums = toks.groupBy(col("bkt")).agg(sum(col("t")).as("bt"))
+        val wOff = Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = bsums.select(col("bkt"),
+          coalesce(sum(col("bt")).over(wOff), lit(0L)).as("off"))
+        val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        toks.join(broadcast(offs), Seq("bkt"))
+          .withColumn("start",
+            col("off") + coalesce(sum(col("t")).over(wIn), lit(0L)))
+          .withColumn("shard", expr(s"start div $BUDGET"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy(col("shard"))
+      },
+      Some(s"""
+        WITH fp AS (
+          SELECT doc_id, text,
+                 md5(array_to_string(list_sort(list_distinct($SQL_TOKENS)), ' ')) AS fp
+          FROM documents),
+        surv AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text, min(doc_id) OVER (PARTITION BY fp) AS keep_id
+            FROM fp)
+          WHERE doc_id = keep_id),
+        t AS (
+          SELECT doc_id, len($SQL_TOKENS) AS t
+          FROM surv
+          WHERE len($SQL_TOKENS) >= 30
+            AND md5(doc_id::VARCHAR) >= '1a'),
+        c AS (
+          SELECT doc_id, t,
+                 cast(coalesce(sum(t) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) AS start
+          FROM t)
+        SELECT start // 2000 AS shard,
+               count(*) AS n_docs,
+               cast(sum(t) as bigint) AS n_tokens,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM c
+        GROUP BY 1
+        ORDER BY 1"""),
+      "composed curation pipeline: exact-dedup -> quality gate -> split coin -> shard packing under one oracle")
   )
 
   /** (doc_id, toks, bigs) frame shared by both q69 implementations. */
