@@ -164,6 +164,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p) // bucket offsets broadcast back
   }
 
+  test("q97 composed pipeline keeps q80's bucket-partitioned packing window") {
+    // composition must not regress the packing stage's scale shape: the
+    // doc-level running sum still partitions by bkt, offsets broadcast
+    val p = plan("q97_curation_pipeline")
+    assert("windowspecdefinition\\(bkt#\\d+L?, doc_id".r.findFirstIn(p).nonEmpty,
+      s"doc-level window must partition by bkt:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q81 thresholds broadcast back to the corpus scan") {
     val p = plan("q81_mixture_balance")
     assert(p.contains("BroadcastHashJoin"), p)
