@@ -47,4 +47,23 @@ object DedupProps extends Properties("dedup") {
         .as[(Long, Long, Double)].collect().toSeq
       Prop(exact == prefix) :| s"exact=${exact.size} prefix=${prefix.size} t=$t"
     }
+
+  property("incremental probe equals the full relation filtered to incoming") =
+    Prop.forAll(corpusGen, Gen.chooseNum(2, 5)) { case ((docs, t), mod) =>
+      // for ANY corpus, threshold, and incoming predicate (doc_id % mod
+      // == 0), probing only the incoming prefixes against the full index
+      // must reproduce exactly the incoming-involving subset of the full
+      // pair relation — the Bayardo per-member guarantee q96 rests on
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "text", "lang", "source")
+      val toks = df.select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(graft.functions.TextAnalysis.tokens(col("text")))).as("word"))
+      val full = Dedup.jaccardPairsPrefix(toks, t)
+        .as[(Long, Long, Double)].collect().toSeq
+        .filter { case (a, b, _) => a % mod == 0 || b % mod == 0 }
+      val inc = Dedup.jaccardPairsIncremental(toks, t, _ % mod === 0)
+        .orderBy(col("ia"), col("ib"))
+        .as[(Long, Long, Double)].collect().toSeq
+      Prop(inc == full) :| s"inc=${inc.size} full-filtered=${full.size} t=$t mod=$mod"
+    }
 }
