@@ -296,6 +296,13 @@ object Dedup {
           .as("prefix"))
   }
 
+  /** The stored-index shape for incremental onboarding (batch q96 and the
+    * streaming probe): per-doc sorted token set `ws` (exact-verification
+    * side) + Bayardo `prefix` (the only tokens that ever key a candidate
+    * join), per (doc_id, lang, source). */
+  def prefixIndex(toks: DataFrame, t: Double): DataFrame =
+    docPrefixArrays(toks, t)
+
   /** Flattened prefix index (doc_id, lang, source, word) — the only tokens
     * that ever key a candidate join. */
   def prefixTokens(toks: DataFrame, t: Double): DataFrame =

@@ -184,6 +184,57 @@ object StreamingOps {
       }
   }
 
+  /** Streaming incremental near-dup — q96's onboarding pattern made
+    * ingest-time: arriving documents probe a STATIC corpus prefix index
+    * ([[graft.functions.Dedup.prefixIndex]], the stored index a production
+    * pipeline maintains) and every candidate is verified with the exact
+    * Jaccard in-row. Emits (ia = index doc, ib = arriving doc, jaccard),
+    * EXACT against the index (StreamingSpec asserts equality with batch
+    * q96's mixed pairs on a replayed corpus).
+    *
+    * Two design points keep it stateless except for pair dedup:
+    *   - the arriving side probes ALL its distinct tokens — a SUPERSET of
+    *     any prefix — so a qualifying pair still intersects the INDEX
+    *     doc's prefix (Bayardo's per-member guarantee under the index's
+    *     own df order) and no df ranking, aggregation, or shared token
+    *     order is needed on the stream side; extra candidates cost probe
+    *     volume (bounded by the index's prefix-token df), never recall;
+    *   - a pair can match through several prefix tokens, so the ONLY
+    *     stateful operator is per-pair dedup, watermark-expired
+    *     (`dropDuplicatesWithinWatermark`).
+    * Incoming-incoming pairs are the next index refresh's business (or
+    * stream-stream [[minhashNearDups]]) — splitting onboarding that way is
+    * exactly what keeps the corpus-probe half stateless. At scale the
+    * index is bucketed on (lang, source, word) so each micro-batch's probe
+    * join co-locates; nothing here ever shuffles the corpus. */
+  def incrementalNearDupProbe(docs: Dataset[DocIn], index: DataFrame,
+      threshold: Double = 0.8,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val idxTok = index.select(col("doc_id").as("ia"), col("lang"),
+      col("source"), col("ws").as("wsa"), explode(col("prefix")).as("word"))
+    val inc = docs.toDF()
+      .withColumn("wsb",
+        array_distinct(graft.functions.TextAnalysis.tokens(col("text"))))
+      .filter(size(col("wsb")) > 0)
+      .select(col("doc_id").as("ib"), col("lang"), col("source"),
+        col("ts"), col("wsb"))
+    inc.withWatermark("ts", watermarkDelay)
+      .select(col("ib"), col("lang"), col("source"), col("ts"), col("wsb"),
+        explode(col("wsb")).as("word"))
+      .join(idxTok, Seq("lang", "source", "word"))
+      .filter(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"), col("ts"),
+        size(array_intersect(col("wsa"), col("wsb"))).as("i"),
+        size(col("wsa")).as("sza"), size(col("wsb")).as("szb"))
+      // same rounding as the batch verify tail => bit-identical values
+      .select(col("ia"), col("ib"), col("ts"),
+        round(col("i") * lit(1.0) / (col("sza") + col("szb") - col("i")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .dropDuplicatesWithinWatermark("ia", "ib")
+      .select(col("ia"), col("ib"), col("jaccard"))
+  }
+
   /** Stream-stream interval join: purchases joined to the errors that
     * follow them within 10 minutes for the same user (the streaming form of
     * q22). Both sides are watermarked so the state store can discard

@@ -199,6 +199,53 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${stream -- batch}; batch-only: ${batch -- stream}")
   }
 
+  test("streaming incremental near-dup probe matches batch q96's mixed pairs") {
+    import graft.streaming.StreamingOps.DocIn
+    import graft.functions.{Dedup, TextAnalysis}
+    // sf0.01, split mod 3: this corpus's planted dup partners always
+    // share their mod-10 residue (q96's own split yields only
+    // incoming-incoming pairs), so the streaming probe — which by design
+    // covers only incoming-vs-CORPUS pairs — needs a split that
+    // separates partners; mod 3 mixes 198 of the 401 pairs
+    val sf = "/root/testdata/sf0.01"
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    // static index over the "existing corpus", exactly the stored shape a
+    // production pipeline maintains
+    val corpusToks = docsDf.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("word"))
+    val index = Dedup.prefixIndex(corpusToks, 0.8).cache()
+    // the "incoming batch" replayed as a stream in two batches
+    val docs = docsDf.filter(col("doc_id") % 3 === 0)
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => DocIn(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), new Timestamp(86400_000L + r.getLong(0) * 1000)))
+      .sortBy(_.doc_id)
+    val in = MemoryStream[DocIn]
+    val q = StreamingOps.incrementalNearDupProbe(in.toDS(), index)
+      .writeStream.format("memory").queryName("incdup").outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("incdup")
+      .select(col("ia").cast("long"), col("ib").cast("long"), col("jaccard"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }.toSet
+    // the full exact pair relation's mixed pairs (one incoming, one
+    // existing member) are exactly what the corpus-probe half must emit
+    val allToks = docsDf.select(col("doc_id"), col("lang"), col("source"),
+      explode(array_distinct(TextAnalysis.tokens(col("text")))).as("word"))
+    val batch = Dedup.jaccardPairsPrefix(allToks, 0.8)
+      .select(col("ia").cast("long"), col("ib").cast("long"), col("jaccard"))
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 3 == 0) != (b % 3 == 0) }.toSet
+    assert(batch.nonEmpty, "replayed corpus has no mixed near-dup pairs")
+    assert(stream == batch,
+      s"stream-only: ${stream -- batch}; batch-only: ${batch -- stream}")
+  }
+
   test("streaming contamination probe matches batch q73 hit counts") {
     import graft.streaming.StreamingOps.DocIn
     import graft.functions.TextAnalysis
