@@ -35,7 +35,8 @@ object ScaleBench {
     "q80_shard_packing",    // hierarchical prefix-sum packing
     "q86_knn_ivfpq",        // IVF-PQ ANN
     "q95_bloom_join",       // bloom-pruned shuffle join
-    "q96_incremental_dedup")// batch-vs-corpus prefix probe
+    "q96_incremental_dedup",// batch-vs-corpus prefix probe
+    "q97_curation_pipeline")// composed dedup->gate->split->pack
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")
