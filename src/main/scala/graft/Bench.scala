@@ -100,10 +100,14 @@ object Bench {
     val gedcom150m = gedcomLeg("150m", "/tmp/graft-bench-150mb.ged", 150L << 20)
     val gedcom1g = gedcomLeg("1g", "/tmp/graft-bench-1gb.ged", 1L << 30)
     val json = renderJson(results, sfDir, gedcom150m, gedcom1g)
+    // print the line FIRST thing after it exists AND as the very last
+    // stdout action: the driver keeps only a ~2 KB stdout tail, which for
+    // two rounds running truncated the (one) JSON line into "parsed":null.
+    // Two prints bound the line on both sides of any late stderr noise,
+    // and loadavg (below) makes co-tenant contention self-documenting.
     println(json)
-    // the driver captures only a log TAIL, which can truncate the line —
     // persist the full JSON so every round's artifact parses without
-    // reconstruction
+    // reconstruction even if the tail still truncates
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -113,23 +117,46 @@ object Bench {
         System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
     }
     spark.stop()
+    println(json)
   }
+
+  /** 1-minute load average read from /proc/loadavg — recorded in the
+    * artifact so a contended-host bench window is visible from the JSON
+    * alone (driver artifacts have twice recorded 1.4-4.4x phantom
+    * regressions that only a quiet-host judge re-run could adjudicate). */
+  def loadavg1(): Option[Double] =
+    try Some(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble)
+    catch { case _: Throwable => None }
 
   /** One-line bench JSON. A failed query (recorded as -1) must poison the
     * headline, not quietly shrink it: `value` goes null and `failed` is
-    * explicit. Factored out so the poisoning is unit-testable. */
+    * explicit. Factored out so the poisoning is unit-testable.
+    *
+    * Per-query seconds are rounded to 4 decimals (0.1 ms, far below host
+    * noise): at ~93 registered queries full-precision doubles pushed the
+    * one line past the driver's ~2 KB stdout tail, which is exactly how
+    * BENCH_r07/r08 ended up `"parsed": null`. The full-precision totals
+    * live in the per-query mins; the artifact must stay under the tail. */
   def renderJson(results: Seq[(String, Double)], sfDir: String,
       gedcomMBs: Option[Double] = None,
       gedcom1gMBs: Option[Double] = None): String = {
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def r4(v: Double) = math.rint(v * 1e4) / 1e4
+    // the driver contract keys the map as {"q1":sec,...} — emit the qNN
+    // prefix (unique by QueriesSpec pin) rather than the full registry
+    // name: ~93 long names alone overflow the 2 KB tail
+    def short(k: String) = { val p = k.takeWhile(_ != '_'); if (p.nonEmpty) p else k }
+    val keys = results.map(r => short(r._1))
+    val qs = results.zip(keys).map { case ((_, v), k) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total =
-      if (failed > 0) "null" else results.map(_._2).sum.toString
+      if (failed > 0) "null" else r4(results.map(_._2).sum).toString
     def r1(o: Option[Double]) =
       o.map(v => math.rint(v * 10) / 10).map(_.toString).getOrElse("null")
+    val load = loadavg1().map(_.toString).getOrElse("null")
     // gedcom_mb_per_s keeps its historical meaning (the 150 MB reference
     // headline) so cross-round artifact comparisons stay apples-to-apples
-    s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"gedcom_mb_per_s":${r1(gedcomMBs)},"gedcom_mb_per_s_150m":${r1(gedcomMBs)},"gedcom_mb_per_s_1g":${r1(gedcom1gMBs)},"queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"loadavg":$load,"gedcom_mb_per_s":${r1(gedcomMBs)},"gedcom_mb_per_s_150m":${r1(gedcomMBs)},"gedcom_mb_per_s_1g":${r1(gedcom1gMBs)},"queries":$qs,"sf":"$sfDir"}"""
   }
 }

@@ -49,4 +49,21 @@ class QueriesSpec extends SparkSpec {
     assert(broken.contains("\"b\":-1.0"), broken) // per-query failure visible too
     assert(broken.contains("\"gedcom_mb_per_s\":null"), broken)
   }
+
+  test("bench JSON carries loadavg and fits the driver's 2 KB stdout tail") {
+    val ok = Bench.renderJson(Seq("a" -> 1.5), "sf")
+    assert(ok.contains("\"loadavg\":"), ok)
+    // BENCH_r07/r08 went "parsed":null because ~93 full-precision doubles
+    // pushed the one line past the captured tail; the registry-sized
+    // render must stay comfortably under it
+    val full = Bench.renderJson(
+      SparkEntry.all.map(q => q.name -> 12.345678901234567),
+      "/root/testdata/sf0.1", Some(41.96), Some(139.7))
+    assert(full.length < 1900, s"bench line ${full.length} bytes risks tail truncation")
+    // the short bench keys (qNN prefix) must stay unique or the JSON map
+    // silently drops measurements
+    val shorts = SparkEntry.all.map(_.name.takeWhile(_ != '_'))
+    assert(shorts.distinct.size == shorts.size,
+      shorts.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }.mkString(","))
+  }
 }
