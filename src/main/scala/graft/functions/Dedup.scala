@@ -66,6 +66,23 @@ object Dedup {
           AND (ia % 10 = 0 OR ib % 10 = 0)
         ORDER BY ia, ib"""
 
+  /** q98 oracle: the exact cosine >= 0.4 pair relation over the
+    * embeddings table, restricted to pairs involving the deterministic
+    * incoming batch (vec_id % 10 == 0) — same restriction idiom as q96's.
+    * DuckDB's `list_dot_product` over DOUBLE[] is the identical
+    * sequential left-to-right double sum as [[VectorOps.dot]], so the
+    * rounded cosines hash-match bit-for-bit. */
+  private val INCREMENTAL_EMBED_ORACLE = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 round(list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) *
+                        sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          WHERE a.vec_id % 10 = 0 OR b.vec_id % 10 = 0)
+        SELECT ia, ib, cos FROM p WHERE cos >= 0.4 ORDER BY ia, ib"""
+
   /** q68 oracle: the same pair relation, closed transitively (recursive
     * CTE, min reachable doc = survivor) — the canonical removal list. */
   private val CLUSTER_ORACLE = s"""
@@ -265,14 +282,135 @@ object Dedup {
       .filter(col("ia") < col("ib"))
       .select(col("ia"), col("ib"))
     val cand = if (nTables > 1) cand0.distinct() else cand0
+    cosVerify(e, cand, 0.4).orderBy(col("ia"), col("ib"))
+  }
+
+  /** Exact-cosine verification of a candidate (ia, ib) relation: join the
+    * vectors back by id, compute the rounded cosine, keep `>= t`. Shared
+    * by every embedding near-dup path (q64, q98, the incremental LSH
+    * probe) so precision — and the oracle-facing arithmetic — cannot
+    * drift between them. `e` must carry (vec_id, v, nrm). */
+  private def cosVerify(e: DataFrame, cand: DataFrame, t: Double): DataFrame =
     cand
       .join(e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na")), "ia")
       .join(e.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb")), "ib")
       .select(col("ia"), col("ib"),
         round(VectorOps.cosinePre(VectorOps.dot(col("va"), col("vb")),
           col("na"), col("nb")), 6).as("cos"))
-      .filter(col("cos") >= 0.4)
-      .orderBy(col("ia"), col("ib"))
+      .filter(col("cos") >= t)
+
+  /** EXACT incremental embedding near-dup (registered as q98) — the
+    * onboarding shape of [[jaccardPairsIncremental]] (q96) ported to the
+    * embedding family: all cosine >= t pairs INVOLVING the incoming batch,
+    * without ever generating an existing-existing candidate, probing a
+    * stored per-cell corpus index instead of rescanning the pair space.
+    *
+    * Where q96's exactness comes from Bayardo's prefix-filter guarantee,
+    * here it comes from the spherical triangle inequality: the index is
+    * k-means cells over the corpus (the [[semdedup]] codebook machinery)
+    * plus one angular radius per cell, `amax(c) = max angle(member,
+    * centroid)`. For a query q, any x with `cos(q, x) >= t` satisfies
+    * `angle(q, cell(x)) <= acos(t) + amax(cell(x))`, so probing exactly
+    * the cells q cannot rule out ([[VectorExpressions.centroidsAbove]],
+    * one codegen'd loop over the broadcast codebook) loses no pair, and
+    * every candidate is verified with the exact cosine — approximation
+    * NEVER enters; pruning only sheds work.
+    *
+    * 100 TB shape: the corpus never shuffles — candidates come from an
+    * equi join on `cid` against the (bucketed-by-cid, at scale) stored
+    * index, with the exploded incoming probe side small enough to
+    * broadcast for a bounded daily batch. Cost is |batch| x (unpruned
+    * cell mass): on corpora whose embedding space clusters (real text
+    * corpora), most cells prune; on this near-uniform synthetic corpus
+    * the t=0.4 ball (66 deg) exceeds every cell radius and the bound
+    * keeps all cells — the measured worst case, where the run degenerates
+    * to the batch x corpus GEMM that is also the exact-search floor in
+    * dense 64-d (no sound index can prune below it). Workloads that can
+    * trade ~1% recall for bucket-bounded candidates use
+    * [[embeddingPairsLshIncremental]] — same probe-only shape over the
+    * hyperplane-code index, property-tested equivalent to q64 restricted
+    * to the batch.
+    *
+    * `e` must carry (vec_id, v, nrm) ([[Similarity.prepared]] shape). */
+  def embeddingPairsIncrementalExact(e: DataFrame, t: Double,
+      isIncoming: Column => Column,
+      clusterTarget: Long = SEMDEDUP_CLUSTER): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val ec = e.cache()
+    val n = ec.count()
+    val c = math.max(2, math.min(65536,
+      math.ceil(n.toDouble / clusterTarget).toInt))
+    val cents = Similarity.trainCentroids(ec, c, Similarity.LLOYD_ROUNDS)
+    val idx = ec.withColumn("cid", Similarity.nearestCid(col("v"), cents))
+    val centDf = cents.zipWithIndex.map { case (cv, i) => (i, cv) }
+      .toDF("cid", "cent")
+    // per-cell angular radius; zero-norm members carry no angle (and can
+    // be in no cosine pair, so excluding them loses nothing)
+    val amaxRows = idx.filter(col("nrm") > 0)
+      .join(broadcast(centDf), "cid")
+      .select(col("cid"), acos(least(lit(1.0), greatest(lit(-1.0),
+        try_divide(VectorOps.dot(col("v"), col("cent")), col("nrm"))))).as("a"))
+      .groupBy(col("cid")).agg(max(col("a")).as("amax"))
+      .collect()
+    val amax = Array.fill(c)(Double.NaN)
+    amaxRows.foreach(r => amax(r.getInt(0)) = r.getDouble(1))
+    val tAng = math.acos(t)
+    val thr = (0 until c).map { j =>
+      if (amax(j).isNaN) 2.0 // empty cell: no members, never probed
+      else if (tAng + amax(j) >= math.Pi) -1.0 - 1e-9 // wraps: keep cell
+      // 1e-9 angular-bound slack swamps fp error in amax/the probe dot;
+      // slack can only ADD candidates, and candidates are exactly verified
+      else math.cos(tAng + amax(j)) - 1e-9
+    }
+    val probes = idx.filter(isIncoming(col("vec_id")))
+      .select(col("vec_id").as("q"),
+        explode(graft.functions.expressions.VectorExpressions.centroidsAbove(
+          col("v"), col("nrm"), cents, thr)).as("cid"))
+    val cand = probes
+      .join(idx.select(col("vec_id").as("x"), col("cid")), Seq("cid"))
+      .filter(col("q") =!= col("x"))
+      // normalize: an incoming-incoming pair may arrive both ways
+      .select(least(col("q"), col("x")).as("ia"),
+        greatest(col("q"), col("x")).as("ib"))
+      .distinct()
+    cosVerify(ec, cand, t).orderBy(col("ia"), col("ib"))
+  }
+
+  /** Incremental hyperplane-LSH near-dup — [[embeddingPairsLsh]] (q64)
+    * with candidate probes generated ONLY from the incoming batch against
+    * the full-corpus code index, exactly as [[jaccardPairsIncremental]]
+    * probes the prefix index. Because a pair matches a table iff their
+    * codes sit within the probe radius — a symmetric condition — the
+    * output equals q64's pair relation restricted to incoming-involving
+    * pairs (DedupProps property), so recall vs exact is q64's (~0.99
+    * measured) while candidate work shrinks from corpus-sized to
+    * batch-sized. This is the sublinear daily-onboarding path; q98
+    * (registered) is the exact one. */
+  def embeddingPairsLshIncremental(s: SparkSession, d: String,
+      isIncoming: Column => Column, targetBucket: Long = 32,
+      radius: Int = 3, nTables: Int = 2): DataFrame = {
+    val e = embeddings(s, d).select(
+      col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+      .cache()
+    val p = Similarity.planesForCorpus(e.count(), targetBucket)
+    val r = math.min(radius, Similarity.ringBoundedRadius(p, radius))
+    val coded = e.select(col("vec_id"),
+      posexplode(array((0 until nTables).map(t =>
+        Similarity.lshCode(col("v"), p, t)): _*)).as(Seq("t", "code")))
+    val probes = coded.filter(isIncoming(col("vec_id")))
+      .select(col("vec_id").as("q"), col("t"),
+        explode(array(Similarity.probeMasks(p, r).map(m =>
+          col("code").bitwiseXOR(lit(m))): _*)).as("code"))
+    val cand = probes
+      .join(coded.select(col("vec_id").as("x"), col("t"), col("code")),
+        Seq("t", "code"))
+      .filter(col("q") =!= col("x"))
+      .select(least(col("q"), col("x")).as("ia"),
+        greatest(col("q"), col("x")).as("ib"))
+      .distinct()
+    cosVerify(e, cand, 0.4).orderBy(col("ia"), col("ib"))
   }
 
   /** Per-doc arrays for the AllPairs prefix join, from ONE aggregation:
@@ -574,6 +712,18 @@ object Dedup {
           .orderBy(col("ia"), col("ib")),
       Some(INCREMENTAL_ORACLE),
       "incremental near-dup: incoming-batch prefixes probe the full-corpus prefix index; existing-existing pairs never generate"),
+
+    QueryDef(
+      "q98_incremental_embed",
+      (s, d) =>
+        // q96's onboarding shape for the embedding family: the same
+        // deterministic 10% incoming batch, probing the stored cell
+        // index. Output is EXACT (triangle-inequality pruning + exact
+        // verify), so the oracle is plain SQL over the embeddings table.
+        embeddingPairsIncrementalExact(
+          Similarity.prepared(s, d), 0.4, _ % 10 === 0),
+      Some(INCREMENTAL_EMBED_ORACLE),
+      "exact incremental embedding near-dup: incoming batch probes the per-cell corpus index; existing-existing pairs never generate"),
 
     QueryDef(
       "q79_semdedup",

@@ -31,11 +31,16 @@ object VectorOps {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity with precomputed norms (precompute per row before a
-    * pairwise join — norms are O(n), pairs are O(n^2)). */
+    * pairwise join — norms are O(n), pairs are O(n^2)). Zero-norm inputs
+    * yield NULL rather than an ANSI divide-by-zero job failure — the same
+    * semantics DuckDB gives 0/0, so threshold filters drop such pairs on
+    * both sides instead of one degenerate embedding killing a 100 TB run;
+    * for every non-zero divisor `try_divide` is the identical double
+    * division. */
   def cosinePre(dotAB: Column, normA: Column, normB: Column): Column =
-    dotAB / (normA * normB)
+    try_divide(dotAB, normA * normB)
 
   /** Cosine similarity of two raw vectors. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    cosinePre(dot(a, b), norm(a), norm(b))
 }

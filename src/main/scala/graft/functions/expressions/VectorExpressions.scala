@@ -168,6 +168,92 @@ case class CentroidTopK(child: Expression, codebook: Seq[Seq[Double]], k: Int)
     copy(child = newChild)
 }
 
+/** The ids of every codebook cell whose threshold the vector clears:
+  * `{ c | dot(v, codebook(c)) >= thresholds(c) * nrm }`, as `array<int>`
+  * in ascending cell order.
+  *
+  * This is the probe-list generator for EXACT cosine-threshold search over
+  * a cell index: with normalized centroids and per-cell angular radii
+  * `amax(c)`, setting `thresholds(c) = cos(acos(t) + amax(c))` (or -1 when
+  * that angle wraps past pi) makes the kept cells exactly those the
+  * spherical triangle inequality cannot exclude for a `cos >= t` match —
+  * scaling by the row's own `nrm` keeps the comparison on the normalized
+  * query without materializing a normalized copy of the vector. Same
+  * reference-object codebook shape as [[CentroidTopK]]: one tree node and
+  * one primitive loop at any C. */
+case class CentroidsAbove(left: Expression, right: Expression,
+    codebook: Seq[Seq[Double]], thresholds: Seq[Double])
+    extends BinaryExpression {
+  require(codebook.nonEmpty, "centroids_above needs a non-empty codebook")
+  require(codebook.length == thresholds.length,
+    s"centroids_above: ${codebook.length} cells vs ${thresholds.length} thresholds")
+
+  @transient private lazy val cb: Array[Array[Double]] =
+    codebook.map(_.toArray).toArray
+  @transient private lazy val th: Array[Double] = thresholds.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"centroids_above requires (array<double>, double), got ${l.sql} / ${r.sql}")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "centroids_above"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val nrm = b.asInstanceOf[Double]
+    val dim = v.numElements()
+    val out = new Array[Int](cb.length)
+    var k = 0
+    var c = 0
+    while (c < cb.length) {
+      val row = cb(c)
+      val n = math.min(dim, row.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * row(i); i += 1 }
+      if (s >= th(c) * nrm) { out(k) = c; k += 1 }
+      c += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cbRef = ctx.addReferenceObj("codebook", cb, "double[][]")
+      val thRef = ctx.addReferenceObj("thresholds", th, "double[]")
+      val dim = ctx.freshName("dim")
+      val out = ctx.freshName("out")
+      val k = ctx.freshName("k")
+      val c = ctx.freshName("c")
+      val row = ctx.freshName("row")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $dim = $a.numElements();
+         |int[] $out = new int[$cbRef.length];
+         |int $k = 0;
+         |for (int $c = 0; $c < $cbRef.length; $c++) {
+         |  double[] $row = $cbRef[$c];
+         |  int $n = java.lang.Math.min($dim, $row.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $row[$i]; }
+         |  if ($s >= $thRef[$c] * $b) { $out[$k] = $c; $k++; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    java.util.Arrays.copyOf($out, $k));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CentroidsAbove =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two array<double> columns. */
   def vecDot(a: Column, b: Column): Column =
@@ -178,6 +264,16 @@ object VectorExpressions {
     * column against a driver-held codebook. */
   def centroidTopK(v: Column, codebook: Seq[Seq[Double]], k: Int): Column =
     GraftSqlBridge.column(CentroidTopK(GraftSqlBridge.expression(v), codebook, k))
+
+  /** Codegen'd thresholded centroid scan: the ids of every codebook cell
+    * `c` with `dot(v, codebook(c)) >= thresholds(c) * nrm`, i.e. cells a
+    * cosine-ball query centered on `v` cannot prove empty. One loop per
+    * row like [[centroidTopK]] — the codebook and per-cell thresholds ride
+    * as reference objects, so the expression tree is O(1) in C. */
+  def centroidsAbove(v: Column, nrm: Column, codebook: Seq[Seq[Double]],
+      thresholds: Seq[Double]): Column =
+    GraftSqlBridge.column(CentroidsAbove(GraftSqlBridge.expression(v),
+      GraftSqlBridge.expression(nrm), codebook, thresholds))
 
   /** Make `vec_dot` callable from SQL text in this session
     * (`SELECT vec_dot(a, b) FROM ...`). */

@@ -66,4 +66,45 @@ object DedupProps extends Properties("dedup") {
         .as[(Long, Long, Double)].collect().toSeq
       Prop(inc == full) :| s"inc=${inc.size} full-filtered=${full.size} t=$t mod=$mod"
     }
+
+  private val vecCorpusGen: Gen[(List[(Long, List[Double])], Double)] =
+    for {
+      dim <- Gen.chooseNum(2, 8)
+      nVecs <- Gen.chooseNum(2, 20)
+      t <- Gen.oneOf(0.3, 0.4, 0.7)
+      vecs <- Gen.sequence[List[(Long, List[Double])], (Long, List[Double])](
+        (0 until nVecs).toList.map { i =>
+          // small integer coords make near-parallel (and exactly zero)
+          // vectors common, so the cosine threshold and the zero-norm
+          // edge both get exercised
+          Gen.listOfN(dim, Gen.chooseNum(-3, 3).map(_.toDouble))
+            .map(v => (i.toLong, v))
+        })
+    } yield (vecs, t)
+
+  property("incremental embedding probe equals the exact relation filtered to incoming") =
+    Prop.forAll(vecCorpusGen, Gen.chooseNum(2, 5)) { case ((vecs, t), mod) =>
+      // the q98 exactness claim over ANY corpus, threshold, batch
+      // predicate, and (via tiny clusterTarget) non-trivial cell count:
+      // probing only the cells the spherical triangle inequality cannot
+      // rule out reproduces exactly the incoming-involving subset of the
+      // brute-force cosine pair relation
+      import spark.implicits._
+      import graft.functions.VectorOps
+      val e = vecs.toDF("vec_id", "v")
+        .withColumn("nrm", VectorOps.norm(col("v")))
+      val a = e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+      val brute = a.join(b, col("ia") < col("ib"))
+        .select(col("ia"), col("ib"),
+          round(VectorOps.cosinePre(VectorOps.dot(col("va"), col("vb")),
+            col("na"), col("nb")), 6).as("cos"))
+        .filter(col("cos") >= t)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+        .filter { case (x, y, _) => x % mod == 0 || y % mod == 0 }
+      val inc = Dedup.embeddingPairsIncrementalExact(e, t, _ % mod === 0,
+          clusterTarget = 3)
+        .as[(Long, Long, Double)].collect().toSeq
+      Prop(inc == brute) :| s"inc=${inc.size} brute-filtered=${brute.size} t=$t mod=$mod"
+    }
 }

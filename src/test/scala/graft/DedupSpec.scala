@@ -177,6 +177,41 @@ class DedupSpec extends SparkSpec {
     assert(inc.nonEmpty, "expected incoming-involving pairs at sf0.01")
   }
 
+  test("incremental embedding dedup (q98) equals brute force restricted to incoming") {
+    // the embedding-side q96: cell-index probing + triangle-inequality
+    // pruning must lose NOTHING vs the exact all-pairs relation — q98 is
+    // oracle-checked (exact), this pins the same claim locally and at a
+    // second scale factor
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      def norm(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+        df.select(col("ia").cast("long"), col("ib").cast("long"), col("cos"))
+          .as[(Long, Long, Double)].collect().toSet
+      val brute = norm(Dedup.embeddingPairsBrute(spark, sf))
+        .filter { case (a, b, _) => a % 10 == 0 || b % 10 == 0 }
+      val inc = norm(
+        Dedup.defs.find(_.name == "q98_incremental_embed").get.fn(spark, sf))
+      assert(inc == brute, s"$sf: incremental (${inc.size}) != brute filtered (${brute.size})")
+      assert(inc.nonEmpty, s"expected incoming-involving pairs at $sf")
+    }
+  }
+
+  test("incremental LSH probe equals the full q64 relation restricted to incoming") {
+    // the sublinear onboarding path: probing only incoming codes against
+    // the corpus code index is output-identical to running full q64 and
+    // filtering — the hamming-within-radius match condition is symmetric,
+    // so one-sided probing loses nothing RELATIVE TO q64 (recall vs exact
+    // stays q64's, pinned above)
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      def norm(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+        df.select(col("ia").cast("long"), col("ib").cast("long"), col("cos"))
+          .as[(Long, Long, Double)].collect().toSet
+      val full = norm(Dedup.embeddingPairsLsh(spark, sf))
+        .filter { case (a, b, _) => a % 10 == 0 || b % 10 == 0 }
+      val inc = norm(Dedup.embeddingPairsLshIncremental(spark, sf, _ % 10 === 0))
+      assert(inc == full, s"$sf: lsh incremental (${inc.size}) != lsh full filtered (${full.size})")
+    }
+  }
+
   test("row-wise minhash signatures are identical to the exploded-shuffle path") {
     // q36's map-side signature fold must equal the groupBy-of-explode
     // reference value-for-value — same docs, same 32 mins — on the real
