@@ -83,6 +83,32 @@ object Dedup {
           WHERE a.vec_id % 10 = 0 OR b.vec_id % 10 = 0)
         SELECT ia, ib, cos FROM p WHERE cos >= 0.4 ORDER BY ia, ib"""
 
+  /** q99 oracle: the exact cosine pair relation closed transitively
+    * (q68's recursive-CTE shape over the embeddings table) — min
+    * reachable vec = survivor, everything else in its cluster is the
+    * removal list. */
+  private val EMBED_CLUSTER_ORACLE = """
+        WITH RECURSIVE e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.v, b.v) /
+                      (sqrt(list_dot_product(a.v, a.v)) *
+                       sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4),
+        sym AS (
+          SELECT ia AS a, ib AS b FROM p
+          UNION
+          SELECT ib AS a, ia AS b FROM p),
+        reach(v, r) AS (
+          SELECT a, a FROM sym
+          UNION
+          SELECT reach.v, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+        labels AS (SELECT v AS vec_id, min(r) AS survivor FROM reach GROUP BY v)
+        SELECT vec_id, survivor, vec_id <> survivor AS is_dup
+        FROM labels
+        ORDER BY vec_id"""
+
   /** q68 oracle: the same pair relation, closed transitively (recursive
     * CTE, min reachable doc = survivor) — the canonical removal list. */
   private val CLUSTER_ORACLE = s"""
@@ -261,6 +287,14 @@ object Dedup {
     * runs dedup candidates before the verify join (one extra shuffle that
     * SHRINKS the verify input — the right side of the trade). */
   def embeddingPairsLsh(s: SparkSession, d: String,
+      targetBucket: Long = 32, radius: Int = 3, nTables: Int = 2): DataFrame =
+    embeddingPairsLshUnordered(s, d, targetBucket, radius, nTables)
+      .orderBy(col("ia"), col("ib"))
+
+  /** The q64 pair relation without the presentation sort — consumers that
+    * re-shuffle anyway (q99's closure) must not pay a global order
+    * (same split as [[jaccardPairsPrefixUnordered]] under q68). */
+  def embeddingPairsLshUnordered(s: SparkSession, d: String,
       targetBucket: Long = 32, radius: Int = 3, nTables: Int = 2): DataFrame = {
     val e = embeddings(s, d).select(
       col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
@@ -282,7 +316,7 @@ object Dedup {
       .filter(col("ia") < col("ib"))
       .select(col("ia"), col("ib"))
     val cand = if (nTables > 1) cand0.distinct() else cand0
-    cosVerify(e, cand, 0.4).orderBy(col("ia"), col("ib"))
+    cosVerify(e, cand, 0.4)
   }
 
   /** Exact-cosine verification of a candidate (ia, ib) relation: join the
@@ -724,6 +758,31 @@ object Dedup {
           Similarity.prepared(s, d), 0.4, _ % 10 === 0),
       Some(INCREMENTAL_EMBED_ORACLE),
       "exact incremental embedding near-dup: incoming batch probes the per-cell corpus index; existing-existing pairs never generate"),
+
+    QueryDef(
+      "q99_embed_dedup_clusters",
+      (s, d) => {
+        // the removal-LIST form of the embedding near-dup family — the
+        // curation op users actually run at scale: where q64's pair
+        // relation is intrinsically output-bound (exact cos>=0.4 pairs
+        // grow ~K^2 under corpus amplification), the closed
+        // cluster/survivor map is one row per clustered vector, LINEAR
+        // in output. Same capstone shape as q68: LSH pairs -> large/
+        // small-star CC -> min-vec survivor; vectors in no pair keep
+        // themselves implicitly. Cluster membership inherits q64's
+        // candidate recall (1.0 at the oracle-gate scale factors, 0.991
+        // at sf0.1 where a missed pair can split a cluster — measured in
+        // DedupSpec against the exact closure). cache the pair frame: CC
+        // consumes it twice (edges AND the vertex list).
+        val pairs = embeddingPairsLshUnordered(s, d)
+          .select(col("ia").as("src"), col("ib").as("dst")).cache()
+        graft.operators.IterativeGraph.connectedComponents(pairs)
+          .select(col("xref").as("vec_id"), col("component").as("survivor"),
+            (col("xref") =!= col("component")).as("is_dup"))
+          .orderBy(col("vec_id"))
+      },
+      Some(EMBED_CLUSTER_ORACLE),
+      "embedding near-dup clusters: LSH pairs -> CC closure -> min-vec survivor (linear-output removal list)"),
 
     QueryDef(
       "q79_semdedup",

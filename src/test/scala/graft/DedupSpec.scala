@@ -212,6 +212,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("embedding dedup clusters (q99) equal the exact-pair closure at oracle SFs") {
+    // q99's clusters come from q64's LSH pairs; at the scale factors the
+    // driver oracle-checks, q64's recall is 1.0 (pinned above), so the
+    // closure must equal the one built from brute-force exact pairs
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      def closure(pairs: org.apache.spark.sql.DataFrame): Set[(Long, Long, Boolean)] =
+        graft.operators.IterativeGraph.connectedComponents(
+            pairs.select(col("ia").as("src"), col("ib").as("dst")))
+          .select(col("xref"), col("component"),
+            (col("xref") =!= col("component")).as("d"))
+          .as[(Long, Long, Boolean)].collect().toSet
+      val exact = closure(Dedup.embeddingPairsBrute(spark, sf))
+      val got = Dedup.defs.find(_.name == "q99_embed_dedup_clusters").get
+        .fn(spark, sf)
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(got == exact, s"$sf: q99 (${got.size}) != exact closure (${exact.size})")
+      assert(got.exists(_._3), s"expected at least one removal at $sf")
+    }
+  }
+
   test("row-wise minhash signatures are identical to the exploded-shuffle path") {
     // q36's map-side signature fold must equal the groupBy-of-explode
     // reference value-for-value — same docs, same 32 mins — on the real
