@@ -429,22 +429,51 @@ object Dedup {
       .withColumn("nrm", VectorOps.norm(col("v")))
       .cache()
     val p = Similarity.planesForCorpus(e.count(), targetBucket)
-    val r = math.min(radius, Similarity.ringBoundedRadius(p, radius))
-    val coded = e.select(col("vec_id"),
+    probeLshIndex(lshCodeIndex(e, p, nTables),
+        e.filter(isIncoming(col("vec_id"))), p, radius, nTables)
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  /** The stored hyperplane-code index for embedding onboarding — the
+    * embedding analog of [[prefixIndex]]: per corpus vector, its
+    * `nTables` sign codes plus the vector and norm for in-row exact
+    * verification. One row per (vec_id, table); at scale it is written
+    * bucketed on (t, code) so probe joins co-locate and the corpus never
+    * shuffles. `e` must carry (vec_id, v, nrm). */
+  def lshCodeIndex(e: DataFrame, p: Int, nTables: Int = 2): DataFrame =
+    e.select(col("vec_id"), col("v"), col("nrm"),
       posexplode(array((0 until nTables).map(t =>
         Similarity.lshCode(col("v"), p, t)): _*)).as(Seq("t", "code")))
-    val probes = coded.filter(isIncoming(col("vec_id")))
+
+  /** Batch probe of an incoming vector frame against a stored
+    * [[lshCodeIndex]] (overlapping or disjoint with the incoming set):
+    * incoming codes fan out to their probe ring, candidates come from the
+    * (t, code) equi join, and every candidate is exactly verified. The
+    * streaming twin ([[graft.streaming.StreamingOps.incrementalEmbedProbe]])
+    * runs the same probe per micro-batch against the same index —
+    * StreamingSpec pins output parity on identical inputs. */
+  def probeLshIndex(index: DataFrame, incoming: DataFrame, p: Int,
+      radius: Int = 3, nTables: Int = 2, threshold: Double = 0.4): DataFrame = {
+    val r = math.min(radius, Similarity.ringBoundedRadius(p, radius))
+    val probes = lshCodeIndex(incoming, p, nTables)
       .select(col("vec_id").as("q"), col("t"),
         explode(array(Similarity.probeMasks(p, r).map(m =>
           col("code").bitwiseXOR(lit(m))): _*)).as("code"))
     val cand = probes
-      .join(coded.select(col("vec_id").as("x"), col("t"), col("code")),
+      .join(index.select(col("vec_id").as("x"), col("t"), col("code")),
         Seq("t", "code"))
       .filter(col("q") =!= col("x"))
       .select(least(col("q"), col("x")).as("ia"),
         greatest(col("q"), col("x")).as("ib"))
       .distinct()
-    cosVerify(e, cand, 0.4).orderBy(col("ia"), col("ib"))
+    // verify-side vectors: the index's (one row per vec at t=0) plus the
+    // incoming frame — dedup'd so an overlapping incoming set (the q96
+    // idiom, incoming subset of corpus) contributes each vector once
+    val vecs = index.filter(col("t") === 0)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .union(incoming.select(col("vec_id"), col("v"), col("nrm")))
+      .dropDuplicates("vec_id")
+    cosVerify(vecs, cand, threshold)
   }
 
   /** Per-doc arrays for the AllPairs prefix join, from ONE aggregation:

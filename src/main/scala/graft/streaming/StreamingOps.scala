@@ -235,6 +235,56 @@ object StreamingOps {
       .select(col("ia"), col("ib"), col("jaccard"))
   }
 
+  /** An arriving embedding row: id, float-widened vector, event time. */
+  final case class VecIn(vec_id: Long, v: Seq[Double], ts: java.sql.Timestamp)
+
+  /** Streaming incremental embedding near-dup — q98's onboarding pattern
+    * made ingest-time, the hyperplane-code mirror of
+    * [[incrementalNearDupProbe]]: arriving vectors probe a STATIC corpus
+    * code index ([[graft.functions.Dedup.lshCodeIndex]], the stored index
+    * a production pipeline maintains), candidates come from the (table,
+    * code) equi join over the probe ring, and every candidate is verified
+    * with the exact cosine in-row — the index rows carry the vector and
+    * norm, so verification needs no second join. Emits (ia, ib, cos)
+    * pairs with the same rounding as the batch verify tail; the ONLY
+    * stateful operator is watermark-expired per-pair dedup (a pair can
+    * match through several tables/masks). Output is identical to the
+    * batch [[graft.functions.Dedup.probeLshIndex]] over the same index
+    * (StreamingSpec replays a corpus and asserts set equality).
+    *
+    * `p` must be the plane count the index was coded with. Incoming-
+    * incoming pairs are the next index refresh's business — exactly the
+    * split that keeps the corpus-probe half stateless. At scale the index
+    * is bucketed on (t, code) so each micro-batch's probe join
+    * co-locates; nothing here ever shuffles the corpus. */
+  def incrementalEmbedProbe(vecs: Dataset[VecIn], index: DataFrame, p: Int,
+      threshold: Double = 0.4, radius: Int = 3, nTables: Int = 2,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.functions.{Similarity, VectorOps}
+    val r = math.min(radius, Similarity.ringBoundedRadius(p, radius))
+    val idx = index.select(col("vec_id").as("xa"), col("v").as("va"),
+      col("nrm").as("na"), col("t"), col("code"))
+    vecs.toDF()
+      .withColumn("nb", VectorOps.norm(col("v")))
+      .withWatermark("ts", watermarkDelay)
+      .select(col("vec_id").as("xb"), col("v").as("vb"), col("nb"), col("ts"),
+        posexplode(array((0 until nTables).map(t =>
+          Similarity.lshCode(col("v"), p, t)): _*)).as(Seq("t", "c0")))
+      .select(col("xb"), col("vb"), col("nb"), col("ts"), col("t"),
+        explode(array(Similarity.probeMasks(p, r).map(m =>
+          col("c0").bitwiseXOR(lit(m))): _*)).as("code"))
+      .join(idx, Seq("t", "code"))
+      .filter(col("xa") =!= col("xb"))
+      .select(least(col("xa"), col("xb")).as("ia"),
+        greatest(col("xa"), col("xb")).as("ib"), col("ts"),
+        // same rounding as the batch verify tail => bit-identical values
+        round(VectorOps.cosinePre(VectorOps.dot(col("va"), col("vb")),
+          col("na"), col("nb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .dropDuplicatesWithinWatermark("ia", "ib")
+      .select(col("ia"), col("ib"), col("cos"))
+  }
+
   /** Stream-stream interval join: purchases joined to the errors that
     * follow them within 10 minutes for the same user (the streaming form of
     * q22). Both sides are watermarked so the state store can discard

@@ -246,6 +246,40 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${stream -- batch}; batch-only: ${batch -- stream}")
   }
 
+  test("streaming embedding probe matches the batch index probe") {
+    import graft.streaming.StreamingOps.VecIn
+    import graft.functions.{Dedup, Similarity}
+    // mod-3 split for the same reason as the q96 streaming test: planted
+    // partners tend to share their mod-10 residue, and the probe-only
+    // stream covers exactly the incoming-vs-CORPUS pairs
+    val e = Similarity.prepared(spark, SF).cache()
+    val corpus = e.filter(col("vec_id") % 3 =!= 0)
+    val p = Similarity.planesForCorpus(corpus.count(), 32)
+    // static code index over the "existing corpus" — the stored shape a
+    // production pipeline maintains
+    val index = Dedup.lshCodeIndex(corpus, p).cache()
+    val incoming = e.filter(col("vec_id") % 3 === 0)
+    val expected = Dedup.probeLshIndex(index, incoming, p)
+      .as[(Long, Long, Double)].collect().toSet
+    val vecs = incoming.select(col("vec_id"), col("v")).collect()
+      .map(r => VecIn(r.getLong(0), r.getSeq[Double](1),
+        new Timestamp(86400_000L + r.getLong(0) * 1000)))
+      .sortBy(_.vec_id)
+    val in = MemoryStream[VecIn]
+    val q = StreamingOps.incrementalEmbedProbe(in.toDS(), index, p)
+      .writeStream.format("memory").queryName("incembed").outputMode("append").start()
+    try {
+      val (b1, b2) = vecs.splitAt(vecs.length / 2)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("incembed")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty, "replayed corpus has no mixed near-dup pairs")
+    assert(stream == expected,
+      s"stream-only: ${stream -- expected}; batch-only: ${expected -- stream}")
+  }
+
   test("streaming contamination probe matches batch q73 hit counts") {
     import graft.streaming.StreamingOps.DocIn
     import graft.functions.TextAnalysis
