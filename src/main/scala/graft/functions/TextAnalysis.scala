@@ -53,6 +53,62 @@ object TextAnalysis {
   private val SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
   private val SQL_STOP = STOPWORDS.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** Rows a single window partition may hold in the hierarchical running
+    * sum — both the bucket width and the recursion's leaf size. 4096 is
+    * small enough that the recursion is exercised from sf0.01 up, and at
+    * 10^10 docs the depth is only ceil(log_4096) = 3. */
+  val PACK_FANOUT = 4096L
+
+  /** EXCLUSIVE running sum of `value` in `id` order (each row gets the sum
+    * of all strictly-preceding rows) — the parallel prefix-sum shape, as a
+    * log-depth plan in which NO window partition holds more than
+    * ~[[PACK_FANOUT]] rows at ANY corpus size:
+    *
+    *   - rows bucket by `id div PACK_FANOUT`; an in-bucket window
+    *     (partitioned, <= PACK_FANOUT rows) gives the within-bucket sum;
+    *   - bucket totals RECURSE through the same helper for their
+    *     exclusive offsets (N/4096 rows per level, so depth is
+    *     logarithmic and the per-level frames are cached — they are
+    *     consumed by both the recursion and the join-back);
+    *   - once a level fits [[PACK_FANOUT]] rows it takes one window over
+    *     an EXPLICIT constant partition key: the same single-partition
+    *     execution a global-order window would use, but deliberate,
+    *     bounded by the leaf size, and free of WindowExec's "No Partition
+    *     Defined" warning — so any unintended global window elsewhere in
+    *     the suite stays loud, and PlanSpec can pin "no empty-partition
+    *     window" over the whole packing plan.
+    *
+    * `id` must be unique and non-negative (doc ids / bucket ids). The
+    * caller should cache `df`: it feeds both the bucket-sum spine and the
+    * offset join-back. Level framing: the offsets join is a plain equi
+    * join on the bucket key — AQE broadcasts it while the level is small
+    * and falls back to shuffle when it is not. */
+  private[graft] def exclusiveRunningSum(df: DataFrame, id: String,
+      value: String, out: String, depth: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (df.count() <= PACK_FANOUT) {
+      // pmod(id, 1) is constant 0 for these non-negative ids but NOT
+      // foldable — a literal key would be stripped by Catalyst's
+      // EliminateWindowPartitions and the window would silently revert to
+      // the warned unpartitioned form this helper exists to ban
+      val w = Window.partitionBy(pmod(col(id), lit(1L))).orderBy(col(id))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn(out, coalesce(sum(col(value)).over(w), lit(0L)))
+    } else {
+      val bkt = s"__bkt$depth"
+      val bsums = df.groupBy(expr(s"`$id` div $PACK_FANOUT").as(bkt))
+        .agg(sum(col(value)).as(value)).cache()
+      val offs = exclusiveRunningSum(bsums, bkt, value, "__off", depth + 1)
+        .select(col(bkt), col("__off"))
+      val wIn = Window.partitionBy(col(bkt)).orderBy(col(id))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn(bkt, expr(s"`$id` div $PACK_FANOUT"))
+        .join(offs, Seq(bkt))
+        .withColumn(out, col("__off") + coalesce(sum(col(value)).over(wIn), lit(0L)))
+        .drop(bkt, "__off")
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q30_text_tokens",
@@ -536,29 +592,17 @@ object TextAnalysis {
         //
         // The naive plan is sum(t) OVER (ORDER BY doc_id) — a global-order
         // window, which Spark executes in ONE partition: the classic scale
-        // killer. This computes the SAME running sum hierarchically:
-        // per-bucket token sums (tiny: N/BUCKET rows) take the global
-        // window, each doc adds its bucket's offset (broadcast join) to a
-        // bucket-partitioned window. The only global ordering that ever
-        // runs is over the bucket-sum relation — thousands of rows at any
-        // corpus size. PlanSpec pins that no corpus-sized empty-partition
-        // window survives.
-        import org.apache.spark.sql.expressions.Window
+        // killer. [[exclusiveRunningSum]] computes the SAME running sum as
+        // a log-depth bucket-sum recursion in which no window partition
+        // ever holds more than ~PACK_FANOUT rows at ANY corpus size;
+        // PlanSpec pins that no empty-partition window survives anywhere
+        // in the plan. cache: the token relation feeds the bucket-sum
+        // spine AND the offset join-back.
         val BUDGET = 2000L
-        val BUCKET = 64L
         val toks = documents(s, d)
           .select(col("doc_id"), size(tokens(col("text"))).as("t"))
-          .withColumn("bkt", expr(s"doc_id div $BUCKET"))
-        val bsums = toks.groupBy(col("bkt")).agg(sum(col("t")).as("bt"))
-        val wOff = Window.orderBy(col("bkt"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offs = bsums.select(col("bkt"),
-          coalesce(sum(col("bt")).over(wOff), lit(0L)).as("off"))
-        val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        toks.join(broadcast(offs), Seq("bkt"))
-          .withColumn("start",
-            col("off") + coalesce(sum(col("t")).over(wIn), lit(0L)))
+          .cache()
+        exclusiveRunningSum(toks, "doc_id", "t", "start")
           .withColumn("shard", expr(s"start div $BUDGET"))
           .groupBy(col("shard"))
           .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"),
@@ -803,7 +847,6 @@ object TextAnalysis {
         // map-side gates, the packing's bucket-sum spine.
         import org.apache.spark.sql.expressions.Window
         val BUDGET = 2000L
-        val BUCKET = 64L
         val MIN_TOKENS = 30
         // 1) exact dedup: min-doc_id survivor per canonical fingerprint
         val surv = documents(s, d)
@@ -817,18 +860,11 @@ object TextAnalysis {
           .select(col("doc_id"), size(tokens(col("text"))).as("t"))
           .filter(col("t") >= MIN_TOKENS)
           .filter(md5(col("doc_id").cast("string")) >= "1a")
-        // 4) q80's hierarchical prefix-sum packing over the curated stream
-        val toks = train.withColumn("bkt", expr(s"doc_id div $BUCKET"))
-        val bsums = toks.groupBy(col("bkt")).agg(sum(col("t")).as("bt"))
-        val wOff = Window.orderBy(col("bkt"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offs = bsums.select(col("bkt"),
-          coalesce(sum(col("bt")).over(wOff), lit(0L)).as("off"))
-        val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        toks.join(broadcast(offs), Seq("bkt"))
-          .withColumn("start",
-            col("off") + coalesce(sum(col("t")).over(wIn), lit(0L)))
+        // 4) q80's hierarchical prefix-sum packing over the curated
+        // stream. cache: the curated token relation feeds the bucket-sum
+        // spine AND the offset join-back — without it the dedup window
+        // and gates would execute twice.
+        exclusiveRunningSum(train.cache(), "doc_id", "t", "start")
           .withColumn("shard", expr(s"start div $BUDGET"))
           .groupBy(col("shard"))
           .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"),

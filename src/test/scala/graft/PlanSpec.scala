@@ -155,23 +155,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q80 doc-level running sum is bucket-partitioned, never a global-order window") {
-    // the corpus-sized window must carry a partition spec (bkt); only the
-    // tiny bucket-sum relation may take an unpartitioned ordered window
-    val p = plan("q80_shard_packing")
-    assert("windowspecdefinition\\(bkt#\\d+L?, doc_id".r.findFirstIn(p).nonEmpty,
-      s"doc-level window must partition by bkt:\n$p")
-    assert(p.contains("BroadcastHashJoin"), p) // bucket offsets broadcast back
+  private def windowExecs(name: String) =
+    SparkEntry.queries(name)(spark, SF).queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+
+  test("q80 packing never plans an unpartitioned window") {
+    // the hierarchical running sum guarantees every window partition is
+    // bounded (~PACK_FANOUT rows) at any corpus size; even the recursion
+    // leaf declares an explicit constant key, so a WindowExec with an
+    // EMPTY partition spec anywhere in the packing plan is a regression
+    // to the single-partition global sort (the recursion itself is
+    // equivalence-tested in TextAnalysisSpec)
+    val wins = windowExecs("q80_shard_packing")
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "packing window lost its partition key")
   }
 
-  test("q97 composed pipeline keeps q80's bucket-partitioned packing window") {
-    // composition must not regress the packing stage's scale shape: the
-    // doc-level running sum still partitions by bkt, offsets broadcast
-    val p = plan("q97_curation_pipeline")
-    assert("windowspecdefinition\\(bkt#\\d+L?, doc_id".r.findFirstIn(p).nonEmpty,
-      s"doc-level window must partition by bkt:\n$p")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("CartesianProduct"), p)
+  test("q97 composed pipeline keeps the partitioned packing shape") {
+    val wins = windowExecs("q97_curation_pipeline")
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "packing window lost its partition key")
+    assert(!plan("q97_curation_pipeline").contains("CartesianProduct"))
   }
 
   test("q81 thresholds broadcast back to the corpus scan") {

@@ -16,6 +16,32 @@ class TextAnalysisSpec extends SparkSpec {
   private val IPV4 = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
   private val PHONE = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
 
+  test("hierarchical running sum equals the naive global window") {
+    // 10k rows with sparse, shuffled-ish ids: > PACK_FANOUT, so the
+    // bucket recursion actually runs (one level); values vary so a
+    // bucket-boundary mistake cannot cancel out
+    val rows = (0 until 10000).map(i => (i.toLong * 3 + (i % 7), (i % 13).toLong + 1))
+    val df = rows.toDF("id", "v").repartition(8).cache()
+    val got = TextAnalysis.exclusiveRunningSum(df, "id", "v", "cum")
+      .select(col("id"), col("cum")).as[(Long, Long)].collect().toMap
+    var acc = 0L
+    val want = rows.sortBy(_._1).map { case (id, v) =>
+      val r = (id, acc); acc += v; r
+    }.toMap
+    assert(got.size == rows.size)
+    assert(got == want,
+      s"first diffs: ${got.toSeq.sortBy(_._1).zip(want.toSeq.sortBy(_._1))
+        .filter(p => p._1 != p._2).take(3)}")
+    // and the log-depth plan never falls back to an unpartitioned window
+    val wins = TextAnalysis.exclusiveRunningSum(df, "id", "v", "cum")
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "every window in the packing spine must declare a partition key")
+  }
+
   test("q76 PII patterns match real emails, phones, and IPs") {
     val df = Seq(
       ("contact bob.smith+spam@mail.example.org or 555-867-5309x", 1, 0, 0),
