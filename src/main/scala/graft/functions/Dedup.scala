@@ -521,9 +521,11 @@ object Dedup {
     * re-shuffle anyway (q68's closure) must not pay a global order. */
   def jaccardPairsPrefixUnordered(toksIn: DataFrame, t: Double): DataFrame = {
     val docs = docPrefixArrays(toksIn, t).cache() // candidates + both verify sides
+    // no standalone distinct: a pair arrives once per shared prefix token
+    // and verifyPairs dedups inside its own first exchange
     val cand = prefixSide(docs, "ia").join(prefixSide(docs, "ib"), Seq("wk"))
       .filter(col("ia") < col("ib"))
-      .select(col("ia"), col("ib")).distinct()
+      .select(col("ia"), col("ib"))
     verifyPairs(docs, cand, t)
   }
 
@@ -542,10 +544,10 @@ object Dedup {
     val cand = prefixSide(docs.filter(isIncoming(col("doc_id"))), "q")
       .join(prefixSide(docs, "c"), Seq("wk"))
       .filter(col("q") =!= col("c"))
-      // normalize: an incoming-incoming pair may arrive both ways
+      // normalize: an incoming-incoming pair may arrive both ways;
+      // verifyPairs dedups inside its own first exchange
       .select(least(col("q"), col("c")).as("ia"),
         greatest(col("q"), col("c")).as("ib"))
-      .distinct()
     verifyPairs(docs, cand, t)
   }
 
@@ -562,11 +564,24 @@ object Dedup {
     .select(col(n), xxhash64(col("lang"), col("source"), col("word")).as("wk"))
 
   /** Exact-Jaccard verification of a candidate (ia, ib) relation against
-    * the docs' full token arrays; emits only pairs clearing `t`. */
+    * the docs' full token arrays; emits only pairs clearing `t`.
+    *
+    * The candidate relation may contain DUPLICATES (one row per shared
+    * prefix token / per probe direction): dedup is FUSED into the verify
+    * join's own aggregation — `groupBy(ia).collect_set(ib)` dedups inside
+    * the exact exchange that partitions candidates for the ia-side join,
+    * instead of spending a separate distinct shuffle first (measured as
+    * one whole AQE stage of q65's critical path; at sf0.1 the query is
+    * stage-latency-bound, not volume-bound). Per-ia fanout is bounded by
+    * the near-dup neighborhood size — the same bound q68's components
+    * rely on — so the collected set never approaches corpus scale. */
   private def verifyPairs(docs: DataFrame, cand: DataFrame, t: Double): DataFrame =
     cand
+      .groupBy(col("ia")).agg(collect_set(col("ib")).as("ibs"))
       .join(docs.select(col("doc_id").as("ia"), col("ws").as("wsa"),
         col("lang").as("la"), col("source").as("sa")), "ia")
+      .select(col("ia"), col("wsa"), col("la"), col("sa"),
+        explode(col("ibs")).as("ib"))
       .join(docs.select(col("doc_id").as("ib"), col("ws").as("wsb"),
         col("lang").as("lb"), col("source").as("sb")), "ib")
       .filter(col("la") === col("lb") && col("sa") === col("sb"))

@@ -28,15 +28,19 @@ object ScaleBench {
     "q24_tumbling_window",  // time-bucketed agg over events
     "q34_dedup_exact",      // fingerprint hash-groupBy
     "q36_minhash_lsh",      // banded LSH candidate join
+    "q40_knn_lsh",          // LSH top-k ANN
     "q61_cc_dataframe",     // iterative large/small-star CC
-    "q64_neardup_lsh",      // embedding LSH near-dup
+    "q64_neardup_lsh",      // embedding LSH near-dup (pair list; output-bound)
     "q65_jaccard_prefix",   // prefix-filtered AllPairs
+    "q67_knn_ivf",          // IVF top-k ANN
     "q79_semdedup",         // k-means cells + probe
     "q80_shard_packing",    // hierarchical prefix-sum packing
     "q86_knn_ivfpq",        // IVF-PQ ANN
     "q95_bloom_join",       // bloom-pruned shuffle join
     "q96_incremental_dedup",// batch-vs-corpus prefix probe
-    "q97_curation_pipeline")// composed dedup->gate->split->pack
+    "q97_curation_pipeline",// composed dedup->gate->split->pack
+    "q98_incremental_embed",// batch-vs-corpus cell-index probe (exact)
+    "q99_embed_dedup_clusters") // LSH pairs -> CC removal list (linear output)
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")
