@@ -315,15 +315,20 @@ object Dedup {
         Seq("t", "code"))
       .filter(col("ia") < col("ib"))
       .select(col("ia"), col("ib"))
-    val cand = if (nTables > 1) cand0.distinct() else cand0
-    cosVerify(e, cand, 0.4)
+    // within one table a pair matches through exactly one mask, so a
+    // single-table run needs no dedup; multi-table candidates dedup
+    // inside the verify join's own aggregation
+    if (nTables > 1) cosVerifyGrouped(e, cand0, 0.4)
+    else cosVerify(e, cand0, 0.4)
   }
 
   /** Exact-cosine verification of a candidate (ia, ib) relation: join the
     * vectors back by id, compute the rounded cosine, keep `>= t`. Shared
     * by every embedding near-dup path (q64, q98, the incremental LSH
     * probe) so precision — and the oracle-facing arithmetic — cannot
-    * drift between them. `e` must carry (vec_id, v, nrm). */
+    * drift between them. `e` must carry (vec_id, v, nrm). Candidates must
+    * already be unique; generators that emit duplicates use
+    * [[cosVerifyGrouped]]. */
   private def cosVerify(e: DataFrame, cand: DataFrame, t: Double): DataFrame =
     cand
       .join(e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na")), "ia")
@@ -332,6 +337,21 @@ object Dedup {
         round(VectorOps.cosinePre(VectorOps.dot(col("va"), col("vb")),
           col("na"), col("nb")), 6).as("cos"))
       .filter(col("cos") >= t)
+
+  /** [[cosVerify]] for candidate relations WITH duplicates (multi-table /
+    * multi-cell / both-ways probes): dedup is fused into the verify
+    * join's own aggregation — `groupBy(ia).collect_set(ib)` dedups inside
+    * the exchange that partitions candidates for the ia-side join,
+    * instead of a standalone distinct shuffle first (the same fusion as
+    * the Jaccard verifyPairs; on the scale study's heaviest query, q64 at
+    * x8, the distinct was a full extra pass over a ~60k-pair-dense
+    * candidate relation). Per-ia fanout is bounded by the near-dup
+    * neighborhood size. */
+  private def cosVerifyGrouped(e: DataFrame, cand: DataFrame, t: Double): DataFrame =
+    cosVerify(e,
+      cand.groupBy(col("ia")).agg(collect_set(col("ib")).as("ibs"))
+        .select(col("ia"), explode(col("ibs")).as("ib")),
+      t)
 
   /** EXACT incremental embedding near-dup (registered as q98) — the
     * onboarding shape of [[jaccardPairsIncremental]] (q96) ported to the
@@ -404,11 +424,11 @@ object Dedup {
     val cand = probes
       .join(idx.select(col("vec_id").as("x"), col("cid")), Seq("cid"))
       .filter(col("q") =!= col("x"))
-      // normalize: an incoming-incoming pair may arrive both ways
+      // normalize: an incoming-incoming pair may arrive both ways;
+      // cosVerifyGrouped dedups inside its own first exchange
       .select(least(col("q"), col("x")).as("ia"),
         greatest(col("q"), col("x")).as("ib"))
-      .distinct()
-    cosVerify(ec, cand, t).orderBy(col("ia"), col("ib"))
+    cosVerifyGrouped(ec, cand, t).orderBy(col("ia"), col("ib"))
   }
 
   /** Incremental hyperplane-LSH near-dup — [[embeddingPairsLsh]] (q64)
@@ -465,7 +485,6 @@ object Dedup {
       .filter(col("q") =!= col("x"))
       .select(least(col("q"), col("x")).as("ia"),
         greatest(col("q"), col("x")).as("ib"))
-      .distinct()
     // verify-side vectors: the index's (one row per vec at t=0) plus the
     // incoming frame — dedup'd so an overlapping incoming set (the q96
     // idiom, incoming subset of corpus) contributes each vector once
@@ -473,7 +492,7 @@ object Dedup {
       .select(col("vec_id"), col("v"), col("nrm"))
       .union(incoming.select(col("vec_id"), col("v"), col("nrm")))
       .dropDuplicates("vec_id")
-    cosVerify(vecs, cand, threshold)
+    cosVerifyGrouped(vecs, cand, threshold)
   }
 
   /** Per-doc arrays for the AllPairs prefix join, from ONE aggregation:
@@ -918,11 +937,14 @@ object Dedup {
       .withColumn("cid", element_at(col("probes"), 1))
       .cache()
     val probed = idx.select(col("vec_id"), explode(col("probes")).as("pc"))
+    // a pair may share several probed cells; dedup ("verify once") is
+    // fused into the ia-side verify join's aggregation like cosVerifyGrouped
     val cand = probed.alias("x")
       .join(probed.alias("y"), Seq("pc"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"))
-      .distinct() // a pair may share several probed cells; verify once
+      .groupBy(col("ia")).agg(collect_set(col("ib")).as("ibs"))
+      .select(col("ia"), explode(col("ibs")).as("ib"))
     val removed = cand
       .join(idx.select(col("vec_id").as("ia"),
         col("v").as("va"), col("nrm").as("na")), "ia")
