@@ -197,11 +197,14 @@ object Dedup {
         }: _*)).as("bk"): _*)
       .select((col("doc_id") +: scope.map(col)) :+ col("bk.band") :+ col("bk.bh"): _*)
     val joinKeys = scope ++ Seq("band", "bh")
+    // a pair can share several bands; dedup is fused into the ia-side
+    // verify join's aggregation (same shape as cosVerifyGrouped)
     val cand = banded.alias("x")
       .join(banded.alias("y"), joinKeys)
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
-      .distinct()
+      .groupBy(col("ia")).agg(collect_set(col("ib")).as("ibs"))
+      .select(col("ia"), explode(col("ibs")).as("ib"))
     val sa = sigs.select(col("doc_id").as("ia"), col("sig").as("siga"))
     val sb = sigs.select(col("doc_id").as("ib"), col("sig").as("sigb"))
     cand.join(sa, "ia").join(sb, "ib")
