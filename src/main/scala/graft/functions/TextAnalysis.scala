@@ -899,7 +899,192 @@ object TextAnalysis {
         FROM c
         GROUP BY 1
         ORDER BY 1"""),
-      "composed curation pipeline: exact-dedup -> quality gate -> split coin -> shard packing under one oracle")
+      "composed curation pipeline: exact-dedup -> quality gate -> split coin -> shard packing under one oracle"),
+
+    QueryDef(
+      "q100_inverted_index",
+      (s, d) => {
+        // Range-bucketed inverted index (the Lucene-segment layout as a
+        // declarative plan): word -> sorted doc-id postings, sharded by
+        // doc-id range so no single row is ever corpus-sized. Two
+        // aggregation levels, both partial-agg friendly: (doc, word) -> tf
+        // collapses each document's repeats map-side, then (word, bucket)
+        // collects postings whose length is BOUNDED by the bucket width —
+        // a stopword's postings split across n_docs/BUCKET rows instead of
+        // one unbounded list (the q35-style scale killer collect_list per
+        // word would be). Range bucketing (div, not mod) keeps each
+        // shard's postings contiguous and delta-encodable, exactly how
+        // segment files lay them out.
+        val BUCKET = 500L
+        documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("tf"))
+          .withColumn("bucket", expr(s"doc_id div $BUCKET"))
+          .groupBy(col("word"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tf")).as("tf_sum"),
+            sort_array(collect_list(col("doc_id"))).as("postings"))
+          .orderBy(col("word"), col("bucket"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, unnest($SQL_TOKENS) AS word FROM documents),
+        tfc AS (
+          SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2)
+        SELECT word, doc_id // 500 AS bucket,
+               count(*) AS n_docs,
+               cast(sum(tf) as bigint) AS tf_sum,
+               list_sort(list(doc_id)) AS postings
+        FROM tfc
+        GROUP BY 1, 2
+        ORDER BY word, bucket"""),
+      "inverted index: range-bucketed posting lists, per-row state bounded by the bucket width"),
+
+    QueryDef(
+      "q101_epoch_shuffle",
+      (s, d) => {
+        // Deterministic training-epoch shuffle: every doc gets a keyed md5
+        // draw; the first two hex chars assign one of 256 shards and the
+        // full hash orders docs WITHIN the shard. This is how a 100 TB
+        // epoch shuffle actually executes — hash-bucket to writer tasks,
+        // sort locally within each — with NO global sort anywhere: the
+        // only window is partitioned by shard (corpus/256 rows; widen the
+        // prefix to 3-4 hex chars as the corpus grows). The per-shard
+        // order_sig = sum(pos * (doc_id mod 1000003)) is an all-integer
+        // checksum of the exact permutation, so the oracle pins the full
+        // shuffled ORDER, not just shard membership. Changing the salt
+        // ("epoch2:") reshuffles every epoch independently.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+        documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            md5(concat(lit("epoch1:"), col("doc_id").cast("string"))).as("h"))
+          .withColumn("shard", substring(col("h"), 1, 2))
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"),
+            sum(col("pos") * pmod(col("doc_id"), lit(1000003L))).as("order_sig"))
+          .orderBy(col("shard"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id, n_chars, md5('epoch1:' || doc_id::VARCHAR) AS h
+          FROM documents),
+        pos AS (
+          SELECT doc_id, n_chars, substr(h, 1, 2) AS shard,
+                 row_number() OVER (PARTITION BY substr(h, 1, 2)
+                                    ORDER BY h, doc_id) AS pos
+          FROM h)
+        SELECT shard, count(*) AS n_docs,
+               cast(sum(n_chars) as bigint) AS n_chars,
+               cast(sum(pos * (doc_id % 1000003)) as bigint) AS order_sig
+        FROM pos
+        GROUP BY shard
+        ORDER BY shard"""),
+      "epoch shuffle: hash-bucketed shards + within-shard order, permutation pinned by integer checksum"),
+
+    QueryDef(
+      "q102_domain_cap",
+      (s, d) => {
+        // Per-domain document cap (the RefinedWeb/C4 anti-boilerplate
+        // step: no source may contribute more than K docs): keep the K
+        // docs with the smallest salted md5 coin per (lang, source) — a
+        // deterministic uniform sample, independent of corpus layout. The
+        // scale shape is the [[graft.operators.Aggregates.MinKByCoin]]
+        // bounded aggregator, NOT row_number over a domain window: a
+        // mega-domain with 10^9 docs still contributes at most K
+        // candidates per partition to the merge, where the window form
+        // would sort the whole domain through one partition. The salt
+        // ("cap1:") decorrelates this draw from q70/q81's split/mixture
+        // coins so composed pipelines don't systematically keep the same
+        // documents.
+        val K = 25
+        val mink = udaf(new graft.operators.Aggregates.MinKByCoin(K))
+        documents(s, d)
+          .select(col("lang"), col("source"), col("doc_id"),
+            md5(concat(lit("cap1:"), col("doc_id").cast("string"))).as("coin"))
+          .groupBy(col("lang"), col("source"))
+          .agg(mink(col("coin"), col("doc_id")).as("kept"))
+          .select(col("lang"), col("source"),
+            posexplode(col("kept")).as(Seq("pos", "doc_id")))
+          .select(col("lang"), col("source"),
+            (col("pos") + 1).cast("long").as("rank"), col("doc_id"))
+          .orderBy(col("lang"), col("source"), col("rank"))
+      },
+      Some("""
+        SELECT lang, source, rank, doc_id FROM (
+          SELECT lang, source, doc_id,
+                 row_number() OVER (PARTITION BY lang, source
+                                    ORDER BY md5('cap1:' || doc_id::VARCHAR), doc_id) AS rank
+          FROM documents)
+        WHERE rank <= 25
+        ORDER BY lang, source, rank"""),
+      "per-domain cap: bounded min-k coin sample per (lang,source), no domain-sized window sort"),
+
+    QueryDef(
+      "q103_pmi_collocations",
+      (s, d) => {
+        // Collocation mining by pointwise mutual information (Church &
+        // Hanks 1990): pmi(a,b) = ln(c_ab * N / (c_a * c_b)) over
+        // adjacent-token bigrams, token-normalized. Surfaces the corpus's
+        // multiword units (the phrase-vocabulary signal tokenizer and
+        // quality teams read). Determinism: PMI is rounded to integer
+        // micros (the q83 fixed-point idiom) and the double expression is
+        // written with identical association in both engines. Shape: two
+        // partial-agg counts; bigrams >= MIN_COUNT join the vocab-bounded
+        // unigram table twice by token (shuffle equi joins, never a pair
+        // space); N broadcasts as a one-row stats frame (the q78 idiom);
+        // top-50 is TakeOrderedAndProject, no global sort.
+        val MIN_COUNT = 5
+        val n = size(col("toks"))
+        val bigrams = when(n >= 2,
+          zip_with(slice(col("toks"), lit(1), n - 1), slice(col("toks"), lit(2), n - 1),
+            (a, b) => struct(a.as("a"), b.as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))
+        val uni = documents(s, d)
+          .select(explode(tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val big = documents(s, d)
+          .select(tokens(col("text")).as("toks"))
+          .select(explode(bigrams).as("bg"))
+          .select(col("bg.a").as("a"), col("bg.b").as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= MIN_COUNT)
+        val tot = uni.agg(sum(col("c")).as("n_tokens"))
+        big
+          .join(uni.select(col("w").as("a"), col("c").as("c_a")), Seq("a"))
+          .join(uni.select(col("w").as("b"), col("c").as("c_b")), Seq("b"))
+          .crossJoin(broadcast(tot))
+          .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+            (round(log(col("c_ab") * lit(1.0) * col("n_tokens") /
+              (col("c_a") * lit(1.0) * col("c_b"))) * 1000000)).cast("long").as("pmi6"))
+          .orderBy(col("pmi6").desc, col("a"), col("b"))
+          .limit(50)
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT $SQL_TOKENS AS w FROM documents),
+        uni AS (
+          SELECT unnest(w) AS w FROM toks),
+        uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+        tot AS (SELECT cast(sum(c) as bigint) AS n_tokens FROM uc),
+        bg AS (
+          SELECT unnest(list_transform(range(1, len(w)), i -> struct_pack(a := w[i], b := w[i+1]))) AS s
+          FROM toks),
+        bc AS (
+          SELECT s.a AS a, s.b AS b, count(*) AS c_ab
+          FROM bg GROUP BY 1, 2 HAVING count(*) >= 5)
+        SELECT a, b, c_ab, ua.c AS c_a, ub.c AS c_b,
+               cast(round(ln(c_ab * 1.0 * n_tokens / (ua.c * 1.0 * ub.c)) * 1000000) as bigint) AS pmi6
+        FROM bc
+        JOIN uc ua ON bc.a = ua.w
+        JOIN uc ub ON bc.b = ub.w
+        CROSS JOIN tot
+        ORDER BY pmi6 DESC, a, b
+        LIMIT 50"""),
+      "PMI collocations: fixed-point bigram association, vocab-bounded joins + broadcast stats row")
   )
 
   /** (doc_id, toks, bigs) frame shared by both q69 implementations. */

@@ -42,6 +42,31 @@ object Aggregates {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 
+  /** Bounded min-k aggregator over (coin, id) pairs: keeps the k
+    * lexicographically SMALLEST entries and finishes with their ids in
+    * selection order. The sampling dual of [[TopK]] — partial buffers are
+    * k-capped, so a group of any size contributes at most k candidates per
+    * partition to the final merge. q102 uses it to take a deterministic
+    * md5-coin sample per domain without ranking the whole domain through
+    * one window partition (the coin makes selection order engine- and
+    * layout-independent; the id tie-break makes it total). */
+  final class MinKByCoin(k: Int)
+      extends Aggregator[(String, Long), Seq[(String, Long)], Seq[Long]] {
+    override def zero: Seq[(String, Long)] = Vector.empty
+    private def trim(s: Seq[(String, Long)]): Seq[(String, Long)] =
+      s.sorted.take(k)
+    override def reduce(b: Seq[(String, Long)], a: (String, Long)): Seq[(String, Long)] =
+      trim(b :+ a)
+    override def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] =
+      trim(a ++ b)
+    override def finish(r: Seq[(String, Long)]): Seq[Long] =
+      r.sorted.map(_._2)
+    override def bufferEncoder: Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Mergeable Misra-Gries heavy-hitters summary (Agarwal et al.,
     * "Mergeable Summaries", PODS 2012): at most k counters; inserting
     * past capacity subtracts the (k+1)-th largest count from every

@@ -285,6 +285,38 @@ object StreamingOps {
       .select(col("ia"), col("ib"), col("cos"))
   }
 
+  final case class Admitted(lang: String, source: String, doc_id: Long, rank: Int)
+
+  /** Streaming per-domain admission quota — the ingest-time form of
+    * q102's domain cap: admit at most `k` documents per (lang, source),
+    * then drop the rest of the stream for that domain. The batch query
+    * picks the k smallest md5 coins; a stream cannot (it would have to
+    * hold the whole domain), so the streaming contract is arrival-order
+    * admission — the standard ingest quota. State per key is ONE counter
+    * (the admitted count), so the store is bounded by the number of
+    * domains regardless of stream length; no timeout is needed because a
+    * saturated counter never grows. Within a micro-batch rows are ordered
+    * by doc_id before admitting, making replays deterministic
+    * (StreamingSpec pins single-batch parity with the keep-first-k-by-id
+    * batch query). */
+  def domainQuota(docs: Dataset[DocIn], k: Int = 25): Dataset[Admitted] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .groupByKey(dc => (dc.lang, dc.source))
+      .flatMapGroupsWithState[Int, Admitted](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((lang, source), rows, state) =>
+          var n = state.getOption.getOrElse(0)
+          val admit = rows.toSeq.sortBy(_.doc_id).take(k - n).map { r =>
+            n += 1
+            Admitted(lang, source, r.doc_id, n)
+          }
+          state.update(n)
+          admit.iterator
+      }
+  }
+
   /** Stream-stream interval join: purchases joined to the errors that
     * follow them within 10 minutes for the same user (the streaming form of
     * q22). Both sides are watermarked so the state store can discard

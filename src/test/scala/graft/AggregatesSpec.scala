@@ -151,4 +151,38 @@ class AggregatesSpec extends SparkSpec {
     val merged = agg.merge(big, agg.reduce(agg.zero, (1000.0, 1L)))
     assert(agg.finish(merged) == Seq(1000.0, 100.0))
   }
+
+  test("MinKByCoin equals a full sort under any partition split") {
+    // the q102 contract: the k-bounded partial-agg selection must be the
+    // SAME set a global sort-take-k yields, for any way the rows are
+    // sliced into partitions and any merge order
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(300)((f"${rnd.nextInt(1 << 24)}%06x", rnd.nextLong().abs))
+    val agg = new Aggregates.MinKByCoin(7)
+    val want = rows.sorted.take(7).map(_._2)
+    (1 to 20).foreach { trial =>
+      val shuffled = new scala.util.Random(trial).shuffle(rows)
+      val nParts = 1 + trial % 6
+      val partials = shuffled.grouped(math.max(1, shuffled.size / nParts)).toSeq
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+      partials.foreach(p => assert(p.size <= 7, "partial buffer exceeded k"))
+      val merged = partials.foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) == want, s"trial $trial diverged")
+    }
+  }
+
+  test("MinKByCoin via udaf matches rank-over-window per group") {
+    val rnd = new scala.util.Random(5)
+    val df = Seq.fill(400)((rnd.nextInt(6).toLong, f"${rnd.nextInt(1 << 20)}%05x", rnd.nextLong().abs))
+      .toDF("g", "coin", "id").repartition(7)
+    val mink = udaf(new Aggregates.MinKByCoin(4))
+    val got = df.groupBy("g").agg(mink(col("coin"), col("id")).as("kept"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("coin"), col("id"))
+    val want = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
+      .as[(Long, String, Long, Int)].collect()
+      .groupBy(_._1).map { case (g, xs) => g -> xs.sortBy(_._4).map(_._3).toSeq }
+    assert(got == want)
+  }
 }

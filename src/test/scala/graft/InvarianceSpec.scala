@@ -13,9 +13,13 @@ class InvarianceSpec extends SparkSpec {
   // one per aggregation family: partial/final sums (q01), windows (q08),
   // percentile histogram+window (q48), exact moments (q62), cohort matrix
   // (q90), sketch-prune+rescan (q93), pair generation + verify (q65)
+  // ... plus the deterministic-sample family (q101 shuffle checksum, q102
+  // bounded min-k sample): their md5-coin selections claim to be
+  // layout-independent, so hold them to it
   private val queries = Seq("q01_agg", "q08_window_running",
     "q48_percentiles", "q62_stats_moments", "q90_retention",
-    "q93_heavy_hitters", "q65_jaccard_prefix")
+    "q93_heavy_hitters", "q65_jaccard_prefix",
+    "q101_epoch_shuffle", "q102_domain_cap")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

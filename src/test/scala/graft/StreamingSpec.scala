@@ -330,4 +330,40 @@ class StreamingSpec extends SparkSpec {
     assert(out.agg(sum("n")).head.getLong(0) == 1000L)
     assert(out.count() == batch.count())
   }
+
+  test("streaming domain quota admits exactly the first k per domain across batches") {
+    import graft.streaming.StreamingOps.{Admitted, DocIn}
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => DocIn(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), new Timestamp(86400_000L + r.getLong(0) * 1000)))
+      .sortBy(_.doc_id)
+    val k = 5
+    val in = MemoryStream[DocIn]
+    val q = StreamingOps.domainQuota(in.toDS(), k)
+      .writeStream.format("memory").queryName("quota").outputMode("append").start()
+    try {
+      // split mid-corpus: domains that fill their quota in batch 1 must
+      // admit NOTHING from batch 2 — the per-key counter carries across
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("quota").as[Admitted].collect()
+      .map(a => (a.lang, a.source, a.doc_id, a.rank)).toSet
+    // arrival order == doc_id order here, so the admitted set is the
+    // batch keep-first-k-by-id relation
+    var want = Set.empty[(String, String, Long, Int)]
+    docs.groupBy(d => (d.lang, d.source)).foreach { case ((lang, src), ds) =>
+      ds.sortBy(_.doc_id).take(k).zipWithIndex.foreach { case (d, i) =>
+        want += ((lang, src, d.doc_id, i + 1))
+      }
+    }
+    assert(got == want,
+      s"stream-only: ${got -- want take 3}; missing: ${want -- got take 3}")
+    // and no domain exceeds its cap
+    got.groupBy(t => (t._1, t._2)).foreach { case (dom, rows) =>
+      assert(rows.size <= k, s"$dom over quota")
+    }
+  }
 }

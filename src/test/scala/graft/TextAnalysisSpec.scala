@@ -199,4 +199,112 @@ class TextAnalysisSpec extends SparkSpec {
       }
     }
   }
+
+  test("q100 bucketed postings reassemble into the full sorted posting list") {
+    val out = TextAnalysis.defs.find(_.name == "q100_inverted_index").get
+      .fn(spark, SF)
+      .select(col("word"), col("bucket"), col("n_docs"), col("tf_sum"), col("postings"))
+      .as[(String, Long, Long, Long, Seq[Long])].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (w, bkt, n, tf, p) =>
+      assert(p.size == n && tf >= n, s"$w/$bkt")
+      assert(p.size <= 500, s"$w/$bkt postings exceed the bucket width")
+      assert(p == p.sorted && p.distinct == p, s"$w/$bkt postings unsorted or duped")
+      assert(p.forall(id => id / 500 == bkt), s"$w/$bkt holds out-of-range doc ids")
+    }
+    // concatenating a word's buckets in bucket order IS the classic full
+    // posting list (the segment-merge identity an index reader relies on)
+    val docsWith = Tables.documents(spark, SF)
+      .select(col("doc_id"), explode(array_distinct(TextAnalysis.tokens(col("text")))).as("word"))
+      .as[(Long, String)].collect().groupBy(_._2)
+      .map { case (w, xs) => w -> xs.map(_._1).toSeq.sorted }
+    out.groupBy(_._1).foreach { case (w, rows) =>
+      val merged = rows.sortBy(_._2).flatMap(_._5).toSeq
+      assert(merged == docsWith(w), s"$w merged postings diverge")
+    }
+  }
+
+  test("q101 epoch shuffle is layout-independent and covers the corpus exactly once") {
+    val q = TextAnalysis.defs.find(_.name == "q101_epoch_shuffle").get
+    val out = q.fn(spark, SF)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // every shard key is a 2-hex prefix; doc counts sum to the corpus
+    assert(out.forall(r => r._1.matches("[0-9a-f]{2}")))
+    assert(out.map(_._2).sum == Tables.documents(spark, SF).count())
+    // deterministic: a rerun yields identical rows, checksum included
+    // (partition-layout invariance is pinned separately in InvarianceSpec)
+    val again = q.fn(spark, SF).as[(String, Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // different epoch salts produce different permutations (the whole
+    // point of an epoch shuffle); same-shard doc sets would be a salt bug
+    val sig2 = Tables.documents(spark, SF)
+      .select(col("doc_id"),
+        md5(concat(lit("epoch2:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("shard", substring(col("h"), 1, 2))
+      .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val sig1 = out.map(r => r._1 -> r._2).toMap
+    assert(sig1 != sig2, "epoch2 salt produced the identical shard layout")
+  }
+
+  test("q102 domain cap equals rank-over-window and bounds every domain") {
+    val out = TextAnalysis.defs.find(_.name == "q102_domain_cap").get
+      .fn(spark, SF)
+      .as[(String, String, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(r => (r._1, r._2)).foreach { case (dom, rows) =>
+      assert(rows.length <= 25, s"$dom over cap")
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq, s"$dom ranks not dense")
+    }
+    // the bounded-aggregator selection must equal the window-rank form
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("source"))
+      .orderBy(md5(concat(lit("cap1:"), col("doc_id").cast("string"))), col("doc_id"))
+    val want = Tables.documents(spark, SF)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 25)
+      .select(col("lang"), col("source"), col("rank"), col("doc_id"))
+      .as[(String, String, Long, Long)].collect()
+    assert(out.toSet == want.toSet)
+  }
+
+  test("q103 PMI ranks a planted collocation above independent fillers") {
+    // "zyq wvx" always co-occurs (20 times); fillers pair uniformly at
+    // random — the planted bigram must surface with the top PMI
+    val rnd = new scala.util.Random(7)
+    val fillers = Vector("aa", "bb", "cc", "dd")
+    val docs = (1 to 40).map { i =>
+      val noise = Seq.fill(10)(fillers(rnd.nextInt(4))).mkString(" ")
+      (i.toLong, if (i % 2 == 0) s"zyq wvx $noise" else noise)
+    }.toDF("doc_id", "text")
+    val n = size(col("toks"))
+    val bigrams = when(n >= 2,
+      zip_with(slice(col("toks"), lit(1), n - 1), slice(col("toks"), lit(2), n - 1),
+        (a, b) => struct(a.as("a"), b.as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    val uni = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val big = docs.select(TextAnalysis.tokens(col("text")).as("toks"))
+      .select(explode(bigrams).as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    val tot = uni.agg(sum(col("c")).as("n_tokens"))
+    val ranked = big
+      .join(uni.select(col("w").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"),
+        (round(log(col("c_ab") * lit(1.0) * col("n_tokens") /
+          (col("c_a") * lit(1.0) * col("c_b"))) * 1000000)).cast("long").as("pmi6"))
+      .orderBy(col("pmi6").desc, col("a"), col("b"))
+      .as[(String, String, Long)].collect()
+    assert(ranked.nonEmpty)
+    assert((ranked.head._1, ranked.head._2) == ("zyq", "wvx"),
+      s"planted collocation not top: ${ranked.take(3).toSeq}")
+    // and the planted pair's PMI is positive while ln N/c for a uniform
+    // filler pair sits near zero
+    assert(ranked.head._3 > 0)
+  }
 }
