@@ -40,7 +40,11 @@ object ScaleBench {
     "q96_incremental_dedup",// batch-vs-corpus prefix probe
     "q97_curation_pipeline",// composed dedup->gate->split->pack
     "q98_incremental_embed",// batch-vs-corpus cell-index probe (exact)
-    "q99_embed_dedup_clusters") // LSH pairs -> CC removal list (linear output)
+    "q99_embed_dedup_clusters", // LSH pairs -> CC removal list (linear output)
+    "q100_inverted_index",  // bucketed posting-list aggregation
+    "q101_epoch_shuffle",   // hash-bucket + within-shard sort
+    "q102_domain_cap",      // k-bounded min-k sample per domain
+    "q103_pmi_collocations")// bigram/unigram joins + broadcast stats
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")
