@@ -236,4 +236,32 @@ class PlanSpec extends SparkSpec {
     val p = plan("q24_tumbling_window")
     assert(!p.contains("props"), p) // json column not read for this query
   }
+
+  test("q102 domain cap plans the bounded aggregator, never a domain window") {
+    // the design claim: a mega-domain contributes <=K candidates per
+    // partition through MinKByCoin's partial buffers — a WindowExec here
+    // would mean the query regressed to sorting whole domains through
+    // single partitions
+    assert(windowExecs("q102_domain_cap").isEmpty,
+      "domain cap regressed to a window sort")
+    val p = plan("q102_domain_cap")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_"), p)
+  }
+
+  test("q101 epoch shuffle's only window is partitioned by shard") {
+    val wins = windowExecs("q101_epoch_shuffle")
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "epoch shuffle lost its shard partition key")
+  }
+
+  test("q100/q103 aggregate with map-side combine and no cartesian blowup") {
+    val p100 = plan("q100_inverted_index")
+    assert(p100.contains("partial_"), p100)
+    assert(!p100.contains("CartesianProduct"), p100)
+    val p103 = plan("q103_pmi_collocations")
+    // the only product is the broadcast one-row stats frame
+    assert(!p103.contains("CartesianProduct"), p103)
+    assert(p103.contains("TakeOrderedAndProject"), p103)
+  }
 }
