@@ -53,6 +53,13 @@ object TextAnalysis {
   private val SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
   private val SQL_STOP = STOPWORDS.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** q104's query phrases: mixed lengths, plus a repeated-term phrase
+    * ("batch batch") that exercises the distinct-slot vote. */
+  val PHRASES: Seq[(Int, String)] = Seq(
+    1 -> "table scan", 2 -> "big order scan", 3 -> "batch batch", 4 -> "join order")
+  private val SQL_PHRASES = PHRASES
+    .map { case (id, p) => s"($id, '$p')" }.mkString(", ")
+
   /** Rows a single window partition may hold in the hierarchical running
     * sum — both the bucket width and the recursion's leaf size. 4096 is
     * small enough that the recursion is exercised from sf0.01 up, and at
@@ -1084,7 +1091,65 @@ object TextAnalysis {
         CROSS JOIN tot
         ORDER BY pmi6 DESC, a, b
         LIMIT 50"""),
-      "PMI collocations: fixed-point bigram association, vocab-bounded joins + broadcast stats row")
+      "PMI collocations: fixed-point bigram association, vocab-bounded joins + broadcast stats row"),
+
+    QueryDef(
+      "q104_phrase_search",
+      (s, d) => {
+        // Positional phrase search — the query-side complement of q100's
+        // postings layout (exact top-k q39 and BM25 q78 rank by bags of
+        // words; this is the "match these tokens CONSECUTIVELY" operator).
+        // Shape: the phrase set explodes to a tiny (phrase,term,idx)
+        // dimension that BROADCASTS, so the positional postings
+        // (doc,pos,word) are filtered to phrase terms map-side — the only
+        // shuffle carries occurrences of query terms, never the corpus.
+        // The alignment trick makes multi-term adjacency a plain
+        // aggregation instead of a self-join chain: a term at position
+        // `pos` filling phrase slot `idx` votes for a match starting at
+        // `pos - idx`; a start wins when all `len` DISTINCT slots voted
+        // (distinct, not count: "batch batch" puts one occurrence in two
+        // slots of the same start). Overlapping matches count separately,
+        // standard positional-search semantics.
+        import s.implicits._
+        val terms = PHRASES.toDF("phrase_id", "phrase")
+          .select(col("phrase_id"), size(tokens(col("phrase"))).as("len"),
+            posexplode(tokens(col("phrase"))).as(Seq("idx", "term")))
+        val post = documents(s, d)
+          .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+        post.join(broadcast(terms), post("word") === terms("term"))
+          .select(col("phrase_id"), col("len"), col("doc_id"),
+            (col("pos") - col("idx")).cast("long").as("start"), col("idx"))
+          .groupBy(col("phrase_id"), col("len"), col("doc_id"), col("start"))
+          .agg(countDistinct(col("idx")).as("n_aligned"))
+          .filter(col("n_aligned") === col("len"))
+          .groupBy(col("phrase_id"), col("doc_id"))
+          .agg(count(lit(1)).as("n_hits"), min(col("start")).as("first_pos"))
+          .orderBy(col("phrase_id"), col("doc_id"))
+      },
+      Some(s"""
+        WITH pt AS (
+          SELECT phrase_id, len(w) AS plen,
+                 unnest(list_transform(range(len(w)),
+                   i -> struct_pack(idx := i, term := w[i+1]))) AS t
+          FROM (SELECT phrase_id,
+                       list_filter(string_split(phrase, ' '), x -> x <> '') AS w
+                FROM (VALUES $SQL_PHRASES) AS p(phrase_id, phrase))),
+        post AS (
+          SELECT doc_id, unnest(list_transform(range(len(w)),
+                   i -> struct_pack(pos := i, word := w[i+1]))) AS t
+          FROM (SELECT doc_id, $SQL_TOKENS AS w FROM documents)),
+        cand AS (
+          SELECT pt.phrase_id, pt.plen, post.doc_id,
+                 post.t.pos - pt.t.idx AS start, pt.t.idx AS idx
+          FROM post JOIN pt ON post.t.word = pt.t.term),
+        m AS (
+          SELECT phrase_id, plen, doc_id, start, count(DISTINCT idx) AS n
+          FROM cand GROUP BY 1, 2, 3, 4)
+        SELECT phrase_id, doc_id, count(*) AS n_hits, min(start) AS first_pos
+        FROM m WHERE n = plen
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""),
+      "positional phrase search: broadcast phrase dim + start-alignment aggregation, no self-join chain")
   )
 
   /** (doc_id, toks, bigs) frame shared by both q69 implementations. */

@@ -44,7 +44,8 @@ object ScaleBench {
     "q100_inverted_index",  // bucketed posting-list aggregation
     "q101_epoch_shuffle",   // hash-bucket + within-shard sort
     "q102_domain_cap",      // k-bounded min-k sample per domain
-    "q103_pmi_collocations")// bigram/unigram joins + broadcast stats
+    "q103_pmi_collocations",// bigram/unigram joins + broadcast stats
+    "q104_phrase_search")   // broadcast phrase dim + alignment agg
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")

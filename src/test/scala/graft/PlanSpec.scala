@@ -264,4 +264,16 @@ class PlanSpec extends SparkSpec {
     assert(!p103.contains("CartesianProduct"), p103)
     assert(p103.contains("TakeOrderedAndProject"), p103)
   }
+
+  test("q104 phrase search broadcasts the phrase dim, never self-joins postings") {
+    // the design claim: multi-term adjacency is ONE broadcast equi join
+    // plus aggregation on the alignment key — a SortMergeJoin or product
+    // here would mean the postings relation is being shuffled or
+    // self-joined per phrase term
+    val p = plan("q104_phrase_search")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
 }

@@ -307,4 +307,30 @@ class TextAnalysisSpec extends SparkSpec {
     // filler pair sits near zero
     assert(ranked.head._3 > 0)
   }
+
+  test("q104 phrase search equals brute-force sliding-window counting") {
+    val out = TextAnalysis.defs.find(_.name == "q104_phrase_search").get
+      .fn(spark, SF)
+      .as[(Int, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val want = (for {
+      (pid, phrase) <- TextAnalysis.PHRASES
+      p = phrase.split(" ").filter(_.nonEmpty)
+      (id, text) <- docs
+      toks = text.split(" ").filter(_.nonEmpty)
+      starts = (0 to toks.length - p.length)
+        .filter(i => toks.slice(i, i + p.length).sameElements(p))
+      if starts.nonEmpty
+    } yield (pid, id) -> (starts.size.toLong, starts.min.toLong)).toMap
+    assert(out.size == want.size,
+      s"got ${out.size} (phrase,doc) hits, want ${want.size}")
+    assert(out == want,
+      s"first diffs: ${out.toSeq.sortBy(_._1).zip(want.toSeq.sortBy(_._1))
+        .filter(p => p._1 != p._2).take(3)}")
+    // the repeated-term phrase relies on the distinct-slot vote; it must
+    // both match AND count overlapping starts where the corpus has runs
+    assert(want.keys.exists(_._1 == 3), "'batch batch' found nothing to test")
+  }
 }
