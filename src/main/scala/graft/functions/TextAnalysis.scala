@@ -49,6 +49,25 @@ object TextAnalysis {
   def stopwordCount(text: Column): Column =
     size(filter(tokens(text), t => t.isin(STOPWORDS.map(lit): _*)))
 
+  /** Range-bucketed inverted index — the array-returning API behind q100.
+    * word -> sorted doc-id postings, sharded by doc-id range (`div`, not
+    * `mod`) so no single row is ever corpus-sized: a stopword's postings
+    * split across n_docs/`bucket` rows, each bounded by the bucket width
+    * and contiguous (delta-encodable), the Lucene-segment layout as a
+    * declarative plan. Two aggregation levels, both partial-agg friendly.
+    * The q100 registration digests `postings` to a scalar md5 for the
+    * driver's hasher; call this directly for the raw lists. */
+  def invertedIndex(s: SparkSession, d: String, bucket: Long = 500L): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", expr(s"doc_id div $bucket"))
+      .groupBy(col("word"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tf")).as("tf_sum"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+
   // DuckDB fragments used by several oracles below.
   private val SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
   private val SQL_STOP = STOPWORDS.map(w => s"'$w'").mkString("(", ",", ")")
@@ -66,6 +85,12 @@ object TextAnalysis {
     * 10^10 docs the depth is only ceil(log_4096) = 3. */
   val PACK_FANOUT = 4096L
 
+  /** Fixed recursion depth of [[exclusiveRunningSum]]: 3 bucketing levels
+    * keep every window partition <= [[PACK_FANOUT]] rows for any id space
+    * below PACK_FANOUT^4 ~ 2.8e14 — four orders of magnitude past the
+    * 10^10-doc design point. */
+  val PACK_LEVELS = 3
+
   /** EXCLUSIVE running sum of `value` in `id` order (each row gets the sum
     * of all strictly-preceding rows) — the parallel prefix-sum shape, as a
     * log-depth plan in which NO window partition holds more than
@@ -74,16 +99,25 @@ object TextAnalysis {
     *   - rows bucket by `id div PACK_FANOUT`; an in-bucket window
     *     (partitioned, <= PACK_FANOUT rows) gives the within-bucket sum;
     *   - bucket totals RECURSE through the same helper for their
-    *     exclusive offsets (N/4096 rows per level, so depth is
-    *     logarithmic and the per-level frames are cached — they are
-    *     consumed by both the recursion and the join-back);
-    *   - once a level fits [[PACK_FANOUT]] rows it takes one window over
+    *     exclusive offsets (ids shrink by a PACK_FANOUT factor per level);
+    *   - after [[PACK_LEVELS]] bucketings the leaf takes one window over
     *     an EXPLICIT constant partition key: the same single-partition
     *     execution a global-order window would use, but deliberate,
-    *     bounded by the leaf size, and free of WindowExec's "No Partition
-    *     Defined" warning — so any unintended global window elsewhere in
-    *     the suite stays loud, and PlanSpec can pin "no empty-partition
-    *     window" over the whole packing plan.
+    *     bounded (<= PACK_FANOUT rows whenever ids < PACK_FANOUT^(levels
+    *     +1), and still CORRECT beyond that — only the bound weakens),
+    *     and free of WindowExec's "No Partition Defined" warning — so any
+    *     unintended global window elsewhere in the suite stays loud, and
+    *     PlanSpec can pin "no empty-partition window" over the whole
+    *     packing plan.
+    *
+    * The depth is STRUCTURAL, not measured: plan construction runs zero
+    * Spark jobs (the r9 version counted the input at every level, which
+    * materialized the full token relation before the real job — the q80
+    * 0.39->0.56 s regression). Extra levels on small inputs collapse to
+    * single-row frames whose shuffles AQE coalesces; the per-level bucket
+    * relations are NOT cached — the groupBy subtree appears twice in the
+    * plan (spine + join-back) and ReuseExchange executes its shuffle once,
+    * so nothing is left pinned in executor memory after the job.
     *
     * `id` must be unique and non-negative (doc ids / bucket ids). The
     * caller should cache `df`: it feeds both the bucket-sum spine and the
@@ -91,9 +125,9 @@ object TextAnalysis {
     * join on the bucket key — AQE broadcasts it while the level is small
     * and falls back to shuffle when it is not. */
   private[graft] def exclusiveRunningSum(df: DataFrame, id: String,
-      value: String, out: String, depth: Int = 0): DataFrame = {
+      value: String, out: String, levels: Int = PACK_LEVELS): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    if (df.count() <= PACK_FANOUT) {
+    if (levels <= 0) {
       // pmod(id, 1) is constant 0 for these non-negative ids but NOT
       // foldable — a literal key would be stripped by Catalyst's
       // EliminateWindowPartitions and the window would silently revert to
@@ -102,10 +136,10 @@ object TextAnalysis {
         .rowsBetween(Window.unboundedPreceding, -1)
       df.withColumn(out, coalesce(sum(col(value)).over(w), lit(0L)))
     } else {
-      val bkt = s"__bkt$depth"
+      val bkt = s"__bkt$levels"
       val bsums = df.groupBy(expr(s"`$id` div $PACK_FANOUT").as(bkt))
-        .agg(sum(col(value)).as(value)).cache()
-      val offs = exclusiveRunningSum(bsums, bkt, value, "__off", depth + 1)
+        .agg(sum(col(value)).as(value))
+      val offs = exclusiveRunningSum(bsums, bkt, value, "__off", levels - 1)
         .select(col(bkt), col("__off"))
       val wIn = Window.partitionBy(col(bkt)).orderBy(col(id))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -911,27 +945,14 @@ object TextAnalysis {
     QueryDef(
       "q100_inverted_index",
       (s, d) => {
-        // Range-bucketed inverted index (the Lucene-segment layout as a
-        // declarative plan): word -> sorted doc-id postings, sharded by
-        // doc-id range so no single row is ever corpus-sized. Two
-        // aggregation levels, both partial-agg friendly: (doc, word) -> tf
-        // collapses each document's repeats map-side, then (word, bucket)
-        // collects postings whose length is BOUNDED by the bucket width —
-        // a stopword's postings split across n_docs/BUCKET rows instead of
-        // one unbounded list (the q35-style scale killer collect_list per
-        // word would be). Range bucketing (div, not mod) keeps each
-        // shard's postings contiguous and delta-encodable, exactly how
-        // segment files lay them out.
-        val BUCKET = 500L
-        documents(s, d)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-          .groupBy(col("doc_id"), col("word"))
-          .agg(count(lit(1)).as("tf"))
-          .withColumn("bucket", expr(s"doc_id div $BUCKET"))
-          .groupBy(col("word"), col("bucket"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("tf")).as("tf_sum"),
-            sort_array(collect_list(col("doc_id"))).as("postings"))
+        // See [[invertedIndex]] for the range-bucketed layout. The
+        // registered output pins the FULL posting list as a scalar md5
+        // digest of the comma-joined sorted ids — the driver's hasher
+        // sorts on raw cell values, so an array-typed column would crash
+        // it; `invertedIndex` keeps the array-returning API.
+        invertedIndex(s, d)
+          .withColumn("postings",
+            expr("md5(array_join(transform(postings, x -> cast(x as string)), ','))"))
           .orderBy(col("word"), col("bucket"))
       },
       Some(s"""
@@ -942,7 +963,7 @@ object TextAnalysis {
         SELECT word, doc_id // 500 AS bucket,
                count(*) AS n_docs,
                cast(sum(tf) as bigint) AS tf_sum,
-               list_sort(list(doc_id)) AS postings
+               md5(array_to_string(list_sort(list(doc_id)), ',')) AS postings
         FROM tfc
         GROUP BY 1, 2
         ORDER BY word, bucket"""),

@@ -55,8 +55,19 @@ object Aggregates {
     override def zero: Seq[(String, Long)] = Vector.empty
     private def trim(s: Seq[(String, Long)]): Seq[(String, Long)] =
       s.sorted.take(k)
-    override def reduce(b: Seq[(String, Long)], a: (String, Long)): Seq[(String, Long)] =
-      trim(b :+ a)
+    // The buffer is kept sorted ascending, so a full buffer rejects
+    // anything >= its max in O(1) — the common case once the first k rows
+    // have streamed in — and otherwise does one O(k) ordered insert; the
+    // r9 version re-sorted the whole buffer on every row (O(k log k)).
+    override def reduce(b: Seq[(String, Long)], a: (String, Long)): Seq[(String, Long)] = {
+      val ord = Ordering[(String, Long)]
+      if (b.size >= k && ord.lteq(b.last, a)) b
+      else {
+        val i = b.indexWhere(e => ord.gt(e, a))
+        val ins = if (i < 0) b :+ a else (b.take(i) :+ a) ++ b.drop(i)
+        if (ins.size > k) ins.take(k) else ins
+      }
+    }
     override def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] =
       trim(a ++ b)
     override def finish(r: Seq[(String, Long)]): Seq[Long] =

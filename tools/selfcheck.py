@@ -23,11 +23,17 @@ def load_spark(outdir, name):
 
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
-    # list/array cells aren't hashable for sorting — stringify them
+    # The driver's harness sorts rows on raw column values; list/array
+    # cells are unhashable there and CRASH the gate (r9 q100). Mirror that
+    # exactly — fail loudly instead of stringifying, so local green always
+    # implies gate green. Digest array outputs to a scalar before
+    # registering them.
     for c in df.columns:
         if df[c].map(lambda v: isinstance(v, (list, tuple)) or
                      getattr(v, "ndim", 0) == 1).any():
-            df[c] = df[c].map(lambda v: str(list(v)) if v is not None else None)
+            raise TypeError(
+                f"column {c!r} holds array-typed cells — the driver gate "
+                "cannot sort these (unhashable); register a scalar digest")
         # Canonicalize integer widths (int32 vs int64 is tolerated by the
         # driver) but do NOT silently coerce float/object — a DuckDB HUGEINT
         # (bare sum(BIGINT)) arrives as float64/object and must FAIL here.
@@ -71,7 +77,10 @@ def main():
             duck_df = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
-        a, b = norm(spark_df), norm(duck_df)
+        try:
+            a, b = norm(spark_df), norm(duck_df)
+        except TypeError as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
         if list(a.columns) != list(b.columns):
             print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
             n_fail += 1; continue
