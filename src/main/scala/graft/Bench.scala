@@ -73,6 +73,11 @@ object Bench {
     // run — so the driver regression-checks throughput at file sizes
     // where one-time costs do and don't amortize. Synthetic inputs are
     // cached on disk across rounds. A failure records null, not a crash.
+    // min-of-2 like the query timings: at driver loadavg ~21 a single
+    // pass recorded 11.7 MB/s on UNTOUCHED code (r9), reading as a 2x
+    // baseline breach until a quiet-host judge re-run; the best of two
+    // passes is the least co-tenant-contaminated observation. Per-leg
+    // seconds go to stderr so the artifact line stays under the 2 KB tail.
     def gedcomLeg(label: String, path: String, targetBytes: Long): Option[Double] =
       try {
         val f = new java.io.File(path)
@@ -89,9 +94,15 @@ object Bench {
           val buf = new Array[Byte](1 << 20)
           try while (in.read(buf) >= 0) () finally in.close()
         }
-        val t0 = System.nanoTime()
-        gedcom.GedcomPipeline.run(spark, path, s"/tmp/graft-bench-gedcsv-$label")
-        Some(size / 1e6 / ((System.nanoTime() - t0) / 1e9))
+        def pass(): Double = {
+          val t0 = System.nanoTime()
+          gedcom.GedcomPipeline.run(spark, path, s"/tmp/graft-bench-gedcsv-$label")
+          (System.nanoTime() - t0) / 1e9
+        }
+        val (s1, s2) = (pass(), pass())
+        System.err.println(
+          f"[bench] gedcom $label legs: $s1%.1fs / $s2%.1fs (min taken)")
+        Some(size / 1e6 / math.min(s1, s2))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] gedcom $label throughput FAILED: ${e.getMessage}")
@@ -125,9 +136,11 @@ object Bench {
     * alone (driver artifacts have twice recorded 1.4-4.4x phantom
     * regressions that only a quiet-host judge re-run could adjudicate). */
   def loadavg1(): Option[Double] =
+    // NonFatal only: an OOM/interrupt here must crash the bench loudly,
+    // not surface as a silent `"loadavg": null`
     try Some(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble)
-    catch { case _: Throwable => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** One-line bench JSON. A failed query (recorded as -1) must poison the
     * headline, not quietly shrink it: `value` goes null and `failed` is

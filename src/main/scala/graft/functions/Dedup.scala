@@ -25,6 +25,34 @@ object Dedup {
 
   private val SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  /** Fused candidate-pair dedup, shared by every near-dup verify path:
+    * `groupBy(ia).collect_set(ib)` dedups duplicate candidates (multi-band
+    * / multi-cell / both-direction probes) inside the exact exchange that
+    * partitions candidates for the ia-side verify join, instead of a
+    * standalone distinct shuffle first (one whole AQE stage of q65's
+    * critical path at sf0.1; explode is a generator, so the ia
+    * partitioning survives to the join).
+    *
+    * Skew guard: the aggregation buffer for one ia holds that document's
+    * whole candidate neighborhood — bounded by near-dup neighborhood size
+    * on healthy corpora, but unbounded under mass-duplication skew (viral
+    * boilerplate shared by millions of pages). Setting
+    * `spark.graft.dedupSalt = S` (default 1 = off) salt-splits each ia's
+    * buffer S ways by ib-hash — an ib lands in exactly one salt bucket, so
+    * output is row-identical (DedupProps pins it) — at the cost of
+    * re-exchanging the (small, deduped) pair relation for the ia join,
+    * which is why it is opt-in rather than always-on. */
+  private def dedupFused(cand: DataFrame): DataFrame = {
+    val salts = cand.sparkSession.conf.getOption("spark.graft.dedupSalt")
+      .map(_.toInt).getOrElse(1)
+    val grouped =
+      if (salts <= 1) cand.groupBy(col("ia"))
+      else cand.groupBy(col("ia"),
+        pmod(xxhash64(col("ib")), lit(salts.toLong)).as("__slt"))
+    grouped.agg(collect_set(col("ib")).as("ibs"))
+      .select(col("ia"), explode(col("ibs")).as("ib"))
+  }
+
   /** The exact Jaccard >= 0.8 pair relation as DuckDB CTEs — shared by the
     * q65 pair query and q68's closure oracle. */
   private val PAIR_CTES = s"""
@@ -198,13 +226,12 @@ object Dedup {
       .select((col("doc_id") +: scope.map(col)) :+ col("bk.band") :+ col("bk.bh"): _*)
     val joinKeys = scope ++ Seq("band", "bh")
     // a pair can share several bands; dedup is fused into the ia-side
-    // verify join's aggregation (same shape as cosVerifyGrouped)
-    val cand = banded.alias("x")
+    // verify join's aggregation ([[dedupFused]], same shape as
+    // cosVerifyGrouped)
+    val cand = dedupFused(banded.alias("x")
       .join(banded.alias("y"), joinKeys)
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
-      .groupBy(col("ia")).agg(collect_set(col("ib")).as("ibs"))
-      .select(col("ia"), explode(col("ibs")).as("ib"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib")))
     val sa = sigs.select(col("doc_id").as("ia"), col("sig").as("siga"))
     val sb = sigs.select(col("doc_id").as("ib"), col("sig").as("sigb"))
     cand.join(sa, "ia").join(sb, "ib")
@@ -351,10 +378,7 @@ object Dedup {
     * candidate relation). Per-ia fanout is bounded by the near-dup
     * neighborhood size. */
   private def cosVerifyGrouped(e: DataFrame, cand: DataFrame, t: Double): DataFrame =
-    cosVerify(e,
-      cand.groupBy(col("ia")).agg(collect_set(col("ib")).as("ibs"))
-        .select(col("ia"), explode(col("ibs")).as("ib")),
-      t)
+    cosVerify(e, dedupFused(cand), t)
 
   /** EXACT incremental embedding near-dup (registered as q98) — the
     * onboarding shape of [[jaccardPairsIncremental]] (q96) ported to the
@@ -590,20 +614,17 @@ object Dedup {
     *
     * The candidate relation may contain DUPLICATES (one row per shared
     * prefix token / per probe direction): dedup is FUSED into the verify
-    * join's own aggregation — `groupBy(ia).collect_set(ib)` dedups inside
-    * the exact exchange that partitions candidates for the ia-side join,
-    * instead of spending a separate distinct shuffle first (measured as
-    * one whole AQE stage of q65's critical path; at sf0.1 the query is
-    * stage-latency-bound, not volume-bound). Per-ia fanout is bounded by
-    * the near-dup neighborhood size — the same bound q68's components
-    * rely on — so the collected set never approaches corpus scale. */
+    * join's own aggregation ([[dedupFused]] — no separate distinct
+    * shuffle, which measured as one whole AQE stage of q65's critical
+    * path; at sf0.1 the query is stage-latency-bound, not volume-bound).
+    * Per-ia fanout is bounded by the near-dup neighborhood size — the
+    * same bound q68's components rely on — so the collected set never
+    * approaches corpus scale; corpora where it would are what
+    * `spark.graft.dedupSalt` exists for. */
   private def verifyPairs(docs: DataFrame, cand: DataFrame, t: Double): DataFrame =
-    cand
-      .groupBy(col("ia")).agg(collect_set(col("ib")).as("ibs"))
+    dedupFused(cand)
       .join(docs.select(col("doc_id").as("ia"), col("ws").as("wsa"),
         col("lang").as("la"), col("source").as("sa")), "ia")
-      .select(col("ia"), col("wsa"), col("la"), col("sa"),
-        explode(col("ibs")).as("ib"))
       .join(docs.select(col("doc_id").as("ib"), col("ws").as("wsb"),
         col("lang").as("lb"), col("source").as("sb")), "ib")
       .filter(col("la") === col("lb") && col("sa") === col("sb"))
@@ -941,13 +962,11 @@ object Dedup {
       .cache()
     val probed = idx.select(col("vec_id"), explode(col("probes")).as("pc"))
     // a pair may share several probed cells; dedup ("verify once") is
-    // fused into the ia-side verify join's aggregation like cosVerifyGrouped
-    val cand = probed.alias("x")
+    // fused into the ia-side verify join's aggregation ([[dedupFused]])
+    val cand = dedupFused(probed.alias("x")
       .join(probed.alias("y"), Seq("pc"))
       .filter(col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"))
-      .groupBy(col("ia")).agg(collect_set(col("ib")).as("ibs"))
-      .select(col("ia"), explode(col("ibs")).as("ib"))
+      .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib")))
     val removed = cand
       .join(idx.select(col("vec_id").as("ia"),
         col("v").as("va"), col("nrm").as("na")), "ia")

@@ -979,11 +979,18 @@ object TextAnalysis {
         // sort locally within each — with NO global sort anywhere: the
         // only window is partitioned by shard (corpus/256 rows; widen the
         // prefix to 3-4 hex chars as the corpus grows). The per-shard
-        // order_sig = sum(pos * (doc_id mod 1000003)) is an all-integer
-        // checksum of the exact permutation, so the oracle pins the full
-        // shuffled ORDER, not just shard membership. Changing the salt
-        // ("epoch2:") reshuffles every epoch independently.
+        // order_sig is an all-integer checksum of the exact permutation,
+        // so the oracle pins the full shuffled ORDER, not just shard
+        // membership; it accumulates MODULARLY (every product residue
+        // < P = 1000003 before summing) so the Spark long sum and the
+        // oracle's HUGEINT sum agree at any corpus size — a raw
+        // sum(pos * (doc_id mod P)) silently wraps 64 bits near the
+        // 10^10-doc design point while DuckDB's does not. The summed
+        // residues themselves overflow only past ~9e12 rows PER SHARD.
+        // Changing the salt ("epoch2:") reshuffles every epoch
+        // independently.
         import org.apache.spark.sql.expressions.Window
+        val P = 1000003L
         val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
         documents(s, d)
           .select(col("doc_id"), col("n_chars"),
@@ -993,7 +1000,8 @@ object TextAnalysis {
           .groupBy(col("shard"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("n_chars"),
-            sum(col("pos") * pmod(col("doc_id"), lit(1000003L))).as("order_sig"))
+            pmod(sum(pmod(pmod(col("pos"), lit(P)) * pmod(col("doc_id"), lit(P)),
+              lit(P))), lit(P)).as("order_sig"))
           .orderBy(col("shard"))
       },
       Some("""
@@ -1007,7 +1015,8 @@ object TextAnalysis {
           FROM h)
         SELECT shard, count(*) AS n_docs,
                cast(sum(n_chars) as bigint) AS n_chars,
-               cast(sum(pos * (doc_id % 1000003)) as bigint) AS order_sig
+               cast(sum((pos % 1000003) * (doc_id % 1000003) % 1000003)
+                    % 1000003 as bigint) AS order_sig
         FROM pos
         GROUP BY shard
         ORDER BY shard"""),
