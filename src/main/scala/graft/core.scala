@@ -32,15 +32,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by default.
-    * Read it as raw long nanos (legacy conf) and floor-convert to a
-    * microsecond timestamp — identical to DuckDB's ns->us cast semantics.
-    * Integer `div` keeps full precision (a double division would lose bits
-    * above 2^53). */
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across testdata vintages, so the read is
+    * schema-adaptive:
+    *   - NANOS: Spark rejects it by default; read as raw long nanos
+    *     (legacy conf) and floor-convert via integer `div` (a double
+    *     division would lose bits above 2^53) — identical to DuckDB's
+    *     ns->us cast semantics.
+    *   - MICROS (no tz): Spark reads TIMESTAMP_NTZ natively; cast to the
+    *     session-tz timestamp. Session tz is pinned to UTC everywhere, so
+    *     the cast is a no-op on the instant and matches the DuckDB oracle.
+    */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType            => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                   => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -36,15 +36,39 @@ object Dedup {
     * Skew guard: the aggregation buffer for one ia holds that document's
     * whole candidate neighborhood — bounded by near-dup neighborhood size
     * on healthy corpora, but unbounded under mass-duplication skew (viral
-    * boilerplate shared by millions of pages). Setting
-    * `spark.graft.dedupSalt = S` (default 1 = off) salt-splits each ia's
-    * buffer S ways by ib-hash — an ib lands in exactly one salt bucket, so
-    * output is row-identical (DedupProps pins it) — at the cost of
-    * re-exchanging the (small, deduped) pair relation for the ia join,
-    * which is why it is opt-in rather than always-on. */
+    * boilerplate shared by millions of pages). The salted path splits each
+    * ia's buffer S ways by ib-hash, and the salt participates in the
+    * exchange key, so a hot ia's neighborhood spreads across S tasks
+    * instead of concentrating in one. An ib lands in exactly one salt
+    * bucket, so the exploded output is row-identical to the unsalted path
+    * by construction (DedupProps pins it against a planted mass-dup
+    * corpus).
+    *
+    * `spark.graft.dedupSalt` controls it: "auto" (the default) keeps the
+    * guard ARMED — the only cost over the unsalted plan is re-exchanging
+    * the deduped pair relation for the ia-side verify join, and under AQE
+    * that extra exchange coalesces to a handful of tasks whenever the pair
+    * relation is small, so small/healthy corpora pay ~nothing while
+    * mass-dup skew is bounded with no operator foresight required. "off"
+    * (or 1) restores the single-exchange unsalted plan for corpora known
+    * to be skew-free; an explicit integer >= 2 tunes the split width. */
+  private[graft] val AUTO_SALT = 16
+  private[graft] def dedupSaltWidth(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.dedupSalt").map(_.trim.toLowerCase) match {
+      case None | Some("auto")  => AUTO_SALT
+      case Some("off")          => 1
+      case Some(v) =>
+        val n = try v.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.dedupSalt must be 'auto', 'off', or a positive integer, got '$v'")
+        }
+        if (n < 1) throw new IllegalArgumentException(
+          s"spark.graft.dedupSalt must be >= 1 (or 'auto'/'off'), got $n")
+        n
+    }
+
   private def dedupFused(cand: DataFrame): DataFrame = {
-    val salts = cand.sparkSession.conf.getOption("spark.graft.dedupSalt")
-      .map(_.toInt).getOrElse(1)
+    val salts = dedupSaltWidth(cand.sparkSession)
     val grouped =
       if (salts <= 1) cand.groupBy(col("ia"))
       else cand.groupBy(col("ia"),

@@ -136,17 +136,22 @@ object TextAnalysis {
         .rowsBetween(Window.unboundedPreceding, -1)
       df.withColumn(out, coalesce(sum(col(value)).over(w), lit(0L)))
     } else {
+      // The offset column name is per-level: inner recursion levels are
+      // themselves called with an `out` of the parent's `off`, so a shared
+      // "__off" name would make this branch's trailing drop remove the
+      // column the inner level just computed (the r10 q80/q97 breakage).
       val bkt = s"__bkt$levels"
+      val off = s"__off$levels"
       val bsums = df.groupBy(expr(s"`$id` div $PACK_FANOUT").as(bkt))
         .agg(sum(col(value)).as(value))
-      val offs = exclusiveRunningSum(bsums, bkt, value, "__off", levels - 1)
-        .select(col(bkt), col("__off"))
+      val offs = exclusiveRunningSum(bsums, bkt, value, off, levels - 1)
+        .select(col(bkt), col(off))
       val wIn = Window.partitionBy(col(bkt)).orderBy(col(id))
         .rowsBetween(Window.unboundedPreceding, -1)
       df.withColumn(bkt, expr(s"`$id` div $PACK_FANOUT"))
         .join(offs, Seq(bkt))
-        .withColumn(out, col("__off") + coalesce(sum(col(value)).over(wIn), lit(0L)))
-        .drop(bkt, "__off")
+        .withColumn(out, col(off) + coalesce(sum(col(value)).over(wIn), lit(0L)))
+        .drop(bkt, off)
     }
   }
 
@@ -989,6 +994,13 @@ object TextAnalysis {
         // residues themselves overflow only past ~9e12 rows PER SHARD.
         // Changing the salt ("epoch2:") reshuffles every epoch
         // independently.
+        //
+        // PRECONDITION: doc_id (and pos, by construction) are
+        // non-negative. Spark's pmod yields residues in [0, P) while
+        // DuckDB's % keeps the dividend's sign, so the two order_sig
+        // spellings agree only on non-negative inputs; a hash-derived
+        // (possibly negative) doc id would need the oracle rewritten as
+        // ((doc_id % P + P) % P) for unconditional parity.
         import org.apache.spark.sql.expressions.Window
         val P = 1000003L
         val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))

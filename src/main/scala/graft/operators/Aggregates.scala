@@ -165,31 +165,88 @@ object Aggregates {
 
     QueryDef(
       "q84_approx_percentiles",
-      (s, d) =>
-        // Quantile sketch (Greenwald-Khanna via approx_percentile): the
-        // sketch family's member for order statistics, next to HLL (q43)
-        // for cardinality. The sketch is mergeable — partial aggregation
-        // works map-side, so at 100 TB this is one shuffle of bounded
-        // summaries where q48's exact cents-histogram shuffles its full
-        // (group, cent) domain. accuracy=10000 bounds rank error at
-        // n/10000; AggregatesSpec measures the value error against q48's
-        // exact interpolation. Sketch internals differ per engine, so
-        // there's no hash oracle — the spec's tolerance against exact IS
-        // the correctness contract.
-        graft.Tables.lineitem(s, d)
+      (s, d) => {
+        // Quantile sketch (Greenwald-Khanna via approx_percentile) as a
+        // CANDIDATE GENERATOR, the q93 pattern applied to order
+        // statistics: the sketch's answers are engine-specific, but its
+        // rank GUARANTEE is not, so the registered output is the EXACT
+        // value at a fixed rank t = ceil(q*n) — deterministic and
+        // hash-comparable against DuckDB — computed by an exact rescan
+        // the sketch has pruned to a sliver of each group:
+        //
+        //   1. sketch pass: per group, GK values at q -/+ DELTA bracket
+        //      the target (accuracy 10000 => rank error n/10000, and
+        //      merged partials at worst double it — DELTA = 0.002 is
+        //      ~10x that bound, so [v_lo, v_hi] provably contains the
+        //      rank-t value);
+        //   2. rescan: count rows strictly below v_lo (r_lo) and gather
+        //      the ~2*DELTA*n rows inside the bracket; the global
+        //      rank-t value is the (t - r_lo)-th smallest of the
+        //      gathered sliver. Ties are safe: positions shift only by
+        //      values OUTSIDE [v_lo, v_hi].
+        //
+        // 100 TB shape: one partial-agg shuffle of bounded sketches,
+        // then one scan whose gathered sliver is DELTA-proportional
+        // (pick DELTA ~ B/n to cap the buffer at B rows; past that,
+        // sort the filtered sliver distributedly instead of gathering).
+        // AggregatesSpec still bounds the raw sketch values against the
+        // exact interpolation; an out-of-bracket regression here nulls
+        // an output cell, which the hash gate catches loudly.
+        val acc = 10000
+        val delta = 0.002
+        val qs = Seq(0.5 -> "p50", 0.95 -> "p95", 0.99 -> "p99")
+        val los = qs.map { case (q, _) => math.max(0.0, q - delta) }
+        val his = qs.map { case (q, _) => math.min(1.0, q + delta) }
+        val bounds = lineitem(s, d)
           .groupBy(col("l_returnflag"))
           .agg(
             count(lit(1)).as("n"),
-            expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)")
-              .as("approx_pcts"))
+            expr(s"approx_percentile(l_extendedprice, array(${los.mkString(",")}), $acc)").as("vlo"),
+            expr(s"approx_percentile(l_extendedprice, array(${his.mkString(",")}), $acc)").as("vhi"))
           .select(col("l_returnflag"), col("n"),
-            round(element_at(col("approx_pcts"), 1), 2).as("p50"),
-            round(element_at(col("approx_pcts"), 2), 2).as("p95"),
-            round(element_at(col("approx_pcts"), 3), 2).as("p99"))
-          .orderBy(col("l_returnflag")),
-      None, // sketch values are algorithm-specific; AggregatesSpec bounds
-            // them against q48's exact percentiles instead
-      "approx percentiles: mergeable GK quantile sketch (bounded partial-agg state)"),
+            posexplode(arrays_zip(col("vlo"), col("vhi"))).as(Seq("qi", "b")))
+          .select(col("l_returnflag"), col("n"), col("qi"),
+            col("b.vlo").as("vlo"), col("b.vhi").as("vhi"))
+        val qlit = array(qs.map { case (q, _) => lit(q) }: _*)
+        val sliver = lineitem(s, d)
+          .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+          .join(broadcast(bounds), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"), col("qi"))
+          .agg(
+            max(col("n")).as("n"),
+            sum(when(col("v") < col("vlo"), 1L).otherwise(0L)).as("r_lo"),
+            sort_array(collect_list(when(col("v").between(col("vlo"), col("vhi")), col("v"))))
+              .as("window"))
+          .withColumn("t", ceil(element_at(qlit, col("qi") + 1) * col("n")).cast("long"))
+          // try_element_at: an out-of-bracket index (sketch guarantee
+          // violated) must surface as a null cell -> hash mismatch, not an
+          // ANSI INVALID_ARRAY_INDEX crash of the whole gate run
+          .withColumn("pct", round(try_element_at(col("window"),
+            (col("t") - col("r_lo")).cast("int")), 2))
+        sliver
+          .groupBy(col("l_returnflag"))
+          .agg(
+            max(col("n")).as("n"),
+            max(when(col("qi") === 0, col("pct"))).as("p50"),
+            max(when(col("qi") === 1, col("pct"))).as("p95"),
+            max(when(col("qi") === 2, col("pct"))).as("p99"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT l_returnflag, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_extendedprice) AS rk,
+                 count(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM lineitem)
+        SELECT l_returnflag, max(n) AS n,
+               round(max(CASE WHEN rk = cast(ceil(0.50 * n) as bigint) THEN l_extendedprice END), 2) AS p50,
+               round(max(CASE WHEN rk = cast(ceil(0.95 * n) as bigint) THEN l_extendedprice END), 2) AS p95,
+               round(max(CASE WHEN rk = cast(ceil(0.99 * n) as bigint) THEN l_extendedprice END), 2) AS p99
+        FROM s
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""),
+      "approx percentiles: GK sketch brackets the rank, exact rescan emits the deterministic rank-t value"),
 
     QueryDef(
       "q62_stats_moments",

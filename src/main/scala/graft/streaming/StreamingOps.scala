@@ -369,13 +369,21 @@ object StreamingOps {
       .select(col("doc_id"), col("n_hits"))
   }
 
-  /** File-source stream over a directory of parquet events (raw nanosecond
-    * ts converted like the batch loader). */
+  /** File-source stream over a directory of parquet events, normalizing
+    * `ts` exactly like the batch loader ([[graft.Tables.events]]): the
+    * fixture has shipped as both TIMESTAMP(NANOS) (surfaced as raw long
+    * nanos under the legacy conf) and TIMESTAMP(MICROS) (surfaced as
+    * TIMESTAMP_NTZ), so the stream's schema comes from one driver-side
+    * footer probe of the directory rather than a hardcoded vintage. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .parquet(dir)
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val fileSchema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(fileSchema).parquet(dir)
+    raw.schema("ts").dataType match {
+      case LongType            => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                   => raw
+    }
   }
 }

@@ -29,22 +29,26 @@ class AggregatesSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05, s"approx $approx exact $exact")
   }
 
-  test("q84 sketch percentiles track the exact per-group order statistics") {
+  test("q84 emits the EXACT rank-ceil(q*n) value the sketch bracket promises") {
+    // the registered query's contract is now deterministic (q93-style
+    // sketch-prunes-exact-rescan): every cell must EQUAL the value at rank
+    // ceil(q*n) of the group's sorted multiset — a null cell means the GK
+    // bracket failed to contain the target rank
     val out = SparkEntry.queries("q84_approx_percentiles")(spark, SF)
-      .select(col("l_returnflag"), col("p50"), col("p95"), col("p99"))
-      .as[(String, Double, Double, Double)].collect()
+      .select(col("l_returnflag"), col("n"), col("p50"), col("p95"), col("p99"))
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])].collect()
     assert(out.nonEmpty)
-    val exact = Tables.lineitem(spark, SF).groupBy(col("l_returnflag"))
-      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("e50"),
-        percentile(col("l_extendedprice"), lit(0.95)).as("e95"),
-        percentile(col("l_extendedprice"), lit(0.99)).as("e99"))
-      .as[(String, Double, Double, Double)].collect()
-      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
-    out.foreach { case (f, p50, p95, p99) =>
-      val (e50, e95, e99) = exact(f)
-      Seq(("p50", p50, e50), ("p95", p95, e95), ("p99", p99, e99)).foreach {
-        case (n, a, e) =>
-          assert(math.abs(a - e) / e < 0.02, s"$f $n: approx $a vs exact $e")
+    val byFlag = Tables.lineitem(spark, SF)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .as[(String, Double)].collect().groupBy(_._1)
+      .map { case (f, xs) => f -> xs.map(_._2).sorted }
+    out.foreach { case (f, n, p50, p95, p99) =>
+      val sorted = byFlag(f)
+      assert(n == sorted.length, s"$f n")
+      Seq((0.50, p50), (0.95, p95), (0.99, p99)).foreach { case (q, cell) =>
+        val expected = sorted(math.ceil(q * n).toLong.toInt - 1)
+        assert(cell.contains(math.rint(expected * 100) / 100),
+          s"$f q=$q: got $cell, exact rank-${math.ceil(q * n).toLong} value $expected")
       }
     }
   }

@@ -67,6 +67,53 @@ object DedupProps extends Properties("dedup") {
       Prop(inc == full) :| s"inc=${inc.size} full-filtered=${full.size} t=$t mod=$mod"
     }
 
+  property("salt guard is row-identical off/auto/explicit on a mass-dup corpus") = {
+    // planted mass-duplication skew — one viral boilerplate shared by 60
+    // docs (every one a >= 0.8 neighbor of every other: a single hot ia
+    // neighborhood) plus distinct fillers. The auto-armed salted plan
+    // (default conf) must emit exactly the rows of the unsalted plan: an
+    // ib hashes to exactly one salt bucket, so salting can neither drop
+    // nor duplicate a pair.
+    import spark.implicits._
+    val viral = (0L until 60L).map(i =>
+      (i, "the same viral boilerplate text shared by every mirror page", "l0", "src"))
+    val fill = (60L until 75L).map(i =>
+      (i, s"unique filler document number $i about topic${i % 7}", "l0", "src"))
+    val df = (viral ++ fill).toDF("doc_id", "text", "lang", "source")
+    val toks = df.select(col("doc_id"), col("lang"), col("source"),
+      explode(array_distinct(graft.functions.TextAnalysis.tokens(col("text")))).as("word"))
+    def run(salt: Option[String]): Seq[(Long, Long, Double)] = {
+      salt.foreach(spark.conf.set("spark.graft.dedupSalt", _))
+      try Dedup.jaccardPairsPrefix(toks, 0.8)
+        .orderBy(col("ia"), col("ib")).as[(Long, Long, Double)].collect().toSeq
+      finally spark.conf.unset("spark.graft.dedupSalt")
+    }
+    val off = run(Some("off"))
+    val auto = run(None) // default = auto-armed
+    val s4 = run(Some("4"))
+    val expectedViralPairs = 60L * 59L / 2
+    (Prop(off == auto) :| s"auto diverges: off=${off.size} auto=${auto.size}") &&
+      (Prop(off == s4) :| s"salt=4 diverges: off=${off.size} s4=${s4.size}") &&
+      (Prop(off.count { case (a, b, _) => a < 60 && b < 60 } == expectedViralPairs) :|
+        "planted corpus did not produce the hot neighborhood")
+  }
+
+  property("malformed dedupSalt conf fails loud, valid spellings parse") = {
+    def width(v: String): Either[String, Int] = {
+      spark.conf.set("spark.graft.dedupSalt", v)
+      try Right(Dedup.dedupSaltWidth(spark))
+      catch { case e: IllegalArgumentException => Left(e.getMessage) }
+      finally spark.conf.unset("spark.graft.dedupSalt")
+    }
+    (Prop(width("auto") == Right(Dedup.AUTO_SALT)) :| "auto") &&
+      (Prop(width(" AUTO ") == Right(Dedup.AUTO_SALT)) :| "trimmed/cased auto") &&
+      (Prop(width("off") == Right(1)) :| "off") &&
+      (Prop(width("3") == Right(3)) :| "explicit int") &&
+      (Prop(width(" 4 ") == Right(4)) :| "whitespace int") &&
+      (Prop(width("banana").left.exists(_.contains("spark.graft.dedupSalt"))) :| "garbage names the key") &&
+      (Prop(width("0").isLeft && width("-2").isLeft) :| "non-positive rejected")
+  }
+
   private val vecCorpusGen: Gen[(List[(Long, List[Double])], Double)] =
     for {
       dim <- Gen.chooseNum(2, 8)

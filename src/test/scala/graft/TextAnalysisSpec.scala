@@ -201,8 +201,9 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("q100 bucketed postings reassemble into the full sorted posting list") {
-    val out = TextAnalysis.defs.find(_.name == "q100_inverted_index").get
-      .fn(spark, SF)
+    // the registered q100 md5-digests `postings` for the driver's scalar
+    // hasher; the raw-array invariants are pinned against the API instead
+    val out = TextAnalysis.invertedIndex(spark, SF)
       .select(col("word"), col("bucket"), col("n_docs"), col("tf_sum"), col("postings"))
       .as[(String, Long, Long, Long, Seq[Long])].collect()
     assert(out.nonEmpty)
