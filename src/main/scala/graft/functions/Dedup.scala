@@ -44,19 +44,50 @@ object Dedup {
     * by construction (DedupProps pins it against a planted mass-dup
     * corpus).
     *
-    * `spark.graft.dedupSalt` controls it: "auto" (the default) keeps the
-    * guard ARMED — the only cost over the unsalted plan is re-exchanging
-    * the deduped pair relation for the ia-side verify join, and under AQE
-    * that extra exchange coalesces to a handful of tasks whenever the pair
-    * relation is small, so small/healthy corpora pay ~nothing while
-    * mass-dup skew is bounded with no operator foresight required. "off"
-    * (or 1) restores the single-exchange unsalted plan for corpora known
-    * to be skew-free; an explicit integer >= 2 tunes the split width. */
+    * `spark.graft.dedupSalt` controls it: "auto" (the default) arms the
+    * salt from a MEASURED size hint rather than operator foresight — each
+    * candidate generator probes its own (already-cached) bucket relation
+    * for the largest bucket, and the salt arms only when that exceeds
+    * `spark.graft.dedupSaltThreshold` (default 65536: a viral cluster of
+    * M near-identical items lands its members in one bucket in every
+    * scheme here — prefix token, band, code, cell — so max bucket tracks
+    * the largest candidate neighborhood). The probe is one tiny
+    * aggregation over cached data and only runs in auto mode; healthy
+    * corpora keep the single-exchange unsalted plan (the armed plan's
+    * extra pair-relation exchange measured 10-30% of these
+    * stage-latency-bound queries at sf0.1, so always-on would tax every
+    * healthy run — measured, which is why auto probes instead). "off"
+    * (or 1) disables the guard; an explicit integer >= 2 forces that
+    * width. When armed, width scales with the overflow ratio
+    * (maxBucket/threshold, clamped to [16, 256]) so a billion-dup bucket
+    * splits harder than one just past the line. */
   private[graft] val AUTO_SALT = 16
-  private[graft] def dedupSaltWidth(s: SparkSession): Int =
+  private[graft] def dedupSaltThreshold(s: SparkSession): Long = {
+    val raw = s.conf.getOption("spark.graft.dedupSaltThreshold")
+    raw.map(_.trim).map { v =>
+      val n = try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.dedupSaltThreshold must be a positive integer, got '$v'")
+      }
+      if (n < 1) throw new IllegalArgumentException(
+        s"spark.graft.dedupSaltThreshold must be >= 1, got $n")
+      n
+    }.getOrElse(65536L)
+  }
+
+  /** Salt-width decision. `maxBucket` is the candidate generator's probe
+    * of its largest bucket — by-name, evaluated ONLY in auto mode (the
+    * off/explicit spellings never pay the probe job). */
+  private[graft] def dedupSaltWidth(s: SparkSession, maxBucket: => Option[Long]): Int =
     s.conf.getOption("spark.graft.dedupSalt").map(_.trim.toLowerCase) match {
-      case None | Some("auto")  => AUTO_SALT
-      case Some("off")          => 1
+      case None | Some("auto") =>
+        val thr = dedupSaltThreshold(s)
+        maxBucket match {
+          case Some(m) if m > thr =>
+            math.min(256L, math.max(AUTO_SALT.toLong, m / thr)).toInt
+          case _ => 1
+        }
+      case Some("off") => 1
       case Some(v) =>
         val n = try v.toInt catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
@@ -67,8 +98,18 @@ object Dedup {
         n
     }
 
-  private def dedupFused(cand: DataFrame): DataFrame = {
-    val salts = dedupSaltWidth(cand.sparkSession)
+  /** The auto-salt probe: largest group of `rel` on `keys`. Call sites
+    * hand in their bucket relation (banded signatures, prefix index,
+    * code/cell index) — always derived from a relation they already
+    * cache, so the probe is one small aggregation job, not a second
+    * candidate generation. */
+  private def maxBucketOf(rel: DataFrame, keys: Seq[Column]): Option[Long] =
+    Option(rel.groupBy(keys: _*).count().agg(max("count")).head.get(0))
+      .map(_.asInstanceOf[Long])
+
+  private def dedupFused(cand: DataFrame,
+      maxBucket: => Option[Long] = None): DataFrame = {
+    val salts = dedupSaltWidth(cand.sparkSession, maxBucket)
     val grouped =
       if (salts <= 1) cand.groupBy(col("ia"))
       else cand.groupBy(col("ia"),
@@ -255,7 +296,8 @@ object Dedup {
     val cand = dedupFused(banded.alias("x")
       .join(banded.alias("y"), joinKeys)
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib")))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib")),
+      maxBucket = maxBucketOf(banded, joinKeys.map(col)))
     val sa = sigs.select(col("doc_id").as("ia"), col("sig").as("siga"))
     val sb = sigs.select(col("doc_id").as("ib"), col("sig").as("sigb"))
     cand.join(sa, "ia").join(sb, "ib")
@@ -372,7 +414,8 @@ object Dedup {
     // within one table a pair matches through exactly one mask, so a
     // single-table run needs no dedup; multi-table candidates dedup
     // inside the verify join's own aggregation
-    if (nTables > 1) cosVerifyGrouped(e, cand0, 0.4)
+    if (nTables > 1) cosVerifyGrouped(e, cand0, 0.4,
+      maxBucket = maxBucketOf(coded, Seq(col("t"), col("code"))))
     else cosVerify(e, cand0, 0.4)
   }
 
@@ -401,8 +444,9 @@ object Dedup {
     * x8, the distinct was a full extra pass over a ~60k-pair-dense
     * candidate relation). Per-ia fanout is bounded by the near-dup
     * neighborhood size. */
-  private def cosVerifyGrouped(e: DataFrame, cand: DataFrame, t: Double): DataFrame =
-    cosVerify(e, dedupFused(cand), t)
+  private def cosVerifyGrouped(e: DataFrame, cand: DataFrame, t: Double,
+      maxBucket: => Option[Long] = None): DataFrame =
+    cosVerify(e, dedupFused(cand, maxBucket), t)
 
   /** EXACT incremental embedding near-dup (registered as q98) — the
     * onboarding shape of [[jaccardPairsIncremental]] (q96) ported to the
@@ -479,7 +523,9 @@ object Dedup {
       // cosVerifyGrouped dedups inside its own first exchange
       .select(least(col("q"), col("x")).as("ia"),
         greatest(col("q"), col("x")).as("ib"))
-    cosVerifyGrouped(ec, cand, t).orderBy(col("ia"), col("ib"))
+    cosVerifyGrouped(ec, cand, t,
+        maxBucket = maxBucketOf(idx, Seq(col("cid"))))
+      .orderBy(col("ia"), col("ib"))
   }
 
   /** Incremental hyperplane-LSH near-dup — [[embeddingPairsLsh]] (q64)
@@ -543,7 +589,8 @@ object Dedup {
       .select(col("vec_id"), col("v"), col("nrm"))
       .union(incoming.select(col("vec_id"), col("v"), col("nrm")))
       .dropDuplicates("vec_id")
-    cosVerifyGrouped(vecs, cand, threshold)
+    cosVerifyGrouped(vecs, cand, threshold,
+      maxBucket = maxBucketOf(index, Seq(col("t"), col("code"))))
   }
 
   /** Per-doc arrays for the AllPairs prefix join, from ONE aggregation:
@@ -646,7 +693,8 @@ object Dedup {
     * approaches corpus scale; corpora where it would are what
     * `spark.graft.dedupSalt` exists for. */
   private def verifyPairs(docs: DataFrame, cand: DataFrame, t: Double): DataFrame =
-    dedupFused(cand)
+    dedupFused(cand,
+      maxBucket = maxBucketOf(prefixSide(docs, "p"), Seq(col("wk"))))
       .join(docs.select(col("doc_id").as("ia"), col("ws").as("wsa"),
         col("lang").as("la"), col("source").as("sa")), "ia")
       .join(docs.select(col("doc_id").as("ib"), col("ws").as("wsb"),
@@ -990,7 +1038,8 @@ object Dedup {
     val cand = dedupFused(probed.alias("x")
       .join(probed.alias("y"), Seq("pc"))
       .filter(col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib")))
+      .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib")),
+      maxBucket = maxBucketOf(probed, Seq(col("pc"))))
     val removed = cand
       .join(idx.select(col("vec_id").as("ia"),
         col("v").as("va"), col("nrm").as("na")), "ia")

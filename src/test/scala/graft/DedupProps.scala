@@ -67,13 +67,16 @@ object DedupProps extends Properties("dedup") {
       Prop(inc == full) :| s"inc=${inc.size} full-filtered=${full.size} t=$t mod=$mod"
     }
 
-  property("salt guard is row-identical off/auto/explicit on a mass-dup corpus") = {
+  property("salt guard auto-arms on a mass-dup corpus and stays row-identical") = {
     // planted mass-duplication skew — one viral boilerplate shared by 60
     // docs (every one a >= 0.8 neighbor of every other: a single hot ia
-    // neighborhood) plus distinct fillers. The auto-armed salted plan
-    // (default conf) must emit exactly the rows of the unsalted plan: an
-    // ib hashes to exactly one salt bucket, so salting can neither drop
-    // nor duplicate a pair.
+    // neighborhood, and a 60-doc prefix-token bucket for the probe to
+    // find) plus distinct fillers. With the threshold lowered under the
+    // bucket size, auto must ARM the salted plan (visible as the __slt
+    // grouping key) and emit exactly the unsalted rows: an ib hashes to
+    // exactly one salt bucket, so salting can neither drop nor duplicate
+    // a pair. At the default threshold (65536) the same corpus must stay
+    // on the single-exchange unsalted plan — healthy runs pay nothing.
     import spark.implicits._
     val viral = (0L until 60L).map(i =>
       (i, "the same viral boilerplate text shared by every mirror page", "l0", "src"))
@@ -82,36 +85,54 @@ object DedupProps extends Properties("dedup") {
     val df = (viral ++ fill).toDF("doc_id", "text", "lang", "source")
     val toks = df.select(col("doc_id"), col("lang"), col("source"),
       explode(array_distinct(graft.functions.TextAnalysis.tokens(col("text")))).as("word"))
-    def run(salt: Option[String]): Seq[(Long, Long, Double)] = {
-      salt.foreach(spark.conf.set("spark.graft.dedupSalt", _))
-      try Dedup.jaccardPairsPrefix(toks, 0.8)
-        .orderBy(col("ia"), col("ib")).as[(Long, Long, Double)].collect().toSeq
-      finally spark.conf.unset("spark.graft.dedupSalt")
+    def run(conf: Map[String, String]): (Seq[(Long, Long, Double)], Boolean) = {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val frame = Dedup.jaccardPairsPrefix(toks, 0.8)
+        val salted = frame.queryExecution.analyzed.toString.contains("__slt")
+        (frame.orderBy(col("ia"), col("ib"))
+          .as[(Long, Long, Double)].collect().toSeq, salted)
+      } finally conf.keys.foreach(spark.conf.unset)
     }
-    val off = run(Some("off"))
-    val auto = run(None) // default = auto-armed
-    val s4 = run(Some("4"))
+    val (off, offSalted) = run(Map("spark.graft.dedupSalt" -> "off"))
+    val (autoArmed, armedSalted) =
+      run(Map("spark.graft.dedupSaltThreshold" -> "16")) // default salt=auto
+    val (autoIdle, idleSalted) = run(Map.empty) // default threshold: not armed
+    val (s4, s4Salted) = run(Map("spark.graft.dedupSalt" -> "4"))
     val expectedViralPairs = 60L * 59L / 2
-    (Prop(off == auto) :| s"auto diverges: off=${off.size} auto=${auto.size}") &&
+    (Prop(!offSalted) :| "off must not salt") &&
+      (Prop(armedSalted) :| "auto did not arm on the planted hot bucket") &&
+      (Prop(!idleSalted) :| "auto armed below the default threshold") &&
+      (Prop(s4Salted) :| "explicit width must salt") &&
+      (Prop(off == autoArmed) :| s"armed auto diverges: off=${off.size} auto=${autoArmed.size}") &&
+      (Prop(off == autoIdle) :| "idle auto diverges") &&
       (Prop(off == s4) :| s"salt=4 diverges: off=${off.size} s4=${s4.size}") &&
       (Prop(off.count { case (a, b, _) => a < 60 && b < 60 } == expectedViralPairs) :|
         "planted corpus did not produce the hot neighborhood")
   }
 
-  property("malformed dedupSalt conf fails loud, valid spellings parse") = {
-    def width(v: String): Either[String, Int] = {
-      spark.conf.set("spark.graft.dedupSalt", v)
-      try Right(Dedup.dedupSaltWidth(spark))
+  property("dedupSalt conf spellings parse, probes gate arming, garbage fails loud") = {
+    def width(conf: Map[String, String], hint: Option[Long]): Either[String, Int] = {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try Right(Dedup.dedupSaltWidth(spark, hint))
       catch { case e: IllegalArgumentException => Left(e.getMessage) }
-      finally spark.conf.unset("spark.graft.dedupSalt")
+      finally conf.keys.foreach(spark.conf.unset)
     }
-    (Prop(width("auto") == Right(Dedup.AUTO_SALT)) :| "auto") &&
-      (Prop(width(" AUTO ") == Right(Dedup.AUTO_SALT)) :| "trimmed/cased auto") &&
-      (Prop(width("off") == Right(1)) :| "off") &&
-      (Prop(width("3") == Right(3)) :| "explicit int") &&
-      (Prop(width(" 4 ") == Right(4)) :| "whitespace int") &&
-      (Prop(width("banana").left.exists(_.contains("spark.graft.dedupSalt"))) :| "garbage names the key") &&
-      (Prop(width("0").isLeft && width("-2").isLeft) :| "non-positive rejected")
+    def salt(v: String) = Map("spark.graft.dedupSalt" -> v)
+    (Prop(width(Map.empty, Some(100L)) == Right(1)) :| "auto below threshold -> off") &&
+      (Prop(width(Map.empty, None) == Right(1)) :| "auto without a probe -> off") &&
+      (Prop(width(Map.empty, Some(100000L)) == Right(Dedup.AUTO_SALT)) :| "auto just past threshold -> base width") &&
+      (Prop(width(Map.empty, Some(65536L * 1000)) == Right(256)) :| "massive overflow clamps at 256") &&
+      (Prop(width(Map("spark.graft.dedupSaltThreshold" -> "10"), Some(100L)) ==
+        Right(Dedup.AUTO_SALT)) :| "lowered threshold arms") &&
+      (Prop(width(salt(" AUTO "), Some(100L)) == Right(1)) :| "trimmed/cased auto parses") &&
+      (Prop(width(salt("off"), Some(1000000L)) == Right(1)) :| "off ignores the probe") &&
+      (Prop(width(salt("3"), None) == Right(3)) :| "explicit int") &&
+      (Prop(width(salt(" 4 "), None) == Right(4)) :| "whitespace int") &&
+      (Prop(width(salt("banana"), None).left.exists(_.contains("spark.graft.dedupSalt"))) :| "garbage names the key") &&
+      (Prop(width(salt("0"), None).isLeft && width(salt("-2"), None).isLeft) :| "non-positive rejected") &&
+      (Prop(width(Map("spark.graft.dedupSaltThreshold" -> "zero"), Some(1L))
+        .left.exists(_.contains("dedupSaltThreshold"))) :| "bad threshold names its key")
   }
 
   private val vecCorpusGen: Gen[(List[(Long, List[Double])], Double)] =
