@@ -107,6 +107,21 @@ object Dedup {
     Option(rel.groupBy(keys: _*).count().agg(max("count")).head.get(0))
       .map(_.asInstanceOf[Long])
 
+  /** Tiered auto-salt probe: `bound` is a cheap upper bound on any bucket
+    * (total corpus rows, or the largest scope group — a bucket can never
+    * outgrow its scope), usually a count the call site has ALREADY
+    * computed or one light aggregation over an about-to-be-needed cache.
+    * When the bound itself clears the threshold the refined bucket probe
+    * never runs — which is the common case at test/bench scale, so the
+    * healthy-corpus cost of auto mode is ~one cheap count. Only corpora
+    * big enough to possibly need the guard pay the refined probe, where
+    * its one aggregation amortizes against the job it protects. */
+  private def tieredProbe(s: SparkSession)(bound: => Long)(
+      refined: => Option[Long]): Option[Long] = {
+    val b = bound
+    if (b <= dedupSaltThreshold(s)) Some(b) else refined
+  }
+
   private def dedupFused(cand: DataFrame,
       maxBucket: => Option[Long] = None): DataFrame = {
     val salts = dedupSaltWidth(cand.sparkSession, maxBucket)
@@ -158,6 +173,47 @@ object Dedup {
         WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.8
           AND (ia % 10 = 0 OR ib % 10 = 0)
         ORDER BY ia, ib"""
+
+  /** q37 oracle: DuckDB rebuilds the 60-bit simhash signatures from the
+    * same md5-derived word hash, buckets the same 15-bit chunks, and
+    * verifies the same hamming<=3 — engine-identical end to end. The 60
+    * per-bit weight aggregates are generated here so the SQL and the
+    * Spark plan share one bit-width constant. */
+  private lazy val SIMHASH_ORACLE: String = {
+    val bitW = (0 until SIMHASH_BITS).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN tf ELSE -tf END) AS w_$j").mkString(",\n                 ")
+    val assemble = (0 until SIMHASH_BITS).map(j =>
+      s"CASE WHEN w_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""
+        WITH tf AS (
+          SELECT doc_id, word, count(*) AS tf
+          FROM (SELECT doc_id, unnest($SQL_TOKENS) AS word FROM documents)
+          GROUP BY 1, 2),
+        h AS (
+          SELECT doc_id, tf,
+                 ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+          FROM tf),
+        w AS (
+          SELECT doc_id,
+                 $bitW
+          FROM h GROUP BY doc_id),
+        sims AS (SELECT doc_id, $assemble AS simhash FROM w),
+        chunked AS (
+          SELECT doc_id, simhash, c.c,
+                 (simhash >> (c.c * $SIMHASH_CHUNK)) & ${(1L << SIMHASH_CHUNK) - 1} AS chunk
+          FROM sims, (SELECT unnest(range(4)) AS c) c),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+          FROM chunked x JOIN chunked y
+            ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+        SELECT c.ia, c.ib,
+               cast(bit_count(xor(sa.simhash, sb.simhash)) as int) AS hamming
+        FROM cand c
+        JOIN sims sa ON sa.doc_id = c.ia
+        JOIN sims sb ON sb.doc_id = c.ib
+        WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+        ORDER BY c.ia, c.ib"""
+  }
 
   /** q98 oracle: the exact cosine >= 0.4 pair relation over the
     * embeddings table, restricted to pairs involving the deterministic
@@ -233,35 +289,89 @@ object Dedup {
   val MINHASH_PERMS = 32
   val MINHASH_BANDS = 8 // 4 rows per band
 
-  /** MinHash signature per doc: sig_i = min over words of xxhash64(word, i).
-    * `scope` columns (e.g. lang/source) are carried through for
-    * partition-scoped LSH. */
+  /** sha2-256 draws per word: each 64-hex draw yields eight 8-hex
+    * (32-bit) permutation values, so [[MINHASH_PERMS]] perms need
+    * PERMS/8 draws. A cryptographic hex hash (not xxhash64) is
+    * deliberate: both engines compute the identical hex string for the
+    * identical input, which is what lets q36 carry a FULL DuckDB oracle —
+    * signatures, band buckets, candidate pairs, and estimates are all
+    * engine-reproducible. sha2-256 over md5 halves the draw count per
+    * word (hash time dominates the signature stage). The 32-bit per-perm
+    * space is plenty below ~10^8-token vocabularies (expected colliding
+    * token pairs per perm ~ V^2/2^33); grow to 12-hex slices + more
+    * draws past that. */
+  private val MINHASH_DRAWS = MINHASH_PERMS / 8
+
+  /** Per-distinct-token draw array for a token-array column — the
+    * row-wise signature's first stage, shared with the streaming twin. */
+  private[graft] def minhashDrawsExpr(toksCol: Column): Column =
+    transform(toksCol, w => array((0 until MINHASH_DRAWS).map(j =>
+      sha2(concat(lit(s"$j:"), w), 256)): _*))
+
+  /** Permutation i's 8-hex value from its word's draw array element. */
+  private def permFromDraw(draw: Column, i: Int): Column =
+    substring(draw, (i % 8) * 8 + 1, 8)
+
+  /** The 32-perm signature from a per-word draw-array column: sig_i =
+    * min over words of draw slice i — identical values in the row-wise
+    * and exploded paths by construction ('~' sorts above every hex char,
+    * so it is the fold's +infinity; token-less docs are filtered before
+    * this runs, so it never survives into a signature). ONE aggregate
+    * pass folds all 32 mins per word via zip_with/least — 32 separate
+    * array_min(transform(...)) passes measured 2.2x the whole q36 query
+    * time in interpreted HOF overhead. */
+  private[graft] def minhashSigFromDraws(drawsCol: Column): Column = {
+    val slices = (a: Column) => array((0 until MINHASH_PERMS).map(i =>
+      permFromDraw(element_at(a, i / 8 + 1), i)): _*)
+    aggregate(drawsCol, array_repeat(lit("~"), MINHASH_PERMS),
+      (acc, a) => zip_with(acc, slices(a), (x, y) => least(x, y)))
+  }
+
+  /** LSH band keys from a signature column: md5 over the band's perm
+    * values — shared by the batch bucket join and the streaming twin's
+    * bucket state keys (and reproduced verbatim in the q36 oracle via
+    * `md5(string_agg(s, '|' ORDER BY i))`). */
+  private[graft] def minhashBandStructs(sig: Column): Column = {
+    val rowsPerBand = MINHASH_PERMS / MINHASH_BANDS
+    array((0 until MINHASH_BANDS).map { bandId =>
+      struct(lit(bandId).as("band"),
+        md5(concat_ws("|",
+          (bandId * rowsPerBand until (bandId + 1) * rowsPerBand)
+            .map(i => sig.getItem(i)): _*)).as("bh"))
+    }: _*)
+  }
+
+  /** MinHash signature per doc from exploded (doc, word) rows: sig_i =
+    * min over words of the i-th md5 permutation slice. `scope` columns
+    * (e.g. lang/source) are carried through for partition-scoped LSH. */
   def minhashSignatures(toks: DataFrame, scope: Seq[String]): DataFrame = {
+    val withDraws = toks.select(
+      (col("doc_id") +: scope.map(col)) ++ (0 until MINHASH_DRAWS).map(j =>
+        sha2(concat(lit(s"$j:"), col("word")), 256).as(s"__m$j")): _*)
     val sigCols = (0 until MINHASH_PERMS).map(i =>
-      min(xxhash64(col("word"), lit(i))).as(s"sig_$i"))
-    toks.groupBy((col("doc_id") +: scope.map(col)): _*)
+      min(permFromDraw(col(s"__m${i / 8}"), i)).as(s"sig_$i"))
+    withDraws.groupBy((col("doc_id") +: scope.map(col)): _*)
       .agg(sigCols.head, sigCols.tail: _*)
       .select((col("doc_id") +: scope.map(col)) :+
         array((0 until MINHASH_PERMS).map(i => col(s"sig_$i")): _*).as("sig"): _*)
   }
 
-  /** Per-row MinHash signatures: sig_i = min over the doc's distinct
-    * tokens of xxhash64(word, i), folded INSIDE the row with
-    * array_min(transform(...)) — same values as [[minhashSignatures]]
-    * (identical hash of the identical word set), but zero shuffle: the
-    * exploded path moves the whole (doc, word) token stream through an
-    * exchange just to take 32 mins, which at 100 TB is the single largest
-    * shuffle in the dedup pipeline. Here signatures fall out of the scan
-    * map-side and only (doc, band) keys ever shuffle. Token-less docs are
-    * filtered (the exploded groupBy never emits them); DedupSpec pins
-    * row-identity between the two paths. */
+  /** Per-row MinHash signatures: the draws and mins fold INSIDE the row —
+    * same values as [[minhashSignatures]] (identical md5 of the identical
+    * word set), but zero shuffle: the exploded path moves the whole
+    * (doc, word) token stream through an exchange just to take 32 mins,
+    * which at 100 TB is the single largest shuffle in the dedup pipeline.
+    * Here signatures fall out of the scan map-side and only (doc, band)
+    * keys ever shuffle. Token-less docs are filtered (the exploded
+    * groupBy never emits them); DedupSpec pins row-identity between the
+    * two paths. */
   def minhashSignaturesRowwise(docs: DataFrame, scope: Seq[String]): DataFrame = {
     val tokArr = array_distinct(TextAnalysis.tokens(col("text")))
     docs.select((col("doc_id") +: scope.map(col)) :+ tokArr.as("toks"): _*)
       .filter(size(col("toks")) > 0)
+      .withColumn("__mh", minhashDrawsExpr(col("toks")))
       .select((col("doc_id") +: scope.map(col)) :+
-        array((0 until MINHASH_PERMS).map(i =>
-          array_min(transform(col("toks"), w => xxhash64(w, lit(i))))): _*).as("sig"): _*)
+        minhashSigFromDraws(col("__mh")).as("sig"): _*)
   }
 
   /** MinHash + LSH near-dup pairs over a precomputed signature frame.
@@ -278,26 +388,27 @@ object Dedup {
     * callers unpersist the signature frame they passed in).
     */
   def minhashPairsFromSigs(sigsIn: DataFrame, scope: Seq[String],
-      threshold: Double): DataFrame = {
+      threshold: Double, scopeBound: => Option[Long] = None): DataFrame = {
     val sigs = sigsIn.cache()
-    val rowsPerBand = MINHASH_PERMS / MINHASH_BANDS
     val banded = sigs.select(
       (col("doc_id") +: scope.map(col)) :+
-        explode(array((0 until MINHASH_BANDS).map { bandId =>
-          struct(lit(bandId).as("band"),
-            xxhash64((bandId * rowsPerBand until (bandId + 1) * rowsPerBand)
-              .map(i => col("sig").getItem(i)): _*).as("bh"))
-        }: _*)).as("bk"): _*)
+        explode(minhashBandStructs(col("sig"))).as("bk"): _*)
       .select((col("doc_id") +: scope.map(col)) :+ col("bk.band") :+ col("bk.bh"): _*)
     val joinKeys = scope ++ Seq("band", "bh")
     // a pair can share several bands; dedup is fused into the ia-side
     // verify join's aggregation ([[dedupFused]], same shape as
-    // cosVerifyGrouped)
+    // cosVerifyGrouped). Auto-salt tier 1: a band bucket can never
+    // outgrow its scope group — callers that can count scope groups
+    // straight off the raw table pass `scopeBound` (a 2-column parquet
+    // aggregation, so the probe never serializes the signature job);
+    // otherwise the bound comes from the sig cache the join warms anyway
     val cand = dedupFused(banded.alias("x")
       .join(banded.alias("y"), joinKeys)
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib")),
-      maxBucket = maxBucketOf(banded, joinKeys.map(col)))
+      maxBucket = tieredProbe(sigs.sparkSession)(
+        scopeBound.orElse(maxBucketOf(sigs, scope.map(col))).getOrElse(0L))(
+        maxBucketOf(banded, joinKeys.map(col))))
     val sa = sigs.select(col("doc_id").as("ia"), col("sig").as("siga"))
     val sb = sigs.select(col("doc_id").as("ib"), col("sig").as("sigb"))
     cand.join(sa, "ia").join(sb, "ib")
@@ -396,7 +507,8 @@ object Dedup {
       col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
       .cache()
-    val p = Similarity.planesForCorpus(e.count(), targetBucket)
+    val n = e.count()
+    val p = Similarity.planesForCorpus(n, targetBucket)
     // ring cap: at tested scales this IS `radius`; at extreme p it shrinks
     // so per-item probe work stays bounded (see ringBoundedRadius)
     val r = math.min(radius, Similarity.ringBoundedRadius(p, radius))
@@ -414,8 +526,10 @@ object Dedup {
     // within one table a pair matches through exactly one mask, so a
     // single-table run needs no dedup; multi-table candidates dedup
     // inside the verify join's own aggregation
+    // tier 1 is free: n was already counted for the plane budget
     if (nTables > 1) cosVerifyGrouped(e, cand0, 0.4,
-      maxBucket = maxBucketOf(coded, Seq(col("t"), col("code"))))
+      maxBucket = tieredProbe(e.sparkSession)(n)(
+        maxBucketOf(coded, Seq(col("t"), col("code")))))
     else cosVerify(e, cand0, 0.4)
   }
 
@@ -523,8 +637,9 @@ object Dedup {
       // cosVerifyGrouped dedups inside its own first exchange
       .select(least(col("q"), col("x")).as("ia"),
         greatest(col("q"), col("x")).as("ib"))
+    // tier 1 is free: n was already counted for the codebook size
     cosVerifyGrouped(ec, cand, t,
-        maxBucket = maxBucketOf(idx, Seq(col("cid"))))
+        maxBucket = tieredProbe(s)(n)(maxBucketOf(idx, Seq(col("cid")))))
       .orderBy(col("ia"), col("ib"))
   }
 
@@ -589,8 +704,11 @@ object Dedup {
       .select(col("vec_id"), col("v"), col("nrm"))
       .union(incoming.select(col("vec_id"), col("v"), col("nrm")))
       .dropDuplicates("vec_id")
+    // tier 1: the index's row count (nTables rows per vector) bounds any
+    // code bucket; one count over the caller's (typically cached) index
     cosVerifyGrouped(vecs, cand, threshold,
-      maxBucket = maxBucketOf(index, Seq(col("t"), col("code"))))
+      maxBucket = tieredProbe(index.sparkSession)(index.count())(
+        maxBucketOf(index, Seq(col("t"), col("code")))))
   }
 
   /** Per-doc arrays for the AllPairs prefix join, from ONE aggregation:
@@ -694,7 +812,11 @@ object Dedup {
     * `spark.graft.dedupSalt` exists for. */
   private def verifyPairs(docs: DataFrame, cand: DataFrame, t: Double): DataFrame =
     dedupFused(cand,
-      maxBucket = maxBucketOf(prefixSide(docs, "p"), Seq(col("wk"))))
+      // tier 1 warms the docs cache the verify join needs anyway; a
+      // prefix-token bucket can never outgrow its (lang, source) scope
+      maxBucket = tieredProbe(docs.sparkSession)(
+        maxBucketOf(docs, Seq(col("lang"), col("source"))).getOrElse(0L))(
+        maxBucketOf(prefixSide(docs, "p"), Seq(col("wk")))))
       .join(docs.select(col("doc_id").as("ia"), col("ws").as("wsa"),
         col("lang").as("la"), col("source").as("sa")), "ia")
       .join(docs.select(col("doc_id").as("ib"), col("ws").as("wsb"),
@@ -707,8 +829,21 @@ object Dedup {
         round(col("i") * lit(1.0) / (col("sza") + col("szb") - col("i")), 4).as("jaccard"))
       .filter(col("jaccard") >= t)
 
-  /** SimHash: 64-bit signature; bit b set iff sum of (+tf / -tf) weighted
-    * by bit b of xxhash64(word) is positive.
+  /** SimHash signature width: 60 bits, the top of what one md5's first
+    * 15 hex chars carry as a non-negative BIGINT in BOTH engines — md5
+    * (not xxhash64) is what lets q37 ship a full DuckDB oracle
+    * (`('0x' || substr(md5(w),1,15))::BIGINT` equals Spark's
+    * `conv(substring(md5(w),1,15),16,10)` value-for-value). 4 chunks of
+    * 15 bits keep the Manku k=3 pigeonhole exactness. */
+  val SIMHASH_BITS = 60
+  val SIMHASH_CHUNK = SIMHASH_BITS / 4
+
+  /** The per-word 60-bit hash both engines reproduce. */
+  private def simhashWordHash(w: Column): Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast("long")
+
+  /** SimHash: 60-bit signature; bit b set iff sum of (+tf / -tf) weighted
+    * by bit b of the word's md5-derived hash is positive.
     *
     * Registered shape: (doc, word) tf groupBy + 64 bit-sum aggregates —
     * two partial-aggregated exchanges whose volume after the map-side
@@ -723,17 +858,17 @@ object Dedup {
 
   /** Shuffle-free twin of [[simhash]]: summing +/-1 per token OCCURRENCE
     * equals the per-word tf-weighted sum (sum over occurrences == sum over
-    * words of tf * sign), so the 64 bit weights fold inside the row and no
+    * words of tf * sign), so the 60 bit weights fold inside the row and no
     * (doc, word) tf aggregation ever shuffles. Token-less docs are
     * filtered (the exploded groupBy never emits them). DedupSpec pins
     * value identity on the real corpus; see [[simhash]] for the measured
     * CPU-vs-network trade. */
   def simhashRowwise(docs: DataFrame): DataFrame = {
-    val hashes = transform(tokens(col("text")), w => xxhash64(w))
+    val hashes = transform(tokens(col("text")), w => simhashWordHash(w))
     val bitWeight = (b: Int) =>
       aggregate(col("hs"), lit(0L), (acc, h) =>
         acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-    val assembled = (0 until 64)
+    val assembled = (0 until SIMHASH_BITS)
       .map(b => when(bitWeight(b) > 0, lit(1L << b)).otherwise(lit(0L)): Column)
       .reduce(_ + _) // bit positions are disjoint, so + == bitwise OR
     docs.select(col("doc_id"), hashes.as("hs"))
@@ -747,12 +882,12 @@ object Dedup {
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-      .withColumn("h", xxhash64(col("word")))
-    val bitSums = (0 until 64).map { b =>
+      .withColumn("h", simhashWordHash(col("word")))
+    val bitSums = (0 until SIMHASH_BITS).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("tf"))
         .otherwise(-col("tf"))).as(s"w_$b")
     }
-    val assembled = (0 until 64)
+    val assembled = (0 until SIMHASH_BITS)
       .map(b => when(col(s"w_$b") > 0, lit(1L << b)).otherwise(lit(0L)): Column)
       .reduce(_ + _)
     tf.groupBy(col("doc_id"))
@@ -812,32 +947,74 @@ object Dedup {
       (s, d) =>
         // row-wise signatures: the only corpus-sized shuffle left in this
         // plan is the (scope, band, bh) bucket join itself
+        // no output orderBy: the gate sorts rows before comparing, and a
+        // global sort here would range-sample the whole LSH pipeline (a
+        // second execution of its tail — measured +1.3 s at sf0.1)
         minhashPairsFromSigs(
           minhashSignaturesRowwise(documents(s, d), Seq("lang", "source")),
-          Seq("lang", "source"), 0.75)
-          .orderBy(col("ia"), col("ib")),
-      None, // xxhash64 permutations aren't expressible in the oracle;
-            // covered by DedupSpec against exact Jaccard instead.
-      "MinHash(32 perms) + LSH(8 bands x 4): shingle->minhash->band->bucket-join"),
+          Seq("lang", "source"), 0.75,
+          // auto-salt tier-1 bound straight off the raw table (2 columns)
+          scopeBound = Some(documents(s, d)
+            .groupBy(col("lang"), col("source")).count()
+            .agg(max("count")).head.getLong(0))),
+      // Full oracle (sha2-256 permutations are engine-reproducible,
+      // unlike the old xxhash64 family): DuckDB rebuilds the identical
+      // signatures, band buckets, candidate pairs, and estimates
+      // string-for-string. est_jaccard = matches/32 is an exact binary
+      // double in both engines, so the hash gate compares it safely.
+      Some(s"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, lang, source,
+                 unnest($SQL_TOKENS) AS word
+          FROM documents),
+        perm AS (
+          SELECT doc_id, lang, source, i,
+                 min(substr(sha256((i // 8)::varchar || ':' || word),
+                            (i % 8) * 8 + 1, 8)) AS s
+          FROM toks, range(32) t(i)
+          GROUP BY 1, 2, 3, 4),
+        banded AS (
+          SELECT doc_id, lang, source, i // 4 AS band,
+                 md5(string_agg(s, '|' ORDER BY i)) AS bh
+          FROM perm
+          GROUP BY 1, 2, 3, i // 4),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+          FROM banded x JOIN banded y
+            ON x.lang = y.lang AND x.source = y.source
+           AND x.band = y.band AND x.bh = y.bh
+           AND x.doc_id < y.doc_id),
+        est AS (
+          SELECT c.ia, c.ib,
+                 sum(CASE WHEN pa.s = pb.s THEN 1 ELSE 0 END) / 32.0 AS est_jaccard
+          FROM cand c
+          JOIN perm pa ON pa.doc_id = c.ia
+          JOIN perm pb ON pb.doc_id = c.ib AND pb.i = pa.i
+          GROUP BY 1, 2)
+        SELECT ia, ib, est_jaccard
+        FROM est WHERE est_jaccard >= 0.75
+        ORDER BY ia, ib"""),
+      "MinHash(32 perms from sha2-256 draws) + LSH(8 bands x 4): shingle->minhash->band->bucket-join"),
 
     QueryDef(
       "q37_simhash",
       (s, d) => {
-        // SimHash near-dup at the canonical 64-bit operating point
-        // (Manku, Jain & Sarma, WWW'07: k=3): bucket by 16-bit signature
-        // chunks and verify by bit_count(xor). With 4 chunks, 3 bit flips
-        // cannot dirty all of them — pigeonhole makes candidate generation
-        // EXACT for hamming<=3, so the output is the complete <=3 pair
-        // relation, not an approximation. (The old <=6 verify emitted a
-        // 4..6 band whose members were only found when their flips spared
-        // a chunk — silent partial recall; exactness is worth the
-        // stricter, standard threshold.)
+        // SimHash near-dup at the Manku k=3 operating point (Manku, Jain
+        // & Sarma, WWW'07): bucket by 15-bit signature chunks and verify
+        // by bit_count(xor). With 4 chunks, 3 bit flips cannot dirty all
+        // of them — pigeonhole makes candidate generation EXACT for
+        // hamming<=3, so the output is the complete <=3 pair relation,
+        // not an approximation. (The old <=6 verify emitted a 4..6 band
+        // whose members were only found when their flips spared a chunk —
+        // silent partial recall; exactness is worth the stricter,
+        // standard threshold.)
         val sh = simhash(s, d).cache()
         val chunked = sh.select(
           col("doc_id"), col("simhash"),
           explode(array((0 until 4).map(c =>
             struct(lit(c).as("c"),
-              shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("ck"))
+              shiftright(col("simhash"), c * SIMHASH_CHUNK)
+                .bitwiseAND((1L << SIMHASH_CHUNK) - 1).as("chunk"))): _*)).as("ck"))
           .select(col("doc_id"), col("simhash"), col("ck.c"), col("ck.chunk"))
         chunked.alias("x").join(chunked.alias("y"), Seq("c", "chunk"))
           .filter(col("x.doc_id") < col("y.doc_id"))
@@ -847,8 +1024,12 @@ object Dedup {
           .filter(col("hamming") <= 3)
           .orderBy(col("ia"), col("ib"))
       },
-      None, // xxhash64 bit weights aren't oracle-expressible; see DedupSpec.
-      "SimHash 64-bit near-dup, Manku k=3: chunk-bucketed candidates are EXACT by pigeonhole"),
+      // Full oracle: the md5-derived word hash is engine-reproducible, so
+      // DuckDB rebuilds the identical signatures (60 conditional tf sums),
+      // chunk buckets, and hamming distances. bit_count is cast to INT to
+      // match Spark's type.
+      Some(SIMHASH_ORACLE),
+      "SimHash 60-bit near-dup, Manku k=3: chunk-bucketed candidates are EXACT by pigeonhole"),
 
     // NOTE: the brute-force cosine pair scan ([[embeddingPairsBrute]],
     // formerly registered as q38) is deliberately NOT in the registry:
@@ -1039,7 +1220,10 @@ object Dedup {
       .join(probed.alias("y"), Seq("pc"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib")),
-      maxBucket = maxBucketOf(probed, Seq(col("pc"))))
+      // tier 1 is free: n was already counted for the codebook size (a
+      // vector probes a cell at most once, so any cell bucket <= n)
+      maxBucket = tieredProbe(e.sparkSession)(n)(
+        maxBucketOf(probed, Seq(col("pc")))))
     val removed = cand
       .join(idx.select(col("vec_id").as("ia"),
         col("v").as("va"), col("nrm").as("na")), "ia")

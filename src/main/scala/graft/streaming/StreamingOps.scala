@@ -97,8 +97,8 @@ object StreamingOps {
   // are separate JVM classes and cannot touch a JVM-private nested type
   private[streaming] final case class BandedDoc(
       doc_id: Long, lang: String, source: String, ts: java.sql.Timestamp,
-      sig: Seq[Long], band: Int, bh: Long)
-  private[streaming] final case class SigEntry(id: Long, sig: Seq[Long])
+      sig: Seq[String], band: Int, bh: String)
+  private[streaming] final case class SigEntry(id: Long, sig: Seq[String])
   private[streaming] final case class BucketState(entries: Seq[SigEntry])
   final case class DupPair(ia: Long, ib: Long, est_jaccard: Double)
 
@@ -131,20 +131,15 @@ object StreamingOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val nPerms = graft.functions.Dedup.MINHASH_PERMS
-    val nBands = graft.functions.Dedup.MINHASH_BANDS
-    val rowsPer = nPerms / nBands
-    val toks = graft.functions.TextAnalysis.tokens(col("text"))
-    val sig = array((0 until nPerms).map(i =>
-      array_min(transform(toks, w => xxhash64(w, lit(i))))): _*)
+    val toks = array_distinct(graft.functions.TextAnalysis.tokens(col("text")))
+    // signature + band expressions come from Dedup so the streaming twin
+    // and batch q36 cannot drift (StreamingSpec pins set equality)
     val banded = docs.toDF()
       .filter(size(toks) > 0)
-      .withColumn("sig", sig)
+      .withColumn("__mh", graft.functions.Dedup.minhashDrawsExpr(toks))
+      .withColumn("sig", graft.functions.Dedup.minhashSigFromDraws(col("__mh")))
       .select(col("doc_id"), col("lang"), col("source"), col("ts"), col("sig"),
-        explode(array((0 until nBands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64((b * rowsPer until (b + 1) * rowsPer)
-              .map(i => col("sig").getItem(i)): _*).as("bh"))
-        }: _*)).as("bk"))
+        explode(graft.functions.Dedup.minhashBandStructs(col("sig"))).as("bk"))
       .select(col("doc_id"), col("lang"), col("source"), col("ts"),
         col("sig"), col("bk.band").as("band"), col("bk.bh").as("bh"))
       .as[BandedDoc]

@@ -238,8 +238,8 @@ class DedupSpec extends SparkSpec {
     // corpus (token-less docs excluded by both)
     val sf = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, sf)
-    def collect(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
-      df.select(col("doc_id"), col("sig")).as[(Long, Seq[Long])].collect().toMap
+    def collect(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+      df.select(col("doc_id"), col("sig")).as[(Long, Seq[String])].collect().toMap
     val rowwise = collect(
       Dedup.minhashSignaturesRowwise(docs, Seq("lang", "source")))
     val exploded = collect(Dedup.minhashSignatures(

@@ -195,13 +195,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q36 minhash signatures fold map-side: no aggregate computes the mins") {
-    // the row-wise rewrite: signatures come from array_min(transform(...))
-    // inside the scan projection, so the plan must contain no partial_min
-    // aggregation (the old exploded path shuffled every (doc, word) row
-    // into a 32-min groupBy)
+    // the row-wise rewrite: signatures fold inside the scan projection
+    // (one aggregate(...) HOF taking zip_with/least over the draw
+    // slices), so the plan must contain no partial_min aggregation (the
+    // old exploded path shuffled every (doc, word) row into a 32-min
+    // groupBy)
     val p = plan("q36_minhash_lsh")
     assert(!p.contains("partial_min"), p)
-    assert(p.contains("array_min"), p)
+    assert(p.contains("least"), p) // the in-row min fold
   }
 
   test("the shuffle-free simhash/repetition twins plan with zero aggregates") {
