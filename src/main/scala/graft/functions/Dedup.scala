@@ -1022,7 +1022,7 @@ object Dedup {
             bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
           .distinct()
           .filter(col("hamming") <= 3)
-          .orderBy(col("ia"), col("ib"))
+        // unordered output: the gate sorts rows itself (see q65)
       },
       // Full oracle: the md5-derived word hash is engine-reproducible, so
       // DuckDB rebuilds the identical signatures (60 conditional tf sums),
@@ -1047,7 +1047,10 @@ object Dedup {
 
     QueryDef(
       "q65_jaccard_prefix",
-      (s, d) => jaccardPairsPrefix(docTokens(s, d), 0.8),
+      // unordered: the gate sorts rows before comparing, and the ordered
+      // API's global sort range-samples the whole prefix-join pipeline
+      // (a second execution of its tail stage)
+      (s, d) => jaccardPairsPrefixUnordered(docTokens(s, d), 0.8),
       Some(JACCARD_ORACLE),
       "prefix-filtered exact Jaccard pairs (AllPairs): df-skew-proof inverted-index join"),
 
@@ -1082,8 +1085,8 @@ object Dedup {
         // daily-onboarding shape. Exact output (= the full pair relation
         // restricted to pairs with an incoming member), so the oracle is
         // plain SQL; only the CANDIDATE work shrinks to the batch.
-        jaccardPairsIncremental(docTokens(s, d), 0.8, _ % 10 === 0)
-          .orderBy(col("ia"), col("ib")),
+        // unordered output: the gate sorts rows itself (see q65)
+        jaccardPairsIncremental(docTokens(s, d), 0.8, _ % 10 === 0),
       Some(INCREMENTAL_ORACLE),
       "incremental near-dup: incoming-batch prefixes probe the full-corpus prefix index; existing-existing pairs never generate"),
 
