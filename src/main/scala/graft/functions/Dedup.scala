@@ -597,7 +597,8 @@ object Dedup {
     * `e` must carry (vec_id, v, nrm) ([[Similarity.prepared]] shape). */
   def embeddingPairsIncrementalExact(e: DataFrame, t: Double,
       isIncoming: Column => Column,
-      clusterTarget: Long = SEMDEDUP_CLUSTER): DataFrame = {
+      clusterTarget: Long = SEMDEDUP_CLUSTER,
+      ordered: Boolean = true): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
     val ec = e.cache()
@@ -638,9 +639,11 @@ object Dedup {
       .select(least(col("q"), col("x")).as("ia"),
         greatest(col("q"), col("x")).as("ib"))
     // tier 1 is free: n was already counted for the codebook size
-    cosVerifyGrouped(ec, cand, t,
-        maxBucket = tieredProbe(s)(n)(maxBucketOf(idx, Seq(col("cid")))))
-      .orderBy(col("ia"), col("ib"))
+    val out = cosVerifyGrouped(ec, cand, t,
+      maxBucket = tieredProbe(s)(n)(maxBucketOf(idx, Seq(col("cid")))))
+    // presentation order only when asked: the sort's range sampling
+    // re-executes the verify-join tail, which the gate never needs
+    if (ordered) out.orderBy(col("ia"), col("ib")) else out
   }
 
   /** Incremental hyperplane-LSH near-dup — [[embeddingPairsLsh]] (q64)
@@ -1098,7 +1101,7 @@ object Dedup {
         // index. Output is EXACT (triangle-inequality pruning + exact
         // verify), so the oracle is plain SQL over the embeddings table.
         embeddingPairsIncrementalExact(
-          Similarity.prepared(s, d), 0.4, _ % 10 === 0),
+          Similarity.prepared(s, d), 0.4, _ % 10 === 0, ordered = false),
       Some(INCREMENTAL_EMBED_ORACLE),
       "exact incremental embedding near-dup: incoming batch probes the per-cell corpus index; existing-existing pairs never generate"),
 

