@@ -155,6 +155,39 @@ object TextAnalysis {
     }
   }
 
+  /** Context-window chunking geometry: 64-token windows advancing by 48
+    * (16-token overlap) — the sequence-chunking step that turns variable-
+    * length documents into fixed-budget training examples. Small enough
+    * that multi-chunk docs are common at every test SF. */
+  val CHUNK_TOKENS = 64
+  val CHUNK_STRIDE = 48
+
+  /** Overlapping fixed-size token chunks of every document — the
+    * context-window splitter of a pretraining pipeline (each chunk is one
+    * training example; the stride overlap preserves cross-boundary
+    * context). Chunk `i` covers 0-based token positions
+    * `[i*stride, min(i*stride+size, n))`; every token position is covered
+    * and the final chunk may be short. Pure per-row array arithmetic
+    * (sequence/explode/slice, all codegen'd): one scan, one generate, NO
+    * shuffle — the plan is embarrassingly parallel at any corpus size,
+    * and chunk rows land on the same partition as their document. */
+  def chunkedDocs(docs: DataFrame, size: Int = CHUNK_TOKENS,
+      stride: Int = CHUNK_STRIDE): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(org.apache.spark.sql.functions.size(col("w")) > 0)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0L), expr(s"(size(w)-1) div $stride"))).as("chunk_idx"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        (col("chunk_idx") * stride).as("chunk_start"),
+        slice(col("w"), (col("chunk_idx") * stride + 1).cast("int"), lit(size)).as("c"))
+      .select(
+        col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        org.apache.spark.sql.functions.size(col("c")).as("n_chunk_tokens"),
+        md5(array_join(col("c"), " ")).as("chunk_md5"))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q30_text_tokens",
@@ -1191,7 +1224,23 @@ object TextAnalysis {
         FROM m WHERE n = plen
         GROUP BY 1, 2
         ORDER BY 1, 2"""),
-      "positional phrase search: broadcast phrase dim + start-alignment aggregation, no self-join chain")
+      "positional phrase search: broadcast phrase dim + start-alignment aggregation, no self-join chain"),
+
+    QueryDef(
+      "q105_doc_chunking",
+      (s, d) => chunkedDocs(documents(s, d)),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $SQL_TOKENS AS w FROM documents),
+        c AS (
+          SELECT doc_id, w, unnest(range(0, (len(w)-1)//$CHUNK_STRIDE + 1)) AS i
+          FROM t WHERE len(w) > 0)
+        SELECT doc_id,
+               i AS chunk_idx,
+               i*$CHUNK_STRIDE AS chunk_start,
+               len(list_slice(w, i*$CHUNK_STRIDE+1, i*$CHUNK_STRIDE+$CHUNK_TOKENS)) AS n_chunk_tokens,
+               md5(array_to_string(list_slice(w, i*$CHUNK_STRIDE+1, i*$CHUNK_STRIDE+$CHUNK_TOKENS), ' ')) AS chunk_md5
+        FROM c"""),
+      "context-window chunking: 64-token/48-stride overlapping training examples, shuffle-free generate")
   )
 
   /** (doc_id, toks, bigs) frame shared by both q69 implementations. */

@@ -334,4 +334,34 @@ class TextAnalysisSpec extends SparkSpec {
     // both match AND count overlapping starts where the corpus has runs
     assert(want.keys.exists(_._1 == 3), "'batch batch' found nothing to test")
   }
+
+  test("q105 chunking covers every token, overlaps by stride, and is shuffle-free") {
+    // doc lengths straddle every geometry edge: shorter than one chunk,
+    // exactly one chunk, exactly chunk+stride, and long enough for 4 chunks
+    val size = 64; val stride = 48
+    val docs = Seq(1 -> 10, 2 -> size, 3 -> (size + stride), 4 -> 200, 5 -> 1)
+      .map { case (id, n) => (id.toLong, (0 until n).map(i => s"t${id}_$i").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkedDocs(docs, size, stride)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getString(4)))
+    for ((id, n) <- Seq(1 -> 10, 2 -> size, 3 -> (size + stride), 4 -> 200, 5 -> 1)) {
+      val chunks = got.filter(_._1 == id).sortBy(_._2)
+      val expected = (n - 1) / stride + 1
+      assert(chunks.length == expected, s"doc $id: ${chunks.length} chunks, want $expected")
+      // chunk i starts at i*stride and holds min(size, n - start) tokens
+      chunks.foreach { case (_, i, start, len, h) =>
+        assert(start == i * stride)
+        assert(len == math.min(size, n - start))
+        val toks = (start.toInt until (start.toInt + len)).map(p => s"t${id}_$p")
+        assert(h == java.security.MessageDigest.getInstance("MD5")
+          .digest(toks.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      }
+      // coverage: last chunk reaches the final token
+      val (_, _, lastStart, lastLen, _) = chunks.last
+      assert(lastStart + lastLen == n)
+    }
+    // the plan is a pure scan+generate: no exchange anywhere
+    val plan = TextAnalysis.chunkedDocs(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking plan shuffles:\n$plan")
+  }
 }
