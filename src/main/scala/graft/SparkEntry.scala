@@ -18,6 +18,7 @@ object SparkEntry {
       functions.Functions.defs ++
       operators.Temporal.defs ++
       operators.Quality.defs ++
+      operators.Cdc.defs ++
       functions.TextAnalysis.defs ++
       functions.Dedup.defs ++
       functions.Similarity.defs ++

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Money, QueryDef, Tables}
+
+/** Change-data-capture operators: snapshot reconciliation (what changed
+  * between two versions of a dimension?) and slowly-changing-dimension
+  * type-2 history construction (turn a change log into validity
+  * intervals). Both are daily-cadence steps of any warehouse/training
+  * corpus that re-ingests mutable upstream tables.
+  *
+  * 100 TB shape: the diff is ONE full-outer equi join on the business key
+  * — co-partitioned and shuffle-free when both snapshots are bucketed by
+  * that key (the layout a daily pipeline would maintain), a plain
+  * hash-join shuffle otherwise, with AQE handling key skew. Unchanged
+  * rows are dropped pre-output, so the result is bounded by the churn,
+  * not the dimension. SCD2 uses two windows over the SAME (key, ts)
+  * partitioning, so Catalyst plans one Exchange+Sort and both
+  * change-collapse and interval construction reuse it.
+  */
+object Cdc {
+  import Tables._
+
+  /** Reconcile two snapshots of a keyed table on one compared value
+    * column: emits one row per INSERTED (`op = 'I'`), UPDATED (`'U'`,
+    * value differs) or DELETED (`'D'`) key, with the old and new values.
+    * Keys present in both with an unchanged value produce nothing.
+    * `base`/`curr` must expose `key` and `value` columns. */
+  def snapshotDiff(base: DataFrame, curr: DataFrame, key: String,
+      value: String): DataFrame = {
+    val b = base.select(col(key).as("k"), col(value).as("old_v"))
+    val c = curr.select(col(key).as("k"), col(value).as("new_v"))
+    b.join(c, Seq("k"), "full_outer")
+      .withColumn("op",
+        when(col("old_v").isNull, lit("I"))
+          .when(col("new_v").isNull, lit("D"))
+          .when(col("old_v") =!= col("new_v"), lit("U")))
+      .filter(col("op").isNotNull)
+      .select(col("k").as(key), col("op"),
+        col("old_v").as(s"old_$value"), col("new_v").as(s"new_$value"))
+  }
+
+  /** Type-2 history from a change log: rows (`key`, `ts`, `value`) become
+    * validity intervals (key, value, valid_from, valid_to, is_current).
+    * No-op updates (same value as the key's previous row) are collapsed
+    * first — standard SCD2 ingestion, where upstream emits full rows on
+    * every touch and only real transitions open a new version. `tieBreak`
+    * makes ordering total when one key has several changes at one ts. */
+  def scd2History(log: DataFrame, key: String, ts: String, tieBreak: String,
+      value: String): DataFrame = {
+    val ord = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
+    val collapsed = log
+      .withColumn("__prev", lag(col(value), 1).over(ord))
+      // null-safe: first row of a key survives; equal-value touches drop
+      .filter(!(col(value) <=> col("__prev")))
+    collapsed
+      .withColumn("valid_to", lead(col(ts), 1).over(ord))
+      .select(col(key), col(value), col(ts).as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q106_cdc_diff",
+      (s, d) => {
+        // Reconcile the customer dimension against a simulated "next
+        // ingest" snapshot derived deterministically from the fixtures:
+        // every 19th customer churned away (delete), customers with
+        // orders saw their balance restated by their order total
+        // (update), and the supplier roster arrives as new customer keys
+        // offset past the existing id space (insert). Balances compare
+        // as exact cents (the Money pattern) so 'U' detection is
+        // deterministic in both engines.
+        val base = customer(s, d)
+          .select(col("c_custkey"), Money.cents(col("c_acctbal")).as("bal_cents"))
+        val restated = orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(sum(Money.cents(col("o_totalprice"))).as("ordered_cents"))
+        val curr = base
+          .filter(pmod(col("c_custkey"), lit(19)) =!= 3)
+          .join(restated, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"),
+            (col("bal_cents") + coalesce(col("ordered_cents"), lit(0L))).as("bal_cents"))
+          .unionByName(supplier(s, d).select(
+            (col("s_suppkey") + 10000000L).as("c_custkey"),
+            Money.cents(col("s_acctbal")).as("bal_cents")))
+        snapshotDiff(base, curr, "c_custkey", "bal_cents")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT c_custkey, ${Money.sqlCents("c_acctbal")} AS bal_cents FROM customer),
+        restated AS (
+          SELECT o_custkey, sum(${Money.sqlCents("o_totalprice")}) AS ordered_cents
+          FROM orders GROUP BY o_custkey),
+        curr AS (
+          SELECT b.c_custkey, b.bal_cents + coalesce(r.ordered_cents, 0) AS bal_cents
+          FROM base b LEFT JOIN restated r ON b.c_custkey = r.o_custkey
+          WHERE b.c_custkey % 19 <> 3
+          UNION ALL
+          SELECT s_suppkey + 10000000 AS c_custkey,
+                 ${Money.sqlCents("s_acctbal")} AS bal_cents
+          FROM supplier)
+        SELECT coalesce(b.c_custkey, c.c_custkey) AS c_custkey,
+               CASE WHEN b.c_custkey IS NULL THEN 'I'
+                    WHEN c.c_custkey IS NULL THEN 'D'
+                    WHEN b.bal_cents <> c.bal_cents THEN 'U' END AS op,
+               b.bal_cents AS old_bal_cents,
+               c.bal_cents AS new_bal_cents
+        FROM base b FULL OUTER JOIN curr c ON b.c_custkey = c.c_custkey
+        WHERE CASE WHEN b.c_custkey IS NULL THEN 'I'
+                   WHEN c.c_custkey IS NULL THEN 'D'
+                   WHEN b.bal_cents <> c.bal_cents THEN 'U' END IS NOT NULL"""),
+      "CDC snapshot reconciliation: full-outer key join, churn-bounded I/U/D output"),
+
+    QueryDef(
+      "q107_scd2_history",
+      (s, d) => {
+        // The purchase stream as a per-user account-value change log →
+        // type-2 validity intervals. event_id breaks same-timestamp ties
+        // so the history is total-ordered and deterministic.
+        val log = events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            Money.cents(col("value")).as("value_cents"))
+        scd2History(log, "user_id", "ts", "event_id", "value_cents")
+      },
+      Some(s"""
+        WITH log AS (
+          SELECT user_id, ts, event_id, ${Money.sqlCents("value")} AS value_cents
+          FROM events WHERE event_type = 'purchase'),
+        collapsed AS (
+          SELECT * FROM (
+            SELECT user_id, ts, event_id, value_cents,
+                   lag(value_cents) OVER w AS prev_cents,
+                   CASE WHEN lag(value_cents) OVER w IS NULL THEN true
+                        ELSE false END AS is_first
+            FROM log
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          WHERE is_first OR value_cents IS DISTINCT FROM prev_cents)
+        SELECT user_id, value_cents, ts AS valid_from,
+               lead(ts) OVER w2 AS valid_to,
+               (lead(ts) OVER w2 IS NULL) AS is_current
+        FROM collapsed
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)"""),
+      "SCD2 history: change-collapse + validity intervals, one shuffle for both windows")
+  )
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Cdc
+
+/** Planted-fixture checks for the CDC operators: the synthetic corpus
+  * exercises them at volume (q106/q107 oracles), these pin the semantic
+  * corners — classification, unchanged-row suppression, no-op-update
+  * collapse, same-timestamp ties, interval chaining. */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshotDiff classifies I/U/D and suppresses unchanged rows") {
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("k", "v")
+    val curr = Seq((1L, 10L), (2L, 25L), (4L, 40L), (5L, 50L)).toDF("k", "v")
+    val got = Cdc.snapshotDiff(base, curr, "k", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toSet
+    assert(got == Set(
+      (2L, "U", Some(20L), Some(25L)),
+      (3L, "D", Some(30L), None),
+      (5L, "I", None, Some(50L))))
+  }
+
+  test("scd2History collapses no-op touches, breaks ts ties, chains intervals") {
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    // user 1: 10 -> touch(10, collapsed) -> 20 -> 10 (reverting reopens);
+    // user 2: two changes at the SAME ts, event_id orders them
+    val log = Seq(
+      (1L, ts(1), 100L, 10L), (1L, ts(2), 101L, 10L),
+      (1L, ts(3), 102L, 20L), (1L, ts(4), 103L, 10L),
+      (2L, ts(5), 200L, 7L), (2L, ts(5), 201L, 8L))
+      .toDF("user_id", "ts", "event_id", "value_cents")
+    val hist = Cdc.scd2History(log, "user_id", "ts", "event_id", "value_cents")
+    val rows = hist.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4)))
+    val u1 = rows.filter(_._1 == 1L).sortBy(_._3.getTime)
+    assert(u1.map(_._2).toSeq == Seq(10L, 20L, 10L), "touch row must collapse, revert must reopen")
+    // intervals chain: each valid_to is the next valid_from
+    u1.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4.contains(b._3), s"gap between $a and $b")
+    }
+    val u2 = rows.filter(_._1 == 2L).sortBy(_._5)
+    assert(u2.map(_._2).toSeq == Seq(7L, 8L), "same-ts changes must order by event_id")
+    // exactly one open (is_current) version per key
+    assert(rows.filter(_._5).groupBy(_._1).forall(_._2.length == 1))
+    assert(rows.count(_._5) == 2)
+  }
+
+  test("scd2 plans ONE shuffle: both windows reuse the (key, ts) sort") {
+    val log = Tables.events(spark, SF)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        Money.cents(col("value")).as("value_cents"))
+    val plan = Cdc.scd2History(log, "user_id", "ts", "event_id", "value_cents")
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected one exchange, got:\n$plan")
+    assert("(?m)^\\s*\\+?-? ?Sort ".r.findAllIn(plan).size == 1,
+      s"both windows must reuse one sort:\n$plan")
+  }
+}
