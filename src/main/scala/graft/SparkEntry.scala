@@ -23,6 +23,7 @@ object SparkEntry {
       functions.Dedup.defs ++
       functions.Similarity.defs ++
       functions.Search.defs ++
+      functions.Fuzzy.defs ++
       functions.Multimodal.defs ++
       sources.Layout.defs ++
       gedcom.GedcomQueries.defs

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fuzzy
+
+/** Semantics of the deletion-neighborhood fuzzy join: each single-edit
+  * class must match, double edits must not, and the candidate join must
+  * equal brute force on corpora where keys collide heavily. */
+class FuzzySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(feed: Seq[(Long, String)], roster: Seq[String]): Set[(Long, String, String, Int)] = {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    (for ((id, f) <- feed; r <- roster; d = lev(f, r) if d <= 1)
+      yield (id, f, r, d)).toSet
+  }
+
+  private def run(feed: Seq[(Long, String)], roster: Seq[String]): Set[(Long, String, String, Int)] =
+    Fuzzy.fuzzyJoin(feed.toDF("id", "name"), roster.toSeq.toDF("name"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+
+  test("every single-edit class matches; double edits do not") {
+    val roster = Seq("pipeline", "partition", "shuffle", "broadcast")
+    val feed = Seq(
+      1L -> "pipeline",   // exact: d = 0
+      2L -> "pipelane",   // substitution
+      3L -> "pipeine",    // deletion
+      4L -> "pipelinee",  // insertion
+      5L -> "shufle",     // deletion mid-doubled-char
+      6L -> "broadcst",   // deletion
+      7L -> "partittion", // insertion
+      8L -> "pipelllne",  // two edits: must NOT match
+      9L -> "zzz")        // unrelated
+    val got = run(feed, roster)
+    assert(got == brute(feed, roster))
+    assert(got.map(_._1) == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(got.forall { case (_, _, _, d) => d <= 1 })
+  }
+
+  test("candidate join equals brute force on a dense colliding vocabulary") {
+    // short strings over a 2-letter alphabet: deletion keys collide
+    // constantly, so candidate dedupe and the exact verify both work hard
+    val all = (for {
+      len <- 1 to 4
+      s <- (0 until math.pow(2, len).toInt).map(n =>
+        (0 until len).map(b => if (((n >> b) & 1) == 1) 'a' else 'b').mkString)
+    } yield s).distinct
+    val feed = all.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val got = run(feed, all)
+    assert(got == brute(feed, all))
+    assert(got.nonEmpty)
+  }
+
+  test("q108 plans an equi join on deletion keys — no cartesian, no nested loop") {
+    val plan = SparkEntry.queries("q108_fuzzy_join")(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
