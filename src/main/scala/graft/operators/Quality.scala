@@ -68,7 +68,56 @@ object Quality {
     checks.reduce(_.unionAll(_)).orderBy(col("check"), col("target"))
   }
 
+  /** Per-column statistics profile of one table — row count, null count,
+    * exact distinct count — melted to one row per column. ONE aggregation
+    * pass over the table: the multi-column distinct aggregates plan as a
+    * single Expand + partial/final aggregate, so the scan happens once
+    * regardless of column count. Exact NDV is the oracle-comparable
+    * choice at test scale; at 100 TB swap `countDistinct` for
+    * `approx_count_distinct` (the q43 HLL path) — same plan shape minus
+    * the Expand. */
+  def profile(df: DataFrame, tableName: String): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      countDistinct(col(c)).as(s"__nd_$c")))
+    val stacked = cols.map(c => s"'$c', `__nulls_$c`, `__nd_$c`").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"'$tableName' AS table_name",
+        s"stack(${cols.length}, $stacked) AS (column_name, n_nulls, n_distinct)",
+        "__n AS n_rows")
+      .select(col("table_name"), col("column_name"),
+        col("n_rows"), col("n_nulls"), col("n_distinct"))
+  }
+
+  /** The tables q109 profiles, with their fixture column lists (used to
+    * generate the DuckDB oracle; embeddings' list column is excluded —
+    * exact float-array NDV is not a profile anyone collects). */
+  private val PROFILE_TABLES: Seq[(String, Seq[String])] = Seq(
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+
+  private val PROFILE_ORACLE: String =
+    PROFILE_TABLES.flatMap { case (t, cols) =>
+      cols.map(c =>
+        s"""SELECT '$t' AS table_name, '$c' AS column_name, count(*) AS n_rows,
+           cast(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) as bigint) AS n_nulls,
+           count(DISTINCT $c) AS n_distinct FROM $t""")
+    }.mkString("\nUNION ALL\n")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q109_profile",
+      (s, d) =>
+        PROFILE_TABLES.map { case (t, cols) =>
+          val df = if (t == "events") events(s, d) else table(s, d, t)
+          profile(df.select(cols.map(col): _*), t)
+        }.reduce(_.unionAll(_)),
+      Some(PROFILE_ORACLE),
+      "column-statistics profiler: one Expand-fused aggregation pass per table, exact NDV under the oracle"),
+
     QueryDef(
       "q92_data_quality",
       (s, d) => report(s, d),

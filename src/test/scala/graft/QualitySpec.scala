@@ -56,4 +56,21 @@ class QualitySpec extends SparkSpec {
     assert(out(("out_of_range", "orders.o_totalprice >= 0")) == (1.0, false))
     assert(out(("domain", "events.event_type")) == (1.0, false))
   }
+
+  test("q109 profiler counts rows, nulls, and exact NDV in one scan per table") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("b")), (Some(2L), None),
+      (None, Some("b")), (None, None))
+      .toDF("k", "s")
+    val got = operators.Quality.profile(df, "t")
+      .collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // 5 rows; k: 2 nulls, NDV {1,2} = 2; s: 2 nulls, NDV {a,b} = 2
+    assert(got == Map("k" -> ((5L, 2L, 2L)), "s" -> ((5L, 2L, 2L))))
+    // the multi-column distinct melts through ONE scan of the input
+    val plan = operators.Quality.profile(df, "t").queryExecution.executedPlan.toString
+    assert("LocalTableScan".r.findAllIn(plan).size <= 1, plan)
+  }
 }
