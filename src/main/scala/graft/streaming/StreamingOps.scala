@@ -312,6 +312,49 @@ object StreamingOps {
       }
   }
 
+  final case class ChangeIn(
+      user_id: Long, ts: java.sql.Timestamp, event_id: Long, value_cents: Long)
+  private[streaming] final case class Scd2State(
+      value_cents: Long, valid_from: java.sql.Timestamp)
+  final case class Scd2Out(
+      user_id: Long, value_cents: Long, valid_from: java.sql.Timestamp,
+      valid_to: Option[java.sql.Timestamp], is_current: Boolean)
+
+  /** Streaming SCD2 maintenance — the incremental form of
+    * [[graft.operators.Cdc.scd2History]] (q107): each arriving real
+    * transition CLOSES the key's open version (emits it with its
+    * valid_to) and OPENS a new one (emitted with valid_to = None); no-op
+    * touches collapse exactly like the batch operator. State per key is
+    * ONE (value, valid_from) pair, so the store is bounded by the number
+    * of live keys. Append mode means an open version's row is emitted at
+    * open time and never retracted — consumers union "closed" rows with
+    * the latest open row per key, the standard CDC-sink contract.
+    * Within a micro-batch rows order by (ts, event_id); cross-batch
+    * ordering is the replayer's contract (production deployments
+    * watermark the change stream and drop late rows upstream). */
+  def scd2Stream(changes: Dataset[ChangeIn]): Dataset[Scd2Out] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          var st = state.getOption
+          val out = Seq.newBuilder[Scd2Out]
+          rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
+            if (!st.exists(_.value_cents == r.value_cents)) {
+              st.foreach(s =>
+                out += Scd2Out(uid, s.value_cents, s.valid_from, Some(r.ts), is_current = false))
+              out += Scd2Out(uid, r.value_cents, r.ts, None, is_current = true)
+              st = Some(Scd2State(r.value_cents, r.ts))
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream interval join: purchases joined to the errors that
     * follow them within 10 minutes for the same user (the streaming form of
     * q22). Both sides are watermarked so the state store can discard

@@ -366,4 +366,42 @@ class StreamingSpec extends SparkSpec {
       assert(rows.size <= k, s"$dom over quota")
     }
   }
+
+  test("streaming SCD2 matches batch q107 on a replayed change log") {
+    import graft.streaming.StreamingOps.{ChangeIn, Scd2Out}
+    val log = Tables.events(spark, SF)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        Money.cents(col("value")).as("value_cents"))
+    val changes = log.as[ChangeIn].collect().sortBy(c => (c.ts.getTime, c.event_id))
+    assert(changes.length > 100, "fixture too small to exercise cross-batch state")
+    val in = MemoryStream[ChangeIn]
+    val q = StreamingOps.scd2Stream(in.toDS())
+      .writeStream.format("memory").queryName("scd2s").outputMode("append").start()
+    try {
+      // version chains must span micro-batch boundaries for the test to
+      // prove state carries: split the ts-ordered log in three
+      val (b1, rest) = changes.splitAt(changes.length / 3)
+      val (b2, b3) = rest.splitAt(changes.length / 3)
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b3.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("scd2s").as[Scd2Out].collect()
+    val batch = operators.Cdc.scd2History(log, "user_id", "ts", "event_id", "value_cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3))))
+    def counts[T](xs: Seq[T]): Map[T, Int] = xs.groupBy(identity).map { case (k, v) => k -> v.size }
+    // closed stream versions == batch closed versions (multiset: a key can
+    // revisit a value, so identical rows may legitimately repeat)
+    val closedStream = counts(out.filter(!_.is_current).toSeq
+      .map(o => (o.user_id, o.value_cents, o.valid_from, o.valid_to)))
+    val closedBatch = counts(batch.filter(_._4.isDefined).toSeq)
+    assert(closedStream == closedBatch)
+    // every version (incl. the still-open tail) was opened exactly once
+    val opened = counts(out.filter(_.is_current).toSeq
+      .map(o => (o.user_id, o.value_cents, o.valid_from)))
+    val allBatch = counts(batch.toSeq.map(v => (v._1, v._2, v._3)))
+    assert(opened == allBatch)
+  }
 }
