@@ -45,7 +45,12 @@ object ScaleBench {
     "q101_epoch_shuffle",   // hash-bucket + within-shard sort
     "q102_domain_cap",      // k-bounded min-k sample per domain
     "q103_pmi_collocations",// bigram/unigram joins + broadcast stats
-    "q104_phrase_search")   // broadcast phrase dim + alignment agg
+    "q104_phrase_search",   // broadcast phrase dim + alignment agg
+    "q105_doc_chunking",    // shuffle-free context-window generate
+    "q106_cdc_diff",        // full-outer snapshot reconciliation
+    "q107_scd2_history",    // one-shuffle double-window intervals
+    "q108_fuzzy_join",      // deletion-key candidates + levenshtein verify
+    "q109_profile")         // Expand-fused multi-distinct profile
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")
