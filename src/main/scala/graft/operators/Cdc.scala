@@ -62,6 +62,21 @@ object Cdc {
         col("valid_to"), col("valid_to").isNull.as("is_current"))
   }
 
+  /** Merkle-style anti-entropy checksums: order-independent per-bucket
+    * fingerprints of a table, for replica/copy reconciliation without
+    * moving rows — compare (bucket, n_rows, checksum) lists from two
+    * sites and re-sync only the buckets that differ. The row hash is the
+    * leading 40 bits of md5 over a canonical string, SUMMED per bucket
+    * (sum, not xor: xor cancels duplicate-row pairs, the classic replica
+    * divergence). 40-bit terms keep any realistic bucket's sum far from
+    * 63-bit overflow, so Spark's wrapping bigint sum and DuckDB's hugeint
+    * sum agree exactly. One partial-agg scan; buckets are key ranges so a
+    * divergent bucket localizes the repair. */
+  def bucketChecksums(df: DataFrame, bucket: Column, canonical: Column): DataFrame =
+    df.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(conv(substring(md5(canonical), 1, 10), 16, 10).cast("long")).as("checksum"))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q106_cdc_diff",
@@ -145,6 +160,32 @@ object Cdc {
                (lead(ts) OVER w2 IS NULL) AS is_current
         FROM collapsed
         WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)"""),
-      "SCD2 history: change-collapse + validity intervals, one shuffle for both windows")
+      "SCD2 history: change-collapse + validity intervals, one shuffle for both windows"),
+
+    QueryDef(
+      "q110_bucket_checksums",
+      (s, d) => {
+        // Anti-entropy over lineitem: 1000-orderkey buckets, canonical row
+        // string from the identity + exact-cents money columns (timestamps
+        // excluded — their text forms are engine-dependent).
+        val li = lineitem(s, d)
+        val canon = concat_ws("|",
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"),
+          Money.cents(col("l_extendedprice")), Money.cents(col("l_discount")),
+          col("l_returnflag"), col("l_linestatus"))
+        bucketChecksums(li, expr("l_orderkey div 1000"), canon)
+      },
+      Some(s"""
+        WITH canon AS (
+          SELECT l_orderkey // 1000 AS bucket,
+                 concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                   ${Money.sqlCents("l_extendedprice")}, ${Money.sqlCents("l_discount")},
+                   l_returnflag, l_linestatus) AS c
+          FROM lineitem)
+        SELECT bucket, count(*) AS n_rows,
+               cast(sum(CAST(concat('0x', substr(md5(c), 1, 10)) AS BIGINT)) as bigint) AS checksum
+        FROM canon GROUP BY bucket"""),
+      "Merkle-style replica reconciliation: per-key-range order-independent checksums, one agg scan")
   )
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.{QueryDef, Tables}
+import graft.{Money, QueryDef, Tables}
 
 /** Data-quality constraint validation (the Deequ/Great-Expectations layer
   * a training pipeline runs before anything reads the tables): each
@@ -107,6 +107,38 @@ object Quality {
            count(DISTINCT $c) AS n_distinct FROM $t""")
     }.mkString("\nUNION ALL\n")
 
+  /** Distribution drift (population stability index) between a baseline
+    * and a comparison sample of one integer-valued column `c`: the base's
+    * [min, max] range splits into `k` equal-width buckets, both sides
+    * histogram into them (out-of-range comparison values clamp to the
+    * edge buckets), and each bucket reports its Laplace-smoothed PSI term
+    * in integer micro-units — the q83 trick that makes `ln` outputs
+    * hash-comparable across engines (identical rational inputs, rounded
+    * at 1e-6 per row BEFORE any summing; total drift = sum(psi6)/1e6,
+    * exact over bigints). Shape: two single-pass histograms + a k-row
+    * spine, every join side after the histograms is k-bounded. */
+  def driftPsi(base: DataFrame, curr: DataFrame, k: Int = 10): DataFrame = {
+    val stats = base.agg(min(col("c")).as("lo"), max(col("c")).as("hi"),
+      count(lit(1)).as("n1"))
+    val currN = curr.agg(count(lit(1)).as("n2"))
+    def hist(df: DataFrame) = df.crossJoin(broadcast(stats))
+      .select(least(lit((k - 1).toLong), greatest(lit(0L),
+        expr(s"((c - lo) * $k) div (hi - lo + 1)"))).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val p = (col("n_curr") + 1.0) / (col("n2") + k)
+    val q = (col("n_base") + 1.0) / (col("n1") + k)
+    stats.select(explode(sequence(lit(0L), lit((k - 1).toLong))).as("bucket"), col("n1"))
+      .join(hist(base).withColumnRenamed("cnt", "n_base"), Seq("bucket"), "left")
+      .join(hist(curr).withColumnRenamed("cnt", "n_curr"), Seq("bucket"), "left")
+      .crossJoin(broadcast(currN))
+      .select(col("bucket"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_curr"), lit(0L)).as("n_curr"),
+        col("n1"), col("n2"))
+      .select(col("bucket"), col("n_base"), col("n_curr"),
+        round((p - q) * log(p / q) * 1e6).cast("long").as("psi6"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q109_profile",
@@ -117,6 +149,46 @@ object Quality {
         }.reduce(_.unionAll(_)),
       Some(PROFILE_ORACLE),
       "column-statistics profiler: one Expand-fused aggregation pass per table, exact NDV under the oracle"),
+
+    QueryDef(
+      "q111_distribution_drift",
+      (s, d) => {
+        // Has the order-value distribution moved between two cohorts?
+        // Baseline = even order keys, comparison = odd — a deterministic
+        // split whose PSI sits near zero; a real pipeline points `curr`
+        // at today's ingest and alerts on sum(psi6)/1e6.
+        def cohort(parity: Int) = orders(s, d)
+          .filter(pmod(col("o_orderkey"), lit(2)) === parity)
+          .select(Money.cents(col("o_totalprice")).as("c"))
+        driftPsi(cohort(0), cohort(1))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT ${Money.sqlCents("o_totalprice")} AS c FROM orders WHERE o_orderkey % 2 = 0),
+        curr AS (
+          SELECT ${Money.sqlCents("o_totalprice")} AS c FROM orders WHERE o_orderkey % 2 = 1),
+        stats AS (SELECT min(c) AS lo, max(c) AS hi, count(*) AS n1 FROM base),
+        n2t AS (SELECT count(*) AS n2 FROM curr),
+        hb AS (
+          SELECT least(9, greatest(0, ((c - lo) * 10) // (hi - lo + 1))) AS bucket,
+                 count(*) AS cnt
+          FROM base, stats GROUP BY 1),
+        hc AS (
+          SELECT least(9, greatest(0, ((c - lo) * 10) // (hi - lo + 1))) AS bucket,
+                 count(*) AS cnt
+          FROM curr, stats GROUP BY 1),
+        spine AS (SELECT unnest(range(0, 10)) AS bucket)
+        SELECT s.bucket,
+               cast(coalesce(hb.cnt, 0) as bigint) AS n_base,
+               cast(coalesce(hc.cnt, 0) as bigint) AS n_curr,
+               cast(round(
+                 ((coalesce(hc.cnt, 0) + 1.0)/(n2 + 10) - (coalesce(hb.cnt, 0) + 1.0)/(n1 + 10))
+                 * ln(((coalesce(hc.cnt, 0) + 1.0)/(n2 + 10)) / ((coalesce(hb.cnt, 0) + 1.0)/(n1 + 10)))
+                 * 1000000) as bigint) AS psi6
+        FROM spine s
+        LEFT JOIN hb ON s.bucket = hb.bucket
+        LEFT JOIN hc ON s.bucket = hc.bucket, stats, n2t"""),
+      "distribution drift (PSI) between cohorts: k-bounded histogram compare, integer-micro ln terms"),
 
     QueryDef(
       "q92_data_quality",

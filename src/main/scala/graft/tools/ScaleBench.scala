@@ -50,7 +50,9 @@ object ScaleBench {
     "q106_cdc_diff",        // full-outer snapshot reconciliation
     "q107_scd2_history",    // one-shuffle double-window intervals
     "q108_fuzzy_join",      // deletion-key candidates + levenshtein verify
-    "q109_profile")         // Expand-fused multi-distinct profile
+    "q109_profile",         // Expand-fused multi-distinct profile
+    "q110_bucket_checksums",// per-key-range anti-entropy checksums
+    "q111_distribution_drift") // two histograms + k-row spine PSI
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")

@@ -53,6 +53,25 @@ class CdcSpec extends SparkSpec {
     assert(rows.count(_._5) == 2)
   }
 
+  test("bucket checksums localize a divergence and catch duplicate-row drift") {
+    val a = Seq((1L, "x"), (2L, "y"), (1001L, "z"), (2002L, "w")).toDF("k", "v")
+    // replica b: one value changed in bucket 1; bucket 0 and 2 untouched
+    val b = Seq((1L, "x"), (2L, "y"), (1001L, "CHANGED"), (2002L, "w")).toDF("k", "v")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      operators.Cdc.bucketChecksums(df, expr("k div 1000"), concat_ws("|", col("k"), col("v")))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (sa, sb) = (sums(a), sums(b))
+    assert(sa(0L) == sb(0L) && sa(2L) == sb(2L))
+    assert(sa(1L) != sb(1L), "divergent bucket must mismatch")
+    // same n_rows, same row SET, different multiplicity: row (2,y)
+    // duplicated, row (1,x) dropped — xor would cancel, the sum must not
+    val c = Seq((2L, "y"), (2L, "y"), (2L, "y"), (1001L, "z")).toDF("k", "v")
+    val d2 = Seq((1L, "x"), (2L, "y"), (2L, "y"), (1001L, "z")).toDF("k", "v")
+    val (sc, sd) = (sums(c), sums(d2))
+    assert(sc(0L)._1 == sd(0L)._1, "fixture: equal row counts")
+    assert(sc(0L)._2 != sd(0L)._2, "multiplicity drift must change the checksum")
+  }
+
   test("scd2 plans ONE shuffle: both windows reuse the (key, ts) sort") {
     val log = Tables.events(spark, SF)
       .filter(col("event_type") === "purchase")

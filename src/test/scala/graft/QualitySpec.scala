@@ -73,4 +73,22 @@ class QualitySpec extends SparkSpec {
     val plan = operators.Quality.profile(df, "t").queryExecution.executedPlan.toString
     assert("LocalTableScan".r.findAllIn(plan).size <= 1, plan)
   }
+
+  test("q111 PSI is zero on identical cohorts and flags a planted shift") {
+    import spark.implicits._
+    def vals(xs: Seq[Long]) = xs.toDF("c")
+    val base = vals((1L to 1000L).map(i => i % 100))
+    def psi(b: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      operators.Quality.driftPsi(b, c)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // identical distribution => every smoothed term is exactly 0
+    val same = psi(base, vals((1L to 1000L).map(i => i % 100)))
+    assert(same.values.forall(_ == 0L), same.toString)
+    assert(same.keySet == (0L to 9L).toSet)
+    // mass shifted hard to the right => strong positive drift terms at
+    // both ends (loss on the left, gain on the right), total PSI large
+    val shifted = psi(base, vals((1L to 1000L).map(i => 80 + i % 20)))
+    assert(shifted.values.sum > 500000L, s"expected total PSI > 0.5, got $shifted")
+    assert(shifted(9L) > 0L && shifted(0L) > 0L)
+  }
 }
