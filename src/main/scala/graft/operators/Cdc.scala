@@ -186,6 +186,37 @@ object Cdc {
         SELECT bucket, count(*) AS n_rows,
                cast(sum(CAST(concat('0x', substr(md5(c), 1, 10)) AS BIGINT)) as bigint) AS checksum
         FROM canon GROUP BY bucket"""),
-      "Merkle-style replica reconciliation: per-key-range order-independent checksums, one agg scan")
+      "Merkle-style replica reconciliation: per-key-range order-independent checksums, one agg scan"),
+
+    QueryDef(
+      "q113_incremental_agg",
+      (s, d) => {
+        // Incremental materialized-aggregate maintenance: a stored
+        // per-customer aggregate absorbs a new batch WITHOUT rescanning
+        // the base — count/sum are algebraic, so the update is
+        // agg(delta) ++ outer-join-combine, touching base-side state only
+        // for keys the delta contains plus passing the rest through.
+        // The oracle recomputes from ALL rows directly, so the gate
+        // proves merge(agg(base), agg(delta)) == agg(base ∪ delta) —
+        // the algebraic-state contract streaming and cube maintenance
+        // both rely on. Base = 80% of orders (the "stored" aggregate),
+        // delta = the o_orderkey % 5 == 4 batch.
+        def agg(df: DataFrame) = df.groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"), sum(Money.cents(col("o_totalprice"))).as("cents"))
+        val o = orders(s, d)
+        val base = agg(o.filter(pmod(col("o_orderkey"), lit(5)) =!= 4))
+        val delta = agg(o.filter(pmod(col("o_orderkey"), lit(5)) === 4))
+        base.select(col("o_custkey"), col("n").as("bn"), col("cents").as("bc"))
+          .join(delta.select(col("o_custkey"), col("n").as("dn"), col("cents").as("dc")),
+            Seq("o_custkey"), "full_outer")
+          .select(col("o_custkey"),
+            (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+            (coalesce(col("bc"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("total_cents"))
+      },
+      Some(s"""
+        SELECT o_custkey, count(*) AS n_orders,
+               cast(sum(${Money.sqlCents("o_totalprice")}) as bigint) AS total_cents
+        FROM orders GROUP BY o_custkey"""),
+      "incremental aggregate maintenance: algebraic partial-state merge == full recompute, oracle-proven")
   )
 }

@@ -351,6 +351,58 @@ object Temporal {
                round(n_active * 1.0 / cohort_n, 4) AS retention
         FROM cells JOIN sizes USING (c0)
         ORDER BY cohort_us, week_offset"""),
-      "weekly retention cohorts: first-seen week x activity week matrix, bounded by weeks^2")
+      "weekly retention cohorts: first-seen week x activity week matrix, bounded by weeks^2"),
+
+    QueryDef(
+      "q112_interval_merge",
+      (s, d) => {
+        // Interval consolidation (islands & gaps): each event opens an
+        // activity interval [ts, ts + value seconds]; overlapping or
+        // touching intervals per user merge into islands. The classic
+        // rewrite: a running max of interval ends over the (user, start)
+        // order marks island breaks (start strictly beyond every earlier
+        // end), a running sum of breaks numbers the islands, and a plain
+        // groupBy collapses them. All three windows + the final aggregate
+        // share ONE user_id partitioning — a single shuffle end to end.
+        // Epoch-microsecond integers avoid engine-specific interval
+        // arithmetic; floor() before the cast because Spark truncates
+        // double->long while DuckDB rounds.
+        val iv = events(s, d).select(
+          col("user_id"),
+          unix_micros(col("ts")).as("st"),
+          (unix_micros(col("ts")) +
+            floor(col("value")).cast("long") * 1000000L).as("en"))
+        val ord = Window.partitionBy(col("user_id")).orderBy(col("st"), col("en"))
+        val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
+        val toHere = ord.rowsBetween(Window.unboundedPreceding, 0)
+        iv.withColumn("prev_end", max(col("en")).over(prior))
+          .withColumn("brk",
+            when(col("prev_end").isNull || col("st") > col("prev_end"), 1L).otherwise(0L))
+          .withColumn("island", sum(col("brk")).over(toHere))
+          .groupBy(col("user_id"), col("island"))
+          .agg(min(col("st")).as("start_us"), max(col("en")).as("end_us"),
+            count(lit(1)).as("n_events"))
+      },
+      Some(s"""
+        WITH iv AS (
+          SELECT user_id, epoch_us(ts) AS st,
+                 epoch_us(ts) + cast(floor("value") as bigint) * 1000000 AS en
+          FROM $EV),
+        marked AS (
+          SELECT user_id, st, en,
+                 max(en) OVER (PARTITION BY user_id ORDER BY st, en
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          FROM iv),
+        islands AS (
+          SELECT user_id, st, en,
+                 sum(CASE WHEN prev_end IS NULL OR st > prev_end THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY st, en
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM marked)
+        SELECT user_id, cast(island as bigint) AS island,
+               min(st) AS start_us, max(en) AS end_us, count(*) AS n_events
+        FROM islands
+        GROUP BY user_id, island"""),
+      "interval consolidation (islands & gaps): running-max break detection, one shuffle end to end")
   )
 }

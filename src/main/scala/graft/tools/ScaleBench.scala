@@ -52,7 +52,9 @@ object ScaleBench {
     "q108_fuzzy_join",      // deletion-key candidates + levenshtein verify
     "q109_profile",         // Expand-fused multi-distinct profile
     "q110_bucket_checksums",// per-key-range anti-entropy checksums
-    "q111_distribution_drift") // two histograms + k-row spine PSI
+    "q111_distribution_drift", // two histograms + k-row spine PSI
+    "q112_interval_merge",  // islands & gaps, one shuffle end to end
+    "q113_incremental_agg") // algebraic partial-state merge
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")

@@ -72,6 +72,26 @@ class CdcSpec extends SparkSpec {
     assert(sc(0L)._2 != sd(0L)._2, "multiplicity drift must change the checksum")
   }
 
+  test("q113 partial-state merge is associative across any batch split") {
+    // three batches, keys overlapping partially; merging in any grouping
+    // must equal the one-shot aggregate — the algebraic-state contract
+    val rows = Seq((1L, 10L), (1L, 5L), (2L, 7L), (3L, 1L), (2L, 2L), (4L, 9L))
+    def agg(xs: Seq[(Long, Long)]) = xs.toDF("k", "v").groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    def merge(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.select(col("k"), col("n").as("an"), col("s").as("as"))
+        .join(b.select(col("k"), col("n").as("bn"), col("s").as("bs")), Seq("k"), "full_outer")
+        .select(col("k"),
+          (coalesce(col("an"), lit(0L)) + coalesce(col("bn"), lit(0L))).as("n"),
+          (coalesce(col("as"), lit(0L)) + coalesce(col("bs"), lit(0L))).as("s"))
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (b1, b2, b3) = (rows.take(2), rows.slice(2, 4), rows.drop(4))
+    val full = collect(agg(rows))
+    assert(collect(merge(merge(agg(b1), agg(b2)), agg(b3))) == full)
+    assert(collect(merge(agg(b1), merge(agg(b2), agg(b3)))) == full)
+  }
+
   test("scd2 plans ONE shuffle: both windows reuse the (key, ts) sort") {
     val log = Tables.events(spark, SF)
       .filter(col("event_type") === "purchase")

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Planted-fixture semantics for the interval-consolidation operator
+  * (q112): the synthetic corpus exercises it at volume under the oracle,
+  * this pins the merge rules — overlap, touch, nesting, gaps — and the
+  * single-shuffle plan. */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def islands(iv: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long, Long, Long)] = {
+    // mirror of the q112 plan over explicit (user, start, end) micros
+    val df = iv.toDF("user_id", "st", "en")
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("st"), col("en"))
+    df.withColumn("prev_end", max(col("en")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("st") > col("prev_end"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("st")).as("s"), max(col("en")).as("e"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+  }
+
+  test("interval merge: overlap and touch fuse, nesting absorbs, gaps split") {
+    val got = islands(Seq(
+      (1L, 0L, 10L),   // island 1…
+      (1L, 5L, 20L),   // overlaps -> fuses
+      (1L, 20L, 30L),  // touches (start == prev end) -> fuses
+      (1L, 22L, 25L),  // nested -> absorbed
+      (1L, 31L, 40L),  // gap of 1 -> island 2
+      (2L, 0L, 1L)))   // separate user
+    assert(got == Seq(
+      (1L, 1L, 0L, 30L, 4L),
+      (1L, 2L, 31L, 40L, 1L),
+      (2L, 1L, 0L, 1L, 1L)))
+  }
+
+  test("q112 runs in ONE shuffle: windows and final aggregate share the user partitioning") {
+    val plan = SparkEntry.queries("q112_interval_merge")(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+}
