@@ -24,6 +24,7 @@ object SparkEntry {
       functions.Similarity.defs ++
       functions.Search.defs ++
       functions.Fuzzy.defs ++
+      functions.Privacy.defs ++
       functions.Multimodal.defs ++
       sources.Layout.defs ++
       gedcom.GedcomQueries.defs

@@ -54,7 +54,9 @@ object ScaleBench {
     "q110_bucket_checksums",// per-key-range anti-entropy checksums
     "q111_distribution_drift", // two histograms + k-row spine PSI
     "q112_interval_merge",  // islands & gaps, one shuffle end to end
-    "q113_incremental_agg") // algebraic partial-state merge
+    "q113_incremental_agg", // algebraic partial-state merge
+    "q114_k_anonymity",     // quasi-identifier groupBy report
+    "q115_pseudonymize")    // per-row token projection
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")
