@@ -27,12 +27,16 @@ import graft.{QueryDef, Tables}
 object Fuzzy {
   import Tables._
 
-  /** The string plus every single-char-deletion variant, deduped. */
+  /** The string plus every single-char-deletion variant, deduped.
+    * Guarded for the empty string: Spark's `sequence(1, 0)` DESCENDS
+    * ([1, 0]) rather than producing an empty range, so "" gets only its
+    * identity key explicitly. */
   def deletionKeys(w: Column): Column =
-    array_distinct(concat(
-      array(w),
-      transform(sequence(lit(1), length(w)), i =>
-        concat(w.substr(lit(1), i - lit(1)), w.substr(i + lit(1), length(w))))))
+    when(length(w) === 0, array(w)).otherwise(
+      array_distinct(concat(
+        array(w),
+        transform(sequence(lit(1), length(w)), i =>
+          concat(w.substr(lit(1), i - lit(1)), w.substr(i + lit(1), length(w)))))))
 
   /** All (feed row, roster string) pairs within Levenshtein distance
     * `maxDist` (1 unless the deletion depth is raised), via the deletion-

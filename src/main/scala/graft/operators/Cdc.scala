@@ -31,13 +31,16 @@ object Cdc {
     * `base`/`curr` must expose `key` and `value` columns. */
   def snapshotDiff(base: DataFrame, curr: DataFrame, key: String,
       value: String): DataFrame = {
-    val b = base.select(col(key).as("k"), col(value).as("old_v"))
-    val c = curr.select(col(key).as("k"), col(value).as("new_v"))
+    // presence markers, not value-nullness, decide I vs D — a legitimately
+    // NULL value in one snapshot must not masquerade as a missing key,
+    // and U detection is null-safe for the same reason
+    val b = base.select(col(key).as("k"), col(value).as("old_v"), lit(true).as("__in_b"))
+    val c = curr.select(col(key).as("k"), col(value).as("new_v"), lit(true).as("__in_c"))
     b.join(c, Seq("k"), "full_outer")
       .withColumn("op",
-        when(col("old_v").isNull, lit("I"))
-          .when(col("new_v").isNull, lit("D"))
-          .when(col("old_v") =!= col("new_v"), lit("U")))
+        when(col("__in_b").isNull, lit("I"))
+          .when(col("__in_c").isNull, lit("D"))
+          .when(!(col("old_v") <=> col("new_v")), lit("U")))
       .filter(col("op").isNotNull)
       .select(col("k").as(key), col("op"),
         col("old_v").as(s"old_$value"), col("new_v").as(s"new_$value"))

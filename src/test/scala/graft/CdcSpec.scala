@@ -28,6 +28,16 @@ class CdcSpec extends SparkSpec {
       (5L, "I", None, Some(50L))))
   }
 
+  test("snapshotDiff treats NULL values as values, not missing keys") {
+    val base = Seq((1L, Some(10L)), (2L, None), (3L, None)).toDF("k", "v")
+    val curr = Seq((1L, None), (2L, None), (3L, Some(7L))).toDF("k", "v")
+    val got = Cdc.snapshotDiff(base, curr, "k", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // value transitions to/from NULL are updates; NULL==NULL is unchanged;
+    // nothing here is an insert or delete
+    assert(got == Set((1L, "U"), (3L, "U")))
+  }
+
   test("scd2History collapses no-op touches, breaks ts ties, chains intervals") {
     def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
     // user 1: 10 -> touch(10, collapsed) -> 20 -> 10 (reverting reopens);

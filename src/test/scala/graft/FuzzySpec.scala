@@ -44,6 +44,12 @@ class FuzzySpec extends SparkSpec {
     assert(got.forall { case (_, _, _, d) => d <= 1 })
   }
 
+  test("empty and single-char strings keep deletion-key completeness") {
+    val roster = Seq("", "a", "b", "ab")
+    val feed = Seq(1L -> "", 2L -> "a", 3L -> "c", 4L -> "ba")
+    assert(run(feed, roster) == brute(feed, roster))
+  }
+
   test("candidate join equals brute force on a dense colliding vocabulary") {
     // short strings over a 2-letter alphabet: deletion keys collide
     // constantly, so candidate dedupe and the exact verify both work hard
