@@ -61,6 +61,8 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")
     val maxK = args.lift(1).map(_.toInt).getOrElse(8)
+    // args beyond (base, maxK) restrict the roster — single-query iteration
+    val roster = if (args.length > 2) args.drop(2).toSeq else Queries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -84,7 +86,7 @@ object ScaleBench {
     // warmup
     timeOnce("q01_agg", s"$base/x1")
 
-    val times: Map[String, Map[Int, Double]] = Queries.map { q =>
+    val times: Map[String, Map[Int, Double]] = roster.map { q =>
       q -> ks.map { k =>
         val dir = s"$base/x$k"
         val (a, b) = (timeOnce(q, dir), timeOnce(q, dir))
@@ -95,7 +97,7 @@ object ScaleBench {
     val kLo = ks.head
     val kHi = ks.last
     val span = math.log(kHi.toDouble / kLo) / math.log(2.0)
-    val rows = Queries.map { q =>
+    val rows = roster.map { q =>
       val t = times(q)
       val slope = math.log(t(kHi) / t(kLo)) / math.log(2.0) / span
       val cells = ks.map(k => f""""x$k":${t(k)}%.2f""").mkString(",")
