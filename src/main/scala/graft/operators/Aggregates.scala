@@ -373,6 +373,58 @@ object Aggregates {
         FROM c JOIN t USING (source)
         WHERE c.n * 4 > t.tot
         ORDER BY source, item"""),
-      "Misra-Gries heavy hitters: k-bounded mergeable sketch prunes candidates, exact rescan confirms")
+      "Misra-Gries heavy hitters: k-bounded mergeable sketch prunes candidates, exact rescan confirms"),
+
+    QueryDef(
+      "q116_kmv_distinct",
+      (s, d) => {
+        // KMV (k-minimum-values) distinct sketch — unlike HLL (q43), the
+        // estimate is a DETERMINISTIC function of the input set given the
+        // hash family: keep the k smallest 48-bit md5 hashes of the
+        // distinct items, estimate NDV as (k-1) * 2^48 div h_(k) (the
+        // Beyer et al. 2007 unbiased form, in exact integer division so
+        // both engines agree bit-for-bit), fall back to the exact kept
+        // count when a group has fewer than k distinct items. The
+        // (lang, word) distinct is a partial-agg shuffle; the k-min fold
+        // reuses the MinKByCoin bounded aggregator (hex-string coins
+        // order exactly like their numeric hashes), so per-group state is
+        // k entries regardless of vocabulary size. The exact n_distinct
+        // column rides along as the report's error reference.
+        val K = 16
+        val mink = udaf(new MinKByCoin(K))
+        documents(s, d)
+          .select(col("lang"),
+            explode(graft.functions.TextAnalysis.tokens(col("text"))).as("word"))
+          .distinct()
+          .select(col("lang"),
+            substring(md5(col("word")), 1, 12).as("hx"))
+          .select(col("lang"), col("hx"), conv(col("hx"), 16, 10).cast("long").as("h"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_distinct"), mink(col("hx"), col("h")).as("ks"))
+          .select(col("lang"), col("n_distinct"),
+            when(size(col("ks")) < K, col("n_distinct"))
+              .otherwise(expr(s"(${K - 1} * 281474976710656) div element_at(ks, $K)"))
+              .as("kmv_est"))
+      },
+      Some("""
+        WITH dw AS (
+          SELECT DISTINCT lang,
+                 unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+          FROM documents),
+        h AS (
+          SELECT lang, CAST(concat('0x', substr(md5(word), 1, 12)) AS BIGINT) AS hv
+          FROM dw),
+        r AS (
+          SELECT lang, hv,
+                 row_number() OVER (PARTITION BY lang ORDER BY hv) AS rk,
+                 count(*) OVER (PARTITION BY lang) AS nd
+          FROM h)
+        SELECT lang,
+               cast(max(nd) as bigint) AS n_distinct,
+               cast(CASE WHEN max(nd) < 16 THEN max(nd)
+                    ELSE (15 * 281474976710656) // max(CASE WHEN rk = 16 THEN hv END)
+                    END as bigint) AS kmv_est
+        FROM r GROUP BY lang"""),
+      "KMV distinct sketch: k-min hash fold with a deterministic, oracle-reproducible estimate")
   )
 }

@@ -56,7 +56,8 @@ object ScaleBench {
     "q112_interval_merge",  // islands & gaps, one shuffle end to end
     "q113_incremental_agg", // algebraic partial-state merge
     "q114_k_anonymity",     // quasi-identifier groupBy report
-    "q115_pseudonymize")    // per-row token projection
+    "q115_pseudonymize",    // per-row token projection
+    "q116_kmv_distinct")    // k-min-hash bounded distinct sketch
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")

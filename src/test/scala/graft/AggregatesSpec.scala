@@ -189,4 +189,26 @@ class AggregatesSpec extends SparkSpec {
       .groupBy(_._1).map { case (g, xs) => g -> xs.sortBy(_._4).map(_._3).toSeq }
     assert(got == want)
   }
+
+  test("KMV estimate lands within the k-bound error on a 20k-item universe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val K = 256
+    val n = 20000
+    val mink = udaf(new graft.operators.Aggregates.MinKByCoin(K))
+    // each item duplicated 3x: the registered pipeline pre-distincts, and
+    // this pins that the estimate is duplication-invariant through it
+    val items = (1 to n).flatMap(i => Seq.fill(3)(s"item_$i")).toDF("word")
+    def est(df: org.apache.spark.sql.DataFrame): Long =
+      df.distinct()
+        .select(substring(md5(col("word")), 1, 12).as("hx"))
+        .select(col("hx"), conv(col("hx"), 16, 10).cast("long").as("h"))
+        .agg(mink(col("hx"), col("h")).as("ks"))
+        .select(expr(s"(${K - 1} * 281474976710656) div element_at(ks, $K)"))
+        .as[Long].head()
+    val e = est(items)
+    // KMV standard error ~ 1/sqrt(k-2) ~ 6.3%; 20% is a 3-sigma bound
+    assert(math.abs(e - n) < 0.2 * n, s"estimate $e vs true $n")
+    assert(est(items.distinct()) == e)
+  }
 }
