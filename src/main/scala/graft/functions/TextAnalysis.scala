@@ -1240,7 +1240,101 @@ object TextAnalysis {
                len(list_slice(w, i*$CHUNK_STRIDE+1, i*$CHUNK_STRIDE+$CHUNK_TOKENS)) AS n_chunk_tokens,
                md5(array_to_string(list_slice(w, i*$CHUNK_STRIDE+1, i*$CHUNK_STRIDE+$CHUNK_TOKENS), ' ')) AS chunk_md5
         FROM c"""),
-      "context-window chunking: 64-token/48-stride overlapping training examples, shuffle-free generate")
+      "context-window chunking: 64-token/48-stride overlapping training examples, shuffle-free generate"),
+
+    QueryDef(
+      "q118_global_ordinals",
+      (s, d) => {
+        // Dense global sequence assignment — the zipWithIndex problem:
+        // give every document a gapless ordinal in doc_id order.
+        // `monotonically_increasing_id` is sparse, and the naive
+        // row_number() OVER (ORDER BY doc_id) is a single-partition
+        // global window. This is [[exclusiveRunningSum]] with a unit
+        // weight: the count of preceding rows IS the 0-based ordinal,
+        // computed as the log-depth bucket recursion in which no window
+        // partition exceeds ~PACK_FANOUT rows at any corpus size.
+        val ids = documents(s, d)
+          .select(col("doc_id"), lit(1L).as("one"))
+          .cache()
+        exclusiveRunningSum(ids, "doc_id", "one", "ord")
+          .select(col("doc_id"), (col("ord") + 1L).as("ordinal"))
+      },
+      Some("""
+        SELECT doc_id,
+               row_number() OVER (ORDER BY doc_id) AS ordinal
+        FROM documents"""),
+      "dense global ordinals (zipWithIndex): log-depth prefix count, no single-partition window"),
+
+    QueryDef(
+      "q117_cdc_chunking",
+      (s, d) => {
+        // CONTENT-DEFINED chunking (the dedup-storage counterpart of
+        // q105's fixed windows): a chunk boundary falls after token i
+        // whenever the rolling 3-token window hashing to 0 mod 64 says
+        // so, so boundaries are properties of the CONTENT — an edit
+        // moves only the boundaries within two tokens of it and every
+        // other chunk's checksum survives for dedup, where fixed-stride
+        // chunking would shift-corrupt everything downstream of the
+        // edit. Expected chunk length = the divisor (64). Entirely
+        // in-row array arithmetic: one scan, one generate, no shuffle.
+        val DIV = 64
+        def h12(c: Column): Column = conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+        val docs = documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .filter(size(col("w")) > 0)
+        val n = size(col("w"))
+        // boundary END positions (0-based, inclusive): gram (i-2, i-1, i)
+        val bs = when(n >= 3,
+          filter(sequence(lit(2), n - 1), i =>
+            pmod(h12(concat_ws(" ",
+              element_at(col("w"), i - 1),
+              element_at(col("w"), i),
+              element_at(col("w"), i + 1))), lit(DIV)) === 0))
+          .otherwise(array().cast("array<int>"))
+        val withB = docs
+          .withColumn("bs", bs)
+          .withColumn("bext",
+            when(size(col("bs")) === 0 ||
+              element_at(col("bs"), -1) =!= (size(col("w")) - 1),
+              concat(col("bs"), array((size(col("w")) - 1).cast("int"))))
+              .otherwise(col("bs")))
+        withB
+          .select(col("doc_id"), col("w"),
+            posexplode(transform(sequence(lit(1), size(col("bext"))), j =>
+              struct(
+                when(j === 1, lit(0)).otherwise(element_at(col("bext"), j - 1) + 1).as("st"),
+                element_at(col("bext"), j).as("en")))).as(Seq("chunk_idx", "c")))
+          .select(col("doc_id"), (col("chunk_idx") + 1).cast("long").as("chunk_idx"),
+            col("c.st").cast("long").as("chunk_start"),
+            (col("c.en") - col("c.st") + 1).cast("long").as("n_chunk_tokens"),
+            md5(array_join(slice(col("w"), col("c.st") + 1, col("c.en") - col("c.st") + 1), " "))
+              .as("chunk_md5"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, $SQL_TOKENS AS w FROM documents
+          WHERE len($SQL_TOKENS) > 0),
+        b AS (
+          SELECT doc_id, w,
+                 list_filter(range(2, len(w)), i ->
+                   (CAST(concat('0x', substr(md5(w[i-1] || ' ' || w[i] || ' ' || w[i+1]), 1, 12)) AS BIGINT) % 64 = 0)) AS bs
+          FROM t),
+        be AS (
+          SELECT doc_id, w,
+                 CASE WHEN len(bs) = 0 OR bs[-1] <> len(w) - 1
+                      THEN list_append(bs, len(w) - 1) ELSE bs END AS bext
+          FROM b),
+        c AS (
+          SELECT doc_id, w, bext, unnest(range(1, len(bext) + 1)) AS j FROM be)
+        SELECT doc_id,
+               j AS chunk_idx,
+               cast(CASE WHEN j = 1 THEN 0 ELSE bext[j-1] + 1 END as bigint) AS chunk_start,
+               cast(bext[j] - (CASE WHEN j = 1 THEN 0 ELSE bext[j-1] + 1 END) + 1 as bigint) AS n_chunk_tokens,
+               md5(array_to_string(
+                 list_slice(w, (CASE WHEN j = 1 THEN 0 ELSE bext[j-1] + 1 END) + 1, bext[j] + 1),
+                 ' ')) AS chunk_md5
+        FROM c"""),
+      "content-defined chunking: rolling 3-gram hash boundaries, edit-stable chunk checksums, no shuffle")
   )
 
   /** (doc_id, toks, bigs) frame shared by both q69 implementations. */

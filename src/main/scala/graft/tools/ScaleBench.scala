@@ -57,7 +57,9 @@ object ScaleBench {
     "q113_incremental_agg", // algebraic partial-state merge
     "q114_k_anonymity",     // quasi-identifier groupBy report
     "q115_pseudonymize",    // per-row token projection
-    "q116_kmv_distinct")    // k-min-hash bounded distinct sketch
+    "q116_kmv_distinct",    // k-min-hash bounded distinct sketch
+    "q117_cdc_chunking",    // rolling-hash boundary generate
+    "q118_global_ordinals") // log-depth dense rank
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")

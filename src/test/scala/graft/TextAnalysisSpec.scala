@@ -364,4 +364,46 @@ class TextAnalysisSpec extends SparkSpec {
     val plan = TextAnalysis.chunkedDocs(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunking plan shuffles:\n$plan")
   }
+
+  test("q117 content-defined chunks cover exactly and survive a mid-doc edit") {
+    def chunks(text: String): Seq[(Long, Long, Long, String)] = {
+      val dir = java.nio.file.Files.createTempDirectory("cdcdocs").toString
+      Seq((1L, text, "en", "s", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      SparkEntry.queries("q117_cdc_chunking")(spark, dir)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSeq
+    }
+    val words = (0 until 600).map(i => s"w${i * 7 % 601}")
+    val orig = chunks(words.mkString(" "))
+    // coverage: chunks chain gaplessly from 0 to n
+    assert(orig.head._2 == 0L)
+    orig.sliding(2).foreach { case Seq(a, b) => assert(a._2 + a._3 == b._2); case _ => () }
+    assert(orig.last._2 + orig.last._3 == 600L)
+    assert(orig.size > 3, "fixture long enough to have several content boundaries")
+    // edit ONE token mid-doc: a boundary at i hashes gram (i-2..i), so
+    // the edit at pos can only disturb boundaries in [pos, pos+2] — any
+    // chunk ending before the gram window or starting past boundary
+    // pos+3 must survive byte-identically
+    val pos = 300
+    val edited = chunks(words.updated(pos, "EDITED").mkString(" "))
+    val stable = orig.filter(c => c._2 + c._3 <= pos - 2 || c._2 > pos + 3).map(c => (c._2, c._3, c._4)).toSet
+    val editedSet = edited.map(c => (c._2, c._3, c._4)).toSet
+    assert(stable.subsetOf(editedSet),
+      s"chunks away from the edit changed: ${stable -- editedSet}")
+    // and the edit DID change something
+    assert(editedSet != orig.map(c => (c._2, c._3, c._4)).toSet)
+  }
+
+  test("q118 ordinals are dense rank-in-id-order under sparse shuffled ids") {
+    val dir = java.nio.file.Files.createTempDirectory("orddocs").toString
+    val ids = scala.util.Random.shuffle((0 until 9000).map(i => i.toLong * 5 + (i % 3)).distinct)
+    ids.map(i => (i, "x", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q118_global_ordinals")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = ids.sorted.zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(got == want)
+  }
 }
