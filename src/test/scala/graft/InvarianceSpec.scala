@@ -16,10 +16,17 @@ class InvarianceSpec extends SparkSpec {
   // ... plus the deterministic-sample family (q101 shuffle checksum, q102
   // bounded min-k sample): their md5-coin selections claim to be
   // layout-independent, so hold them to it
+  // ... and the round-11 reconciliation/sketch family: hash-sum
+  // checksums (q110), bounded k-min sketches (q116), drift micro-terms
+  // (q111), merged partial states (q113), prefix-count ordinals (q118) —
+  // each claims order-independent exactness, the precondition for
+  // comparing their outputs across replicas/batches at all
   private val queries = Seq("q01_agg", "q08_window_running",
     "q48_percentiles", "q62_stats_moments", "q90_retention",
     "q93_heavy_hitters", "q65_jaccard_prefix",
-    "q101_epoch_shuffle", "q102_domain_cap")
+    "q101_epoch_shuffle", "q102_domain_cap",
+    "q110_bucket_checksums", "q111_distribution_drift",
+    "q113_incremental_agg", "q116_kmv_distinct", "q118_global_ordinals")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
