@@ -51,8 +51,11 @@ object Fuzzy {
       // several deletion keys can collide for one pair (repeated chars);
       // dedupe candidates before the exact verify
       .select(col("id"), col("feed_name"), col("matched_name")).distinct()
-      .withColumn("d", levenshtein(col("feed_name"), col("matched_name")))
-      .filter(col("d") <= maxDist)
+      // threshold form: the banded DP abandons a row as soon as the
+      // distance provably exceeds maxDist (returns -1), so verify cost is
+      // O(len * maxDist) per candidate instead of O(len^2)
+      .withColumn("d", levenshtein(col("feed_name"), col("matched_name"), maxDist))
+      .filter(col("d") >= 0)
   }
 
   // The dirty feed both engines derive identically: each part's name with
