@@ -118,23 +118,37 @@ object Quality {
     * exact over bigints). Shape: two single-pass histograms + a k-row
     * spine, every join side after the histograms is k-bounded. */
   def driftPsi(base: DataFrame, curr: DataFrame, k: Int = 10): DataFrame = {
+    // one-row stats frame, cached: it feeds BOTH the broadcast into the
+    // bucketing pass and the k-row spine, and without the cache each use
+    // would be its own full scan of base
     val stats = base.agg(min(col("c")).as("lo"), max(col("c")).as("hi"),
-      count(lit(1)).as("n1"))
-    val currN = curr.agg(count(lit(1)).as("n2"))
-    def hist(df: DataFrame) = df.crossJoin(broadcast(stats))
+      count(lit(1)).as("n1")).cache()
+    // ONE tagged pass histograms both cohorts together (base is scanned
+    // twice in total — once for its range stats, once here — and curr
+    // once; a naive per-side histogram would pay four full scans)
+    val hist = base.select(col("c"), lit("b").as("side"))
+      .unionByName(curr.select(col("c"), lit("c").as("side")))
+      .crossJoin(broadcast(stats))
       .select(least(lit((k - 1).toLong), greatest(lit(0L),
-        expr(s"((c - lo) * $k) div (hi - lo + 1)"))).as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        expr(s"((c - lo) * $k) div (hi - lo + 1)"))).as("bucket"), col("side"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("side") === "b", 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("side") === "c", 1L).otherwise(0L)).as("n_curr"))
+    // n2 falls out of the k-row frame itself: a window over the joined
+    // histogram (partition key = the non-foldable pmod constant, the
+    // exclusiveRunningSum leaf idiom — k rows, bounded at any scale)
+    // instead of re-executing the histogram subtree for a scalar count
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy(pmod(col("bucket"), lit(1L)))
     val p = (col("n_curr") + 1.0) / (col("n2") + k)
     val q = (col("n_base") + 1.0) / (col("n1") + k)
     stats.select(explode(sequence(lit(0L), lit((k - 1).toLong))).as("bucket"), col("n1"))
-      .join(hist(base).withColumnRenamed("cnt", "n_base"), Seq("bucket"), "left")
-      .join(hist(curr).withColumnRenamed("cnt", "n_curr"), Seq("bucket"), "left")
-      .crossJoin(broadcast(currN))
+      .join(hist, Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_curr"), lit(0L)).as("n_curr"),
-        col("n1"), col("n2"))
+        col("n1"))
+      .withColumn("n2", sum(col("n_curr")).over(wAll))
       .select(col("bucket"), col("n_base"), col("n_curr"),
         round((p - q) * log(p / q) * 1e6).cast("long").as("psi6"))
   }
