@@ -38,6 +38,73 @@ object Advanced {
            cast(sum(sz) AS bigint) AS n_vertices
     FROM sizes"""
 
+  /** DuckDB oracle for q119: the SAME exact-integer PageRank recurrence as
+    * [[IterativeGraph.pageRank]], unrolled to `iters` chained CTEs (one
+    * contribution-sum + one damping update per round). Unrolling instead
+    * of a recursive CTE keeps the oracle inside DuckDB's vanilla recursion
+    * rules (no aggregation over the recursive relation) and makes every
+    * round independently inspectable. `//` is DuckDB integer division —
+    * identical to Spark's `div` on the non-negative values here — and
+    * every aggregate is cast back to BIGINT because a bare DuckDB
+    * sum(BIGINT) is HUGEINT, which the gate's hasher would reject. */
+  private def pagerankOracleSql(iters: Int, scale: Long): String = {
+    val teleport = 15L * (scale / 100L)
+    val rounds = (1 to iters).map { k =>
+      s"""    s$k AS (
+    |      SELECT e.dst AS v, cast(sum(p.r // g.d) AS bigint) AS s
+    |      FROM sym e JOIN r${k - 1} p ON e.src = p.v JOIN deg g ON g.v = p.v
+    |      GROUP BY e.dst),
+    |    r$k AS (
+    |      SELECT deg.v,
+    |             cast($teleport + (85 * coalesce(s$k.s, 0)) // 100 AS bigint) AS r
+    |      FROM deg LEFT JOIN s$k ON s$k.v = deg.v)""".stripMargin
+    }.mkString(",\n")
+    s"""
+    WITH pairs AS (
+      SELECT DISTINCT cast(o_custkey AS bigint) * 2 AS src,
+                      cast(l_suppkey AS bigint) * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    sym AS (
+      SELECT src, dst FROM pairs
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM pairs),
+    deg AS (SELECT src AS v, count(*) AS d FROM sym GROUP BY src),
+    r0 AS (SELECT v, cast($scale AS bigint) AS r FROM deg),
+$rounds
+    SELECT v, r FROM r$iters ORDER BY r DESC, v LIMIT 100"""
+  }
+
+  private val PAGERANK_ITERS = 5
+  private val PAGERANK_SCALE = 1000000000000L
+  private val PAGERANK_ORACLE_SQL =
+    pagerankOracleSql(PAGERANK_ITERS, PAGERANK_SCALE)
+
+  /** DuckDB oracle for q120: the orientation-free textbook census — edges
+    * as id-ordered (u < v) distinct pairs, triangles by the 3-way join
+    * (e1.u,e1.v)(e1.u,e2.v)(e1.v,e2.v) with v-ordering making each
+    * triangle count once. Orientation-independent by construction, so it
+    * checks the degree-ordered Spark plan without replicating it. */
+  private val TRIANGLE_ORACLE_SQL = """
+    WITH edges AS (
+      SELECT DISTINCT cast(l1.l_partkey AS bigint) AS u,
+                      cast(l2.l_partkey AS bigint) AS v
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+    deg AS (
+      SELECT x, count(*) AS d
+      FROM (SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges)
+      GROUP BY x),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v)
+    SELECT (SELECT count(*) FROM deg) AS n_vertices,
+           (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT cast(sum(d * (d - 1) // 2) AS bigint) FROM deg) AS n_wedges,
+           n_triangles
+    FROM tri"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q45_native_pivot",
@@ -315,6 +382,55 @@ object Advanced {
             sum(col("sz")).as("n_vertices"))
       },
       Some(GRAPH_ORACLE_SQL), // same summary, independently derived in DuckDB
-      "DataFrame-native large-star/small-star connected components (Catalyst-planned iteration)")
+      "DataFrame-native large-star/small-star connected components (Catalyst-planned iteration)"),
+
+    QueryDef(
+      "q119_pagerank",
+      (s, d) => {
+        // PageRank over the customer<->supplier trade graph (an edge per
+        // distinct customer/supplier pair that traded, via orders ⋈
+        // lineitem), 5 damped iterations in exact integer arithmetic —
+        // the result is bit-identical across partitionings, engines, and
+        // runs, which is what lets an iterative numeric algorithm run
+        // UNDER the driver's hash gate at all. Vertices dictionary-encode
+        // to disjoint longs (customer -> 2k, supplier -> 2k+1) so loop
+        // shuffles move 8-byte keys. Top-100 by (rank, id) — bounded
+        // output via TakeOrderedAndProject, no global sort exchange.
+        val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey").cast("long") * 2).as("src"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+          .distinct()
+        val sym = pairs.union(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        IterativeGraph.pageRank(sym, PAGERANK_ITERS, PAGERANK_SCALE)
+          .orderBy(col("r").desc, col("v").asc)
+          .limit(100)
+      },
+      Some(PAGERANK_ORACLE_SQL),
+      "fixed-iteration exact-integer PageRank (pinned-edge loop; oracle = unrolled recurrence)"),
+
+    QueryDef(
+      "q120_triangles",
+      (s, d) => {
+        // Triangle census of the part co-purchase graph: parts are
+        // adjacent when some order contains both. The self-join explodes
+        // each order's item set into C(L,2) pairs (L is per-order line
+        // count, bounded ~7 in TPC-H-shaped data, so the explosion is a
+        // constant factor of lineitem). Counting uses the degree-ordered
+        // orientation so hub parts cannot concentrate wedge enumeration
+        // into one task.
+        val li = lineitem(s, d).select(col("l_orderkey"),
+          col("l_partkey").cast("long").as("p"))
+        val pairs = li.select(col("l_orderkey"), col("p").as("u"))
+          .join(li.select(col("l_orderkey"), col("p").as("v")), "l_orderkey")
+          .filter(col("u") < col("v"))
+          .select(col("u"), col("v"))
+          .distinct()
+        IterativeGraph.triangleStats(pairs)
+      },
+      Some(TRIANGLE_ORACLE_SQL),
+      "exact triangle census via degree-ordered wedge closure (Suri-Vassilvitskii orientation)")
   )
 }

@@ -89,21 +89,24 @@ object IterativeGraph {
       .distinct()
   }
 
+  /** Pin a frame's rows and rebuild it lineage-free: rows must be copied
+    * (toRdd reuses per-partition buffers) before persisting. The RDD
+    * localCheckpoint truncates PHYSICAL lineage at first materialization,
+    * so a lost block late in an iterative loop cannot cascade
+    * recomputation through every earlier round. Shared by every
+    * fixed-point/fixed-iteration loop in this module: a pinned frame is
+    * referenced many times across rounds, and without the pin each lazy
+    * reference would re-execute the whole upstream subtree.
+    */
+  private[operators] def pin(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.localCheckpoint()
+    (GraftSqlBridge.internalCreateDataFrame(df.sparkSession, rdd, df.schema), rdd)
+  }
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 50,
       roundHook: (Int, Long, Long) => Unit = null): DataFrame = {
-    val spark = edges.sparkSession
-
-    // pin a frame's rows and rebuild it lineage-free: rows must be copied
-    // (toRdd reuses per-partition buffers) before persisting. The RDD
-    // localCheckpoint truncates PHYSICAL lineage at first materialization,
-    // so a lost block late in the loop cannot cascade recomputation
-    // through every earlier round.
-    def pin(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
-      val rdd = df.queryExecution.toRdd.map(_.copy())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      rdd.localCheckpoint()
-      (GraftSqlBridge.internalCreateDataFrame(spark, rdd, df.schema), rdd)
-    }
 
     // canonical orientation u >= v; pinned WITH self-loops so the final
     // vertex derivation reads these blocks instead of re-running the
@@ -203,6 +206,126 @@ object IterativeGraph {
     if (eRdd != null) eRdd.unpersist(blocking = false)
     if (degRdd != null) degRdd.unpersist(blocking = false)
     canonRdd.unpersist(blocking = false)
+    out
+  }
+
+  /** Fixed-iteration PageRank over a symmetric `(src, dst)` edge set, in
+    * EXACT integer arithmetic so the result is a deterministic function of
+    * the edge set — independent of partitioning, task order, and engine.
+    *
+    * Why integers: the textbook double formulation is order-dependent
+    * (partial-aggregation sum order differs run to run and engine to
+    * engine), which would break both the driver's hash gate and
+    * cross-cluster reproducibility. Here every rank is a BIGINT in units
+    * of `scale^-1`; a vertex's per-edge contribution is `r div outdeg`
+    * (truncating integer division — deterministic PER EDGE, so the
+    * subsequent BIGINT sum is order-independent), and the damping update
+    * is `0.15*scale + (85 * sum) div 100` in exact integers. The tiny
+    * mass lost to truncation is the price of bit-exact reproducibility
+    * and is identical in every conforming implementation (the DuckDB
+    * oracle reproduces it row for row).
+    *
+    * Physical shape (what must survive 100 TB):
+    *   - edges and degrees are pinned ONCE ([[pin]]) — each of the
+    *     `iters` rounds rereads the pinned blocks instead of re-running
+    *     the caller's edge derivation;
+    *   - one round = one shuffle-join of ranks onto edges by src (both
+    *     sides hash-partitioned on the vertex key) + one partial-agg
+    *     `groupBy(dst).sum` — map-side combine absorbs hub in-degree skew,
+    *     so a celebrity vertex costs its receiving task one row per map
+    *     partition, not one row per in-edge;
+    *   - no window functions, no driver-side state: rank state lives in
+    *     the cluster as an O(V) frame.
+    *
+    * Every vertex of the symmetric edge set has outdeg >= 1, so there is
+    * no dangling mass to redistribute. `scale` must be divisible by 100
+    * (exact teleport term) and sized so `85 * V * scale` fits in a long
+    * (at 1e10 vertices choose scale <= 1e7).
+    *
+    * Returns `(v: long, r: long)` — rank in scale units, materialized
+    * eagerly so the pinned edge/degree blocks can be released.
+    */
+  def pageRank(edgesSym: DataFrame, iters: Int, scale: Long): DataFrame = {
+    require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
+    require(scale > 0 && scale % 100L == 0,
+      s"pageRank: scale must be positive and divisible by 100, got $scale")
+    val (e, eRdd) = pin(edgesSym.select(col("src"), col("dst")).distinct())
+    val (deg, degRdd) =
+      pin(e.groupBy(col("src").as("v")).agg(count(lit(1)).as("d")))
+    var ranks = deg.select(col("v"), lit(scale).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(deg, "v")
+        .select(col("v").as("src"), expr("r div d").as("c"))
+      val sums = e.join(contrib, "src")
+        .groupBy(col("dst").as("v"))
+        .agg(sum(col("c")).as("s"))
+      ranks = deg.join(sums, Seq("v"), "left")
+        .select(col("v"),
+          (lit(15L * (scale / 100L)) +
+            expr("(85 * coalesce(s, cast(0 as bigint))) div 100")).as("r"))
+    }
+    val out = ranks.localCheckpoint(true)
+    eRdd.unpersist(blocking = false)
+    degRdd.unpersist(blocking = false)
+    out
+  }
+
+  /** Exact triangle census of an undirected graph given as canonical
+    * `(u, v)` pairs with `u < v`: one row of orientation-independent
+    * whole-graph statistics `(n_vertices, n_edges, n_wedges,
+    * n_triangles)` — the ingredients of the global clustering
+    * coefficient `3T / wedges`.
+    *
+    * The triangle join uses the degree-ordered orientation (Suri &
+    * Vassilvitskii, "Counting Triangles and the Curse of the Last
+    * Reducer", WWW'11): orient every edge from its lower-(degree, id)
+    * endpoint to the higher one, enumerate wedges only at each edge's
+    * SOURCE, and close them against the oriented edge set. Out-degree
+    * under this orientation is O(sqrt(m)) for every vertex — including
+    * hubs — so the wedge fan-out per task is bounded and the "last
+    * reducer" hot spot of the naive adjacency join cannot form. Each
+    * triangle is counted exactly once (its minimum-rank vertex owns it).
+    *
+    * All stages are equi joins + partial aggregations on vertex keys; the
+    * edge set is pinned once and reread by the degree pass, the
+    * orientation pass, and the closing join.
+    */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    val (e, eRdd) = pin(
+      pairs.select(col("u"), col("v")).filter(col("u") < col("v")).distinct())
+    val (deg, degRdd) = pin(
+      e.select(col("u").as("x")).union(e.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d")))
+    // rank = (degree, id) lexicographically; u < v already, so on a
+    // degree tie the orientation keeps (u -> v).
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val (ori, oriRdd) = pin(e
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(lowFirst, col("u")).otherwise(col("v")).as("a"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("b"),
+        when(lowFirst, col("dv")).otherwise(col("du")).as("rb")))
+    val wl = ori.select(col("a"), col("b").as("wa"), col("rb").as("ra"))
+    val wr = ori.select(col("a"), col("b").as("wb"), col("rb").as("rw"))
+    val wedges = wl.join(wr, Seq("a"))
+      .filter(col("ra") < col("rw") ||
+        (col("ra") === col("rw") && col("wa") < col("wb")))
+      .select(col("wa").as("a"), col("wb").as("b"))
+    val tri = wedges.join(ori.select(col("a"), col("b")), Seq("a", "b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg
+      .agg(count(lit(1)).as("n_vertices"),
+        sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri)
+      .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"))
+    val out = stats.localCheckpoint(true)
+    eRdd.unpersist(blocking = false)
+    degRdd.unpersist(blocking = false)
+    oriRdd.unpersist(blocking = false)
     out
   }
 }

@@ -84,4 +84,99 @@ class IterativeGraphSpec extends SparkSpec {
     assert(rounds == 1, s"star input should be recognized after round 1, ran $rounds")
     assert(labels == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a"))
   }
+
+  // ---- pageRank ----
+
+  /** Exact-integer reference model of the q119 recurrence (naive maps). */
+  private def refPageRank(sym: Seq[(Long, Long)], iters: Int,
+      scale: Long): Map[Long, Long] = {
+    val deg = sym.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    var r = deg.keys.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val sums = sym.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / deg(u) }.sum
+      }
+      r = deg.keys.map(v =>
+        v -> (15L * (scale / 100L) + 85L * sums.getOrElse(v, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the exact-integer reference on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(400)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val sym = pairs ++ pairs.map(_.swap)
+    val got = IterativeGraph.pageRank(sym.toDF("src", "dst"), 5, 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refPageRank(sym, 5, 1000000L))
+  }
+
+  test("pageRank is invariant under repartitioning (bit-exact determinism)") {
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(300)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val sym = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val a = IterativeGraph.pageRank(sym.repartition(1), 4, 1000000L)
+      .as[(Long, Long)].collect().toMap
+    val b = IterativeGraph.pageRank(sym.repartition(13), 4, 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("pageRank fixed points: regular graphs keep rank == scale exactly") {
+    // on a d-regular graph every vertex forever holds exactly `scale`:
+    // r/d summed d times is r (integer-exact when d divides scale), and
+    // 15% + 85% of scale is scale. Cycle (2-regular), scale % 200 == 0.
+    val n = 12L
+    val cyc = (0L until n).flatMap(i =>
+      Seq((i, (i + 1) % n), ((i + 1) % n, i)))
+    val got = IterativeGraph.pageRank(cyc.toDF("src", "dst"), 6, 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L until n).map(_ -> 1000000L).toMap)
+  }
+
+  // ---- triangleStats ----
+
+  private def refTriangles(pairs: Set[(Long, Long)]): (Long, Long, Long, Long) = {
+    val vs = pairs.flatMap(p => Seq(p._1, p._2))
+    val deg = vs.map(v => v -> pairs.count(p => p._1 == v || p._2 == v).toLong).toMap
+    val tri = vs.toSeq.combinations(3).count { c =>
+      val Seq(a, b, x) = c.sorted
+      pairs((a, b)) && pairs((a, x)) && pairs((b, x))
+    }
+    (vs.size.toLong, pairs.size.toLong,
+      deg.values.map(d => d * (d - 1) / 2).sum, tri.toLong)
+  }
+
+  private def triRow(pairs: Seq[(Long, Long)]): (Long, Long, Long, Long) =
+    IterativeGraph.triangleStats(pairs.toDF("u", "v"))
+      .as[(Long, Long, Long, Long)].collect().head
+
+  test("triangleStats on known shapes") {
+    // K4: 4 triangles, 6 edges, wedges = 4*C(3,2)=12
+    val k4 = (for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b))
+    assert(triRow(k4) == ((4L, 6L, 12L, 4L)))
+    // a path has zero triangles
+    val path = (0L until 5L).map(i => (i, i + 1))
+    assert(triRow(path) == ((6L, 5L, 4L, 0L)))
+    // hub + one rim edge: one triangle; wedges = C(4,2) at the hub + one
+    // each at vertices 1 and 2
+    val fan = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (1L, 2L))
+    assert(triRow(fan) == ((5L, 5L, 8L, 1L)))
+  }
+
+  test("triangleStats matches brute force on a random graph (hub-skewed)") {
+    val rnd = new scala.util.Random(13)
+    // skew: vertex 0 joins half the edges, exercising the degree-ordered
+    // orientation's whole reason to exist
+    val pairs = (Seq.fill(150)((0L, 1L + rnd.nextInt(50).toLong)) ++
+      Seq.fill(200)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    assert(triRow(pairs) == refTriangles(pairs.toSet))
+  }
 }

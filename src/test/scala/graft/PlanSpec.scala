@@ -277,4 +277,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_"), p)
   }
+
+  test("q119/q120 loop stages are keyed joins + partial aggregates, no windows") {
+    // The registered frames are materialized (localCheckpoint truncates
+    // their lineage so the pinned loop blocks can be released), so the
+    // shape claims are pinned on the loop stages built the way the
+    // operators build them.
+    import org.apache.spark.sql.functions._
+    // one PageRank round: contribution sum must be a hash aggregate with
+    // map-side partials on an equi join — a Window or a product here
+    // would concentrate a hub's in-edges into one task
+    val e = Tables.lineitem(spark, SF)
+      .select(col("l_partkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + 1000000L).as("dst"))
+    val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    val contrib = deg.select(col("v").as("src"), expr("d * 0 + 1").as("c"))
+    val round = e.join(contrib, "src")
+      .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+    val pr = round.queryExecution.executedPlan.toString
+    assert(pr.contains("partial_sum"), pr)
+    assert(!pr.contains("Window"), pr)
+    assert(!pr.contains("CartesianProduct"), pr)
+    assert(!pr.contains("BroadcastNestedLoopJoin"), pr)
+    // the triangle wedge closure: both the wedge join and the closing
+    // join stay equi joins on vertex keys
+    val pairs = e.select(col("src").as("u"), col("dst").as("v")).distinct()
+    val ori = pairs.withColumn("rb", col("v"))
+    val wl = ori.select(col("u").as("a"), col("v").as("wa"), col("rb").as("ra"))
+    val wr = ori.select(col("u").as("a"), col("v").as("wb"), col("rb").as("rw"))
+    val tri = wl.join(wr, Seq("a")).filter(col("ra") < col("rw"))
+      .select(col("wa").as("a"), col("wb").as("b"))
+      .join(ori.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"))
+      .agg(count(lit(1)).as("n"))
+    val pt = tri.queryExecution.executedPlan.toString
+    assert(!pt.contains("CartesianProduct"), pt)
+    assert(!pt.contains("BroadcastNestedLoopJoin"), pt)
+    assert(!pt.contains("Window"), pt)
+    assert(pt.contains("partial_count"), pt)
+  }
 }
