@@ -1334,7 +1334,60 @@ object TextAnalysis {
                  list_slice(w, (CASE WHEN j = 1 THEN 0 ELSE bext[j-1] + 1 END) + 1, bext[j] + 1),
                  ' ')) AS chunk_md5
         FROM c"""),
-      "content-defined chunking: rolling 3-gram hash boundaries, edit-stable chunk checksums, no shuffle")
+      "content-defined chunking: rolling 3-gram hash boundaries, edit-stable chunk checksums, no shuffle"),
+
+    QueryDef(
+      "q121_quality_classifier",
+      (s, d) => {
+        // Hashed-linear text-classifier INFERENCE at corpus scale — the
+        // fastText/CCNet quality-filter shape (Joulin et al. 2016;
+        // Wenzek et al. 2020): tokens hash into F feature buckets, a doc's
+        // score is the bag-of-buckets dot product with a weight vector,
+        // keep = sign. The weight vector here is a frozen deterministic
+        // hash of the bucket id (no model artifacts ship in this
+        // container); a trained model swaps in as a broadcast F-row
+        // weight table (or a literal array for small F) without touching
+        // the plan shape. What the plan pins down for 100 TB: scoring is
+        // ONE explode + partial-agg sum keyed by doc_id (map-side combine
+        // absorbs long docs), every hash/weight expression is built-in
+        // (whole-stage codegen), and the left join back to `documents`
+        // re-admits zero-token docs so the filter is total over the
+        // corpus. Integer weights in [-1000, 1000] make the score an
+        // exact BIGINT — bit-identical in any engine, which is what lets
+        // classifier inference run under the driver's hash gate.
+        val F = 4096L
+        def h12(c: Column): Column =
+          conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+        val scored = documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+          .select(col("doc_id"), pmod(h12(col("w")), lit(F)).as("b"))
+          .select(col("doc_id"),
+            (pmod(h12(concat(lit("w#"), col("b").cast("string"))), lit(2001L))
+              - 1000L).as("wt"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("score"))
+        documents(s, d).select(col("doc_id"))
+          .join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("score"), lit(0L)).as("score"),
+            (coalesce(col("score"), lit(0L)) >= 0).as("keep"))
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(unnest($SQL_TOKENS)), 1, 12)) AS BIGINT) % 4096 AS b
+          FROM documents),
+        sc AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 cast(sum(CAST(concat('0x', substr(md5('w#' || b), 1, 12)) AS BIGINT) % 2001 - 1000) AS bigint) AS score
+          FROM f GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(sc.n_tokens, 0) AS n_tokens,
+               coalesce(sc.score, 0) AS score,
+               coalesce(sc.score, 0) >= 0 AS keep
+        FROM documents d LEFT JOIN sc USING (doc_id)"""),
+      "hashed-linear classifier inference (fastText-shape quality filter; exact integer scores)")
   )
 
   /** (doc_id, toks, bigs) frame shared by both q69 implementations. */

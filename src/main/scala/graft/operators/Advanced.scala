@@ -79,6 +79,55 @@ $rounds
   private val PAGERANK_ORACLE_SQL =
     pagerankOracleSql(PAGERANK_ITERS, PAGERANK_SCALE)
 
+  /** DuckDB oracle for q122: the same clamped plurality-propagation
+    * recurrence as [[IterativeGraph.labelPropagation]], unrolled — per
+    * round one neighbor-label count and one row_number argmax (ORDER BY
+    * c DESC, lbl == the Spark max(struct(c, -lbl)) tie-break). */
+  private def labelPropOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""    c$k AS (
+    |      SELECT e.dst AS v, p.lbl, count(*) AS c
+    |      FROM sym e JOIN r${k - 1} p ON e.src = p.v
+    |      WHERE p.lbl IS NOT NULL
+    |      GROUP BY e.dst, p.lbl),
+    |    b$k AS (
+    |      SELECT v, lbl FROM (
+    |        SELECT v, lbl,
+    |               row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+    |        FROM c$k) WHERE rn = 1),
+    |    r$k AS (
+    |      SELECT r.v,
+    |             CASE WHEN s.seed IS NOT NULL THEN s.seed
+    |                  ELSE coalesce(b.lbl, r.lbl) END AS lbl
+    |      FROM r${k - 1} r
+    |      LEFT JOIN seeds s ON s.v = r.v
+    |      LEFT JOIN b$k b ON b.v = r.v)""".stripMargin
+    }.mkString(",\n")
+    s"""
+    WITH edges AS (
+      SELECT DISTINCT cast(l1.l_partkey AS bigint) AS u,
+                      cast(l2.l_partkey AS bigint) AS v
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+    sym AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL
+      SELECT v AS src, u AS dst FROM edges),
+    seeds AS (
+      SELECT cast(p_partkey AS bigint) AS v, cast(p_size AS bigint) AS seed
+      FROM part WHERE p_size <= 5),
+    r0 AS (
+      SELECT g.v, s.seed AS lbl
+      FROM (SELECT DISTINCT src AS v FROM sym) g
+      LEFT JOIN seeds s USING (v)),
+$rounds
+    SELECT coalesce(lbl, -1) AS lbl, count(*) AS n
+    FROM r$iters GROUP BY 1"""
+  }
+
+  private val LABELPROP_ITERS = 3
+  private val LABELPROP_ORACLE_SQL = labelPropOracleSql(LABELPROP_ITERS)
+
   /** DuckDB oracle for q120: the orientation-free textbook census — edges
     * as id-ordered (u < v) distinct pairs, triangles by the 3-way join
     * (e1.u,e1.v)(e1.u,e2.v)(e1.v,e2.v) with v-ordering making each
@@ -431,6 +480,34 @@ $rounds
         IterativeGraph.triangleStats(pairs)
       },
       Some(TRIANGLE_ORACLE_SQL),
-      "exact triangle census via degree-ordered wedge closure (Suri-Vassilvitskii orientation)")
+      "exact triangle census via degree-ordered wedge closure (Suri-Vassilvitskii orientation)"),
+
+    QueryDef(
+      "q122_label_propagation",
+      (s, d) => {
+        // Semi-supervised label spread over the part co-purchase graph:
+        // small parts (p_size <= 5) are clamped seeds carrying their size
+        // as the class label; three synchronous plurality rounds label
+        // the rest of the graph. Output is the class histogram (-1 =
+        // never reached). The deterministic min-tiebreak plurality rule
+        // is what lets an LPA-family algorithm run under the hash gate.
+        val li = lineitem(s, d).select(col("l_orderkey"),
+          col("l_partkey").cast("long").as("p"))
+        val pairs = li.select(col("l_orderkey"), col("p").as("u"))
+          .join(li.select(col("l_orderkey"), col("p").as("v")), "l_orderkey")
+          .filter(col("u") < col("v"))
+          .select(col("u"), col("v"))
+          .distinct()
+        val sym = pairs.select(col("u").as("src"), col("v").as("dst"))
+          .union(pairs.select(col("v").as("src"), col("u").as("dst")))
+        val seeds = part(s, d).filter(col("p_size") <= 5)
+          .select(col("p_partkey").cast("long").as("v"),
+            col("p_size").cast("long").as("seed"))
+        IterativeGraph.labelPropagation(sym, seeds, LABELPROP_ITERS)
+          .groupBy(coalesce(col("lbl"), lit(-1L)).as("lbl"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(LABELPROP_ORACLE_SQL),
+      "clamped-seed plurality label propagation (deterministic tie-break; argmax as aggregate, not window)")
   )
 }

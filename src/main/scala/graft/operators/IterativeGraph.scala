@@ -270,6 +270,56 @@ object IterativeGraph {
     out
   }
 
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002 shape) over
+    * a symmetric `(src, dst)` edge set: `seeds` pins `(v, seed)` labels
+    * that never change; every other vertex synchronously adopts the
+    * PLURALITY label of its labeled neighbors each round — ties broken
+    * toward the smallest label, previous label kept when no neighbor is
+    * labeled yet. The plurality-with-min-tiebreak rule makes each round a
+    * deterministic function of the previous labeling, so `iters` rounds
+    * are engine- and partitioning-independent (the DuckDB oracle unrolls
+    * the same recurrence).
+    *
+    * 100 TB shape: one round = an equi join of labels onto edges + a
+    * partial-agg `groupBy(v, lbl).count` + a `groupBy(v).max(struct)`
+    * argmax — a hub with millions of neighbors reduces to at most
+    * |label-space| rows after map-side combine, and the argmax is an
+    * aggregate, never a per-vertex window sort. Edges and seeds are
+    * pinned once; label state is an O(V) frame in the cluster.
+    *
+    * Returns `(v: long, lbl: long)` with lbl null where no label ever
+    * arrived, materialized eagerly so the pinned blocks can be released.
+    */
+  def labelPropagation(edgesSym: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"labelPropagation: iters must be >= 1, got $iters")
+    val (e, eRdd) = pin(edgesSym.select(col("src"), col("dst")).distinct())
+    val (sd, sdRdd) = pin(seeds.select(col("v"), col("seed")).distinct())
+    var labels = e.select(col("src").as("v")).distinct()
+      .join(sd, Seq("v"), "left")
+      .select(col("v"), col("seed").as("lbl"))
+    for (_ <- 1 to iters) {
+      val cnt = e
+        .join(labels.filter(col("lbl").isNotNull)
+          .select(col("v").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("v"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val best = cnt.groupBy(col("v"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("v"), (-col("m.nl")).as("blbl"))
+      labels = labels
+        .join(sd, Seq("v"), "left")
+        .join(best, Seq("v"), "left")
+        .select(col("v"),
+          when(col("seed").isNotNull, col("seed"))
+            .otherwise(coalesce(col("blbl"), col("lbl"))).as("lbl"))
+    }
+    val out = labels.localCheckpoint(true)
+    eRdd.unpersist(blocking = false)
+    sdRdd.unpersist(blocking = false)
+    out
+  }
+
   /** Exact triangle census of an undirected graph given as canonical
     * `(u, v)` pairs with `u < v`: one row of orientation-independent
     * whole-graph statistics `(n_vertices, n_edges, n_wedges,

@@ -138,6 +138,47 @@ class IterativeGraphSpec extends SparkSpec {
     assert(got == (0L until n).map(_ -> 1000000L).toMap)
   }
 
+  // ---- labelPropagation ----
+
+  private def lpa(sym: Seq[(Long, Long)], seeds: Seq[(Long, Long)],
+      iters: Int): Map[Long, Option[Long]] =
+    IterativeGraph.labelPropagation(
+      sym.toDF("src", "dst"), seeds.toDF("v", "seed"), iters)
+      .as[(Long, Option[Long])].collect().toMap
+
+  test("labelPropagation spreads one hop per round and leaves the rest null") {
+    // chain 0-1-2-3-4, seed at 0 with label 7: after k rounds vertices
+    // within distance k are labeled, the rest not reached
+    val chain = (0L until 4L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val seeds = Seq((0L, 7L))
+    assert(lpa(chain, seeds, 1) == Map(
+      0L -> Some(7L), 1L -> Some(7L), 2L -> None, 3L -> None, 4L -> None))
+    assert(lpa(chain, seeds, 3)(3L) == Some(7L))
+    assert(lpa(chain, seeds, 3)(4L) == None)
+  }
+
+  test("labelPropagation plurality and min-label tie-break") {
+    // v=10 has neighbors: two seeds of label 5, one of label 2 ->
+    // plurality 5; v=11 has one of each -> tie, min label 2 wins
+    val sym = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L), (3L, 11L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val seeds = Seq((1L, 5L), (2L, 5L), (3L, 2L))
+    val out = lpa(sym, seeds, 1)
+    assert(out(10L) == Some(5L))
+    assert(out(11L) == Some(2L))
+  }
+
+  test("labelPropagation clamps seeds against contradicting neighborhoods") {
+    // seed 0 (label 9) surrounded by three seeds of label 1: stays 9
+    // through every round; the others stay clamped too
+    val sym = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val seeds = Seq((0L, 9L), (1L, 1L), (2L, 1L), (3L, 1L))
+    val out = lpa(sym, seeds, 3)
+    assert(out == Map(0L -> Some(9L), 1L -> Some(1L), 2L -> Some(1L),
+      3L -> Some(1L)))
+  }
+
   // ---- triangleStats ----
 
   private def refTriangles(pairs: Set[(Long, Long)]): (Long, Long, Long, Long) = {

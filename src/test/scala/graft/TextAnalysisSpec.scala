@@ -406,4 +406,29 @@ class TextAnalysisSpec extends SparkSpec {
     val want = ids.sorted.zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
     assert(got == want)
   }
+
+  test("q121 classifier: scores are k * w(token), empty docs kept at 0") {
+    // reference model of the frozen weight hash, mirroring the query
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def h12(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(12), 16)
+    def weight(word: String): Long = {
+      val b = h12(word) % 4096L
+      h12(s"w#$b") % 2001L - 1000L
+    }
+    val dir = java.nio.file.Files.createTempDirectory("clsdocs").toString
+    Seq((0L, "alpha alpha alpha", "en", "s", 17L),
+      (1L, "alpha beta", "en", "s", 10L),
+      (2L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q121_quality_classifier")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val wa = weight("alpha"); val wb = weight("beta")
+    assert(got(0L) == ((3L, 3 * wa, 3 * wa >= 0)))
+    assert(got(1L) == ((2L, wa + wb, wa + wb >= 0)))
+    assert(got(2L) == ((0L, 0L, true)))
+  }
 }
