@@ -83,6 +83,100 @@ object Fuzzy {
                levenshtein(f.feed_name, r.matched_name) AS d
         FROM feed f JOIN roster r
           ON levenshtein(f.feed_name, r.matched_name) <= 1"""),
-      "fuzzy string join: SymSpell deletion-key candidates + exact levenshtein verify, no cross join")
+      "fuzzy string join: SymSpell deletion-key candidates + exact levenshtein verify, no cross join"),
+
+    QueryDef(
+      "q123_entity_resolution",
+      (s, d) => {
+        // End-to-end entity resolution, composed from this repo's own
+        // stages so stage-boundary drift can't hide behind individually
+        // green pieces (the q97 lesson): two record systems — the clean
+        // part roster and a deterministically corrupted feed (ids offset
+        // by 10M) — are resolved into entity clusters by
+        //   (1) blocking+matching: SymSpell deletion-key candidates +
+        //       exact banded levenshtein (q108's operator, structurally
+        //       complete for distance <= 1),
+        //   (2) exact-name identity edges WITHIN each system (same-name
+        //       records are duplicates even when no fuzzy bridge exists),
+        //   (3) clustering: the large-star/small-star CC fixpoint over
+        //       the match edges (q50/q61's operator),
+        //   (4) survivorship: min-id record (clean roster ids sort below
+        //       feed ids, so clean records win) donates the canonical
+        //       name; singletons survive as their own entity.
+        // 100 TB shape: every stage is a keyed join or bounded
+        // aggregation — candidates are deletion-key equi joins, identity
+        // edges group by name, CC is the log-round star iteration, and
+        // survivorship is one join back on the component id. Nothing is
+        // quadratic in the corpus; the only blowup axis is true
+        // duplicate mass.
+        val FEED_OFFSET = 10000000L
+        val roster = part(s, d)
+          .select(col("p_partkey").cast("long").as("rid"),
+            col("p_name").as("name"))
+        val feed = part(s, d)
+          .selectExpr(s"p_partkey + $FEED_OFFSET AS id", s"$CORRUPT AS name")
+          .select(col("id").cast("long").as("id"), col("name"))
+        val recs = roster.select(col("rid").as("id"), col("name"))
+          .unionAll(feed)
+        // EVERYTHING pairwise happens on the DISTINCT NAME DOMAIN, never
+        // the record stream: records fold into per-name groups (min-id
+        // representative + count) with ONE aggregation, the
+        // deletion-key/levenshtein match runs over distinct strings, and
+        // CC runs on the name-representative graph. Record-level identity
+        // edges (a clique, or even a star, per duplicate group) would
+        // make the match and the CC grow with duplicate mass — the viral-
+        // duplicate axis a 100 TB corpus guarantees — while the name
+        // domain is bounded by string entropy. Components are identical:
+        // every record is its group's rep by definition of the grouping,
+        // and a component's min rep id IS the cluster's min record id
+        // (each record's id >= its group's min).
+        val groups = recs.groupBy(col("name"))
+          .agg(min(col("id")).as("mn"), count(lit(1)).as("cnt"))
+        val feedNames = feed.select(col("name")).distinct()
+          .join(groups, "name")
+          .select(col("mn").as("id"), col("name"))
+        val namePairs = fuzzyJoin(feedNames, roster.select(col("name")).distinct())
+          .select(col("id").as("src"), col("matched_name").as("name"))
+          .join(groups.select(col("name"), col("mn").as("dst")), "name")
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"))
+        val labels = graft.operators.IterativeGraph.connectedComponents(namePairs)
+          .select(col("xref").cast("long").as("mn"),
+            col("component").cast("long").as("comp"))
+        val labeled = groups.join(labels, Seq("mn"), "left")
+          .select(col("mn"), coalesce(col("comp"), col("mn")).as("cluster"),
+            col("cnt"), col("name"))
+        labeled.groupBy(col("cluster")).agg(sum(col("cnt")).as("size"))
+          .join(labeled.filter(col("cluster") === col("mn"))
+            .select(col("cluster"), col("name").as("survivor_name")), "cluster")
+          .select(col("cluster"), col("size"), col("survivor_name"))
+      },
+      Some(s"""
+        WITH RECURSIVE roster AS (
+          SELECT cast(p_partkey AS bigint) AS id, p_name AS name FROM part),
+        feed AS (
+          SELECT cast(p_partkey + 10000000 AS bigint) AS id, $CORRUPT AS name
+          FROM part),
+        recs AS (SELECT id, name FROM roster UNION ALL SELECT id, name FROM feed),
+        rep AS (SELECT name, min(id) AS mn FROM recs GROUP BY name),
+        fuzzy AS (
+          SELECT f.id AS a, p.mn AS b
+          FROM feed f JOIN roster r ON levenshtein(f.name, r.name) <= 1
+          JOIN rep p ON p.name = r.name),
+        exact AS (
+          SELECT p.mn AS a, x.id AS b
+          FROM recs x JOIN rep p ON p.name = x.name
+          WHERE x.id <> p.mn),
+        edges AS (SELECT a, b FROM fuzzy UNION SELECT a, b FROM exact),
+        sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+        reach(v, r) AS (
+          SELECT id, id FROM recs
+          UNION
+          SELECT reach.v, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+        labels AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v),
+        clusters AS (SELECT cluster, count(*) AS size FROM labels GROUP BY cluster)
+        SELECT c.cluster, c.size, r.name AS survivor_name
+        FROM clusters c JOIN recs r ON r.id = c.cluster"""),
+      "entity resolution pipeline: deletion-key blocking -> levenshtein match -> CC clustering -> min-id survivorship")
   )
 }

@@ -128,6 +128,43 @@ $rounds
   private val LABELPROP_ITERS = 3
   private val LABELPROP_ORACLE_SQL = labelPropOracleSql(LABELPROP_ITERS)
 
+  /** DuckDB oracle for q124: the BFS level recurrence unrolled — round k
+    * extends only from the depth-(k-1) frontier and re-mins, exactly the
+    * monotone update [[IterativeGraph.bfsDistances]] runs. */
+  private def bfsOracleSql(depth: Int): String = {
+    val rounds = (1 to depth).map { k =>
+      s"""    r$k AS (
+    |      SELECT v, min(d) AS d FROM (
+    |        SELECT v, d FROM r${k - 1}
+    |        UNION ALL
+    |        SELECT e.dst AS v, p.d + 1 AS d
+    |        FROM sym e JOIN r${k - 1} p ON e.src = p.v AND p.d = ${k - 1})
+    |      GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""
+    WITH pairs AS (
+      SELECT DISTINCT cast(o_custkey AS bigint) * 2 AS src,
+                      cast(l_suppkey AS bigint) * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    sym AS (
+      SELECT src, dst FROM pairs
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM pairs),
+    verts AS (SELECT DISTINCT src AS v FROM sym),
+    srcs AS (
+      SELECT DISTINCT cast(s_suppkey AS bigint) * 2 + 1 AS v
+      FROM supplier WHERE s_nationkey = 0),
+    r0 AS (
+      SELECT v, 0 AS d FROM verts WHERE v IN (SELECT v FROM srcs)),
+$rounds
+    SELECT cast(coalesce(r.d, -1) AS bigint) AS dist, count(*) AS n
+    FROM verts g LEFT JOIN r$depth r ON r.v = g.v
+    GROUP BY 1"""
+  }
+
+  private val BFS_DEPTH = 4
+  private val BFS_ORACLE_SQL = bfsOracleSql(BFS_DEPTH)
+
   /** DuckDB oracle for q120: the orientation-free textbook census — edges
     * as id-ordered (u < v) distinct pairs, triangles by the 3-way join
     * (e1.u,e1.v)(e1.u,e2.v)(e1.v,e2.v) with v-ordering making each
@@ -450,7 +487,8 @@ $rounds
             col("l_orderkey") === col("o_orderkey"))
           .select((col("o_custkey").cast("long") * 2).as("src"),
             (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
-          .distinct()
+        // no distinct here: pageRank canonicalizes (one shuffle over the
+        // symmetrized stream instead of two over pairs-then-sym)
         val sym = pairs.union(
           pairs.select(col("dst").as("src"), col("src").as("dst")))
         IterativeGraph.pageRank(sym, PAGERANK_ITERS, PAGERANK_SCALE)
@@ -476,8 +514,7 @@ $rounds
           .join(li.select(col("l_orderkey"), col("p").as("v")), "l_orderkey")
           .filter(col("u") < col("v"))
           .select(col("u"), col("v"))
-          .distinct()
-        IterativeGraph.triangleStats(pairs)
+        IterativeGraph.triangleStats(pairs) // dedups internally
       },
       Some(TRIANGLE_ORACLE_SQL),
       "exact triangle census via degree-ordered wedge closure (Suri-Vassilvitskii orientation)"),
@@ -497,7 +534,7 @@ $rounds
           .join(li.select(col("l_orderkey"), col("p").as("v")), "l_orderkey")
           .filter(col("u") < col("v"))
           .select(col("u"), col("v"))
-          .distinct()
+        // labelPropagation dedups the symmetrized set in one shuffle
         val sym = pairs.select(col("u").as("src"), col("v").as("dst"))
           .union(pairs.select(col("v").as("src"), col("u").as("dst")))
         val seeds = part(s, d).filter(col("p_size") <= 5)
@@ -508,6 +545,30 @@ $rounds
           .agg(count(lit(1)).as("n"))
       },
       Some(LABELPROP_ORACLE_SQL),
-      "clamped-seed plurality label propagation (deterministic tie-break; argmax as aggregate, not window)")
+      "clamped-seed plurality label propagation (deterministic tie-break; argmax as aggregate, not window)"),
+
+    QueryDef(
+      "q124_bfs_distances",
+      (s, d) => {
+        // Multi-source BFS on the customer<->supplier trade graph:
+        // minimum hops from any nation-0 supplier, explored 4 rounds
+        // (the bipartite graph alternates supplier/customer levels).
+        // Output is the reachability histogram (-1 = unreached) — the
+        // "blast radius" shape of lineage/contamination tracing over a
+        // relationship graph.
+        val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey").cast("long") * 2).as("src"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+        val sym = pairs.union(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        val srcs = supplier(s, d).filter(col("s_nationkey") === 0)
+          .select((col("s_suppkey").cast("long") * 2 + 1).as("v"))
+        IterativeGraph.bfsDistances(sym, srcs, BFS_DEPTH)
+          .groupBy(col("d").as("dist")).agg(count(lit(1)).as("n"))
+      },
+      Some(BFS_ORACLE_SQL),
+      "multi-source BFS hop histogram (frontier join + min-agg rounds; pinned state)")
   )
 }

@@ -320,6 +320,51 @@ object IterativeGraph {
     out
   }
 
+  /** Multi-source BFS over a symmetric `(src, dst)` edge set: the exact
+    * minimum hop count from any vertex of `sources` (a `(v)` frame),
+    * explored to `maxDepth` rounds. Returns `(v: long, d: long)` for
+    * EVERY vertex of the edge set, d = -1 where no source reaches it
+    * within `maxDepth`.
+    *
+    * One round = filter the pinned previous labeling to the frontier
+    * (rows at depth k-1), one equi join onto the pinned edges, and a
+    * `groupBy(v).min(d)` whose map-side partials absorb the frontier's
+    * in-degree fan-in. Distances are monotone (a vertex first reached at
+    * depth k keeps d=k through every later min), so the k-th round's
+    * output is exactly the BFS level sets — engine-independent, which
+    * puts a traversal algorithm under the hash gate. Each round's state
+    * is pinned ([[pin]]) so round k+1's two references to it (frontier +
+    * union) read blocks instead of recomputing the whole prefix of the
+    * loop.
+    */
+  def bfsDistances(edgesSym: DataFrame, sources: DataFrame,
+      maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"bfsDistances: maxDepth must be >= 1, got $maxDepth")
+    val (e, eRdd) = pin(edgesSym.select(col("src"), col("dst")).distinct())
+    val (verts, vertsRdd) = pin(e.select(col("src").as("v")).distinct())
+    var (dist, distRdd) = pin(verts
+      .join(sources.select(col("v")).distinct(), Seq("v"), "left_semi")
+      .select(col("v"), lit(0L).as("d")))
+    for (k <- 1 to maxDepth) {
+      val frontier = dist.filter(col("d") === (k - 1))
+        .select(col("v").as("src"))
+      val next = e.join(frontier, "src")
+        .select(col("dst").as("v"), lit(k.toLong).as("d"))
+      val (nd, ndRdd) = pin(dist.unionAll(next)
+        .groupBy(col("v")).agg(min(col("d")).as("d")))
+      distRdd.unpersist(blocking = false)
+      dist = nd
+      distRdd = ndRdd
+    }
+    val out = verts.join(dist, Seq("v"), "left")
+      .select(col("v"), coalesce(col("d"), lit(-1L)).as("d"))
+      .localCheckpoint(true)
+    eRdd.unpersist(blocking = false)
+    vertsRdd.unpersist(blocking = false)
+    distRdd.unpersist(blocking = false)
+    out
+  }
+
   /** Exact triangle census of an undirected graph given as canonical
     * `(u, v)` pairs with `u < v`: one row of orientation-independent
     * whole-graph statistics `(n_vertices, n_edges, n_wedges,

@@ -59,7 +59,13 @@ object ScaleBench {
     "q115_pseudonymize",    // per-row token projection
     "q116_kmv_distinct",    // k-min-hash bounded distinct sketch
     "q117_cdc_chunking",    // rolling-hash boundary generate
-    "q118_global_ordinals") // log-depth dense rank
+    "q118_global_ordinals", // log-depth dense rank
+    "q119_pagerank",        // pinned-edge iterative rank joins
+    "q120_triangles",       // degree-ordered wedge closure
+    "q121_quality_classifier", // explode + partial-agg linear scoring
+    "q122_label_propagation",  // plurality rounds, aggregate argmax
+    "q123_entity_resolution",  // deletion-key blocking + CC + survivorship
+    "q124_bfs_distances")      // frontier join + min-agg rounds
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")

@@ -70,4 +70,23 @@ class FuzzySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q123 resolves exact dups, fuzzy bridges, and singletons into clusters") {
+    import spark.implicits._
+    // planted roster: p1/p2 share a name (exact-dup pair), p3 and p4 are
+    // only reachable through their corrupted feed twins. Corruption drops
+    // char at p_partkey % len:
+    //   p1 "ab" -> "a", p2 "ab" -> "b", p3 "xz" -> "x", p4 "qqqq" -> "qqq"
+    // so feeds fuzzy-bridge to their sources and the p1/p2 group merges.
+    val dir = java.nio.file.Files.createTempDirectory("erparts").toString
+    Seq((1L, "ab", 1), (2L, "ab", 2), (3L, "xz", 3), (4L, "qqqq", 4))
+      .toDF("p_partkey", "p_name", "p_size")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = SparkEntry.queries("q123_entity_resolution")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1L, 4L, "ab"),     // p1+p2 (same name) + both feeds ("a"~"ab", "b"~"ab")
+      (3L, 2L, "xz"),     // p3 + its feed "x"
+      (4L, 2L, "qqqq"))) // p4 + its feed "qqq"
+  }
 }

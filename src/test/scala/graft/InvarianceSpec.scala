@@ -21,12 +21,19 @@ class InvarianceSpec extends SparkSpec {
   // (q111), merged partial states (q113), prefix-count ordinals (q118) —
   // each claims order-independent exactness, the precondition for
   // comparing their outputs across replicas/batches at all
+  // ... and the iterative graph family (q119 integer PageRank, q122
+  // plurality label propagation, q124 BFS levels) + the hashed classifier
+  // (q121): iterative numerics are where partition-dependent float sums
+  // or tie-breaks would first creep in, and their exactness claims are
+  // the whole reason they can run under the hash gate
   private val queries = Seq("q01_agg", "q08_window_running",
     "q48_percentiles", "q62_stats_moments", "q90_retention",
     "q93_heavy_hitters", "q65_jaccard_prefix",
     "q101_epoch_shuffle", "q102_domain_cap",
     "q110_bucket_checksums", "q111_distribution_drift",
-    "q113_incremental_agg", "q116_kmv_distinct", "q118_global_ordinals")
+    "q113_incremental_agg", "q116_kmv_distinct", "q118_global_ordinals",
+    "q119_pagerank", "q121_quality_classifier", "q122_label_propagation",
+    "q124_bfs_distances")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -179,6 +179,23 @@ class IterativeGraphSpec extends SparkSpec {
       3L -> Some(1L)))
   }
 
+  // ---- bfsDistances ----
+
+  test("bfsDistances: chain levels, depth cap, and multi-source min") {
+    val chain = (0L until 5L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+      .toDF("src", "dst")
+    def dists(srcs: Seq[Long], depth: Int): Map[Long, Long] =
+      IterativeGraph.bfsDistances(chain, srcs.toDF("v"), depth)
+        .as[(Long, Long)].collect().toMap
+    assert(dists(Seq(0L), 3) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L,
+      4L -> -1L, 5L -> -1L))
+    // two sources: every vertex takes the nearer one
+    assert(dists(Seq(0L, 5L), 2) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L,
+      3L -> 2L, 4L -> 1L, 5L -> 0L))
+    // a source outside the graph contributes nothing
+    assert(dists(Seq(99L), 2).values.toSet == Set(-1L))
+  }
+
   // ---- triangleStats ----
 
   private def refTriangles(pairs: Set[(Long, Long)]): (Long, Long, Long, Long) = {
