@@ -32,6 +32,20 @@ object TextAnalysis {
   def canonicalFingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
+  /** Frozen hashed-linear classifier model (q121 + the streaming twin):
+    * token -> one of [[CLASSIFIER_BUCKETS]] feature buckets by 48-bit md5,
+    * bucket -> deterministic integer weight in [-1000, 1000]. A trained
+    * model replaces this with a broadcast weight table; the shape of every
+    * consumer stays identical. */
+  val CLASSIFIER_BUCKETS = 4096L
+
+  def classifierWeight(w: Column): Column = {
+    def h12(c: Column): Column =
+      conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+    val bucket = pmod(h12(w), lit(CLASSIFIER_BUCKETS))
+    pmod(h12(concat(lit("w#"), bucket.cast("string"))), lit(2001L)) - 1000L
+  }
+
   private val STOPWORDS = Seq("the", "a", "of", "to", "and")
 
   /** Distinct word-trigram set of a token array — the q73 decontamination
@@ -1355,15 +1369,9 @@ object TextAnalysis {
         // corpus. Integer weights in [-1000, 1000] make the score an
         // exact BIGINT — bit-identical in any engine, which is what lets
         // classifier inference run under the driver's hash gate.
-        val F = 4096L
-        def h12(c: Column): Column =
-          conv(substring(md5(c), 1, 12), 16, 10).cast("long")
         val scored = documents(s, d)
           .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-          .select(col("doc_id"), pmod(h12(col("w")), lit(F)).as("b"))
-          .select(col("doc_id"),
-            (pmod(h12(concat(lit("w#"), col("b").cast("string"))), lit(2001L))
-              - 1000L).as("wt"))
+          .select(col("doc_id"), classifierWeight(col("w")).as("wt"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("score"))
         documents(s, d).select(col("doc_id"))

@@ -569,6 +569,68 @@ $rounds
           .groupBy(col("d").as("dist")).agg(count(lit(1)).as("n"))
       },
       Some(BFS_ORACLE_SQL),
-      "multi-source BFS hop histogram (frontier join + min-agg rounds; pinned state)")
+      "multi-source BFS hop histogram (frontier join + min-agg rounds; pinned state)"),
+
+    QueryDef(
+      "q125_assoc_rules",
+      (s, d) => {
+        // Market-basket association rules over order baskets: pairwise
+        // support, directional confidence, and lift for co-purchased
+        // parts, top-50 by lift under a minimum-support floor. All
+        // ratios are exact integer MICRO-units (numerator-scaled `div`),
+        // so the ranking is bit-deterministic and oracle-checkable.
+        // 100 TB shape: the pair space is generated per basket (C(L,2)
+        // per order, L bounded by basket size — never an item-item
+        // cartesian), counts partial-aggregate on (u,v) and item keys,
+        // the basket total rides in as a broadcast single-row frame, and
+        // the min-support filter prunes BEFORE the item-count joins.
+        // lift_micro = pair*N*1e6/(cnt_u*cnt_v) needs pair*N*1e6 < 2^63:
+        // holds to ~10^6 baskets; shift the 1e6 scale down (or pre-divide
+        // by cnt_u) past that.
+        val li = lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+          .distinct()
+        val cnt = li.groupBy(col("p")).agg(count(lit(1)).as("c"))
+        val pairs = li.select(col("o"), col("p").as("u"))
+          .join(li.select(col("o"), col("p").as("v")), "o")
+          .filter(col("u") < col("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("pc"))
+          .filter(col("pc") >= 3)
+        val total = li.select(col("o")).distinct()
+          .agg(count(lit(1)).as("n_baskets"))
+        pairs
+          .join(cnt.select(col("p").as("u"), col("c").as("cu")), "u")
+          .join(cnt.select(col("p").as("v"), col("c").as("cv")), "v")
+          .crossJoin(broadcast(total))
+          .select(col("u"), col("v"), col("pc").as("pair_orders"),
+            expr("pc * 1000000 div n_baskets").as("support_micro"),
+            expr("pc * 1000000 div cu").as("conf_uv_micro"),
+            expr("pc * 1000000 div cv").as("conf_vu_micro"),
+            expr("pc * n_baskets * 1000000 div (cu * cv)").as("lift_micro"))
+          .orderBy(col("lift_micro").desc, col("u").asc, col("v").asc)
+          .limit(50)
+      },
+      Some("""
+        WITH li AS (
+          SELECT DISTINCT l_orderkey AS o, cast(l_partkey AS bigint) AS p
+          FROM lineitem),
+        cnt AS (SELECT p, count(*) AS c FROM li GROUP BY p),
+        pairs AS (
+          SELECT a.p AS u, b.p AS v, count(*) AS pc
+          FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+          GROUP BY a.p, b.p
+          HAVING count(*) >= 3),
+        total AS (SELECT count(DISTINCT o) AS n_baskets FROM li)
+        SELECT u, v, pc AS pair_orders,
+               pc * 1000000 // n_baskets AS support_micro,
+               pc * 1000000 // cu.c AS conf_uv_micro,
+               pc * 1000000 // cv.c AS conf_vu_micro,
+               pc * n_baskets * 1000000 // (cu.c * cv.c) AS lift_micro
+        FROM pairs
+        JOIN cnt cu ON cu.p = pairs.u
+        JOIN cnt cv ON cv.p = pairs.v
+        CROSS JOIN total
+        ORDER BY lift_micro DESC, u, v LIMIT 50"""),
+      "association rules: per-basket pair generation, exact integer support/confidence/lift, top-k by lift")
   )
 }

@@ -407,6 +407,23 @@ object StreamingOps {
       .select(col("doc_id"), col("n_hits"))
   }
 
+  /** Stateless streaming twin of q121's hashed-linear quality classifier:
+    * the same frozen model ([[graft.functions.TextAnalysis.classifierWeight]])
+    * scored ROWWISE — the per-doc bag-of-buckets sum folds over the
+    * token array inside the row, so the query holds NO aggregation
+    * state, needs no watermark, and runs in append mode as a pure map.
+    * Integer weights make the fold order-irrelevant, so rowwise ==
+    * batch q121's explode + partial-agg shape exactly (spec-pinned). */
+  def classifierScores(docs: Dataset[DocIn]): DataFrame = {
+    import graft.functions.TextAnalysis
+    val toks = TextAnalysis.tokens(col("text"))
+    docs.toDF().select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      aggregate(transform(toks, w => TextAnalysis.classifierWeight(w)),
+        lit(0L), (a, x) => a + x).as("score"))
+      .withColumn("keep", col("score") >= 0)
+  }
+
   /** File-source stream over a directory of parquet events, normalizing
     * `ts` exactly like the batch loader ([[graft.Tables.events]]): the
     * fixture has shipped as both TIMESTAMP(NANOS) (surfaced as raw long

@@ -65,7 +65,8 @@ object ScaleBench {
     "q121_quality_classifier", // explode + partial-agg linear scoring
     "q122_label_propagation",  // plurality rounds, aggregate argmax
     "q123_entity_resolution",  // deletion-key blocking + CC + survivorship
-    "q124_bfs_distances")      // frontier join + min-agg rounds
+    "q124_bfs_distances",      // frontier join + min-agg rounds
+    "q125_assoc_rules")        // per-basket pair gen + integer lift
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")

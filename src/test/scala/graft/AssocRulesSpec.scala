@@ -1,0 +1,44 @@
+package graft
+
+/** q125 association rules: exact integer support/confidence/lift on a
+  * hand-computed basket fixture. */
+class AssocRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q125 computes exact micro-unit support, confidence, and lift") {
+    val dir = java.nio.file.Files.createTempDirectory("baskets").toString
+    // 6 baskets; pair (1,2) co-occurs 3x (passes the floor), every other
+    // pair once (pruned). cnt(1)=4, cnt(2)=4.
+    Seq(
+      (1L, 1L), (1L, 2L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L),
+      (4L, 1L), (4L, 3L),
+      (5L, 2L), (5L, 3L),
+      (6L, 3L), (6L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("q125_assoc_rules")(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    assert(r.getLong(2) == 3L) // pair_orders
+    assert(r.getLong(3) == 500000L) // 3e6 div 6
+    assert(r.getLong(4) == 750000L) // 3e6 div 4
+    assert(r.getLong(5) == 750000L)
+    assert(r.getLong(6) == 1125000L) // 3*6*1e6 div (4*4)
+  }
+
+  test("q125 duplicate lineitems of one part in one order count once") {
+    val dir = java.nio.file.Files.createTempDirectory("baskets2").toString
+    // part 1 appears twice in basket 1: the DISTINCT basket-item
+    // relation must collapse it, or supports overcount
+    Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("q125_assoc_rules")(spark, dir).collect().head
+    assert(r.getLong(2) == 3L)
+    assert(r.getLong(3) == 1000000L) // in every basket
+    assert(r.getLong(6) == 1000000L) // independent-at-certainty: lift 1
+  }
+}

@@ -317,6 +317,30 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${stream.toSet -- batch.toSet}; batch-only: ${batch.toSet -- stream.toSet}")
   }
 
+  test("streaming classifier scores match batch q121 exactly") {
+    import graft.streaming.StreamingOps.DocIn
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => DocIn(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), new Timestamp(86400_000L + r.getLong(0) * 1000)))
+      .sortBy(_.doc_id)
+    val in = MemoryStream[DocIn]
+    val q = StreamingOps.classifierScores(in.toDS())
+      .writeStream.format("memory").queryName("clsstream").outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("clsstream")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    val batch = SparkEntry.queries("q121_quality_classifier")(spark, SF)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(stream == batch,
+      s"stream-only: ${stream -- batch}; batch-only: ${batch -- stream}")
+  }
+
   test("file-source event stream aggregates the sf0.001 table like batch") {
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
     // stage the driver parquet into a stream-source dir
