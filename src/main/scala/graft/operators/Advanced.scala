@@ -631,6 +631,67 @@ $rounds
         JOIN cnt cv ON cv.p = pairs.v
         CROSS JOIN total
         ORDER BY lift_micro DESC, u, v LIMIT 50"""),
-      "association rules: per-basket pair generation, exact integer support/confidence/lift, top-k by lift")
+      "association rules: per-basket pair generation, exact integer support/confidence/lift, top-k by lift"),
+
+    QueryDef(
+      "q126_degree_assortativity",
+      (s, d) => {
+        // Whole-graph degree statistics of the part co-purchase graph:
+        // edge count, degree extremes, and the exact integer moments of
+        // the degree-degree joint distribution over directed edge
+        // endpoints (sum x, sum x^2, sum x*y with x = source degree,
+        // y = dest degree; the symmetric edge set makes the marginals
+        // equal). The Newman assortativity coefficient is
+        // (M*sxy - sx^2) / (M*sxx - sx^2) — emitted as exact BIGINT
+        // numerator/denominator so the gate hashes integers, not a
+        // float division. Two partial-agg aggregations + one keyed join
+        // of degrees onto edges; no windows, nothing quadratic.
+        // (m*sxy needs ~m^2*maxdeg^2 < 2^63: fine to ~1e7 edges of this
+        // density; past that, center degrees on the mean first.)
+        val li = lineitem(s, d).select(col("l_orderkey"),
+          col("l_partkey").cast("long").as("p"))
+        val e = li.select(col("l_orderkey"), col("p").as("u"))
+          .join(li.select(col("l_orderkey"), col("p").as("v")), "l_orderkey")
+          .filter(col("u") < col("v"))
+          .select(col("u"), col("v"))
+          .distinct()
+        val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        sym
+          .join(deg.select(col("u"), col("d").as("du")), "u")
+          .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+          .agg(count(lit(1)).as("m"),
+            min(col("du")).as("min_degree"),
+            max(col("du")).as("max_degree"),
+            sum(col("du")).as("sx"),
+            sum(col("du") * col("du")).as("sxx"),
+            sum(col("du") * col("dv")).as("sxy"))
+          .select(col("m"), col("min_degree"), col("max_degree"),
+            (col("m") * col("sxy") - col("sx") * col("sx")).as("assort_num"),
+            (col("m") * col("sxx") - col("sx") * col("sx")).as("assort_den"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT DISTINCT cast(l1.l_partkey AS bigint) AS u,
+                          cast(l2.l_partkey AS bigint) AS v
+          FROM lineitem l1 JOIN lineitem l2
+            ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+        sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+        j AS (
+          SELECT du.d AS du, dv.d AS dv
+          FROM sym JOIN deg du ON du.u = sym.u JOIN deg dv ON dv.u = sym.v),
+        mom AS (
+          SELECT count(*) AS m,
+                 min(du) AS min_degree, max(du) AS max_degree,
+                 cast(sum(du) AS bigint) AS sx,
+                 cast(sum(du * du) AS bigint) AS sxx,
+                 cast(sum(du * dv) AS bigint) AS sxy
+          FROM j)
+        SELECT m, min_degree, max_degree,
+               m * sxy - sx * sx AS assort_num,
+               m * sxx - sx * sx AS assort_den
+        FROM mom"""),
+      "degree assortativity moments in exact integers (Newman r as BIGINT num/den)")
   )
 }

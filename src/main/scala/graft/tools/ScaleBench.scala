@@ -66,7 +66,8 @@ object ScaleBench {
     "q122_label_propagation",  // plurality rounds, aggregate argmax
     "q123_entity_resolution",  // deletion-key blocking + CC + survivorship
     "q124_bfs_distances",      // frontier join + min-agg rounds
-    "q125_assoc_rules")        // per-basket pair gen + integer lift
+    "q125_assoc_rules",        // per-basket pair gen + integer lift
+    "q126_degree_assortativity") // degree moments over edge endpoints
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")

@@ -41,4 +41,18 @@ class AssocRulesSpec extends SparkSpec {
     assert(r.getLong(3) == 1000000L) // in every basket
     assert(r.getLong(6) == 1000000L) // independent-at-certainty: lift 1
   }
+
+  test("q126 star graph is perfectly disassortative (r = -1 in exact integers)") {
+    val dir = java.nio.file.Files.createTempDirectory("stardeg").toString
+    // three baskets pairing hub 0 with leaves 1..3 -> star K1,3:
+    // m=6, sx=12, sxx=30, sxy=18 -> num=-36, den=36 (r = -1)
+    Seq((1L, 0L), (1L, 1L), (2L, 0L), (2L, 2L), (3L, 0L), (3L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("q126_degree_assortativity")(spark, dir)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((6L, 1L, 3L)))
+    assert(r.getLong(3) == -36L)
+    assert(r.getLong(4) == 36L)
+  }
 }
