@@ -250,23 +250,34 @@ object IterativeGraph {
     require(scale > 0 && scale % 100L == 0,
       s"pageRank: scale must be positive and divisible by 100, got $scale")
     val (e, eRdd) = pin(edgesSym.select(col("src"), col("dst")).distinct())
-    val (deg, degRdd) =
-      pin(e.groupBy(col("src").as("v")).agg(count(lit(1)).as("d")))
-    var ranks = deg.select(col("v"), lit(scale).as("r"))
+    // the out-degree RIDES IN the rank state (it is per-vertex constant),
+    // so a round needs only ONE keyed join (state onto edges) + one
+    // partial-agg sum + one left join back — not a second ranks-to-degree
+    // join per round (the pinned state is a LogicalRDD with no stats, so
+    // that join would plan as a full shuffle every round)
+    var (ranks, ranksRdd) = pin(e.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("d"))
+      .select(col("v"), col("d"), lit(scale).as("r")))
     for (_ <- 1 to iters) {
-      val contrib = ranks.join(deg, "v")
-        .select(col("v").as("src"), expr("r div d").as("c"))
+      val contrib = ranks.select(col("v").as("src"), expr("r div d").as("c"))
       val sums = e.join(contrib, "src")
         .groupBy(col("dst").as("v"))
         .agg(sum(col("c")).as("s"))
-      ranks = deg.join(sums, Seq("v"), "left")
-        .select(col("v"),
+      // pin each round: the state is referenced twice per round (contrib
+      // + the update's vertex spine), so an unpinned lazy chain would
+      // re-execute every earlier round 2^k times
+      val (nr, nrRdd) = pin(ranks.select(col("v"), col("d"))
+        .join(sums, Seq("v"), "left")
+        .select(col("v"), col("d"),
           (lit(15L * (scale / 100L)) +
-            expr("(85 * coalesce(s, cast(0 as bigint))) div 100")).as("r"))
+            expr("(85 * coalesce(s, cast(0 as bigint))) div 100")).as("r")))
+      ranksRdd.unpersist(blocking = false)
+      ranks = nr
+      ranksRdd = nrRdd
     }
-    val out = ranks.localCheckpoint(true)
+    val out = ranks.select(col("v"), col("r")).localCheckpoint(true)
     eRdd.unpersist(blocking = false)
-    degRdd.unpersist(blocking = false)
+    ranksRdd.unpersist(blocking = false)
     out
   }
 
@@ -294,10 +305,14 @@ object IterativeGraph {
       iters: Int): DataFrame = {
     require(iters >= 1, s"labelPropagation: iters must be >= 1, got $iters")
     val (e, eRdd) = pin(edgesSym.select(col("src"), col("dst")).distinct())
-    val (sd, sdRdd) = pin(seeds.select(col("v"), col("seed")).distinct())
-    var labels = e.select(col("src").as("v")).distinct()
-      .join(sd, Seq("v"), "left")
-      .select(col("v"), col("seed").as("lbl"))
+    // the clamp RIDES IN the label state (seed is per-vertex constant):
+    // a round is one labels-onto-edges join, one (v, lbl) partial-agg
+    // count, one aggregate argmax, and one left join back — no per-round
+    // seeds join (the pinned seed frame is a LogicalRDD with no stats,
+    // so that join would plan as a full shuffle every round)
+    var (labels, labelsRdd) = pin(e.select(col("src").as("v")).distinct()
+      .join(seeds.select(col("v"), col("seed")).distinct(), Seq("v"), "left")
+      .select(col("v"), col("seed"), col("seed").as("lbl")))
     for (_ <- 1 to iters) {
       val cnt = e
         .join(labels.filter(col("lbl").isNotNull)
@@ -307,16 +322,21 @@ object IterativeGraph {
       val best = cnt.groupBy(col("v"))
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("v"), (-col("m.nl")).as("blbl"))
-      labels = labels
-        .join(sd, Seq("v"), "left")
+      // pin each round: the state is referenced twice per round (the
+      // neighbor-count side + the update spine), so an unpinned chain
+      // re-executes every earlier round 2^k times
+      val (nl, nlRdd) = pin(labels.select(col("v"), col("seed"), col("lbl"))
         .join(best, Seq("v"), "left")
-        .select(col("v"),
+        .select(col("v"), col("seed"),
           when(col("seed").isNotNull, col("seed"))
-            .otherwise(coalesce(col("blbl"), col("lbl"))).as("lbl"))
+            .otherwise(coalesce(col("blbl"), col("lbl"))).as("lbl")))
+      labelsRdd.unpersist(blocking = false)
+      labels = nl
+      labelsRdd = nlRdd
     }
-    val out = labels.localCheckpoint(true)
+    val out = labels.select(col("v"), col("lbl")).localCheckpoint(true)
     eRdd.unpersist(blocking = false)
-    sdRdd.unpersist(blocking = false)
+    labelsRdd.unpersist(blocking = false)
     out
   }
 
