@@ -165,6 +165,41 @@ $rounds
   private val BFS_DEPTH = 4
   private val BFS_ORACLE_SQL = bfsOracleSql(BFS_DEPTH)
 
+  /** DuckDB oracle for q127: the peel recurrence unrolled to the same
+    * round budget — peeling is idempotent at the fixpoint, so surplus
+    * rounds are no-ops on both sides. */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val body = (1 to rounds).map { r =>
+      s"""    d$r AS MATERIALIZED (
+    |      SELECT x, count(*) AS d
+    |      FROM (SELECT u AS x FROM e${r - 1} UNION ALL SELECT v AS x FROM e${r - 1})
+    |      GROUP BY x),
+    |    e$r AS MATERIALIZED (
+    |      SELECT u, v FROM e${r - 1}
+    |      WHERE u IN (SELECT x FROM d$r WHERE d >= $k)
+    |        AND v IN (SELECT x FROM d$r WHERE d >= $k))""".stripMargin
+    }.mkString(",\n")
+    s"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT least(cast(o_custkey AS bigint) * 2,
+                            cast(l_suppkey AS bigint) * 2 + 1) AS u,
+                      greatest(cast(o_custkey AS bigint) * 2,
+                               cast(l_suppkey AS bigint) * 2 + 1) AS v
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+$body,
+    df AS (
+      SELECT x, count(*) AS d
+      FROM (SELECT u AS x FROM e$rounds UNION ALL SELECT v AS x FROM e$rounds)
+      GROUP BY x)
+    SELECT (SELECT count(*) FROM df) AS n_core_vertices,
+           (SELECT count(*) FROM e$rounds) AS n_core_edges,
+           (SELECT coalesce(min(d), 0) FROM df) AS min_core_degree"""
+  }
+
+  private val KCORE_K = 25
+  private val KCORE_ROUNDS = 6
+  private val KCORE_ORACLE_SQL = kcoreOracleSql(KCORE_K, KCORE_ROUNDS)
+
   /** DuckDB oracle for q120: the orientation-free textbook census — edges
     * as id-ordered (u < v) distinct pairs, triangles by the 3-way join
     * (e1.u,e1.v)(e1.u,e2.v)(e1.v,e2.v) with v-ordering making each
@@ -692,6 +727,35 @@ $rounds
                m * sxy - sx * sx AS assort_num,
                m * sxx - sx * sx AS assort_den
         FROM mom"""),
-      "degree assortativity moments in exact integers (Newman r as BIGINT num/den)")
+      "degree assortativity moments in exact integers (Newman r as BIGINT num/den)"),
+
+    QueryDef(
+      "q127_kcore",
+      (s, d) => {
+        // 25-core of the customer<->supplier trade graph: the subgraph
+        // where every surviving account has >= 25 surviving counterparts
+        // — the "dense backbone" cut that graph-cleaning pipelines run
+        // before expensive per-vertex work. Six synchronous peels; the
+        // spec pins that the fixture graphs reach the peeling fixpoint
+        // within the budget (a seventh peel changes nothing).
+        val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(least(col("o_custkey").cast("long") * 2,
+              col("l_suppkey").cast("long") * 2 + 1).as("u"),
+            greatest(col("o_custkey").cast("long") * 2,
+              col("l_suppkey").cast("long") * 2 + 1).as("v"))
+        val core = IterativeGraph.kCoreEdges(pairs, KCORE_K, KCORE_ROUNDS)
+        val deg = core.select(col("u").as("x")).unionAll(
+            core.select(col("v").as("x")))
+          .groupBy(col("x")).agg(count(lit(1)).as("d"))
+        deg.agg(count(lit(1)).as("n_core_vertices"),
+            coalesce(min(col("d")), lit(0L)).as("min_core_degree"))
+          .crossJoin(core.agg(count(lit(1)).as("n_core_edges")))
+          .select(col("n_core_vertices"), col("n_core_edges"),
+            col("min_core_degree"))
+      },
+      Some(KCORE_ORACLE_SQL),
+      "bounded k-core peeling (degree partial-agg + semi joins per round; fixpoint within budget spec-pinned)")
   )
 }

@@ -385,6 +385,43 @@ object IterativeGraph {
     out
   }
 
+  /** Bounded k-core peeling of an undirected graph given as canonical
+    * `(u, v)` pairs with `u < v`: `rounds` synchronous peels, each
+    * removing every vertex whose CURRENT degree is below `k` (and the
+    * edges touching it). Peeling is monotone and idempotent at the
+    * fixpoint, so extra rounds are no-ops — which is what lets a fixed
+    * round budget run under the hash gate (the oracle unrolls the same
+    * budget; once both sides converge they agree regardless of how early
+    * convergence happened). Callers pin the budget's sufficiency for
+    * their graph family in a spec (one more peel == identity).
+    *
+    * One round = a degree partial-agg + two semi joins on the vertex
+    * keys; state is pinned per round ([[pin]]). Returns the surviving
+    * edge set `(u, v)`, from which vertex membership and census both
+    * derive.
+    */
+  def kCoreEdges(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1,
+      s"kCoreEdges: k and rounds must be >= 1, got k=$k rounds=$rounds")
+    var (e, eRdd) = pin(
+      pairs.select(col("u"), col("v")).filter(col("u") < col("v")).distinct())
+    for (_ <- 1 to rounds) {
+      val keep = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+      val (ne, neRdd) = pin(e
+        .join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v")))
+      eRdd.unpersist(blocking = false)
+      e = ne
+      eRdd = neRdd
+    }
+    val out = e.localCheckpoint(true)
+    eRdd.unpersist(blocking = false)
+    out
+  }
+
   /** Exact triangle census of an undirected graph given as canonical
     * `(u, v)` pairs with `u < v`: one row of orientation-independent
     * whole-graph statistics `(n_vertices, n_edges, n_wedges,

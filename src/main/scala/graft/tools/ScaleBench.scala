@@ -67,7 +67,8 @@ object ScaleBench {
     "q123_entity_resolution",  // deletion-key blocking + CC + survivorship
     "q124_bfs_distances",      // frontier join + min-agg rounds
     "q125_assoc_rules",        // per-basket pair gen + integer lift
-    "q126_degree_assortativity") // degree moments over edge endpoints
+    "q126_degree_assortativity", // degree moments over edge endpoints
+    "q127_kcore")              // bounded peel rounds (semi joins + degree aggs)
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")

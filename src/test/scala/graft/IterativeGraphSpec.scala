@@ -196,6 +196,46 @@ class IterativeGraphSpec extends SparkSpec {
     assert(dists(Seq(99L), 2).values.toSet == Set(-1L))
   }
 
+  // ---- kCoreEdges ----
+
+  private def core(pairs: Seq[(Long, Long)], k: Int, rounds: Int): Set[(Long, Long)] =
+    IterativeGraph.kCoreEdges(pairs.toDF("u", "v"), k, rounds)
+      .as[(Long, Long)].collect().toSet
+
+  test("kCoreEdges peels tails and cascades to empty when nothing survives") {
+    // triangle + tail: the 2-core is the triangle, vertex 4 peels
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    assert(core(g, 2, 3) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // K4 minus one edge at k=3: peeling cascades over three rounds to empty
+    val k4m = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(core(k4m, 3, 3) == Set.empty[(Long, Long)])
+    // ...but an intact K4 is its own 3-core
+    val k4 = k4m :+ (1L, 2L)
+    assert(core(k4, 3, 3) == k4.toSet)
+  }
+
+  test("q127 round budget reaches the peeling fixpoint on the gate fixtures") {
+    // the oracle unrolls exactly KCORE_ROUNDS peels; surplus rounds are
+    // no-ops only AFTER the fixpoint, so pin that the trade graph at both
+    // spec and gate scale converges within budget (one more peel == same)
+    for (dir <- Seq(SF, "/root/testdata/sf0.01")) {
+      val pairs = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(least(col("o_custkey").cast("long") * 2,
+            col("l_suppkey").cast("long") * 2 + 1).as("u"),
+          greatest(col("o_custkey").cast("long") * 2,
+            col("l_suppkey").cast("long") * 2 + 1).as("v"))
+      val atBudget = IterativeGraph.kCoreEdges(pairs, 25, 6)
+        .as[(Long, Long)].collect().toSet
+      val onePast = IterativeGraph.kCoreEdges(pairs, 25, 7)
+        .as[(Long, Long)].collect().toSet
+      assert(atBudget == onePast, s"$dir: 25-core not converged in 6 rounds")
+    }
+  }
+
   // ---- triangleStats ----
 
   private def refTriangles(pairs: Set[(Long, Long)]): (Long, Long, Long, Long) = {
