@@ -155,12 +155,17 @@ object Bench {
       gedcomMBs: Option[Double] = None,
       gedcom1gMBs: Option[Double] = None): String = {
     def r4(v: Double) = math.rint(v * 1e4) / 1e4
+    // per-query values at 10 ms resolution: 120+ entries at 4 decimals
+    // pushed the one line to 1.9 KB — within a couple of queries of the
+    // driver's 2 KB tail truncating the artifact again (failures keep
+    // their exact -1.0 marker)
+    def r2(v: Double) = math.rint(v * 100) / 100
     // the driver contract keys the map as {"q1":sec,...} — emit the qNN
     // prefix (unique by QueriesSpec pin) rather than the full registry
     // name: ~93 long names alone overflow the 2 KB tail
     def short(k: String) = { val p = k.takeWhile(_ != '_'); if (p.nonEmpty) p else k }
     val keys = results.map(r => short(r._1))
-    val qs = results.zip(keys).map { case ((_, v), k) => "\"" + k + "\":" + r4(v) }
+    val qs = results.zip(keys).map { case ((_, v), k) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total =
