@@ -1395,7 +1395,58 @@ object TextAnalysis {
                coalesce(sc.score, 0) AS score,
                coalesce(sc.score, 0) >= 0 AS keep
         FROM documents d LEFT JOIN sc USING (doc_id)"""),
-      "hashed-linear classifier inference (fastText-shape quality filter; exact integer scores)")
+      "hashed-linear classifier inference (fastText-shape quality filter; exact integer scores)"),
+
+    QueryDef(
+      "q128_oov_rate",
+      (s, d) => {
+        // Tokenizer-coverage audit: fix the vocabulary at the corpus's
+        // top-V words (frequency desc, word asc — a deterministic,
+        // engine-reproducible "tokenizer"), then score every document's
+        // out-of-vocabulary token fraction in exact integer micros. The
+        // OOV tail is what decides whether a tokenizer/vocab budget fits
+        // a corpus before training starts. 100 TB shape: the vocab is a
+        // bounded TakeOrderedAndProject over the word counts (V rows,
+        // broadcast to the scoring join); scoring is one explode + one
+        // broadcast left-semi-style membership + a partial-agg per doc.
+        val V = 1000
+        val words = documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("wc"))
+          .orderBy(col("wc").desc, col("word").asc)
+          .limit(V)
+          .select(col("word"), lit(1).as("__in"))
+        val perDoc = words
+          .join(broadcast(vocab), Seq("word"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        documents(s, d).select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+            expr("coalesce(n_oov, 0) * 1000000 div greatest(coalesce(n_tokens, 0), 1)")
+              .as("oov_micro"))
+      },
+      Some(s"""
+        WITH words AS (
+          SELECT doc_id, unnest($SQL_TOKENS) AS word FROM documents),
+        vocab AS (
+          SELECT word FROM (
+            SELECT word, count(*) AS wc FROM words GROUP BY word
+            ORDER BY wc DESC, word LIMIT 1000)),
+        per_doc AS (
+          SELECT w.doc_id, count(*) AS n_tokens,
+                 cast(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_oov
+          FROM words w LEFT JOIN vocab v ON v.word = w.word
+          GROUP BY w.doc_id)
+        SELECT d.doc_id,
+               coalesce(p.n_tokens, 0) AS n_tokens,
+               coalesce(p.n_oov, 0) AS n_oov,
+               coalesce(p.n_oov, 0) * 1000000 // greatest(coalesce(p.n_tokens, 0), 1) AS oov_micro
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)"""),
+      "tokenizer-coverage audit: deterministic top-V vocab + per-doc OOV fraction in exact micros")
   )
 
   /** (doc_id, toks, bigs) frame shared by both q69 implementations. */

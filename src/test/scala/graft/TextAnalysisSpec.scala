@@ -431,4 +431,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) == ((2L, wa + wb, wa + wb >= 0)))
     assert(got(2L) == ((0L, 0L, true)))
   }
+
+  test("q128 OOV rate against the deterministic top-V vocabulary") {
+    val dir = java.nio.file.Files.createTempDirectory("oovdocs").toString
+    // vocab is top-1000 by (freq desc, word asc) and this corpus has 1001
+    // distinct words: "aa"(5) and "zz"(2) outrank the 999 singleton
+    // fillers, and the alphabetically-last filler "w0999" is the one word
+    // squeezed out — the deterministic boundary tie-break in action
+    val fillers = (1 to 999).map(i => f"w$i%04d")
+    val common = Seq.fill(5)("aa")
+    val text0 = (common ++ Seq("zz", "zz")).mkString(" ") // all in-vocab
+    val text1 = fillers.mkString(" ")                     // w0999 is OOV
+    Seq((0L, text0, "en", "s", 1L), (1L, text1, "en", "s", 1L),
+      (2L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q128_oov_rate")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == ((7L, 0L, 0L)))
+    assert(got(1L) == ((999L, 1L, 1000000L / 999L))) // integer div: 1001
+    assert(got(2L) == ((0L, 0L, 0L)))
+  }
 }
