@@ -1446,7 +1446,45 @@ object TextAnalysis {
                coalesce(p.n_oov, 0) AS n_oov,
                coalesce(p.n_oov, 0) * 1000000 // greatest(coalesce(p.n_tokens, 0), 1) AS oov_micro
         FROM documents d LEFT JOIN per_doc p USING (doc_id)"""),
-      "tokenizer-coverage audit: deterministic top-V vocab + per-doc OOV fraction in exact micros")
+      "tokenizer-coverage audit: deterministic top-V vocab + per-doc OOV fraction in exact micros"),
+
+    QueryDef(
+      "q129_stratified_sample",
+      (s, d) => {
+        // EXACT proportional stratified sampling: every (lang, source)
+        // stratum contributes floor(n/10) rows (min 1), selected by
+        // md5-coin order — deterministic, layout-independent, and
+        // engine-reproducible. The naive form ranks each stratum through
+        // a window (the whole stratum shuffles into ONE task — the q102
+        // anti-pattern); here the per-stratum quota k rides into the
+        // k-capped MinKByCoinN aggregator on every row, so a mega-stratum
+        // contributes at most k candidates per map partition and the
+        // exact sample falls out of one partial-agg pass. The quota table
+        // is one count aggregation, broadcast back.
+        val docs = documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"))
+        val quotas = docs.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("lang"), col("source"),
+            greatest(lit(1L), expr("n div 10")).cast("int").as("k"))
+        val minkn = udaf(new graft.operators.Aggregates.MinKByCoinN)
+        docs.join(broadcast(quotas), Seq("lang", "source"))
+          .select(col("lang"), col("source"),
+            md5(col("doc_id").cast("string")).as("coin"), col("doc_id"), col("k"))
+          .groupBy(col("lang"), col("source"))
+          .agg(minkn(col("coin"), col("doc_id"), col("k")).as("ids"))
+          .select(col("lang"), col("source"), explode(col("ids")).as("doc_id"))
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT lang, source, doc_id,
+                 row_number() OVER (PARTITION BY lang, source
+                   ORDER BY md5(cast(doc_id AS varchar)), doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang, source) AS n
+          FROM documents)
+        SELECT lang, source, doc_id FROM ranked
+        WHERE rn <= greatest(1, n // 10)"""),
+      "exact proportional stratified sample (per-stratum quota rides into a k-capped aggregator; no stratum windows)")
   )
 
   /** (doc_id, toks, bigs) frame shared by both q69 implementations. */

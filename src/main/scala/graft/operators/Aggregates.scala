@@ -78,6 +78,45 @@ object Aggregates {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** [[MinKByCoin]] with the cap carried PER ROW instead of baked into
+    * the aggregator instance: every row of a group presents the same k
+    * (derived upstream, e.g. from the group's row count), so groups of
+    * different sizes can take differently-sized exact samples in ONE
+    * aggregation — the per-group window rank this replaces would shuffle
+    * and sort each whole stratum through one task. Buffer stays k-capped
+    * per partial, so a mega-stratum contributes at most its own k
+    * candidates per map partition. */
+  final class MinKByCoinN
+      extends Aggregator[(String, Long, Int), (Seq[(String, Long)], Int), Seq[Long]] {
+    override def zero: (Seq[(String, Long)], Int) = (Vector.empty, 0)
+    private def trim(s: Seq[(String, Long)], k: Int): Seq[(String, Long)] =
+      s.sorted.take(k)
+    override def reduce(b: (Seq[(String, Long)], Int),
+        a: (String, Long, Int)): (Seq[(String, Long)], Int) = {
+      val k = math.max(b._2, a._3)
+      val ord = Ordering[(String, Long)]
+      val e = (a._1, a._2)
+      val buf = b._1
+      if (buf.size >= k && ord.lteq(buf.last, e)) (buf.take(k), k)
+      else {
+        val i = buf.indexWhere(x => ord.gt(x, e))
+        val ins = if (i < 0) buf :+ e else (buf.take(i) :+ e) ++ buf.drop(i)
+        (if (ins.size > k) ins.take(k) else ins, k)
+      }
+    }
+    override def merge(a: (Seq[(String, Long)], Int),
+        b: (Seq[(String, Long)], Int)): (Seq[(String, Long)], Int) = {
+      val k = math.max(a._2, b._2)
+      (trim(a._1 ++ b._1, k), k)
+    }
+    override def finish(r: (Seq[(String, Long)], Int)): Seq[Long] =
+      trim(r._1, r._2).map(_._2)
+    override def bufferEncoder: Encoder[(Seq[(String, Long)], Int)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[(String, Long)], Int)]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Mergeable Misra-Gries heavy-hitters summary (Agarwal et al.,
     * "Mergeable Summaries", PODS 2012): at most k counters; inserting
     * past capacity subtracts the (k+1)-th largest count from every

@@ -69,7 +69,8 @@ object ScaleBench {
     "q125_assoc_rules",        // per-basket pair gen + integer lift
     "q126_degree_assortativity", // degree moments over edge endpoints
     "q127_kcore",              // bounded peel rounds (semi joins + degree aggs)
-    "q128_oov_rate")           // top-V vocab broadcast + per-doc membership agg
+    "q128_oov_rate",           // top-V vocab broadcast + per-doc membership agg
+    "q129_stratified_sample")  // per-stratum quota in a k-capped aggregator
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")

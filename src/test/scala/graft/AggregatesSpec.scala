@@ -190,6 +190,43 @@ class AggregatesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("MinKByCoinN honors a per-group k under any partition split") {
+    // the q129 contract: k arrives on every row (same within a group) and
+    // the k-capped fold must equal a global sort-take-k for any slicing
+    val rnd = new scala.util.Random(17)
+    for (k <- Seq(1, 3, 9)) {
+      val rows = Seq.fill(250)(
+        (f"${rnd.nextInt(1 << 24)}%06x", rnd.nextLong().abs, k))
+      val agg = new Aggregates.MinKByCoinN
+      val want = rows.map(r => (r._1, r._2)).sorted.take(k).map(_._2)
+      (1 to 10).foreach { trial =>
+        val shuffled = new scala.util.Random(trial).shuffle(rows)
+        val partials = shuffled.grouped(math.max(1, shuffled.size / (1 + trial % 5)))
+          .toSeq.map(_.foldLeft(agg.zero)(agg.reduce))
+        partials.foreach(p => assert(p._1.size <= k, "partial buffer exceeded k"))
+        val merged = partials.foldLeft(agg.zero)(agg.merge)
+        assert(agg.finish(merged) == want, s"k=$k trial $trial diverged")
+      }
+    }
+  }
+
+  test("MinKByCoinN via udaf: groups of different sizes take different quotas") {
+    // two strata sharing one aggregation: g=0 with quota 2, g=1 with 5
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(120)((0L, f"${rnd.nextInt(1 << 20)}%05x", rnd.nextLong().abs, 2)) ++
+      Seq.fill(80)((1L, f"${rnd.nextInt(1 << 20)}%05x", rnd.nextLong().abs, 5))
+    val df = rows.toDF("g", "coin", "id", "k").repartition(7)
+    val minkn = udaf(new Aggregates.MinKByCoinN)
+    val got = df.groupBy("g")
+      .agg(minkn(col("coin"), col("id"), col("k")).as("kept"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val want = rows.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.map(x => (x._2, x._3)).sorted.take(xs.head._4).map(_._2)
+    }
+    assert(got == want)
+    assert(got(0L).size == 2 && got(1L).size == 5)
+  }
+
   test("KMV estimate lands within the k-bound error on a 20k-item universe") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
