@@ -220,6 +220,113 @@ object Cdc {
         SELECT o_custkey, count(*) AS n_orders,
                cast(sum(${Money.sqlCents("o_totalprice")}) as bigint) AS total_cents
         FROM orders GROUP BY o_custkey"""),
-      "incremental aggregate maintenance: algebraic partial-state merge == full recompute, oracle-proven")
+      "incremental aggregate maintenance: algebraic partial-state merge == full recompute, oracle-proven"),
+
+    QueryDef(
+      "q130_merge_upsert",
+      (s, d) => {
+        // MERGE INTO semantics (the lakehouse upsert): apply a keyed
+        // change batch — UPDATEs, DELETEs, INSERTs — to a snapshot in one
+        // pass. The batch here derives deterministically from the
+        // snapshot itself: docs with doc_id%7==0 get re-scored text
+        // (update), %13==0 are tombstoned (delete; delete wins over
+        // update when both match), and two fresh ids insert. Shape: ONE
+        // full-outer join on the key — matched+op=U takes the source row,
+        // matched+op=D drops, unmatched target rows pass through,
+        // unmatched source rows insert. No broadcast assumption on
+        // either side (a change batch can be huge after backfills); AQE
+        // picks broadcast when the batch is small.
+        val snap = documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        val updates = snap.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("doc_id"), lit("U").as("op"), col("lang"), col("source"),
+            (col("n_chars") + 1000).as("n_chars"))
+        val deletes = snap.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .select(col("doc_id"), lit("D").as("op"), col("lang"), col("source"),
+            col("n_chars"))
+        val inserts = s.range(2).toDF("i")
+          .select((col("i") + 9000000L).as("doc_id"), lit("I").as("op"),
+            lit("xx").as("lang"), lit("srcN").as("source"), lit(42L).as("n_chars"))
+        // delete beats update on the same key: keep the D row
+        val batch = updates.unionAll(deletes).unionAll(inserts)
+          .groupBy(col("doc_id"))
+          .agg(max(struct(
+            when(col("op") === "D", 2).when(col("op") === "U", 1).otherwise(0).as("pri"),
+            col("op").as("op"), col("lang").as("lang"),
+            col("source").as("source"), col("n_chars").as("n_chars"))).as("m"))
+          .select(col("doc_id"), col("m.op").as("op"), col("m.lang").as("lang"),
+            col("m.source").as("source"), col("m.n_chars").as("n_chars"))
+        snap.select(col("doc_id"), col("lang").as("tl"), col("source").as("ts_"),
+            col("n_chars").as("tn"))
+          .join(batch, Seq("doc_id"), "full_outer")
+          .filter(coalesce(col("op"), lit("")) =!= "D")
+          .select(col("doc_id"),
+            coalesce(col("lang"), col("tl")).as("lang"),
+            coalesce(col("source"), col("ts_")).as("source"),
+            coalesce(col("n_chars"), col("tn")).as("n_chars"))
+      },
+      Some("""
+        WITH updates AS (
+          SELECT doc_id, 'U' AS op, lang, source, n_chars + 1000 AS n_chars
+          FROM documents WHERE doc_id % 7 = 0),
+        deletes AS (
+          SELECT doc_id, 'D' AS op, lang, source, n_chars
+          FROM documents WHERE doc_id % 13 = 0),
+        inserts AS (
+          SELECT unnest([9000000, 9000001]) AS doc_id, 'I' AS op,
+                 'xx' AS lang, 'srcN' AS source, cast(42 AS bigint) AS n_chars),
+        batch AS (
+          SELECT doc_id, op, lang, source, n_chars FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY
+              CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END DESC) AS rn
+            FROM (SELECT * FROM updates UNION ALL SELECT * FROM deletes
+                  UNION ALL SELECT * FROM inserts))
+          WHERE rn = 1)
+        SELECT coalesce(b.doc_id, t.doc_id) AS doc_id,
+               coalesce(b.lang, t.lang) AS lang,
+               coalesce(b.source, t.source) AS source,
+               coalesce(b.n_chars, t.n_chars) AS n_chars
+        FROM documents t FULL OUTER JOIN batch b ON b.doc_id = t.doc_id
+        WHERE coalesce(b.op, '') <> 'D'"""),
+      "MERGE INTO upsert: one full-outer keyed pass applies U/D/I with delete-wins conflict rule"),
+
+    QueryDef(
+      "q131_cascade_delete",
+      (s, d) => {
+        // Right-to-be-forgotten: erase every customer of one nation and
+        // cascade through the FK graph (customer -> orders -> lineitem),
+        // reporting what each table would lose. The cascade is two
+        // LEFT SEMI joins down the key chain — each table scans once,
+        // keys flow top-down, nothing is quadratic and no row data moves
+        // except the keys. (The deletion itself would be the same plan
+        // with anti joins writing the survivors.)
+        val victims = customer(s, d).filter(col("c_nationkey") === 7)
+          .select(col("c_custkey"))
+        val doomedOrders = orders(s, d)
+          .join(victims, col("o_custkey") === col("c_custkey"), "left_semi")
+          .select(col("o_orderkey"))
+        val doomedLines = lineitem(s, d)
+          .join(doomedOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        victims.agg(count(lit(1)).as("n_customers"))
+          .crossJoin(doomedOrders.agg(count(lit(1)).as("n_orders")))
+          .crossJoin(doomedLines.agg(count(lit(1)).as("n_lineitems"),
+            coalesce(sum(Money.cents(col("l_extendedprice"))), lit(0L))
+              .as("erased_cents")))
+      },
+      Some(s"""
+        WITH victims AS (
+          SELECT c_custkey FROM customer WHERE c_nationkey = 7),
+        doomed_orders AS (
+          SELECT o_orderkey FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM victims)),
+        doomed_lines AS (
+          SELECT l_extendedprice FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM doomed_orders))
+        SELECT (SELECT count(*) FROM victims) AS n_customers,
+               (SELECT count(*) FROM doomed_orders) AS n_orders,
+               (SELECT count(*) FROM doomed_lines) AS n_lineitems,
+               (SELECT cast(coalesce(sum(${Money.sqlCents("l_extendedprice")}), 0) AS bigint)
+                FROM doomed_lines) AS erased_cents"""),
+      "cascade deletion audit: semi-join key flow down the FK chain (the GDPR erasure plan)")
   )
 }

@@ -70,7 +70,9 @@ object ScaleBench {
     "q126_degree_assortativity", // degree moments over edge endpoints
     "q127_kcore",              // bounded peel rounds (semi joins + degree aggs)
     "q128_oov_rate",           // top-V vocab broadcast + per-doc membership agg
-    "q129_stratified_sample")  // per-stratum quota in a k-capped aggregator
+    "q129_stratified_sample",  // per-stratum quota in a k-capped aggregator
+    "q130_merge_upsert",       // one full-outer keyed MERGE pass
+    "q131_cascade_delete")     // semi-join key flow down the FK chain
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")

@@ -114,4 +114,34 @@ class CdcSpec extends SparkSpec {
     assert("(?m)^\\s*\\+?-? ?Sort ".r.findAllIn(plan).size == 1,
       s"both windows must reuse one sort:\n$plan")
   }
+
+  test("q130 merge applies update, delete, insert, and delete-wins conflicts") {
+    val dir = java.nio.file.Files.createTempDirectory("mergedocs").toString
+    // 5: untouched; 7: update (+1000); 13: delete; 91: update AND delete
+    // (7*13) -> the delete must win
+    Seq((5L, "t", "en", "s", 10L), (7L, "t", "en", "s", 20L),
+      (13L, "t", "en", "s", 30L), (91L, "t", "en", "s", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q130_merge_upsert")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(5L -> 10L, 7L -> 1020L,
+      9000000L -> 42L, 9000001L -> 42L))
+  }
+
+  test("q131 cascade counts flow down the FK chain") {
+    val dir = java.nio.file.Files.createTempDirectory("gdpr").toString
+    Seq((1L, 7L), (2L, 7L), (3L, 8L)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L), (11L, 2L), (12L, 3L), (13L, 1L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 1.50), (10L, 2.25), (11L, 4.00), (12L, 99.0))
+      .toDF("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("q131_cascade_delete")(spark, dir).collect().head
+    // victims 1,2 -> orders 10,11,13 -> lines on 10,11: 1.50+2.25+4.00
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 3L, 3L, 775L)))
+  }
 }
