@@ -278,6 +278,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("q125-q131 analytics ops broadcast their small sides and avoid windows") {
+    // q125: pair generation is a keyed self-join per basket + partial
+    // aggs; the only nested-loop product is the broadcast one-row total
+    val p125 = plan("q125_assoc_rules")
+    assert(!p125.contains("CartesianProduct"), p125)
+    assert(p125.contains("TakeOrderedAndProject"), p125)
+    assert(p125.contains("partial_count"), p125)
+    // q128/q129: vocab and quota tables broadcast back to the corpus —
+    // a SortMergeJoin here would mean the bounded side is shuffling the
+    // whole corpus
+    for (q <- Seq("q128_oov_rate", "q129_stratified_sample")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // q129's whole point: no per-stratum window rank anywhere
+    assert(!plan("q129_stratified_sample").contains("Window"),
+      "q129 must not plan a stratum window")
+    // q130/q131: keyed joins only; the MERGE pass may not degenerate to
+    // a product, and the cascade is semi joins
+    for (q <- Seq("q130_merge_upsert", "q131_cascade_delete")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("Window"), s"$q:\n$p")
+    }
+  }
+
   test("q119/q120 loop stages are keyed joins + partial aggregates, no windows") {
     // The registered frames are materialized (localCheckpoint truncates
     // their lineage so the pinned loop blocks can be released), so the
