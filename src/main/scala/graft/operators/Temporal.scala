@@ -403,6 +403,47 @@ object Temporal {
                min(st) AS start_us, max(en) AS end_us, count(*) AS n_events
         FROM islands
         GROUP BY user_id, island"""),
-      "interval consolidation (islands & gaps): running-max break detection, one shuffle end to end")
+      "interval consolidation (islands & gaps): running-max break detection, one shuffle end to end"),
+
+    QueryDef(
+      "q132_user_journeys",
+      (s, d) => {
+        // Path analysis: the top-20 opening journeys — each user's first
+        // three event types in (ts, event_id) order, joined into one
+        // path string — ranked by how many users share them. The window
+        // partitions by user (state bounded by one user's activity,
+        // never corpus-wide), the journey assembly is an order-carrying
+        // struct sort inside a per-user aggregate, and the ranking is a
+        // bounded TakeOrderedAndProject. The (ts, event_id) tiebreak
+        // makes every journey string engine-deterministic.
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .groupBy(col("user_id"))
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("rn"), col("event_type").as("et")))),
+            x => x("et")), ">").as("journey"))
+          .groupBy(col("journey"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("journey").asc)
+          .limit(20)
+      },
+      Some(s"""
+        WITH ranked AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS rn
+          FROM $EV),
+        journeys AS (
+          SELECT user_id,
+                 string_agg(event_type, '>' ORDER BY rn) AS journey
+          FROM ranked WHERE rn <= 3 GROUP BY user_id)
+        SELECT journey, count(*) AS n_users
+        FROM journeys GROUP BY journey
+        ORDER BY n_users DESC, journey LIMIT 20"""),
+      "user-journey path analysis: per-user opening sequence -> shared-path ranking")
   )
 }

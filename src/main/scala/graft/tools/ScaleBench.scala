@@ -72,7 +72,8 @@ object ScaleBench {
     "q128_oov_rate",           // top-V vocab broadcast + per-doc membership agg
     "q129_stratified_sample",  // per-stratum quota in a k-capped aggregator
     "q130_merge_upsert",       // one full-outer keyed MERGE pass
-    "q131_cascade_delete")     // semi-join key flow down the FK chain
+    "q131_cascade_delete",     // semi-join key flow down the FK chain
+    "q132_user_journeys")      // per-user sequence window + path ranking
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")

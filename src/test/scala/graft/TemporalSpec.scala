@@ -42,4 +42,27 @@ class TemporalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
+
+  test("q132 journeys assemble in event order with deterministic tie-breaks") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("journeys").toString
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // user 1: view -> click -> purchase -> error (4th is cut); user 2:
+    // two SAME-ts events where event_id breaks the tie; user 3: one event
+    Seq(
+      (101L, ts(10), 1L, "view", 0.0, "{}"),
+      (102L, ts(20), 1L, "click", 0.0, "{}"),
+      (103L, ts(30), 1L, "purchase", 0.0, "{}"),
+      (104L, ts(40), 1L, "error", 0.0, "{}"),
+      (202L, ts(10), 2L, "click", 0.0, "{}"),
+      (201L, ts(10), 2L, "view", 0.0, "{}"),
+      (301L, ts(10), 3L, "signup", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q132_user_journeys")(spark, dir)
+      .as[(String, Long)].collect().toSet
+    // user 2's same-ts pair orders by event_id: 201 (view) before 202
+    assert(got == Set(("view>click>purchase", 1L), ("view>click", 1L),
+      ("signup", 1L)))
+  }
 }
