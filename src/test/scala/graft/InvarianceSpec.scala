@@ -39,7 +39,13 @@ class InvarianceSpec extends SparkSpec {
     // q125's lift ranking, and q126's moments likewise claim
     // layout-independence
     "q120_triangles", "q123_entity_resolution", "q125_assoc_rules",
-    "q126_degree_assortativity")
+    "q126_degree_assortativity",
+    // the session's sampling/merge/path claims: exact md5-coin stratified
+    // quotas, MERGE conflict resolution, k-core peeling, OOV vocab
+    // boundary ties, and journey tie-breaks are all layout-independent
+    // by design
+    "q127_kcore", "q128_oov_rate", "q129_stratified_sample",
+    "q130_merge_upsert", "q132_user_journeys")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
