@@ -79,6 +79,42 @@ $rounds
   private val PAGERANK_ORACLE_SQL =
     pagerankOracleSql(PAGERANK_ITERS, PAGERANK_SCALE)
 
+  /** DuckDB oracle for q133: the weighted recurrence unrolled — mass
+    * splits as `(r * w) // tw` per edge, teleport as in q119. */
+  private def pagerankWeightedOracleSql(iters: Int, scale: Long): String = {
+    val teleport = 15L * (scale / 100L)
+    val rounds = (1 to iters).map { k =>
+      s"""    s$k AS (
+    |      SELECT e.dst AS v, cast(sum((p.r * e.w) // p.tw) AS bigint) AS s
+    |      FROM sym e JOIN r${k - 1} p ON e.src = p.v
+    |      GROUP BY e.dst),
+    |    r$k AS (
+    |      SELECT p.v, p.tw,
+    |             cast($teleport + (85 * coalesce(s$k.s, 0)) // 100 AS bigint) AS r
+    |      FROM r${k - 1} p LEFT JOIN s$k ON s$k.v = p.v)""".stripMargin
+    }.mkString(",\n")
+    s"""
+    WITH pw AS (
+      SELECT src, dst, count(*) AS w FROM (
+        SELECT DISTINCT cast(o_custkey AS bigint) * 2 AS src,
+                        cast(l_suppkey AS bigint) * 2 + 1 AS dst,
+                        o_orderkey
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
+      GROUP BY src, dst),
+    sym AS (
+      SELECT src, dst, w FROM pw
+      UNION ALL
+      SELECT dst AS src, src AS dst, w FROM pw),
+    r0 AS (
+      SELECT src AS v, cast(sum(w) AS bigint) AS tw, cast($scale AS bigint) AS r
+      FROM sym GROUP BY src),
+$rounds
+    SELECT v, r FROM r$iters ORDER BY r DESC, v LIMIT 100"""
+  }
+
+  private val PAGERANK_W_ORACLE_SQL =
+    pagerankWeightedOracleSql(PAGERANK_ITERS, PAGERANK_SCALE)
+
   /** DuckDB oracle for q122: the same clamped plurality-propagation
     * recurrence as [[IterativeGraph.labelPropagation]], unrolled — per
     * round one neighbor-label count and one row_number argmax (ORDER BY
@@ -756,6 +792,31 @@ $body,
             col("min_core_degree"))
       },
       Some(KCORE_ORACLE_SQL),
-      "bounded k-core peeling (degree partial-agg + semi joins per round; fixpoint within budget spec-pinned)")
+      "bounded k-core peeling (degree partial-agg + semi joins per round; fixpoint within budget spec-pinned)"),
+
+    QueryDef(
+      "q133_pagerank_weighted",
+      (s, d) => {
+        // q119's damped iteration over the WEIGHTED trade graph: each
+        // customer/supplier edge carries the number of orders it
+        // represents, so mass flows along trade intensity, not mere
+        // adjacency. Same exact-integer contract (per-edge
+        // (r*w) div out-weight), same pinned one-join-per-round shape.
+        val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey").cast("long") * 2).as("src"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("dst"),
+            col("o_orderkey"))
+          .distinct()
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        val sym = pairs.unionAll(pairs.select(col("dst").as("src"),
+          col("src").as("dst"), col("w")))
+        IterativeGraph.pageRankWeighted(sym, PAGERANK_ITERS, PAGERANK_SCALE)
+          .orderBy(col("r").desc, col("v").asc)
+          .limit(100)
+      },
+      Some(PAGERANK_W_ORACLE_SQL),
+      "weighted PageRank: mass splits by trade intensity, exact-integer recurrence under the hash gate")
   )
 }

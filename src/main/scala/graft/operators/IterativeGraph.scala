@@ -281,6 +281,43 @@ object IterativeGraph {
     out
   }
 
+  /** [[pageRank]] over WEIGHTED symmetric edges `(src, dst, w)` with
+    * positive integer weights: a vertex's mass splits in proportion to
+    * edge weight — per-edge contribution `(r * w) div W_src` with
+    * `W_src` the vertex's total out-weight. Same exact-integer
+    * determinism contract and physical shape as the unweighted form (the
+    * weight rides on the pinned edge rows; total out-weights ride in the
+    * rank state). `scale * maxWeight * V` must fit a long.
+    */
+  def pageRankWeighted(edgesSym: DataFrame, iters: Int, scale: Long): DataFrame = {
+    require(iters >= 1, s"pageRankWeighted: iters must be >= 1, got $iters")
+    require(scale > 0 && scale % 100L == 0,
+      s"pageRankWeighted: scale must be positive and divisible by 100, got $scale")
+    val (e, eRdd) = pin(edgesSym
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
+    var (ranks, ranksRdd) = pin(e.groupBy(col("src").as("v"))
+      .agg(sum(col("w")).as("tw"))
+      .select(col("v"), col("tw"), lit(scale).as("r")))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.select(col("v").as("src"), col("tw"), col("r"))
+      val sums = e.join(contrib, "src")
+        .groupBy(col("dst").as("v"))
+        .agg(sum(expr("(r * w) div tw")).as("s"))
+      val (nr, nrRdd) = pin(ranks.select(col("v"), col("tw"))
+        .join(sums, Seq("v"), "left")
+        .select(col("v"), col("tw"),
+          (lit(15L * (scale / 100L)) +
+            expr("(85 * coalesce(s, cast(0 as bigint))) div 100")).as("r")))
+      ranksRdd.unpersist(blocking = false)
+      ranks = nr
+      ranksRdd = nrRdd
+    }
+    val out = ranks.select(col("v"), col("r")).localCheckpoint(true)
+    eRdd.unpersist(blocking = false)
+    ranksRdd.unpersist(blocking = false)
+    out
+  }
+
   /** Semi-supervised label propagation (Zhu & Ghahramani 2002 shape) over
     * a symmetric `(src, dst)` edge set: `seeds` pins `(v, seed)` labels
     * that never change; every other vertex synchronously adopts the

@@ -138,6 +138,46 @@ class IterativeGraphSpec extends SparkSpec {
     assert(got == (0L until n).map(_ -> 1000000L).toMap)
   }
 
+  test("pageRankWeighted: unit weights reduce to the unweighted recurrence") {
+    val rnd = new scala.util.Random(29)
+    // distinct pairs: the unweighted op dedupes edges while the weighted
+    // op SUMS duplicate weights, so only a simple graph reduces exactly
+    val pairs = Seq.fill(300)((rnd.nextInt(70).toLong, rnd.nextInt(70).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val sym = pairs ++ pairs.map(_.swap)
+    val un = IterativeGraph.pageRank(sym.toDF("src", "dst"), 4, 1000000L)
+      .as[(Long, Long)].collect().toMap
+    val w = IterativeGraph.pageRankWeighted(
+      sym.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w"), 4, 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(un == w)
+  }
+
+  test("pageRankWeighted matches an exact-integer weighted reference") {
+    val rnd = new scala.util.Random(31)
+    val edges = Seq.fill(200)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong,
+        1L + rnd.nextInt(5)))
+      .filter { case (a, b, _) => a != b }
+    val sym0 = edges ++ edges.map { case (a, b, w) => (b, a, w) }
+    // collapse duplicate (src,dst) weights the way the operator does
+    val sym = sym0.groupBy(e => (e._1, e._2))
+      .map { case ((a, b), es) => (a, b, es.map(_._3).sum) }.toSeq
+    val tw = sym.groupBy(_._1).map { case (v, es) => v -> es.map(_._3).sum }
+    var r = tw.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 4) {
+      val sums = sym.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _, w) => r(u) * w / tw(u) }.sum
+      }
+      r = tw.keys.map(v =>
+        v -> (15L * 10000L + 85L * sums.getOrElse(v, 0L) / 100L)).toMap
+    }
+    val got = IterativeGraph.pageRankWeighted(sym0.toDF("src", "dst", "w"),
+        4, 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == r)
+  }
+
   // ---- labelPropagation ----
 
   private def lpa(sym: Seq[(Long, Long)], seeds: Seq[(Long, Long)],
