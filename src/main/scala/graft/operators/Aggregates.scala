@@ -464,6 +464,85 @@ object Aggregates {
                     ELSE (15 * 281474976710656) // max(CASE WHEN rk = 16 THEN hv END)
                     END as bigint) AS kmv_est
         FROM r GROUP BY lang"""),
-      "KMV distinct sketch: k-min hash fold with a deterministic, oracle-reproducible estimate")
+      "KMV distinct sketch: k-min hash fold with a deterministic, oracle-reproducible estimate"),
+
+    QueryDef(
+      "q134_join_cardinality",
+      (s, d) => {
+        // Optimizer-statistics estimation WITHOUT running the join: the
+        // expected row count of orders ⋈ events on the customer key,
+        // from two k=256 KMV key sketches. Each side folds to ONE row
+        // (row count + k smallest 48-bit key hashes — the per-side scan
+        // is all a 100 TB stats collection would pay); the union sketch
+        // is the k smallest of the two k-min sets (the standard KMV
+        // union identity), inclusion-exclusion gives the key-overlap
+        // estimate, and uniform-multiplicity scaling
+        // (inter * n_a * n_b) div (d_a * d_b) gives the join size — all
+        // exact integer arithmetic, so the ESTIMATE itself is
+        // deterministic and runs under the hash gate. The true join
+        // count rides along as the error reference (affordable here;
+        // the estimate is the part that scales).
+        val K = 256
+        val mink = udaf(new MinKByCoin(K))
+        def sketch(df: org.apache.spark.sql.DataFrame, suffix: String) = {
+          val n = df.agg(count(lit(1)).as(s"n_$suffix"))
+          val ks = df.distinct()
+            .select(substring(md5(col("key").cast("string")), 1, 12).as("hx"))
+            .select(col("hx"), conv(col("hx"), 16, 10).cast("long").as("h"))
+            .agg(mink(col("hx"), col("h")).as(s"ks_$suffix"))
+          n.crossJoin(ks)
+        }
+        val a = orders(s, d).select(col("o_custkey").cast("long").as("key"))
+        val b = events(s, d).select(col("user_id").cast("long").as("key"))
+        val truth = a.join(b, "key").agg(count(lit(1)).as("true_join_rows"))
+        def dhat(ks: String, alias: String) =
+          when(size(col(ks)) < K, size(col(ks)).cast("long"))
+            .otherwise(expr(s"(${K - 1} * 281474976710656) div element_at($ks, $K)"))
+            .as(alias)
+        sketch(a, "a").crossJoin(sketch(b, "b")).crossJoin(broadcast(truth))
+          .withColumn("ks_u",
+            slice(array_sort(array_distinct(concat(col("ks_a"), col("ks_b")))),
+              1, K))
+          .select(col("n_a"), col("n_b"),
+            dhat("ks_a", "dhat_a"), dhat("ks_b", "dhat_b"),
+            dhat("ks_u", "dhat_u"), col("true_join_rows"))
+          .select(col("n_a"), col("n_b"), col("dhat_a"), col("dhat_b"),
+            greatest(lit(0L), col("dhat_a") + col("dhat_b") - col("dhat_u"))
+              .as("dhat_inter"),
+            expr("""greatest(0, dhat_a + dhat_b - dhat_u) * n_a * n_b
+                    div (dhat_a * dhat_b)""").as("est_join_rows"),
+            col("true_join_rows"))
+      },
+      Some("""
+        WITH ra AS (SELECT cast(o_custkey AS bigint) AS key FROM orders),
+        rb AS (SELECT cast(user_id AS bigint) AS key FROM events),
+        ha AS (
+          SELECT DISTINCT CAST(concat('0x', substr(md5(cast(key AS varchar)), 1, 12)) AS BIGINT) AS h
+          FROM ra),
+        hb AS (
+          SELECT DISTINCT CAST(concat('0x', substr(md5(cast(key AS varchar)), 1, 12)) AS BIGINT) AS h
+          FROM rb),
+        ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+        kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+        ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 256),
+        da AS (SELECT CASE WHEN count(*) < 256 THEN count(*)
+                           ELSE 255 * 281474976710656 // max(h) END AS dhat_a FROM ka),
+        db AS (SELECT CASE WHEN count(*) < 256 THEN count(*)
+                           ELSE 255 * 281474976710656 // max(h) END AS dhat_b FROM kb),
+        du AS (SELECT CASE WHEN count(*) < 256 THEN count(*)
+                           ELSE 255 * 281474976710656 // max(h) END AS dhat_u FROM ku),
+        na AS (SELECT count(*) AS n_a FROM ra),
+        nb AS (SELECT count(*) AS n_b FROM rb),
+        tj AS (SELECT count(*) AS true_join_rows
+               FROM ra JOIN rb ON ra.key = rb.key)
+        SELECT n_a, n_b,
+               cast(dhat_a AS bigint) AS dhat_a,
+               cast(dhat_b AS bigint) AS dhat_b,
+               cast(greatest(0, dhat_a + dhat_b - dhat_u) AS bigint) AS dhat_inter,
+               cast(greatest(0, dhat_a + dhat_b - dhat_u) * n_a * n_b
+                    // (dhat_a * dhat_b) AS bigint) AS est_join_rows,
+               true_join_rows
+        FROM na, nb, da, db, du, tj"""),
+      "join-cardinality estimation from KMV key sketches (deterministic optimizer statistics; true count as reference)")
   )
 }

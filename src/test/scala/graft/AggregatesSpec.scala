@@ -227,6 +227,27 @@ class AggregatesSpec extends SparkSpec {
     assert(got(0L).size == 2 && got(1L).size == 5)
   }
 
+  test("q134 join estimate is exact when the sketches hold both key sets") {
+    val dir = java.nio.file.Files.createTempDirectory("joinest").toString
+    // A: keys 1..100 x3; B: keys 51..150 x2 -> overlap 50, true join
+    // 50*3*2 = 300. Both domains are < k=256, so the KMV sketches are
+    // the EXACT key sets, inclusion-exclusion is exact, and the uniform
+    // multiplicity assumption holds by construction -> estimate == truth
+    val a = (1 to 100).flatMap(k => Seq.fill(3)(k.toLong))
+    val b = (51 to 150).flatMap(k => Seq.fill(2)(k.toLong))
+    a.map(k => (k, k)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    b.zipWithIndex.map { case (k, i) =>
+      (i.toLong, new java.sql.Timestamp(i * 1000L), k, "view", 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q134_join_cardinality")(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((300L, 200L)))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((100L, 100L, 50L)))
+    assert(r.getLong(5) == 300L, s"estimate ${r.getLong(5)} != 300")
+    assert(r.getLong(6) == 300L)
+  }
+
   test("KMV estimate lands within the k-bound error on a 20k-item universe") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
