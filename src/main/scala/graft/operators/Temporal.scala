@@ -444,6 +444,57 @@ object Temporal {
         SELECT journey, count(*) AS n_users
         FROM journeys GROUP BY journey
         ORDER BY n_users DESC, journey LIMIT 20"""),
-      "user-journey path analysis: per-user opening sequence -> shared-path ranking")
+      "user-journey path analysis: per-user opening sequence -> shared-path ranking"),
+
+    QueryDef(
+      "q135_anomaly_detection",
+      (s, d) => {
+        // Time-series monitoring: flag hourly event-count anomalies per
+        // event type against the trailing 24-bucket window — the
+        // 3-sigma rule rearranged to be SQRT-FREE and integer-exact:
+        //   |x - mu| > 3*sigma  <=>  (24x - S)^2 > 9*(24*SS - S^2)
+        // with S/SS the trailing sum / sum-of-squares (both BIGINT), so
+        // the verdict is bit-deterministic in any engine. The window
+        // partitions by event type over HOURLY BUCKETS — state is one
+        // row per bucket (years of hourly data stay thousands of rows
+        // per type), never per event: raw volume is absorbed by the
+        // time-bucket partial aggregation before any window runs.
+        val buckets = events(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("bucket"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+          .rowsBetween(-24, -1)
+        buckets
+          .withColumn("nw", count(col("x")).over(w))
+          .withColumn("sw", sum(col("x")).over(w))
+          .withColumn("ssw", sum(col("x") * col("x")).over(w))
+          .filter(col("nw") === 24)
+          .select(col("event_type"), col("bucket"), col("x"),
+            col("sw").as("trailing_sum"),
+            ((lit(24L) * col("x") - col("sw")) *
+              (lit(24L) * col("x") - col("sw")) >
+              lit(9L) * (lit(24L) * col("ssw") - col("sw") * col("sw")))
+              .as("is_anomaly"))
+          .filter(col("is_anomaly"))
+      },
+      Some(s"""
+        WITH buckets AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS x
+          FROM $EV GROUP BY 1, 2),
+        win AS (
+          SELECT event_type, bucket, x,
+                 count(x) OVER w AS nw,
+                 cast(sum(x) OVER w AS bigint) AS sw,
+                 cast(sum(x * x) OVER w AS bigint) AS ssw
+          FROM buckets
+          WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        SELECT event_type, bucket, x, sw AS trailing_sum,
+               true AS is_anomaly
+        FROM win
+        WHERE nw = 24
+          AND (24 * x - sw) * (24 * x - sw) > 9 * (24 * ssw - sw * sw)"""),
+      "trailing-window anomaly flags: sqrt-free integer 3-sigma test over hourly buckets, windows sized in buckets not events")
   )
 }

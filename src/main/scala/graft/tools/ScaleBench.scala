@@ -75,7 +75,8 @@ object ScaleBench {
     "q131_cascade_delete",     // semi-join key flow down the FK chain
     "q132_user_journeys",      // per-user sequence window + path ranking
     "q133_pagerank_weighted",  // weighted mass split, one join per round
-    "q134_join_cardinality")   // two KMV key sketches + one reference join
+    "q134_join_cardinality",   // two KMV key sketches + one reference join
+    "q135_anomaly_detection")  // bucket partial-agg + trailing-24 window
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")

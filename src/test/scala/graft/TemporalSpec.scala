@@ -65,4 +65,26 @@ class TemporalSpec extends SparkSpec {
     assert(got == Set(("view>click>purchase", 1L), ("view>click", 1L),
       ("signup", 1L)))
   }
+
+  test("q135 flags exactly the planted spike, after a full trailing window") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("anomaly").toString
+    def ts(hour: Int, i: Int) =
+      new java.sql.Timestamp(hour * 3600000L + i * 1000L)
+    // hours 0..23: 4 events each (dead-flat baseline); hour 24: 50-event
+    // spike. Hours 0..23 have no complete trailing window -> only hour 24
+    // is eligible, and it must flag (sigma = 0, any deviation trips)
+    val rows = (for (h <- 0 until 24; i <- 0 until 4) yield (h, i)) ++
+      (for (i <- 0 until 50) yield (24, i))
+    rows.zipWithIndex.map { case ((h, i), id) =>
+      (id.toLong, ts(h, i), 1L, "view", 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q135_anomaly_detection")(spark, dir)
+      .collect()
+    assert(got.length == 1, got.mkString(";"))
+    val r = got.head
+    assert(r.getString(0) == "view")
+    assert(r.getLong(2) == 50L && r.getLong(3) == 96L)
+  }
 }
