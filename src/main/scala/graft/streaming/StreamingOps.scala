@@ -407,6 +407,61 @@ object StreamingOps {
       .select(col("doc_id"), col("n_hits"))
   }
 
+  private[streaming] final case class BucketCount(b: Long, x: Long)
+  private[streaming] final case class AnomState(
+      ring: Seq[BucketCount], pending: Seq[BucketCount])
+  final case class AnomalyOut(event_type: String,
+      bucket: java.sql.Timestamp, x: Long, trailing_sum: Long)
+
+  /** Streaming twin of q135's trailing-window anomaly flags: ONE stateful
+    * operator keyed by event type whose state is (a) the open hourly
+    * buckets still accumulating and (b) the ring of the last 24 CLOSED
+    * bucket counts — 25-ish rows per event type at any corpus rate,
+    * because raw event volume folds into the pending counts before any
+    * per-bucket logic runs. A bucket closes when a later bucket's first
+    * event arrives (the replay-ordered analog of watermark expiry; a
+    * production deployment closes on event-time timeout instead) and is
+    * then judged against the ring with the same sqrt-free integer
+    * 3-sigma test as the batch query, so emitted flags are bit-identical
+    * to q135's (spec replays a corpus plus a per-type sentinel to flush
+    * the final real bucket and asserts set equality). Assumes buckets
+    * ARRIVE in order across batches — the same in-order contract the
+    * watermarked aggregations already impose on late data. */
+  def anomalyStream(events: Dataset[Event]): Dataset[AnomalyOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomState, AnomalyOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (et: String, rows: Iterator[Event], state: GroupState[AnomState]) =>
+          val st = state.getOption.getOrElse(AnomState(Nil, Nil))
+          val pend = scala.collection.mutable.Map(
+            st.pending.map(p => p.b -> p.x).toSeq: _*)
+          rows.foreach { e =>
+            val b = e.ts.getTime / 3600000L * 3600000L
+            pend(b) = pend.getOrElse(b, 0L) + 1L
+          }
+          val maxB = pend.keys.max
+          var ring = st.ring
+          val out = scala.collection.mutable.ArrayBuffer[AnomalyOut]()
+          for (b <- pend.keys.filter(_ < maxB).toSeq.sorted) {
+            val x = pend.remove(b).get
+            if (ring.size >= 24) {
+              val w = ring.takeRight(24)
+              val s = w.map(_.x).sum
+              val ss = w.map(v => v.x * v.x).sum
+              val dev = 24L * x - s
+              if (dev * dev > 9L * (24L * ss - s * s))
+                out += AnomalyOut(et, new java.sql.Timestamp(b), x, s)
+            }
+            ring = (ring :+ BucketCount(b, x)).takeRight(24)
+          }
+          state.update(AnomState(ring,
+            pend.toSeq.sorted.map { case (b, x) => BucketCount(b, x) }))
+          out.iterator
+      }
+  }
+
   /** Stateless streaming twin of q121's hashed-linear quality classifier:
     * the same frozen model ([[graft.functions.TextAnalysis.classifierWeight]])
     * scored ROWWISE — the per-doc bag-of-buckets sum folds over the

@@ -317,6 +317,36 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${stream.toSet -- batch.toSet}; batch-only: ${batch.toSet -- stream.toSet}")
   }
 
+  test("streaming anomaly flags match batch q135 on the replayed corpus") {
+    val evs = Tables.events(spark, SF)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    // one far-future sentinel per type closes the final real bucket; its
+    // own bucket stays open and never emits
+    val sentinels = evs.map(_.event_type).distinct.zipWithIndex.map {
+      case (et, i) => Event(900000L + i, new Timestamp(4102444800000L),
+        0L, et, 0.0, "{}")
+    }
+    val in = MemoryStream[Event]
+    val q = StreamingOps.anomalyStream(in.toDS())
+      .writeStream.format("memory").queryName("anomstream")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = evs.splitAt(evs.length / 2)
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(sentinels.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("anomstream")
+      .as[(String, Timestamp, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("q135_anomaly_detection")(spark, SF)
+      .select(col("event_type"), col("bucket"), col("x"), col("trailing_sum"))
+      .as[(String, Timestamp, Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "replayed corpus produced no batch anomalies")
+    assert(stream == batch,
+      s"stream-only: ${stream -- batch}; batch-only: ${batch -- stream}")
+  }
+
   test("streaming classifier scores match batch q121 exactly") {
     import graft.streaming.StreamingOps.DocIn
     val docs = spark.read.parquet(s"$SF/documents.parquet")
