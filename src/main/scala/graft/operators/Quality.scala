@@ -248,6 +248,56 @@ object Quality {
                threshold, metric <= threshold AS passed
         FROM checks
         ORDER BY "check", target"""),
-      "data-quality constraint report: pk/fk/null/range/domain checks, one partial-agg scan each")
+      "data-quality constraint report: pk/fk/null/range/domain checks, one partial-agg scan each"),
+
+    QueryDef(
+      "q136_trend_regression",
+      (s, d) => {
+        // Group-wise OLS trend estimation in EXACT integers: per event
+        // type, the least-squares slope of spend (cents) over time
+        // (hour index), as the exact rational
+        //   slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+        // emitted as BIGINT numerator/denominator — the regression
+        // itself runs under the hash gate, no float accumulation
+        // anywhere. Hours are CENTERED on the corpus minimum (one
+        // broadcast single-row agg) so the moment products stay in
+        // 64-bit range at any calendar epoch; centering shifts the
+        // intercept, never the slope. One partial-agg pass computes all
+        // five moments per group.
+        val ev = events(s, d)
+          .select(col("event_type"),
+            expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("h"),
+            Money.cents(col("value")).as("y"))
+        val minh = ev.agg(min(col("h")).as("h0"))
+        ev.crossJoin(broadcast(minh))
+          .select(col("event_type"), (col("h") - col("h0")).as("x"), col("y"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("event_type"), col("n"), col("sy").as("total_cents"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT event_type,
+                 epoch(date_trunc('hour', cast(ts AS timestamp))) // 3600 AS h,
+                 ${Money.sqlCents("\"value\"")} AS y
+          FROM events),
+        c AS (SELECT min(h) AS h0 FROM ev),
+        m AS (
+          SELECT event_type, count(*) AS n,
+                 cast(sum(h - h0) AS bigint) AS sx,
+                 cast(sum(y) AS bigint) AS sy,
+                 cast(sum((h - h0) * y) AS bigint) AS sxy,
+                 cast(sum((h - h0) * (h - h0)) AS bigint) AS sxx
+          FROM ev CROSS JOIN c GROUP BY event_type)
+        SELECT event_type, n, sy AS total_cents,
+               n * sxy - sx * sy AS slope_num,
+               n * sxx - sx * sx AS slope_den
+        FROM m"""),
+      "group-wise OLS trend slope as an exact BIGINT rational (centered hours; one moment pass)")
   )
 }

@@ -76,7 +76,8 @@ object ScaleBench {
     "q132_user_journeys",      // per-user sequence window + path ranking
     "q133_pagerank_weighted",  // weighted mass split, one join per round
     "q134_join_cardinality",   // two KMV key sketches + one reference join
-    "q135_anomaly_detection")  // bucket partial-agg + trailing-24 window
+    "q135_anomaly_detection",  // bucket partial-agg + trailing-24 window
+    "q136_trend_regression")   // one moment pass, exact rational slope
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")

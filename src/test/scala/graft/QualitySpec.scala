@@ -91,4 +91,22 @@ class QualitySpec extends SparkSpec {
     assert(shifted.values.sum > 500000L, s"expected total PSI > 0.5, got $shifted")
     assert(shifted(9L) > 0L && shifted(0L) > 0L)
   }
+
+  test("q136 recovers a planted linear trend as an exact rational") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("trend").toString
+    // one event per hour h=0..9 with value 3h + 7 cents (0.03h + 0.07):
+    // the OLS slope is exactly 3 cents/hour -> slope_num == 3 * slope_den
+    val rows = (0 until 10).map { h =>
+      (h.toLong, new java.sql.Timestamp(h * 3600000L), 1L, "view",
+        (3 * h + 7) / 100.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q136_trend_regression")(spark, dir)
+      .collect().head
+    assert(r.getString(0) == "view" && r.getLong(1) == 10L)
+    val (num, den) = (r.getLong(3), r.getLong(4))
+    assert(den > 0 && num == 3 * den, s"slope $num/$den != 3")
+  }
 }
