@@ -45,7 +45,9 @@ class InvarianceSpec extends SparkSpec {
     // boundary ties, and journey tie-breaks are all layout-independent
     // by design
     "q127_kcore", "q128_oov_rate", "q129_stratified_sample",
-    "q130_merge_upsert", "q132_user_journeys")
+    "q130_merge_upsert", "q132_user_journeys",
+    "q133_pagerank_weighted", "q134_join_cardinality",
+    "q135_anomaly_detection", "q136_trend_regression")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
