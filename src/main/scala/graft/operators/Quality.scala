@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Money, QueryDef, Tables}
@@ -298,6 +299,64 @@ object Quality {
                n * sxy - sx * sy AS slope_num,
                n * sxx - sx * sx AS slope_den
         FROM m"""),
-      "group-wise OLS trend slope as an exact BIGINT rational (centered hours; one moment pass)")
+      "group-wise OLS trend slope as an exact BIGINT rational (centered hours; one moment pass)"),
+
+    QueryDef(
+      "q137_winsorized_stats",
+      (s, d) => {
+        // Robust per-group statistics: the exact P10/P90 winsorized sum
+        // of document lengths per language. The scale trick is the
+        // VALUE-HISTOGRAM: rows fold into (lang, value) counts by ONE
+        // partial aggregation, so the per-lang window that locates the
+        // exact rank-ceil(q*n) cut values runs over DISTINCT VALUES
+        // (bounded by the value domain), never over rows — a mega-group
+        // costs its value spread, not its row count. Clipping then
+        // re-aggregates the histogram against the broadcast per-lang
+        // cuts. All integers end to end; rank cuts use the
+        // ceil(q*n)-th-smallest convention.
+        val hist = documents(s, d)
+          .groupBy(col("lang"), col("n_chars").as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist
+          .withColumn("cum", sum(col("cnt")).over(w))
+          .withColumn("n", sum(col("cnt")).over(
+            Window.partitionBy(col("lang"))))
+        val cuts = cum
+          .groupBy(col("lang"), col("n"))
+          .agg(
+            min(when(col("cum") * 10 >= col("n"), col("v"))).as("lo_cut"),
+            min(when(col("cum") * 10 >= col("n") * 9, col("v"))).as("hi_cut"))
+        hist.join(broadcast(cuts), Seq("lang"))
+          .groupBy(col("lang"))
+          .agg(max(col("n")).as("n"),
+            max(col("lo_cut")).as("lo_cut"),
+            max(col("hi_cut")).as("hi_cut"),
+            sum(greatest(col("lo_cut"), least(col("hi_cut"), col("v")))
+              * col("cnt")).as("winsorized_sum"))
+      },
+      Some("""
+        WITH hist AS (
+          SELECT lang, n_chars AS v, count(*) AS cnt
+          FROM documents GROUP BY 1, 2),
+        cum AS (
+          SELECT lang, v, cnt,
+                 sum(cnt) OVER (PARTITION BY lang ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 sum(cnt) OVER (PARTITION BY lang) AS n
+          FROM hist),
+        cuts AS (
+          SELECT lang, n,
+                 min(CASE WHEN cum * 10 >= n THEN v END) AS lo_cut,
+                 min(CASE WHEN cum * 10 >= n * 9 THEN v END) AS hi_cut
+          FROM cum GROUP BY lang, n)
+        SELECT h.lang, cast(max(c.n) AS bigint) AS n,
+               max(c.lo_cut) AS lo_cut, max(c.hi_cut) AS hi_cut,
+               cast(sum(greatest(c.lo_cut, least(c.hi_cut, h.v)) * h.cnt)
+                    AS bigint) AS winsorized_sum
+        FROM hist h JOIN cuts c ON c.lang = h.lang
+        GROUP BY h.lang"""),
+      "exact winsorized group statistics via the value-histogram (windows over distinct values, never rows)")
   )
 }

@@ -77,7 +77,8 @@ object ScaleBench {
     "q133_pagerank_weighted",  // weighted mass split, one join per round
     "q134_join_cardinality",   // two KMV key sketches + one reference join
     "q135_anomaly_detection",  // bucket partial-agg + trailing-24 window
-    "q136_trend_regression")   // one moment pass, exact rational slope
+    "q136_trend_regression",   // one moment pass, exact rational slope
+    "q137_winsorized_stats")   // value-histogram rank cuts + clip re-agg
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")

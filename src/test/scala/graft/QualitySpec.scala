@@ -109,4 +109,21 @@ class QualitySpec extends SparkSpec {
     val (num, den) = (r.getLong(3), r.getLong(4))
     assert(den > 0 && num == 3 * den, s"slope $num/$den != 3")
   }
+
+  test("q137 winsorizes at the exact ceil-rank cut values") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("winsor").toString
+    // 10 docs, lengths 1..9 plus an outlier 1000. ceil(0.1*10)=rank 1 ->
+    // lo=1; ceil(0.9*10)=rank 9 -> hi=9; the 1000 clips to 9:
+    // winsorized sum = 1+..+9 + 9 = 54
+    val rows = ((1 to 9).map(_.toLong) :+ 1000L).zipWithIndex.map {
+      case (len, i) => (i.toLong, "t", "en", "s", len)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q137_winsorized_stats")(spark, dir)
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((10L, 1L, 9L, 54L)))
+  }
 }
