@@ -1044,8 +1044,37 @@ object Dedup {
     QueryDef(
       "q64_neardup_lsh",
       (s, d) => embeddingPairsLsh(s, d),
-      None, // approximate candidate generation; recall vs the exact brute
-            // baseline pinned in DedupSpec
+      // FULL oracle (sha2-derived hyperplanes — the q36 template applied
+      // to the embedding family): DuckDB rebuilds the identical planes,
+      // sign codes, radius-capped probe ring, candidate pairs and rounded
+      // cosines. Recall vs the exact brute baseline stays pinned in
+      // DedupSpec — the oracle proves the engine, the spec the operating
+      // point. par.r mirrors min(3, ringBoundedRadius(p, 3, 192)) with
+      // the ring sizes written as closed-form binomials.
+      Some(s"""
+        WITH ${Similarity.SQL_E},
+        par AS (
+          SELECT p, CASE
+                 WHEN 1 + p + p*(p-1)//2 + p*(p-1)*(p-2)//6 <= 192 THEN 3
+                 WHEN 1 + p + p*(p-1)//2 <= 192 THEN 2
+                 ELSE 1 END AS r
+          FROM (SELECT ${Similarity.sqlPlanesFor("(SELECT count(*) FROM e)", 32L)} AS p) pq),
+        ${Similarity.sqlLshCtes(nTables = 2)},
+        probes AS (
+          SELECT c.vec_id AS ia, c.t, xor(c.code, m.m) AS code
+          FROM codes c, masks m),
+        cand AS (
+          SELECT DISTINCT pr.ia, c2.vec_id AS ib
+          FROM probes pr JOIN codes c2 ON pr.t = c2.t AND pr.code = c2.code
+          WHERE pr.ia < c2.vec_id),
+        pairs AS (
+          SELECT cand.ia, cand.ib,
+                 round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+          FROM cand
+          JOIN e a ON cand.ia = a.vec_id
+          JOIN e b ON cand.ib = b.vec_id)
+        SELECT ia, ib, cos FROM pairs WHERE cos >= 0.4
+        ORDER BY ia, ib"""),
       "embedding near-dup via hyperplane LSH + multi-probe equi join (default scale path)"),
 
     QueryDef(
@@ -1163,8 +1192,11 @@ object Dedup {
     * work — the first P clearing 0.95 at every tested scale factor;
     * sf0.001/0.01 at their P=6 both measure 1.0). */
   def semdedupProbes(c: Int): Int =
+    // integer-exact ceil(log2 c) (smallest p with 2^p >= c) for the same
+    // oracle-parity reason as [[Similarity.nprobeFor]]: the q79 oracle
+    // re-derives the probe count in SQL from the dumped codebook size
     math.min(c, math.max(4,
-      math.ceil(math.log(c.toDouble) / math.log(2.0)).toInt + 1))
+      (0 to 31).find(p => (1L << p) >= c).getOrElse(31) + 1))
 
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", 2023): k-means cluster the

@@ -63,10 +63,16 @@ object Similarity {
     * space. */
   val MAX_PLANES = 24
 
-  /** log2(N/B) planes, clamped to [MIN_PLANES, MAX_PLANES]: the code space
-    * tracks the corpus so bucket occupancy stays ~B as N grows. */
+  /** ceil(log2(N/B)) planes, clamped to [MIN_PLANES, MAX_PLANES]: the code
+    * space tracks the corpus so bucket occupancy stays ~B as N grows.
+    * Computed by INTEGER comparison (smallest p with B*2^p >= N), not a
+    * float log ratio: the fp quotient can land a ulp either side of an
+    * integer exactly when N/B is a power of two, and the q64/q40 oracles
+    * must derive the identical p in DuckDB SQL at any corpus size. */
   def planesForCorpus(n: Long, targetBucket: Long = TARGET_BUCKET): Int = {
-    val raw = math.ceil(math.log(math.max(n, 1).toDouble / targetBucket) / math.log(2.0)).toInt
+    val target = math.max(n, 1)
+    val raw = (0 to MAX_PLANES)
+      .find(p => (targetBucket << p) >= target).getOrElse(MAX_PLANES)
     math.max(MIN_PLANES, math.min(MAX_PLANES, raw))
   }
 
@@ -80,11 +86,15 @@ object Similarity {
   def centroidsForCorpus(n: Long): Int =
     math.max(4, math.min(65536, math.ceil(math.sqrt(n.toDouble)).toInt))
 
-  /** log2(C) probed lists, floored at 4: per-query candidate volume is
-    * ~nprobe * N/C = log2(sqrt N) * sqrt(N) — near-sqrt, NOT a constant
-    * fraction of the corpus (a c/4 rule would make it N/4: linear). */
+  /** ceil(log2(C)) probed lists, floored at 4: per-query candidate volume
+    * is ~nprobe * N/C = log2(sqrt N) * sqrt(N) — near-sqrt, NOT a constant
+    * fraction of the corpus (a c/4 rule would make it N/4: linear).
+    * Integer-exact (smallest p with 2^p >= C) for the same oracle-parity
+    * reason as [[planesForCorpus]]: the q67/q86 oracles re-derive nprobe
+    * in SQL from the dumped codebook's row count. */
   def nprobeFor(c: Int): Int =
-    math.min(c, math.max(4, math.ceil(math.log(c.toDouble) / math.log(2.0)).toInt))
+    math.min(c, math.max(4,
+      (0 to 31).find(p => (1L << p) >= c).getOrElse(31)))
 
   /** Probe radius grows with the plane count: a fixed radius covers a
     * vanishing share of bit-flip space as the code widens, so recall would
@@ -93,12 +103,27 @@ object Similarity {
     * plane counts is pinned in SimilaritySpec. */
   def radiusFor(nPlanes: Int): Int = if (nPlanes <= 12) 2 else 3
 
-  /** Deterministic random hyperplanes (seed 42), dim [[DIM]]. Prefix-stable:
-    * the first k planes are identical for every requested count, so growing
-    * the code space only appends sign bits. */
-  def hyperplanes(nPlanes: Int): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(nPlanes)(Seq.fill(DIM)(rnd.nextGaussian()))
+  /** Deterministic hyperplanes from an ENGINE-REPRODUCIBLE hash family
+    * (the q36 sha2 trick applied to the embedding family): coordinate j of
+    * global plane g is the first 8 hex chars of sha256("hp:g:j") read as a
+    * 32-bit unsigned integer, centered by 2^31 — a symmetric uniform
+    * integer draw, exact as a double in BOTH engines, so the q64/q40
+    * DuckDB oracles rebuild the identical planes, sign codes, probe rings
+    * and candidates string-for-string. Uniform replaces the former
+    * Random(42) gaussians: sign-projection LSH only needs a symmetric
+    * coordinate law (across DIM=64 dims the projection w.v is
+    * CLT-gaussian either way; recall floors re-measured in
+    * SimilaritySpec/DedupSpec). Prefix-stable: plane g depends only on
+    * (g, j), so growing the code space only appends sign bits. */
+  def hyperplanes(nPlanes: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map(g => (0 until DIM).map(j => planeCoord(g, j)))
+
+  /** The (g, j) draw: uniform integer in [-2^31, 2^31). */
+  private def planeCoord(g: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(s"hp:$g:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    (java.lang.Long.parseLong(hex, 16) - 2147483648L).toDouble
   }
 
   /** Sign code of a vector against `nPlanes` hyperplanes. `table` selects
@@ -492,6 +517,65 @@ object Similarity {
       }): _*)
   }
 
+  // ---- DuckDB oracle fragments for the hyperplane code family ----
+  // (the q36 sha2 template: both engines rebuild the identical planes,
+  // codes, probe rings and candidates, so q64/q40 carry FULL oracles)
+
+  /** SQL parsing the first 8 hex chars of sha256(`s`) as a BIGINT — the
+    * DuckDB twin of [[planeCoord]]'s draw. */
+  private[functions] def sqlHex8Of(s: String): String = {
+    val h = s"substr(sha256($s), 1, 8)"
+    (0 until 8).map(k =>
+      s"(strpos('0123456789abcdef', substr($h, ${k + 1}, 1)) - 1)::BIGINT * ${1L << (4 * (7 - k))}")
+      .mkString("(", " + ", ")")
+  }
+
+  /** Integer-exact plane count in SQL — [[planesForCorpus]] verbatim:
+    * smallest p with B*2^p >= N, clamped to [MIN_PLANES, MAX_PLANES].
+    * `nExpr` is a scalar-subquery text for the corpus size. */
+  private[functions] def sqlPlanesFor(nExpr: String, targetBucket: Long): String =
+    s"""greatest($MIN_PLANES, least($MAX_PLANES, coalesce(
+          (SELECT min(z.pp) FROM range(${MAX_PLANES + 1}) z(pp)
+           WHERE ($targetBucket::BIGINT << z.pp) >= greatest($nExpr, 1)),
+          $MAX_PLANES)))"""
+
+  /** Shared oracle CTEs: given prior CTEs `e(vec_id, v, nrm)` and
+    * `par(p, r)`, builds `codes(vec_id, t, code)` over `nTables` tables
+    * plus the radius-r probe ring `masks(m)`. The ring is enumerated
+    * combinatorially (0-, 1-, 2-, 3-bit subsets of the low p bits) —
+    * DuckDB's range() cannot take a lateral bound — matching
+    * [[probeMasks]] exactly for r <= 3. */
+  private[functions] def sqlLshCtes(nTables: Int): String = s"""
+        planes AS (
+          SELECT t.t, pl.pl, j.j,
+                 (${sqlHex8Of(s"'hp:' || (t.t * par.p + pl.pl) || ':' || j.j")}
+                  - 2147483648)::DOUBLE AS c
+          FROM par, range($nTables) t(t), range($MAX_PLANES) pl(pl), range($DIM) j(j)
+          WHERE pl.pl < par.p),
+        pvec AS (SELECT t, pl, list(c ORDER BY j) AS pv FROM planes GROUP BY t, pl),
+        codes AS (
+          SELECT e.vec_id, pv.t,
+                 sum(CASE WHEN list_dot_product(e.v, pv.pv) > 0
+                          THEN (1::BIGINT << pl) ELSE 0 END)::BIGINT AS code
+          FROM e, pvec pv GROUP BY 1, 2),
+        masks AS (
+          SELECT 0::BIGINT AS m FROM par
+          UNION ALL SELECT (1::BIGINT << i.i)
+            FROM par, range($MAX_PLANES) i(i)
+            WHERE i.i < par.p AND par.r >= 1
+          UNION ALL SELECT (1::BIGINT << i.i) | (1::BIGINT << j.j)
+            FROM par, range($MAX_PLANES) i(i), range($MAX_PLANES) j(j)
+            WHERE i.i < j.j AND j.j < par.p AND par.r >= 2
+          UNION ALL SELECT (1::BIGINT << i.i) | (1::BIGINT << j.j) | (1::BIGINT << k.k)
+            FROM par, range($MAX_PLANES) i(i), range($MAX_PLANES) j(j), range($MAX_PLANES) k(k)
+            WHERE i.i < j.j AND j.j < k.k AND k.k < par.p AND par.r >= 3)"""
+
+  /** The `e(vec_id, v, nrm)` oracle CTE — [[prepared]] in SQL. */
+  private[functions] val SQL_E = """e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM embeddings)"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q82_random_projection",
@@ -539,7 +623,37 @@ object Similarity {
         val p = planesForCorpus(e.count())
         lshTopK(e, p, radiusFor(p), N_QUERIES, K, N_TABLES)
       },
-      None, // approximate by construction; recall vs q39 asserted in SimilaritySpec
+      // FULL oracle (sha2-derived hyperplanes are engine-reproducible):
+      // DuckDB rebuilds the identical planes, sign codes, probe rings,
+      // candidate sets and rounded cosines, so the approximate answer
+      // matches string-for-string. Recall vs q39 stays asserted in
+      // SimilaritySpec — the oracle proves the ENGINE, the spec the
+      // operating point.
+      Some(s"""
+        WITH $SQL_E,
+        par AS (
+          SELECT p, CASE WHEN p <= 12 THEN 2 ELSE 3 END AS r
+          FROM (SELECT ${sqlPlanesFor("(SELECT count(*) FROM e)", TARGET_BUCKET)} AS p) pq),
+        ${sqlLshCtes(N_TABLES)},
+        qprobes AS (
+          SELECT c.vec_id AS qid, c.t, xor(c.code, m.m) AS code
+          FROM codes c, masks m WHERE c.vec_id < $N_QUERIES),
+        cand AS (
+          SELECT DISTINCT qp.qid, c2.vec_id
+          FROM qprobes qp JOIN codes c2 ON qp.t = c2.t AND qp.code = c2.code),
+        scored AS (
+          SELECT cand.qid, cand.vec_id AS ib,
+                 round(list_dot_product(b.v, q.v) / (b.nrm * q.nrm), 6) AS cos
+          FROM cand
+          JOIN e b ON cand.vec_id = b.vec_id
+          JOIN e q ON cand.qid = q.vec_id
+          WHERE cand.vec_id <> cand.qid),
+        ranked AS (
+          SELECT qid, ib, cos,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, ib) AS rk
+          FROM scored)
+        SELECT qid, rk, ib, cos FROM ranked WHERE rk <= $K
+        ORDER BY qid, rk"""),
       "LSH-bucketed ANN: corpus-sized hyperplane code -> equi join on sign code"),
 
     QueryDef(
