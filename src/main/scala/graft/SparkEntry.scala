@@ -42,4 +42,13 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(sql => q.name -> sql.stripMargin.trim)).toMap
+
+  /** Oracle-support tables: deterministically-trained artifacts (Lloyd
+    * codebooks) that are out of single-statement SQL reach. Verify dumps
+    * each beside the query results and substitutes the
+    * [[functions.Similarity.AUXDIR]] placeholder in oracle SQL with the
+    * dump dir, so the q67/q86/q79 oracles replay assignment + scoring
+    * against the exact codebooks the engine trained. */
+  def auxTables: Map[String, (SparkSession, String) => DataFrame] =
+    functions.Similarity.auxDefs ++ functions.Dedup.auxDefs
 }

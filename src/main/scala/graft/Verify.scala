@@ -28,6 +28,16 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally spark.catalog.clearCache() // no cross-query cache residue
     }
+    // oracle-support tables (trained codebooks): always dumped — cheap
+    // (bounded by codebook size, never the corpus) and the codebook
+    // oracles need them even in a filtered local run
+    SparkEntry.auxTables.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] aux $name failed: ${e.getMessage}")
+      } finally spark.catalog.clearCache()
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -40,8 +50,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // absolute dump dir into the codebook oracles: the driver may run
+    // DuckDB from any cwd, so the read_parquet paths must not be relative
+    val auxDir = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(functions.Similarity.AUXDIR, auxDir))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -1162,8 +1162,36 @@ object Dedup {
     QueryDef(
       "q79_semdedup",
       (s, d) => semdedup(Similarity.prepared(s, d), SEMDEDUP_CLUSTER, 0.4),
-      None, // k-means assignment isn't oracle-expressible; DedupSpec pins
-            // removal recall vs the exact all-pairs baseline instead
+      // FULL oracle against the Verify-dumped codebook
+      // (aux_semdedup_centroids — same deterministic trainer the query
+      // runs): DuckDB replays the top-P probe ranking (P re-derived from
+      // the codebook size, semdedupProbes' +1 rule), shared-cell
+      // candidate pairs, the UNROUNDED cosine verify, the per-home-cell
+      // removal list and the cluster rollup. Removal recall vs the exact
+      // all-pairs baseline stays pinned in DedupSpec.
+      Some(s"""
+        WITH ${Similarity.SQL_E},
+        cents AS (SELECT cid, cent FROM ${Similarity.sqlAux("aux_semdedup_centroids")}),
+        ${Similarity.sqlNprobeCte("cents", plusOne = true)},
+        ${Similarity.SQL_COARSE},
+        probes AS (
+          SELECT c.vec_id, c.cid FROM crank c, np WHERE c.rn <= np.np),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib
+          FROM probes x JOIN probes y ON x.cid = y.cid
+          WHERE x.vec_id < y.vec_id),
+        removed AS (
+          SELECT DISTINCT ab.cid, cand.ib AS vec_id
+          FROM cand
+          JOIN e a ON cand.ia = a.vec_id
+          JOIN e b ON cand.ib = b.vec_id
+          JOIN assign ab ON cand.ib = ab.vec_id
+          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4)
+        SELECT a.cid, count(*) AS n_vecs, count(r.vec_id) AS n_removed
+        FROM assign a
+        LEFT JOIN removed r ON a.cid = r.cid AND a.vec_id = r.vec_id
+        GROUP BY a.cid
+        ORDER BY a.cid"""),
       "SemDeDup: k-means cluster the embedding space, remove within-cluster cosine dups")
   )
 
@@ -1231,6 +1259,22 @@ object Dedup {
     idx.unpersist()
     out
   }
+
+  /** Oracle-support dump: the deterministically-trained SemDeDup codebook
+    * (same trainer and sizing as [[semdedupAssignments]]), so the q79
+    * oracle replays probe ranking, candidate generation and the exact
+    * cosine verify against the EXACT centroids the query used. */
+  def auxDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "aux_semdedup_centroids" -> ((s, d) => {
+      import s.implicits._
+      val e = Similarity.prepared(s, d).cache()
+      val n = e.count()
+      val c = math.max(2, math.min(65536,
+        math.ceil(n.toDouble / SEMDEDUP_CLUSTER).toInt))
+      val cents = Similarity.trainCentroids(e, c, Similarity.LLOYD_ROUNDS)
+      e.unpersist()
+      cents.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cid", "cent")
+    }))
 
   /** The (cid-indexed corpus, removal list) pair behind [[semdedup]] —
     * exposed so DedupSpec can measure removal recall against the exact

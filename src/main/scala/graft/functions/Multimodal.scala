@@ -59,16 +59,34 @@ object Multimodal {
     * from a content hash, features = L1-normalized 16-bin byte histogram.
     * Replace this single function to take audio/video live; images already
     * decode for real via [[decodeImage]].
+    *
+    * ENGINE-REPRODUCIBLE by construction (the q36/q64 sha2 trick): the
+    * dimension hash is sha256 over the payload's uppercase hex — the one
+    * byte representation DuckDB can also hash (its sha256 takes VARCHAR,
+    * not BLOB) — and the histogram bin of a byte is just its high nibble,
+    * i.e. the first hex char of its pair. That makes q41's whole output
+    * (dims + float32 histogram arithmetic) rebuildable in SQL.
     * ======================================================================= */
   def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
-    val h = java.util.Arrays.hashCode(payload)
-    val width = 16 + math.abs(h % 1024)
-    val height = 16 + math.abs((h / 1024) % 1024)
+    val hx = {
+      val sb = new java.lang.StringBuilder(payload.length * 2)
+      payload.foreach(b => sb.append(HEX_UPPER.charAt((b >> 4) & 0xF))
+        .append(HEX_UPPER.charAt(b & 0xF)))
+      sb.toString
+    }
+    val dig = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(hx.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val h = ((dig(0) & 0xFFL) << 24) | ((dig(1) & 0xFFL) << 16) |
+      ((dig(2) & 0xFFL) << 8) | (dig(3) & 0xFFL)
+    val width = (16 + (h % 1024)).toInt
+    val height = (16 + ((h / 1024) % 1024)).toInt
     val hist = new Array[Float](FEATURE_DIM)
     payload.foreach(b => hist((b & 0xFF) / FEATURE_DIM) += 1f)
     val total = math.max(payload.length, 1).toFloat
     (width, height, hist.map(_ / total))
   }
+
+  private val HEX_UPPER = "0123456789ABCDEF"
 
   /** LIVE image decoder: JDK-only `javax.imageio` (PNG/JPEG/BMP/GIF readers
     * ship with every JDK). Returns real pixel dimensions and an
@@ -572,8 +590,50 @@ object Multimodal {
               lit(0.0), (acc, x) => acc + x.cast("double")), 6).as("feat_l1"))
           .orderBy(col("asset_id"))
       },
-      None, // decode is a stub; plumbing asserted in MultimodalSpec
-      "binary-column batched decode + feature extraction (stubbed codec)"),
+      // FULL oracle: the stub's dimension hash is sha256 over the
+      // payload's uppercase hex (DuckDB's sha256 takes VARCHAR), a byte's
+      // histogram bin is its high nibble = the first hex char of its
+      // pair, and the float32 histogram arithmetic reproduces exactly
+      // (REAL/REAL division stays float32 in DuckDB; the ascending-bin
+      // double sum matches the engine's fold because absent bins
+      // contribute an exact +0.0). Only the real-codec seam stays outside
+      // the oracle — MultimodalSpec covers it, and q94 puts the live
+      // decoders under their own closed-form oracle.
+      Some {
+        val l1Sum = (1 to FEATURE_DIM).map(i => s"coalesce(lv[$i], 0.0)")
+          .mkString(" + ")
+        s"""
+        WITH docs AS (
+          SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text))::BIGINT AS n_bytes
+          FROM documents),
+        dims AS (
+          SELECT asset_id, ${Similarity.sqlHex8Of("hx")} AS h FROM docs),
+        pairs AS (
+          SELECT asset_id,
+                 unnest(regexp_extract_all(hx, '(.).', 1)) AS hc
+          FROM docs),
+        hist AS (
+          SELECT asset_id, strpos('0123456789ABCDEF', hc) - 1 AS bin,
+                 count(*) AS cnt
+          FROM pairs GROUP BY 1, 2),
+        feats AS (
+          SELECT h.asset_id, h.bin,
+                 ((h.cnt::FLOAT) / (greatest(d.n_bytes, 1)::FLOAT))::DOUBLE AS v
+          FROM hist h JOIN docs d USING (asset_id)),
+        l1 AS (
+          SELECT asset_id, list(v ORDER BY bin) AS lv
+          FROM feats GROUP BY asset_id)
+        SELECT d.asset_id, 'text' AS kind, d.n_bytes,
+               (16 + (m.h % 1024))::INT AS width,
+               (16 + ((m.h // 1024) % 1024))::INT AS height,
+               round($l1Sum, 6) AS feat_l1
+        FROM docs d
+        JOIN dims m USING (asset_id)
+        LEFT JOIN l1 USING (asset_id)
+        ORDER BY d.asset_id"""
+      },
+      "binary-column batched decode + feature extraction (engine-reproducible stubbed codec)"),
 
     QueryDef(
       "q66_multimodal_meta",

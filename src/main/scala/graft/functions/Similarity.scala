@@ -576,6 +576,65 @@ object Similarity {
                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
           FROM embeddings)"""
 
+  /** Placeholder oracles use to reference Verify-dumped support tables;
+    * [[graft.Verify]] substitutes the absolute dump dir, so the oracle
+    * reads the EXACT codebook the engine trained (Lloyd is deterministic
+    * but iterative — out of single-statement SQL reach — so the trained
+    * artifact is dumped and the oracle replays assignment + scoring). */
+  val AUXDIR = "__AUXDIR__"
+
+  /** `read_parquet` over a Verify-dumped aux table. */
+  private[functions] def sqlAux(name: String): String =
+    s"read_parquet('$AUXDIR/$name/*.parquet')"
+
+  /** Integer-exact [[nprobeFor]] in SQL from the dumped codebook's row
+    * count: `np(np)` scalar CTE body. `plusOne` covers
+    * [[Dedup.semdedupProbes]]'s `+1` variant. */
+  private[functions] def sqlNprobeCte(centsTable: String, plusOne: Boolean): String = {
+    val inc = if (plusOne) " + 1" else ""
+    s"""np AS (
+          SELECT least(t.c, greatest(4, coalesce(
+            (SELECT min(z.pp) FROM range(32) z(pp)
+             WHERE (1::BIGINT << z.pp) >= t.c), 31)$inc))::INT AS np
+          FROM (SELECT count(*)::BIGINT AS c FROM $centsTable) t)"""
+  }
+
+  /** Coarse-assignment oracle CTEs shared by q67/q86/q79: per-(vector,
+    * centroid) dot scores, the (s DESC, cid DESC) probe ranking that
+    * mirrors [[expressions.VectorExpressions.centroidTopK]]'s tiebreak,
+    * and the home-cell assignment. Expects `e` and `cents(cid, cent)`. */
+  private[functions] val SQL_COARSE = """cscore AS (
+          SELECT e.vec_id, c.cid, list_dot_product(e.v, c.cent) AS s
+          FROM e, cents c),
+        crank AS (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+          FROM cscore),
+        assign AS (SELECT vec_id, cid FROM crank WHERE rn = 1)"""
+
+  /** Oracle-support dumps for the codebook queries: the trained coarse
+    * centroids (q67/q86) and PQ sub-books (q86). Training is
+    * deterministic (hash-sampled, id-ordered init, 1e-6-rounded means —
+    * SimilaritySpec pins it), so the dump equals the codebook the
+    * registered query trains internally. */
+  def auxDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "aux_ivf_centroids" -> ((s, d) => {
+      import s.implicits._
+      val e = prepared(s, d).cache()
+      val cents = trainCentroids(e, centroidsForCorpus(e.count()), LLOYD_ROUNDS)
+      e.unpersist()
+      cents.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cid", "cent")
+    }),
+    "aux_pq_books" -> ((s, d) => {
+      import s.implicits._
+      val e = prepared(s, d).cache()
+      val books = trainSubCentroidsL2All(e, PQ_K, LLOYD_ROUNDS, knownTotal = e.count())
+      e.unpersist()
+      books.zipWithIndex.flatMap { case (book, m) =>
+        book.zipWithIndex.map { case (v, cid) => (m, cid, v) }
+      }.toDF("m", "cid", "cent")
+    }))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q82_random_projection",
@@ -667,7 +726,36 @@ object Similarity {
         val cents = trainCentroids(e, c, LLOYD_ROUNDS)
         ivfTopK(e, cents, nprobeFor(c), N_QUERIES, K)
       },
-      None, // approximate by construction; recall vs q39 asserted in SimilaritySpec
+      // FULL oracle against the Verify-dumped codebook (aux_ivf_centroids
+      // — Lloyd is deterministic, so the dump IS the codebook this query
+      // trains): DuckDB replays home-cell assignment, the top-nprobe
+      // probe ranking (s DESC, cid DESC — centroidTopK's tiebreak), the
+      // inverted-list candidate join and the exact rerank. Recall vs q39
+      // stays asserted in SimilaritySpec.
+      Some(s"""
+        WITH $SQL_E,
+        cents AS (SELECT cid, cent FROM ${sqlAux("aux_ivf_centroids")}),
+        ${sqlNprobeCte("cents", plusOne = false)},
+        $SQL_COARSE,
+        qprobe AS (
+          SELECT c.vec_id AS qid, c.cid
+          FROM crank c, np WHERE c.vec_id < $N_QUERIES AND c.rn <= np.np),
+        cand AS (
+          SELECT qp.qid, a.vec_id
+          FROM qprobe qp JOIN assign a ON qp.cid = a.cid
+          WHERE a.vec_id <> qp.qid),
+        scored AS (
+          SELECT cand.qid, cand.vec_id AS ib,
+                 round(list_dot_product(b.v, q.v) / (b.nrm * q.nrm), 6) AS cos
+          FROM cand
+          JOIN e b ON cand.vec_id = b.vec_id
+          JOIN e q ON cand.qid = q.vec_id),
+        ranked AS (
+          SELECT qid, ib, cos,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, ib) AS rk
+          FROM scored)
+        SELECT qid, rk, ib, cos FROM ranked WHERE rk <= $K
+        ORDER BY qid, rk"""),
       "IVF ANN: sqrt(N)-centroid Lloyd codebook, inverted-list equi join"),
 
     QueryDef(
@@ -693,7 +781,72 @@ object Similarity {
         // dots per query — noise next to the code scan it filters
         ivfPqTopK(e, cents, books, nprobeFor(c), N_QUERIES, K, adcK = 20 * K)
       },
-      None, // approximate by construction; recall vs q39 asserted in SimilaritySpec
+      // FULL oracle against BOTH Verify-dumped codebooks: DuckDB replays
+      // PQ encoding (argmin L2 via the augmented dot — list_dot_product
+      // plus -0.5*||c||^2, bit-identical to nearestL2Cid), the per-query
+      // LUT of exact sub-distances (explicit left-associated 8-term sums
+      // matching the driver's sequential fold), the ADC scan over probed
+      // cells (per-pair distances summed in m order via an ordered list),
+      // the adcK cut and the exact rerank. Recall stays in SimilaritySpec.
+      Some {
+        val subDim = DIM / PQ_M
+        // ((q_j - c_j)^2 summed left-to-right over the m-th subspace
+        val lutSum = (1 to subDim).map { j =>
+          val d = s"(q.v[b.m*$subDim + $j] - b.cent[$j])"
+          s"$d * $d"
+        }.mkString("(", " + ", ")")
+        val adcSum = (1 to PQ_M).map(i => s"dl[$i]").mkString(" + ")
+        s"""
+        WITH $SQL_E,
+        cents AS (SELECT cid, cent FROM ${sqlAux("aux_ivf_centroids")}),
+        books AS (SELECT m, cid, cent FROM ${sqlAux("aux_pq_books")}),
+        ${sqlNprobeCte("cents", plusOne = false)},
+        $SQL_COARSE,
+        bscore AS (
+          SELECT e.vec_id, b.m, b.cid,
+                 list_dot_product(e.v[b.m*$subDim + 1 : b.m*$subDim + $subDim], b.cent)
+                   + (-0.5 * list_dot_product(b.cent, b.cent)) AS s
+          FROM e, books b),
+        codes AS (
+          SELECT vec_id, m, cid AS code FROM (
+            SELECT vec_id, m, cid,
+                   row_number() OVER (PARTITION BY vec_id, m ORDER BY s DESC, cid DESC) AS rn
+            FROM bscore) WHERE rn = 1),
+        qprobe AS (
+          SELECT c.vec_id AS qid, c.cid
+          FROM crank c, np WHERE c.vec_id < $N_QUERIES AND c.rn <= np.np),
+        lut AS (
+          SELECT q.vec_id AS qid, b.m, b.cid, $lutSum AS dist
+          FROM e q, books b WHERE q.vec_id < $N_QUERIES),
+        candc AS (
+          SELECT qp.qid, a.vec_id AS ib
+          FROM qprobe qp JOIN assign a ON qp.cid = a.cid
+          WHERE a.vec_id <> qp.qid),
+        adc AS (
+          SELECT qid, ib, $adcSum AS adist FROM (
+            SELECT c.qid, c.ib, list(l.dist ORDER BY l.m) AS dl
+            FROM candc c
+            JOIN codes k ON c.ib = k.vec_id
+            JOIN lut l ON l.qid = c.qid AND l.m = k.m AND l.cid = k.code
+            GROUP BY c.qid, c.ib)),
+        cand AS (
+          SELECT qid, ib FROM (
+            SELECT qid, ib,
+                   row_number() OVER (PARTITION BY qid ORDER BY adist, ib) AS ark
+            FROM adc) WHERE ark <= ${20 * K}),
+        scored AS (
+          SELECT cand.qid, cand.ib,
+                 round(list_dot_product(b.v, q.v) / (b.nrm * q.nrm), 6) AS cos
+          FROM cand
+          JOIN e b ON cand.ib = b.vec_id
+          JOIN e q ON cand.qid = q.vec_id),
+        ranked AS (
+          SELECT qid, ib, cos,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, ib) AS rk
+          FROM scored)
+        SELECT qid, rk, ib, cos FROM ranked WHERE rk <= $K
+        ORDER BY qid, rk"""
+      },
       "IVF-PQ ANN: coarse cells + 5-bit product-quantized ADC scan + exact rerank")
   )
 }
