@@ -75,7 +75,11 @@ $rounds
   }
 
   private val PAGERANK_ITERS = 5
-  private val PAGERANK_SCALE = 1000000000000L
+  // 1e10 keeps 85 * V * scale inside a long to ~1.08e7 vertices — two
+  // orders past TPC-H sf1's ~1.6e5 customer+supplier graph (1e12 capped
+  // out at ~1.08e5, a silent-overflow trap one sf step away); pageRank
+  // itself now requires the headroom against the actual vertex count
+  private val PAGERANK_SCALE = 10000000000L
   private val PAGERANK_ORACLE_SQL =
     pagerankOracleSql(PAGERANK_ITERS, PAGERANK_SCALE)
 

@@ -509,8 +509,18 @@ object Aggregates {
           .select(col("n_a"), col("n_b"), col("dhat_a"), col("dhat_b"),
             greatest(lit(0L), col("dhat_a") + col("dhat_b") - col("dhat_u"))
               .as("dhat_inter"),
-            expr("""greatest(0, dhat_a + dhat_b - dhat_u) * n_a * n_b
-                    div (dhat_a * dhat_b)""").as("est_join_rows"),
+            // divisions INTERLEAVED with the products: the naive
+            // inter*n_a*n_b // (dhat_a*dhat_b) overflows int64 once
+            // n_a*n_b reaches ~3.6e16 (a few hundred million rows per
+            // side — exactly the regime the estimator targets). Here the
+            // largest intermediate is inter*n_a <= distinct_a+b * n_a
+            // (~2^63 only past ~1e9 distincts x ~4e9 rows), then the
+            // first quotient ~ selectivity_a * n_a <= n_a before n_b
+            // multiplies in. The oracle computes the identical
+            // interleaving, so the floor-division value drift stays in
+            // lockstep.
+            expr("""((greatest(0, dhat_a + dhat_b - dhat_u) * n_a)
+                    div dhat_a) * n_b div dhat_b""").as("est_join_rows"),
             col("true_join_rows"))
       },
       Some("""
@@ -539,8 +549,8 @@ object Aggregates {
                cast(dhat_a AS bigint) AS dhat_a,
                cast(dhat_b AS bigint) AS dhat_b,
                cast(greatest(0, dhat_a + dhat_b - dhat_u) AS bigint) AS dhat_inter,
-               cast(greatest(0, dhat_a + dhat_b - dhat_u) * n_a * n_b
-                    // (dhat_a * dhat_b) AS bigint) AS est_join_rows,
+               cast(((greatest(0, dhat_a + dhat_b - dhat_u) * n_a)
+                    // dhat_a) * n_b // dhat_b AS bigint) AS est_join_rows,
                true_join_rows
         FROM na, nb, da, db, du, tj"""),
       "join-cardinality estimation from KMV key sketches (deterministic optimizer statistics; true count as reference)")

@@ -258,19 +258,31 @@ object IterativeGraph {
     var (ranks, ranksRdd) = pin(e.groupBy(col("src").as("v"))
       .agg(count(lit(1)).as("d"))
       .select(col("v"), col("d"), lit(scale).as("r")))
+    // materializing the initial pin yields V for free, arming the
+    // documented sizing rule BEFORE any round can overflow silently:
+    // every per-vertex sum is bounded by the total mass V*scale, and the
+    // damping update multiplies it by 85
+    val nVerts = ranksRdd.count()
+    require(nVerts <= Long.MaxValue / 85L / scale,
+      s"pageRank: 85 * V * scale must fit a long, got V=$nVerts scale=$scale" +
+        " — lower the scale (1e10 holds to ~1.08e7 vertices)")
     for (_ <- 1 to iters) {
       val contrib = ranks.select(col("v").as("src"), expr("r div d").as("c"))
       val sums = e.join(contrib, "src")
         .groupBy(col("dst").as("v"))
         .agg(sum(col("c")).as("s"))
-      // pin each round: the state is referenced twice per round (contrib
-      // + the update's vertex spine), so an unpinned lazy chain would
-      // re-execute every earlier round 2^k times
+      // pin each round AND materialize it (count) before releasing the
+      // previous round — an unmaterialized persist/localCheckpoint is
+      // inert, leaving one deep final DAG whose protection is only
+      // same-job shuffle reuse. The count keeps DAG depth O(1) per round
+      // and makes a lost block recompute one round, not the whole chain
+      // (same discipline as connectedComponents' per-round stats job).
       val (nr, nrRdd) = pin(ranks.select(col("v"), col("d"))
         .join(sums, Seq("v"), "left")
         .select(col("v"), col("d"),
           (lit(15L * (scale / 100L)) +
             expr("(85 * coalesce(s, cast(0 as bigint))) div 100")).as("r")))
+      nrRdd.count()
       ranksRdd.unpersist(blocking = false)
       ranks = nr
       ranksRdd = nrRdd
@@ -298,16 +310,30 @@ object IterativeGraph {
     var (ranks, ranksRdd) = pin(e.groupBy(col("src").as("v"))
       .agg(sum(col("w")).as("tw"))
       .select(col("v"), col("tw"), lit(scale).as("r")))
+    // arm the documented sizing rule with the ACTUAL graph: ranks are
+    // bounded by the total mass V*scale, so the per-edge product r*w
+    // needs V*scale*maxW and the damping update 85*V*scale to fit
+    val nVerts = ranksRdd.count()
+    val maxW = e.agg(max(col("w"))).head.get(0) match {
+      case w: java.lang.Long => math.max(w.longValue, 85L)
+      case _ => 85L // no edges: only the damping bound applies
+    }
+    require(nVerts <= Long.MaxValue / maxW / scale,
+      s"pageRankWeighted: V * scale * max(85, maxWeight) must fit a long," +
+        s" got V=$nVerts scale=$scale maxW=$maxW — lower the scale")
     for (_ <- 1 to iters) {
       val contrib = ranks.select(col("v").as("src"), col("tw"), col("r"))
       val sums = e.join(contrib, "src")
         .groupBy(col("dst").as("v"))
         .agg(sum(expr("(r * w) div tw")).as("s"))
+      // pin + materialize each round before releasing the previous one —
+      // see pageRank's loop for why the count is what makes the pin real
       val (nr, nrRdd) = pin(ranks.select(col("v"), col("tw"))
         .join(sums, Seq("v"), "left")
         .select(col("v"), col("tw"),
           (lit(15L * (scale / 100L)) +
             expr("(85 * coalesce(s, cast(0 as bigint))) div 100")).as("r")))
+      nrRdd.count()
       ranksRdd.unpersist(blocking = false)
       ranks = nr
       ranksRdd = nrRdd
@@ -359,14 +385,16 @@ object IterativeGraph {
       val best = cnt.groupBy(col("v"))
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("v"), (-col("m.nl")).as("blbl"))
-      // pin each round: the state is referenced twice per round (the
-      // neighbor-count side + the update spine), so an unpinned chain
-      // re-executes every earlier round 2^k times
+      // pin + materialize each round before releasing the previous one
+      // (the state is referenced twice per round — neighbor counts + the
+      // update spine); see pageRank's loop for why the count is what
+      // makes the pin real
       val (nl, nlRdd) = pin(labels.select(col("v"), col("seed"), col("lbl"))
         .join(best, Seq("v"), "left")
         .select(col("v"), col("seed"),
           when(col("seed").isNotNull, col("seed"))
             .otherwise(coalesce(col("blbl"), col("lbl"))).as("lbl")))
+      nlRdd.count()
       labelsRdd.unpersist(blocking = false)
       labels = nl
       labelsRdd = nlRdd
@@ -409,6 +437,8 @@ object IterativeGraph {
         .select(col("dst").as("v"), lit(k.toLong).as("d"))
       val (nd, ndRdd) = pin(dist.unionAll(next)
         .groupBy(col("v")).agg(min(col("d")).as("d")))
+      // materialize before releasing the previous round (see pageRank)
+      ndRdd.count()
       distRdd.unpersist(blocking = false)
       dist = nd
       distRdd = ndRdd
@@ -450,6 +480,8 @@ object IterativeGraph {
         .join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v")))
+      // materialize before releasing the previous round (see pageRank)
+      neRdd.count()
       eRdd.unpersist(blocking = false)
       e = ne
       eRdd = neRdd

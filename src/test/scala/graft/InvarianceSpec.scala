@@ -47,7 +47,10 @@ class InvarianceSpec extends SparkSpec {
     "q127_kcore", "q128_oov_rate", "q129_stratified_sample",
     "q130_merge_upsert", "q132_user_journeys",
     "q133_pagerank_weighted", "q134_join_cardinality",
-    "q135_anomaly_detection", "q136_trend_regression")
+    "q135_anomaly_detection", "q136_trend_regression",
+    // cascade-delete's closure and the winsorized value-histogram both
+    // claim layout-independence (exact integer/set semantics)
+    "q131_cascade_delete", "q137_winsorized_stats")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
