@@ -30,42 +30,6 @@ object Bench {
       .format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    // two timed passes per query, min taken: the best observation is the
-    // least contaminated by co-tenant noise on a shared host, and both
-    // passes run the identical full plan
-    def timeOnce(q: QueryDef): Double = {
-      val t0 = System.nanoTime()
-      q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      // queries that cache intermediates (token relations, LSH codes) must
-      // not leave them resident: later queries would run under their memory
-      // pressure and a second pass would measure a half-warm hybrid
-      spark.catalog.clearCache()
-      sec
-    }
-    val results = SparkEntry.all.map { q =>
-      def attempt(): Option[Double] =
-        try Some(timeOnce(q))
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
-            None
-        }
-      // keep the best successful observation; a transient second-pass
-      // failure must not discard a valid first-pass measurement. When the
-      // two passes disagree by >1.5x, one of them was almost certainly
-      // co-tenant noise (round-6 driver artifacts recorded a 4.4x phantom
-      // regression this way) — spend a third pass on just those queries
-      // and report min-of-three.
-      (attempt(), attempt()) match {
-        case (Some(a), Some(b)) if math.max(a, b) > 1.5 * math.min(a, b) =>
-          q.name -> math.min(math.min(a, b), attempt().getOrElse(Double.MaxValue))
-        case (Some(a), Some(b)) => q.name -> math.min(a, b)
-        case (Some(a), None) => q.name -> a
-        case (None, Some(b)) => q.name -> b
-        case (None, None) => q.name -> -1.0
-      }
-    }
     // The reference's ONE published number is GEDCOM parse->CSV throughput
     // (~145 MB in ~6 s => ~24 MB/s, BASELINE.md; its README records
     // 35-42 MB/s sustained at 0.5-1 GB). Track BOTH operating points in
@@ -108,8 +72,59 @@ object Bench {
           System.err.println(s"[bench] gedcom $label throughput FAILED: ${e.getMessage}")
           None
       }
+    // GEDCOM legs run BEFORE the 133-query suite: two rounds running, the
+    // 1 GB leg measured 11-12 MB/s in the driver artifact vs 100-140 MB/s
+    // in quiet-host profiles of the same code — the suite's accumulated
+    // heap growth/GC debt (clearCache frees blocks, not the grown heap)
+    // was what the leg actually measured. A fresh-session leg reports the
+    // pipeline, not the run order.
     val gedcom150m = gedcomLeg("150m", "/tmp/graft-bench-150mb.ged", 150L << 20)
     val gedcom1g = gedcomLeg("1g", "/tmp/graft-bench-1gb.ged", 1L << 30)
+    System.gc()
+
+    // two timed passes per query, min taken: the best observation is the
+    // least contaminated by co-tenant noise on a shared host, and both
+    // passes run the identical full plan
+    def timeOnce(q: QueryDef): Double = {
+      val t0 = System.nanoTime()
+      q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // queries that cache intermediates (token relations, LSH codes) must
+      // not leave them resident: later queries would run under their memory
+      // pressure and a second pass would measure a half-warm hybrid
+      spark.catalog.clearCache()
+      sec
+    }
+    val results = SparkEntry.all.map { q =>
+      def attempt(): Option[Double] =
+        try Some(timeOnce(q))
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+            None
+        }
+      // keep the best successful observation; a transient second-pass
+      // failure must not discard a valid first-pass measurement. When the
+      // two passes disagree by >1.5x, one of them was almost certainly
+      // co-tenant noise (round-6 driver artifacts recorded a 4.4x phantom
+      // regression this way) — spend a third pass on just those queries
+      // and report min-of-three.
+      val out = (attempt(), attempt()) match {
+        case (Some(a), Some(b)) if math.max(a, b) > 1.5 * math.min(a, b) =>
+          q.name -> math.min(math.min(a, b), attempt().getOrElse(Double.MaxValue))
+        case (Some(a), Some(b)) => q.name -> math.min(a, b)
+        case (Some(a), None) => q.name -> a
+        case (None, Some(b)) => q.name -> b
+        case (None, None) => q.name -> -1.0
+      }
+      // collect between queries, OUTSIDE any timed region: r11's artifact
+      // read three untouched queries 2-5x slower than r10 purely from
+      // run-order pressure (both passes of a late query run against the
+      // garbage of 130 earlier ones); the explicit collect costs wall
+      // clock only, never a measurement
+      System.gc()
+      out
+    }
     val json = renderJson(results, sfDir, gedcom150m, gedcom1g)
     // print the line FIRST thing after it exists AND as the very last
     // stdout action: the driver keeps only a ~2 KB stdout tail, which for
@@ -123,6 +138,9 @@ object Bench {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, json + "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench-detail.json"),
+        renderDetailJson(results) + "\n")
     } catch {
       case e: java.io.IOException =>
         System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
@@ -155,17 +173,20 @@ object Bench {
       gedcomMBs: Option[Double] = None,
       gedcom1gMBs: Option[Double] = None): String = {
     def r4(v: Double) = math.rint(v * 1e4) / 1e4
-    // per-query values at 10 ms resolution: 120+ entries at 4 decimals
-    // pushed the one line to 1.9 KB — within a couple of queries of the
-    // driver's 2 KB tail truncating the artifact again (failures keep
-    // their exact -1.0 marker)
-    def r2(v: Double) = math.rint(v * 100) / 100
-    // the driver contract keys the map as {"q1":sec,...} — emit the qNN
+    // per-query values as INTEGER CENTISECONDS ("qunit" documents it —
+    // the r11 verdict's own proposal): the sub-second majority renders in
+    // 1-2 chars instead of "0.63"'s four, pulling the 133-entry map from
+    // ~1.6 KB to ~1.3 KB against the driver's 2 KB stdout tail, with
+    // headroom for ~40 more queries. A failed query keeps a negative
+    // marker (-100). Full-precision seconds under full registry names go
+    // to target/bench-detail.json.
+    def cs(v: Double) = math.rint(v * 100).toLong
+    // the driver contract keys the map as {"q1":...} — emit the qNN
     // prefix (unique by QueriesSpec pin) rather than the full registry
     // name: ~93 long names alone overflow the 2 KB tail
     def short(k: String) = { val p = k.takeWhile(_ != '_'); if (p.nonEmpty) p else k }
     val keys = results.map(r => short(r._1))
-    val qs = results.zip(keys).map { case ((_, v), k) => "\"" + k + "\":" + r2(v) }
+    val qs = results.zip(keys).map { case ((_, v), k) => "\"" + k + "\":" + cs(v) }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total =
@@ -175,6 +196,12 @@ object Bench {
     val load = loadavg1().map(_.toString).getOrElse("null")
     // gedcom_mb_per_s keeps its historical meaning (the 150 MB reference
     // headline) so cross-round artifact comparisons stay apples-to-apples
-    s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"loadavg":$load,"gedcom_mb_per_s":${r1(gedcomMBs)},"gedcom_mb_per_s_150m":${r1(gedcomMBs)},"gedcom_mb_per_s_1g":${r1(gedcom1gMBs)},"queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"loadavg":$load,"gedcom_mb_per_s":${r1(gedcomMBs)},"gedcom_mb_per_s_150m":${r1(gedcomMBs)},"gedcom_mb_per_s_1g":${r1(gedcom1gMBs)},"qunit":"centisec","queries":$qs,"sf":"$sfDir"}"""
   }
+
+  /** Full-precision per-query seconds under full registry names — the
+    * companion file for readers of the compressed stdout line. */
+  def renderDetailJson(results: Seq[(String, Double)]): String =
+    results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
 }

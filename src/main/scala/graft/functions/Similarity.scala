@@ -96,12 +96,14 @@ object Similarity {
     math.min(c, math.max(4,
       (0 to 31).find(p => (1L << p) >= c).getOrElse(31)))
 
-  /** Probe radius grows with the plane count: a fixed radius covers a
-    * vanishing share of bit-flip space as the code widens, so recall would
-    * silently decay with N. The step keeps the ring inside the explode
-    * budget (C(24,<=3) = 2,325 probes at the widest code). Recall at high
-    * plane counts is pinned in SimilaritySpec. */
-  def radiusFor(nPlanes: Int): Int = if (nPlanes <= 12) 2 else 3
+  /** Probe radius for q40's top-k search: 3 at every plane count. The
+    * r11 sha2 plane family re-tune (Q40Tune grid at sf0.1, p=8) measured
+    * radius 2 at 0.70-0.88 recall across L=3..6 — BELOW the 0.9 contract
+    * at every table count — where radius 3 reads 0.96 at L=3 and 0.98 at
+    * the L=4 operating point (sf0.001/0.01 read 0.96 at both radii). The
+    * ring stays inside the explode budget at the widest code
+    * (C(24,<=3) = 2,325 probes); recall is pinned in SimilaritySpec. */
+  def radiusFor(nPlanes: Int): Int = 3
 
   /** Deterministic hyperplanes from an ENGINE-REPRODUCIBLE hash family
     * (the q36 sha2 trick applied to the embedding family): coordinate j of
@@ -691,7 +693,7 @@ object Similarity {
       Some(s"""
         WITH $SQL_E,
         par AS (
-          SELECT p, CASE WHEN p <= 12 THEN 2 ELSE 3 END AS r
+          SELECT p, 3 AS r
           FROM (SELECT ${sqlPlanesFor("(SELECT count(*) FROM e)", TARGET_BUCKET)} AS p) pq),
         ${sqlLshCtes(N_TABLES)},
         qprobes AS (

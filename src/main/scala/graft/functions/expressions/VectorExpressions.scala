@@ -61,28 +61,95 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Driver-built codebook carrier for the centroid expressions.
+  *
+  * Small books ride the serialized expression as plain data — one object
+  * in the codegen references array, shipped once per task binary. Past
+  * [[CodebookHandle.BROADCAST_CELLS]] cells the payload moves to a Spark
+  * Broadcast: the expression then serializes as a tiny handle and each
+  * EXECUTOR fetches the cells once over the torrent protocol, instead of
+  * every task binary carrying them (at the 65536-cell clamp an inline
+  * 64-dim book is ~33 MB per task — ExpressionsSizeSpec pins the
+  * broadcast path's serialized bound). The split point is far below the
+  * clamp so the heavy regime never ships inline, while the per-Lloyd-round
+  * training codebooks (tens of cells, rebuilt every round) skip broadcast
+  * churn entirely. */
+sealed trait CodebookHandle extends Serializable {
+  def cells: Array[Array[Double]]
+  def nCells: Int
+}
+
+object CodebookHandle {
+  val BROADCAST_CELLS = 4096
+
+  private final case class Inline(cb: Array[Array[Double]])
+      extends CodebookHandle {
+    def cells: Array[Array[Double]] = cb
+    def nCells: Int = cb.length
+  }
+  private final case class Bcast(
+      b: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      nCells: Int) extends CodebookHandle {
+    def cells: Array[Array[Double]] = b.value
+  }
+
+  def apply(codebook: Seq[Seq[Double]]): CodebookHandle = {
+    val cb = codebook.map(_.toArray).toArray
+    if (cb.length > BROADCAST_CELLS)
+      Bcast(org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(cb),
+        cb.length)
+    else Inline(cb)
+  }
+}
+
+/** [[CodebookHandle]]'s shape for the per-cell threshold vector. */
+sealed trait ThresholdsHandle extends Serializable {
+  def values: Array[Double]
+  def n: Int
+}
+
+object ThresholdsHandle {
+  private final case class Inline(th: Array[Double]) extends ThresholdsHandle {
+    def values: Array[Double] = th
+    def n: Int = th.length
+  }
+  private final case class Bcast(
+      b: org.apache.spark.broadcast.Broadcast[Array[Double]], n: Int)
+      extends ThresholdsHandle {
+    def values: Array[Double] = b.value
+  }
+
+  def apply(thresholds: Seq[Double]): ThresholdsHandle = {
+    val th = thresholds.toArray
+    if (th.length > CodebookHandle.BROADCAST_CELLS)
+      Bcast(org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(th),
+        th.length)
+    else Inline(th)
+  }
+}
+
 /** The `k` nearest codebook centroids of a vector, best first, as
   * `array<int>` of centroid ids.
   *
-  * The codebook rides the expression as a REFERENCE OBJECT (one
-  * `double[][]` handed to the generated class), not as C inlined literal
-  * sub-expressions: a `typedlit`-per-centroid encoding grows the Catalyst
-  * tree — and the generated method body — linearly in C, which blows past
-  * JIT/codegen method limits long before a real IVF codebook size
-  * (C ~ sqrt(N)). Here the tree is one node at any C and the scan stays a
-  * tight primitive loop (C x dim multiply-adds per row, no boxing, no
-  * intermediate array).
+  * The codebook rides the expression as a REFERENCE OBJECT (a
+  * [[CodebookHandle]] handed to the generated class), not as C inlined
+  * literal sub-expressions: a `typedlit`-per-centroid encoding grows the
+  * Catalyst tree — and the generated method body — linearly in C, which
+  * blows past JIT/codegen method limits long before a real IVF codebook
+  * size (C ~ sqrt(N)). Here the tree is one node at any C and the scan
+  * stays a tight primitive loop (C x dim multiply-adds per row, no
+  * boxing, no intermediate array); large books additionally ride a
+  * Broadcast so the task binary stays O(1) in C.
   *
   * Tiebreak matches the `struct(s, cid)` max/sort it replaces: equal
   * scores prefer the HIGHER centroid id, so codebook assignment is
   * deterministic and bit-identical to the prior implementation. */
-case class CentroidTopK(child: Expression, codebook: Seq[Seq[Double]], k: Int)
+case class CentroidTopK(child: Expression, codebook: CodebookHandle, k: Int)
     extends UnaryExpression {
   require(k >= 1, s"centroid_topk needs k >= 1, got $k")
-  require(codebook.nonEmpty, "centroid_topk needs a non-empty codebook")
+  require(codebook.nCells > 0, "centroid_topk needs a non-empty codebook")
 
-  @transient private lazy val cb: Array[Array[Double]] =
-    codebook.map(_.toArray).toArray
+  @transient private lazy val cb: Array[Array[Double]] = codebook.cells
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -123,8 +190,14 @@ case class CentroidTopK(child: Expression, codebook: Seq[Seq[Double]], k: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val cbRef = ctx.addReferenceObj("codebook", cb, "double[][]")
-      val kk = math.min(k, cb.length)
+      // the reference object is the small HANDLE; the cells resolve once
+      // per operator instance (mutable-state init), so a broadcast book
+      // is fetched per executor, never per row or per task binary
+      val handleRef = ctx.addReferenceObj("codebookHandle", codebook,
+        classOf[CodebookHandle].getName)
+      val cbRef = ctx.addMutableState("double[][]", "graftCb",
+        v => s"$v = $handleRef.cells();")
+      val kk = math.min(k, codebook.nCells)
       val dim = ctx.freshName("dim")
       val topS = ctx.freshName("topS")
       val topC = ctx.freshName("topC")
@@ -182,15 +255,14 @@ case class CentroidTopK(child: Expression, codebook: Seq[Seq[Double]], k: Int)
   * reference-object codebook shape as [[CentroidTopK]]: one tree node and
   * one primitive loop at any C. */
 case class CentroidsAbove(left: Expression, right: Expression,
-    codebook: Seq[Seq[Double]], thresholds: Seq[Double])
+    codebook: CodebookHandle, thresholds: ThresholdsHandle)
     extends BinaryExpression {
-  require(codebook.nonEmpty, "centroids_above needs a non-empty codebook")
-  require(codebook.length == thresholds.length,
-    s"centroids_above: ${codebook.length} cells vs ${thresholds.length} thresholds")
+  require(codebook.nCells > 0, "centroids_above needs a non-empty codebook")
+  require(codebook.nCells == thresholds.n,
+    s"centroids_above: ${codebook.nCells} cells vs ${thresholds.n} thresholds")
 
-  @transient private lazy val cb: Array[Array[Double]] =
-    codebook.map(_.toArray).toArray
-  @transient private lazy val th: Array[Double] = thresholds.toArray
+  @transient private lazy val cb: Array[Array[Double]] = codebook.cells
+  @transient private lazy val th: Array[Double] = thresholds.values
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -223,8 +295,16 @@ case class CentroidsAbove(left: Expression, right: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val cbRef = ctx.addReferenceObj("codebook", cb, "double[][]")
-      val thRef = ctx.addReferenceObj("thresholds", th, "double[]")
+      // handles in the references array, cells resolved once per operator
+      // instance — see CentroidTopK
+      val cbHandleRef = ctx.addReferenceObj("codebookHandle", codebook,
+        classOf[CodebookHandle].getName)
+      val thHandleRef = ctx.addReferenceObj("thresholdsHandle", thresholds,
+        classOf[ThresholdsHandle].getName)
+      val cbRef = ctx.addMutableState("double[][]", "graftCb",
+        v => s"$v = $cbHandleRef.cells();")
+      val thRef = ctx.addMutableState("double[]", "graftTh",
+        v => s"$v = $thHandleRef.values();")
       val dim = ctx.freshName("dim")
       val out = ctx.freshName("out")
       val k = ctx.freshName("k")
@@ -261,9 +341,11 @@ object VectorExpressions {
       VecDot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   /** Codegen'd k-nearest-centroid ids (best first) for an array<double>
-    * column against a driver-held codebook. */
+    * column against a driver-held codebook (auto-broadcast past
+    * [[CodebookHandle.BROADCAST_CELLS]] cells). */
   def centroidTopK(v: Column, codebook: Seq[Seq[Double]], k: Int): Column =
-    GraftSqlBridge.column(CentroidTopK(GraftSqlBridge.expression(v), codebook, k))
+    GraftSqlBridge.column(CentroidTopK(GraftSqlBridge.expression(v),
+      CodebookHandle(codebook), k))
 
   /** Codegen'd thresholded centroid scan: the ids of every codebook cell
     * `c` with `dot(v, codebook(c)) >= thresholds(c) * nrm`, i.e. cells a
@@ -273,7 +355,8 @@ object VectorExpressions {
   def centroidsAbove(v: Column, nrm: Column, codebook: Seq[Seq[Double]],
       thresholds: Seq[Double]): Column =
     GraftSqlBridge.column(CentroidsAbove(GraftSqlBridge.expression(v),
-      GraftSqlBridge.expression(nrm), codebook, thresholds))
+      GraftSqlBridge.expression(nrm), CodebookHandle(codebook),
+      ThresholdsHandle(thresholds)))
 
   /** Make `vec_dot` callable from SQL text in this session
     * (`SELECT vec_dot(a, b) FROM ...`). */

@@ -659,9 +659,13 @@ $body,
         // cartesian), counts partial-aggregate on (u,v) and item keys,
         // the basket total rides in as a broadcast single-row frame, and
         // the min-support filter prunes BEFORE the item-count joins.
-        // lift_micro = pair*N*1e6/(cnt_u*cnt_v) needs pair*N*1e6 < 2^63:
-        // holds to ~10^6 baskets; shift the 1e6 scale down (or pre-divide
-        // by cnt_u) past that.
+        // lift_micro interleaves its divisions (the q134 discipline):
+        // (pc*1e6 div cu) <= 1e6 since pc <= cu, so the largest
+        // intermediate is 1e6 * n_baskets — int64-safe to ~9e12 baskets,
+        // where the naive pc*N*1e6/(cu*cv) overflowed at ~3e6. The <=1e-6
+        // relative floor-drift is identical in the oracle (lockstep) and
+        // AdvancedSpec pins the arithmetic at an amplified fixture where
+        // the naive form overflows.
         val li = lineitem(s, d)
           .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
           .distinct()
@@ -681,7 +685,7 @@ $body,
             expr("pc * 1000000 div n_baskets").as("support_micro"),
             expr("pc * 1000000 div cu").as("conf_uv_micro"),
             expr("pc * 1000000 div cv").as("conf_vu_micro"),
-            expr("pc * n_baskets * 1000000 div (cu * cv)").as("lift_micro"))
+            expr("((pc * 1000000 div cu) * n_baskets) div cv").as("lift_micro"))
           .orderBy(col("lift_micro").desc, col("u").asc, col("v").asc)
           .limit(50)
       },
@@ -700,7 +704,7 @@ $body,
                pc * 1000000 // n_baskets AS support_micro,
                pc * 1000000 // cu.c AS conf_uv_micro,
                pc * 1000000 // cv.c AS conf_vu_micro,
-               pc * n_baskets * 1000000 // (cu.c * cv.c) AS lift_micro
+               ((pc * 1000000 // cu.c) * n_baskets) // cv.c AS lift_micro
         FROM pairs
         JOIN cnt cu ON cu.p = pairs.u
         JOIN cnt cv ON cv.p = pairs.v

@@ -42,6 +42,25 @@ class AssocRulesSpec extends SparkSpec {
     assert(r.getLong(6) == 1000000L) // independent-at-certainty: lift 1
   }
 
+  test("q125 lift arithmetic survives an amplified corpus where the naive form overflows") {
+    // the registered query's exact lift expression, applied to a
+    // corpus-scale row: 5e6 co-occurrences over 1e7 baskets with 6e6-row
+    // item counts. The naive pc*N*1e6/(cu*cv) numerator is 5e19 > 2^63
+    // (an ANSI overflow error at exactly the scale the operator targets);
+    // the interleaved form's largest intermediate is 1e6 * n_baskets.
+    val row = Seq((5000000L, 6000000L, 6000000L, 10000000L))
+      .toDF("pc", "cu", "cv", "n_baskets")
+    val got = row
+      .select(org.apache.spark.sql.functions
+        .expr("((pc * 1000000 div cu) * n_baskets) div cv").as("lift_micro"))
+      .head.getLong(0)
+    val expect = (BigInt(5000000) * 1000000 / 6000000 * 10000000 / 6000000).toLong
+    assert(got == expect, s"$got != $expect")
+    // and the interleaved floor drifts <= 1e-6 relative from the true ratio
+    val exact = BigInt(5000000) * 10000000 * 1000000 / (BigInt(6000000) * 6000000)
+    assert((BigInt(got) - exact).abs.toDouble <= exact.toDouble * 1e-6)
+  }
+
   test("q126 star graph is perfectly disassortative (r = -1 in exact integers)") {
     val dir = java.nio.file.Files.createTempDirectory("stardeg").toString
     // three baskets pairing hub 0 with leaves 1..3 -> star K1,3:

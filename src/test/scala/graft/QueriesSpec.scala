@@ -43,10 +43,12 @@ class QueriesSpec extends SparkSpec {
   test("a failed bench query poisons the headline JSON") {
     val ok = Bench.renderJson(Seq("a" -> 1.5, "b" -> 2.0), "sf", Some(41.96))
     assert(ok.contains("\"value\":3.5") && ok.contains("\"failed\":0"), ok)
+    assert(ok.contains("\"a\":150") && ok.contains("\"b\":200"), ok) // centisec
+    assert(ok.contains("\"qunit\":\"centisec\""), ok)
     assert(ok.contains("\"gedcom_mb_per_s\":42.0"), ok)
     val broken = Bench.renderJson(Seq("a" -> 1.5, "b" -> -1.0), "sf")
     assert(broken.contains("\"value\":null") && broken.contains("\"failed\":1"), broken)
-    assert(broken.contains("\"b\":-1.0"), broken) // per-query failure visible too
+    assert(broken.contains("\"b\":-100"), broken) // per-query failure visible too
     assert(broken.contains("\"gedcom_mb_per_s\":null"), broken)
   }
 
@@ -60,6 +62,13 @@ class QueriesSpec extends SparkSpec {
       SparkEntry.all.map(q => q.name -> 12.345678901234567),
       "/root/testdata/sf0.1", Some(41.96), Some(139.7))
     assert(full.length < 1900, s"bench line ${full.length} bytes risks tail truncation")
+    // r11 directive: a REALISTIC render (the suite's per-query median is
+    // well under a second) must hold 1.5 KB so ~40 more queries still fit
+    val realistic = Bench.renderJson(
+      SparkEntry.all.map(q => q.name -> 0.87),
+      "/root/testdata/sf0.1", Some(41.96), Some(139.7))
+    assert(realistic.length < 1500,
+      s"realistic bench line ${realistic.length} bytes leaves no growth headroom")
     // the short bench keys (qNN prefix) must stay unique or the JSON map
     // silently drops measurements
     val shorts = SparkEntry.all.map(_.name.takeWhile(_ != '_'))

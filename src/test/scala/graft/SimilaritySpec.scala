@@ -240,6 +240,37 @@ class SimilaritySpec extends SparkSpec {
     assert(fused == books, "fused PQ training diverged from per-book training")
   }
 
+  test("IVF-PQ at the production operating point (K=256, 8-bit codes) holds recall") {
+    import spark.implicits._
+    // the standard IVF-PQ production point is one BYTE per sub-code
+    // (K=256) — q86 ships K=32 as the small-SF default; this pins the
+    // K=256 path at the largest local scale factor so scaling the books
+    // up is a measured config change, not a leap (COVERAGE.md row).
+    val sf = "/root/testdata/sf0.1"
+    def topkOf(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("qid"), col("ib")).as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = topkOf(SparkEntry.queries("q39_knn_brute")(spark, sf))
+    val e = Similarity.prepared(spark, sf).cache()
+    val n = e.count()
+    val c = Similarity.centroidsForCorpus(n)
+    val cents = Similarity.trainCentroids(e, c, Similarity.LLOYD_ROUNDS)
+    val books256 = Similarity.trainSubCentroidsL2All(
+      e, 256, Similarity.LLOYD_ROUNDS, knownTotal = n)
+    assert(books256.forall(_.size == 256))
+    val pq = topkOf(Similarity.ivfPqTopK(e, cents, books256,
+      Similarity.nprobeFor(c), Similarity.N_QUERIES, Similarity.K,
+      adcK = 20 * Similarity.K))
+    val recall = exact.map { case (q, ex) =>
+      pq.get(q).map(s => ex.count(s).toDouble / ex.size).getOrElse(0.0)
+    }.sum / exact.size
+    // finer sub-quantizers can only sharpen the ADC preselect, so K=256
+    // must hold at least the K=32 floor (measured: see COVERAGE.md)
+    info(f"q86@K=256 recall@${Similarity.K} = $recall%.3f (sf0.1)")
+    assert(recall >= 0.9, s"q86@K=256 recall $recall < 0.9")
+    e.unpersist()
+  }
+
   test("IVF codebook is deterministic and its lists cover the corpus") {
     val e = vecs
     val nCents = Similarity.centroidsForCorpus(e.count())
