@@ -353,13 +353,88 @@ object Multimodal {
     * [[probeMp4]], then Matroska via [[probeMkv]]) with the byte
     * histogram as features (frame decode stays stubbed); any unreadable
     * payload takes the deterministic stub. */
+  /** Frames sampled per MJPEG clip: an arbitrarily long video costs a
+    * bounded decode budget (evenly-strided sample, same contract as
+    * [[sampleFrameOffsets]]'s stride stub). */
+  val FRAME_SAMPLE = 16
+
+  /** LIVE video FRAME decode: Motion-JPEG in AVI — the one video codec
+    * the stock JDK can frame-decode, because every `00dc`/`00db` movi
+    * chunk is a standalone JPEG that javax.imageio reads like any still
+    * (RIFF-AVI container walking per Microsoft's public AVI RIFF layout;
+    * MJPEG frames per ISO/IEC 10918). This closes the frame-decode seam
+    * the BMFF/EBML header probes left stubbed: dimensions come from REAL
+    * pixels of the first sampled frame and the feature histogram is the
+    * mean decoded-luminance histogram over up to [[FRAME_SAMPLE]]
+    * evenly-strided frames. Bounds-checked byte walking — truncated or
+    * alien payloads return None (then the header probes, then the stub),
+    * so one corrupt asset can't fail a 100 TB decode job. */
+  def decodeAviMjpeg(payload: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    def u32(off: Int): Long =
+      if (off < 0 || off + 4 > payload.length) -1L
+      else (payload(off) & 0xFFL) | ((payload(off + 1) & 0xFFL) << 8) |
+        ((payload(off + 2) & 0xFFL) << 16) | ((payload(off + 3) & 0xFFL) << 24)
+    def fourcc(off: Int): String =
+      if (off < 0 || off + 4 > payload.length) ""
+      else new String(payload, off, 4, "US-ASCII")
+    if (payload.length < 24 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+      return None
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      var off = from
+      var ok = true
+      while (ok && off + 8 <= to && depth < 8) {
+        val id = fourcc(off)
+        val sz = u32(off + 4)
+        if (sz < 0 || off + 8 + sz > to) ok = false // truncated: keep what parsed
+        else {
+          if (id == "LIST" && sz >= 4) {
+            val lt = fourcc(off + 8)
+            // frames live in movi (possibly grouped into 'rec ' lists);
+            // hdrl's counts are advisory — the frames carry the truth
+            if (lt == "movi" || lt == "rec ")
+              walk(off + 12, off + 8 + sz.toInt, depth + 1)
+          } else if (id.endsWith("dc") || id.endsWith("db")) {
+            // a frame chunk whose body opens with the JPEG SOI marker
+            if (sz >= 2 && (payload(off + 8) & 0xFF) == 0xFF &&
+                (payload(off + 9) & 0xFF) == 0xD8)
+              frames += ((off + 8, sz.toInt))
+          }
+          off += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even
+        }
+      }
+    }
+    walk(12, payload.length, 0)
+    if (frames.isEmpty) return None
+    val stride = math.max(1,
+      math.ceil(frames.length.toDouble / FRAME_SAMPLE).toInt)
+    val acc = new Array[Double](FEATURE_DIM)
+    var w = 0; var h = 0; var n = 0
+    frames.indices.by(stride).foreach { fi =>
+      val (off, sz) = frames(fi)
+      decodeImage(java.util.Arrays.copyOfRange(payload, off, off + sz)).foreach {
+        case (fw, fh, feat) =>
+          if (n == 0) { w = fw; h = fh }
+          var i = 0
+          while (i < FEATURE_DIM) { acc(i) += feat(i); i += 1 }
+          n += 1
+      }
+    }
+    if (n == 0) None
+    else Some((w, h, acc.map(x => (x / n).toFloat)))
+  }
+
   def decode(kind: String, payload: Array[Byte]): (Int, Int, Array[Float]) =
     kind match {
       case "image" => decodeImage(payload).getOrElse(decodeStub(payload))
       case "audio" => decodeAudio(payload).getOrElse(decodeStub(payload))
-      case "video" => probeMp4(payload).orElse(probeMkv(payload)) match {
-        case Some(m) => (m.width, m.height, decodeStub(payload)._3)
-        case None => decodeStub(payload)
+      case "video" => decodeAviMjpeg(payload) match {
+        // real frames beat header metadata beat the stub
+        case Some(f) => f
+        case None => probeMp4(payload).orElse(probeMkv(payload)) match {
+          case Some(m) => (m.width, m.height, decodeStub(payload)._3)
+          case None => decodeStub(payload)
+        }
       }
       case _ => decodeStub(payload)
     }
@@ -406,6 +481,49 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Solid-color JPEG via the JDK's own writer — the frame synthesis
+    * building block for [[buildMjpegAvi]] fixtures. */
+  def encodeSolidJpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Minimal-but-valid MJPEG AVI: RIFF('AVI ') carrying an avih + strl
+    * header pair and a movi list of '00dc' JPEG chunks — the test-fixture
+    * twin of [[decodeAviMjpeg]], written from the container layout
+    * itself. The decoder must not trust this builder: MultimodalSpec
+    * asserts the decoded frame facts from first principles. */
+  def buildMjpegAvi(jpegFrames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad: Array[Byte] =
+        if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++ pad
+    }
+    def list(lt: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", lt.getBytes("US-ASCII") ++ body)
+    val avih = chunk("avih", le32(33366) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
+      le32(jpegFrames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ Array.fill[Byte](16)(0))
+    val strh = chunk("strh", "vids".getBytes("US-ASCII") ++
+      "MJPG".getBytes("US-ASCII") ++ Array.fill[Byte](48)(0))
+    val strf = chunk("strf", le32(40) ++ le32(w) ++ le32(h) ++
+      Array[Byte](1, 0) ++ Array[Byte](24, 0) ++
+      "MJPG".getBytes("US-ASCII") ++ Array.fill[Byte](20)(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi",
+      jpegFrames.toArray.flatMap(f => chunk("00dc", f)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
   }
 
   /** Silent 16-bit PCM mono WAV at the given rate — the audio side of

@@ -186,6 +186,44 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.probeMkv(p.take(12)).isEmpty)
   }
 
+  test("MJPEG-in-AVI decodes REAL frames: dimensions and luminance from pixels") {
+    // two solid-gray frames at luminance 136 (mid-bin 8, so JPEG's ±2
+    // lossiness cannot cross a bin boundary); the decoder must read the
+    // dimensions and histogram from the DECODED pixels, not the header
+    val gray = 136
+    val frames = Seq.fill(2)(
+      Multimodal.encodeSolidJpeg(24, 10, (gray << 16) | (gray << 8) | gray))
+    // header lies about dimensions (64x64): the frame truth must win
+    val avi = Multimodal.buildMjpegAvi(frames, 64, 64)
+    val Some((w, h, feat)) = Multimodal.decodeAviMjpeg(avi)
+    assert(w == 24 && h == 10, s"($w, $h) != (24, 10)")
+    assert(feat(8) >= 0.99f, s"luminance mass ${feat(8)} not in bin 8")
+    assert(math.abs(feat.map(_.toDouble).sum - 1.0) < 1e-5)
+    // the decode seam prefers real frames over header probes and stub
+    val (dw, dh, dfeat) = Multimodal.decode("video", avi)
+    assert(dw == 24 && dh == 10 && dfeat.sameElements(feat))
+    // long clips stay inside the bounded decode budget: 100 frames with
+    // a divergent tail — the strided sample still reads the first frame's
+    // dimensions and a valid mean histogram
+    val many = Multimodal.buildMjpegAvi(
+      Seq.fill(100)(frames.head), 64, 64)
+    val Some((mw, mh, mfeat)) = Multimodal.decodeAviMjpeg(many)
+    assert(mw == 24 && mh == 10 && mfeat(8) >= 0.99f)
+    // rejections fall through to the existing ladder: BMFF header bytes,
+    // garbage, truncated AVI
+    assert(Multimodal.decodeAviMjpeg(
+      Multimodal.buildMp4Header(320, 180, 1500)).isEmpty)
+    assert(Multimodal.decodeAviMjpeg("RIFFnope".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeAviMjpeg(avi.take(30)).isEmpty)
+    // an AVI whose frames are corrupt (SOI but undecodable) yields None,
+    // landing on the stub rather than throwing
+    val corrupt = Multimodal.buildMjpegAvi(
+      Seq(Array[Byte](0xFF.toByte, 0xD8.toByte, 1, 2, 3)), 8, 8)
+    assert(Multimodal.decodeAviMjpeg(corrupt).isEmpty)
+    val (_, _, sfeat) = Multimodal.decode("video", corrupt)
+    assert(sfeat.sameElements(Multimodal.decodeStub(corrupt)._3))
+  }
+
   test("video assets flow through the distributed decode path with live headers") {
     import Multimodal.{MediaAsset, MediaMeta}
     val p = Multimodal.buildMp4Header(640, 360, 3000)
