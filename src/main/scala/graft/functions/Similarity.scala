@@ -32,11 +32,13 @@ object Similarity {
 
   /** Independent LSH hash tables for q40's top-k search: recall rises as
     * 1-(1-p)^L while index size and candidate volume scale linearly in L.
-    * Operating point L=4, chosen from the measured curve in COVERAGE.md
-    * (sf0.01: L=3 -> 0.96, L=4 -> 0.99; sf0.1: L=3 -> 0.81): the point
-    * where recall clears 0.9 at every tested scale factor while candidate
-    * volume stays ~L * |probes| * TARGET_BUCKET per query. */
-  val N_TABLES = 4
+    * Operating point L=3 at radius 3 under the r12 sha2 plane family
+    * (Q40Tune grid: 1.0 / 0.99 / 0.96 at sf0.001/0.01/0.1) — the first L
+    * whose recall clears 0.9 at every tested scale factor, the same
+    * selection rule that previously picked L=4 for the radius-2 gaussian
+    * family. Candidate volume stays ~L * |probes| * TARGET_BUCKET per
+    * query. */
+  val N_TABLES = 3
 
   /** Training sample size per centroid: Lloyd runs over at most
     * C * this rows (deterministically hash-sampled inside
