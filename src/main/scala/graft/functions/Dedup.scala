@@ -1123,6 +1123,99 @@ object Dedup {
       "incremental near-dup: incoming-batch prefixes probe the full-corpus prefix index; existing-existing pairs never generate"),
 
     QueryDef(
+      "q138_split_leakage",
+      (s, d) => {
+        // train/eval LEAKAGE AUDIT — the contamination check every corpus
+        // release runs beside the split itself: an exact near-dup pair
+        // whose members land in DIFFERENT q70 splits means an eval doc is
+        // effectively in training. Composes the skew-proof prefix join
+        // (q65's exact pair relation — never all-pairs) with the
+        // md5-prefix split, so the audit is engine-exact and its cost is
+        // the dedup pass it usually piggybacks on. Unordered output: the
+        // gate sorts rows itself (see q65).
+        val split = documents(s, d).select(col("doc_id"),
+          when(md5(col("doc_id").cast("string")) < "0c", "test")
+            .when(md5(col("doc_id").cast("string")) < "1a", "val")
+            .otherwise("train").as("split"))
+        jaccardPairsPrefixUnordered(docTokens(s, d), 0.8)
+          .join(split.select(col("doc_id").as("ia"), col("split").as("split_a")), "ia")
+          .join(split.select(col("doc_id").as("ib"), col("split").as("split_b")), "ib")
+          .filter(col("split_a") =!= col("split_b"))
+          .select(col("ia"), col("ib"), col("jaccard"),
+            col("split_a"), col("split_b"))
+      },
+      Some(s"""
+        WITH $PAIR_CTES,
+        sp AS (
+          SELECT doc_id,
+                 CASE WHEN md5(doc_id::VARCHAR) < '0c' THEN 'test'
+                      WHEN md5(doc_id::VARCHAR) < '1a' THEN 'val'
+                      ELSE 'train' END AS split
+          FROM documents)
+        SELECT ia, ib,
+               round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard,
+               pa.split AS split_a, pb.split AS split_b
+        FROM inter
+        JOIN sizes sa ON ia = sa.doc_id
+        JOIN sizes sb ON ib = sb.doc_id
+        JOIN sp pa ON ia = pa.doc_id
+        JOIN sp pb ON ib = pb.doc_id
+        WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.8
+          AND pa.split <> pb.split"""),
+      "train/eval leakage audit: exact near-dup pairs crossing the deterministic md5 split"),
+
+    QueryDef(
+      "q139_cluster_split",
+      (s, d) => {
+        // LEAKAGE-FREE split — the repair for what q138 measures: the
+        // md5 coin is assigned at near-dup CLUSTER granularity (the
+        // survivor's hash decides for every member), so no near-dup pair
+        // can straddle train/eval BY CONSTRUCTION. This is how production
+        // corpora actually split (cluster-then-split, not split-then-
+        // hope). Docs in no cluster keep their own coin (survivor =
+        // self). Pairs come from the skew-proof prefix join; the closure
+        // is the same large/small-star CC as q68. cache the pair frame:
+        // CC consumes it twice (edges AND the vertex list).
+        val pairs = jaccardPairsPrefixUnordered(docTokens(s, d), 0.8)
+          .select(col("ia").as("src"), col("ib").as("dst")).cache()
+        val cc = graft.operators.IterativeGraph.connectedComponents(pairs)
+          .select(col("xref").as("doc_id"), col("component").as("surv"))
+        documents(s, d).select(col("doc_id"))
+          .join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("surv"), col("doc_id")).as("survivor"))
+          .select(col("doc_id"), col("survivor"),
+            when(md5(col("survivor").cast("string")) < "0c", "test")
+              .when(md5(col("survivor").cast("string")) < "1a", "val")
+              .otherwise("train").as("split"))
+        // unordered full-corpus output: the gate sorts rows itself
+      },
+      Some(s"""
+        WITH RECURSIVE $PAIR_CTES,
+        pairs AS (
+          SELECT ia, ib FROM inter
+          JOIN sizes sa ON ia = sa.doc_id
+          JOIN sizes sb ON ib = sb.doc_id
+          WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.8),
+        sym AS (
+          SELECT ia AS a, ib AS b FROM pairs
+          UNION
+          SELECT ib AS a, ia AS b FROM pairs),
+        reach(v, r) AS (
+          SELECT a, a FROM sym
+          UNION
+          SELECT reach.v, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+        labels AS (SELECT v AS doc_id, min(r) AS surv FROM reach GROUP BY v)
+        SELECT d.doc_id,
+               coalesce(l.surv, d.doc_id) AS survivor,
+               CASE WHEN md5(coalesce(l.surv, d.doc_id)::VARCHAR) < '0c' THEN 'test'
+                    WHEN md5(coalesce(l.surv, d.doc_id)::VARCHAR) < '1a' THEN 'val'
+                    ELSE 'train' END AS split
+        FROM documents d
+        LEFT JOIN labels l ON d.doc_id = l.doc_id"""),
+      "leakage-free cluster-level split: near-dup CC survivor's md5 coin decides for the whole cluster"),
+
+    QueryDef(
       "q98_incremental_embed",
       (s, d) =>
         // q96's onboarding shape for the embedding family: the same

@@ -308,4 +308,34 @@ class DedupSpec extends SparkSpec {
       .select("keep_id").as[Long].collect().toSet
     assert(keep == Set(3L, 9L)) // 3 survives (word-order dup of 5), 9 unique
   }
+
+  test("split leakage (q138) is exactly the q65 pair relation restricted to crossings") {
+    import spark.implicits._
+    val leaks = SparkEntry.queries("q138_split_leakage")(spark, SF)
+      .select(col("ia"), col("ib")).as[(Long, Long)].collect().toSet
+    def splitOf(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      if (h < "0c") "test" else if (h < "1a") "val" else "train"
+    }
+    val expected = SparkEntry.queries("q65_jaccard_prefix")(spark, SF)
+      .select(col("ia"), col("ib")).as[(Long, Long)].collect()
+      .filter { case (a, b) => splitOf(a) != splitOf(b) }.toSet
+    assert(leaks == expected, s"${leaks.size} vs ${expected.size} crossings")
+    assert(expected.nonEmpty, "fixture must actually exhibit leakage")
+  }
+
+  test("cluster-level split (q139) admits ZERO near-dup leakage by construction") {
+    import spark.implicits._
+    val split = SparkEntry.queries("q139_cluster_split")(spark, SF)
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    val pairs = SparkEntry.queries("q65_jaccard_prefix")(spark, SF)
+      .select(col("ia"), col("ib")).as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    val crossing = pairs.filter { case (a, b) => split(a) != split(b) }
+    assert(crossing.isEmpty,
+      s"${crossing.length} near-dup pairs straddle the cluster split")
+    // every doc gets exactly one assignment
+    assert(split.size == Tables.documents(spark, SF).count())
+  }
 }

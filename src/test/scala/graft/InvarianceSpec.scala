@@ -50,7 +50,10 @@ class InvarianceSpec extends SparkSpec {
     "q135_anomaly_detection", "q136_trend_regression",
     // cascade-delete's closure and the winsorized value-histogram both
     // claim layout-independence (exact integer/set semantics)
-    "q131_cascade_delete", "q137_winsorized_stats")
+    "q131_cascade_delete", "q137_winsorized_stats",
+    // the split-leakage audit and the cluster-level split are exact
+    // (prefix-join pairs + md5 coins + CC closure) at any layout
+    "q138_split_leakage", "q139_cluster_split")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
