@@ -100,7 +100,8 @@ class PlanSpec extends SparkSpec {
     // are allowed a broadcast nested loop.
     for (q <- Seq("q22_range_join", "q36_minhash_lsh",
         "q37_simhash", "q64_neardup_lsh", "q65_jaccard_prefix",
-        "q67_knn_ivf", "q96_incremental_dedup")) {
+        "q67_knn_ivf", "q96_incremental_dedup",
+        "q138_split_leakage", "q139_cluster_split")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
