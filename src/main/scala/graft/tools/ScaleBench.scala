@@ -78,7 +78,9 @@ object ScaleBench {
     "q134_join_cardinality",   // two KMV key sketches + one reference join
     "q135_anomaly_detection",  // bucket partial-agg + trailing-24 window
     "q136_trend_regression",   // one moment pass, exact rational slope
-    "q137_winsorized_stats")   // value-histogram rank cuts + clip re-agg
+    "q137_winsorized_stats",   // value-histogram rank cuts + clip re-agg
+    "q138_split_leakage",      // prefix-join pairs x md5 split audit
+    "q139_cluster_split")      // near-dup CC + survivor-coin split
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")
