@@ -430,18 +430,30 @@ object IterativeGraph {
     var (dist, distRdd) = pin(verts
       .join(sources.select(col("v")).distinct(), Seq("v"), "left_semi")
       .select(col("v"), lit(0L).as("d")))
-    for (k <- 1 to maxDepth) {
+    var prevCount = distRdd.count() // materializes the initial pin too
+    var k = 1
+    var converged = false
+    while (k <= maxDepth && !converged) {
       val frontier = dist.filter(col("d") === (k - 1))
         .select(col("v").as("src"))
       val next = e.join(frontier, "src")
         .select(col("dst").as("v"), lit(k.toLong).as("d"))
       val (nd, ndRdd) = pin(dist.unionAll(next)
         .groupBy(col("v")).agg(min(col("d")).as("d")))
-      // materialize before releasing the previous round (see pageRank)
-      ndRdd.count()
+      // materialize before releasing the previous round (see pageRank);
+      // the same count doubles as the FIXPOINT test: a reached vertex's
+      // d can never change (BFS levels are monotone — any shorter path
+      // was found in an earlier round), so an unchanged row count means
+      // the frontier added nothing and every remaining round is a no-op.
+      // Early exit changes no output row; it stops a diameter-6 graph at
+      // round 7 instead of burning the full budget.
+      val n = ndRdd.count()
+      converged = n == prevCount
+      prevCount = n
       distRdd.unpersist(blocking = false)
       dist = nd
       distRdd = ndRdd
+      k += 1
     }
     val out = verts.join(dist, Seq("v"), "left")
       .select(col("v"), coalesce(col("d"), lit(-1L)).as("d"))
@@ -472,7 +484,10 @@ object IterativeGraph {
       s"kCoreEdges: k and rounds must be >= 1, got k=$k rounds=$rounds")
     var (e, eRdd) = pin(
       pairs.select(col("u"), col("v")).filter(col("u") < col("v")).distinct())
-    for (_ <- 1 to rounds) {
+    var prevCount = eRdd.count() // materializes the initial pin too
+    var r = 1
+    var converged = false
+    while (r <= rounds && !converged) {
       val keep = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
         .groupBy(col("x")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
@@ -480,11 +495,18 @@ object IterativeGraph {
         .join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v")))
-      // materialize before releasing the previous round (see pageRank)
-      neRdd.count()
+      // materialize before releasing the previous round (see pageRank);
+      // the count doubles as the FIXPOINT test: peeling only removes
+      // edges, so an unchanged edge count means no vertex fell below k
+      // and every remaining peel is the identity. Early exit changes no
+      // output row — it just stops burning the budget once converged.
+      val n = neRdd.count()
+      converged = n == prevCount
+      prevCount = n
       eRdd.unpersist(blocking = false)
       e = ne
       eRdd = neRdd
+      r += 1
     }
     val out = e.localCheckpoint(true)
     eRdd.unpersist(blocking = false)

@@ -254,6 +254,23 @@ class IterativeGraphSpec extends SparkSpec {
     assert(core(k4, 3, 3) == k4.toSet)
   }
 
+  test("early exit at the fixpoint never changes a BFS or k-core output row") {
+    // a wildly oversized budget must produce the identical output to the
+    // exact budget: the per-round count's unchanged-count test stops the
+    // loop at the fixpoint, so the surplus rounds never run at all
+    val chain = (0L until 5L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+      .toDF("src", "dst")
+    val exact = IterativeGraph.bfsDistances(chain, Seq(0L).toDF("v"), 5)
+      .as[(Long, Long)].collect().toMap
+    val oversized = IterativeGraph.bfsDistances(chain, Seq(0L).toDF("v"), 50)
+      .as[(Long, Long)].collect().toMap
+    assert(oversized == exact)
+    val k4m = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(core(k4m, 3, 50) == core(k4m, 3, 3))
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    assert(core(tri, 2, 50) == core(tri, 2, 3))
+  }
+
   test("q127 round budget reaches the peeling fixpoint on the gate fixtures") {
     // the oracle unrolls exactly KCORE_ROUNDS peels; surplus rounds are
     // no-ops only AFTER the fixpoint, so pin that the trade graph at both
