@@ -138,6 +138,72 @@ object Layout {
         FROM z
         GROUP BY 1
         ORDER BY 1"""),
-      "Z-order (Morton) clustering key: min/max-normalized engine-exact bit interleave + per-bucket range stats")
+      "Z-order (Morton) clustering key: min/max-normalized engine-exact bit interleave + per-bucket range stats"),
+
+    QueryDef(
+      "q140_bucketed_join",
+      (s, d) => {
+        // CO-LOCATED fact-fact join via bucketed layout: both sides are
+        // written CLUSTERED BY the join key INTO the same bucket count,
+        // so the recurring join of the catalog tables plans with ZERO
+        // exchange — the shuffle is paid ONCE at write time and
+        // amortizes over every subsequent join (StorageSpec "bucketed
+        // tables join without an exchange" pins the plan with broadcast
+        // disabled; this registration puts the layout under the
+        // correctness gate and the bench). At 100 TB this is the layout
+        // answer for the fact-fact joins the optimizer can never
+        // broadcast. The oracle checks the join CONTENT over the raw
+        // parquet — bucketing must change the plan, never the answer.
+        writeBucketed(orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+          "graft_b_orders", "o_orderkey", 8)
+        writeBucketed(lineitem(s, d)
+          .select(col("l_orderkey"),
+            graft.Money.cents(col("l_extendedprice")).as("cents")),
+          "graft_b_lineitem", "l_orderkey", 8)
+        s.table("graft_b_orders")
+          .join(s.table("graft_b_lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg((sum(col("cents")) / 100.0).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""
+        SELECT o_orderpriority,
+               sum(cast(round(l_extendedprice * 100) AS bigint)) / 100.0 AS revenue,
+               count(*) AS n_items
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1"""),
+      "bucketed co-located fact-fact join: CLUSTERED BY the join key, shuffle paid once at write time")
   )
+
+  /** Write `df` CLUSTERED BY `key` INTO `buckets` as a catalog parquet
+    * table — the third layout tool beside partition pruning and Z-order.
+    * A recurring fact-fact equi join on co-bucketed tables plans with no
+    * exchange on either side (Spark's bucketed-scan output partitioning
+    * satisfies the join's distribution requirement), so the shuffle cost
+    * moves from every query to one write. `sortCols` additionally sorts
+    * within buckets (bucketed SMJ then skips its sort too). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    // a managed table's LOCATION can outlive the session that wrote it
+    // (the in-memory catalog forgets, the filesystem doesn't) — a fresh
+    // session's CREATE then fails with LOCATION_ALREADY_EXISTS, so clear
+    // the stale directory before writing
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = new java.io.File(wh, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(loc)
+    }
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

@@ -80,7 +80,8 @@ object ScaleBench {
     "q136_trend_regression",   // one moment pass, exact rational slope
     "q137_winsorized_stats",   // value-histogram rank cuts + clip re-agg
     "q138_split_leakage",      // prefix-join pairs x md5 split audit
-    "q139_cluster_split")      // near-dup CC + survivor-coin split
+    "q139_cluster_split",      // near-dup CC + survivor-coin split
+    "q140_bucketed_join")      // bucketed write + exchange-free join
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")
