@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -228,6 +228,30 @@ object StreamingOps {
       .filter(col("jaccard") >= threshold)
       .dropDuplicatesWithinWatermark("ia", "ib")
       .select(col("ia"), col("ib"), col("jaccard"))
+  }
+
+  /** Streaming split-leakage guard — q138's audit made ADMISSION-TIME:
+    * each arriving document probes the corpus prefix index exactly like
+    * [[incrementalNearDupProbe]], and a near-dup match whose md5 split
+    * coin DIFFERS from the arriving doc's is flagged BEFORE the doc ever
+    * lands in a training shard (the batch audit finds leakage after the
+    * fact; this stops it at the door). Pure stateless composition over
+    * the probe: the split is the q70 coin — content-stable, so the stream
+    * and the batch audit agree on every assignment — and the crossing
+    * filter adds no state. Emits (ia, ib, jaccard, split_a, split_b);
+    * StreamingSpec pins replay parity with the batch q138 relation
+    * restricted to incoming-involving pairs. */
+  def splitLeakageGuard(docs: Dataset[DocIn], index: DataFrame,
+      threshold: Double = 0.8,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    def splitOf(id: Column): Column =
+      when(md5(id.cast("string")) < "0c", "test")
+        .when(md5(id.cast("string")) < "1a", "val")
+        .otherwise("train")
+    incrementalNearDupProbe(docs, index, threshold, watermarkDelay)
+      .select(col("ia"), col("ib"), col("jaccard"),
+        splitOf(col("ia")).as("split_a"), splitOf(col("ib")).as("split_b"))
+      .filter(col("split_a") =!= col("split_b"))
   }
 
   /** An arriving embedding row: id, float-widened vector, event time. */

@@ -246,6 +246,46 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${stream -- batch}; batch-only: ${batch -- stream}")
   }
 
+  test("streaming split-leakage guard matches batch q138 on incoming-involving pairs") {
+    import graft.streaming.StreamingOps.DocIn
+    import graft.functions.{Dedup, TextAnalysis}
+    // same replay harness as the probe-parity test (mod-3 split mixes
+    // partners); the guard must emit exactly the batch audit's crossing
+    // pairs that involve an incoming doc, with identical split tags
+    val sf = "/root/testdata/sf0.01"
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    val corpusToks = docsDf.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("word"))
+    val index = Dedup.prefixIndex(corpusToks, 0.8).cache()
+    val docs = docsDf.filter(col("doc_id") % 3 === 0)
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => DocIn(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), new Timestamp(86400_000L + r.getLong(0) * 1000)))
+      .sortBy(_.doc_id)
+    val in = MemoryStream[DocIn]
+    val q = StreamingOps.splitLeakageGuard(in.toDS(), index)
+      .writeStream.format("memory").queryName("leakguard")
+      .outputMode("append").start()
+    try {
+      in.addData(docs: _*); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("leakguard")
+      .select(col("ia").cast("long"), col("ib").cast("long"),
+        col("split_a"), col("split_b"))
+      .as[(Long, Long, String, String)].collect()
+      .map { case (a, b, sa, sb) =>
+        if (a <= b) (a, b, sa, sb) else (b, a, sb, sa) }.toSet
+    val batch = SparkEntry.queries("q138_split_leakage")(spark, sf)
+      .select(col("ia").cast("long"), col("ib").cast("long"),
+        col("split_a"), col("split_b"))
+      .as[(Long, Long, String, String)].collect()
+      .filter { case (a, b, _, _) => (a % 3 == 0) != (b % 3 == 0) }.toSet
+    assert(batch.nonEmpty, "replayed corpus has no crossing mixed pairs")
+    assert(stream == batch,
+      s"stream-only: ${stream -- batch}; batch-only: ${batch -- stream}")
+  }
+
   test("streaming embedding probe matches the batch index probe") {
     import graft.streaming.StreamingOps.VecIn
     import graft.functions.{Dedup, Similarity}
