@@ -160,15 +160,17 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble)
     catch { case scala.util.control.NonFatal(_) => None }
 
-  /** One-line bench JSON. A failed query (recorded as -1) must poison the
-    * headline, not quietly shrink it: `value` goes null and `failed` is
-    * explicit. Factored out so the poisoning is unit-testable.
+  /** One-line bench JSON. A failed query (centisecond marker -100) must
+    * poison the headline, not quietly shrink it: `value` goes null and
+    * `failed` is explicit. Factored out so the poisoning is
+    * unit-testable.
     *
-    * Per-query seconds are rounded to 4 decimals (0.1 ms, far below host
-    * noise): at ~93 registered queries full-precision doubles pushed the
-    * one line past the driver's ~2 KB stdout tail, which is exactly how
-    * BENCH_r07/r08 ended up `"parsed": null`. The full-precision totals
-    * live in the per-query mins; the artifact must stay under the tail. */
+    * Per-query values are INTEGER CENTISECONDS (`"qunit":"centisec"`):
+    * full-precision doubles pushed the one line past the driver's ~2 KB
+    * stdout tail at ~93 queries (BENCH_r07/r08 went `"parsed": null`),
+    * and even 2-decimal seconds left no growth headroom at 133. The
+    * headline `value` stays full seconds; full-precision per-query
+    * seconds live in target/bench-detail.json. */
   def renderJson(results: Seq[(String, Double)], sfDir: String,
       gedcomMBs: Option[Double] = None,
       gedcom1gMBs: Option[Double] = None): String = {

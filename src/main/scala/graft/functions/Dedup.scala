@@ -603,8 +603,7 @@ object Dedup {
     import s.implicits._
     val ec = e.cache()
     val n = ec.count()
-    val c = math.max(2, math.min(65536,
-      math.ceil(n.toDouble / clusterTarget).toInt))
+    val c = semdedupCells(n, clusterTarget)
     val cents = Similarity.trainCentroids(ec, c, Similarity.LLOYD_ROUNDS)
     val idx = ec.withColumn("cid", Similarity.nearestCid(col("v"), cents))
     val centDf = cents.zipWithIndex.map { case (cv, i) => (i, cv) }
@@ -1134,9 +1133,7 @@ object Dedup {
         // the dedup pass it usually piggybacks on. Unordered output: the
         // gate sorts rows itself (see q65).
         val split = documents(s, d).select(col("doc_id"),
-          when(md5(col("doc_id").cast("string")) < "0c", "test")
-            .when(md5(col("doc_id").cast("string")) < "1a", "val")
-            .otherwise("train").as("split"))
+          TextAnalysis.splitCoin(col("doc_id")).as("split"))
         jaccardPairsPrefixUnordered(docTokens(s, d), 0.8)
           .join(split.select(col("doc_id").as("ia"), col("split").as("split_a")), "ia")
           .join(split.select(col("doc_id").as("ib"), col("split").as("split_b")), "ib")
@@ -1147,10 +1144,7 @@ object Dedup {
       Some(s"""
         WITH $PAIR_CTES,
         sp AS (
-          SELECT doc_id,
-                 CASE WHEN md5(doc_id::VARCHAR) < '0c' THEN 'test'
-                      WHEN md5(doc_id::VARCHAR) < '1a' THEN 'val'
-                      ELSE 'train' END AS split
+          SELECT doc_id, ${TextAnalysis.sqlSplitCoin("doc_id")} AS split
           FROM documents)
         SELECT ia, ib,
                round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard,
@@ -1185,9 +1179,7 @@ object Dedup {
           .select(col("doc_id"),
             coalesce(col("surv"), col("doc_id")).as("survivor"))
           .select(col("doc_id"), col("survivor"),
-            when(md5(col("survivor").cast("string")) < "0c", "test")
-              .when(md5(col("survivor").cast("string")) < "1a", "val")
-              .otherwise("train").as("split"))
+            TextAnalysis.splitCoin(col("survivor")).as("split"))
         // unordered full-corpus output: the gate sorts rows itself
       },
       Some(s"""
@@ -1208,9 +1200,7 @@ object Dedup {
         labels AS (SELECT v AS doc_id, min(r) AS surv FROM reach GROUP BY v)
         SELECT d.doc_id,
                coalesce(l.surv, d.doc_id) AS survivor,
-               CASE WHEN md5(coalesce(l.surv, d.doc_id)::VARCHAR) < '0c' THEN 'test'
-                    WHEN md5(coalesce(l.surv, d.doc_id)::VARCHAR) < '1a' THEN 'val'
-                    ELSE 'train' END AS split
+               ${TextAnalysis.sqlSplitCoin("coalesce(l.surv, d.doc_id)")} AS split
         FROM documents d
         LEFT JOIN labels l ON d.doc_id = l.doc_id"""),
       "leakage-free cluster-level split: near-dup CC survivor's md5 coin decides for the whole cluster"),
@@ -1312,6 +1302,14 @@ object Dedup {
     * grid at sf0.1/C=80: P=7 recalls 0.949, P=8 0.977 for ~(8/7)^2 pair
     * work — the first P clearing 0.95 at every tested scale factor;
     * sf0.001/0.01 at their P=6 both measure 1.0). */
+  /** SemDeDup codebook size for an `n`-vector corpus — ONE definition
+    * shared by the query ([[semdedupAssignments]]) and the oracle-support
+    * dump ([[auxDefs]]): if these ever diverged, Verify would dump a
+    * codebook the q79 oracle replays against the wrong centroids. */
+  def semdedupCells(n: Long, clusterTarget: Long): Int =
+    math.max(2, math.min(65536,
+      math.ceil(n.toDouble / clusterTarget).toInt))
+
   def semdedupProbes(c: Int): Int =
     // integer-exact ceil(log2 c) (smallest p with 2^p >= c) for the same
     // oracle-parity reason as [[Similarity.nprobeFor]]: the q79 oracle
@@ -1361,9 +1359,7 @@ object Dedup {
     "aux_semdedup_centroids" -> ((s, d) => {
       import s.implicits._
       val e = Similarity.prepared(s, d).cache()
-      val n = e.count()
-      val c = math.max(2, math.min(65536,
-        math.ceil(n.toDouble / SEMDEDUP_CLUSTER).toInt))
+      val c = semdedupCells(e.count(), SEMDEDUP_CLUSTER)
       val cents = Similarity.trainCentroids(e, c, Similarity.LLOYD_ROUNDS)
       e.unpersist()
       cents.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cid", "cent")
@@ -1377,8 +1373,7 @@ object Dedup {
   def semdedupAssignments(e: DataFrame, clusterTarget: Long,
       thresh: Double, probesOverride: Option[Int] = None): (DataFrame, DataFrame) = {
     val n = e.count()
-    val c = math.max(2, math.min(65536,
-      math.ceil(n.toDouble / clusterTarget).toInt))
+    val c = semdedupCells(n, clusterTarget)
     val p = probesOverride.getOrElse(semdedupProbes(c))
     val cents = Similarity.trainCentroids(e, c, Similarity.LLOYD_ROUNDS)
     // home cell (first probe) labels the output; the full probe list only

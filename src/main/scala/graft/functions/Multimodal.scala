@@ -68,22 +68,34 @@ object Multimodal {
     * (dims + float32 histogram arithmetic) rebuildable in SQL.
     * ======================================================================= */
   def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
-    val hx = {
-      val sb = new java.lang.StringBuilder(payload.length * 2)
-      payload.foreach(b => sb.append(HEX_UPPER.charAt((b >> 4) & 0xF))
-        .append(HEX_UPPER.charAt(b & 0xF)))
-      sb.toString
+    // the hex stream feeds the digest in 8 KB chunks — never a full
+    // 2x-payload hex string plus its byte copy (a corrupt 500 MB asset
+    // landing here would otherwise cost ~2 GB of transient heap in
+    // exactly the fallback path that exists to survive bad payloads)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val buf = new Array[Byte](8192)
+    var bi = 0
+    payload.foreach { b =>
+      buf(bi) = HEX_UPPER.charAt((b >> 4) & 0xF).toByte
+      buf(bi + 1) = HEX_UPPER.charAt(b & 0xF).toByte
+      bi += 2
+      if (bi == buf.length) { md.update(buf); bi = 0 }
     }
-    val dig = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(hx.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    if (bi > 0) md.update(buf, 0, bi)
+    val dig = md.digest()
     val h = ((dig(0) & 0xFFL) << 24) | ((dig(1) & 0xFFL) << 16) |
       ((dig(2) & 0xFFL) << 8) | (dig(3) & 0xFFL)
     val width = (16 + (h % 1024)).toInt
     val height = (16 + ((h / 1024) % 1024)).toInt
-    val hist = new Array[Float](FEATURE_DIM)
-    payload.foreach(b => hist((b & 0xFF) / FEATURE_DIM) += 1f)
+    // exact LONG counts, converted to float once — a float accumulator
+    // saturates at 2^24 (one ~17 MB single-bin payload would freeze it)
+    // while the oracle's cnt::FLOAT rounds the exact count; long-then-
+    // convert matches the oracle at ANY size and is bit-identical to the
+    // old accumulator below 2^24
+    val hist = new Array[Long](FEATURE_DIM)
+    payload.foreach(b => hist((b & 0xFF) / FEATURE_DIM) += 1L)
     val total = math.max(payload.length, 1).toFloat
-    (width, height, hist.map(_ / total))
+    (width, height, hist.map(_.toFloat / total))
   }
 
   private val HEX_UPPER = "0123456789ABCDEF"
@@ -102,7 +114,9 @@ object Multimodal {
     else {
       val w = img.getWidth
       val h = img.getHeight
-      val hist = new Array[Float](FEATURE_DIM)
+      // exact LONG bin counts (a float accumulator saturates at 2^24 —
+      // one 4096x4096 near-solid image crosses it), converted once
+      val hist = new Array[Long](FEATURE_DIM)
       var y = 0
       while (y < h) {
         var x = 0
@@ -110,13 +124,13 @@ object Multimodal {
           val rgb = img.getRGB(x, y)
           val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
             (rgb & 0xFF) * 114) / 1000
-          hist(lum * FEATURE_DIM / 256) += 1f
+          hist(lum * FEATURE_DIM / 256) += 1L
           x += 1
         }
         y += 1
       }
       val total = math.max(w.toLong * h, 1L).toFloat
-      Some((w, h, hist.map(_ / total)))
+      Some((w, h, hist.map(_.toFloat / total)))
     }
   }
 
@@ -139,15 +153,17 @@ object Multimodal {
         f.getSampleRate, false)
       val pcm = AudioSystem.getAudioInputStream(pcmFmt, raw)
       val bytes = pcm.readAllBytes()
-      val hist = new Array[Float](FEATURE_DIM)
+      // exact LONG bin counts — same 2^24 float-saturation guard as the
+      // image and stub histograms
+      val hist = new Array[Long](FEATURE_DIM)
       var i = 0
       while (i + 1 < bytes.length) {
         val s = ((bytes(i) & 0xFF) | (bytes(i + 1) << 8)).toShort
-        hist((s + 32768) / (65536 / FEATURE_DIM)) += 1f
+        hist((s + 32768) / (65536 / FEATURE_DIM)) += 1L
         i += 2
       }
       val n = math.max(bytes.length / 2, 1).toFloat
-      Some((f.getSampleRate.toInt, f.getChannels, hist.map(_ / n)))
+      Some((f.getSampleRate.toInt, f.getChannels, hist.map(_.toFloat / n)))
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
       case _: java.io.IOException => None

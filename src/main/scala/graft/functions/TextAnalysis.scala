@@ -21,6 +21,23 @@ object TextAnalysis {
     * matching DuckDB's `string_split`.) */
   def tokens(text: Column): Column = filter(split(text, " "), t => t =!= "")
 
+  /** The deterministic md5 split coin (q70's contract — '0c'/256 ~ 4.7%
+    * test, '0c'..'1a' ~ 5.5% val, rest train): ONE definition for every
+    * consumer — the split itself (q70), the leakage audit (q138), the
+    * cluster-level split (q139) and the streaming admission guard — so
+    * rebalancing a threshold can never leave an auditor checking a
+    * different partition than the one being assigned. */
+  def splitCoin(id: Column): Column =
+    when(md5(id.cast("string")) < "0c", "test")
+      .when(md5(id.cast("string")) < "1a", "val")
+      .otherwise("train")
+
+  /** The identical coin as DuckDB SQL over an id expression. */
+  def sqlSplitCoin(idExpr: String): String =
+    s"""CASE WHEN md5(($idExpr)::VARCHAR) < '0c' THEN 'test'
+                    WHEN md5(($idExpr)::VARCHAR) < '1a' THEN 'val'
+                    ELSE 'train' END"""
+
   /** BPE-ish lexer token count: letter runs, digit runs, or single
     * non-alnum-non-space chars. */
   def lexTokenCount(text: Column): Column =
@@ -402,19 +419,13 @@ object TextAnalysis {
         // '0c'..'1a' ≈ 5.5% val, rest train.
         documents(s, d)
           .select(col("lang"), col("source"),
-            md5(col("doc_id").cast("string")).as("h"))
-          .select(col("lang"), col("source"),
-            when(col("h") < "0c", "test")
-              .when(col("h") < "1a", "val")
-              .otherwise("train").as("split"))
+            splitCoin(col("doc_id")).as("split"))
           .groupBy(col("lang"), col("source"), col("split"))
           .agg(count(lit(1)).as("n_docs"))
           .orderBy(col("lang"), col("source"), col("split")),
-      Some("""
+      Some(s"""
         SELECT lang, source,
-               CASE WHEN md5(doc_id::VARCHAR) < '0c' THEN 'test'
-                    WHEN md5(doc_id::VARCHAR) < '1a' THEN 'val'
-                    ELSE 'train' END AS split,
+               ${sqlSplitCoin("doc_id")} AS split,
                count(*) AS n_docs
         FROM documents
         GROUP BY 1, 2, 3

@@ -315,8 +315,14 @@ object IterativeGraph {
     // needs V*scale*maxW and the damping update 85*V*scale to fit
     val nVerts = ranksRdd.count()
     val maxW = e.agg(max(col("w"))).head.get(0) match {
+      case null => 85L // no edges: only the damping bound applies
       case w: java.lang.Long => math.max(w.longValue, 85L)
-      case _ => 85L // no edges: only the damping bound applies
+      case w: java.lang.Integer => math.max(w.longValue, 85L)
+      case other => throw new IllegalArgumentException(
+        // falling back to the no-edges bound here would silently skip
+        // the overflow guard for exactly the misuse it exists to catch
+        s"pageRankWeighted: positive INTEGER weights required, got " +
+          s"${other.getClass.getSimpleName} — cast the weight column first")
     }
     require(nVerts <= Long.MaxValue / maxW / scale,
       s"pageRankWeighted: V * scale * max(85, maxWeight) must fit a long," +

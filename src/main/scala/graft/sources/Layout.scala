@@ -196,7 +196,10 @@ object Layout {
     val loc = new java.io.File(wh, table)
     if (loc.exists()) {
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
+        // listFiles returns null on I/O error or a concurrent removal —
+        // fall through to delete() rather than NPE the whole query
+        val children = if (f.isDirectory) f.listFiles() else null
+        if (children != null) children.foreach(rm)
         f.delete(): Unit
       }
       rm(loc)

@@ -244,13 +244,10 @@ object StreamingOps {
   def splitLeakageGuard(docs: Dataset[DocIn], index: DataFrame,
       threshold: Double = 0.8,
       watermarkDelay: String = "10 minutes"): DataFrame = {
-    def splitOf(id: Column): Column =
-      when(md5(id.cast("string")) < "0c", "test")
-        .when(md5(id.cast("string")) < "1a", "val")
-        .otherwise("train")
+    val coin = graft.functions.TextAnalysis.splitCoin _
     incrementalNearDupProbe(docs, index, threshold, watermarkDelay)
       .select(col("ia"), col("ib"), col("jaccard"),
-        splitOf(col("ia")).as("split_a"), splitOf(col("ib")).as("split_b"))
+        coin(col("ia")).as("split_a"), coin(col("ib")).as("split_b"))
       .filter(col("split_a") =!= col("split_b"))
   }
 
