@@ -175,4 +175,25 @@ object DedupProps extends Properties("dedup") {
         .as[(Long, Long, Double)].collect().toSeq
       Prop(inc == brute) :| s"inc=${inc.size} brute-filtered=${brute.size} t=$t mod=$mod"
     }
+
+  property("cluster-level split (q139) admits zero near-dup leakage on ANY corpus") =
+    Prop.forAll(corpusGen) { case (docs, _) =>
+      // the q139 theorem at property level: for any generated corpus —
+      // transitive chains, all-identical docs, singleton clusters — no
+      // exact near-dup pair (q139's fixed 0.8 threshold) may straddle the
+      // cluster-assigned split, and every doc gets exactly one coin
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("clsplit").toString
+      val df = docs.toDF("doc_id", "text", "lang", "source")
+      df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val split = SparkEntry.queries("q139_cluster_split")(spark, dir)
+        .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+      val toks = df.select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(graft.functions.TextAnalysis.tokens(col("text")))).as("word"))
+      val crossing = Dedup.jaccardPairsExact(toks, 0.8)
+        .as[(Long, Long, Double)].collect()
+        .filter { case (a, b, _) => split(a) != split(b) }
+      Prop(crossing.isEmpty && split.size == docs.size) :|
+        s"crossings=${crossing.length} assigned=${split.size}/${docs.size}"
+    }
 }
