@@ -82,6 +82,22 @@ object Bench {
     val gedcom1g = gedcomLeg("1g", "/tmp/graft-bench-1gb.ged", 1L << 30)
     System.gc()
 
+    // RE-warm after the GEDCOM legs: the legs generate + parse ~1.15 GB
+    // of GEDCOM between the session warm-up above and the timed loop,
+    // evicting the suite's JIT-hot code paths and the sf parquet from the
+    // page cache — BENCH_r12 read the first ~7 suite queries at 2-6x
+    // their r11 values on UNCHANGED code (q01 0.63 -> 2.72 s) purely from
+    // this cold-start block. One untimed q01-q03 pass (partial+final agg,
+    // broadcast-dim join, AQE shuffle join — the operator families the
+    // suite opens with) restores the steady state the suite measures.
+    for (qn <- Seq("q01_agg", "q02_join_broadcast", "q03_join_shuffle"))
+      try {
+        SparkEntry.queries(qn)(spark, sfDir).write
+          .format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      } catch { case _: Throwable => () }
+    System.gc()
+
     // two timed passes per query, min taken: the best observation is the
     // least contaminated by co-tenant noise on a shared host, and both
     // passes run the identical full plan
@@ -95,10 +111,17 @@ object Bench {
       spark.catalog.clearCache()
       sec
     }
+    // every individual pass, in order, per query — the forensic record
+    // for adjudicating artifact-vs-quiet-host discrepancies (the q91
+    // residue chase needs to see WHICH pass carried the excess)
+    val passLog = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
     val results = SparkEntry.all.map { q =>
       def attempt(): Option[Double] =
-        try Some(timeOnce(q))
-        catch {
+        try {
+          val s = timeOnce(q)
+          passLog(q.name) = passLog.getOrElse(q.name, Vector.empty) :+ s
+          Some(s)
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
             None
@@ -140,7 +163,7 @@ object Bench {
       java.nio.file.Files.writeString(out, json + "\n")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/bench-detail.json"),
-        renderDetailJson(results) + "\n")
+        renderDetailJson(results, passLog.toMap) + "\n")
     } catch {
       case e: java.io.IOException =>
         System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
@@ -202,8 +225,16 @@ object Bench {
   }
 
   /** Full-precision per-query seconds under full registry names — the
-    * companion file for readers of the compressed stdout line. */
-  def renderDetailJson(results: Seq[(String, Double)]): String =
-    results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    * companion file for readers of the compressed stdout line. `best` is
+    * the reported min; `passes` lists every individual observation in run
+    * order, so a noisy artifact number can be attributed to a specific
+    * pass (first-pass cold cost vs co-tenant spike vs real regression)
+    * without a rerun. */
+  def renderDetailJson(results: Seq[(String, Double)],
+      passes: Map[String, Vector[Double]] = Map.empty): String =
+    results.map { case (k, v) =>
+      val ps = passes.getOrElse(k, Vector.empty)
+        .mkString("[", ",", "]")
+      "\"" + k + "\":{\"best\":" + v + ",\"passes\":" + ps + "}"
+    }.mkString("{", ",", "}")
 }

@@ -30,10 +30,25 @@ object Verify {
     }
     // oracle-support tables (trained codebooks): always dumped — cheap
     // (bounded by codebook size, never the corpus) and the codebook
-    // oracles need them even in a filtered local run
+    // oracles need them even in a filtered local run. They go to a
+    // SIBLING directory of outDir, NOT inside it: the driver's checker
+    // enumerates outDir's subdirectories as query results, and the aux
+    // tables' array-typed centroid columns crash its pandas row sort
+    // ("unhashable type: numpy.ndarray" — three permanent error rows in
+    // CORRECTNESS_r12). Outside the enumerated tree they are exactly what
+    // they are: oracle inputs, reached via the absolute read_parquet
+    // paths substituted below. Falls back to outDir/_aux (underscore
+    // prefix, skipped by parquet-convention listers) if the parent is
+    // unwritable — losing the aux dump entirely would fail the three
+    // codebook oracles, which is strictly worse than an extra row.
+    val auxDirFile = {
+      val sib = new java.io.File(new java.io.File(outDir).getAbsolutePath + "_aux")
+      if (sib.isDirectory || sib.mkdirs()) sib
+      else { val sub = new java.io.File(outDir, "_aux"); sub.mkdirs(); sub }
+    }
     SparkEntry.auxTables.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+        .parquet(new java.io.File(auxDirFile, name).getPath)
       catch { case e: Throwable =>
         System.err.println(s"[verify] aux $name failed: ${e.getMessage}")
       } finally spark.catalog.clearCache()
@@ -50,9 +65,9 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // absolute dump dir into the codebook oracles: the driver may run
+    // absolute aux dir into the codebook oracles: the driver may run
     // DuckDB from any cwd, so the read_parquet paths must not be relative
-    val auxDir = new java.io.File(outDir).getAbsolutePath
+    val auxDir = auxDirFile.getAbsolutePath
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
         s"${q(k)}: ${q(v.replace(functions.Similarity.AUXDIR, auxDir))}"

@@ -1068,7 +1068,7 @@ object Dedup {
           WHERE pr.ia < c2.vec_id),
         pairs AS (
           SELECT cand.ia, cand.ib,
-                 round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+                 round(list_dot_product(a.v, b.v) / nullif(a.nrm * b.nrm, 0), 6) AS cos
           FROM cand
           JOIN e a ON cand.ia = a.vec_id
           JOIN e b ON cand.ib = b.vec_id)
@@ -1269,7 +1269,7 @@ object Dedup {
           JOIN e a ON cand.ia = a.vec_id
           JOIN e b ON cand.ib = b.vec_id
           JOIN assign ab ON cand.ib = ab.vec_id
-          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4)
+          WHERE list_dot_product(a.v, b.v) / nullif(a.nrm * b.nrm, 0) >= 0.4)
         SELECT a.cid, count(*) AS n_vecs, count(r.vec_id) AS n_removed
         FROM assign a
         LEFT JOIN removed r ON a.cid = r.cid AND a.vec_id = r.vec_id
@@ -1282,6 +1282,14 @@ object Dedup {
     * ~N * B, so B is the knob that keeps the quadratic local. 25 keeps the
     * registered query's clusters comfortably mid-sized at sf0.01-0.1. */
   val SEMDEDUP_CLUSTER = 25L
+
+  /** SemDeDup codebook size for an `n`-vector corpus — ONE definition
+    * shared by the query ([[semdedupAssignments]]) and the oracle-support
+    * dump ([[auxDefs]]): if these ever diverged, Verify would dump a
+    * codebook the q79 oracle replays against the wrong centroids. */
+  def semdedupCells(n: Long, clusterTarget: Long): Int =
+    math.max(2, math.min(65536,
+      math.ceil(n.toDouble / clusterTarget).toInt))
 
   /** Clusters each vector probes for candidates. 1 reproduces the paper's
     * hard assignment — correct when dups are near-identical (cos ~0.95+,
@@ -1302,14 +1310,6 @@ object Dedup {
     * grid at sf0.1/C=80: P=7 recalls 0.949, P=8 0.977 for ~(8/7)^2 pair
     * work — the first P clearing 0.95 at every tested scale factor;
     * sf0.001/0.01 at their P=6 both measure 1.0). */
-  /** SemDeDup codebook size for an `n`-vector corpus — ONE definition
-    * shared by the query ([[semdedupAssignments]]) and the oracle-support
-    * dump ([[auxDefs]]): if these ever diverged, Verify would dump a
-    * codebook the q79 oracle replays against the wrong centroids. */
-  def semdedupCells(n: Long, clusterTarget: Long): Int =
-    math.max(2, math.min(65536,
-      math.ceil(n.toDouble / clusterTarget).toInt))
-
   def semdedupProbes(c: Int): Int =
     // integer-exact ceil(log2 c) (smallest p with 2^p >= c) for the same
     // oracle-parity reason as [[Similarity.nprobeFor]]: the q79 oracle

@@ -18,19 +18,66 @@ import graft.{QueryDef, Tables}
   *   - `audio` decodes LIVE via JDK-only `javax.sound.sampled` (WAV/AIFF/AU
   *     parsers ship with the JDK): sample rate + channels + an amplitude
   *     histogram;
-  *   - `video` probes LIVE metadata from the public ISO BMFF box
-  *     structure ([[probeMp4]] — `moov/mvhd` duration, `trak/tkhd`
-  *     16.16 fixed-point dimensions; pure JVM, no codec), with the
-  *     payload byte histogram as features; FRAME decode stays behind the
-  *     clearly-marked STUB (this container has no video codecs —
-  *     swapping in a real decoder (JNI/ffmpeg/javacv) changes only
-  *     [[decodeStub]]/[[sampleFrameOffsets]]). Non-BMFF or truncated
-  *     payloads fall back to the stub.
+  *   - `video` frame-decodes LIVE for MJPEG-in-AVI ([[decodeAviMjpeg]] —
+  *     the one codec the stock JDK can decode) and probes LIVE metadata
+  *     from the public ISO BMFF / EBML structures ([[probeMp4]] /
+  *     [[probeMkv]]; pure JVM, no codec) with the payload byte histogram
+  *     as features; for codecs the JVM lacks (H.264/HEVC) frame decode
+  *     goes through the documented [[VideoFrameBridge]] extension
+  *     contract (`spark.graft.videoBridgeClass`, fake-bridge-tested in
+  *     MultimodalSpec) and otherwise falls back to the clearly-marked
+  *     deterministic STUB.
   *
   * Batching mirrors `mapInPandas`: `mapPartitions` pulls rows in groups of
   * [[BATCH_SIZE]] so a real decoder could amortize model/codec init per
   * batch instead of per row.
   */
+/** The external-bridge contract for video codecs the JVM cannot
+  * frame-decode (H.264/HEVC/AV1 — the one seam keeping the multimodal
+  * component `partial`): a ROW-LEVEL payload -> sampled-frames function,
+  * implemented over whatever native decoder the deployment ships
+  * (JNI/ffmpeg/javacv), put on the executor classpath, and named via the
+  * `spark.graft.videoBridgeClass` conf ([[Multimodal.BRIDGE_CONF]]).
+  *
+  * The contract an implementation must honor:
+  *   - DETERMINISTIC: same payload + maxFrames -> same Frames, always
+  *     (the gate hash-checks outputs; a nondeterministic decoder would
+  *     also break task retry at cluster scale);
+  *   - BOUNDED: decode at most `maxFrames` evenly-strided frames however
+  *     long the clip is (the [[Multimodal.FRAME_SAMPLE]] budget —
+  *     [[Multimodal.decodeAviMjpeg]] is the in-process reference
+  *     implementation of the same sampling contract);
+  *   - `None` for payloads it does not handle — the decode chain then
+  *     falls through to the header probes, never to an error;
+  *   - each histogram is [[Multimodal.FEATURE_DIM]] luminance bins of one
+  *     decoded frame (the chain averages them, exactly as the MJPEG path
+  *     averages its per-frame histograms).
+  *
+  * MultimodalSpec's fake-bridge case drives a full extractFeatures run
+  * through this interface, so the extension path is tested even though
+  * no real codec ships in this environment. */
+trait VideoFrameBridge extends Serializable {
+  def decodeFrames(payload: Array[Byte], maxFrames: Int): Option[VideoFrameBridge.Frames]
+}
+
+object VideoFrameBridge {
+  /** `width`/`height` of the first decoded frame; `histograms` = one
+    * FEATURE_DIM luminance histogram per sampled frame, in frame order. */
+  final case class Frames(width: Int, height: Int, histograms: Seq[Array[Float]])
+
+  // one instance per (class name, executor JVM) — a bridge wrapping a
+  // native library must init once per process, not once per task
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, VideoFrameBridge]()
+
+  /** Instantiate (or reuse) a bridge by class name; the class needs a
+    * public no-arg constructor and must be on the executor classpath. */
+  def forName(className: String): VideoFrameBridge =
+    cache.computeIfAbsent(className, cn =>
+      Class.forName(cn).getDeclaredConstructor().newInstance()
+        .asInstanceOf[VideoFrameBridge])
+}
+
 object Multimodal {
   import Tables._
 
@@ -365,9 +412,11 @@ object Multimodal {
   }
 
   /** The decode seam q41 runs through: images and audio decode for real
-    * (JDK codecs); video parses real header metadata (BMFF via
-    * [[probeMp4]], then Matroska via [[probeMkv]]) with the byte
-    * histogram as features (frame decode stays stubbed); any unreadable
+    * (JDK codecs); MJPEG-in-AVI video frame-decodes for real
+    * ([[decodeAviMjpeg]]); other codecs go through the
+    * [[VideoFrameBridge]] extension contract when deployed, else parse
+    * real header metadata (BMFF via [[probeMp4]], then Matroska via
+    * [[probeMkv]]) with the byte histogram as features; any unreadable
     * payload takes the deterministic stub. */
   /** Frames sampled per MJPEG clip: an arbitrarily long video costs a
     * bounded decode budget (evenly-strided sample, same contract as
@@ -440,18 +489,47 @@ object Multimodal {
     else Some((w, h, acc.map(x => (x / n).toFloat)))
   }
 
-  def decode(kind: String, payload: Array[Byte]): (Int, Int, Array[Float]) =
+  /** Conf key naming a [[VideoFrameBridge]] implementation class for the
+    * codecs the JVM cannot frame-decode. Unset (the default) = no bridge:
+    * the MJPEG -> header-probe -> stub chain is unchanged, so the
+    * oracle-gated q41/q66/q94 outputs never depend on deployment. */
+  val BRIDGE_CONF = "spark.graft.videoBridgeClass"
+
+  /** Average the bridge's per-frame histograms into the decode-chain
+    * feature shape; a throwing or empty bridge yields None (the chain
+    * falls through to the header probes) — one bad asset or a buggy
+    * bridge build must not fail a 100 TB decode job. */
+  private def bridgeFrames(b: VideoFrameBridge,
+      payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try b.decodeFrames(payload, FRAME_SAMPLE).collect {
+      case VideoFrameBridge.Frames(w, h, hists)
+          if hists.nonEmpty && hists.forall(_.length == FEATURE_DIM) =>
+        val acc = new Array[Double](FEATURE_DIM)
+        hists.foreach { f =>
+          var i = 0
+          while (i < FEATURE_DIM) { acc(i) += f(i); i += 1 }
+        }
+        (w, h, acc.map(x => (x / hists.size).toFloat))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  def decode(kind: String, payload: Array[Byte],
+      bridge: Option[VideoFrameBridge] = None): (Int, Int, Array[Float]) =
     kind match {
       case "image" => decodeImage(payload).getOrElse(decodeStub(payload))
       case "audio" => decodeAudio(payload).getOrElse(decodeStub(payload))
-      case "video" => decodeAviMjpeg(payload) match {
-        // real frames beat header metadata beat the stub
-        case Some(f) => f
-        case None => probeMp4(payload).orElse(probeMkv(payload)) match {
-          case Some(m) => (m.width, m.height, decodeStub(payload)._3)
-          case None => decodeStub(payload)
+      case "video" =>
+        // real frames beat bridge frames beat header metadata beat the
+        // stub: the in-process MJPEG decode is exact and free, the bridge
+        // covers codecs the JVM lacks, the probes salvage dimensions from
+        // anything structured, the stub guarantees a deterministic row
+        decodeAviMjpeg(payload)
+          .orElse(bridge.flatMap(bridgeFrames(_, payload))) match {
+          case Some(f) => f
+          case None => probeMp4(payload).orElse(probeMkv(payload)) match {
+            case Some(m) => (m.width, m.height, decodeStub(payload)._3)
+            case None => decodeStub(payload)
+          }
         }
-      }
       case _ => decodeStub(payload)
     }
 
@@ -475,11 +553,21 @@ object Multimodal {
     * typed Dataset. */
   def extractFeatures(in: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import in.sparkSession.implicits._
+    // the bridge crosses the closure as a CLASS NAME (a plain string) and
+    // is constructed once per executor JVM via VideoFrameBridge.forName's
+    // process-level cache — a bridge wrapping a native decoder need not
+    // be serializable, only present on the executor classpath. A
+    // misconfigured name fails the task loudly (better than silently
+    // stubbing 100 TB of frames).
+    val bridgeClass = in.sparkSession.conf.get(BRIDGE_CONF, "")
     in.mapPartitions { rows =>
+      val bridge =
+        if (bridgeClass.isEmpty) None
+        else Some(VideoFrameBridge.forName(bridgeClass))
       rows.grouped(BATCH_SIZE).flatMap { batch =>
         // per-batch init hook for a real decoder goes here
         batch.iterator.map { a =>
-          val (w, h, feat) = decode(a.meta.kind, a.payload)
+          val (w, h, feat) = decode(a.meta.kind, a.payload, bridge)
           MediaFeatures(a.asset_id, a.meta.kind, a.meta.nBytes, w, h, feat)
         }
       }

@@ -239,13 +239,33 @@ object Similarity {
   }
 
   /** PQ geometry: M sub-vectors of DIM/M dims, K centroids per
-    * sub-codebook. A vector compresses to M small ints — here 8 codes
-    * over 32-cell books = 8 x 5 bits (5 bytes) vs 64 float32s (256 bytes,
-    * ~51x smaller); the standard production point is K=256 (one byte per
-    * code). Measured at sf0.001: K=32 holds recall 0.90 vs 0.86 at K=16.
-    * K scales like any codebook (sample-trained); M divides DIM. */
+    * sub-codebook. A vector compresses to M small ints — 8 codes over
+    * 32-cell books = 8 x 5 bits (5 bytes) vs 64 float32s (256 bytes,
+    * ~51x smaller). Measured at sf0.001: K=32 holds recall 0.90 vs 0.86
+    * at K=16. K scales like any codebook (sample-trained); M divides
+    * DIM. */
   val PQ_M = 8
+
+  /** Small-corpus sub-codebook size (the sf0.001/0.01 operating point). */
   val PQ_K = 32
+
+  /** The standard production sub-codebook size: one byte per code.
+    * Measured at sf0.1 via the registered q86 path: recall 0.960 vs the
+    * exact baseline (SimilaritySpec "production operating point" floor
+    * 0.9). */
+  val PQ_K_PRODUCTION = 256
+
+  /** The corpus-size switch between the two PQ operating points — IN
+    * CODE, not prose (r12 directive): a K-cell book wants at least a few
+    * training points per cell, so the production point arms once the
+    * corpus clears 4 points/cell (n >= 4 * 256). sf0.1's 2000-vector
+    * corpus trains K=256 (recall 0.960 measured); the 500-vector
+    * sf0.001/0.01 corpora keep K=32 (recall 0.91, and the correctness
+    * gate at sf0.01 keeps its historical codebook). ONE definition shared
+    * by the registered q86 and the aux_pq_books oracle dump — if these
+    * diverged, the oracle would replay the wrong books. */
+  def pqKForCorpus(n: Long): Int =
+    if (n >= 4L * PQ_K_PRODUCTION) PQ_K_PRODUCTION else PQ_K
 
   /** L2 k-means for one PQ subspace: Lloyd WITHOUT the unit-normalization
     * [[trainCentroids]] applies (PQ quantizes raw sub-vectors, so the
@@ -632,7 +652,8 @@ object Similarity {
     "aux_pq_books" -> ((s, d) => {
       import s.implicits._
       val e = prepared(s, d).cache()
-      val books = trainSubCentroidsL2All(e, PQ_K, LLOYD_ROUNDS, knownTotal = e.count())
+      val n = e.count()
+      val books = trainSubCentroidsL2All(e, pqKForCorpus(n), LLOYD_ROUNDS, knownTotal = n)
       e.unpersist()
       books.zipWithIndex.flatMap { case (book, m) =>
         book.zipWithIndex.map { case (v, cid) => (m, cid, v) }
@@ -664,7 +685,7 @@ object Similarity {
                    FROM embeddings),
         pairs AS (
           SELECT q.vec_id AS qid, c.vec_id AS ib,
-                 round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+                 round(list_dot_product(q.v, c.v) / nullif(q.nrm * c.nrm, 0), 6) AS cos
           FROM e q JOIN e c ON q.vec_id < $N_QUERIES AND c.vec_id <> q.vec_id),
         ranked AS (
           SELECT qid, ib, cos,
@@ -706,7 +727,7 @@ object Similarity {
           FROM qprobes qp JOIN codes c2 ON qp.t = c2.t AND qp.code = c2.code),
         scored AS (
           SELECT cand.qid, cand.vec_id AS ib,
-                 round(list_dot_product(b.v, q.v) / (b.nrm * q.nrm), 6) AS cos
+                 round(list_dot_product(b.v, q.v) / nullif(b.nrm * q.nrm, 0), 6) AS cos
           FROM cand
           JOIN e b ON cand.vec_id = b.vec_id
           JOIN e q ON cand.qid = q.vec_id
@@ -750,7 +771,7 @@ object Similarity {
           WHERE a.vec_id <> qp.qid),
         scored AS (
           SELECT cand.qid, cand.vec_id AS ib,
-                 round(list_dot_product(b.v, q.v) / (b.nrm * q.nrm), 6) AS cos
+                 round(list_dot_product(b.v, q.v) / nullif(b.nrm * q.nrm, 0), 6) AS cos
           FROM cand
           JOIN e b ON cand.vec_id = b.vec_id
           JOIN e q ON cand.qid = q.vec_id),
@@ -778,7 +799,10 @@ object Similarity {
         val n = e.count()
         val c = centroidsForCorpus(n)
         val cents = trainCentroids(e, c, LLOYD_ROUNDS)
-        val books = trainSubCentroidsL2All(e, PQ_K, LLOYD_ROUNDS, knownTotal = n)
+        // sub-codebook size follows the corpus ([[pqKForCorpus]]): K=256
+        // (the one-byte production point, recall 0.960 measured at sf0.1)
+        // once training density allows, K=32 below
+        val books = trainSubCentroidsL2All(e, pqKForCorpus(n), LLOYD_ROUNDS, knownTotal = n)
         // adcK = 20K exact reranks per query: at sf0.1 the ADC top-10K cut
         // dropped true neighbors the coarse layer had kept (IVF recall
         // 0.96 vs IVF-PQ 0.86); doubling the rerank budget is ~100 exact
@@ -840,7 +864,7 @@ object Similarity {
             FROM adc) WHERE ark <= ${20 * K}),
         scored AS (
           SELECT cand.qid, cand.ib,
-                 round(list_dot_product(b.v, q.v) / (b.nrm * q.nrm), 6) AS cos
+                 round(list_dot_product(b.v, q.v) / nullif(b.nrm * q.nrm, 0), 6) AS cos
           FROM cand
           JOIN e b ON cand.ib = b.vec_id
           JOIN e q ON cand.qid = q.vec_id),

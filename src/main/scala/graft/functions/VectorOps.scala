@@ -32,10 +32,13 @@ object VectorOps {
 
   /** Cosine similarity with precomputed norms (precompute per row before a
     * pairwise join — norms are O(n), pairs are O(n^2)). Zero-norm inputs
-    * yield NULL rather than an ANSI divide-by-zero job failure — the same
-    * semantics DuckDB gives 0/0, so threshold filters drop such pairs on
-    * both sides instead of one degenerate embedding killing a 100 TB run;
-    * for every non-zero divisor `try_divide` is the identical double
+    * yield NULL rather than an ANSI divide-by-zero job failure, so
+    * threshold filters drop such pairs instead of one degenerate
+    * embedding killing a 100 TB run. DuckDB's plain float division gives
+    * NaN for 0/0 — which sorts ABOVE every value under ORDER BY cos DESC
+    * — so every cosine oracle divides by `nullif(na * nb, 0)` to land on
+    * the identical NULL (dropped by filters, last in rank) semantics; for
+    * every non-zero divisor `try_divide` is the identical double
     * division. */
   def cosinePre(dotAB: Column, normA: Column, normB: Column): Column =
     try_divide(dotAB, normA * normB)

@@ -191,19 +191,15 @@ object Layout {
     // a managed table's LOCATION can outlive the session that wrote it
     // (the in-memory catalog forgets, the filesystem doesn't) — a fresh
     // session's CREATE then fails with LOCATION_ALREADY_EXISTS, so clear
-    // the stale directory before writing
-    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val loc = new java.io.File(wh, table)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        // listFiles returns null on I/O error or a concurrent removal —
-        // fall through to delete() rather than NPE the whole query
-        val children = if (f.isDirectory) f.listFiles() else null
-        if (children != null) children.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(loc)
-    }
+    // the stale directory before writing. Through the Hadoop FileSystem
+    // API, not java.io.File: the warehouse is only a local directory in
+    // this sandbox — on an HDFS/S3 warehouse a File-based delete silently
+    // no-ops and the CREATE fails at cluster scale. Path resolves the
+    // scheme from the warehouse URI itself (file:/, hdfs://, s3a://...).
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true): Unit
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)

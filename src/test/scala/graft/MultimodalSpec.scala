@@ -241,4 +241,70 @@ class MultimodalSpec extends SparkSpec {
     assert(df.columns.toSeq ==
       Seq("asset_id", "kind", "n_bytes", "width", "height", "feat_l1"))
   }
+
+  test("VideoFrameBridge: a deployed bridge frame-decodes codecs the JVM lacks") {
+    import Multimodal.{MediaAsset, MediaMeta}
+    val p = Multimodal.buildMp4Header(640, 360, 3000)
+    def asset(id: Long, payload: Array[Byte], hint: String) =
+      MediaAsset(id, payload, MediaMeta("video", hint, payload.length.toLong))
+    spark.conf.set(Multimodal.BRIDGE_CONF, classOf[FakeBmffFrameBridge].getName)
+    try {
+      // bridge frames beat the header probe: dims + features come from
+      // the (fake) decoder's pixels, not from the moov/tkhd metadata
+      val out = Multimodal.extractFeatures(Seq(asset(9L, p, "mp4")).toDS())
+        .collect().head
+      assert(out.width == 320 && out.height == 240,
+        s"bridge dims lost: ${out.width}x${out.height}")
+      val expected = new Array[Float](Multimodal.FEATURE_DIM)
+      for (f <- 0 until 3)
+        expected((p.length + f) % Multimodal.FEATURE_DIM) += 1f / 3
+      assert(out.features.sameElements(expected),
+        "features are not the mean of the bridge's per-frame histograms")
+      // an MJPEG AVI still takes the LIVE in-process decode, bridge or not
+      val gray = 136
+      val avi = Multimodal.buildMjpegAvi(Seq(
+        Multimodal.encodeSolidJpeg(24, 10, (gray << 16) | (gray << 8) | gray)), 64, 64)
+      val out2 = Multimodal.extractFeatures(Seq(asset(10L, avi, "avi")).toDS())
+        .collect().head
+      assert(out2.width == 24 && out2.height == 10)
+      // payloads the bridge declines (non-BMFF) fall through to the
+      // header probes exactly as without a bridge
+      val mkv = Multimodal.buildMkvHeader(1280, 720, 42000)
+      val out3 = Multimodal.extractFeatures(Seq(asset(11L, mkv, "mkv")).toDS())
+        .collect().head
+      assert(out3.width == 1280 && out3.height == 720)
+    } finally spark.conf.unset(Multimodal.BRIDGE_CONF)
+    // a THROWING bridge degrades to the header probe, never fails the row
+    val (w, h, _) = Multimodal.decode("video", p, Some(new ThrowingFrameBridge))
+    assert(w == 640 && h == 360)
+    // the per-JVM instance cache hands back the same bridge object
+    val cn = classOf[FakeBmffFrameBridge].getName
+    assert(graft.functions.VideoFrameBridge.forName(cn) eq
+      graft.functions.VideoFrameBridge.forName(cn))
+  }
+}
+
+/** Fake external decoder for the [[graft.functions.VideoFrameBridge]]
+  * contract test: "handles" only BMFF payloads (the codec family the JVM
+  * cannot frame-decode) and returns deterministic frames derived from the
+  * payload bytes — the shape a real ffmpeg/JNI bridge would produce. */
+class FakeBmffFrameBridge extends graft.functions.VideoFrameBridge {
+  def decodeFrames(payload: Array[Byte], maxFrames: Int)
+      : Option[graft.functions.VideoFrameBridge.Frames] =
+    if (payload.length < 8 || new String(payload, 4, 4, "US-ASCII") != "ftyp") None
+    else {
+      val hists = (0 until math.min(maxFrames, 3)).map { f =>
+        val h = new Array[Float](graft.functions.Multimodal.FEATURE_DIM)
+        h((payload.length + f) % h.length) = 1f
+        h
+      }
+      Some(graft.functions.VideoFrameBridge.Frames(320, 240, hists))
+    }
+}
+
+/** A buggy bridge build: the decode chain must catch and fall through. */
+class ThrowingFrameBridge extends graft.functions.VideoFrameBridge {
+  def decodeFrames(payload: Array[Byte], maxFrames: Int)
+      : Option[graft.functions.VideoFrameBridge.Frames] =
+    throw new RuntimeException("native decoder exploded")
 }
