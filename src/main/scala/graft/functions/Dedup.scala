@@ -98,6 +98,51 @@ object Dedup {
         n
     }
 
+  /** Corpus-vector rows up to which a verify/candidate join keeps its
+    * corpus-bounded side BROADCAST (default 250k rows — ~140 MB of
+    * (vec_id, 64-dim vector, norm), a broadcast, not a corpus); above the
+    * cap the side is hinted SHUFFLE_HASH instead.
+    * `spark.graft.verifyBroadcastVectors` overrides (specs force the flip
+    * at tiny scale; deployments tune to executor headroom).
+    *
+    * WHY hash and never merge: the candidate pair relation on the OTHER
+    * side of these joins is ring x occupancy times the corpus — the
+    * largest relation the dedup family ever materializes — and Spark's
+    * default SortMergeJoin fallback SORTS it on each join key the moment
+    * the vector side outgrows `spark.sql.autoBroadcastJoinThreshold`.
+    * Measured on the x16 disjoint-universe amplification (32k vectors —
+    * the first scale point past the 10 MB default): q64 read 272-634 s
+    * against 10.4 s at x8 and 28 s at x16 with the vector side kept
+    * hash-built — a ~26x cliff from the silent plan flip alone, nothing
+    * else changed. A shuffled-hash join streams the pair relation
+    * SORT-FREE against a per-partition hash map of the corpus slice —
+    * the plan that survives when the corpus outgrows any broadcast
+    * (executor sizing is the standard shuffled-hash rule: corpus bytes /
+    * shuffle partitions per task). */
+  private[graft] def verifyBroadcastVectors(s: SparkSession): Long = {
+    val raw = s.conf.getOption("spark.graft.verifyBroadcastVectors")
+    raw.map(_.trim).map { v =>
+      val n = try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.verifyBroadcastVectors must be a positive integer, got '$v'")
+      }
+      if (n < 1) throw new IllegalArgumentException(
+        s"spark.graft.verifyBroadcastVectors must be >= 1, got $n")
+      n
+    }.getOrElse(250000L)
+  }
+
+  /** A corpus-bounded join side planned by MEASURED size — `nRows` is a
+    * count the call site already holds (every generator counts its corpus
+    * for code-space sizing), so the decision costs nothing: explicit
+    * broadcast under [[verifyBroadcastVectors]], SHUFFLE_HASH above.
+    * Explicit on BOTH branches: the auto-broadcast path depends on size
+    * ESTIMATES that under-count wide array columns, and the silent SMJ
+    * fallback is the measured 26x cliff documented above. */
+  private[graft] def sizedBuildSide(side: DataFrame, nRows: Long): DataFrame =
+    if (nRows <= verifyBroadcastVectors(side.sparkSession)) broadcast(side)
+    else side.hint("SHUFFLE_HASH")
+
   /** The auto-salt probe: largest group of `rel` on `keys`. Call sites
     * hand in their bucket relation (banded signatures, prefix index,
     * code/cell index) — always derived from a relation they already
@@ -519,18 +564,22 @@ object Dedup {
       explode(array(Similarity.probeMasks(p, r).map(m =>
         col("code").bitwiseXOR(lit(m))): _*)).as("code"))
     val cand0 = probes
-      .join(coded.select(col("vec_id").as("ib"), col("t"), col("code")),
-        Seq("t", "code"))
+      // the code index side is sized like the verify sides (n*L rows):
+      // past the broadcast cap the probe relation (ring x bigger) streams
+      // sort-free against a hash-built index instead of being SMJ-sorted
+      .join(sizedBuildSide(
+        coded.select(col("vec_id").as("ib"), col("t"), col("code")),
+        n * nTables), Seq("t", "code"))
       .filter(col("ia") < col("ib"))
       .select(col("ia"), col("ib"))
     // within one table a pair matches through exactly one mask, so a
     // single-table run needs no dedup; multi-table candidates dedup
     // inside the verify join's own aggregation
     // tier 1 is free: n was already counted for the plane budget
-    if (nTables > 1) cosVerifyGrouped(e, cand0, 0.4,
+    if (nTables > 1) cosVerifyGrouped(e, cand0, 0.4, n,
       maxBucket = tieredProbe(e.sparkSession)(n)(
         maxBucketOf(coded, Seq(col("t"), col("code")))))
-    else cosVerify(e, cand0, 0.4)
+    else cosVerify(e, cand0, 0.4, n)
   }
 
   /** Exact-cosine verification of a candidate (ia, ib) relation: join the
@@ -539,11 +588,16 @@ object Dedup {
     * probe) so precision — and the oracle-facing arithmetic — cannot
     * drift between them. `e` must carry (vec_id, v, nrm). Candidates must
     * already be unique; generators that emit duplicates use
-    * [[cosVerifyGrouped]]. */
-  private def cosVerify(e: DataFrame, cand: DataFrame, t: Double): DataFrame =
+    * [[cosVerifyGrouped]]. `nVecs` (the caller's corpus count) sizes the
+    * join: broadcast under [[verifyBroadcastVectors]], SHUFFLE_HASH above
+    * — never the SortMergeJoin that sorts the pair relation. */
+  private def cosVerify(e: DataFrame, cand: DataFrame, t: Double,
+      nVecs: Long): DataFrame =
     cand
-      .join(e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na")), "ia")
-      .join(e.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb")), "ib")
+      .join(sizedBuildSide(e.select(col("vec_id").as("ia"),
+        col("v").as("va"), col("nrm").as("na")), nVecs), "ia")
+      .join(sizedBuildSide(e.select(col("vec_id").as("ib"),
+        col("v").as("vb"), col("nrm").as("nb")), nVecs), "ib")
       .select(col("ia"), col("ib"),
         round(VectorOps.cosinePre(VectorOps.dot(col("va"), col("vb")),
           col("na"), col("nb")), 6).as("cos"))
@@ -559,8 +613,8 @@ object Dedup {
     * candidate relation). Per-ia fanout is bounded by the near-dup
     * neighborhood size. */
   private def cosVerifyGrouped(e: DataFrame, cand: DataFrame, t: Double,
-      maxBucket: => Option[Long] = None): DataFrame =
-    cosVerify(e, dedupFused(cand, maxBucket), t)
+      nVecs: Long, maxBucket: => Option[Long] = None): DataFrame =
+    cosVerify(e, dedupFused(cand, maxBucket), t, nVecs)
 
   /** EXACT incremental embedding near-dup (registered as q98) — the
     * onboarding shape of [[jaccardPairsIncremental]] (q96) ported to the
@@ -631,14 +685,15 @@ object Dedup {
         explode(graft.functions.expressions.VectorExpressions.centroidsAbove(
           col("v"), col("nrm"), cents, thr)).as("cid"))
     val cand = probes
-      .join(idx.select(col("vec_id").as("x"), col("cid")), Seq("cid"))
+      .join(sizedBuildSide(
+        idx.select(col("vec_id").as("x"), col("cid")), n), Seq("cid"))
       .filter(col("q") =!= col("x"))
       // normalize: an incoming-incoming pair may arrive both ways;
       // cosVerifyGrouped dedups inside its own first exchange
       .select(least(col("q"), col("x")).as("ia"),
         greatest(col("q"), col("x")).as("ib"))
     // tier 1 is free: n was already counted for the codebook size
-    val out = cosVerifyGrouped(ec, cand, t,
+    val out = cosVerifyGrouped(ec, cand, t, n,
       maxBucket = tieredProbe(s)(n)(maxBucketOf(idx, Seq(col("cid")))))
     // presentation order only when asked: the sort's range sampling
     // re-executes the verify-join tail, which the gate never needs
@@ -693,8 +748,12 @@ object Dedup {
       .select(col("vec_id").as("q"), col("t"),
         explode(array(Similarity.probeMasks(p, r).map(m =>
           col("code").bitwiseXOR(lit(m))): _*)).as("code"))
+    // one count serves the probe tier, the join sizing, and the verify
+    // sizing (nTables rows per vector, so it upper-bounds the vecs frame)
+    val nIdx = index.count()
     val cand = probes
-      .join(index.select(col("vec_id").as("x"), col("t"), col("code")),
+      .join(sizedBuildSide(
+        index.select(col("vec_id").as("x"), col("t"), col("code")), nIdx),
         Seq("t", "code"))
       .filter(col("q") =!= col("x"))
       .select(least(col("q"), col("x")).as("ia"),
@@ -708,8 +767,8 @@ object Dedup {
       .dropDuplicates("vec_id")
     // tier 1: the index's row count (nTables rows per vector) bounds any
     // code bucket; one count over the caller's (typically cached) index
-    cosVerifyGrouped(vecs, cand, threshold,
-      maxBucket = tieredProbe(index.sparkSession)(index.count())(
+    cosVerifyGrouped(vecs, cand, threshold, nIdx,
+      maxBucket = tieredProbe(index.sparkSession)(nIdx)(
         maxBucketOf(index, Seq(col("t"), col("code")))))
   }
 
@@ -1395,10 +1454,12 @@ object Dedup {
       maxBucket = tieredProbe(e.sparkSession)(n)(
         maxBucketOf(probed, Seq(col("pc")))))
     val removed = cand
-      .join(idx.select(col("vec_id").as("ia"),
-        col("v").as("va"), col("nrm").as("na")), "ia")
-      .join(idx.select(col("vec_id").as("ib"), col("cid"),
-        col("v").as("vb"), col("nrm").as("nb")), "ib")
+      // sized like cosVerify's sides: q79's x32 study point sat in the
+      // same silent SMJ flip once idx outgrew the broadcast threshold
+      .join(sizedBuildSide(idx.select(col("vec_id").as("ia"),
+        col("v").as("va"), col("nrm").as("na")), n), "ia")
+      .join(sizedBuildSide(idx.select(col("vec_id").as("ib"), col("cid"),
+        col("v").as("vb"), col("nrm").as("nb")), n), "ib")
       // unrounded cosine: the exact baseline (DedupSpec/RecallReport)
       // compares raw cosine >= thresh, so rounding here would admit pairs
       // just below the boundary (e.g. 0.3999996) and break the

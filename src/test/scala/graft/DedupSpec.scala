@@ -212,6 +212,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("verify joins stay sort-free past the broadcast cap (sizedBuildSide)") {
+    // every embedding verify/candidate join plans its corpus-bounded side
+    // by MEASURED size: broadcast under spark.graft.verifyBroadcastVectors,
+    // SHUFFLE_HASH above — never the silent SortMergeJoin fallback that
+    // sorts the pair relation (the x16 scale study measured that flip at
+    // 272-634 s vs 28 s hash-built on identical data; the pair relation is
+    // ring x occupancy times the corpus and must stream sort-free)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select(col("ia").cast("long"), col("ib").cast("long"), col("cos"))
+        .as[(Long, Long, Double)].collect().toSet
+    val q79 = Dedup.defs.find(_.name == "q79_semdedup").get
+    val dfDefault = Dedup.embeddingPairsLsh(spark, SF)
+    val default = pairSet(dfDefault)
+    val default79 = q79.fn(spark, SF).collect().map(_.toSeq).toSet
+    assert(dfDefault.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "under the cap the sides broadcast")
+    spark.conf.set("spark.graft.verifyBroadcastVectors", "1")
+    try {
+      val df = Dedup.embeddingPairsLsh(spark, SF)
+      assert(pairSet(df) == default, "the plan flip changed the pair relation")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"),
+        s"no ShuffledHashJoin past the cap:\n${plan.take(800)}")
+      assert(!plan.contains("SortMergeJoin"),
+        "pair relation is being SMJ-sorted past the cap")
+      // q79's inline verify join follows the same sizing (value identity;
+      // its plan is behind a localCheckpoint)
+      assert(q79.fn(spark, SF).collect().map(_.toSeq).toSet == default79,
+        "q79 changed under the capped plan")
+    } finally spark.conf.unset("spark.graft.verifyBroadcastVectors")
+  }
+
   test("embedding dedup clusters (q99) equal the exact-pair closure at oracle SFs") {
     // q99's clusters come from q64's LSH pairs; at the scale factors the
     // driver oracle-checks, q64's recall is 1.0 (pinned above), so the
