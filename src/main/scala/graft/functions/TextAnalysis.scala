@@ -864,25 +864,30 @@ object TextAnalysis {
         // cleaned text is re-emitted (fingerprinted here so the oracle
         // hash-checks the rewrite itself).
         //
-        // Shape: gram-df aggregation exactly like q77 (linear, no pair
-        // join); the per-doc rewrite is pure array arithmetic — covered
-        // positions = union of [i, i+4] over duplicated gram starts —
-        // inside the row. A doc with no duplicated spans passes through
-        // byte-identical.
+        // Shape: linear gram stream, no pair join; the per-doc rewrite is
+        // pure array arithmetic — covered positions = union of [i, i+4]
+        // over duplicated gram starts — inside the row. A doc with no
+        // duplicated spans passes through byte-identical.
         val n = 5
         val toks = documents(s, d)
           .select(col("doc_id"), tokens(col("text")).as("w"))
           .filter(size(col("w")) >= n)
+          .cache() // grams source + the final rewrite join re-read it
         val grams = toks.select(col("doc_id"),
           posexplode(transform(sequence(lit(0), size(col("w")) - n), i =>
             concat_ws(" ", (0 until n).map(j =>
               element_at(col("w"), i + j + 1)): _*))).as(Seq("i", "g")))
-        // doc frequency needs DISTINCT docs (a gram repeated within one
-        // doc is q69's business, not cross-doc boilerplate)
-        val gdf = grams.select(col("doc_id"), col("g")).distinct()
-          .groupBy(col("g")).agg(count(lit(1)).as("gdf"))
-        val dupStarts = grams.join(gdf, Seq("g"))
-          .filter(col("gdf") > 1)
+        // Cross-doc grams only (a gram repeated within one doc is q69's
+        // business): a gram lives in >1 DISTINCT doc iff its min and max
+        // doc_id differ — ONE partial-aggregated shuffle on the gram,
+        // where the former distinct(doc_id, g) + groupBy(g) pair cost two
+        // full gram-stream exchanges (min/max combine map-side; DISTINCT
+        // can't shrink before the wire).
+        val dupG = grams.groupBy(col("g"))
+          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+          .filter(col("mn") =!= col("mx"))
+          .select(col("g"))
+        val dupStarts = grams.join(dupG, Seq("g"))
           .groupBy(col("doc_id"))
           .agg(collect_set(col("i")).as("starts"))
         toks.join(dupStarts, Seq("doc_id"), "left")
