@@ -800,6 +800,168 @@ object Multimodal {
     }
   }
 
+  // ==== Perceptual image dedup (q141) ======================================
+
+  /** dHash geometry: a 9x7 grayscale grid gives 8 column comparisons x 7
+    * rows = 56 bits, split into 4 bands of 14 bits for the LSH bucket
+    * join. 56 (not the classic 64) keeps the hash inside a non-negative
+    * BIGINT so the DuckDB oracle can rebuild it with plain integer
+    * arithmetic. */
+  val DHASH_W = 9
+  val DHASH_H = 7
+  val DHASH_BITS: Int = (DHASH_W - 1) * DHASH_H // 56
+  val DHASH_BANDS = 4
+  val DHASH_BAND_BITS: Int = DHASH_BITS / DHASH_BANDS // 14
+
+  /** LIVE perceptual difference-hash (dHash — the public compare-adjacent-
+    * pixels algorithm, Krawetz 2013): decode via `javax.imageio`,
+    * bilinear-downscale to [[DHASH_W]]x[[DHASH_H]] unless already there,
+    * then bit `y*8+x` = [gray(x+1,y) > gray(x,y)] over the low color
+    * channel (the fixture writes r=g=b; for real photos any fixed channel
+    * is a valid gray proxy under dHash's compare-only use). Invariant to
+    * uniform brightness shifts and to lossless re-encoding (PNG/BMP of
+    * the same pixels hash identically) — exactly the duplicate classes
+    * byte-level dedup (q34) cannot see. None when no JDK reader
+    * recognizes the payload. */
+  def dhashImage(payload: Array[Byte]): Option[Long] = {
+    val img0 =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img0 == null) None
+    else {
+      val img =
+        if (img0.getWidth == DHASH_W && img0.getHeight == DHASH_H) img0
+        else {
+          val out = new java.awt.image.BufferedImage(
+            DHASH_W, DHASH_H, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img0, 0, 0, DHASH_W, DHASH_H, null)
+          } finally g.dispose()
+          out
+        }
+      var h = 0L
+      var y = 0
+      while (y < DHASH_H) {
+        var x = 0
+        while (x < DHASH_W - 1) {
+          if ((img.getRGB(x + 1, y) & 0xFF) > (img.getRGB(x, y) & 0xFF))
+            h |= 1L << (y * (DHASH_W - 1) + x)
+          x += 1
+        }
+        y += 1
+      }
+      Some(h)
+    }
+  }
+
+  val DHASH_GROUPS = 48
+  val DHASH_CORPUS = 384
+
+  /** The planted pattern word for fixture image (g, v): 56 pseudo-random
+    * base bits from pure integer arithmetic (engine-reproducible in SQL —
+    * the q94 closed-form discipline) plus variant-planted flips: v in
+    * 0..3 leave the word alone (brightness variants), v=4/5 flip one bit,
+    * v=6/7 flip two — Hamming-1 and Hamming-2 neighbors by construction. */
+  private[graft] def dhashPatternWord(g: Long, v: Long): Long = {
+    val f1 = (g * 7 + 11) % 56; val f2 = (f1 + 17) % 56
+    val f3 = (g * 3 + 29) % 56; val f4 = (f3 + 23) % 56
+    val flips: Set[Long] = v match {
+      case 4 => Set(f1); case 5 => Set(f3)
+      case 6 => Set(f1, f2); case 7 => Set(f3, f4); case _ => Set.empty
+    }
+    (0 until DHASH_BITS).foldLeft(0L) { (acc, b) =>
+      val base = ((g * 2654435761L + b * 1013904223L) % 97) % 2
+      val bit = base ^ (if (flips(b.toLong)) 1L else 0L)
+      acc | (bit << b)
+    }
+  }
+
+  /** A 9x7 grayscale PNG whose dHash IS `word`: each row walks +-8 gray
+    * steps from 128+shift, so the (x+1 > x) comparison reproduces bit
+    * y*8+x exactly; a uniform `shift` changes every pixel byte of the PNG
+    * but no comparison. Pixel range stays in [64, 204] for shift <= 12. */
+  private[graft] def encodeDhashPng(word: Long, shift: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      DHASH_W, DHASH_H, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < DHASH_H) {
+      var p = 128 + shift
+      img.setRGB(0, y, (p << 16) | (p << 8) | p)
+      var x = 0
+      while (x < DHASH_W - 1) {
+        p += (if (((word >> (y * (DHASH_W - 1) + x)) & 1L) == 1L) 8 else -8)
+        img.setRGB(x + 1, y, (p << 16) | (p << 8) | p)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 384-image fixture corpus: 48 base patterns x 8 variants — v0..v3 are
+    * brightness-shifted re-encodes (byte-DIFFERENT payloads, identical
+    * dHash: exact perceptual dups), v4..v7 are 1- and 2-bit
+    * perturbations (near dups). Like q94's corpus it is built
+    * executor-side from range(): the deterministic stand-in for an
+    * image-bearing table, at any parallelism. */
+  def syntheticImageCorpus(s: SparkSession): Dataset[MediaAsset] = {
+    import s.implicits._
+    s.range(0, DHASH_CORPUS).map { i =>
+      val g = i % DHASH_GROUPS
+      val v = i / DHASH_GROUPS
+      val shift = if (v <= 3) 4 * v.toInt else 0
+      val p = encodeDhashPng(dhashPatternWord(g, v), shift)
+      MediaAsset(i, p, MediaMeta("image", "png", p.length.toLong))
+    }
+  }
+
+  /** Batched LIVE decode -> dHash over an image-asset Dataset — the same
+    * mapPartitions batch shape as [[extractFeatures]]: pure executor-side
+    * CPU, no shuffle, scales with input splits. Non-image or undecodable
+    * payloads drop out (no pixels, no perceptual identity). */
+  def imageDhashes(in: Dataset[MediaAsset]): DataFrame = {
+    import in.sparkSession.implicits._
+    in.mapPartitions { rows =>
+      rows.grouped(BATCH_SIZE).flatMap { batch =>
+        batch.iterator.flatMap { a =>
+          if (a.meta.kind != "image") None
+          else dhashImage(a.payload).map(h => (a.asset_id, h))
+        }
+      }
+    }.toDF("asset_id", "dhash")
+  }
+
+  /** Hamming-banded near-dup candidate join over (asset_id, dhash) rows:
+    * [[DHASH_BANDS]] bands x [[DHASH_BAND_BITS]] bits; by pigeonhole,
+    * <= DHASH_BANDS-1 flipped bits cannot dirty every band, so candidate
+    * generation is EXACT for hamming <= maxHamming <= 3 — the q37 Manku
+    * chunk argument applied to the perceptual hash. Candidates come from
+    * an equi join on (band, value), never a pair scan, so the plan is the
+    * same one that survives a billion-image corpus. */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= DHASH_BANDS - 1,
+      s"banded candidates exact only to hamming ${DHASH_BANDS - 1}")
+    val banded = hashes.select(
+      col("asset_id"), col("dhash"),
+      explode(array((0 until DHASH_BANDS).map(k =>
+        struct(lit(k).as("band"),
+          shiftright(col("dhash"), k * DHASH_BAND_BITS)
+            .bitwiseAND((1L << DHASH_BAND_BITS) - 1).as("bv"))): _*)).as("bk"))
+      .select(col("asset_id"), col("dhash"), col("bk.band"), col("bk.bv"))
+    banded.alias("x").join(banded.alias("y"), Seq("band", "bv"))
+      .filter(col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("ia"), col("y.asset_id").as("ib"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") >= 1 && col("hamming") <= maxHamming)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q41_multimodal_features",
@@ -926,6 +1088,72 @@ object Multimodal {
                round($MP4_PAD / $MP4_TOTAL.0, 6)
         FROM range(8) t(i)
         ORDER BY asset_id"""),
-      "live JDK image+audio decode + BMFF header probe over a deterministic synthesized fixture, closed-form oracle")
+      "live JDK image+audio decode + BMFF header probe over a deterministic synthesized fixture, closed-form oracle"),
+
+    QueryDef(
+      "q141_image_dedup",
+      (s, _) => {
+        // Perceptual image dedup (the LAION/DataComp image-corpus curation
+        // step): LIVE JDK decode -> dHash -> exact-dup groups by hash
+        // equality + near-dup neighbor counts via the banded hamming join.
+        // v0..v3 of each fixture group are byte-DIFFERENT payloads
+        // (brightness-shifted re-encodes) that hash identically — the
+        // duplicate class q34-style byte fingerprinting cannot see. The
+        // exact-group side is one partial-aggregated groupBy on the
+        // 64-bit hash; the near side is the q37-shaped band bucket join —
+        // both linear in the corpus.
+        val hashes = imageDhashes(syntheticImageCorpus(s)).cache()
+        val ex = hashes.groupBy(col("dhash")).agg(count(lit(1)).as("cnt"))
+        val pairs = imageNearDupPairs(hashes, maxHamming = 2)
+        val near = pairs.select(col("ia").as("asset_id"))
+          .union(pairs.select(col("ib").as("asset_id")))
+          .groupBy(col("asset_id")).agg(count(lit(1)).as("n_near"))
+        hashes.join(ex, Seq("dhash"))
+          .join(near, Seq("asset_id"), "left")
+          .select(col("asset_id"), col("dhash"),
+            (col("cnt") - 1L).as("n_exact"),
+            coalesce(col("n_near"), lit(0L)).as("n_near"))
+      },
+      // FULL oracle: the fixture's decoded pixels are a closed form of
+      // (g, v), so its dHash is the planted pattern word itself — DuckDB
+      // rebuilds every word with integer arithmetic (never touching a
+      // pixel) and brute-forces the 384^2 hamming relation the engine
+      // answers with the banded join (exact for hamming<=3 by
+      // pigeonhole, so the two methods agree by theorem, and any
+      // decode/hash/banding regression hash-mismatches).
+      Some("""
+        WITH imgs AS (
+          SELECT i::BIGINT AS asset_id, (i % 48)::BIGINT AS g, (i // 48)::BIGINT AS v
+          FROM range(384) t(i)),
+        flips AS (
+          SELECT asset_id, g, v,
+                 (g*7+11)%56 AS f1, ((g*7+11)%56+17)%56 AS f2,
+                 (g*3+29)%56 AS f3, ((g*3+29)%56+23)%56 AS f4
+          FROM imgs),
+        hbits AS (
+          SELECT f.asset_id, b.b,
+                 CASE WHEN (f.v=4 AND b.b=f.f1) OR (f.v=5 AND b.b=f.f3)
+                       OR (f.v=6 AND b.b IN (f.f1,f.f2)) OR (f.v=7 AND b.b IN (f.f3,f.f4))
+                      THEN 1 - ((f.g*2654435761 + b.b*1013904223) % 97) % 2
+                      ELSE ((f.g*2654435761 + b.b*1013904223) % 97) % 2 END AS bit
+          FROM flips f, range(56) b(b)),
+        h AS (
+          SELECT asset_id, sum(bit * (1::BIGINT << b))::BIGINT AS dhash
+          FROM hbits GROUP BY 1),
+        ex AS (
+          SELECT a.asset_id, count(*) AS n_exact
+          FROM h a JOIN h b ON a.dhash = b.dhash AND a.asset_id <> b.asset_id
+          GROUP BY 1),
+        nr AS (
+          SELECT a.asset_id, count(*) AS n_near
+          FROM h a JOIN h b ON a.asset_id <> b.asset_id
+           AND bit_count(xor(a.dhash, b.dhash)) BETWEEN 1 AND 2
+          GROUP BY 1)
+        SELECT h.asset_id, h.dhash,
+               coalesce(ex.n_exact, 0::BIGINT) AS n_exact,
+               coalesce(nr.n_near, 0::BIGINT) AS n_near
+        FROM h LEFT JOIN ex USING (asset_id) LEFT JOIN nr USING (asset_id)
+        ORDER BY asset_id"""),
+      "perceptual image dedup: live decode -> dHash(56) -> exact groups + banded hamming<=2 neighbors (exact by pigeonhole)")
   )
 }

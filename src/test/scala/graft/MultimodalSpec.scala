@@ -282,6 +282,59 @@ class MultimodalSpec extends SparkSpec {
     assert(graft.functions.VideoFrameBridge.forName(cn) eq
       graft.functions.VideoFrameBridge.forName(cn))
   }
+
+  test("dHash: encode/decode roundtrip plants the exact pattern word") {
+    for (g <- Seq(0L, 7L, 47L); v <- Seq(0L, 4L, 6L)) {
+      val word = Multimodal.dhashPatternWord(g, v)
+      assert(Multimodal.dhashImage(Multimodal.encodeDhashPng(word, 0))
+        .contains(word), s"g=$g v=$v")
+    }
+  }
+
+  test("dHash is invariant to brightness shift and lossless re-encode") {
+    val word = Multimodal.dhashPatternWord(13L, 0L)
+    val base = Multimodal.encodeDhashPng(word, 0)
+    val bright = Multimodal.encodeDhashPng(word, 12)
+    assert(!base.sameElements(bright)) // byte-DIFFERENT payloads...
+    assert(Multimodal.dhashImage(bright).contains(word)) // ...same hash
+    // decode the PNG, re-encode the same pixels as BMP: same hash
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    assert(Multimodal.dhashImage(bos.toByteArray).contains(word))
+  }
+
+  test("dHash resize path: a large horizontal gradient hashes to all-ones") {
+    // 90x70, strictly increasing in x: bilinear downscale to 9x7 keeps
+    // every adjacent-column comparison strictly increasing -> all 56 bits
+    val img = new java.awt.image.BufferedImage(
+      90, 70, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 70; x <- 0 until 90) {
+      val p = 20 + 2 * x
+      img.setRGB(x, y, (p << 16) | (p << 8) | p)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(Multimodal.dhashImage(bos.toByteArray)
+      .contains((1L << Multimodal.DHASH_BITS) - 1))
+  }
+
+  test("banded hamming candidates are exact vs brute force at <=2") {
+    val hashes = Multimodal.imageDhashes(
+      Multimodal.syntheticImageCorpus(spark)).cache()
+    val banded = Multimodal.imageNearDupPairs(hashes, maxHamming = 2)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    val hs = hashes.as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, ha) <- hs.iterator; (ib, hb) <- hs.iterator
+      if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d >= 1 && d <= 2
+    } yield (ia, ib)).toSet
+    assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
+    assert(brute.nonEmpty) // the fixture actually plants near dups
+    hashes.unpersist()
+  }
 }
 
 /** Fake external decoder for the [[graft.functions.VideoFrameBridge]]
