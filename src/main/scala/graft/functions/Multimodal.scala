@@ -873,9 +873,14 @@ object Multimodal {
       case 4 => Set(f1); case 5 => Set(f3)
       case 6 => Set(f1, f2); case 7 => Set(f3, f4); case _ => Set.empty
     }
+    // base bit = parity of the SQUARED residue mod a large prime: the
+    // linear residue alone alternates parity except at mod-wraps (odd
+    // increment per b, even wrap correction), which correlates words
+    // across g; squaring is nonlinear, decorrelating bits while staying
+    // exactly reproducible in 63-bit integer SQL (h < 2^31 so h*h < 2^62)
     (0 until DHASH_BITS).foldLeft(0L) { (acc, b) =>
-      val base = ((g * 2654435761L + b * 1013904223L) % 97) % 2
-      val bit = base ^ (if (flips(b.toLong)) 1L else 0L)
+      val h = (g * 2654435761L + b * 1013904223L) % 1000000007L
+      val bit = ((h * h % 1000000007L) % 2) ^ (if (flips(b.toLong)) 1L else 0L)
       acc | (bit << b)
     }
   }
@@ -910,11 +915,18 @@ object Multimodal {
     * perturbations (near dups). Like q94's corpus it is built
     * executor-side from range(): the deterministic stand-in for an
     * image-bearing table, at any parallelism. */
-  def syntheticImageCorpus(s: SparkSession): Dataset[MediaAsset] = {
+  def syntheticImageCorpus(s: SparkSession): Dataset[MediaAsset] =
+    syntheticImageCorpusOf(s, DHASH_GROUPS)
+
+  /** The same planted-variant corpus at any group count (8 images per
+    * group) — the registered q141 runs [[DHASH_GROUPS]]; the scale study
+    * (tools.DhashScale) amplifies groups to measure the banded join's
+    * growth, since the pattern-word arithmetic is valid for any g. */
+  def syntheticImageCorpusOf(s: SparkSession, groups: Int): Dataset[MediaAsset] = {
     import s.implicits._
-    s.range(0, DHASH_CORPUS).map { i =>
-      val g = i % DHASH_GROUPS
-      val v = i / DHASH_GROUPS
+    s.range(0, groups * 8L).map { i =>
+      val g = i % groups
+      val v = i / groups
       val shift = if (v <= 3) 4 * v.toInt else 0
       val p = encodeDhashPng(dhashPatternWord(g, v), shift)
       MediaAsset(i, p, MediaMeta("image", "png", p.length.toLong))
@@ -1131,12 +1143,16 @@ object Multimodal {
                  (g*3+29)%56 AS f3, ((g*3+29)%56+23)%56 AS f4
           FROM imgs),
         hbits AS (
-          SELECT f.asset_id, b.b,
-                 CASE WHEN (f.v=4 AND b.b=f.f1) OR (f.v=5 AND b.b=f.f3)
-                       OR (f.v=6 AND b.b IN (f.f1,f.f2)) OR (f.v=7 AND b.b IN (f.f3,f.f4))
-                      THEN 1 - ((f.g*2654435761 + b.b*1013904223) % 97) % 2
-                      ELSE ((f.g*2654435761 + b.b*1013904223) % 97) % 2 END AS bit
-          FROM flips f, range(56) b(b)),
+          SELECT asset_id, b,
+                 CASE WHEN flipped THEN 1 - (lin*lin % 1000000007) % 2
+                      ELSE (lin*lin % 1000000007) % 2 END AS bit
+          FROM (
+            SELECT f.asset_id, b.b,
+                   (f.g*2654435761 + b.b*1013904223) % 1000000007 AS lin,
+                   (f.v=4 AND b.b=f.f1) OR (f.v=5 AND b.b=f.f3)
+                    OR (f.v=6 AND b.b IN (f.f1,f.f2))
+                    OR (f.v=7 AND b.b IN (f.f3,f.f4)) AS flipped
+            FROM flips f, range(56) b(b)) t),
         h AS (
           SELECT asset_id, sum(bit * (1::BIGINT << b))::BIGINT AS dhash
           FROM hbits GROUP BY 1),
