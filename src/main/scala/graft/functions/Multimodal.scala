@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -959,19 +959,46 @@ object Multimodal {
   def imageNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= DHASH_BANDS - 1,
       s"banded candidates exact only to hamming ${DHASH_BANDS - 1}")
-    val banded = hashes.select(
-      col("asset_id"), col("dhash"),
-      explode(array((0 until DHASH_BANDS).map(k =>
-        struct(lit(k).as("band"),
-          shiftright(col("dhash"), k * DHASH_BAND_BITS)
-            .bitwiseAND((1L << DHASH_BAND_BITS) - 1).as("bv"))): _*)).as("bk"))
-      .select(col("asset_id"), col("dhash"), col("bk.band"), col("bk.bv"))
+    val banded = dhashBands(hashes)
     banded.alias("x").join(banded.alias("y"), Seq("band", "bv"))
       .filter(col("x.asset_id") < col("y.asset_id"))
       .select(col("x.asset_id").as("ia"), col("y.asset_id").as("ib"),
         bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") >= 1 && col("hamming") <= maxHamming)
+  }
+
+  /** One (asset_id, dhash, band, bv) row per hash band. */
+  private def dhashBands(hashes: DataFrame): DataFrame =
+    hashes.select(
+      col("asset_id"), col("dhash"),
+      explode(array((0 until DHASH_BANDS).map(k =>
+        struct(lit(k).as("band"),
+          shiftright(col("dhash"), k * DHASH_BAND_BITS)
+            .bitwiseAND((1L << DHASH_BAND_BITS) - 1).as("bv"))): _*)).as("bk"))
+      .select(col("asset_id"), col("dhash"), col("bk.band"), col("bk.bv"))
+
+  /** Incremental onboarding twin of [[imageNearDupPairs]] (the q96/q98
+    * discipline applied to the image modality): only the INCOMING rows'
+    * bands probe the full-corpus band index, so existing-existing
+    * candidates never generate and the candidate work is proportional to
+    * the batch, not the corpus. Output is exact — the full hamming <=
+    * maxHamming pair relation (0 included: exact dups are matches too)
+    * restricted to pairs with an incoming member — because banding stays
+    * pigeonhole-exact however the corpus is partitioned. */
+  def imageNearDupPairsIncremental(hashes: DataFrame, maxHamming: Int,
+      isNew: Column): DataFrame = {
+    require(maxHamming <= DHASH_BANDS - 1,
+      s"banded candidates exact only to hamming ${DHASH_BANDS - 1}")
+    val all = dhashBands(hashes)
+    val incoming = dhashBands(hashes.filter(isNew))
+    incoming.alias("x").join(all.alias("y"), Seq("band", "bv"))
+      .filter(col("x.asset_id") =!= col("y.asset_id"))
+      .select(least(col("x.asset_id"), col("y.asset_id")).as("ia"),
+        greatest(col("x.asset_id"), col("y.asset_id")).as("ib"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -1170,6 +1197,54 @@ object Multimodal {
                coalesce(nr.n_near, 0::BIGINT) AS n_near
         FROM h LEFT JOIN ex USING (asset_id) LEFT JOIN nr USING (asset_id)
         ORDER BY asset_id"""),
-      "perceptual image dedup: live decode -> dHash(56) -> exact groups + banded hamming<=2 neighbors (exact by pigeonhole)")
+      "perceptual image dedup: live decode -> dHash(56) -> exact groups + banded hamming<=2 neighbors (exact by pigeonhole)"),
+
+    QueryDef(
+      "q142_incremental_image_dedup",
+      (s, _) => {
+        // Daily image onboarding: the deterministic 25% "incoming batch"
+        // (asset_id % 4 == 3) matched against the full corpus. Incoming
+        // bands probe the corpus band index — existing-existing
+        // candidates never generate (the q96/q98 incremental discipline),
+        // yet the output is the EXACT hamming<=2 match relation
+        // restricted to incoming-member pairs, exact dups included.
+        val hashes = imageDhashes(syntheticImageCorpus(s)).cache()
+        imageNearDupPairsIncremental(hashes, maxHamming = 2,
+          col("asset_id") % 4 === 3)
+      },
+      // FULL oracle: q141's closed-form pattern words, brute-forced over
+      // the pairs with an incoming member — the banded incremental join
+      // must reproduce it exactly (pigeonhole) or hash-mismatch.
+      Some("""
+        WITH imgs AS (
+          SELECT i::BIGINT AS asset_id, (i % 48)::BIGINT AS g, (i // 48)::BIGINT AS v
+          FROM range(384) t(i)),
+        flips AS (
+          SELECT asset_id, g, v,
+                 (g*7+11)%56 AS f1, ((g*7+11)%56+17)%56 AS f2,
+                 (g*3+29)%56 AS f3, ((g*3+29)%56+23)%56 AS f4
+          FROM imgs),
+        hbits AS (
+          SELECT asset_id, b,
+                 CASE WHEN flipped THEN 1 - (lin*lin % 1000000007) % 2
+                      ELSE (lin*lin % 1000000007) % 2 END AS bit
+          FROM (
+            SELECT f.asset_id, b.b,
+                   (f.g*2654435761 + b.b*1013904223) % 1000000007 AS lin,
+                   (f.v=4 AND b.b=f.f1) OR (f.v=5 AND b.b=f.f3)
+                    OR (f.v=6 AND b.b IN (f.f1,f.f2))
+                    OR (f.v=7 AND b.b IN (f.f3,f.f4)) AS flipped
+            FROM flips f, range(56) b(b)) t),
+        h AS (
+          SELECT asset_id, sum(bit * (1::BIGINT << b))::BIGINT AS dhash
+          FROM hbits GROUP BY 1)
+        SELECT a.asset_id AS ia, b.asset_id AS ib,
+               bit_count(xor(a.dhash, b.dhash))::INT AS hamming
+        FROM h a JOIN h b
+          ON a.asset_id < b.asset_id
+         AND (a.asset_id % 4 = 3 OR b.asset_id % 4 = 3)
+         AND bit_count(xor(a.dhash, b.dhash)) <= 2
+        ORDER BY ia, ib"""),
+      "incremental perceptual image onboarding: incoming bands probe the full-corpus band index; existing-existing candidates never generate")
   )
 }

@@ -335,6 +335,25 @@ class MultimodalSpec extends SparkSpec {
     assert(brute.nonEmpty) // the fixture actually plants near dups
     hashes.unpersist()
   }
+
+  test("incremental image onboarding = full match relation restricted to incoming pairs") {
+    val hashes = Multimodal.imageDhashes(
+      Multimodal.syntheticImageCorpus(spark)).cache()
+    val inc = Multimodal.imageNearDupPairsIncremental(hashes, maxHamming = 2,
+        col("asset_id") % 4 === 3)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    val hs = hashes.as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, ha) <- hs.iterator; (ib, hb) <- hs.iterator
+      if ia < ib && (ia % 4 == 3 || ib % 4 == 3)
+      if java.lang.Long.bitCount(ha ^ hb) <= 2 // exact dups included
+    } yield (ia, ib)).toSet
+    assert(inc == brute, s"incremental ${inc.size} vs brute ${brute.size}")
+    // exact dups (hamming 0) must be present: brightness variants of one
+    // group land on both sides of the %4 split
+    assert(brute.exists { case (a, b) => hs.toMap.apply(a) == hs.toMap.apply(b) })
+    hashes.unpersist()
+  }
 }
 
 /** Fake external decoder for the [[graft.functions.VideoFrameBridge]]
