@@ -1001,6 +1001,145 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ==== Perceptual audio dedup (q143) ======================================
+
+  /** Audio fingerprint geometry: [[AFP_WINDOWS]] equal windows -> 56
+    * adjacent-window energy comparisons — dHash's compare-only trick
+    * applied in time, so the fingerprint is invariant to uniform GAIN
+    * (the same clip at a different volume fingerprints identically) and
+    * feeds the exact same 4x14-bit banded hamming join as the image
+    * hash. */
+  val AFP_WINDOWS = 57
+  val AFP_BITS: Int = AFP_WINDOWS - 1 // 56 — same band geometry as dHash
+
+  /** LIVE audio fingerprint: `javax.sound` decode to 16-bit PCM (any
+    * JDK-readable container), split the first channel into
+    * [[AFP_WINDOWS]] equal windows, take sum|sample| per window (an
+    * exact integer — no float drift), and set bit w on window w+1
+    * louder than window w. None when no reader handles the payload or
+    * the clip is shorter than one sample per window. */
+  def audioFingerprint(payload: Array[Byte]): Option[Long] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val raw = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val f = raw.getFormat
+      val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+        f.getSampleRate, false)
+      val bytes = AudioSystem.getAudioInputStream(pcmFmt, raw).readAllBytes()
+      val ch = f.getChannels
+      val nSamples = bytes.length / 2 / ch
+      if (nSamples < AFP_WINDOWS) None
+      else {
+        val k = nSamples / AFP_WINDOWS
+        val sums = new Array[Long](AFP_WINDOWS)
+        var w = 0
+        while (w < AFP_WINDOWS) {
+          var j = 0; var acc = 0L
+          while (j < k) {
+            val si = (w * k + j) * ch * 2 // first channel of the frame
+            val s = ((bytes(si) & 0xFF) | (bytes(si + 1) << 8)).toShort
+            acc += math.abs(s.toLong)
+            j += 1
+          }
+          sums(w) = acc; w += 1
+        }
+        var h = 0L; var b = 0
+        while (b < AFP_BITS) {
+          if (sums(b + 1) > sums(b)) h |= 1L << b
+          b += 1
+        }
+        Some(h)
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+      case _: IllegalArgumentException => None
+    }
+  }
+
+  /** Audio fixture pattern word — the q141 closed-form family with its
+    * own additive seed and flip schedule, so the two modalities' planted
+    * corpora (and oracle outputs) differ. */
+  private[graft] def afpPatternWord(g: Long, v: Long): Long = {
+    val f1 = (g * 5 + 19) % 56; val f2 = (f1 + 13) % 56
+    val f3 = (g * 9 + 37) % 56; val f4 = (f3 + 31) % 56
+    val flips: Set[Long] = v match {
+      case 4 => Set(f1); case 5 => Set(f3)
+      case 6 => Set(f1, f2); case 7 => Set(f3, f4); case _ => Set.empty
+    }
+    (0 until AFP_BITS).foldLeft(0L) { (acc, b) =>
+      val h = (g * 2654435761L + b * 1013904223L + 524287L) % 1000000007L
+      val bit = ((h * h % 1000000007L) % 2) ^ (if (flips(b.toLong)) 1L else 0L)
+      acc | (bit << b)
+    }
+  }
+
+  /** A mono 16-bit WAV whose [[audioFingerprint]] IS `word`: 57 windows
+    * of 64 samples, each a +-a square wave with the amplitude walking
+    * +-128 from 8192 as the word's bits dictate (range [1024, 15360]);
+    * `gainNum`/4 scales every sample — amplitudes are multiples of 4, so
+    * scaled samples stay exact integers up to gain 7/4 (max 26880 <
+    * 32767). Byte-DIFFERENT payloads, identical fingerprint: the
+    * volume-normalization invariance the operator exists for. */
+  private[graft] def encodeFpWav(word: Long, gainNum: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val k = 64
+    val amps = new Array[Int](AFP_WINDOWS)
+    amps(0) = 8192
+    var w = 1
+    while (w < AFP_WINDOWS) {
+      amps(w) = amps(w - 1) + (if (((word >> (w - 1)) & 1L) == 1L) 128 else -128)
+      w += 1
+    }
+    val data = new Array[Byte](AFP_WINDOWS * k * 2)
+    var i = 0
+    while (i < AFP_WINDOWS * k) {
+      val a = amps(i / k) * gainNum / 4
+      val s = if (i % 2 == 0) a else -a
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, (AFP_WINDOWS * k).toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** 384-clip fixture corpus: 48 base patterns x 8 variants — v0..v3 are
+    * gain-scaled re-encodes (byte-DIFFERENT, fingerprint-identical),
+    * v4..v7 are 1- and 2-bit perturbations. */
+  def syntheticAudioCorpus(s: SparkSession): Dataset[MediaAsset] = {
+    import s.implicits._
+    s.range(0, DHASH_CORPUS).map { i =>
+      val g = i % DHASH_GROUPS
+      val v = i / DHASH_GROUPS
+      val gain = if (v <= 3) 4 + v.toInt else 4
+      val p = encodeFpWav(afpPatternWord(g, v), gain)
+      MediaAsset(i, p, MediaMeta("audio", "wav", p.length.toLong))
+    }
+  }
+
+  /** Batched LIVE decode -> fingerprint over an audio-asset Dataset —
+    * same batch shape as [[imageDhashes]]; emits the hash under the
+    * `dhash` column so the banded-join helpers apply unchanged (both are
+    * 56-bit perceptual hashes with identical band geometry). */
+  def audioFingerprints(in: Dataset[MediaAsset]): DataFrame = {
+    import in.sparkSession.implicits._
+    in.mapPartitions { rows =>
+      rows.grouped(BATCH_SIZE).flatMap { batch =>
+        batch.iterator.flatMap { a =>
+          if (a.meta.kind != "audio") None
+          else audioFingerprint(a.payload).map(h => (a.asset_id, h))
+        }
+      }
+    }.toDF("asset_id", "dhash")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q41_multimodal_features",
@@ -1245,6 +1384,71 @@ object Multimodal {
          AND (a.asset_id % 4 = 3 OR b.asset_id % 4 = 3)
          AND bit_count(xor(a.dhash, b.dhash)) <= 2
         ORDER BY ia, ib"""),
-      "incremental perceptual image onboarding: incoming bands probe the full-corpus band index; existing-existing candidates never generate")
+      "incremental perceptual image onboarding: incoming bands probe the full-corpus band index; existing-existing candidates never generate"),
+
+    QueryDef(
+      "q143_audio_dedup",
+      (s, _) => {
+        // Perceptual AUDIO dedup: live javax.sound decode -> 56-bit
+        // gain-invariant fingerprint (adjacent-window energy
+        // comparisons) -> the same exact-group + banded-hamming shape as
+        // q141. v0..v3 of each fixture group are the same clip at four
+        // volumes — byte-different payloads, identical fingerprint: the
+        // duplicate class a byte or spectral-exact hash misses.
+        val hashes = audioFingerprints(syntheticAudioCorpus(s)).cache()
+        val ex = hashes.groupBy(col("dhash")).agg(count(lit(1)).as("cnt"))
+        val pairs = imageNearDupPairs(hashes, maxHamming = 2)
+        val near = pairs.select(col("ia").as("asset_id"))
+          .union(pairs.select(col("ib").as("asset_id")))
+          .groupBy(col("asset_id")).agg(count(lit(1)).as("n_near"))
+        hashes.join(ex, Seq("dhash"))
+          .join(near, Seq("asset_id"), "left")
+          .select(col("asset_id"), col("dhash").as("fp"),
+            (col("cnt") - 1L).as("n_exact"),
+            coalesce(col("n_near"), lit(0L)).as("n_near"))
+      },
+      // FULL oracle: q141's closed-form template under the audio seed
+      // (+524287) and flip schedule — the decoded PCM energies are a
+      // closed form of (g, v), so the fingerprint is the planted word and
+      // DuckDB brute-forces the hamming relation the engine answers with
+      // the banded join.
+      Some("""
+        WITH imgs AS (
+          SELECT i::BIGINT AS asset_id, (i % 48)::BIGINT AS g, (i // 48)::BIGINT AS v
+          FROM range(384) t(i)),
+        flips AS (
+          SELECT asset_id, g, v,
+                 (g*5+19)%56 AS f1, ((g*5+19)%56+13)%56 AS f2,
+                 (g*9+37)%56 AS f3, ((g*9+37)%56+31)%56 AS f4
+          FROM imgs),
+        hbits AS (
+          SELECT asset_id, b,
+                 CASE WHEN flipped THEN 1 - (lin*lin % 1000000007) % 2
+                      ELSE (lin*lin % 1000000007) % 2 END AS bit
+          FROM (
+            SELECT f.asset_id, b.b,
+                   (f.g*2654435761 + b.b*1013904223 + 524287) % 1000000007 AS lin,
+                   (f.v=4 AND b.b=f.f1) OR (f.v=5 AND b.b=f.f3)
+                    OR (f.v=6 AND b.b IN (f.f1,f.f2))
+                    OR (f.v=7 AND b.b IN (f.f3,f.f4)) AS flipped
+            FROM flips f, range(56) b(b)) t),
+        h AS (
+          SELECT asset_id, sum(bit * (1::BIGINT << b))::BIGINT AS fp
+          FROM hbits GROUP BY 1),
+        ex AS (
+          SELECT a.asset_id, count(*) AS n_exact
+          FROM h a JOIN h b ON a.fp = b.fp AND a.asset_id <> b.asset_id
+          GROUP BY 1),
+        nr AS (
+          SELECT a.asset_id, count(*) AS n_near
+          FROM h a JOIN h b ON a.asset_id <> b.asset_id
+           AND bit_count(xor(a.fp, b.fp)) BETWEEN 1 AND 2
+          GROUP BY 1)
+        SELECT h.asset_id, h.fp,
+               coalesce(ex.n_exact, 0::BIGINT) AS n_exact,
+               coalesce(nr.n_near, 0::BIGINT) AS n_near
+        FROM h LEFT JOIN ex USING (asset_id) LEFT JOIN nr USING (asset_id)
+        ORDER BY asset_id"""),
+      "perceptual audio dedup: live decode -> gain-invariant 56-bit energy fingerprint -> exact groups + banded hamming<=2 neighbors")
   )
 }

@@ -354,6 +354,22 @@ class MultimodalSpec extends SparkSpec {
     assert(brute.exists { case (a, b) => hs.toMap.apply(a) == hs.toMap.apply(b) })
     hashes.unpersist()
   }
+
+  test("audio fingerprint: WAV roundtrip plants the word; gain leaves it alone") {
+    for (g <- Seq(0L, 11L, 47L); v <- Seq(0L, 5L, 7L)) {
+      val word = Multimodal.afpPatternWord(g, v)
+      assert(Multimodal.audioFingerprint(Multimodal.encodeFpWav(word, 4))
+        .contains(word), s"g=$g v=$v")
+    }
+    val word = Multimodal.afpPatternWord(23L, 0L)
+    val unit = Multimodal.encodeFpWav(word, 4)
+    for (gain <- Seq(5, 6, 7)) {
+      val scaled = Multimodal.encodeFpWav(word, gain)
+      assert(!unit.sameElements(scaled)) // the clip at another volume...
+      assert(Multimodal.audioFingerprint(scaled).contains(word)) // ...same fp
+    }
+    assert(Multimodal.audioFingerprint("not audio".getBytes).isEmpty)
+  }
 }
 
 /** Fake external decoder for the [[graft.functions.VideoFrameBridge]]
