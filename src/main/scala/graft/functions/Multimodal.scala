@@ -968,6 +968,14 @@ object Multimodal {
       .filter(col("hamming") >= 1 && col("hamming") <= maxHamming)
   }
 
+  /** One (asset_id, dhash, band, bv) row per hash band — as a stored
+    * table this is the corpus band INDEX a production pipeline maintains
+    * (bucketed on (band, bv) at scale so probe joins co-locate); the
+    * streaming onboarding twin
+    * ([[graft.streaming.StreamingOps.imageOnboardProbe]]) probes it
+    * statically. */
+  def imageBandIndex(hashes: DataFrame): DataFrame = dhashBands(hashes)
+
   /** One (asset_id, dhash, band, bv) row per hash band. */
   private def dhashBands(hashes: DataFrame): DataFrame =
     hashes.select(
@@ -1342,14 +1350,18 @@ object Multimodal {
       "q142_incremental_image_dedup",
       (s, _) => {
         // Daily image onboarding: the deterministic 25% "incoming batch"
-        // (asset_id % 4 == 3) matched against the full corpus. Incoming
-        // bands probe the corpus band index — existing-existing
-        // candidates never generate (the q96/q98 incremental discipline),
-        // yet the output is the EXACT hamming<=2 match relation
-        // restricted to incoming-member pairs, exact dups included.
+        // — variants v=3 (a brightness re-encode) and v=6 (a 2-bit
+        // perturbation), i.e. asset_id div 48 in (3, 6) — matched against
+        // the full corpus. The batch cuts WITHIN every duplicate group
+        // (a mod-id split would move whole groups and plant no
+        // incoming-vs-existing matches at all). Incoming bands probe the
+        // corpus band index — existing-existing candidates never
+        // generate (the q96/q98 incremental discipline), yet the output
+        // is the EXACT hamming<=2 match relation restricted to
+        // incoming-member pairs, exact dups included.
         val hashes = imageDhashes(syntheticImageCorpus(s)).cache()
         imageNearDupPairsIncremental(hashes, maxHamming = 2,
-          col("asset_id") % 4 === 3)
+          expr("asset_id div 48").isin(3, 6))
       },
       // FULL oracle: q141's closed-form pattern words, brute-forced over
       // the pairs with an incoming member — the banded incremental join
@@ -1381,7 +1393,7 @@ object Multimodal {
                bit_count(xor(a.dhash, b.dhash))::INT AS hamming
         FROM h a JOIN h b
           ON a.asset_id < b.asset_id
-         AND (a.asset_id % 4 = 3 OR b.asset_id % 4 = 3)
+         AND (a.asset_id // 48 IN (3, 6) OR b.asset_id // 48 IN (3, 6))
          AND bit_count(xor(a.dhash, b.dhash)) <= 2
         ORDER BY ia, ib"""),
       "incremental perceptual image onboarding: incoming bands probe the full-corpus band index; existing-existing candidates never generate"),

@@ -301,6 +301,57 @@ object StreamingOps {
       .select(col("ia"), col("ib"), col("cos"))
   }
 
+  final case class MediaIn(asset_id: Long, payload: Array[Byte], kind: String,
+      ts: java.sql.Timestamp)
+
+  /** Streaming image onboarding — q142's incremental discipline made
+    * ingest-time, the perceptual-hash mirror of [[incrementalEmbedProbe]]:
+    * arriving image payloads decode + dHash INSIDE the micro-batch
+    * (map-side, no shuffle), their bands probe a STATIC corpus band index
+    * ([[graft.functions.Multimodal.imageBandIndex]] — the stored index a
+    * production pipeline maintains), and every candidate verifies with
+    * bit_count in-row (index rows carry the full hash, so verification
+    * needs no second join). Emits (ia, ib, hamming) matches, exact dups
+    * included — exact for hamming <= maxHamming <= 3 by the band
+    * pigeonhole. The ONLY stateful operator is watermark-expired per-pair
+    * dedup (a pair can match through several bands). Incoming-incoming
+    * pairs are the next index refresh's business — the split that keeps
+    * the corpus-probe half stateless. At scale the index is bucketed on
+    * (band, bv) so each micro-batch's probe join co-locates; nothing here
+    * ever shuffles the corpus. */
+  def imageOnboardProbe(assets: Dataset[MediaIn], index: DataFrame,
+      maxHamming: Int = 2, watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.functions.Multimodal
+    val spark = assets.sparkSession
+    import spark.implicits._
+    require(maxHamming <= Multimodal.DHASH_BANDS - 1,
+      s"banded candidates exact only to hamming ${Multimodal.DHASH_BANDS - 1}")
+    val idx = index.select(col("asset_id").as("xa"), col("dhash").as("ha"),
+      col("band"), col("bv"))
+    assets.mapPartitions { rows =>
+      rows.flatMap { a =>
+        if (a.kind != "image") None
+        else Multimodal.dhashImage(a.payload).map(h => (a.asset_id, h, a.ts))
+      }
+    }.toDF("xb", "hb", "ts")
+      .withWatermark("ts", watermarkDelay)
+      .select(col("xb"), col("hb"), col("ts"),
+        explode(array((0 until Multimodal.DHASH_BANDS).map(k =>
+          struct(lit(k).as("band"),
+            shiftright(col("hb"), k * Multimodal.DHASH_BAND_BITS)
+              .bitwiseAND((1L << Multimodal.DHASH_BAND_BITS) - 1)
+              .as("bv"))): _*)).as("bk"))
+      .select(col("xb"), col("hb"), col("ts"), col("bk.band"), col("bk.bv"))
+      .join(idx, Seq("band", "bv"))
+      .filter(col("xa") =!= col("xb"))
+      .select(least(col("xa"), col("xb")).as("ia"),
+        greatest(col("xa"), col("xb")).as("ib"), col("ts"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicatesWithinWatermark("ia", "ib")
+      .select(col("ia"), col("ib"), col("hamming"))
+  }
+
   final case class Admitted(lang: String, source: String, doc_id: Long, rank: Int)
 
   /** Streaming per-domain admission quota — the ingest-time form of

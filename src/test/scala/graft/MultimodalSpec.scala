@@ -339,19 +339,22 @@ class MultimodalSpec extends SparkSpec {
   test("incremental image onboarding = full match relation restricted to incoming pairs") {
     val hashes = Multimodal.imageDhashes(
       Multimodal.syntheticImageCorpus(spark)).cache()
+    def isNew(id: Long) = id / 48 == 3 || id / 48 == 6
     val inc = Multimodal.imageNearDupPairsIncremental(hashes, maxHamming = 2,
-        col("asset_id") % 4 === 3)
+        expr("asset_id div 48").isin(3, 6))
       .select("ia", "ib").as[(Long, Long)].collect().toSet
     val hs = hashes.as[(Long, Long)].collect()
     val brute = (for {
       (ia, ha) <- hs.iterator; (ib, hb) <- hs.iterator
-      if ia < ib && (ia % 4 == 3 || ib % 4 == 3)
+      if ia < ib && (isNew(ia) || isNew(ib))
       if java.lang.Long.bitCount(ha ^ hb) <= 2 // exact dups included
     } yield (ia, ib)).toSet
     assert(inc == brute, s"incremental ${inc.size} vs brute ${brute.size}")
-    // exact dups (hamming 0) must be present: brightness variants of one
-    // group land on both sides of the %4 split
+    // exact dups (hamming 0) must be present: the incoming v=3
+    // brightness re-encode matches its v=0..2 existing twins hash-equal
     assert(brute.exists { case (a, b) => hs.toMap.apply(a) == hs.toMap.apply(b) })
+    // and MIXED pairs exist — the batch cuts within groups, not across
+    assert(brute.exists { case (a, b) => isNew(a) != isNew(b) })
     hashes.unpersist()
   }
 

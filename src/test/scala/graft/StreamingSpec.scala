@@ -498,4 +498,47 @@ class StreamingSpec extends SparkSpec {
     val allBatch = counts(batch.toSeq.map(v => (v._1, v._2, v._3)))
     assert(opened == allBatch)
   }
+
+  test("streaming image onboarding matches the batch incoming-vs-corpus relation") {
+    import graft.streaming.StreamingOps.MediaIn
+    import graft.functions.Multimodal
+    // the stored band index over the "existing corpus" (75% of the fixture)
+    val all = Multimodal.imageDhashes(
+      Multimodal.syntheticImageCorpus(spark)).cache()
+    def isNew(id: Long) = id / 48 == 3 || id / 48 == 6 // the q142 batch
+    val index = Multimodal.imageBandIndex(
+      all.filter(!expr("asset_id div 48").isin(3, 6))).cache()
+    // batch truth: the exact hamming<=2 relation restricted to pairs with
+    // exactly ONE incoming member (incoming-incoming is the next index
+    // refresh's business, same contract as the embed probe)
+    val hs = all.as[(Long, Long)].collect()
+    val expected = (for {
+      (ia, ha) <- hs.iterator; (ib, hb) <- hs.iterator
+      if ia < ib && (isNew(ia) != isNew(ib))
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 2
+    } yield (ia, ib, d)).toSet
+    // stream the incoming 25% as raw payloads: decode happens in-batch
+    val incoming = Multimodal.syntheticImageCorpus(spark)
+      .filter(a => isNew(a.asset_id)).collect()
+      .map(a => MediaIn(a.asset_id, a.payload, a.meta.kind,
+        new Timestamp(86400_000L + a.asset_id * 1000)))
+      .sortBy(_.asset_id)
+    val in = MemoryStream[MediaIn]
+    val q = StreamingOps.imageOnboardProbe(in.toDS(), index)
+      .writeStream.format("memory").queryName("imgprobe")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = incoming.splitAt(incoming.length / 2)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("imgprobe")
+      .select(col("ia"), col("ib"), col("hamming").cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(expected.nonEmpty, "fixture plants no mixed image matches")
+    assert(stream == expected,
+      s"stream-only: ${stream -- expected}; batch-only: ${expected -- stream}")
+    all.unpersist(); index.unpersist()
+  }
 }
