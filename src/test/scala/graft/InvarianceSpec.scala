@@ -53,7 +53,10 @@ class InvarianceSpec extends SparkSpec {
     "q131_cascade_delete", "q137_winsorized_stats",
     // the split-leakage audit and the cluster-level split are exact
     // (prefix-join pairs + md5 coins + CC closure) at any layout
-    "q138_split_leakage", "q139_cluster_split")
+    "q138_split_leakage", "q139_cluster_split",
+    // the perceptual-hash family: live decode + integer hashes + the
+    // pigeonhole-exact banded join claim layout-independence outright
+    "q141_image_dedup", "q142_incremental_image_dedup", "q143_audio_dedup")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
