@@ -101,7 +101,9 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq("q22_range_join", "q36_minhash_lsh",
         "q37_simhash", "q64_neardup_lsh", "q65_jaccard_prefix",
         "q67_knn_ivf", "q96_incremental_dedup",
-        "q138_split_leakage", "q139_cluster_split")) {
+        "q138_split_leakage", "q139_cluster_split",
+        "q141_image_dedup", "q142_incremental_image_dedup",
+        "q143_audio_dedup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
