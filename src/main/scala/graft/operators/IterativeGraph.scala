@@ -382,7 +382,9 @@ object IterativeGraph {
     var (labels, labelsRdd) = pin(e.select(col("src").as("v")).distinct()
       .join(seeds.select(col("v"), col("seed")).distinct(), Seq("v"), "left")
       .select(col("v"), col("seed"), col("seed").as("lbl")))
-    for (_ <- 1 to iters) {
+    var round = 1
+    var converged = false
+    while (round <= iters && !converged) {
       val cnt = e
         .join(labels.filter(col("lbl").isNotNull)
           .select(col("v").as("src"), col("lbl")), "src")
@@ -394,16 +396,25 @@ object IterativeGraph {
       // pin + materialize each round before releasing the previous one
       // (the state is referenced twice per round — neighbor counts + the
       // update spine); see pageRank's loop for why the count is what
-      // makes the pin real
-      val (nl, nlRdd) = pin(labels.select(col("v"), col("seed"), col("lbl"))
+      // makes the pin real. The update carries the previous label so the
+      // materializing pass doubles as fixpoint detection: plurality LPA's
+      // fixpoint is ABSORBING (unchanged labels reproduce themselves), so
+      // stopping once no label moved is output-identical to running the
+      // full budget — the same argument that gave BFS and k-core their
+      // early exits, and what keeps the fixed-round oracle exact.
+      val (nl, nlRdd) = pin(labels.select(col("v"), col("seed"),
+          col("lbl").as("prev"))
         .join(best, Seq("v"), "left")
-        .select(col("v"), col("seed"),
+        .select(col("v"), col("seed"), col("prev"),
           when(col("seed").isNotNull, col("seed"))
-            .otherwise(coalesce(col("blbl"), col("lbl"))).as("lbl")))
+            .otherwise(coalesce(col("blbl"), col("prev"))).as("lbl")))
       nlRdd.count()
+      // reads the just-materialized pinned blocks — not a recompute
+      converged = nl.filter(!(col("lbl") <=> col("prev"))).limit(1).count() == 0L
       labelsRdd.unpersist(blocking = false)
       labels = nl
       labelsRdd = nlRdd
+      round += 1
     }
     val out = labels.select(col("v"), col("lbl")).localCheckpoint(true)
     eRdd.unpersist(blocking = false)

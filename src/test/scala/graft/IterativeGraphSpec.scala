@@ -208,6 +208,16 @@ class IterativeGraphSpec extends SparkSpec {
     assert(out(11L) == Some(2L))
   }
 
+  test("labelPropagation fixpoint early-exit is output-identical to the full budget") {
+    // chain 0-1-2-3-4 seeded at 0 converges after 4 rounds; a 50-round
+    // budget must return exactly the 4-round labeling (the absorbing
+    // fixpoint reproduces itself), and do so via the early exit rather
+    // than 46 no-op rounds
+    val chain = (0L until 4L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val seeds = Seq((0L, 7L))
+    assert(lpa(chain, seeds, 50) == lpa(chain, seeds, 4))
+  }
+
   test("labelPropagation clamps seeds against contradicting neighborhoods") {
     // seed 0 (label 9) surrounded by three seeds of label 1: stays 9
     // through every round; the others stay clamped too
