@@ -397,20 +397,22 @@ object IterativeGraph {
       // (the state is referenced twice per round — neighbor counts + the
       // update spine); see pageRank's loop for why the count is what
       // makes the pin real. The update carries the previous label so the
-      // materializing pass doubles as fixpoint detection: plurality LPA's
-      // fixpoint is ABSORBING (unchanged labels reproduce themselves), so
-      // stopping once no label moved is output-identical to running the
-      // full budget — the same argument that gave BFS and k-core their
-      // early exits, and what keeps the fixed-round oracle exact.
+      // SAME job that materializes the round also detects the fixpoint
+      // (a moved-label count over the pinned frame — one job per round,
+      // connectedComponents' discipline): plurality LPA's fixpoint is
+      // ABSORBING (unchanged labels reproduce themselves), so stopping
+      // once no label moved is output-identical to running the full
+      // budget — the same argument that gave BFS and k-core their early
+      // exits, and what keeps the fixed-round oracle exact.
       val (nl, nlRdd) = pin(labels.select(col("v"), col("seed"),
           col("lbl").as("prev"))
         .join(best, Seq("v"), "left")
         .select(col("v"), col("seed"), col("prev"),
           when(col("seed").isNotNull, col("seed"))
             .otherwise(coalesce(col("blbl"), col("prev"))).as("lbl")))
-      nlRdd.count()
-      // reads the just-materialized pinned blocks — not a recompute
-      converged = nl.filter(!(col("lbl") <=> col("prev"))).limit(1).count() == 0L
+      converged = nl
+        .agg(count(when(!(col("lbl") <=> col("prev")), lit(1))).as("moved"))
+        .head.getLong(0) == 0L
       labelsRdd.unpersist(blocking = false)
       labels = nl
       labelsRdd = nlRdd
