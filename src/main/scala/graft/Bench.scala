@@ -28,7 +28,10 @@ object Bench {
     // doesn't pay one-time session costs.
     try SparkEntry.queries("q01_agg")(spark, sfDir).write
       .format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] warm-up FAILED: ${e.getMessage}")
+    }
 
     // The reference's ONE published number is GEDCOM parse->CSV throughput
     // (~145 MB in ~6 s => ~24 MB/s, BASELINE.md; its README records
@@ -95,7 +98,14 @@ object Bench {
         SparkEntry.queries(qn)(spark, sfDir).write
           .format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
-      } catch { case _: Throwable => () }
+      } catch {
+        // keep warming on failure, but NEVER silently: a renamed warm-up
+        // query would otherwise disable this block and resurrect the
+        // exact cold-start phantom regressions it exists to prevent,
+        // with nothing in the artifact pointing at the cause
+        case e: Throwable =>
+          System.err.println(s"[bench] re-warm $qn FAILED: ${e.getMessage}")
+      }
     System.gc()
 
     // two timed passes per query, min taken: the best observation is the

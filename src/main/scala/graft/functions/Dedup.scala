@@ -132,15 +132,35 @@ object Dedup {
     }.getOrElse(250000L)
   }
 
+  /** Estimated broadcast bytes per (vec_id, 64-dim double vector, norm)
+    * row — what the [[verifyBroadcastVectors]] row cap is denominated in
+    * (250k rows x 560 B ~ 140 MB). */
+  private val VECTOR_ROW_BYTES = 560L
+
+  /** Estimated broadcast bytes per narrow index row ((vec_id, t, code) or
+    * (vec_id, cid) — a few longs): ~20x lighter than a vector row, so an
+    * index side sized by the RAW vector-row cap would flip to
+    * SHUFFLE_HASH at ~7 MB of actual build data and pay a full shuffle
+    * of the giant probe relation while a broadcast was still cheap. */
+  private val INDEX_ROW_BYTES = 28L
+
   /** A corpus-bounded join side planned by MEASURED size — `nRows` is a
     * count the call site already holds (every generator counts its corpus
     * for code-space sizing), so the decision costs nothing: explicit
-    * broadcast under [[verifyBroadcastVectors]], SHUFFLE_HASH above.
-    * Explicit on BOTH branches: the auto-broadcast path depends on size
-    * ESTIMATES that under-count wide array columns, and the silent SMJ
-    * fallback is the measured 26x cliff documented above. */
-  private[graft] def sizedBuildSide(side: DataFrame, nRows: Long): DataFrame =
-    if (nRows <= verifyBroadcastVectors(side.sparkSession)) broadcast(side)
+    * broadcast under the cap, SHUFFLE_HASH above. The comparison is in
+    * BYTES — `nRows * rowBytes` against the knob's vector-row cap
+    * converted at [[VECTOR_ROW_BYTES]] — so the one documented knob
+    * (vector rows ~ executor headroom) sizes both the wide vector sides
+    * and the ~20x narrower index sides without conflating their
+    * bytes-per-row regimes. Explicit on BOTH branches: the auto-broadcast
+    * path depends on size ESTIMATES that under-count wide array columns,
+    * and the silent SMJ fallback is the measured 26x cliff documented
+    * above. */
+  private[graft] def sizedBuildSide(side: DataFrame, nRows: Long,
+      rowBytes: Long = VECTOR_ROW_BYTES): DataFrame =
+    if (nRows * rowBytes <=
+        verifyBroadcastVectors(side.sparkSession) * VECTOR_ROW_BYTES)
+      broadcast(side)
     else side.hint("SHUFFLE_HASH")
 
   /** The auto-salt probe: largest group of `rel` on `keys`. Call sites
@@ -569,7 +589,7 @@ object Dedup {
       // sort-free against a hash-built index instead of being SMJ-sorted
       .join(sizedBuildSide(
         coded.select(col("vec_id").as("ib"), col("t"), col("code")),
-        n * nTables), Seq("t", "code"))
+        n * nTables, INDEX_ROW_BYTES), Seq("t", "code"))
       .filter(col("ia") < col("ib"))
       .select(col("ia"), col("ib"))
     // within one table a pair matches through exactly one mask, so a
@@ -686,7 +706,8 @@ object Dedup {
           col("v"), col("nrm"), cents, thr)).as("cid"))
     val cand = probes
       .join(sizedBuildSide(
-        idx.select(col("vec_id").as("x"), col("cid")), n), Seq("cid"))
+        idx.select(col("vec_id").as("x"), col("cid")), n,
+        INDEX_ROW_BYTES), Seq("cid"))
       .filter(col("q") =!= col("x"))
       // normalize: an incoming-incoming pair may arrive both ways;
       // cosVerifyGrouped dedups inside its own first exchange
@@ -753,8 +774,8 @@ object Dedup {
     val nIdx = index.count()
     val cand = probes
       .join(sizedBuildSide(
-        index.select(col("vec_id").as("x"), col("t"), col("code")), nIdx),
-        Seq("t", "code"))
+        index.select(col("vec_id").as("x"), col("t"), col("code")), nIdx,
+        INDEX_ROW_BYTES), Seq("t", "code"))
       .filter(col("q") =!= col("x"))
       .select(least(col("q"), col("x")).as("ia"),
         greatest(col("q"), col("x")).as("ib"))

@@ -71,11 +71,20 @@ object VideoFrameBridge {
     new java.util.concurrent.ConcurrentHashMap[String, VideoFrameBridge]()
 
   /** Instantiate (or reuse) a bridge by class name; the class needs a
-    * public no-arg constructor and must be on the executor classpath. */
+    * public no-arg constructor and must be on the executor classpath.
+    * Resolved through the thread context classloader (falling back to
+    * this class's own): jars shipped via `spark.jars`/`--jars` land in
+    * the executor's MutableURLClassLoader, which is the CONTEXT loader —
+    * a bare `Class.forName` from a system-classpath class cannot see
+    * them, and the documented deployment path would throw
+    * ClassNotFoundException on every video-bearing task. */
   def forName(className: String): VideoFrameBridge =
-    cache.computeIfAbsent(className, cn =>
-      Class.forName(cn).getDeclaredConstructor().newInstance()
-        .asInstanceOf[VideoFrameBridge])
+    cache.computeIfAbsent(className, cn => {
+      val loader = Option(Thread.currentThread().getContextClassLoader)
+        .getOrElse(getClass.getClassLoader)
+      Class.forName(cn, true, loader).getDeclaredConstructor().newInstance()
+        .asInstanceOf[VideoFrameBridge]
+    })
 }
 
 object Multimodal {
@@ -1291,8 +1300,10 @@ object Multimodal {
         val hashes = imageDhashes(syntheticImageCorpus(s)).cache()
         val ex = hashes.groupBy(col("dhash")).agg(count(lit(1)).as("cnt"))
         val pairs = imageNearDupPairs(hashes, maxHamming = 2)
-        val near = pairs.select(col("ia").as("asset_id"))
-          .union(pairs.select(col("ib").as("asset_id")))
+        // one endpoint stream via explode — a union of two projections
+        // would execute the uncached banded-join subtree twice
+        val near = pairs
+          .select(explode(array(col("ia"), col("ib"))).as("asset_id"))
           .groupBy(col("asset_id")).agg(count(lit(1)).as("n_near"))
         hashes.join(ex, Seq("dhash"))
           .join(near, Seq("asset_id"), "left")
@@ -1410,8 +1421,9 @@ object Multimodal {
         val hashes = audioFingerprints(syntheticAudioCorpus(s)).cache()
         val ex = hashes.groupBy(col("dhash")).agg(count(lit(1)).as("cnt"))
         val pairs = imageNearDupPairs(hashes, maxHamming = 2)
-        val near = pairs.select(col("ia").as("asset_id"))
-          .union(pairs.select(col("ib").as("asset_id")))
+        // one endpoint stream via explode — see q141's near block
+        val near = pairs
+          .select(explode(array(col("ia"), col("ib"))).as("asset_id"))
           .groupBy(col("asset_id")).agg(count(lit(1)).as("n_near"))
         hashes.join(ex, Seq("dhash"))
           .join(near, Seq("asset_id"), "left")

@@ -384,7 +384,9 @@ object Similarity {
 
   /** IVF-PQ ANN top-k (the full method of Jégou, Douze & Schmid, TPAMI
     * 2011): the IVF layer prunes to nprobe inverted lists, then candidates
-    * are scored against their M x 5-bit PQ codes with an asymmetric
+    * are scored against their M sub-codes ([[pqKForCorpus]]: K=32 5-bit
+    * below 1024 training vectors, the K=256 one-byte production point
+    * at and above) with an asymmetric
     * distance (query side exact, database side quantized) — the scan
     * touches CODES, never raw vectors — and only the adcK best per query
     * are re-ranked with the exact cosine. At 100 TB this is what makes the
@@ -786,8 +788,10 @@ object Similarity {
     QueryDef(
       "q86_knn_ivfpq",
       (s, d) => {
-        // IVF-PQ: coarse cells prune the corpus, 5-bit-per-subspace PQ
-        // codes score the survivors, exact rerank of the ADC top-20K.
+        // IVF-PQ: coarse cells prune the corpus, per-subspace PQ codes
+        // (pqKForCorpus: one-byte K=256 past 1024 training vectors, 5-bit
+        // K=32 below) score the survivors, exact rerank of the ADC
+        // top-20K.
         // Codebooks derive from the corpus like every other ANN knob
         // here; the corpus row count is taken once, and the 8 PQ
         // sub-books train FUSED (one job per Lloyd round for the whole
@@ -875,6 +879,6 @@ object Similarity {
         SELECT qid, rk, ib, cos FROM ranked WHERE rk <= $K
         ORDER BY qid, rk"""
       },
-      "IVF-PQ ANN: coarse cells + 5-bit product-quantized ADC scan + exact rerank")
+      "IVF-PQ ANN: coarse cells + product-quantized ADC scan (corpus-sized K, one-byte codes in production) + exact rerank")
   )
 }

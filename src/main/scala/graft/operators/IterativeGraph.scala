@@ -371,7 +371,7 @@ object IterativeGraph {
     * arrived, materialized eagerly so the pinned blocks can be released.
     */
   def labelPropagation(edgesSym: DataFrame, seeds: DataFrame,
-      iters: Int): DataFrame = {
+      iters: Int, roundHook: (Int, Long) => Unit = null): DataFrame = {
     require(iters >= 1, s"labelPropagation: iters must be >= 1, got $iters")
     val (e, eRdd) = pin(edgesSym.select(col("src"), col("dst")).distinct())
     // the clamp RIDES IN the label state (seed is per-vertex constant):
@@ -427,6 +427,11 @@ object IterativeGraph {
           moved.add(1L)
       }
       converged = moved.value == 0L
+      // observability + testability: the spec counts hook firings to
+      // prove the early exit actually fires (output identity alone holds
+      // trivially by the absorbing property, so it cannot catch a dead
+      // exit)
+      if (roundHook != null) roundHook(round, moved.value)
       labelsRdd.unpersist(blocking = false)
       labels = nl
       labelsRdd = nlRdd

@@ -32,8 +32,9 @@ object DhashScale {
           Multimodal.syntheticImageCorpusOf(spark, groups)).cache()
         val ex = hashes.groupBy(col("dhash")).agg(count(lit(1)).as("cnt"))
         val pairs = Multimodal.imageNearDupPairs(hashes, maxHamming = 2)
-        val near = pairs.select(col("ia").as("asset_id"))
-          .union(pairs.select(col("ib").as("asset_id")))
+        // mirror q141's registered shape: one endpoint stream via explode
+        val near = pairs
+          .select(explode(array(col("ia"), col("ib"))).as("asset_id"))
           .groupBy(col("asset_id")).agg(count(lit(1)).as("n_near"))
         val n = hashes.join(ex, Seq("dhash"))
           .join(near, Seq("asset_id"), "left").count()

@@ -211,11 +211,21 @@ class IterativeGraphSpec extends SparkSpec {
   test("labelPropagation fixpoint early-exit is output-identical to the full budget") {
     // chain 0-1-2-3-4 seeded at 0 converges after 4 rounds; a 50-round
     // budget must return exactly the 4-round labeling (the absorbing
-    // fixpoint reproduces itself), and do so via the early exit rather
-    // than 46 no-op rounds
+    // fixpoint reproduces itself), and do so VIA the early exit rather
+    // than 46 no-op rounds — the hook count proves the exit fired
+    // (output identity alone holds trivially by the absorbing property,
+    // so it cannot catch a dead exit)
     val chain = (0L until 4L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
-    val seeds = Seq((0L, 7L))
-    assert(lpa(chain, seeds, 50) == lpa(chain, seeds, 4))
+    val seeds = Seq((0L, 7L)).toDF("v", "seed")
+    val rounds = collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val withBudget = IterativeGraph.labelPropagation(
+        chain.toDF("src", "dst"), seeds, 50, (r, m) => rounds += ((r, m)))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(withBudget == lpa(chain, Seq((0L, 7L)), 4))
+    // 4 spreading rounds + the confirming round where nothing moves
+    assert(rounds.size == 5, s"expected 5 rounds, ran ${rounds.size}")
+    assert(rounds.last._2 == 0L && rounds.init.forall(_._2 > 0L),
+      s"moved counts should be positive then zero: $rounds")
   }
 
   test("labelPropagation clamps seeds against contradicting neighborhoods") {
