@@ -879,6 +879,60 @@ object Similarity {
         SELECT qid, rk, ib, cos FROM ranked WHERE rk <= $K
         ORDER BY qid, rk"""
       },
-      "IVF-PQ ANN: coarse cells + product-quantized ADC scan (corpus-sized K, one-byte codes in production) + exact rerank")
+      "IVF-PQ ANN: coarse cells + product-quantized ADC scan (corpus-sized K, one-byte codes in production) + exact rerank"),
+
+    QueryDef(
+      "q145_hard_negatives",
+      (s, d) => {
+        // Hard-negative mining for contrastive embedding training (the
+        // standard curation step behind dense-retriever / embedding-model
+        // data: e.g. Robinson et al., "Contrastive Learning with Hard
+        // Negative Samples", ICLR 2021): for each anchor vector, the K
+        // most-similar vectors whose class `label` DIFFERS — the points a
+        // contrastive objective learns most from, because the geometry
+        // says "same" while the supervision says "different". First
+        // consumer of the embeddings table's label column.
+        //
+        // Shape: q39's brute-force scoring pass (broadcast anchors,
+        // map-side cosine — the exact baseline; at corpus scale the
+        // candidate generation swaps to the LSH/IVF paths above, the
+        // label filter rides the same scoring tail either way). The
+        // different-label predicate drops same-class rows BEFORE the
+        // rank, so self-pairs vanish for free (anchor shares its own
+        // label).
+        val e = embeddings(s, d)
+          .select(col("vec_id"),
+            VectorOps.asDouble(col("embedding")).as("v"), col("label"))
+          .withColumn("nrm", VectorOps.norm(col("v")))
+        val q = e.filter(col("vec_id") < N_QUERIES)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("nrm").as("qn"), col("label").as("qlabel"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("ib"))
+        e.crossJoin(broadcast(q))
+          .filter(col("label") =!= col("qlabel"))
+          .select(col("qid"), col("vec_id").as("ib"), col("label"),
+            round(VectorOps.cosinePre(
+              VectorOps.dot(col("v"), col("qv")), col("nrm"), col("qn")), 6)
+              .as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= K)
+          .select(col("qid"), col("rk"), col("ib"), col("label"), col("cos"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label,
+                          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                   FROM embeddings),
+        pairs AS (
+          SELECT q.vec_id AS qid, c.vec_id AS ib, c.label,
+                 round(list_dot_product(q.v, c.v) / nullif(q.nrm * c.nrm, 0), 6) AS cos
+          FROM e q JOIN e c ON q.vec_id < $N_QUERIES AND c.label <> q.label),
+        ranked AS (
+          SELECT qid, ib, label, cos,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, ib) AS rk
+          FROM pairs)
+        SELECT qid, rk, ib, label, cos FROM ranked WHERE rk <= $K
+        ORDER BY qid, rk"""),
+      "hard-negative mining: per-anchor top-k nearest DIFFERENT-label vectors (contrastive training pairs)")
   )
 }

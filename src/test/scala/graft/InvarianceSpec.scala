@@ -56,7 +56,11 @@ class InvarianceSpec extends SparkSpec {
     "q138_split_leakage", "q139_cluster_split",
     // the perceptual-hash family: live decode + integer hashes + the
     // pigeonhole-exact banded join claim layout-independence outright
-    "q141_image_dedup", "q142_incremental_image_dedup", "q143_audio_dedup")
+    "q141_image_dedup", "q142_incremental_image_dedup", "q143_audio_dedup",
+    // the retrieval/fusion family: integer-exact RRF over deterministic
+    // per-system ranks, and the label-filtered cosine ranking — both
+    // claim layout-independent output outright
+    "q144_hybrid_rrf", "q145_hard_negatives")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

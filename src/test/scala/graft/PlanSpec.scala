@@ -95,9 +95,10 @@ class PlanSpec extends SparkSpec {
 
   test("pair-generation queries never degenerate to a cartesian") {
     // LSH/banding and the interval join keep an equi key under the
-    // residual condition; only the explicitly-brute-force q39 baseline
-    // (and the unregistered embeddingPairsBrute verification function)
-    // are allowed a broadcast nested loop.
+    // residual condition; only the explicitly-brute-force scoring passes
+    // (q39's baseline, q144's vector side, q145's label-filtered scan,
+    // and the unregistered embeddingPairsBrute verification function)
+    // are allowed a broadcast nested loop over the broadcast query rows.
     for (q <- Seq("q22_range_join", "q36_minhash_lsh",
         "q37_simhash", "q64_neardup_lsh", "q65_jaccard_prefix",
         "q67_knn_ivf", "q96_incremental_dedup",

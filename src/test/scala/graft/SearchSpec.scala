@@ -46,4 +46,44 @@ class SearchSpec extends SparkSpec {
     assert(best1 > best3,
       s"rare-term query scored $best1 <= common-term query $best3")
   }
+
+  private lazy val hybrid =
+    Search.defs.find(_.name == "q144_hybrid_rrf").get.fn(spark, SF)
+      .select(col("qid"), col("rk"), col("doc_id").cast("long"), col("rrf"),
+        col("rk_lex"), col("rk_vec"))
+      .as[(Int, Int, Long, Long, Int, Int)].collect()
+
+  test("q144 fused scores are the exact RRF arithmetic of the rank columns") {
+    // non-circular: the emitted rrf is recomputed in the driver from the
+    // emitted per-system ranks, so the fusion can't silently drift from
+    // the Cormack et al. formula it claims
+    assert(hybrid.length == Search.QUERIES.length * Search.TOPK)
+    def part(r: Int): Long =
+      if (r > 0) Search.RRF_UNIT / (Search.RRF_K0 + r) else 0L
+    hybrid.foreach { case (qid, _, doc, rrf, rl, rv) =>
+      assert(rl >= 0 && rl <= Search.FUSE_DEPTH, s"q$qid doc$doc rk_lex=$rl")
+      assert(rv >= 0 && rv <= Search.FUSE_DEPTH, s"q$qid doc$doc rk_vec=$rv")
+      assert(rl > 0 || rv > 0, s"q$qid doc$doc in neither list")
+      assert(rrf == part(rl) + part(rv), s"q$qid doc$doc rrf=$rrf != ${part(rl) + part(rv)}")
+    }
+    hybrid.groupBy(_._1).values.foreach { rows =>
+      val rrfs = rows.sortBy(_._2).map(_._4)
+      assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b },
+        "fused rrf not non-increasing in rank")
+    }
+  }
+
+  test("q144's anchor document, when it survives the cut, tops the vector list") {
+    // each qid's query vector IS doc qid's embedding, so that doc scores
+    // cosine 1.0 against itself — if it appears in the fused top-k its
+    // vector rank must be 1 (a regression here means the doc_id==vec_id
+    // linkage or the scoring went wrong)
+    for ((qid, _) <- Search.QUERIES;
+        row <- hybrid.find(r => r._1 == qid && r._3 == qid.toLong))
+      assert(row._6 == 1, s"anchor $qid has rk_vec=${row._6}")
+    // and fusion genuinely mixes systems: across the workload some fused
+    // hit must come from each side (lex-only and vec-contributing rows)
+    assert(hybrid.exists(_._5 > 0), "no lexical contribution anywhere")
+    assert(hybrid.exists(_._6 > 0), "no vector contribution anywhere")
+  }
 }

@@ -290,4 +290,36 @@ class SimilaritySpec extends SparkSpec {
     assert(sizes.sum == n)
     assert(sizes.max < n, "degenerate codebook: one list holds everything")
   }
+
+  test("q145 hard negatives: K different-label neighbors, true max-similarity top-1") {
+    val rows = SparkEntry.queries("q145_hard_negatives")(spark, SF)
+      .select(col("qid"), col("rk"), col("ib"), col("label"), col("cos"))
+      .as[(Long, Int, Long, Int, Double)].collect()
+    val e = Tables.embeddings(spark, SF)
+      .select(col("vec_id"), col("embedding").cast("array<double>"), col("label"))
+      .as[(Long, Seq[Double], Int)].collect()
+    val byId = e.map(r => r._1 -> r).toMap
+    def cosv(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.lazyZip(b).map(_ * _).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == Similarity.N_QUERIES)
+    byQ.foreach { case (q, rs) =>
+      val (_, qv, qlabel) = byId(q)
+      assert(rs.length == Similarity.K)
+      assert(!rs.exists(_._3 == q), s"anchor $q returned itself")
+      assert(rs.forall(_._4 != qlabel), s"same-label neighbor for anchor $q")
+      assert(rs.forall(r => byId(r._3)._3 == r._4),
+        "emitted label must be the neighbor's own")
+      val coss = rs.sortBy(_._2).map(_._5)
+      assert(coss.zip(coss.tail).forall { case (a, b) => a >= b })
+      // the engine's top hard negative achieves the true different-label
+      // maximum (driver recompute; 1e-6 covers the engine's 6 dp rounding)
+      val best = e.filter(c => c._3 != qlabel && c._1 != q)
+        .map(c => cosv(qv, c._2)).max
+      assert(coss.head >= best - 1e-6,
+        s"anchor $q: top-1 ${coss.head} below brute-force $best")
+    }
+  }
 }
