@@ -81,7 +81,9 @@ object ScaleBench {
     "q137_winsorized_stats",   // value-histogram rank cuts + clip re-agg
     "q138_split_leakage",      // prefix-join pairs x md5 split audit
     "q139_cluster_split",      // near-dup CC + survivor-coin split
-    "q140_bucketed_join")      // bucketed write + exchange-free join
+    "q140_bucketed_join",      // bucketed write + exchange-free join
+    "q144_hybrid_rrf",         // BM25 + cosine lists, integer RRF fusion
+    "q145_hard_negatives")     // label-filtered brute cosine top-k
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")
