@@ -1038,6 +1038,64 @@ object TextAnalysis {
       "inverted index: range-bucketed posting lists, per-row state bounded by the bucket width"),
 
     QueryDef(
+      "q146_incremental_index",
+      (s, d) => {
+        // Incremental inverted-index maintenance: the q100 index absorbs
+        // a new-docs batch WITHOUT a corpus rebuild. Stored state per
+        // (word, bucket) is ALGEBRAIC — n_docs/tf_sum merge by sum, and
+        // the posting-set signature is an order-independent modular sum
+        // of per-doc md5 draws (q101's residue discipline) — so
+        // merge(index(base), index(delta)) == index(base ∪ delta), which
+        // the oracle proves by recomputing from ALL documents (q113's
+        // contract applied to the retrieval index; q100 keeps the exact
+        // posting digest for the rebuild path). Base = doc_id%4 != 3
+        // (the stored index), delta = the %4 == 3 incoming batch.
+        //
+        // 100 TB shape: buckets are doc_id ranges, so a mostly-append
+        // corpus touches only its newest buckets' states; the full-outer
+        // merge passes every untouched (word, bucket) row through, and
+        // bucketing the stored index by word co-locates the merge AND
+        // the q78-style term probes without a shuffle.
+        val P = 1000003L
+        def sig(c: Column): Column =
+          pmod(conv(substring(md5(concat(lit("ps:"), c.cast("string"))), 1, 12),
+            16, 10).cast("long"), lit(P))
+        def idx(df: DataFrame) = df
+          .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("tf"))
+          .groupBy(col("word"), expr("doc_id div 500").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("tf_sum"),
+            pmod(sum(sig(col("doc_id"))), lit(P)).as("set_sig"))
+        val docs = documents(s, d)
+        val base = idx(docs.filter(pmod(col("doc_id"), lit(4)) =!= 3))
+        val delta = idx(docs.filter(pmod(col("doc_id"), lit(4)) === 3))
+        base.select(col("word"), col("bucket"), col("n_docs").as("bn"),
+            col("tf_sum").as("bt"), col("set_sig").as("bs"))
+          .join(delta.select(col("word"), col("bucket"), col("n_docs").as("dn"),
+              col("tf_sum").as("dt"), col("set_sig").as("ds")),
+            Seq("word", "bucket"), "full_outer")
+          .select(col("word"), col("bucket"),
+            (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_docs"),
+            (coalesce(col("bt"), lit(0L)) + coalesce(col("dt"), lit(0L))).as("tf_sum"),
+            pmod(coalesce(col("bs"), lit(0L)) + coalesce(col("ds"), lit(0L)),
+              lit(P)).as("set_sig"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, unnest($SQL_TOKENS) AS word FROM documents),
+        tfc AS (
+          SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2)
+        SELECT word, doc_id // 500 AS bucket,
+               count(*) AS n_docs,
+               cast(sum(tf) as bigint) AS tf_sum,
+               cast(sum(CAST(concat('0x', substr(md5('ps:' || doc_id::VARCHAR), 1, 12)) AS BIGINT)
+                 % 1000003) % 1000003 as bigint) AS set_sig
+        FROM tfc
+        GROUP BY 1, 2"""),
+      "incremental index maintenance: algebraic posting-state merge == full rebuild, oracle-proven"),
+
+    QueryDef(
       "q101_epoch_shuffle",
       (s, d) => {
         // Deterministic training-epoch shuffle: every doc gets a keyed md5

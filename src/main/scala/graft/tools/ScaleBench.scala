@@ -83,7 +83,8 @@ object ScaleBench {
     "q139_cluster_split",      // near-dup CC + survivor-coin split
     "q140_bucketed_join",      // bucketed write + exchange-free join
     "q144_hybrid_rrf",         // BM25 + cosine lists, integer RRF fusion
-    "q145_hard_negatives")     // label-filtered brute cosine top-k
+    "q145_hard_negatives",     // label-filtered brute cosine top-k
+    "q146_incremental_index")  // algebraic posting-state merge
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")

@@ -60,7 +60,10 @@ class InvarianceSpec extends SparkSpec {
     // the retrieval/fusion family: integer-exact RRF over deterministic
     // per-system ranks, and the label-filtered cosine ranking — both
     // claim layout-independent output outright
-    "q144_hybrid_rrf", "q145_hard_negatives")
+    "q144_hybrid_rrf", "q145_hard_negatives",
+    // incremental index maintenance: modular set signatures and algebraic
+    // merges claim layout-independence by construction
+    "q146_incremental_index")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -453,4 +453,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) == ((999L, 1L, 1000000L / 999L))) // integer div: 1001
     assert(got(2L) == ((0L, 0L, 0L)))
   }
+
+  test("q146 merged index states equal the q100 full rebuild") {
+    // the merge==rebuild contract inside one engine (the oracle proves it
+    // across engines): q146 merges base+delta partial indexes, q100
+    // aggregates the whole corpus — their (word, bucket) keyspaces and
+    // n_docs/tf_sum states must be identical
+    val merged = SparkEntry.queries("q146_incremental_index")(spark, SF)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val rebuilt = graft.functions.TextAnalysis.invertedIndex(spark, SF)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(merged.keySet == rebuilt.keySet,
+      s"keyspace drift: ${merged.keySet.diff(rebuilt.keySet)} / ${rebuilt.keySet.diff(merged.keySet)}")
+    merged.foreach { case (k, v) =>
+      assert(rebuilt(k) == v, s"state drift at $k: merged $v vs rebuilt ${rebuilt(k)}")
+    }
+    // and the batch genuinely contributes: some bucket state must differ
+    // between the base-only index and the merged one (i.e. delta != empty)
+    assert(Tables.documents(spark, SF)
+      .filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(4)) === 3).count() > 0)
+  }
 }
