@@ -99,6 +99,17 @@ object TextAnalysis {
         sum(col("tf")).as("tf_sum"),
         sort_array(collect_list(col("doc_id"))).as("postings"))
 
+  /** Modulus of the q146 posting-set signature (q101's residue P). */
+  val POSTING_SIG_P = 1000003L
+
+  /** One doc's modular posting-set signature draw — ONE definition shared
+    * by batch q146 and the streaming
+    * [[graft.streaming.StreamingOps.indexMaintain]] twin so the two index
+    * states can never drift (the StreamingSpec replay pins equality). */
+  def postingSigDraw(docId: Column): Column =
+    pmod(conv(substring(md5(concat(lit("ps:"), docId.cast("string"))), 1, 12),
+      16, 10).cast("long"), lit(POSTING_SIG_P))
+
   // DuckDB fragments used by several oracles below.
   private val SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
   private val SQL_STOP = STOPWORDS.map(w => s"'$w'").mkString("(", ",", ")")
@@ -1056,10 +1067,8 @@ object TextAnalysis {
         // merge passes every untouched (word, bucket) row through, and
         // bucketing the stored index by word co-locates the merge AND
         // the q78-style term probes without a shuffle.
-        val P = 1000003L
-        def sig(c: Column): Column =
-          pmod(conv(substring(md5(concat(lit("ps:"), c.cast("string"))), 1, 12),
-            16, 10).cast("long"), lit(P))
+        val P = POSTING_SIG_P
+        def sig(c: Column): Column = postingSigDraw(c)
         def idx(df: DataFrame) = df
           .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
           .groupBy(col("doc_id"), col("word"))

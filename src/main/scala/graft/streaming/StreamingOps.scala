@@ -384,6 +384,60 @@ object StreamingOps {
       }
   }
 
+  final case class IndexStateOut(
+      word: String, bucket: Long, n_docs: Long, tf_sum: Long, set_sig: Long)
+  private[streaming] final case class PostingUpd(
+      word: String, bucket: Long, tf: Long, sig: Long)
+  private[streaming] final case class PostingState(
+      n_docs: Long, tf_sum: Long, set_sig: Long)
+
+  /** Streaming inverted-index maintenance — the incremental form of batch
+    * q146: each arriving document's per-word tf and posting-set signature
+    * draw fold into the (word, bucket) state, and the touched keys'
+    * updated states emit every micro-batch (Update mode). The per-word tf
+    * is computed IN-ROW over the doc's own token array (no second
+    * stateful aggregate), and the signature draw is
+    * [[graft.functions.TextAnalysis.postingSigDraw]] — the SAME
+    * expression the batch query folds, so after any replay the last
+    * emitted state per key is exactly the batch index (StreamingSpec pins
+    * the equality).
+    *
+    * State has NO timeout: the state store IS the live index, bounded by
+    * |vocab| x |buckets| — not by stream length (a production deployment
+    * periodically snapshots it into the stored q100/q146 index and lets
+    * the q146 merge absorb it; that merge being oracle-equal to a full
+    * rebuild is the whole contract). */
+  def indexMaintain(docs: Dataset[DocIn], bucket: Long = 500L): Dataset[IndexStateOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = graft.functions.TextAnalysis.tokens(col("text"))
+    val upds = docs.toDF()
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.postingSigDraw(col("doc_id")).as("sig"),
+        expr(s"doc_id div $bucket").as("bucket"),
+        explode(transform(array_distinct(w), t =>
+          struct(t.as("word"),
+            size(filter(w, x => x === t)).cast("long").as("tf")))).as("u"))
+      .select(col("u.word").as("word"), col("bucket"), col("u.tf").as("tf"),
+        col("sig"))
+      .as[PostingUpd]
+    upds
+      .groupByKey(u => (u.word, u.bucket))
+      .mapGroupsWithState[PostingState, IndexStateOut](
+        GroupStateTimeout.NoTimeout) {
+        case ((word, bkt), rows, state) =>
+          val s0 = state.getOption.getOrElse(PostingState(0L, 0L, 0L))
+          var n = s0.n_docs; var t = s0.tf_sum; var g = s0.set_sig
+          rows.foreach { u =>
+            n += 1; t += u.tf
+            g = (g + u.sig) % graft.functions.TextAnalysis.POSTING_SIG_P
+          }
+          val ns = PostingState(n, t, g)
+          state.update(ns)
+          IndexStateOut(word, bkt, n, t, g)
+      }
+  }
+
   final case class ChangeIn(
       user_id: Long, ts: java.sql.Timestamp, event_id: Long, value_cents: Long)
   private[streaming] final case class Scd2State(

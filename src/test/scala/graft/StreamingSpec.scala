@@ -541,4 +541,45 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${stream -- expected}; batch-only: ${expected -- stream}")
     all.unpersist(); index.unpersist()
   }
+
+  test("streaming index maintenance converges to the batch q146 index") {
+    import graft.streaming.StreamingOps.{DocIn, IndexStateOut}
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => DocIn(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), new Timestamp(86400_000L + r.getLong(0) * 1000)))
+      .sortBy(_.doc_id)
+    val in = MemoryStream[DocIn]
+    val q = StreamingOps.indexMaintain(in.toDS())
+      .writeStream.format("memory").queryName("idxmaint")
+      .outputMode("update").start()
+    try {
+      // three micro-batches: most (word, bucket) states are touched in
+      // SEVERAL batches, so convergence proves the fold carries across
+      val (b1, rest) = docs.splitAt(150)
+      val (b2, b3) = rest.splitAt(200)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    // the last emitted state per key = the row with the largest n_docs
+    // (monotone counter)
+    val finalStates = spark.table("idxmaint").as[IndexStateOut].collect()
+      .groupBy(s => (s.word, s.bucket))
+      .map { case (k, ss) => k -> {
+        val last = ss.maxBy(_.n_docs)
+        (last.n_docs, last.tf_sum, last.set_sig)
+      } }
+    val batch = SparkEntry.queries("q146_incremental_index")(spark, SF)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(batch.nonEmpty)
+    assert(finalStates.keySet == batch.keySet,
+      s"keyspace drift: ${finalStates.keySet.diff(batch.keySet)} / ${batch.keySet.diff(finalStates.keySet.toSet)}")
+    finalStates.foreach { case (k, v) =>
+      assert(batch(k) == v, s"state drift at $k: stream $v vs batch ${batch(k)}")
+    }
+  }
 }
