@@ -191,8 +191,7 @@ object Search {
           .orderBy(col("cos").desc, col("doc_id"))
         val vtop = e.crossJoin(broadcast(qs))
           .select(col("qid"), col("vec_id").as("doc_id"),
-            round(VectorOps.cosinePre(
-              VectorOps.dot(col("v"), col("qv")), col("nrm"), col("qn")), 6)
+            Similarity.roundedCos(col("v"), col("qv"), col("nrm"), col("qn"))
               .as("cos"))
           .withColumn("rk_vec", row_number().over(wv))
           .filter(col("rk_vec") <= FUSE_DEPTH)
@@ -224,7 +223,7 @@ object Search {
                      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
               FROM embeddings),
         vq AS (SELECT cast(vec_id as int) AS qid, v AS qv, nrm AS qn
-               FROM e WHERE vec_id IN (1, 2, 3)),
+               FROM e WHERE vec_id IN (${QUERIES.map(_._1).mkString(", ")})),
         vscore AS (
           SELECT vq.qid, e.vec_id AS doc_id,
                  round(list_dot_product(e.v, vq.qv) / nullif(e.nrm * vq.qn, 0), 6) AS cos

@@ -443,6 +443,14 @@ object Similarity {
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
 
+  /** The 6-dp rounded-cosine scoring projection — THE one definition of
+    * the ranking value every similarity consumer compares on
+    * ([[scoreTopK]], q144's vector side, q145's label-filtered scan).
+    * Oracles mirror it as `round(list_dot_product / nullif(..), 6)`;
+    * a precision or null-semantics change lands everywhere at once. */
+  def roundedCos(v: Column, qv: Column, nrm: Column, qn: Column): Column =
+    round(VectorOps.cosinePre(VectorOps.dot(v, qv), nrm, qn), 6)
+
   /** Shared scoring tail of q39/q40/q67: a joined frame carrying
     * candidate (vec_id, v, nrm) × query (qid, qv, qn) becomes the
     * per-query top-k by rounded cosine with neighbor-id tiebreak
@@ -453,8 +461,7 @@ object Similarity {
     joined
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("ib"),
-        round(VectorOps.cosinePre(VectorOps.dot(col("v"), col("qv")), col("nrm"), col("qn")), 6)
-          .as("cos"))
+        roundedCos(col("v"), col("qv"), col("nrm"), col("qn")).as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("qid"), col("rk"), col("ib"), col("cos"))
@@ -911,9 +918,7 @@ object Similarity {
         e.crossJoin(broadcast(q))
           .filter(col("label") =!= col("qlabel"))
           .select(col("qid"), col("vec_id").as("ib"), col("label"),
-            round(VectorOps.cosinePre(
-              VectorOps.dot(col("v"), col("qv")), col("nrm"), col("qn")), 6)
-              .as("cos"))
+            roundedCos(col("v"), col("qv"), col("nrm"), col("qn")).as("cos"))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= K)
           .select(col("qid"), col("rk"), col("ib"), col("label"), col("cos"))

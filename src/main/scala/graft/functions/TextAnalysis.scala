@@ -88,7 +88,7 @@ object TextAnalysis {
     * declarative plan. Two aggregation levels, both partial-agg friendly.
     * The q100 registration digests `postings` to a scalar md5 for the
     * driver's hasher; call this directly for the raw lists. */
-  def invertedIndex(s: SparkSession, d: String, bucket: Long = 500L): DataFrame =
+  def invertedIndex(s: SparkSession, d: String, bucket: Long = INDEX_BUCKET): DataFrame =
     documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word"))
@@ -101,6 +101,13 @@ object TextAnalysis {
 
   /** Modulus of the q146 posting-set signature (q101's residue P). */
   val POSTING_SIG_P = 1000003L
+
+  /** Doc-range width of one inverted-index bucket — ONE constant shared
+    * by [[invertedIndex]] (q100), the q146 incremental merge (Spark and
+    * oracle sides), and the streaming
+    * [[graft.streaming.StreamingOps.indexMaintain]] twin: the
+    * merge==rebuild contract only holds while all four agree. */
+  val INDEX_BUCKET = 500L
 
   /** One doc's modular posting-set signature draw — ONE definition shared
     * by batch q146 and the streaming
@@ -1039,7 +1046,7 @@ object TextAnalysis {
           SELECT doc_id, unnest($SQL_TOKENS) AS word FROM documents),
         tfc AS (
           SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2)
-        SELECT word, doc_id // 500 AS bucket,
+        SELECT word, doc_id // $INDEX_BUCKET AS bucket,
                count(*) AS n_docs,
                cast(sum(tf) as bigint) AS tf_sum,
                md5(array_to_string(list_sort(list(doc_id)), ',')) AS postings
@@ -1073,7 +1080,7 @@ object TextAnalysis {
           .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
           .groupBy(col("doc_id"), col("word"))
           .agg(count(lit(1)).as("tf"))
-          .groupBy(col("word"), expr("doc_id div 500").as("bucket"))
+          .groupBy(col("word"), expr(s"doc_id div $INDEX_BUCKET").as("bucket"))
           .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("tf_sum"),
             pmod(sum(sig(col("doc_id"))), lit(P)).as("set_sig"))
         val docs = documents(s, d)
@@ -1095,11 +1102,11 @@ object TextAnalysis {
           SELECT doc_id, unnest($SQL_TOKENS) AS word FROM documents),
         tfc AS (
           SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2)
-        SELECT word, doc_id // 500 AS bucket,
+        SELECT word, doc_id // $INDEX_BUCKET AS bucket,
                count(*) AS n_docs,
                cast(sum(tf) as bigint) AS tf_sum,
                cast(sum(CAST(concat('0x', substr(md5('ps:' || doc_id::VARCHAR), 1, 12)) AS BIGINT)
-                 % 1000003) % 1000003 as bigint) AS set_sig
+                 % $POSTING_SIG_P) % $POSTING_SIG_P as bigint) AS set_sig
         FROM tfc
         GROUP BY 1, 2"""),
       "incremental index maintenance: algebraic posting-state merge == full rebuild, oracle-proven"),

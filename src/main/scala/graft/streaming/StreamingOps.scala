@@ -407,7 +407,8 @@ object StreamingOps {
     * periodically snapshots it into the stored q100/q146 index and lets
     * the q146 merge absorb it; that merge being oracle-equal to a full
     * rebuild is the whole contract). */
-  def indexMaintain(docs: Dataset[DocIn], bucket: Long = 500L): Dataset[IndexStateOut] = {
+  def indexMaintain(docs: Dataset[DocIn],
+      bucket: Long = graft.functions.TextAnalysis.INDEX_BUCKET): Dataset[IndexStateOut] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val w = graft.functions.TextAnalysis.tokens(col("text"))
