@@ -26,6 +26,9 @@ object SparkEntry {
       functions.Fuzzy.defs ++
       functions.Privacy.defs ++
       functions.Multimodal.defs ++
+      functions.Tokenizer.defs ++
+      functions.Winnowing.defs ++
+      operators.Skyline.defs ++
       sources.Layout.defs ++
       gedcom.GedcomQueries.defs
 

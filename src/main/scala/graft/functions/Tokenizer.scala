@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Byte-pair-encoding tokenizer TRAINING at corpus scale (Sennrich,
+  * Haddow & Birch, "Neural Machine Translation of Rare Words with
+  * Subword Units", ACL 2016) — the vocabulary-fitting step every
+  * pretraining pipeline runs before it can even count tokens.
+  *
+  * 100 TB shape: the corpus compresses to the DISTINCT-WORD frequency
+  * table first (one partial-aggregated groupBy — the only stage that
+  * ever touches corpus volume), and every merge round after that runs
+  * on the word-frequency domain: bounded by vocabulary size (~10-100M
+  * rows at web scale), not corpus size. That word-freq compression is
+  * exactly how production BPE trainers (subword-nmt, SentencePiece,
+  * HuggingFace tokenizers) stay tractable — re-expressed here as Spark
+  * aggregations so the fit distributes. Driver state is one
+  * (pair, count) row per merge round — K rows total.
+  *
+  * Cross-engine exactness: words are rendered as symbol strings where
+  * every symbol occupies " sym " (single leading/trailing space, so
+  * adjacent symbols meet at a DOUBLE space). Merging pair (l, r) is then
+  * the plain string replacement " l  r " -> " lr ", and both Spark's
+  * `replace` and DuckDB's `replace` scan left-to-right, non-overlapping,
+  * resuming AFTER the replacement — which is precisely BPE's greedy
+  * leftmost-match application ("a a a a" + merge (a,a) -> "aa aa", the
+  * overlapping middle pair skipped). TokenizerSpec pins that overlap
+  * contract; argmax ties break on (count DESC, left ASC, right ASC) in
+  * both engines.
+  */
+object Tokenizer {
+  import Tables._
+
+  /** Merge rounds learned (and unrolled in the oracle — each round is
+    * three MATERIALIZED CTEs, so K bounds oracle size too). */
+  val BPE_MERGES = 8
+
+  /** Word filter shared with the oracle: BPE pretokenizers normalize to
+    * a closed alphabet before fitting; [a-z0-9]+ also sidesteps any
+    * engine disagreement over multi-byte codepoint splitting. */
+  private val WORD_RE = "^[a-z0-9]+$"
+
+  /** " a  b  c " symbol rendering of a word — each char wrapped in
+    * single spaces. Identical regexp in DuckDB (`' \\1 '`). */
+  private def symbolized(w: Column): Column =
+    regexp_replace(w, "(.)", " $1 ")
+
+  /** Learned merge table: (step, left_sym, right_sym, merged,
+    * pair_count), one row per round, ties broken lexicographically.
+    *
+    * Each round re-derives the current word rendering from the CACHED
+    * base table through the accumulated (literal) replace chain — the
+    * plan stays shallow (base scan + <= K string replaces), no iterative
+    * lineage growth, and the K driver collects are one row each. */
+  def bpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeTrainOf(s, documents(s, d))
+
+  private[graft] def bpeTrainOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val wf = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike(WORD_RE))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .select(symbolized(col("w")).as("sym"), col("f"))
+      .cache()
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+      var sym: Column = col("sym")
+      var step = 1
+      var exhausted = false
+      while (step <= BPE_MERGES && !exhausted) {
+        val a = filter(split(sym, " "), t => t =!= "")
+        // adjacent-pair counts weighted by word frequency; \u0001 is a
+        // safe pair separator (symbols are [a-z0-9]+ concatenations)
+        val best = wf
+          .select(col("f"), a.as("a"))
+          .filter(size(col("a")) >= 2)
+          .select(col("f"), explode(transform(
+            sequence(lit(1), size(col("a")) - 1),
+            i => concat(element_at(col("a"), i), lit("\u0001"),
+              element_at(col("a"), i + 1)))).as("pr"))
+          .groupBy(
+            substring_index(col("pr"), "\u0001", 1).as("l"),
+            substring_index(col("pr"), "\u0001", -1).as("r"))
+          .agg(sum(col("f")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+          .limit(1)
+          .collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (l, r, cnt) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((step.toLong, l, r, l + r, cnt))
+          sym = replace(sym, lit(s" $l  $r "), lit(s" $l$r "))
+          step += 1
+        }
+      }
+      merges.toSeq
+        .toDF("step", "left_sym", "right_sym", "merged", "pair_count")
+        .orderBy(col("step"))
+    } finally wf.unpersist()
+  }
+
+  /** DuckDB twin: K unrolled rounds of (pair counts, argmax, replace) —
+    * every round CTE MATERIALIZED so DuckDB never inlines a CTE that a
+    * later round references more than once. */
+  private def bpeOracle: String = {
+    val tok = "list_filter(string_split(text, ' '), t -> t <> '')"
+    val w0 = s"""w0 AS MATERIALIZED (
+      SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS sym, count(*)::BIGINT AS f
+      FROM (SELECT unnest($tok) AS w FROM documents)
+      WHERE regexp_full_match(w, '[a-z0-9]+')
+      GROUP BY 1)"""
+    val rounds = (1 to BPE_MERGES).map { k =>
+      val p = k - 1
+      s"""p$k AS MATERIALIZED (
+      SELECT string_split(pr, chr(1))[1] AS l, string_split(pr, chr(1))[2] AS r,
+             sum(f)::BIGINT AS cnt
+      FROM (SELECT f, unnest(list_transform(range(1, len(a)),
+                     i -> a[i] || chr(1) || a[i+1])) AS pr
+            FROM (SELECT list_filter(string_split(sym, ' '), t -> t <> '') AS a, f
+                  FROM w$p))
+      GROUP BY 1, 2),
+    b$k AS MATERIALIZED (
+      SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+    w$k AS MATERIALIZED (
+      SELECT replace(sym,
+        ' ' || (SELECT l FROM b$k) || '  ' || (SELECT r FROM b$k) || ' ',
+        ' ' || (SELECT l FROM b$k) || (SELECT r FROM b$k) || ' ') AS sym, f
+      FROM w$p)"""
+    }
+    val unioned = (1 to BPE_MERGES).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS step, l AS left_sym, r AS right_sym,
+             l || r AS merged, cnt AS pair_count FROM b$k"""
+    }.mkString(" UNION ALL ")
+    s"""WITH $w0,
+    ${rounds.mkString(",\n    ")}
+    SELECT * FROM ($unioned) ORDER BY step"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q147_bpe_train",
+      (s, d) => bpeTrain(s, d),
+      Some(bpeOracle),
+      "BPE tokenizer training: word-freq compression + K argmax-merge rounds on the vocab domain"))
+}

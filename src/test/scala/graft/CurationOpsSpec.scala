@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Tokenizer, Winnowing}
+import graft.operators.{DocPoint, Skyline}
+
+/** Contracts of the r13 curation additions: BPE training (q147),
+  * winnowing fingerprints (q148), skyline selection (q149). */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(texts: Seq[String]): DataFrame =
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "xx", "src") }
+      .toDF("doc_id", "text", "lang", "source")
+
+  // ---- q147 BPE training ----
+
+  test("bpe merge application is greedy-left non-overlapping") {
+    // word "aaa": after merge (a,a) the rendering must be [aa, a] (the
+    // leftmost pair wins; the overlapping middle pair is consumed), so
+    // round 2's top pair is (aa, a) — NOT (a, aa).
+    val m = Tokenizer.bpeTrainOf(spark, docsOf(Seq.fill(5)("aaa aaa")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(m.toSeq === Seq(
+      (1L, "a", "a", "aa", 20L),
+      (2L, "aa", "a", "aaa", 10L)))
+  }
+
+  test("bpe pair counts after a merge reflect the merged symbol") {
+    // "aaaa" x10 + "bc" x20: round 1 merges (a,a) cnt 30; round 2 must
+    // count "aaaa" as [aa, aa] (one (aa,aa) pair), so (b,c) cnt 20 wins;
+    // round 3 merges (aa,aa) cnt 10; round 4 has no pairs -> exhausted.
+    val docs = docsOf(Seq.fill(10)("aaaa bc bc"))
+    val m = Tokenizer.bpeTrainOf(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+    assert(m.toSeq === Seq((1L, "aa", 30L), (2L, "bc", 20L), (3L, "aaaa", 10L)))
+  }
+
+  test("bpe argmax ties break lexicographically") {
+    val m = Tokenizer.bpeTrainOf(spark, docsOf(Seq.fill(7)("cd ab")))
+      .limit(1).collect()(0)
+    assert((m.getString(1), m.getString(2)) === ("a", "b"))
+  }
+
+  test("bpe merge counts are non-increasing on the real corpus") {
+    val counts = Tokenizer.bpeTrain(spark, SF)
+      .select(col("pair_count")).collect().map(_.getLong(0)).toSeq
+    assert(counts.nonEmpty && counts == counts.sortBy(-_),
+      s"merge counts must be non-increasing, got $counts")
+  }
+
+  // ---- q148 winnowing ----
+
+  test("winnowing guarantee: a shared run of W+K-1 tokens is always caught") {
+    // Schleimer et al. theorem 1: any match of length >= t = W+K-1 (here
+    // 7 tokens) yields at least one COMMON selected fingerprint. The
+    // shared run sits at different offsets in otherwise-disjoint docs.
+    val shared = "s1 s2 s3 s4 s5 s6 s7"
+    val a = s"u1 u2 u3 $shared u4 u5"
+    val b = s"v1 v2 v3 v4 v5 v6 v7 v8 v9 $shared"
+    val fps = Winnowing.fingerprints(docsOf(Seq(a, b)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val common = fps.filter(_._1 == 0L).map(_._2).toSet
+      .intersect(fps.filter(_._1 == 1L).map(_._2).toSet)
+    assert(common.nonEmpty, "shared 7-token run must share a fingerprint")
+  }
+
+  test("winnowing reports planted near-dups and not unrelated docs") {
+    val rnd = new scala.util.Random(11)
+    def randDoc() = Seq.fill(40)(s"w${rnd.nextInt(5000)}").mkString(" ")
+    val base = Seq.fill(6)(randDoc())
+    // doc 6 = near-copy of doc 0 (one token changed mid-doc)
+    val nearDup = { val t = base(0).split(" "); t(20) = "CHANGED"; t.mkString(" ") }
+    val pairs = Winnowing.copyPairsOf(docsOf(base :+ nearDup))
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 6L)), s"planted pair missing from $pairs")
+    assert(pairs.forall { case (x, y) => (x, y) == ((0L, 6L)) },
+      s"unrelated docs must not pair: $pairs")
+  }
+
+  test("winnowing df cap suppresses boilerplate-only matches") {
+    // DF_CAP+5 docs share ONE boilerplate block; suffixes are disjoint.
+    // Every shared fingerprint has df > DF_CAP, so no pair may survive.
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = (0 until Winnowing.DF_CAP + 5).map { i =>
+      s"$boiler " + (1 to 12).map(j => s"d${i}_$j").mkString(" ")
+    }
+    assert(Winnowing.copyPairsOf(docsOf(docs)).isEmpty)
+  }
+
+  // ---- q149 skyline ----
+
+  private def bruteSkyline(pts: Seq[DocPoint]): Set[Long] =
+    pts.filter(p => !pts.exists(q =>
+      q.m_len >= p.m_len && q.m_lex >= p.m_lex && q.m_wlen >= p.m_wlen &&
+        (q.m_len > p.m_len || q.m_lex > p.m_lex || q.m_wlen > p.m_wlen)))
+      .map(_.doc_id).toSet
+
+  private def randomPoints(seed: Int, n: Int): Seq[DocPoint] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i =>
+      DocPoint(i.toLong, rnd.nextInt(40).toLong,
+        rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+  }
+
+  test("skyline equals brute-force dominance on random points") {
+    for (seed <- Seq(1, 2, 3)) {
+      val pts = randomPoints(seed, 300)
+      val got = Skyline.frontierOf(pts.toDF())
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(got === bruteSkyline(pts), s"seed $seed")
+    }
+  }
+
+  test("skyline is partitioning-invariant") {
+    val pts = randomPoints(42, 500).toDF()
+    val one = Skyline.frontierOf(pts.repartition(1))
+      .as[DocPoint].collect().toSet
+    val many = Skyline.frontierOf(pts.repartition(13))
+      .as[DocPoint].collect().toSet
+    assert(one === many && one.nonEmpty)
+  }
+
+  test("skyline keeps equal-vector duplicates (neither dominates)") {
+    val pts = Seq(
+      DocPoint(1, 10, 10, 10), DocPoint(2, 10, 10, 10), // equal frontier twins
+      DocPoint(3, 9, 10, 10),                           // dominated by both
+      DocPoint(4, 11, 1, 1))                            // incomparable corner
+    val got = Skyline.frontierOf(pts.toDF())
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 4L))
+  }
+}

@@ -63,7 +63,11 @@ class InvarianceSpec extends SparkSpec {
     "q144_hybrid_rrf", "q145_hard_negatives",
     // incremental index maintenance: modular set signatures and algebraic
     // merges claim layout-independence by construction
-    "q146_incremental_index")
+    "q146_incremental_index",
+    // the curation trio: BPE argmax merges, winnowing min-selection and
+    // the distributed skyline all claim exact layout-independent output
+    // (skyline's local-pass pre-filter is provably lossless)
+    "q147_bpe_train", "q148_winnowing", "q149_skyline")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

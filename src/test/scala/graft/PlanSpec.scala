@@ -104,11 +104,22 @@ class PlanSpec extends SparkSpec {
         "q67_knn_ivf", "q96_incremental_dedup",
         "q138_split_leakage", "q139_cluster_split",
         "q141_image_dedup", "q142_incremental_image_dedup",
-        "q143_audio_dedup")) {
+        "q143_audio_dedup", "q148_winnowing")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
     }
+  }
+
+  test("q149 confines its dominance nested loop to the local-skyline candidates") {
+    // the quadratic is DELIBERATE but must be (a) nested-loop over a
+    // broadcast side (never a shuffled cartesian) and (b) fed by the
+    // mapPartitions local-skyline pre-filter on BOTH sides, so it runs on
+    // frontier candidates, not the corpus
+    val p = plan("q149_skyline")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("SerializeFromObject".r.findAllIn(p).size >= 1, p)
   }
 
   test("q61 per-round minima are hash aggregates (partial+final), not windows") {
