@@ -104,10 +104,80 @@ object Tokenizer {
     } finally wf.unpersist()
   }
 
-  /** DuckDB twin: K unrolled rounds of (pair counts, argmax, replace) —
+  /** Corpus token accounting under the TRAINED vocabulary — the step a
+    * mixture-weighting pipeline actually needs from its tokenizer:
+    * tokens-per-source under the learned merges (not whitespace counts).
+    *
+    * 100 TB shape: the merge table is K driver rows; encoding is then a
+    * PURE MAP pass — each word re-renders through the same K literal
+    * `replace` calls the trainer used (all codegen'd string ops, zero
+    * joins, zero extra shuffle) — and the only exchange is the final
+    * per-source partial+final aggregate. Words outside the trained
+    * alphabet count 1 (the byte-fallback convention). */
+  def bpeEncodeStats(s: SparkSession, d: String): DataFrame =
+    bpeEncodeStatsOf(s, documents(s, d))
+
+  private[graft] def bpeEncodeStatsOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    val merges = bpeTrainOf(s, docs).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    def encLen(t: Column): Column = {
+      var c: Column = symbolized(t)
+      merges.foreach { case (l, r) =>
+        c = replace(c, lit(s" $l  $r "), lit(s" $l$r "))
+      }
+      size(filter(split(c, " "), x => x =!= ""))
+    }
+    val w = TextAnalysis.tokens(col("text"))
+    docs
+      .select(col("source"), w.as("w"))
+      .select(col("source"),
+        size(col("w")).cast("long").as("nw"),
+        aggregate(col("w"), lit(0L), (acc, t) =>
+          acc + when(t.rlike(WORD_RE), encLen(t).cast("long"))
+            .otherwise(lit(1L))).as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("nt")).as("n_tokens"))
+  }
+
+  /** Single-row merge-literal CTE for the encode oracle: COALESCE to the
+    * never-occurring  symbol keeps an exhausted round's replace a
+    * no-op (mirroring the engine's shorter merge chain). */
+  private def mergeLitCte: String = {
+    val cols = (1 to BPE_MERGES).flatMap { k =>
+      Seq(
+        s"COALESCE((SELECT l FROM b$k), chr(2)) AS l$k",
+        s"COALESCE((SELECT r FROM b$k), chr(2)) AS r$k")
+    }
+    s"m AS MATERIALIZED (SELECT ${cols.mkString(", ")})"
+  }
+
+  private def bpeEncodeOracle: String = {
+    val tok = "list_filter(string_split(text, ' '), t -> t <> '')"
+    val chain = (1 to BPE_MERGES).foldLeft(
+      "regexp_replace(t, '(.)', ' \\1 ', 'g')") { (acc, k) =>
+      s"replace($acc, ' ' || m.l$k || '  ' || m.r$k || ' ', ' ' || m.l$k || m.r$k || ' ')"
+    }
+    s"""WITH ${bpeRoundCtes},
+    ${mergeLitCte}
+    SELECT source, count(*)::BIGINT AS n_docs,
+           COALESCE(sum(nw), 0)::BIGINT AS n_words,
+           COALESCE(sum(nt), 0)::BIGINT AS n_tokens
+    FROM (
+      SELECT source, len(w)::BIGINT AS nw,
+             COALESCE(list_sum(list_transform(w, t ->
+               CASE WHEN regexp_full_match(t, '[a-z0-9]+')
+                    THEN len(list_filter(string_split($chain, ' '), x -> x <> ''))
+                    ELSE 1 END)), 0)::BIGINT AS nt
+      FROM (SELECT source, $tok AS w FROM documents), m)
+    GROUP BY source"""
+  }
+
+  /** The K unrolled training rounds (pair counts, argmax, replace) —
     * every round CTE MATERIALIZED so DuckDB never inlines a CTE that a
-    * later round references more than once. */
-  private def bpeOracle: String = {
+    * later round references more than once. Shared by both oracles. */
+  private def bpeRoundCtes: String = {
     val tok = "list_filter(string_split(text, ' '), t -> t <> '')"
     val w0 = s"""w0 AS MATERIALIZED (
       SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS sym, count(*)::BIGINT AS f
@@ -132,12 +202,17 @@ object Tokenizer {
         ' ' || (SELECT l FROM b$k) || (SELECT r FROM b$k) || ' ') AS sym, f
       FROM w$p)"""
     }
+    s"""$w0,
+    ${rounds.mkString(",\n    ")}"""
+  }
+
+  /** DuckDB training twin: merge table off the unrolled rounds. */
+  private def bpeOracle: String = {
     val unioned = (1 to BPE_MERGES).map { k =>
       s"""SELECT CAST($k AS BIGINT) AS step, l AS left_sym, r AS right_sym,
              l || r AS merged, cnt AS pair_count FROM b$k"""
     }.mkString(" UNION ALL ")
-    s"""WITH $w0,
-    ${rounds.mkString(",\n    ")}
+    s"""WITH ${bpeRoundCtes}
     SELECT * FROM ($unioned) ORDER BY step"""
   }
 
@@ -146,5 +221,10 @@ object Tokenizer {
       "q147_bpe_train",
       (s, d) => bpeTrain(s, d),
       Some(bpeOracle),
-      "BPE tokenizer training: word-freq compression + K argmax-merge rounds on the vocab domain"))
+      "BPE tokenizer training: word-freq compression + K argmax-merge rounds on the vocab domain"),
+    QueryDef(
+      "q150_bpe_encode",
+      (s, d) => bpeEncodeStats(s, d),
+      Some(bpeEncodeOracle),
+      "token accounting under the trained BPE vocab: pure-map merge-chain encode + per-source agg"))
 }

@@ -53,6 +53,31 @@ class CurationOpsSpec extends SparkSpec {
       s"merge counts must be non-increasing, got $counts")
   }
 
+  // ---- q150 BPE encode ----
+
+  test("bpe encode counts tokens under the trained merges, fallback 1 per alien word") {
+    // 12 equal-frequency 2-char words: the 8 merge rounds take the 8
+    // lexicographically smallest pairs (argmax ties break on l, r), so
+    // ab..op encode to 1 token, qr/st/uv/wx stay 2, and "X!" (outside
+    // the [a-z0-9] alphabet) falls back to 1: 8*1 + 4*2 + 1 = 17.
+    val text = "ab cd ef gh ij kl mn op qr st uv wx X!"
+    val docs = (0 until 10).map(i => (i.toLong, text, "xx", s"s${i % 2}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Tokenizer.bpeEncodeStatsOf(spark, docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(("s0", 5L, 65L, 85L), ("s1", 5L, 65L, 85L)))
+  }
+
+  test("bpe encode is bounded by chars below and words above on the real corpus") {
+    val r = Tokenizer.bpeEncodeStats(spark, SF).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (words, toks) = (row.getLong(2), row.getLong(3))
+      assert(toks >= words, s"every word is >= 1 token: $row")
+    }
+  }
+
   // ---- q148 winnowing ----
 
   test("winnowing guarantee: a shared run of W+K-1 tokens is always caught") {
