@@ -28,6 +28,7 @@ object SparkEntry {
       functions.Multimodal.defs ++
       functions.Tokenizer.defs ++
       functions.Winnowing.defs ++
+      functions.Mixture.defs ++
       operators.Skyline.defs ++
       sources.Layout.defs ++
       gedcom.GedcomQueries.defs

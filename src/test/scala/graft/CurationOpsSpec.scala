@@ -3,11 +3,12 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Tokenizer, Winnowing}
+import graft.functions.{Mixture, Tokenizer, Winnowing}
 import graft.operators.{DocPoint, Skyline}
 
 /** Contracts of the r13 curation additions: BPE training (q147),
-  * winnowing fingerprints (q148), skyline selection (q149). */
+  * winnowing fingerprints (q148), skyline selection (q149),
+  * temperature mixture (q151). */
 class CurationOpsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -75,6 +76,66 @@ class CurationOpsSpec extends SparkSpec {
     r.foreach { row =>
       val (words, toks) = (row.getLong(2), row.getLong(3))
       assert(toks >= words, s"every word is >= 1 token: $row")
+    }
+  }
+
+  // ---- q151 temperature mixture ----
+
+  test("isqrt is exact at perfect squares and their neighbors") {
+    val xs = Seq(0L, 1L, 2L, 3L, 4L, 99L, 100L, 101L,
+      (1L << 26) * (1L << 26) - 1, (1L << 26) * (1L << 26),
+      104857600L, 419430400L, 4503599627370495L) // 2^52 - 1
+    val got = xs.toDF("x")
+      .select(col("x"), Mixture.isqrt(col("x")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    xs.foreach { x =>
+      val t = math.sqrt(x.toDouble).toLong
+      val expect = Seq(t - 1, t, t + 1).filter(r => r >= 0 && r * r <= x).max
+      assert(got(x) === expect, s"isqrt($x)")
+    }
+  }
+
+  test("temperature mix: hand-computed thresholds and md5-recomputed keeps") {
+    // sources a=100 docs, b=400: w = isqrt(n * 2^20) = 10240 / 20480,
+    // sum_w = 30720, B = 500 div 2 = 250,
+    // k_a = (250*10240*65536) div (30720*100) = 54613  (keep ~83%)
+    // k_b = (250*20480*65536) div (30720*400) = 27306  (keep ~42%)
+    // -> the tail source keeps DOUBLE the head source's rate: alpha=1/2.
+    val docs = ((0 until 100).map(i => (i.toLong, "t", "xx", "a")) ++
+      (100 until 500).map(i => (i.toLong, "t", "xx", "b")))
+      .toDF("doc_id", "text", "lang", "source")
+    val rows = Mixture.temperatureMixOf(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows("a")._1 === 100L && rows("a")._2 === 10240L && rows("a")._3 === 54613L)
+    assert(rows("b")._1 === 400L && rows("b")._2 === 20480L && rows("b")._3 === 27306L)
+    // independent recount of the md5 coin in plain Java
+    def kept(ids: Range, k: Long): Long = {
+      val mdig = java.security.MessageDigest.getInstance("MD5")
+      val kHex = f"$k%04x"
+      ids.count { i =>
+        val h = mdig.digest(s"temp:$i".getBytes("UTF-8"))
+          .take(2).map(b => f"$b%02x").mkString
+        h < kHex
+      }.toLong
+    }
+    assert(rows("a")._4 === kept(0 until 100, 54613L))
+    assert(rows("b")._4 === kept(100 until 500, 27306L))
+  }
+
+  test("temperature mix on the real corpus: budget respected, head downweighted") {
+    val rows = Mixture.temperatureMix(spark, SF).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val n = rows.map(_._2).sum
+    val expectedKept = rows.map { case (_, nd, k, _) => nd.toDouble * math.min(k, 65536L) / 65536.0 }.sum
+    assert(expectedKept <= n / 2 + 1e-6, s"budget exceeded: $expectedKept vs ${n / 2}")
+    assert(expectedKept >= n / 2 * 0.95, s"budget underused: $expectedKept vs ${n / 2}")
+    // alpha = 1/2 means keep RATE falls as source size grows
+    rows.sortBy(_._2).map(_._3).sliding(2).foreach {
+      case Array(kSmall, kBig) => assert(kBig <= kSmall,
+        s"bigger source must not keep at a higher rate: $kBig > $kSmall")
+      case _ =>
     }
   }
 

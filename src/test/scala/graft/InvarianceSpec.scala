@@ -67,7 +67,9 @@ class InvarianceSpec extends SparkSpec {
     // the curation trio: BPE argmax merges, winnowing min-selection and
     // the distributed skyline all claim exact layout-independent output
     // (skyline's local-pass pre-filter is provably lossless)
-    "q147_bpe_train", "q148_winnowing", "q149_skyline", "q150_bpe_encode")
+    "q147_bpe_train", "q148_winnowing", "q149_skyline", "q150_bpe_encode",
+    // integer-exact coin thresholds: layout can't move a single keep
+    "q151_temperature_mix")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
