@@ -234,7 +234,10 @@ object Bench {
     // the byte-identical `gedcom_mb_per_s_150m` alias was dropped at 147
     // queries — the line's budget is the driver's ~2 KB stdout tail, and
     // a duplicated field is the cheapest ~30 bytes to reclaim
-    s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"loadavg":$load,"gedcom_mb_per_s":${r1(gedcomMBs)},"gedcom_mb_per_s_1g":${r1(gedcom1gMBs)},"qunit":"centisec","queries":$qs,"sf":"$sfDir"}"""
+    // sf records the basename (sf0.1), not the full path — 15 more bytes
+    // of per-query headroom under the tail, same information
+    val sfName = sfDir.stripSuffix("/").split('/').last
+    s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"loadavg":$load,"gedcom_mb_per_s":${r1(gedcomMBs)},"gedcom_mb_per_s_1g":${r1(gedcom1gMBs)},"qunit":"centisec","queries":$qs,"sf":"$sfName"}"""
   }
 
   /** Full-precision per-query seconds under full registry names — the

@@ -65,6 +65,60 @@ object Fuzzy {
   private val CORRUPT =
     s"substring(p_name, 1, $DROP) || substring(p_name, $DROP + 2)"
 
+  /** One sorted-neighborhood pass (Hernández & Stolfo, "The Merge/Purge
+    * Problem for Large Databases", SIGMOD 1995): order records by a sort
+    * key, pair every record with the w-1 records that follow it. The
+    * global rank is computed WITHOUT a single-partition window: range-
+    * partition + local sort, then `zipWithIndex` (per-partition counts →
+    * prefix offsets — driver state is one count per partition, the
+    * GedcomParser record-numbering discipline). Rank is well-defined by
+    * the (key, id) total order, so the output is independent of
+    * partition boundaries. Pairing is an equi join on rank: each record
+    * explodes into w-1 probe ranks — candidate volume is (w-1)·N,
+    * linear at any corpus size, vs the deletion-neighborhood join whose
+    * volume tracks colliding-key mass. */
+  private[graft] def snmPairs(recs: DataFrame, keyExpr: Column, w: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val keyed = recs.select(col("id"), col("name"), col("is_feed"), keyExpr.as("k"))
+    val sorted = keyed.repartitionByRange(col("k"), col("id"))
+      .sortWithinPartitions("k", "id")
+    val ranked = sorted.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ i) },
+      sorted.schema.add("r", LongType))
+    val probes = ranked.select(col("id").as("a_id"), col("name").as("a_name"),
+      col("is_feed").as("a_feed"), col("r"),
+      explode(sequence(col("r") + 1, col("r") + (w - 1))).as("rr"))
+    val right = ranked.select(col("r").as("rr"), col("id").as("b_id"),
+      col("name").as("b_name"), col("is_feed").as("b_feed"))
+    probes.join(right, Seq("rr"))
+      .filter(col("a_feed") + col("b_feed") === 1)
+      .select(
+        when(col("a_feed") === 1, col("a_id")).otherwise(col("b_id")).as("feed_id"),
+        when(col("a_feed") === 1, col("a_name")).otherwise(col("b_name")).as("feed_name"),
+        when(col("a_feed") === 1, col("b_name")).otherwise(col("a_name")).as("matched_name"),
+        (col("rr") - col("r")).as("gap"))
+  }
+
+  /** SNM window width (rank gap < W pairs). */
+  val SNM_W = 16
+
+  /** Multi-pass sorted-neighborhood match: pass 1 sorts by the name,
+    * pass 2 by its reverse — a corruption at character k preserves a
+    * length-k prefix (pass-1 locality) AND a length-(L-k-1) suffix
+    * (pass-2 locality), so the two passes cover both ends; single-pass
+    * SNM misses early-position edits by construction, which is exactly
+    * why the published algorithm is multi-pass. */
+  private[graft] def snmMatch(recs: DataFrame, w: Int = SNM_W): DataFrame = {
+    val passes = snmPairs(recs, col("name"), w).withColumn("pass", lit(1))
+      .unionByName(snmPairs(recs, reverse(col("name")), w).withColumn("pass", lit(2)))
+    passes
+      .withColumn("d", levenshtein(col("feed_name"), col("matched_name"), 1))
+      .filter(col("d") >= 0)
+      .groupBy(col("feed_id"), col("feed_name"), col("matched_name"), col("d"))
+      .agg(countDistinct(col("pass")).as("n_passes"), min(col("gap")).as("min_gap"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q108_fuzzy_join",
@@ -177,6 +231,71 @@ object Fuzzy {
         clusters AS (SELECT cluster, count(*) AS size FROM labels GROUP BY cluster)
         SELECT c.cluster, c.size, r.name AS survivor_name
         FROM clusters c JOIN recs r ON r.id = c.cluster"""),
-      "entity resolution pipeline: deletion-key blocking -> levenshtein match -> CC clustering -> min-id survivorship")
+      "entity resolution pipeline: deletion-key blocking -> levenshtein match -> CC clustering -> min-id survivorship"),
+
+    QueryDef(
+      "q152_sorted_neighborhood",
+      (s, d) => {
+        // The CLASSIC blocking alternative to q108's deletion keys:
+        // multi-pass sorted-neighborhood (Hernández & Stolfo 1995) over
+        // the same clean-roster + corrupted-feed pair. Same record
+        // universe as q123 (feed ids offset by 10M so the (key, id)
+        // total order is unambiguous); matches are the lev<=1 pairs the
+        // rank windows surface — windowed recall is the operator's
+        // documented semantics (the oracle computes the same windowed
+        // definition), and the reverse-key second pass is what makes
+        // early-position edits reachable at all.
+        //
+        // 100 TB shape: per pass, ONE range exchange (the sort) + one
+        // count-per-partition job for the rank offsets + an equi join on
+        // rank with (w-1)-fold map-side expansion — candidates are
+        // (w-1)*N regardless of key-collision skew, the axis on which
+        // deletion-key blocking degrades.
+        val FEED_OFFSET = 10000000L
+        val p = part(s, d)
+        val recs = p
+          .select(col("p_partkey").cast("long").as("id"),
+            col("p_name").as("name"), lit(0).as("is_feed"))
+          .unionByName(p
+            .selectExpr(s"cast(p_partkey + $FEED_OFFSET as bigint) AS id",
+              s"$CORRUPT AS name")
+            .withColumn("is_feed", lit(1)))
+          .cache()
+        try snmMatch(recs)
+        finally recs.unpersist(false)
+      },
+      Some(s"""
+        WITH recs AS (
+          SELECT cast(p_partkey AS BIGINT) AS id, p_name AS name, 0 AS is_feed
+          FROM part
+          UNION ALL
+          SELECT cast(p_partkey + 10000000 AS BIGINT), $CORRUPT, 1 FROM part),
+        r1 AS (SELECT id, name, is_feed,
+                      row_number() OVER (ORDER BY name, id) AS r FROM recs),
+        r2 AS (SELECT id, name, is_feed,
+                      row_number() OVER (ORDER BY reverse(name), id) AS r FROM recs),
+        cand AS (
+          SELECT 1 AS pass, a.id AS a_id, a.name AS a_name, a.is_feed AS a_feed,
+                 b.id AS b_id, b.name AS b_name, b.is_feed AS b_feed,
+                 b.r - a.r AS gap
+          FROM r1 a JOIN r1 b ON b.r > a.r AND b.r <= a.r + 15
+          UNION ALL
+          SELECT 2, a.id, a.name, a.is_feed, b.id, b.name, b.is_feed, b.r - a.r
+          FROM r2 a JOIN r2 b ON b.r > a.r AND b.r <= a.r + 15),
+        m AS (
+          SELECT pass,
+                 CASE WHEN a_feed = 1 THEN a_id ELSE b_id END AS feed_id,
+                 CASE WHEN a_feed = 1 THEN a_name ELSE b_name END AS feed_name,
+                 CASE WHEN a_feed = 1 THEN b_name ELSE a_name END AS matched_name,
+                 gap
+          FROM cand WHERE a_feed + b_feed = 1)
+        SELECT feed_id, feed_name, matched_name,
+               levenshtein(feed_name, matched_name) AS d,
+               count(DISTINCT pass) AS n_passes,
+               cast(min(gap) as bigint) AS min_gap
+        FROM m
+        WHERE levenshtein(feed_name, matched_name) <= 1
+        GROUP BY 1, 2, 3, 4"""),
+      "multi-pass sorted-neighborhood blocking: rank-window candidates via range-sort + partition-offset ordinals, reverse-key second pass")
   )
 }

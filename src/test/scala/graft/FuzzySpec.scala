@@ -71,6 +71,54 @@ class FuzzySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  // ---- q152 sorted-neighborhood ----
+
+  private def snm(recs: Seq[(Long, String, Int)]): Seq[(Long, String, String, Int, Long, Long)] =
+    Fuzzy.snmMatch(recs.toDF("id", "name", "is_feed"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getLong(4), r.getLong(5))).toSeq
+
+  test("snm: reverse-key pass catches first-char edits the name pass cannot reach") {
+    // pass 1 sorts "azzz" under 'a' and "zzz" under 'z' with 21 roster
+    // fillers between — out of the 16-window. Reversed, "zzza" and "zzz"
+    // are adjacent (no other record ends in 'zz'), so ONLY pass 2 finds
+    // the pair: multi-pass is load-bearing, not decoration.
+    val fillers = (0 to 20).map(i => (10L + i, f"b$i%02d", 0))
+    val recs = Seq((1L, "zzz", 0), (101L, "azzz", 1)) ++ fillers
+    val got = snm(recs)
+    assert(got === Seq((101L, "azzz", "zzz", 1, 1L, 1L)),
+      s"expected the pass-2-only adjacent match, got $got")
+  }
+
+  test("snm: a middle edit isolated in BOTH sort orders is missed (windowed recall)") {
+    // lev("apz","akz") = 1, but 21 fillers separate them in name order
+    // AND 21 more separate their reverses — the documented recall trade
+    // vs q108's structurally-complete deletion keys.
+    val passA = (0 to 20).map(i => (10L + i, f"al$i%02d", 0))
+    val passB = (40 to 60).map(i => (i.toLong, f"${i - 40}%02dmz", 0))
+    val recs = Seq((2L, "akz", 0), (102L, "apz", 1)) ++ passA ++ passB
+    assert(snm(recs).isEmpty)
+    // control: drop the separators and the same pair IS found
+    val close = snm(Seq((2L, "akz", 0), (102L, "apz", 1)))
+    assert(close.map(t => (t._1, t._2, t._3, t._4)) === Seq((102L, "apz", "akz", 1)))
+  }
+
+  test("snm: adjacent end-edit is caught by the name pass with gap 1") {
+    val got = snm(Seq((3L, "yyyw", 0), (103L, "yyywq", 1)))
+    assert(got.map(t => (t._1, t._3, t._4, t._6)) === Seq((103L, "yyyw", 1, 1L)))
+  }
+
+  test("q152 on the real corpus: gaps inside the window, d <= 1, passes in range") {
+    val rows = SparkEntry.queries("q152_sorted_neighborhood")(spark, SF)
+      .collect().map(r => (r.getInt(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, nPasses, minGap) =>
+      assert(d >= 0 && d <= 1, s"d out of range: $d")
+      assert(nPasses >= 1 && nPasses <= 2, s"n_passes out of range: $nPasses")
+      assert(minGap >= 1 && minGap < Fuzzy.SNM_W, s"gap outside window: $minGap")
+    }
+  }
+
   test("q123 resolves exact dups, fuzzy bridges, and singletons into clusters") {
     import spark.implicits._
     // planted roster: p1/p2 share a name (exact-dup pair), p3 and p4 are

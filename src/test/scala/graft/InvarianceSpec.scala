@@ -69,7 +69,10 @@ class InvarianceSpec extends SparkSpec {
     // (skyline's local-pass pre-filter is provably lossless)
     "q147_bpe_train", "q148_winnowing", "q149_skyline", "q150_bpe_encode",
     // integer-exact coin thresholds: layout can't move a single keep
-    "q151_temperature_mix")
+    "q151_temperature_mix",
+    // ranks are fixed by the (key, id) total order, so the zipWithIndex
+    // ordinals — and every window pair — survive any partitioning
+    "q152_sorted_neighborhood")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
