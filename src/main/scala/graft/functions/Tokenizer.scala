@@ -159,7 +159,7 @@ object Tokenizer {
       "regexp_replace(t, '(.)', ' \\1 ', 'g')") { (acc, k) =>
       s"replace($acc, ' ' || m.l$k || '  ' || m.r$k || ' ', ' ' || m.l$k || m.r$k || ' ')"
     }
-    s"""WITH ${bpeRoundCtes},
+    s"""WITH ${bpeRoundCtes()},
     ${mergeLitCte}
     SELECT source, count(*)::BIGINT AS n_docs,
            COALESCE(sum(nw), 0)::BIGINT AS n_words,
@@ -176,31 +176,33 @@ object Tokenizer {
 
   /** The K unrolled training rounds (pair counts, argmax, replace) —
     * every round CTE MATERIALIZED so DuckDB never inlines a CTE that a
-    * later round references more than once. Shared by both oracles. */
-  private def bpeRoundCtes: String = {
+    * later round references more than once. Shared by all three BPE
+    * oracles; `pfx` namespaces the CTE chain and `where` restricts the
+    * training corpus so the drift oracle can run two chains at once. */
+  private def bpeRoundCtes(pfx: String = "", where: String = "TRUE"): String = {
     val tok = "list_filter(string_split(text, ' '), t -> t <> '')"
-    val w0 = s"""w0 AS MATERIALIZED (
+    val w0 = s"""${pfx}w0 AS MATERIALIZED (
       SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS sym, count(*)::BIGINT AS f
-      FROM (SELECT unnest($tok) AS w FROM documents)
+      FROM (SELECT unnest($tok) AS w FROM documents WHERE $where)
       WHERE regexp_full_match(w, '[a-z0-9]+')
       GROUP BY 1)"""
     val rounds = (1 to BPE_MERGES).map { k =>
       val p = k - 1
-      s"""p$k AS MATERIALIZED (
+      s"""${pfx}p$k AS MATERIALIZED (
       SELECT string_split(pr, chr(1))[1] AS l, string_split(pr, chr(1))[2] AS r,
              sum(f)::BIGINT AS cnt
       FROM (SELECT f, unnest(list_transform(range(1, len(a)),
                      i -> a[i] || chr(1) || a[i+1])) AS pr
             FROM (SELECT list_filter(string_split(sym, ' '), t -> t <> '') AS a, f
-                  FROM w$p))
+                  FROM ${pfx}w$p))
       GROUP BY 1, 2),
-    b$k AS MATERIALIZED (
-      SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
-    w$k AS MATERIALIZED (
+    ${pfx}b$k AS MATERIALIZED (
+      SELECT l, r, cnt FROM ${pfx}p$k ORDER BY cnt DESC, l, r LIMIT 1),
+    ${pfx}w$k AS MATERIALIZED (
       SELECT replace(sym,
-        ' ' || (SELECT l FROM b$k) || '  ' || (SELECT r FROM b$k) || ' ',
-        ' ' || (SELECT l FROM b$k) || (SELECT r FROM b$k) || ' ') AS sym, f
-      FROM w$p)"""
+        ' ' || (SELECT l FROM ${pfx}b$k) || '  ' || (SELECT r FROM ${pfx}b$k) || ' ',
+        ' ' || (SELECT l FROM ${pfx}b$k) || (SELECT r FROM ${pfx}b$k) || ' ') AS sym, f
+      FROM ${pfx}w$p)"""
     }
     s"""$w0,
     ${rounds.mkString(",\n    ")}"""
@@ -212,8 +214,70 @@ object Tokenizer {
       s"""SELECT CAST($k AS BIGINT) AS step, l AS left_sym, r AS right_sym,
              l || r AS merged, cnt AS pair_count FROM b$k"""
     }.mkString(" UNION ALL ")
-    s"""WITH ${bpeRoundCtes}
+    s"""WITH ${bpeRoundCtes()}
     SELECT * FROM ($unioned) ORDER BY step"""
+  }
+
+  /** Vocabulary drift monitor: the tokenizer-lifecycle question after
+    * train (q147) and encode (q150) — when the corpus absorbs a batch,
+    * does the fitted vocabulary still stand? Trains on the 90 % base
+    * (the q96 onboarding convention: doc_id % 10 == 0 is the incoming
+    * batch) and on the full corpus, then full-outer-compares the merge
+    * tables on the (left, right, merged) subword identity: `stable`
+    * (same step), `shifted` (rank moved), `dropped` (base-only), `new`
+    * (full-only). A drifted top table is the signal to re-fit and
+    * re-encode; a stable one licenses the incremental path.
+    *
+    * 100 TB shape: two vocab-domain trainings (each one corpus-volume
+    * partial-agg + K vocab-sized rounds) and a K-row comparison join —
+    * the monitor costs two training passes, never a corpus join.
+    * Missing-side sentinels are -1, not NULL, so row hashes compare
+    * identically everywhere. */
+  def bpeDrift(s: SparkSession, d: String): DataFrame =
+    bpeDriftOf(s, documents(s, d))
+
+  private[graft] def bpeDriftOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    val base = bpeTrainOf(s, docs.filter(col("doc_id") % 10 =!= 0))
+      .withColumnRenamed("step", "step_base")
+      .withColumnRenamed("pair_count", "cnt_base")
+    val full = bpeTrainOf(s, docs)
+      .withColumnRenamed("step", "step_full")
+      .withColumnRenamed("pair_count", "cnt_full")
+    base.join(full, Seq("merged", "left_sym", "right_sym"), "full_outer")
+      .select(
+        col("merged"), col("left_sym"), col("right_sym"),
+        coalesce(col("step_base"), lit(-1L)).as("step_base"),
+        coalesce(col("cnt_base"), lit(-1L)).as("cnt_base"),
+        coalesce(col("step_full"), lit(-1L)).as("step_full"),
+        coalesce(col("cnt_full"), lit(-1L)).as("cnt_full"),
+        when(col("step_base").isNotNull && col("step_full").isNotNull,
+          when(col("step_base") === col("step_full"), "stable").otherwise("shifted"))
+          .when(col("step_base").isNotNull, "dropped")
+          .otherwise("new").as("status"))
+  }
+
+  private def bpeDriftOracle: String = {
+    def tbl(pfx: String) = (1 to BPE_MERGES).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS step, l, r, l || r AS merged, cnt
+             FROM ${pfx}b$k"""
+    }.mkString(" UNION ALL ")
+    s"""WITH ${bpeRoundCtes("g", "doc_id % 10 <> 0")},
+    ${bpeRoundCtes()},
+    mb AS (SELECT * FROM (${tbl("g")})),
+    mf AS (SELECT * FROM (${tbl("")}))
+    SELECT COALESCE(mb.merged, mf.merged) AS merged,
+           COALESCE(mb.l, mf.l) AS left_sym,
+           COALESCE(mb.r, mf.r) AS right_sym,
+           COALESCE(mb.step, -1) AS step_base,
+           COALESCE(mb.cnt, -1) AS cnt_base,
+           COALESCE(mf.step, -1) AS step_full,
+           COALESCE(mf.cnt, -1) AS cnt_full,
+           CASE WHEN mb.step IS NOT NULL AND mf.step IS NOT NULL
+                THEN CASE WHEN mb.step = mf.step THEN 'stable' ELSE 'shifted' END
+                WHEN mb.step IS NOT NULL THEN 'dropped'
+                ELSE 'new' END AS status
+    FROM mb FULL OUTER JOIN mf
+      ON mb.merged = mf.merged AND mb.l = mf.l AND mb.r = mf.r"""
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -226,5 +290,10 @@ object Tokenizer {
       "q150_bpe_encode",
       (s, d) => bpeEncodeStats(s, d),
       Some(bpeEncodeOracle),
-      "token accounting under the trained BPE vocab: pure-map merge-chain encode + per-source agg"))
+      "token accounting under the trained BPE vocab: pure-map merge-chain encode + per-source agg"),
+    QueryDef(
+      "q153_bpe_drift",
+      (s, d) => bpeDrift(s, d),
+      Some(bpeDriftOracle),
+      "tokenizer vocabulary drift: base-vs-full merge tables full-outer-compared on subword identity"))
 }

@@ -84,7 +84,13 @@ object ScaleBench {
     "q140_bucketed_join",      // bucketed write + exchange-free join
     "q144_hybrid_rrf",         // BM25 + cosine lists, integer RRF fusion
     "q145_hard_negatives",     // label-filtered brute cosine top-k
-    "q146_incremental_index")  // algebraic posting-state merge
+    "q146_incremental_index",  // algebraic posting-state merge
+    "q147_bpe_train",          // word-freq compression + vocab-domain merge rounds
+    "q148_winnowing",          // per-doc window-min fingerprints + df-capped match
+    "q149_skyline",            // local frontiers + broadcast dominance anti-join
+    "q150_bpe_encode",         // pure-map merge-chain encode + per-source agg
+    "q151_temperature_mix",    // per-source counts + broadcast coin thresholds
+    "q152_sorted_neighborhood")// range-sort ordinals + rank-window candidates
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")

@@ -79,6 +79,48 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q153 BPE drift ----
+
+  test("bpe drift: an incoming batch that rearranges the argmax shows shifted+new") {
+    // base (ids not %10): "ab" x9 -> one merge (a,b,9). Incoming ids 10/20
+    // add "cd" x12, so the full fit takes (c,d,12) first and (a,b,9)
+    // second: (a,b) SHIFTS 1->2 and (c,d) is NEW.
+    val docs = ((1 to 9).map(i => (i.toLong, "ab", "xx", "s")) ++
+      Seq((10L, "cd cd cd cd cd cd", "xx", "s"), (20L, "cd cd cd cd cd cd", "xx", "s")))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Tokenizer.bpeDriftOf(spark, docs)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(5), r.getString(7)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("ab", 1L, 2L, "shifted"),
+      ("cd", -1L, 1L, "new")))
+  }
+
+  test("bpe drift: no incoming batch means every merge is stable") {
+    val docs = (0 until 12).map(i => (i.toLong * 10 + 1, "ab ba abba", "xx", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Tokenizer.bpeDriftOf(spark, docs).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getString(7) === "stable", r.toString)
+      assert(r.getLong(3) === r.getLong(5), r.toString)
+    }
+  }
+
+  test("bpe drift on the real corpus: full side carries all K merges") {
+    val rows = Tokenizer.bpeDrift(spark, SF).collect()
+      .map(r => (r.getLong(3), r.getLong(5), r.getString(7)))
+    assert(rows.nonEmpty)
+    val valid = Set("stable", "shifted", "dropped", "new")
+    rows.foreach { case (sb, sf_, st) =>
+      assert(valid(st), st)
+      if (st == "dropped") assert(sf_ === -1L && sb >= 1)
+      if (st == "new") assert(sb === -1L && sf_ >= 1)
+    }
+    assert(rows.count(_._2 != -1L) === Tokenizer.BPE_MERGES)
+    assert(rows.count(_._1 != -1L) === Tokenizer.BPE_MERGES)
+  }
+
   // ---- q151 temperature mixture ----
 
   test("isqrt is exact at perfect squares and their neighbors") {

@@ -72,7 +72,9 @@ class InvarianceSpec extends SparkSpec {
     "q151_temperature_mix",
     // ranks are fixed by the (key, id) total order, so the zipWithIndex
     // ordinals — and every window pair — survive any partitioning
-    "q152_sorted_neighborhood")
+    "q152_sorted_neighborhood",
+    // two deterministic argmax trainings + a K-row comparison join
+    "q153_bpe_drift")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
