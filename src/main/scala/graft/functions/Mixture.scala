@@ -47,6 +47,16 @@ object Mixture {
     when(up * up > x, up - 1).otherwise(up)
   }
 
+  /** The q151 keep decision — 16-bit md5 coin under the decorrelated
+    * "temp:" draw against a per-source threshold k. ONE definition,
+    * shared by the batch query and the streaming admission twin
+    * ([[graft.streaming.StreamingOps.temperatureAdmission]]), so replay
+    * parity is bit-exact by construction. */
+  def keptUnder(docId: Column, k: Column): Column =
+    k >= lit(65536L) ||
+      substring(md5(concat(lit("temp:"), docId.cast("string"))), 1, 4) <
+        lower(lpad(hex(k), 4, "0"))
+
   private[graft] def temperatureMixOf(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
@@ -62,10 +72,7 @@ object Mixture {
       .select(col("source"), col("n_docs"), col("w"), col("k"))
     docs
       .join(broadcast(thresholds), Seq("source"))
-      .withColumn("kept",
-        col("k") >= lit(65536L) ||
-          substring(md5(concat(lit("temp:"), col("doc_id").cast("string"))), 1, 4) <
-            lower(lpad(hex(col("k")), 4, "0")))
+      .withColumn("kept", keptUnder(col("doc_id"), col("k")))
       .groupBy(col("source"), col("n_docs"), col("w"), col("k"))
       .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
   }

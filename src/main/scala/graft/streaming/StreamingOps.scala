@@ -384,6 +384,26 @@ object StreamingOps {
       }
   }
 
+  /** Streaming temperature-mixture admission — q151's keep decision made
+    * ingest-time: `thresholds` is the TRAINED per-source table (the
+    * batch q151 output, refreshed on whatever cadence re-prices the
+    * mixture) broadcast against the stream, and each arriving document
+    * flips the SAME "temp:" md5 coin
+    * ([[graft.functions.Mixture.keptUnder]] — one shared expression, so
+    * stream and batch agree on every admit). Stateless: the decision is
+    * a pure map given the thresholds — no state store, no watermark,
+    * nothing grows with stream length. A source absent from the trained
+    * table admits open (k = 65536): new sources flow until the next
+    * threshold refresh prices them. StreamingSpec pins replay parity
+    * with the batch kept set. */
+  def temperatureAdmission(docs: Dataset[DocIn], thresholds: DataFrame): DataFrame =
+    docs.toDF()
+      .join(broadcast(thresholds.select(col("source"), col("k"))),
+        Seq("source"), "left")
+      .withColumn("k", coalesce(col("k"), lit(65536L)))
+      .filter(graft.functions.Mixture.keptUnder(col("doc_id"), col("k")))
+      .select(col("doc_id"), col("source"), col("k"), col("ts"))
+
   final case class IndexStateOut(
       word: String, bucket: Long, n_docs: Long, tf_sum: Long, set_sig: Long)
   private[streaming] final case class PostingUpd(

@@ -90,7 +90,8 @@ object ScaleBench {
     "q149_skyline",            // local frontiers + broadcast dominance anti-join
     "q150_bpe_encode",         // pure-map merge-chain encode + per-source agg
     "q151_temperature_mix",    // per-source counts + broadcast coin thresholds
-    "q152_sorted_neighborhood")// range-sort ordinals + rank-window candidates
+    "q152_sorted_neighborhood",// range-sort ordinals + rank-window candidates
+    "q153_bpe_drift")          // two vocab-domain trainings + K-row compare
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")

@@ -357,6 +357,43 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${stream.toSet -- batch.toSet}; batch-only: ${batch.toSet -- stream.toSet}")
   }
 
+  test("streaming temperature admission matches the batch q151 kept set") {
+    import graft.streaming.StreamingOps.DocIn
+    import graft.functions.Mixture
+    val sf = "/root/testdata/sf0.01"
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    // thresholds trained on the stored corpus — the table a production
+    // refresh would broadcast to the ingest job
+    val thresholds = Mixture.temperatureMixOf(docsDf)
+      .select(col("source"), col("k")).cache()
+    val docs = docsDf.select("doc_id", "lang", "source", "text").collect()
+      .map(r => DocIn(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), new Timestamp(86400_000L + r.getLong(0) * 1000)))
+      .sortBy(_.doc_id)
+    val in = MemoryStream[DocIn]
+    val q = StreamingOps.temperatureAdmission(in.toDS(), thresholds)
+      .writeStream.format("memory").queryName("tempadm").outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      // an unknown source admits open (k defaults to 65536)
+      in.addData(DocIn(424242L, "zz", "brand-new-source", "hello",
+        new Timestamp(86400_000L * 2))); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("tempadm")
+      .select(col("doc_id")).as[Long].collect().toSet
+    val batch = docsDf.join(broadcast(thresholds), Seq("source"))
+      .filter(Mixture.keptUnder(col("doc_id"), col("k")))
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(batch.nonEmpty && batch.size < docs.length,
+      "batch keep must be a strict non-empty subset for the parity to mean anything")
+    assert(stream - 424242L == batch,
+      s"stream-only: ${stream -- batch - 424242L}; batch-only: ${batch -- stream}")
+    assert(stream.contains(424242L), "unknown source must admit open")
+    thresholds.unpersist()
+  }
+
   test("streaming anomaly flags match batch q135 on the replayed corpus") {
     val evs = Tables.events(spark, SF)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
