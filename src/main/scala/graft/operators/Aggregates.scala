@@ -553,6 +553,108 @@ object Aggregates {
                     // dhat_a) * n_b // dhat_b AS bigint) AS est_join_rows,
                true_join_rows
         FROM na, nb, da, db, du, tj"""),
-      "join-cardinality estimation from KMV key sketches (deterministic optimizer statistics; true count as reference)")
+      "join-cardinality estimation from KMV key sketches (deterministic optimizer statistics; true count as reference)"),
+
+    QueryDef(
+      "q154_countmin",
+      (s, d) => cmFreqReport(Tables.documents(s, d)),
+      Some(cmOracle),
+      "count-min sketch frequency estimation: D x W bounded counters off the vocab domain, min-probe vs exact, one-sided error audited")
   )
+
+  // final val => compile-time constants, INLINED at use sites: `defs`
+  // initializes before this point in the object body, and a plain val
+  // would interpolate 0 into the oracle SQL (caught by selfcheck —
+  // range(0)/LIMIT 0 made the oracle empty)
+  /** Count-min sketch rows (independent md5-derived hash families). */
+  final val CM_D = 4
+  /** Counter width per row. */
+  final val CM_W = 512
+  /** Words reported (top by exact frequency, word tiebreak). */
+  final val CM_TOP = 20
+
+  /** Row-d bucket of a word: 48 md5 bits under the "cm<d>:" draw, mod
+    * width — decorrelated per row and from every other coin family. */
+  private def cmBucket(d: Int, w: org.apache.spark.sql.Column, width: Int) =
+    pmod(conv(substring(md5(concat(lit(s"cm$d:"), w)), 1, 12), 16, 10)
+      .cast("long"), lit(width.toLong))
+
+  /** The D x W counter table from a (word, f) frequency frame. Exposed
+    * for the mergeability spec: cellwise ADDITION of two corpus halves'
+    * sketches must equal the whole corpus's sketch — the property that
+    * makes this the per-partition/streaming frequency store. */
+  private[graft] def cmCountersOfFreq(wf: org.apache.spark.sql.DataFrame,
+      dRows: Int = CM_D, width: Int = CM_W): org.apache.spark.sql.DataFrame =
+    wf
+      .select(col("f"), explode(array((0 until dRows).map(dd =>
+        struct(lit(dd).as("d"), cmBucket(dd, col("word"), width).as("b"))): _*)).as("c"))
+      .groupBy(col("c.d").as("d"), col("c.b").as("b"))
+      .agg(sum(col("f")).as("cnt"))
+
+  /** Counter table straight from documents (tokenize + count + sketch). */
+  private[graft] def cmCounters(docs: org.apache.spark.sql.DataFrame,
+      dRows: Int = CM_D, width: Int = CM_W): org.apache.spark.sql.DataFrame =
+    cmCountersOfFreq(docs
+      .select(explode(graft.functions.TextAnalysis.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("f")), dRows, width)
+
+  /** Count-min sketch (Cormode & Muthukrishnan, "An Improved Data Stream
+    * Summary: The Count-Min Sketch and its Applications", J.Alg 2005)
+    * over corpus word frequencies, with its one-sided error AUDITED
+    * against the exact counts for the top words: every estimate must be
+    * >= exact (collisions only ever add), and the overestimate column is
+    * the observable price of compressing an unbounded vocabulary into
+    * D x W integers.
+    *
+    * 100 TB shape: counts are additive, so the counters build from the
+    * vocab-compressed word-frequency table, not the raw token stream —
+    * one corpus-volume partial agg (the q147 discipline), then a
+    * D-fold explode on the VOCAB domain into (row, bucket) partial sums:
+    * sketch state is D*W cells regardless of corpus or vocabulary size,
+    * and it merges by cellwise addition — the property that makes it the
+    * streaming/multi-tenant frequency store (a per-partition sketch
+    * union is the same groupBy). The probe side broadcasts the D*W
+    * counter table. */
+  private[graft] def cmFreqReport(docs: org.apache.spark.sql.DataFrame,
+      dRows: Int = CM_D, width: Int = CM_W, topN: Int = CM_TOP): org.apache.spark.sql.DataFrame = {
+    val wf = docs
+      .select(explode(graft.functions.TextAnalysis.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      .cache()
+    val counters = cmCountersOfFreq(wf, dRows, width)
+    val top = wf.orderBy(col("f").desc, col("word")).limit(topN)
+    top
+      .select(col("word"), col("f"), explode(array((0 until dRows).map(dd =>
+        struct(lit(dd).as("d"), cmBucket(dd, col("word"), width).as("b"))): _*)).as("c"))
+      .join(broadcast(counters),
+        col("c.d") === counters("d") && col("c.b") === counters("b"))
+      .groupBy(col("word"), col("f"))
+      .agg(min(col("cnt")).as("cm_est"))
+      .select(col("word"), col("f").as("exact_cnt"), col("cm_est"),
+        (col("cm_est") - col("f")).as("overestimate"))
+  }
+
+  private def cmOracle: String = s"""
+    WITH wf AS (
+      SELECT w AS word, count(*)::BIGINT AS f
+      FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+            FROM documents)
+      GROUP BY 1),
+    ctr AS (
+      SELECT d,
+             CAST(concat('0x', substr(md5('cm' || d::VARCHAR || ':' || word), 1, 12)) AS BIGINT) % $CM_W AS b,
+             sum(f)::BIGINT AS cnt
+      FROM (SELECT word, f, unnest(range($CM_D)) AS d FROM wf)
+      GROUP BY 1, 2),
+    top AS (SELECT word, f FROM wf ORDER BY f DESC, word LIMIT $CM_TOP),
+    probe AS (
+      SELECT word, f, d,
+             CAST(concat('0x', substr(md5('cm' || d::VARCHAR || ':' || word), 1, 12)) AS BIGINT) % $CM_W AS b
+      FROM (SELECT word, f, unnest(range($CM_D)) AS d FROM top)),
+    est AS (
+      SELECT p.word, p.f, min(c.cnt) AS cm_est
+      FROM probe p JOIN ctr c ON c.d = p.d AND c.b = p.b
+      GROUP BY 1, 2)
+    SELECT word, f AS exact_cnt, cm_est, cm_est - f AS overestimate
+    FROM est"""
 }

@@ -269,4 +269,45 @@ class AggregatesSpec extends SparkSpec {
     assert(math.abs(e - n) < 0.2 * n, s"estimate $e vs true $n")
     assert(est(items.distinct()) == e)
   }
+
+  // ---- q154 count-min ----
+
+  private def docsOf(texts: Seq[String]) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "xx", "s") }
+      .toDF("doc_id", "text", "lang", "source")
+
+  test("count-min is one-sided: estimates never undercount, and a squeezed width must overcount") {
+    // 50 distinct words into width-8 rows: every word shares its bucket
+    // with others in ALL 4 rows (50 > 8), and all colliders have
+    // positive counts, so every estimate is a strict overcount.
+    val words = (0 until 50).map(i => f"w$i%02d")
+    val docs = docsOf(Seq(words.mkString(" ")))
+    val rows = Aggregates.cmFreqReport(docs, width = 8, topN = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 50)
+    rows.foreach { case (w, exact, est, over) =>
+      assert(exact === 1L, w)
+      assert(est > exact && over === est - exact, s"$w: est $est exact $exact")
+    }
+    // and at the real width the corpus report still never undercounts
+    val real = Aggregates.cmFreqReport(Tables.documents(spark, SF)).collect()
+    assert(real.length > 0)
+    real.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"undercount: $r")
+      assert(r.getLong(3) === r.getLong(2) - r.getLong(1))
+    }
+  }
+
+  test("count-min sketches merge by cellwise addition (half + half == whole)") {
+    val docs = Tables.documents(spark, SF)
+    val whole = Aggregates.cmCounters(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def half(p: Int) = Aggregates.cmCounters(docs.filter(col("doc_id") % 2 === p))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (a, b) = (half(0), half(1))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == whole,
+      s"cells differing: ${(merged.toSet diff whole.toSet).take(5)}")
+  }
 }

@@ -74,7 +74,9 @@ class InvarianceSpec extends SparkSpec {
     // ordinals — and every window pair — survive any partitioning
     "q152_sorted_neighborhood",
     // two deterministic argmax trainings + a K-row comparison join
-    "q153_bpe_drift")
+    "q153_bpe_drift",
+    // md5 buckets + integer sums: the sketch is layout-free by algebra
+    "q154_countmin")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -104,11 +104,21 @@ class PlanSpec extends SparkSpec {
         "q67_knn_ivf", "q96_incremental_dedup",
         "q138_split_leakage", "q139_cluster_split",
         "q141_image_dedup", "q142_incremental_image_dedup",
-        "q143_audio_dedup", "q148_winnowing")) {
+        "q143_audio_dedup", "q148_winnowing", "q152_sorted_neighborhood")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
     }
+  }
+
+  test("q151 broadcasts its thresholds and keeps the keep-decision map-side") {
+    // the corpus-volume side must never shuffle for the join: thresholds
+    // (a handful of sources) broadcast, and the only exchanges are the
+    // two aggregations (per-source counts, final rollup)
+    val p = plan("q151_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q149 confines its dominance nested loop to the local-skyline candidates") {
