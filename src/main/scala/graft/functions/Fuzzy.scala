@@ -83,9 +83,16 @@ object Fuzzy {
     val keyed = recs.select(col("id"), col("name"), col("is_feed"), keyExpr.as("k"))
     val sorted = keyed.repartitionByRange(col("k"), col("id"))
       .sortWithinPartitions("k", "id")
+    // CACHE the ranked frame: it crosses an RDD boundary (createDataFrame
+    // gives Catalyst no stats) and is consumed TWICE (probe + build side
+    // of the rank join) — uncached, every consumer re-runs the range
+    // sort through the zipWithIndex lineage and the join strategy is
+    // chosen blind, which measured as non-monotonic x8-x32 wobble
+    // (2.3 -> 13 s run-to-run on identical data). Cached, the sort runs
+    // once and AQE reads real sizes.
     val ranked = sorted.sparkSession.createDataFrame(
       sorted.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ i) },
-      sorted.schema.add("r", LongType))
+      sorted.schema.add("r", LongType)).cache()
     val probes = ranked.select(col("id").as("a_id"), col("name").as("a_name"),
       col("is_feed").as("a_feed"), col("r"),
       explode(sequence(col("r") + 1, col("r") + (w - 1))).as("rr"))

@@ -424,6 +424,48 @@ object Relational {
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY 1
         ORDER BY 1"""),
-      "bloom-filter-pruned shuffle join: probe side filtered map-side pre-exchange by a codegen'd sketch-membership expression; exact join guarantees output equality")
+      "bloom-filter-pruned shuffle join: probe side filtered map-side pre-exchange by a codegen'd sketch-membership expression; exact join guarantees output equality"),
+
+    QueryDef(
+      "q155_salted_join",
+      (s, d) => {
+        // SALTED skew join — the explicit recipe for the hot-key tail
+        // that AQE's skew split doesn't reach (one key so hot a single
+        // shuffle partition holds it even after splits): the fact side
+        // gets a deterministic salt (event_id mod S — per-ROW, so a hot
+        // USER's rows spread across S reducers), the dim side replicates
+        // S-fold with every salt value, and the join key becomes
+        // (key, salt). The oracle is the PLAIN join — result identity is
+        // the whole contract: every fact row meets its dim row at
+        // exactly one salt, so salting changes the exchange layout and
+        // nothing else. The merge hint keeps the shuffle path honest
+        // (dim x S would broadcast at test scale, and a broadcast join
+        // needs no salt — there'd be nothing to demonstrate).
+        //
+        // 100 TB shape: S bounds the per-reducer share of the hottest
+        // key at max_mult/S rows; pick S = ceil(max_mult / target rows
+        // per task) from a q134-style key sketch or a count pass. Cost:
+        // S*|dim| replicated rows through the dim exchange — the
+        // standard trade. Aggregate stays exact-integer (Money cents),
+        // so the oracle compares bit-for-bit.
+        val SALT = 8L
+        val fact = events(s, d)
+          .select(col("user_id").as("k"), col("value"),
+            pmod(col("event_id"), lit(SALT)).as("sl"))
+        val dim = customer(s, d)
+          .select(col("c_custkey").cast("long").as("k"), col("c_mktsegment"),
+            explode(sequence(lit(0L), lit(SALT - 1))).as("sl"))
+          .hint("SHUFFLE_MERGE")
+        fact.join(dim, Seq("k", "sl"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(Money.cents(col("value"))).as("value_cents"))
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_events,
+               cast(sum(cast(round(value*100) as bigint)) as bigint) AS value_cents
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1"""),
+      "salted skew join: per-row fact salt x S-replicated dim, join on (key, salt); oracle is the UNSALTED join, so result identity is the contract")
   )
 }

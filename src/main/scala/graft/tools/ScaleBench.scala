@@ -91,7 +91,9 @@ object ScaleBench {
     "q150_bpe_encode",         // pure-map merge-chain encode + per-source agg
     "q151_temperature_mix",    // per-source counts + broadcast coin thresholds
     "q152_sorted_neighborhood",// range-sort ordinals + rank-window candidates
-    "q153_bpe_drift")          // two vocab-domain trainings + K-row compare
+    "q153_bpe_drift",          // two vocab-domain trainings + K-row compare
+    "q154_countmin",           // vocab-domain D-fold explode into D*W cells
+    "q155_salted_join")        // salted fact exchange x S-replicated dim
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")

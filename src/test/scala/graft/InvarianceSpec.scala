@@ -76,7 +76,9 @@ class InvarianceSpec extends SparkSpec {
     // two deterministic argmax trainings + a K-row comparison join
     "q153_bpe_drift",
     // md5 buckets + integer sums: the sketch is layout-free by algebra
-    "q154_countmin")
+    "q154_countmin",
+    // salting redistributes the exchange, never the result
+    "q155_salted_join")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

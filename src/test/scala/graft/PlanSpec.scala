@@ -111,6 +111,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q155 salted join stays on the shuffle path and equals the unsalted join") {
+    // the hint must hold the merge path (a broadcast join needs no salt
+    // — the demo would be vacuous), and salting must change the exchange
+    // layout only: values identical to the plain join
+    val p = plan("q155_salted_join")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    import org.apache.spark.sql.functions._
+    val salted = SparkEntry.queries("q155_salted_join")(spark, SF)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = Tables.events(spark, SF)
+      .join(Tables.customer(spark, SF),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(Money.cents(col("value"))).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain, s"salted-only: ${salted -- plain}; plain-only: ${plain -- salted}")
+  }
+
   test("q151 broadcasts its thresholds and keeps the keep-decision map-side") {
     // the corpus-volume side must never shuffle for the join: thresholds
     // (a handful of sources) broadcast, and the only exchanges are the
