@@ -504,6 +504,40 @@ object Similarity {
     scoreTopK(cand.join(e, "vec_id").join(broadcast(qs), "qid"), k)
   }
 
+  /** q145's scale path made real: hard-negative mining whose candidate
+    * generation is [[lshTopK]]'s multi-table multi-probe bucket join
+    * instead of the brute scan. The DIFFERENT-label predicate rides the
+    * candidate join itself — same-class rows (including the anchor)
+    * drop before the distinct and the scoring tail, so the label filter
+    * costs nothing extra at any scale. Output schema matches q145
+    * (qid, rk, ib, label, cos); recall vs the exact q145 is measured in
+    * SimilaritySpec, and the approximate answer itself is under the
+    * full oracle (sha2 planes are engine-reproducible). */
+  def lshHardNegatives(e: DataFrame, nPlanes: Int, radius: Int,
+      nQueries: Int, k: Int, nTables: Int = 1): DataFrame = {
+    val masks = probeMasks(nPlanes, radius)
+    val codes = e.select(col("vec_id"), col("label"),
+      posexplode(array((0 until nTables).map(t =>
+        lshCode(col("v"), nPlanes, t)): _*)).as(Seq("t", "code")))
+    val qcodes = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("t"),
+        explode(array(masks.map(m =>
+          col("code").bitwiseXOR(lit(m))): _*)).as("code"))
+    val cand = codes.join(broadcast(qcodes), Seq("t", "code"))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id")).distinct()
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("ib"))
+    cand.join(e, "vec_id").join(broadcast(qs), "qid")
+      .select(col("qid"), col("vec_id").as("ib"), col("label"),
+        roundedCos(col("v"), col("qv"), col("nrm"), col("qn")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("ib"), col("label"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** IVF ANN top-k against a trained codebook: each query probes only its
     * nprobe closest inverted lists; candidate generation is an equi join
     * on cid. The inverted lists are exactly a partitioning key at 100 TB —
@@ -938,6 +972,55 @@ object Similarity {
           FROM pairs)
         SELECT qid, rk, ib, label, cos FROM ranked WHERE rk <= $K
         ORDER BY qid, rk"""),
-      "hard-negative mining: per-anchor top-k nearest DIFFERENT-label vectors (contrastive training pairs)")
+      "hard-negative mining: per-anchor top-k nearest DIFFERENT-label vectors (contrastive training pairs)"),
+
+    QueryDef(
+      "q156_hard_negatives_lsh",
+      (s, d) => {
+        // the q145 seam closed: identical semantics, candidate
+        // generation swapped to the q40 LSH tables — the path that holds
+        // when the corpus no longer brute-scans. Label predicate rides
+        // the bucket join (pre-distinct, pre-scoring).
+        val e = embeddings(s, d)
+          .select(col("vec_id"),
+            VectorOps.asDouble(col("embedding")).as("v"), col("label"))
+          .withColumn("nrm", VectorOps.norm(col("v")))
+          .cache()
+        val p = planesForCorpus(e.count())
+        lshHardNegatives(e, p, radiusFor(p), N_QUERIES, K, N_TABLES)
+      },
+      Some(s"""
+        WITH el AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v, label,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM embeddings),
+        $SQL_E,
+        par AS (
+          SELECT p, 3 AS r
+          FROM (SELECT ${sqlPlanesFor("(SELECT count(*) FROM e)", TARGET_BUCKET)} AS p) pq),
+        ${sqlLshCtes(N_TABLES)},
+        qprobes AS (
+          SELECT c.vec_id AS qid, q0.label AS qlabel, c.t, xor(c.code, m.m) AS code
+          FROM codes c JOIN el q0 ON q0.vec_id = c.vec_id, masks m
+          WHERE c.vec_id < $N_QUERIES),
+        cand AS (
+          SELECT DISTINCT qp.qid, c2.vec_id
+          FROM qprobes qp
+          JOIN codes c2 ON qp.t = c2.t AND qp.code = c2.code
+          JOIN el b ON b.vec_id = c2.vec_id
+          WHERE b.label <> qp.qlabel),
+        scored AS (
+          SELECT cand.qid, cand.vec_id AS ib, b.label,
+                 round(list_dot_product(b.v, q.v) / nullif(b.nrm * q.nrm, 0), 6) AS cos
+          FROM cand
+          JOIN el b ON cand.vec_id = b.vec_id
+          JOIN el q ON cand.qid = q.vec_id),
+        ranked AS (
+          SELECT qid, ib, label, cos,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, ib) AS rk
+          FROM scored)
+        SELECT qid, rk, ib, label, cos FROM ranked WHERE rk <= $K
+        ORDER BY qid, rk"""),
+      "hard-negative mining on the LSH candidate path: q145 semantics at corpus scale, label filter riding the bucket join")
   )
 }

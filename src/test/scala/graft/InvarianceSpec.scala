@@ -78,7 +78,9 @@ class InvarianceSpec extends SparkSpec {
     // md5 buckets + integer sums: the sketch is layout-free by algebra
     "q154_countmin",
     // salting redistributes the exchange, never the result
-    "q155_salted_join")
+    "q155_salted_join",
+    // deterministic planes + distinct candidates + rounded-cos rank
+    "q156_hard_negatives_lsh")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
