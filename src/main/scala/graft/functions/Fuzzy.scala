@@ -65,6 +65,39 @@ object Fuzzy {
   private val CORRUPT =
     s"substring(p_name, 1, $DROP) || substring(p_name, $DROP + 2)"
 
+  /** Feed ids are roster ids with bit 40 set — a high-bit TAG, not an
+    * additive offset, so the two id spaces cannot collide at ANY scale
+    * factor (an additive 10M offset would silently alias once part
+    * exceeds 10M rows, corrupting the (key, id) total order both engines
+    * sort by — consistently on both sides, so the oracle would never
+    * catch it). Roster ids stay below the tag, so min-id survivorship
+    * still prefers clean records. Shared by q123 and q152 and
+    * interpolated into their oracles — one definition. */
+  private val FEED_OFFSET = 1L << 40
+
+  /** Caches created by [[snmPairs]] that are still live — released by
+    * [[snmRelease]]. The frames MUST stay cached until the returned join
+    * is consumed (an action), which the builder never sees, so the
+    * release point is necessarily the caller's: the gate harnesses
+    * clearCache per query, and library callers call [[snmRelease]] after
+    * consuming the frame [[snmMatch]] returns. */
+  private val snmCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Unpersist every cache the SNM machinery is still holding. Call
+    * after the DataFrame returned by [[snmMatch]]/[[snmPairs]] has been
+    * consumed; without it, repeated library calls accumulate
+    * MEMORY_AND_DISK blocks (two ranked + two sorted frames per
+    * [[snmMatch]]). */
+  def snmRelease(): Unit = snmCaches.synchronized {
+    snmCaches.foreach(_.unpersist(false))
+    snmCaches.clear()
+  }
+
+  private def snmRegister(df: DataFrame): DataFrame = {
+    snmCaches.synchronized { snmCaches += df }
+    df.cache()
+  }
+
   /** One sorted-neighborhood pass (Hernández & Stolfo, "The Merge/Purge
     * Problem for Large Databases", SIGMOD 1995): order records by a sort
     * key, pair every record with the w-1 records that follow it. The
@@ -81,8 +114,14 @@ object Fuzzy {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
     val keyed = recs.select(col("id"), col("name"), col("is_feed"), keyExpr.as("k"))
-    val sorted = keyed.repartitionByRange(col("k"), col("id"))
-      .sortWithinPartitions("k", "id")
+    // CACHE the sorted frame too: zipWithIndex runs its partition-count
+    // job EAGERLY (before any consumer action), and without this cache
+    // that job executes the range sort once just to count rows, then the
+    // ranked cache's materialization re-sorts from scratch — two sorts
+    // where one suffices. Cached here, the count job lands the blocks
+    // and the ranked materialization reads them.
+    val sorted = snmRegister(keyed.repartitionByRange(col("k"), col("id"))
+      .sortWithinPartitions("k", "id"))
     // CACHE the ranked frame: it crosses an RDD boundary (createDataFrame
     // gives Catalyst no stats) and is consumed TWICE (probe + build side
     // of the rank join) — uncached, every consumer re-runs the range
@@ -90,9 +129,9 @@ object Fuzzy {
     // chosen blind, which measured as non-monotonic x8-x32 wobble
     // (2.3 -> 13 s run-to-run on identical data). Cached, the sort runs
     // once and AQE reads real sizes.
-    val ranked = sorted.sparkSession.createDataFrame(
+    val ranked = snmRegister(sorted.sparkSession.createDataFrame(
       sorted.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ i) },
-      sorted.schema.add("r", LongType)).cache()
+      sorted.schema.add("r", LongType)))
     val probes = ranked.select(col("id").as("a_id"), col("name").as("a_name"),
       col("is_feed").as("a_feed"), col("r"),
       explode(sequence(col("r") + 1, col("r") + (w - 1))).as("rr"))
@@ -153,7 +192,7 @@ object Fuzzy {
         // stages so stage-boundary drift can't hide behind individually
         // green pieces (the q97 lesson): two record systems — the clean
         // part roster and a deterministically corrupted feed (ids offset
-        // by 10M) — are resolved into entity clusters by
+        // by the bit-40 tag) — are resolved into entity clusters by
         //   (1) blocking+matching: SymSpell deletion-key candidates +
         //       exact banded levenshtein (q108's operator, structurally
         //       complete for distance <= 1),
@@ -170,7 +209,6 @@ object Fuzzy {
         // survivorship is one join back on the component id. Nothing is
         // quadratic in the corpus; the only blowup axis is true
         // duplicate mass.
-        val FEED_OFFSET = 10000000L
         val roster = part(s, d)
           .select(col("p_partkey").cast("long").as("rid"),
             col("p_name").as("name"))
@@ -216,7 +254,7 @@ object Fuzzy {
         WITH RECURSIVE roster AS (
           SELECT cast(p_partkey AS bigint) AS id, p_name AS name FROM part),
         feed AS (
-          SELECT cast(p_partkey + 10000000 AS bigint) AS id, $CORRUPT AS name
+          SELECT cast(p_partkey + $FEED_OFFSET AS bigint) AS id, $CORRUPT AS name
           FROM part),
         recs AS (SELECT id, name FROM roster UNION ALL SELECT id, name FROM feed),
         rep AS (SELECT name, min(id) AS mn FROM recs GROUP BY name),
@@ -246,7 +284,7 @@ object Fuzzy {
         // The CLASSIC blocking alternative to q108's deletion keys:
         // multi-pass sorted-neighborhood (Hernández & Stolfo 1995) over
         // the same clean-roster + corrupted-feed pair. Same record
-        // universe as q123 (feed ids offset by 10M so the (key, id)
+        // universe as q123 (feed ids tagged with bit 40 so the (key, id)
         // total order is unambiguous); matches are the lev<=1 pairs the
         // rank windows surface — windowed recall is the operator's
         // documented semantics (the oracle computes the same windowed
@@ -258,7 +296,6 @@ object Fuzzy {
         // rank with (w-1)-fold map-side expansion — candidates are
         // (w-1)*N regardless of key-collision skew, the axis on which
         // deletion-key blocking degrades.
-        val FEED_OFFSET = 10000000L
         val p = part(s, d)
         val recs = p
           .select(col("p_partkey").cast("long").as("id"),
@@ -276,7 +313,7 @@ object Fuzzy {
           SELECT cast(p_partkey AS BIGINT) AS id, p_name AS name, 0 AS is_feed
           FROM part
           UNION ALL
-          SELECT cast(p_partkey + 10000000 AS BIGINT), $CORRUPT, 1 FROM part),
+          SELECT cast(p_partkey + $FEED_OFFSET AS BIGINT), $CORRUPT, 1 FROM part),
         r1 AS (SELECT id, name, is_feed,
                       row_number() OVER (ORDER BY name, id) AS r FROM recs),
         r2 AS (SELECT id, name, is_feed,
@@ -285,10 +322,10 @@ object Fuzzy {
           SELECT 1 AS pass, a.id AS a_id, a.name AS a_name, a.is_feed AS a_feed,
                  b.id AS b_id, b.name AS b_name, b.is_feed AS b_feed,
                  b.r - a.r AS gap
-          FROM r1 a JOIN r1 b ON b.r > a.r AND b.r <= a.r + 15
+          FROM r1 a JOIN r1 b ON b.r > a.r AND b.r <= a.r + ${SNM_W - 1}
           UNION ALL
           SELECT 2, a.id, a.name, a.is_feed, b.id, b.name, b.is_feed, b.r - a.r
-          FROM r2 a JOIN r2 b ON b.r > a.r AND b.r <= a.r + 15),
+          FROM r2 a JOIN r2 b ON b.r > a.r AND b.r <= a.r + ${SNM_W - 1}),
         m AS (
           SELECT pass,
                  CASE WHEN a_feed = 1 THEN a_id ELSE b_id END AS feed_id,

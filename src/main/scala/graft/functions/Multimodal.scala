@@ -65,10 +65,15 @@ object VideoFrameBridge {
     * FEATURE_DIM luminance histogram per sampled frame, in frame order. */
   final case class Frames(width: Int, height: Int, histograms: Seq[Array[Float]])
 
-  // one instance per (class name, executor JVM) — a bridge wrapping a
-  // native library must init once per process, not once per task
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, VideoFrameBridge]()
+  // one instance per (classloader, class name, executor JVM) — a bridge
+  // wrapping a native library must init once per process, not once per
+  // task. The RESOLVING LOADER is part of the key: on a long-lived
+  // executor where the bridge jar is redeployed under a fresh context
+  // classloader, a name-only cache would keep returning the instance
+  // bound to the stale loader (stale native bindings, ClassCastException
+  // against the new loader's interface class).
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (ClassLoader, String), VideoFrameBridge]()
 
   /** Instantiate (or reuse) a bridge by class name; the class needs a
     * public no-arg constructor and must be on the executor classpath.
@@ -78,13 +83,14 @@ object VideoFrameBridge {
     * a bare `Class.forName` from a system-classpath class cannot see
     * them, and the documented deployment path would throw
     * ClassNotFoundException on every video-bearing task. */
-  def forName(className: String): VideoFrameBridge =
-    cache.computeIfAbsent(className, cn => {
-      val loader = Option(Thread.currentThread().getContextClassLoader)
-        .getOrElse(getClass.getClassLoader)
-      Class.forName(cn, true, loader).getDeclaredConstructor().newInstance()
+  def forName(className: String): VideoFrameBridge = {
+    val loader = Option(Thread.currentThread().getContextClassLoader)
+      .getOrElse(getClass.getClassLoader)
+    cache.computeIfAbsent((loader, className), { case (ld, cn) =>
+      Class.forName(cn, true, ld).getDeclaredConstructor().newInstance()
         .asInstanceOf[VideoFrameBridge]
     })
+  }
 }
 
 object Multimodal {

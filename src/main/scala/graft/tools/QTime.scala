@@ -28,6 +28,8 @@ object QTime {
       val q = SparkEntry.all.find(_.name == name)
         .getOrElse(sys.error(s"unknown query: $name"))
       val times = (1 to 3).map { _ =>
+        // trainer pays its fit every pass (Bench's rule, same rationale)
+        if (name == "q147_bpe_train") graft.functions.Tokenizer.clearMemo()
         val t0 = System.nanoTime()
         q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val s = (System.nanoTime() - t0) / 1e9

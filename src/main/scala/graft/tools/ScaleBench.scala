@@ -95,6 +95,24 @@ object ScaleBench {
     "q154_countmin",           // vocab-domain D-fold explode into D*W cells
     "q155_salted_join")        // salted fact exchange x S-replicated dim
 
+  /** Out-of-registry study variants, timed like registry queries when
+    * named in the roster args.
+    *
+    * `q98_fixed_batch`: q98's onboarding probe with the incoming batch
+    * HELD CONSTANT while the corpus doubles — the claim COVERAGE makes
+    * for the 100 TB daily-ingest shape. The registry q98 takes `% 10 == 0`
+    * of the AMPLIFIED corpus, so its batch grows with x and pair volume is
+    * K² by design; here the batch is the x1 universe's `% 10 == 0` slice
+    * (ScaleUp shifts copy i's ids by i*1e9, so `vec_id < 1e9` is exactly
+    * the x1 universe at every amplification). Expected slope << 1: cost is
+    * |batch| x unpruned-cell mass, linear in corpus, and the fixed
+    * per-round overhead amortizes. */
+  val Extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "q98_fixed_batch" -> ((s, dir) =>
+      graft.functions.Dedup.embeddingPairsIncrementalExact(
+        graft.functions.Similarity.prepared(s, dir), 0.4,
+        v => v < 1000000000L && v % 10 === 0, ordered = false)))
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft-scale")
     val maxK = args.lift(1).map(_.toInt).getOrElse(8)
@@ -113,8 +131,10 @@ object ScaleBench {
 
     val ks = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxK).toSeq
     def timeOnce(name: String, dir: String): Double = {
+      // trainer pays its fit every pass (Bench's rule, same rationale)
+      if (name == "q147_bpe_train") graft.functions.Tokenizer.clearMemo()
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
+      Extra.getOrElse(name, SparkEntry.queries(name))(spark, dir)
         .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
