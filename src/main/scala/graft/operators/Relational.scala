@@ -22,74 +22,6 @@ import graft.{Money, QueryDef, Tables}
 object Relational {
   import Tables._
 
-  /** Data-driven salt factor for [[saltedJoin]]: upper-bound the hottest
-    * fact key's multiplicity with ONE Misra-Gries pass over the keys
-    * (k-bounded buffers, partial-agg — the fact never shuffles), then
-    * size S = ceil(upper / targetRowsPerTask), clamped to [1, maxSalt].
-    *
-    * Why Misra-Gries and not the q134 KMV sketch: KMV estimates DISTINCT
-    * counts (with n it gives the AVERAGE multiplicity n/d̂); the salted
-    * join is sized by the MAXIMUM multiplicity, which is a frequency
-    * question — exactly what the q109 heavy-hitter sketch answers. The MG
-    * residual undercounts by at most n/(k+1) (Misra & Gries 1982), so
-    * `top_residual + n/(k+1)` is a sound upper bound on the hottest key's
-    * true count. On near-uniform corpora the error term dominates and the
-    * bound is loose — conservatism that costs only dim replication, never
-    * correctness (every fact row still meets its dim row at exactly one
-    * salt). MG residuals vary with partial-merge order, so S may differ
-    * run to run by a little; S changes the exchange layout and nothing
-    * else, so results are unaffected.
-    *
-    * `targetRowsPerTask` is the per-reducer row budget for one (key,salt)
-    * group — the scale adapter: a production corpus sets it in the
-    * millions; the sf0.01/sf0.1 gates pass a small budget so the same
-    * formula exercises a genuinely multi-salt exchange at test scale. */
-  def saltFactor(factKeys: DataFrame, targetRowsPerTask: Long,
-      maxSalt: Int = 64): Int = {
-    val K = 64
-    val hh = udaf(new Aggregates.HeavyHitters(K),
-      org.apache.spark.sql.Encoders.STRING)
-    val row = factKeys
-      .agg(count(lit(1)).as("n"), hh(col("k").cast("string")).as("sk"))
-      .head()
-    val n = row.getLong(0)
-    val top = row.getSeq[org.apache.spark.sql.Row](1)
-      .map(_.getLong(1)).maxOption.getOrElse(0L)
-    val upper = top + n / (K + 1) + 1
-    val s = (upper + targetRowsPerTask - 1) / targetRowsPerTask
-    math.max(1L, math.min(maxSalt.toLong, s)).toInt
-  }
-
-  /** SALTED equi join on `k` — the explicit recipe for the hot-key tail
-    * that AQE's skew split doesn't reach (one key so hot a single shuffle
-    * partition holds it even after splits): the fact side gets a
-    * deterministic per-ROW salt (`saltCoin mod s`, so a hot KEY's rows
-    * spread across s reducers), the dim side replicates s-fold with every
-    * salt value, and the join key becomes (k, salt). Result identity is
-    * the whole contract: every fact row meets its dim row at exactly one
-    * salt, so salting changes the exchange layout and nothing else.
-    *
-    * s == 1 degenerates to the PLAIN join — same plan, no salt columns,
-    * no replication, no forced-shuffle hint (SaltSpec pins this): the
-    * data-driven [[saltFactor]] then makes "don't salt a uniform corpus"
-    * the automatic production behavior. When s > 1 the merge hint keeps
-    * the shuffle path honest — a replicated dim small enough to broadcast
-    * needs no salt, so there'd be nothing to demonstrate.
-    *
-    * 100 TB shape: s bounds the per-reducer share of the hottest key at
-    * max_mult/s rows. Cost: s*|dim| replicated rows through the dim
-    * exchange — the standard trade. */
-  def saltedJoin(fact: DataFrame, dim: DataFrame, s: Int,
-      saltCoin: org.apache.spark.sql.Column): DataFrame =
-    if (s <= 1) fact.join(dim, Seq("k"))
-    else {
-      val salted = fact.withColumn("sl", pmod(saltCoin, lit(s.toLong)))
-      val replicated = dim
-        .withColumn("sl", explode(sequence(lit(0L), lit(s.toLong - 1))))
-        .hint("SHUFFLE_MERGE")
-      salted.join(replicated, Seq("k", "sl")).drop("sl")
-    }
-
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q01_agg",
@@ -497,21 +429,26 @@ object Relational {
     QueryDef(
       "q155_salted_join",
       (s, d) => {
-        // [[saltedJoin]] with its S derived from the data by
-        // [[saltFactor]] (one MG pass over the fact keys), not a
-        // hardcoded literal. The oracle is the PLAIN join — result
+        // [[SkewJoin.saltedJoin]] with its S derived from the data by
+        // [[SkewJoin.saltFactor]] (one MG pass over the fact keys), not
+        // a hardcoded literal. The oracle is the PLAIN join — result
         // identity regardless of S is the operator's contract, and the
         // aggregate stays exact-integer (Money cents) so it compares
         // bit-for-bit. targetRowsPerTask = 64 is the test-scale budget
         // (production: millions) so the gate exercises a real multi-salt
         // exchange; events' near-uniform keys under a production budget
-        // would correctly yield S = 1 = the plain join.
+        // would correctly yield S = 1 = the plain join. The event-id
+        // coin is retry-stable (a task re-run salts identically);
+        // forceShuffle keeps the demo honest (dim x S would broadcast at
+        // test scale, and a broadcast join needs no salt).
         val fact = events(s, d)
           .select(col("user_id").as("k"), col("value"), col("event_id"))
         val dim = customer(s, d)
           .select(col("c_custkey").cast("long").as("k"), col("c_mktsegment"))
-        val S = saltFactor(fact.select(col("k")), targetRowsPerTask = 64L)
-        saltedJoin(fact, dim, S, col("event_id"))
+        val S = SkewJoin.saltFactor(fact.select(col("k")),
+          targetRowsPerTask = 64L)
+        SkewJoin.saltedJoin(fact, dim, "k", S,
+            saltCoin = Some(col("event_id")), forceShuffle = true)
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n_events"),
             sum(Money.cents(col("value"))).as("value_cents"))
