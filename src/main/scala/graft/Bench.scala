@@ -212,14 +212,16 @@ object Bench {
       gedcomMBs: Option[Double] = None,
       gedcom1gMBs: Option[Double] = None): String = {
     def r4(v: Double) = math.rint(v * 1e4) / 1e4
-    // per-query values as INTEGER CENTISECONDS ("qunit" documents it —
-    // the r11 verdict's own proposal): the sub-second majority renders in
-    // 1-2 chars instead of "0.63"'s four, pulling the 133-entry map from
-    // ~1.6 KB to ~1.3 KB against the driver's 2 KB stdout tail, with
-    // headroom for ~40 more queries. A failed query keeps a negative
-    // marker (-100). Full-precision seconds under full registry names go
+    // per-query values as INTEGER DECISECONDS since r14 ("qunit"
+    // documents it — the r13 verdict's directive-7 proposal): at 156
+    // queries even an all-3-digit centisec line (every query 1-10 s, the
+    // degraded-host regime that inflated BENCH_r13) models past the
+    // driver's 2000-byte tail; deciseconds bound that worst case at
+    // ~1.86 KB while keeping the cross-round signal (a 0.4 s warm q01
+    // reads 4, a 2.7 s cold one 27). A failed query keeps a negative
+    // marker (-10). Full-precision seconds under full registry names go
     // to target/bench-detail.json.
-    def cs(v: Double) = math.rint(v * 100).toLong
+    def cs(v: Double) = math.rint(v * 10).toLong
     // the driver contract keys the map as {"q1":...} — emit the qNN
     // prefix (unique by QueriesSpec pin) rather than the full registry
     // name: ~93 long names alone overflow the 2 KB tail
@@ -241,7 +243,7 @@ object Bench {
     // sf records the basename (sf0.1), not the full path — 15 more bytes
     // of per-query headroom under the tail, same information
     val sfName = sfDir.stripSuffix("/").split('/').last
-    s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"loadavg":$load,"gedcom_mb_per_s":${r1(gedcomMBs)},"gedcom_mb_per_s_1g":${r1(gedcom1gMBs)},"qunit":"centisec","queries":$qs,"sf":"$sfName"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"loadavg":$load,"gedcom_mb_per_s":${r1(gedcomMBs)},"gedcom_mb_per_s_1g":${r1(gedcom1gMBs)},"qunit":"decisec","queries":$qs,"sf":"$sfName"}"""
   }
 
   /** Full-precision per-query seconds under full registry names — the

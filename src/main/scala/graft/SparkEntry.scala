@@ -27,6 +27,8 @@ object SparkEntry {
       functions.Privacy.defs ++
       functions.Multimodal.defs ++
       functions.Tokenizer.defs ++
+      functions.LanguageModel.defs ++
+      functions.Web.defs ++
       functions.Winnowing.defs ++
       functions.Mixture.defs ++
       operators.Skyline.defs ++

@@ -672,7 +672,25 @@ object Dedup {
   def embeddingPairsIncrementalExact(e: DataFrame, t: Double,
       isIncoming: Column => Column,
       clusterTarget: Long = SEMDEDUP_CLUSTER,
-      ordered: Boolean = true): DataFrame = {
+      ordered: Boolean = true): DataFrame =
+    probeCellIndex(buildCellIndex(e, t, clusterTarget), isIncoming, ordered)
+
+  /** A stored angular cell index over a corpus: the k-means cells, the
+    * per-cell probe thresholds (cos(acos t + amax), the triangle-
+    * inequality bound), the cid-assigned corpus, and the cached source
+    * frame the exact verify reads. At production scale this is what gets
+    * PERSISTED (idx bucketed by cid, cents/thr as a tiny sidecar) and
+    * probed by every daily batch — the build is amortized across
+    * batches, so a batch's marginal cost is [[probeCellIndex]] alone
+    * (the q98_probe_stored scale study measures exactly that split). */
+  final case class CellIndex(e: DataFrame, idx: DataFrame,
+      cents: Seq[Seq[Double]], thr: IndexedSeq[Double], t: Double, n: Long)
+
+  /** Build the [[CellIndex]] for threshold `t`: one corpus pass for the
+    * codebook (Lloyd rounds on the cached frame), one for cid
+    * assignment, one partial-agg for the per-cell angular radius. */
+  def buildCellIndex(e: DataFrame, t: Double,
+      clusterTarget: Long = SEMDEDUP_CLUSTER): CellIndex = {
     val s = e.sparkSession
     import s.implicits._
     val ec = e.cache()
@@ -700,13 +718,25 @@ object Dedup {
       // slack can only ADD candidates, and candidates are exactly verified
       else math.cos(tAng + amax(j)) - 1e-9
     }
-    val probes = idx.filter(isIncoming(col("vec_id")))
+    CellIndex(ec, idx, cents, thr, t, n)
+  }
+
+  /** Probe a [[CellIndex]] with the `isIncoming` slice of the corpus:
+    * each incoming vector fans out to exactly the cells the triangle
+    * inequality cannot rule out, candidates equi-join the stored index
+    * by cid, and every candidate is exactly verified — the output is
+    * EXACT. This is a bounded daily batch's MARGINAL cost against a
+    * stored index; nothing here rescans the pair space. */
+  def probeCellIndex(ix: CellIndex, isIncoming: Column => Column,
+      ordered: Boolean = true): DataFrame = {
+    val s = ix.e.sparkSession
+    val probes = ix.idx.filter(isIncoming(col("vec_id")))
       .select(col("vec_id").as("q"),
         explode(graft.functions.expressions.VectorExpressions.centroidsAbove(
-          col("v"), col("nrm"), cents, thr)).as("cid"))
+          col("v"), col("nrm"), ix.cents, ix.thr)).as("cid"))
     val cand = probes
       .join(sizedBuildSide(
-        idx.select(col("vec_id").as("x"), col("cid")), n,
+        ix.idx.select(col("vec_id").as("x"), col("cid")), ix.n,
         INDEX_ROW_BYTES), Seq("cid"))
       .filter(col("q") =!= col("x"))
       // normalize: an incoming-incoming pair may arrive both ways;
@@ -714,8 +744,8 @@ object Dedup {
       .select(least(col("q"), col("x")).as("ia"),
         greatest(col("q"), col("x")).as("ib"))
     // tier 1 is free: n was already counted for the codebook size
-    val out = cosVerifyGrouped(ec, cand, t, n,
-      maxBucket = tieredProbe(s)(n)(maxBucketOf(idx, Seq(col("cid")))))
+    val out = cosVerifyGrouped(ix.e, cand, ix.t, ix.n,
+      maxBucket = tieredProbe(s)(ix.n)(maxBucketOf(ix.idx, Seq(col("cid")))))
     // presentation order only when asked: the sort's range sampling
     // re-executes the verify-join tail, which the gate never needs
     if (ordered) out.orderBy(col("ia"), col("ib")) else out

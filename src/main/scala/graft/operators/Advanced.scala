@@ -825,6 +825,80 @@ $body,
           .limit(100)
       },
       Some(PAGERANK_W_ORACLE_SQL),
-      "weighted PageRank: mass splits by trade intensity, exact-integer recurrence under the hash gate")
+      "weighted PageRank: mass splits by trade intensity, exact-integer recurrence under the hash gate"),
+
+    QueryDef(
+      "q160_node_jaccard",
+      (s, d) => {
+        // Node-similarity join (link prediction / item-item recommend):
+        // Jaccard over neighbor sets of the SUPPORT-THRESHOLDED part
+        // co-purchase graph — parts adjacent only when co-ordered >= 2
+        // times. The threshold is the sparsifier that makes wedge
+        // enumeration tractable at any corpus size: one-off co-occurrence
+        // is noise with density ~deg^2 (the q120 graph averages degree
+        // ~120 here), while the support-2 signal graph keeps max degree
+        // ~15 on this data — candidate volume is sum(deg^2) of the
+        // THRESHOLDED graph, the knob a 100 TB run turns (support,
+        // or q120's degree orientation) before enumerating. Common
+        // neighbors come from the wedge self-join on the middle vertex;
+        // jaccard is exact integer ten-thousandths
+        // (i*10000 div (du+dv-i)); top-50 by (jac4, u, v) is a bounded
+        // TakeOrderedAndProject, no global sort exchange.
+        val SUPPORT = 2
+        val li = lineitem(s, d).select(col("l_orderkey"),
+          col("l_partkey").cast("long").as("p"))
+        // cache BOTH relations: edges is consumed twice (the union's two
+        // branches) and sym three times (degrees + both wedge sides) —
+        // uncached, the lineitem pair-generation stage re-executes six
+        // times (measured: 16 scans / 23 exchanges in the plan). The
+        // thresholded edge set is tiny (true co-purchase signal, not the
+        // pair space), so the cache is a few thousand rows. Harnesses
+        // clearCache per query (the q139 pair-frame convention).
+        val edges = li.select(col("l_orderkey"), col("p").as("u"))
+          .join(li.select(col("l_orderkey"), col("p").as("v")), "l_orderkey")
+          .filter(col("u") < col("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("s"))
+          .filter(col("s") >= SUPPORT)
+          .select(col("u"), col("v"))
+          .cache()
+        val sym = edges.unionAll(
+          edges.select(col("v").as("u"), col("u").as("v"))).cache()
+        val deg = sym.groupBy(col("u").as("x")).agg(count(lit(1)).as("d"))
+        val common = sym.select(col("u").as("w"), col("v").as("a"))
+          .join(sym.select(col("u").as("w"), col("v").as("b")), "w")
+          .filter(col("a") < col("b"))
+          .groupBy(col("a").as("u"), col("b").as("v"))
+          .agg(count(lit(1)).as("common_n"))
+        common
+          .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+          .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+          .select(col("u"), col("v"), col("common_n"), col("du"), col("dv"),
+            expr("(common_n * 10000) div (du + dv - common_n)").as("jac4"))
+          .orderBy(col("jac4").desc, col("u"), col("v"))
+          .limit(50)
+      },
+      Some("""
+        WITH pr AS (
+          SELECT cast(l1.l_partkey AS bigint) AS u,
+                 cast(l2.l_partkey AS bigint) AS v, count(*) AS s
+          FROM lineitem l1 JOIN lineitem l2
+            ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+          GROUP BY 1, 2),
+        edges AS (SELECT u, v FROM pr WHERE s >= 2),
+        sym AS (SELECT u, v FROM edges
+                UNION ALL SELECT v AS u, u AS v FROM edges),
+        deg AS (SELECT u AS x, count(*) AS d FROM sym GROUP BY 1),
+        common AS (
+          SELECT a.v AS u, b.v AS v, count(*) AS common_n
+          FROM sym a JOIN sym b ON a.u = b.u AND a.v < b.v
+          GROUP BY 1, 2)
+        SELECT c.u, c.v, c.common_n, da.d AS du, db.d AS dv,
+               (c.common_n * 10000) // (da.d + db.d - c.common_n) AS jac4
+        FROM common c
+        JOIN deg da ON c.u = da.x
+        JOIN deg db ON c.v = db.x
+        ORDER BY jac4 DESC, c.u, c.v
+        LIMIT 50"""),
+      "neighbor-Jaccard node similarity over the support-thresholded co-purchase graph: wedge self-join on the middle vertex, exact integer jaccard, bounded top-k")
   )
 }

@@ -357,6 +357,69 @@ object Quality {
                     AS bigint) AS winsorized_sum
         FROM hist h JOIN cuts c ON c.lang = h.lang
         GROUP BY h.lang"""),
-      "exact winsorized group statistics via the value-histogram (windows over distinct values, never rows)")
+      "exact winsorized group statistics via the value-histogram (windows over distinct values, never rows)"),
+
+    QueryDef(
+      "q159_percentile_gate",
+      (s, d) => {
+        // Per-source quality gating at an EXACT percentile — "keep the
+        // top 75% of each source by score" — the per-domain filter rung
+        // between q121's global threshold classifier and q102's count
+        // cap. Score is lexical diversity (distinct-token fraction in
+        // integer ten-thousandths): a pure MAP over the token array,
+        // zero shuffles to score. The P25 cut re-uses q137's
+        // value-histogram discipline: rows fold into (source, score)
+        // counts in ONE partial agg, the rank scan runs over the
+        // score DOMAIN (<= 10001 distinct values per source, whatever
+        // the corpus size), and the per-source thresholds broadcast
+        // back — a mega-source costs its score spread, never its rows.
+        // Threshold convention: smallest score with cum >= ceil(n/4);
+        // ties at the cut are KEPT (>=), so the gate never drops more
+        // than the bottom quartile.
+        val scored = documents(s, d)
+          .select(col("doc_id"), col("source"),
+            graft.functions.TextAnalysis.tokens(col("text")).as("w"))
+          .filter(size(col("w")) > 0)
+          .select(col("doc_id"), col("source"),
+            expr("(cast(size(array_distinct(w)) as bigint) * 10000) div size(w)")
+              .as("score4"))
+        val hist = scored.groupBy(col("source"), col("score4"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("source")).orderBy(col("score4"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist
+          .withColumn("cum", sum(col("cnt")).over(w))
+          .withColumn("n", sum(col("cnt")).over(
+            Window.partitionBy(col("source"))))
+        val thr = cum
+          .filter(col("cum") * 4 >= col("n"))
+          .groupBy(col("source")).agg(min(col("score4")).as("thr4"))
+        scored.join(broadcast(thr), Seq("source"))
+          .select(col("doc_id"), col("source"), col("score4"), col("thr4"),
+            (col("score4") >= col("thr4")).as("kept"))
+      },
+      Some("""
+        WITH scored AS (
+          SELECT doc_id, source,
+                 (len(list_distinct(w)) * 10000) // len(w) AS score4
+          FROM (SELECT doc_id, source,
+                       list_filter(string_split(text, ' '), t -> t <> '') AS w
+                FROM documents)
+          WHERE len(w) > 0),
+        hist AS (
+          SELECT source, score4, count(*) AS cnt FROM scored GROUP BY 1, 2),
+        cum AS (
+          SELECT source, score4,
+                 sum(cnt) OVER (PARTITION BY source ORDER BY score4
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 sum(cnt) OVER (PARTITION BY source) AS n
+          FROM hist),
+        thr AS (
+          SELECT source, min(score4) AS thr4
+          FROM cum WHERE cum * 4 >= n GROUP BY 1)
+        SELECT s.doc_id, s.source, s.score4, t.thr4,
+               s.score4 >= t.thr4 AS kept
+        FROM scored s JOIN thr t USING (source)"""),
+      "per-source exact-percentile quality gate: map-side scoring + value-histogram rank cut (q137 discipline) + broadcast thresholds")
   )
 }

@@ -80,7 +80,15 @@ class InvarianceSpec extends SparkSpec {
     // salting redistributes the exchange, never the result
     "q155_salted_join",
     // deterministic planes + distinct candidates + rounded-cos rank
-    "q156_hard_negatives_lsh")
+    "q156_hard_negatives_lsh",
+    // fixed-point micros summed as BIGINTs; LEFT-join smoothing lookups
+    "q157_bigram_lm",
+    // pure-map canonicalization + one groupBy: layout-free by construction
+    "q158_url_dedup",
+    // integer score + value-histogram rank cut: exact at any layout
+    "q159_percentile_gate",
+    // integer jaccard + (jac4, u, v) total-order top-50
+    "q160_node_jaccard")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -43,12 +43,12 @@ class QueriesSpec extends SparkSpec {
   test("a failed bench query poisons the headline JSON") {
     val ok = Bench.renderJson(Seq("a" -> 1.5, "b" -> 2.0), "sf", Some(41.96))
     assert(ok.contains("\"value\":3.5") && ok.contains("\"failed\":0"), ok)
-    assert(ok.contains("\"a\":150") && ok.contains("\"b\":200"), ok) // centisec
-    assert(ok.contains("\"qunit\":\"centisec\""), ok)
+    assert(ok.contains("\"a\":15") && ok.contains("\"b\":20"), ok) // decisec
+    assert(ok.contains("\"qunit\":\"decisec\""), ok)
     assert(ok.contains("\"gedcom_mb_per_s\":42.0"), ok)
     val broken = Bench.renderJson(Seq("a" -> 1.5, "b" -> -1.0), "sf")
     assert(broken.contains("\"value\":null") && broken.contains("\"failed\":1"), broken)
-    assert(broken.contains("\"b\":-100"), broken) // per-query failure visible too
+    assert(broken.contains("\"b\":-10"), broken) // per-query failure visible too
     assert(broken.contains("\"gedcom_mb_per_s\":null"), broken)
   }
 
@@ -62,15 +62,15 @@ class QueriesSpec extends SparkSpec {
       SparkEntry.all.map(q => q.name -> 12.345678901234567),
       "/root/testdata/sf0.1", Some(41.96), Some(139.7))
     assert(full.length < 1900, s"bench line ${full.length} bytes risks tail truncation")
-    // r11 directive, recalibrated r13 against the MEASURED budget: the
-    // driver's tail is exactly 2000 bytes (BENCH_r12.json "tail") and
-    // the final print lands last, so a complete line survives up to
-    // 1999 bytes — the 1900 pin above keeps ~100 of real safety. The
-    // growth reserve below is one round of additions (~12 queries at
-    // ~12 bytes in the 3-digit-centisec era) because the registry now
-    // recalibrates at this tripwire every round anyway; past ~170
-    // queries the per-query map needs a structural change (sidecar
-    // file), not another trim.
+    // r11 directive, recalibrated r13 and again r14 (156 queries,
+    // decisec era): the driver's tail is exactly 2000 bytes
+    // (BENCH_r12.json "tail") and the final print lands last, so a
+    // complete line survives up to 1999 bytes — the 1900 pin above
+    // keeps ~100 of real safety even in the every-query-over-a-second
+    // degraded-host regime the `full` case models. The growth reserve
+    // below is one round of additions (~12 queries at ~12 bytes);
+    // past ~190 queries the per-query map needs a structural change
+    // (sidecar file), not another unit trim.
     val realistic = Bench.renderJson(
       SparkEntry.all.map(q => q.name -> 0.87),
       "/root/testdata/sf0.1", Some(41.96), Some(139.7))
