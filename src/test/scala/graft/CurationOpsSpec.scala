@@ -54,6 +54,18 @@ class CurationOpsSpec extends SparkSpec {
       s"merge counts must be non-increasing, got $counts")
   }
 
+  test("bpe merge-table memo is value-invisible: memoized == fresh == frame-level") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    val memoized = rows(Tokenizer.bpeTrain(spark, SF)) // memo hit or fill
+    Tokenizer.clearMemo()
+    val fresh = rows(Tokenizer.bpeTrain(spark, SF))    // forced re-fit
+    val frame = rows(Tokenizer.bpeTrainOf(spark,       // unmemoized path
+      graft.Tables.documents(spark, SF)))
+    assert(memoized == fresh, "memoized table differs from a fresh fit")
+    assert(fresh == frame, "path-keyed fit differs from the frame-level fit")
+  }
+
   // ---- q150 BPE encode ----
 
   test("bpe encode counts tokens under the trained merges, fallback 1 per alien word") {
