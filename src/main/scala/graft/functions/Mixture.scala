@@ -57,7 +57,10 @@ object Mixture {
       substring(md5(concat(lit("temp:"), docId.cast("string"))), 1, 4) <
         lower(lpad(hex(k), 4, "0"))
 
-  private[graft] def temperatureMixOf(docs: DataFrame): DataFrame = {
+  /** Per-source admission thresholds (source, n_docs, w, k) for the
+    * population in `docs` — the reusable half of q151, consumed by the
+    * streaming twin and the q161 funnel too. */
+  private[graft] def admissionThresholds(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w", isqrt(col("n_docs") * SQRT_SCALE))
@@ -65,13 +68,16 @@ object Mixture {
       sum(col("n_docs")).as("n_total"), sum(col("w")).as("sum_w"))
     // broadcast-singleton stat row (the q69/q83 discipline) — the only
     // crossJoin shape the repo allows
-    val thresholds = counts.crossJoin(broadcast(tot))
+    counts.crossJoin(broadcast(tot))
       .withColumn("k", least(lit(65536L), expr(
         """CAST(n_total div 2 AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))
            * 65536 div (CAST(sum_w AS DECIMAL(38,0)) * CAST(n_docs AS DECIMAL(38,0)))""")))
       .select(col("source"), col("n_docs"), col("w"), col("k"))
+  }
+
+  private[graft] def temperatureMixOf(docs: DataFrame): DataFrame = {
     docs
-      .join(broadcast(thresholds), Seq("source"))
+      .join(broadcast(admissionThresholds(docs)), Seq("source"))
       .withColumn("kept", keptUnder(col("doc_id"), col("k")))
       .groupBy(col("source"), col("n_docs"), col("w"), col("k"))
       .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))

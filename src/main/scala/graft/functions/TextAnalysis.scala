@@ -21,6 +21,13 @@ object TextAnalysis {
     * matching DuckDB's `string_split`.) */
   def tokens(text: Column): Column = filter(split(text, " "), t => t =!= "")
 
+  /** Lexical-diversity quality score in exact integer ten-thousandths:
+    * (distinct tokens * 10000) div tokens over a token-array column
+    * named `wName` — ONE definition shared by q159's gate and q161's
+    * funnel so the two stages cannot drift. */
+  def lexDiversityScore4(wName: String): Column =
+    expr(s"(cast(size(array_distinct($wName)) as bigint) * 10000) div size($wName)")
+
   /** The deterministic md5 split coin (q70's contract — '0c'/256 ~ 4.7%
     * test, '0c'..'1a' ~ 5.5% val, rest train): ONE definition for every
     * consumer — the split itself (q70), the leakage audit (q138), the

@@ -381,8 +381,7 @@ object Quality {
             graft.functions.TextAnalysis.tokens(col("text")).as("w"))
           .filter(size(col("w")) > 0)
           .select(col("doc_id"), col("source"),
-            expr("(cast(size(array_distinct(w)) as bigint) * 10000) div size(w)")
-              .as("score4"))
+            graft.functions.TextAnalysis.lexDiversityScore4("w").as("score4"))
         val hist = scored.groupBy(col("source"), col("score4"))
           .agg(count(lit(1)).as("cnt"))
         val w = Window.partitionBy(col("source")).orderBy(col("score4"))

@@ -88,7 +88,10 @@ class InvarianceSpec extends SparkSpec {
     // integer score + value-histogram rank cut: exact at any layout
     "q159_percentile_gate",
     // integer jaccard + (jac4, u, v) total-order top-50
-    "q160_node_jaccard")
+    "q160_node_jaccard",
+    // composed funnel: every stage individually layout-free, and the
+    // composition's population boundaries are set by deterministic keys
+    "q161_curation_funnel")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
