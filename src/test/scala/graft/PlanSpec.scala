@@ -111,6 +111,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q158 canonicalization is map-side: one scan, exchanges only for the collapse") {
+    // the canonical key is computed without any shuffle; the only
+    // exchanges belong to the groupBy (two: count-distinct expands the
+    // aggregate into a two-phase plan)
+    val p = plan("q158_url_dedup")
+    assert("FileScan".r.findAllIn(p).size == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q159 thresholds broadcast back; windows run on the score domain") {
+    val p = plan("q159_percentile_gate")
+    // the corpus-side join must be broadcast (thresholds = one row per
+    // source), never a shuffle of the scored corpus
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // two windows (cumulative + per-source total), both over the
+    // (source, score) histogram, not over rows
+    assert(" Window".r.findAllIn(p).size == 2, p)
+  }
+
+  test("q157 LM lookup joins build on the fitted tables, stats broadcast") {
+    val p = plan("q157_bigram_lm")
+    // c12/c1 lookups and the per-source stats join keep the scored batch
+    // on the streaming side — no sort of the batch anywhere at this scale
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q155 salted join stays on the shuffle path and equals the unsalted join") {
     // the hint must hold the merge path (a broadcast join needs no salt
     // — the demo would be vacuous), and salting must change the exchange
