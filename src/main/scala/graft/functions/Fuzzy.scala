@@ -75,28 +75,17 @@ object Fuzzy {
     * interpolated into their oracles — one definition. */
   private val FEED_OFFSET = 1L << 40
 
-  /** Caches created by [[snmPairs]] that are still live — released by
-    * [[snmRelease]]. The frames MUST stay cached until the returned join
-    * is consumed (an action), which the builder never sees, so the
-    * release point is necessarily the caller's: the gate harnesses
-    * clearCache per query, and library callers call [[snmRelease]] after
-    * consuming the frame [[snmMatch]] returns. */
-  private val snmCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  /** Unpersist every leased intermediate (the SNM sorted/ranked frames
+    * among them). The frames MUST stay cached until the returned join is
+    * consumed (an action), which the builder never sees, so the release
+    * point is necessarily the caller's: the gate harnesses clearCache
+    * per query, and library callers call this (= [[graft.Caches.release]])
+    * after consuming the frame [[snmMatch]] returns — without it,
+    * repeated calls accumulate MEMORY_AND_DISK blocks (two ranked + two
+    * sorted frames per [[snmMatch]]). */
+  def snmRelease(): Unit = graft.Caches.release()
 
-  /** Unpersist every cache the SNM machinery is still holding. Call
-    * after the DataFrame returned by [[snmMatch]]/[[snmPairs]] has been
-    * consumed; without it, repeated library calls accumulate
-    * MEMORY_AND_DISK blocks (two ranked + two sorted frames per
-    * [[snmMatch]]). */
-  def snmRelease(): Unit = snmCaches.synchronized {
-    snmCaches.foreach(_.unpersist(false))
-    snmCaches.clear()
-  }
-
-  private def snmRegister(df: DataFrame): DataFrame = {
-    snmCaches.synchronized { snmCaches += df }
-    df.cache()
-  }
+  private def snmRegister(df: DataFrame): DataFrame = graft.Caches.lease(df)
 
   /** One sorted-neighborhood pass (Hernández & Stolfo, "The Merge/Purge
     * Problem for Large Databases", SIGMOD 1995): order records by a sort

@@ -1303,7 +1303,7 @@ object Multimodal {
         // exact-group side is one partial-aggregated groupBy on the
         // 64-bit hash; the near side is the q37-shaped band bucket join —
         // both linear in the corpus.
-        val hashes = imageDhashes(syntheticImageCorpus(s)).cache()
+        val hashes = graft.Caches.lease(imageDhashes(syntheticImageCorpus(s)))
         val ex = hashes.groupBy(col("dhash")).agg(count(lit(1)).as("cnt"))
         val pairs = imageNearDupPairs(hashes, maxHamming = 2)
         // one endpoint stream via explode — a union of two projections
@@ -1376,7 +1376,7 @@ object Multimodal {
         // generate (the q96/q98 incremental discipline), yet the output
         // is the EXACT hamming<=2 match relation restricted to
         // incoming-member pairs, exact dups included.
-        val hashes = imageDhashes(syntheticImageCorpus(s)).cache()
+        val hashes = graft.Caches.lease(imageDhashes(syntheticImageCorpus(s)))
         imageNearDupPairsIncremental(hashes, maxHamming = 2,
           expr("asset_id div 48").isin(3, 6))
       },
@@ -1424,7 +1424,7 @@ object Multimodal {
         // q141. v0..v3 of each fixture group are the same clip at four
         // volumes — byte-different payloads, identical fingerprint: the
         // duplicate class a byte or spectral-exact hash misses.
-        val hashes = audioFingerprints(syntheticAudioCorpus(s)).cache()
+        val hashes = graft.Caches.lease(audioFingerprints(syntheticAudioCorpus(s)))
         val ex = hashes.groupBy(col("dhash")).agg(count(lit(1)).as("cnt"))
         val pairs = imageNearDupPairs(hashes, maxHamming = 2)
         // one endpoint stream via explode — see q141's near block

@@ -981,11 +981,10 @@ object Similarity {
         // generation swapped to the q40 LSH tables — the path that holds
         // when the corpus no longer brute-scans. Label predicate rides
         // the bucket join (pre-distinct, pre-scoring).
-        val e = embeddings(s, d)
+        val e = graft.Caches.lease(embeddings(s, d)
           .select(col("vec_id"),
             VectorOps.asDouble(col("embedding")).as("v"), col("label"))
-          .withColumn("nrm", VectorOps.norm(col("v")))
-          .cache()
+          .withColumn("nrm", VectorOps.norm(col("v"))))
         val p = planesForCorpus(e.count())
         lshHardNegatives(e, p, radiusFor(p), N_QUERIES, K, N_TABLES)
       },

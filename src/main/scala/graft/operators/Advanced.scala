@@ -847,22 +847,22 @@ $body,
         val SUPPORT = 2
         val li = lineitem(s, d).select(col("l_orderkey"),
           col("l_partkey").cast("long").as("p"))
-        // cache BOTH relations: edges is consumed twice (the union's two
-        // branches) and sym three times (degrees + both wedge sides) —
-        // uncached, the lineitem pair-generation stage re-executes six
-        // times (measured: 16 scans / 23 exchanges in the plan). The
-        // thresholded edge set is tiny (true co-purchase signal, not the
-        // pair space), so the cache is a few thousand rows. Harnesses
-        // clearCache per query (the q139 pair-frame convention).
-        val edges = li.select(col("l_orderkey"), col("p").as("u"))
-          .join(li.select(col("l_orderkey"), col("p").as("v")), "l_orderkey")
-          .filter(col("u") < col("v"))
-          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("s"))
-          .filter(col("s") >= SUPPORT)
-          .select(col("u"), col("v"))
-          .cache()
-        val sym = edges.unionAll(
-          edges.select(col("v").as("u"), col("u").as("v"))).cache()
+        // lease-cache BOTH relations: edges is consumed twice (the
+        // union's two branches) and sym three times (degrees + both
+        // wedge sides) — uncached, the lineitem pair-generation stage
+        // re-executes six times (measured: 16 scans / 23 exchanges in
+        // the plan). The thresholded edge set is tiny (true co-purchase
+        // signal, not the pair space). Harnesses clearCache per query;
+        // library callers release via graft.Caches.
+        val edges = graft.Caches.lease(
+          li.select(col("l_orderkey"), col("p").as("u"))
+            .join(li.select(col("l_orderkey"), col("p").as("v")), "l_orderkey")
+            .filter(col("u") < col("v"))
+            .groupBy(col("u"), col("v")).agg(count(lit(1)).as("s"))
+            .filter(col("s") >= SUPPORT)
+            .select(col("u"), col("v")))
+        val sym = graft.Caches.lease(edges.unionAll(
+          edges.select(col("v").as("u"), col("u").as("v"))))
         val deg = sym.groupBy(col("u").as("x")).agg(count(lit(1)).as("d"))
         val common = sym.select(col("u").as("w"), col("v").as("a"))
           .join(sym.select(col("u").as("w"), col("v").as("b")), "w")

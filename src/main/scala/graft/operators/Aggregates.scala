@@ -617,10 +617,9 @@ object Aggregates {
     * counter table. */
   private[graft] def cmFreqReport(docs: org.apache.spark.sql.DataFrame,
       dRows: Int = CM_D, width: Int = CM_W, topN: Int = CM_TOP): org.apache.spark.sql.DataFrame = {
-    val wf = docs
+    val wf = graft.Caches.lease(docs
       .select(explode(graft.functions.TextAnalysis.tokens(col("text"))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("f"))
-      .cache()
+      .groupBy(col("word")).agg(count(lit(1)).as("f")))
     val counters = cmCountersOfFreq(wf, dRows, width)
     val top = wf.orderBy(col("f").desc, col("word")).limit(topN)
     top
