@@ -609,6 +609,27 @@ object StreamingOps {
       }
   }
 
+  /** Streaming twin of q158's URL-canonical crawl dedup: arriving docs
+    * compute their canonical URL MAP-SIDE (the identical
+    * [[graft.functions.Web.canonicalUrl]] expression over the identical
+    * fixture derivation) and fold into a per-canonical-key running
+    * (min survivor, count) aggregation — complete-mode output is, after
+    * any replay order, exactly batch q158's collapse minus the
+    * raw-variant count (distinct aggregation is not available on
+    * streams; StreamingSpec pins the rest row-for-row). State is one
+    * row per DISTINCT canonical URL — the crawl frontier's "seen set",
+    * which is this operator's product intent; re-crawl windows that may
+    * forget bound it with a watermark on event time instead. */
+  def urlDedupStream(docs: Dataset[DocIn]): DataFrame = {
+    import graft.functions.Web
+    docs.toDF()
+      .select(col("doc_id"),
+        Web.canonicalUrl(Web.rawUrl(col("doc_id"), col("source")))
+          .as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("n_docs"))
+  }
+
   /** Stateless streaming twin of q121's hashed-linear quality classifier:
     * the same frozen model ([[graft.functions.TextAnalysis.classifierWeight]])
     * scored ROWWISE — the per-doc bag-of-buckets sum folds over the

@@ -168,6 +168,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/nodes").count() == 14)
   }
 
+  test("streaming URL-canonical dedup matches batch q158 on a replayed corpus") {
+    import graft.streaming.StreamingOps.DocIn
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => DocIn(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), new Timestamp(86400_000L + r.getLong(0) * 1000)))
+      .sortBy(_.doc_id)
+    val in = MemoryStream[DocIn]
+    // complete mode: the final table is the full collapse, independent of
+    // replay order or batch boundaries (min/count are order-free)
+    val q = StreamingOps.urlDedupStream(in.toDS())
+      .writeStream.format("memory").queryName("urldedup")
+      .outputMode("complete").start()
+    try {
+      // split mid-canonical-group on purpose: survivors must still be the
+      // global min, carried by the aggregation state across batches
+      val (b1, b2) = docs.splitAt(docs.length / 2 + 1)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("urldedup")
+      .select(col("canon_url"), col("survivor"), col("n_docs"))
+      .as[(String, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("q158_url_dedup")(spark, SF)
+      .select(col("canon_url"), col("survivor"), col("n_docs"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(stream == batch,
+      s"stream-only: ${stream -- batch}; batch-only: ${batch -- stream}")
+  }
+
   test("streaming MinHash near-dup matches batch q36 on a replayed corpus") {
     import graft.streaming.StreamingOps.{DocIn, DupPair}
     val docs = spark.read.parquet(s"$SF/documents.parquet")
