@@ -419,6 +419,80 @@ object Quality {
         SELECT s.doc_id, s.source, s.score4, t.thr4,
                s.score4 >= t.thr4 AS kept
         FROM scored s JOIN thr t USING (source)"""),
-      "per-source exact-percentile quality gate: map-side scoring + value-histogram rank cut (q137 discipline) + broadcast thresholds")
+      "per-source exact-percentile quality gate: map-side scoring + value-histogram rank cut (q137 discipline) + broadcast thresholds"),
+
+    QueryDef(
+      "q162_token_budget",
+      (s, d) => {
+        // TOKEN-BUDGET selection — the weighted sibling of q159's count
+        // percentile: each source may contribute at most a token budget
+        // (40% of its token mass here; the production knob is the
+        // mixture recipe's per-source allotment), filled best-quality-
+        // first. The cut is a WEIGHTED quantile: the score histogram
+        // carries sum(tokens) per (source, score) cell, the descending
+        // cumulative locates the highest score threshold whose
+        // better-than-it mass still fits the budget, and the WHOLE
+        // threshold bucket admits (overshoot bounded by one histogram
+        // cell — the standard resolution trade, mirrored in the oracle).
+        // Scale shape identical to q137/q159: one partial-agg fold to
+        // the (source, score) domain, windows over score cells (never
+        // rows), thresholds broadcast back to a map-side keep flag.
+        val scored = documents(s, d)
+          .select(col("doc_id"), col("source"),
+            graft.functions.TextAnalysis.tokens(col("text")).as("w"))
+          .filter(size(col("w")) > 0)
+          .select(col("doc_id"), col("source"),
+            size(col("w")).cast("long").as("ntok"),
+            graft.functions.TextAnalysis.lexDiversityScore4("w").as("score4"))
+        val hist = scored.groupBy(col("source"), col("score4"))
+          .agg(sum(col("ntok")).as("tok"))
+        val wdesc = Window.partitionBy(col("source"))
+          .orderBy(col("score4").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist
+          .withColumn("cumtok", sum(col("tok")).over(wdesc))
+          .withColumn("total", sum(col("tok")).over(
+            Window.partitionBy(col("source"))))
+        // budget = 40% of the source's token mass (integer, exact);
+        // threshold = highest score cell at which the running best-first
+        // mass first reaches the budget (every better cell underfills)
+        val thr = cum
+          .filter(col("cumtok") * 10 >= col("total") * 4)
+          .groupBy(col("source"))
+          .agg(max(col("score4")).as("thr4"),
+            max(col("total")).as("total_tok"))
+        scored.join(broadcast(thr), Seq("source"))
+          .filter(col("score4") >= col("thr4"))
+          .groupBy(col("source"), col("thr4"), col("total_tok"))
+          .agg(count(lit(1)).as("n_admitted"),
+            sum(col("ntok")).as("tok_admitted"))
+      },
+      Some("""
+        WITH scored AS (
+          SELECT doc_id, source, len(w)::BIGINT AS ntok,
+                 (len(list_distinct(w)) * 10000) // len(w) AS score4
+          FROM (SELECT doc_id, source,
+                       list_filter(string_split(text, ' '), t -> t <> '') AS w
+                FROM documents)
+          WHERE len(w) > 0),
+        hist AS (
+          SELECT source, score4, sum(ntok) AS tok
+          FROM scored GROUP BY 1, 2),
+        cum AS (
+          SELECT source, score4,
+                 sum(tok) OVER (PARTITION BY source ORDER BY score4 DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumtok,
+                 sum(tok) OVER (PARTITION BY source) AS total
+          FROM hist),
+        thr AS (
+          SELECT source, max(score4) AS thr4, max(total) AS total_tok
+          FROM cum WHERE cumtok * 10 >= total * 4 GROUP BY 1)
+        SELECT s.source, t.thr4, cast(t.total_tok as bigint) AS total_tok,
+               count(*) AS n_admitted,
+               cast(sum(s.ntok) as bigint) AS tok_admitted
+        FROM scored s JOIN thr t USING (source)
+        WHERE s.score4 >= t.thr4
+        GROUP BY 1, 2, 3"""),
+      "token-budget selection: best-quality-first weighted-quantile cut on the (source, score) histogram; whole-bucket admission bounds overshoot at one cell")
   )
 }

@@ -98,7 +98,8 @@ object ScaleBench {
     "q158_url_dedup",          // map-side canonicalization + one collapse groupBy
     "q159_percentile_gate",    // map scoring + score-domain histogram cut
     "q160_node_jaccard",       // support-thresholded wedge self-join
-    "q161_curation_funnel")    // composed dedup->gate->admission funnel
+    "q161_curation_funnel",    // composed dedup->gate->admission funnel
+    "q162_token_budget")       // weighted-quantile token-budget cut
 
   /** Out-of-registry study variants, timed like registry queries when
     * named in the roster args.

@@ -91,7 +91,9 @@ class InvarianceSpec extends SparkSpec {
     "q160_node_jaccard",
     // composed funnel: every stage individually layout-free, and the
     // composition's population boundaries are set by deterministic keys
-    "q161_curation_funnel")
+    "q161_curation_funnel",
+    // weighted-quantile cut: integer token sums over the score domain
+    "q162_token_budget")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
