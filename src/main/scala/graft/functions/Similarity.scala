@@ -1020,6 +1020,72 @@ object Similarity {
           FROM scored)
         SELECT qid, rk, ib, label, cos FROM ranked WHERE rk <= $K
         ORDER BY qid, rk"""),
-      "hard-negative mining on the LSH candidate path: q145 semantics at corpus scale, label filter riding the bucket join")
+      "hard-negative mining on the LSH candidate path: q145 semantics at corpus scale, label filter riding the bucket join"),
+
+    QueryDef(
+      "q164_embedding_drift",
+      (s, d) => {
+        // Embedding-distribution drift monitor — the vector-space
+        // sibling of q111's PSI: per label, the centroid of the BASE
+        // population (vec_id % 10 != 0, the q96/q153 onboarding
+        // convention) vs the INCOMING batch, reported as the cosine
+        // between the two centroids. A centroid swinging away from its
+        // base is the signal that the embedding model or the upstream
+        // content shifted and the LSH/IVF index geometry needs re-fit.
+        //
+        // Exactness discipline: per-dimension embedding values quantize
+        // to integer MILLIS before summing (BIGINT sums — no fp
+        // summation order anywhere; both engines aggregate the same
+        // integers), and the cosine is computed from those exact integer
+        // sums with IEEE ops on identical inputs, rounded to 1e-4.
+        // Millis keep the per-dim squared sums inside int64 to ~1e7
+        // rows-per-label x |v|<=1 (and the dot rides DECIMAL at scale).
+        //
+        // 100 TB shape: ONE posexplode + partial-agg groupBy
+        // (label, population, dim) — 2 x labels x 64 rows out of any
+        // corpus volume — then a tiny pivot join; nothing else touches
+        // the corpus.
+        val e = embeddings(s, d)
+          .select(col("label"),
+            (col("vec_id") % 10 === 0).as("inc"),
+            posexplode(VectorOps.asDouble(col("embedding"))).as(Seq("dim", "v")))
+          .select(col("label"), col("inc"), col("dim"),
+            round(col("v") * 1000).cast("long").as("v3"))
+        val sums = e.groupBy(col("label"), col("inc"), col("dim"))
+          .agg(sum(col("v3")).as("s3"), count(lit(1)).as("n"))
+        val base = sums.filter(!col("inc"))
+          .select(col("label"), col("dim"), col("s3").as("a"), col("n").as("n_base"))
+        val inc = sums.filter(col("inc"))
+          .select(col("label"), col("dim"), col("s3").as("b"), col("n").as("n_inc"))
+        base.join(inc, Seq("label", "dim"))
+          .groupBy(col("label"))
+          .agg(max(col("n_base")).as("n_base"), max(col("n_inc")).as("n_inc"),
+            sum(col("a") * col("b")).as("dot"),
+            sum(col("a") * col("a")).as("na"),
+            sum(col("b") * col("b")).as("nb"))
+          .select(col("label"), col("n_base"), col("n_inc"),
+            round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 4)
+              .as("centroid_cos"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT label, vec_id % 10 = 0 AS inc, i AS dim,
+                 CAST(round(embedding[i + 1] * 1000) AS BIGINT) AS v3
+          FROM (SELECT label, vec_id, embedding,
+                       unnest(range(0, len(embedding))) AS i
+                FROM embeddings)),
+        sums AS (
+          SELECT label, inc, dim, sum(v3) AS s3, count(*) AS n
+          FROM e GROUP BY 1, 2, 3),
+        j AS (
+          SELECT b.label, b.s3 AS a, i.s3 AS b2, b.n AS n_base, i.n AS n_inc
+          FROM (SELECT * FROM sums WHERE NOT inc) b
+          JOIN (SELECT * FROM sums WHERE inc) i
+            ON b.label = i.label AND b.dim = i.dim)
+        SELECT label, max(n_base) AS n_base, max(n_inc) AS n_inc,
+               round(sum(a * b2) / (sqrt(sum(a * a)) * sqrt(sum(b2 * b2))), 4)
+                 AS centroid_cos
+        FROM j GROUP BY 1"""),
+      "embedding-centroid drift monitor: base-vs-incoming per-label centroids from integer-milli sums (one partial-agg pass), cosine between them")
   )
 }

@@ -99,7 +99,9 @@ object ScaleBench {
     "q159_percentile_gate",    // map scoring + score-domain histogram cut
     "q160_node_jaccard",       // support-thresholded wedge self-join
     "q161_curation_funnel",    // composed dedup->gate->admission funnel
-    "q162_token_budget")       // weighted-quantile token-budget cut
+    "q162_token_budget",       // weighted-quantile token-budget cut
+    "q163_length_buckets",     // map-side bucket grid + one groupBy
+    "q164_embedding_drift")    // per-(label,pop,dim) integer sums + pivot
 
   /** Out-of-registry study variants, timed like registry queries when
     * named in the roster args.

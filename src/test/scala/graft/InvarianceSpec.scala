@@ -93,7 +93,11 @@ class InvarianceSpec extends SparkSpec {
     // composition's population boundaries are set by deterministic keys
     "q161_curation_funnel",
     // weighted-quantile cut: integer token sums over the score domain
-    "q162_token_budget")
+    "q162_token_budget",
+    // pure-map bucket resolution + one integer groupBy
+    "q163_length_buckets",
+    // integer-milli centroid sums; cosine from exact integer inputs
+    "q164_embedding_drift")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
