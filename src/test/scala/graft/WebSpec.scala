@@ -48,4 +48,21 @@ class WebSpec extends SparkSpec {
     assert(a == "example.com", a)
     assert(b == "example.com", b)
   }
+
+  test("canonicalization is idempotent over the fixture's variant space") {
+    // every (scheme x www x slash x query x fragment) combination the
+    // q158 fixture plants: canon(canon(u)) must equal canon(u) — the
+    // property that lets a pipeline re-canonicalize defensively
+    val urls = for {
+      sch <- Seq("https://", "HTTP://")
+      host <- Seq("www.Example.com", "EXAMPLE.COM", "sub.example.com")
+      path <- Seq("/docs/7", "/docs/7/", "")
+      q <- Seq("", "?utm_source=feed&b=1&a=2", "?a=2&b=1&utm_campaign=x", "?ref=rss")
+      f <- Seq("", "#sec")
+    } yield s"$sch$host$path$q$f"
+    val once = canon(urls: _*)
+    val twice = canon(once: _*)
+    assert(once == twice,
+      once.zip(twice).filter { case (a, b) => a != b }.take(3).toString)
+  }
 }
