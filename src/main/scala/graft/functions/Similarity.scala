@@ -1045,24 +1045,28 @@ object Similarity {
         // (label, population, dim) — 2 x labels x 64 rows out of any
         // corpus volume — then a tiny pivot join; nothing else touches
         // the corpus.
+        // ONE corpus pass: the base/incoming split pivots inside the
+        // aggregate (conditional sums), so the embeddings scan and the
+        // posexplode run once — no self-join of two filtered branches
+        // (the first cut scanned the table twice; plan-audited out)
         val e = embeddings(s, d)
           .select(col("label"),
             (col("vec_id") % 10 === 0).as("inc"),
             posexplode(VectorOps.asDouble(col("embedding"))).as(Seq("dim", "v")))
           .select(col("label"), col("inc"), col("dim"),
             round(col("v") * 1000).cast("long").as("v3"))
-        val sums = e.groupBy(col("label"), col("inc"), col("dim"))
-          .agg(sum(col("v3")).as("s3"), count(lit(1)).as("n"))
-        val base = sums.filter(!col("inc"))
-          .select(col("label"), col("dim"), col("s3").as("a"), col("n").as("n_base"))
-        val inc = sums.filter(col("inc"))
-          .select(col("label"), col("dim"), col("s3").as("b"), col("n").as("n_inc"))
-        base.join(inc, Seq("label", "dim"))
+        e.groupBy(col("label"), col("dim"))
+          .agg(
+            sum(when(!col("inc"), col("v3")).otherwise(0L)).as("a"),
+            sum(when(col("inc"), col("v3")).otherwise(0L)).as("b"),
+            sum(when(!col("inc"), 1L).otherwise(0L)).as("nb_dim"),
+            sum(when(col("inc"), 1L).otherwise(0L)).as("ni_dim"))
           .groupBy(col("label"))
-          .agg(max(col("n_base")).as("n_base"), max(col("n_inc")).as("n_inc"),
+          .agg(max(col("nb_dim")).as("n_base"), max(col("ni_dim")).as("n_inc"),
             sum(col("a") * col("b")).as("dot"),
             sum(col("a") * col("a")).as("na"),
             sum(col("b") * col("b")).as("nb"))
+          .filter(col("n_base") > 0 && col("n_inc") > 0)
           .select(col("label"), col("n_base"), col("n_inc"),
             round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 4)
               .as("centroid_cos"))
@@ -1075,17 +1079,19 @@ object Similarity {
                        unnest(range(0, len(embedding))) AS i
                 FROM embeddings)),
         sums AS (
-          SELECT label, inc, dim, sum(v3) AS s3, count(*) AS n
-          FROM e GROUP BY 1, 2, 3),
-        j AS (
-          SELECT b.label, b.s3 AS a, i.s3 AS b2, b.n AS n_base, i.n AS n_inc
-          FROM (SELECT * FROM sums WHERE NOT inc) b
-          JOIN (SELECT * FROM sums WHERE inc) i
-            ON b.label = i.label AND b.dim = i.dim)
-        SELECT label, max(n_base) AS n_base, max(n_inc) AS n_inc,
-               round(sum(a * b2) / (sqrt(sum(a * a)) * sqrt(sum(b2 * b2))), 4)
+          SELECT label, dim,
+                 sum(CASE WHEN NOT inc THEN v3 ELSE 0 END) AS a,
+                 sum(CASE WHEN inc THEN v3 ELSE 0 END) AS b,
+                 sum(CASE WHEN NOT inc THEN 1 ELSE 0 END) AS nb_dim,
+                 sum(CASE WHEN inc THEN 1 ELSE 0 END) AS ni_dim
+          FROM e GROUP BY 1, 2)
+        SELECT label,
+               cast(max(nb_dim) as bigint) AS n_base,
+               cast(max(ni_dim) as bigint) AS n_inc,
+               round(sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))), 4)
                  AS centroid_cos
-        FROM j GROUP BY 1"""),
+        FROM sums GROUP BY 1
+        HAVING max(nb_dim) > 0 AND max(ni_dim) > 0"""),
       "embedding-centroid drift monitor: base-vs-incoming per-label centroids from integer-milli sums (one partial-agg pass), cosine between them")
   )
 }

@@ -151,15 +151,22 @@ object Web {
         val canon = docs
           .withColumn("canon_url",
             canonicalUrl(rawUrl(col("doc_id"), col("source"))))
-        val survivorIds = canon.groupBy(col("canon_url"))
+        // lease-cache the SMALL frames every downstream stage re-derives:
+        // survivor ids (one row per canonical group, no token arrays) and
+        // the scored survivors (the population three stages consume) —
+        // uncached, the funnel re-executed the documents scan + tokenize
+        // subtree 15x (measured in the plan); leased, the corpus subtree
+        // runs once per population. Harnesses clearCache per query;
+        // library callers release via graft.Caches.
+        val survivorIds = graft.Caches.lease(canon.groupBy(col("canon_url"))
           .agg(min(col("doc_id")).as("doc_id"))
-          .select(col("doc_id"))
+          .select(col("doc_id")))
         val survivors = docs
           .join(survivorIds, Seq("doc_id"), "left_semi")
-        val scored = survivors
+        val scored = graft.Caches.lease(survivors
           .filter(size(col("w")) > 0)
           .select(col("doc_id"), col("source"), col("w"),
-            TextAnalysis.lexDiversityScore4("w").as("score4"))
+            TextAnalysis.lexDiversityScore4("w").as("score4")))
         val hist = scored.groupBy(col("source"), col("score4"))
           .agg(count(lit(1)).as("cnt"))
         val wsp = Window.partitionBy(col("source")).orderBy(col("score4"))
