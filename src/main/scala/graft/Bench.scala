@@ -40,11 +40,18 @@ object Bench {
     // run — so the driver regression-checks throughput at file sizes
     // where one-time costs do and don't amortize. Synthetic inputs are
     // cached on disk across rounds. A failure records null, not a crash.
-    // min-of-2 like the query timings: at driver loadavg ~21 a single
-    // pass recorded 11.7 MB/s on UNTOUCHED code (r9), reading as a 2x
-    // baseline breach until a quiet-host judge re-run; the best of two
-    // passes is the least co-tenant-contaminated observation. Per-leg
-    // seconds go to stderr so the artifact line stays under the 2 KB tail.
+    // min-of-2 like the query timings (since r10) — at driver loadavg ~21
+    // a single pass recorded 11.7 MB/s on UNTOUCHED code (r9), reading as
+    // a 2x baseline breach until a quiet-host judge re-run; the best of
+    // two passes is the least co-tenant-contaminated observation. Since
+    // r15 the legs also take the queries' third-pass rule (passes
+    // disagreeing >1.5x buy one more — r14's artifact 1 GB leg read 17.7
+    // MB/s min-of-2 under co-tenancy, the first sub-baseline artifact
+    // reading ever, on a binary whose quiet band was 97.8-179.3) AND
+    // record every pass in bench-detail.json: stderr-only pass records
+    // left the artifact looking single-pass to its readers. The artifact
+    // line itself stays min-only, under the 2 KB tail.
+    val legPasses = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
     def gedcomLeg(label: String, path: String, targetBytes: Long): Option[Double] =
       try {
         val f = new java.io.File(path)
@@ -67,9 +74,13 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         val (s1, s2) = (pass(), pass())
+        val passes =
+          if (math.max(s1, s2) > 1.5 * math.min(s1, s2)) Vector(s1, s2, pass())
+          else Vector(s1, s2)
+        legPasses(s"gedcom_$label") = passes
         System.err.println(
-          f"[bench] gedcom $label legs: $s1%.1fs / $s2%.1fs (min taken)")
-        Some(size / 1e6 / math.min(s1, s2))
+          f"[bench] gedcom $label legs: ${passes.map(t => f"$t%.1fs").mkString(" / ")} (min taken)")
+        Some(size / 1e6 / passes.min)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] gedcom $label throughput FAILED: ${e.getMessage}")
@@ -98,6 +109,7 @@ object Bench {
         SparkEntry.queries(qn)(spark, sfDir).write
           .format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
+        graft.Caches.release()
       } catch {
         // keep warming on failure, but NEVER silently: a renamed warm-up
         // query would otherwise disable this block and resurrect the
@@ -121,8 +133,12 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       // queries that cache intermediates (token relations, LSH codes) must
       // not leave them resident: later queries would run under their memory
-      // pressure and a second pass would measure a half-warm hybrid
+      // pressure and a second pass would measure a half-warm hybrid.
+      // Caches.release() drops the lease registry's DataFrame references
+      // too — clearCache alone frees the blocks but leaves the driver-side
+      // plan objects accumulating across a 160-query x 2-pass run.
       spark.catalog.clearCache()
+      graft.Caches.release()
       sec
     }
     // every individual pass, in order, per query — the forensic record
@@ -175,9 +191,14 @@ object Bench {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, json + "\n")
+      // the GEDCOM legs join the detail file as `gedcom_150m`/`gedcom_1g`
+      // pseudo-queries (best + per-pass SECONDS; the stdout line carries
+      // the derived MB/s) so artifact readers can see the legs' pass
+      // structure without the stderr log
+      val legResults = legPasses.toSeq.map { case (k, ps) => k -> ps.min }
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/bench-detail.json"),
-        renderDetailJson(results, passLog.toMap) + "\n")
+        renderDetailJson(legResults ++ results, legPasses.toMap ++ passLog.toMap) + "\n")
     } catch {
       case e: java.io.IOException =>
         System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")

@@ -20,9 +20,17 @@ object Caches {
     df.cache()
   }
 
-  /** Unpersist every leased frame (non-blocking) and forget them. */
+  /** Unpersist every leased frame (non-blocking) and forget them.
+    * Idempotent: unpersisting an already-cleared frame (the gate
+    * harnesses also call `spark.catalog.clearCache()`) is a no-op, so
+    * calling release after clearCache is safe and keeps the registry
+    * from growing across a multi-hundred-query harness run. */
   def release(): Unit = synchronized {
     live.foreach(_.unpersist(false))
     live.clear()
   }
+
+  /** Number of currently-leased frames — observability for specs and
+    * harness leak checks, not a public API. */
+  private[graft] def liveCount: Int = synchronized(live.size)
 }

@@ -26,7 +26,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally spark.catalog.clearCache() // no cross-query cache residue
+      } finally {
+        spark.catalog.clearCache() // no cross-query cache residue
+        graft.Caches.release() // and no lease-registry reference growth
+      }
     }
     // oracle-support tables (trained codebooks): always dumped — cheap
     // (bounded by codebook size, never the corpus) and the codebook

@@ -454,7 +454,7 @@ object Dedup {
     */
   def minhashPairsFromSigs(sigsIn: DataFrame, scope: Seq[String],
       threshold: Double, scopeBound: => Option[Long] = None): DataFrame = {
-    val sigs = sigsIn.cache()
+    val sigs = graft.Caches.lease(sigsIn)
     val banded = sigs.select(
       (col("doc_id") +: scope.map(col)) :+
         explode(minhashBandStructs(col("sig"))).as("bk"): _*)
@@ -495,7 +495,7 @@ object Dedup {
     * its candidate count is unbounded in token df. DedupSpec pins that the
     * prefix-filtered variant is row-identical on a stopword-bombed corpus. */
   def jaccardPairsExact(toksIn: DataFrame, t: Double): DataFrame = {
-    val toks = toksIn.cache() // three consumers; don't re-tokenize per branch
+    val toks = graft.Caches.lease(toksIn) // three consumers; don't re-tokenize per branch
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = toks.select(col("lang"), col("source"), col("word"), col("doc_id").as("ia"))
     val b = toks.select(col("lang"), col("source"), col("word"), col("doc_id").as("ib"))
@@ -568,10 +568,9 @@ object Dedup {
     * (same split as [[jaccardPairsPrefixUnordered]] under q68). */
   def embeddingPairsLshUnordered(s: SparkSession, d: String,
       targetBucket: Long = 32, radius: Int = 3, nTables: Int = 2): DataFrame = {
-    val e = embeddings(s, d).select(
+    val e = graft.Caches.lease(embeddings(s, d).select(
       col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", VectorOps.norm(col("v")))
-      .cache()
+      .withColumn("nrm", VectorOps.norm(col("v"))))
     val n = e.count()
     val p = Similarity.planesForCorpus(n, targetBucket)
     // ring cap: at tested scales this IS `radius`; at extreme p it shrinks
@@ -693,7 +692,7 @@ object Dedup {
       clusterTarget: Long = SEMDEDUP_CLUSTER): CellIndex = {
     val s = e.sparkSession
     import s.implicits._
-    val ec = e.cache()
+    val ec = graft.Caches.lease(e)
     val n = ec.count()
     val c = semdedupCells(n, clusterTarget)
     val cents = Similarity.trainCentroids(ec, c, Similarity.LLOYD_ROUNDS)
@@ -764,10 +763,9 @@ object Dedup {
   def embeddingPairsLshIncremental(s: SparkSession, d: String,
       isIncoming: Column => Column, targetBucket: Long = 32,
       radius: Int = 3, nTables: Int = 2): DataFrame = {
-    val e = embeddings(s, d).select(
+    val e = graft.Caches.lease(embeddings(s, d).select(
       col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", VectorOps.norm(col("v")))
-      .cache()
+      .withColumn("nrm", VectorOps.norm(col("v"))))
     val p = Similarity.planesForCorpus(e.count(), targetBucket)
     probeLshIndex(lshCodeIndex(e, p, nTables),
         e.filter(isIncoming(col("vec_id"))), p, radius, nTables)
@@ -867,7 +865,7 @@ object Dedup {
   /** The pair relation without the presentation sort — consumers that
     * re-shuffle anyway (q68's closure) must not pay a global order. */
   def jaccardPairsPrefixUnordered(toksIn: DataFrame, t: Double): DataFrame = {
-    val docs = docPrefixArrays(toksIn, t).cache() // candidates + both verify sides
+    val docs = graft.Caches.lease(docPrefixArrays(toksIn, t)) // candidates + both verify sides
     // no standalone distinct: a pair arrives once per shared prefix token
     // and verifyPairs dedups inside its own first exchange
     val cand = prefixSide(docs, "ia").join(prefixSide(docs, "ib"), Seq("wk"))
@@ -887,7 +885,7 @@ object Dedup {
     * arrays, linear in the corpus, never its pair space. */
   def jaccardPairsIncremental(toksIn: DataFrame, t: Double,
       isIncoming: Column => Column): DataFrame = {
-    val docs = docPrefixArrays(toksIn, t).cache()
+    val docs = graft.Caches.lease(docPrefixArrays(toksIn, t))
     val cand = prefixSide(docs.filter(isIncoming(col("doc_id"))), "q")
       .join(prefixSide(docs, "c"), Seq("wk"))
       .filter(col("q") =!= col("c"))
@@ -1120,7 +1118,7 @@ object Dedup {
         // whose members were only found when their flips spared a chunk —
         // silent partial recall; exactness is worth the stricter,
         // standard threshold.)
-        val sh = simhash(s, d).cache()
+        val sh = graft.Caches.lease(simhash(s, d))
         val chunked = sh.select(
           col("doc_id"), col("simhash"),
           explode(array((0 until 4).map(c =>
@@ -1208,8 +1206,9 @@ object Dedup {
         // cache the pair frame: connectedComponents consumes it twice
         // (the pinned edge set AND the vertex list) — without the cache
         // the whole prefix-join pipeline would execute twice
-        val pairs = jaccardPairsPrefixUnordered(docTokens(s, d), 0.8)
-          .select(col("ia").as("src"), col("ib").as("dst")).cache()
+        val pairs = graft.Caches.lease(
+          jaccardPairsPrefixUnordered(docTokens(s, d), 0.8)
+            .select(col("ia").as("src"), col("ib").as("dst")))
         graft.operators.IterativeGraph.connectedComponents(pairs)
           .select(col("xref").as("doc_id"), col("component").as("survivor"),
             (col("xref") =!= col("component")).as("is_dup"))
@@ -1280,8 +1279,9 @@ object Dedup {
         // self). Pairs come from the skew-proof prefix join; the closure
         // is the same large/small-star CC as q68. cache the pair frame:
         // CC consumes it twice (edges AND the vertex list).
-        val pairs = jaccardPairsPrefixUnordered(docTokens(s, d), 0.8)
-          .select(col("ia").as("src"), col("ib").as("dst")).cache()
+        val pairs = graft.Caches.lease(
+          jaccardPairsPrefixUnordered(docTokens(s, d), 0.8)
+            .select(col("ia").as("src"), col("ib").as("dst")))
         val cc = graft.operators.IterativeGraph.connectedComponents(pairs)
           .select(col("xref").as("doc_id"), col("component").as("surv"))
         documents(s, d).select(col("doc_id"))
@@ -1342,8 +1342,8 @@ object Dedup {
         // at sf0.1 where a missed pair can split a cluster — measured in
         // DedupSpec against the exact closure). cache the pair frame: CC
         // consumes it twice (edges AND the vertex list).
-        val pairs = embeddingPairsLshUnordered(s, d)
-          .select(col("ia").as("src"), col("ib").as("dst")).cache()
+        val pairs = graft.Caches.lease(embeddingPairsLshUnordered(s, d)
+          .select(col("ia").as("src"), col("ib").as("dst")))
         graft.operators.IterativeGraph.connectedComponents(pairs)
           .select(col("xref").as("vec_id"), col("component").as("survivor"),
             (col("xref") =!= col("component")).as("is_dup"))
@@ -1489,10 +1489,9 @@ object Dedup {
     // home cell (first probe) labels the output; the full probe list only
     // feeds candidate generation. Shuffle carries (cid, id) probes — the
     // vectors join back by id for exact verification, IVF-style.
-    val idx = e.withColumn("probes",
+    val idx = graft.Caches.lease(e.withColumn("probes",
         Similarity.topProbeCids(col("v"), cents, p))
-      .withColumn("cid", element_at(col("probes"), 1))
-      .cache()
+      .withColumn("cid", element_at(col("probes"), 1)))
     val probed = idx.select(col("vec_id"), explode(col("probes")).as("pc"))
     // a pair may share several probed cells; dedup ("verify once") is
     // fused into the ia-side verify join's aggregation ([[dedupFused]])

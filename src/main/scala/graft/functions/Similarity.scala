@@ -746,7 +746,7 @@ object Similarity {
         // N instead of capping at a compile-time constant; N_TABLES
         // independent tables buy the recall a single code can't reach at
         // top-k granularity (measured in COVERAGE.md).
-        val e = prepared(s, d).cache()
+        val e = graft.Caches.lease(prepared(s, d))
         val p = planesForCorpus(e.count())
         lshTopK(e, p, radiusFor(p), N_QUERIES, K, N_TABLES)
       },
@@ -789,7 +789,7 @@ object Similarity {
         // IVF ANN: a k-means codebook partitions the corpus into inverted
         // lists; codebook size follows sqrt(N) and nprobe log2(C), so probe
         // cost per query stays ~log(N) * sqrt(N) as the corpus grows.
-        val e = prepared(s, d).cache()
+        val e = graft.Caches.lease(prepared(s, d))
         val c = centroidsForCorpus(e.count())
         val cents = trainCentroids(e, c, LLOYD_ROUNDS)
         ivfTopK(e, cents, nprobeFor(c), N_QUERIES, K)
@@ -840,7 +840,7 @@ object Similarity {
         // The cache must outlive the returned lazy frame (trainer
         // consumers + the scan); the RUNNER releases it after consuming
         // (Bench/Verify clearCache per query).
-        val e = prepared(s, d).cache()
+        val e = graft.Caches.lease(prepared(s, d))
         val n = e.count()
         val c = centroidsForCorpus(n)
         val cents = trainCentroids(e, c, LLOYD_ROUNDS)
@@ -1038,8 +1038,13 @@ object Similarity {
         // summation order anywhere; both engines aggregate the same
         // integers), and the cosine is computed from those exact integer
         // sums with IEEE ops on identical inputs, rounded to 1e-4.
-        // Millis keep the per-dim squared sums inside int64 to ~1e7
-        // rows-per-label x |v|<=1 (and the dot rides DECIMAL at scale).
+        // Millis keep the per-dim sums inside int64 to ~9e15 rows per
+        // label (|v3| <= 1000); the dot/norm PRODUCTS of those sums are
+        // computed in DECIMAL(38,0) — a per-dim sum near 1e10 (the ~1e7
+        // rows-per-label regime) squares to ~1e20, past int64, and a
+        // silent long wrap here would corrupt centroid_cos without
+        // error while DuckDB's HUGEINT sums sail on. DECIMAL keeps both
+        // engines exact to 38 digits (~1e12 rows per label).
         //
         // 100 TB shape: ONE posexplode + partial-agg groupBy
         // (label, population, dim) — 2 x labels x 64 rows out of any
@@ -1063,9 +1068,9 @@ object Similarity {
             sum(when(col("inc"), 1L).otherwise(0L)).as("ni_dim"))
           .groupBy(col("label"))
           .agg(max(col("nb_dim")).as("n_base"), max(col("ni_dim")).as("n_inc"),
-            sum(col("a") * col("b")).as("dot"),
-            sum(col("a") * col("a")).as("na"),
-            sum(col("b") * col("b")).as("nb"))
+            sum(col("a").cast("decimal(19,0)") * col("b").cast("decimal(19,0)")).as("dot"),
+            sum(col("a").cast("decimal(19,0)") * col("a").cast("decimal(19,0)")).as("na"),
+            sum(col("b").cast("decimal(19,0)") * col("b").cast("decimal(19,0)")).as("nb"))
           .filter(col("n_base") > 0 && col("n_inc") > 0)
           .select(col("label"), col("n_base"), col("n_inc"),
             round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 4)

@@ -396,7 +396,7 @@ object TextAnalysis {
         // comparisons cost more than the combined shuffle saves on a
         // single node. Pick the row-wise twin when the network, not CPU,
         // is the binding constraint.
-        val toks = repetitionTokens(documents(s, d)).cache()
+        val toks = graft.Caches.lease(repetitionTokens(documents(s, d)))
         val wstats = toks.select(col("doc_id"), explode(col("toks")).as("w"))
           .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id"))
@@ -728,9 +728,8 @@ object TextAnalysis {
         // in the plan. cache: the token relation feeds the bucket-sum
         // spine AND the offset join-back.
         val BUDGET = 2000L
-        val toks = documents(s, d)
-          .select(col("doc_id"), size(tokens(col("text"))).as("t"))
-          .cache()
+        val toks = graft.Caches.lease(documents(s, d)
+          .select(col("doc_id"), size(tokens(col("text"))).as("t")))
         exclusiveRunningSum(toks, "doc_id", "t", "start")
           .withColumn("shard", expr(s"start div $BUDGET"))
           .groupBy(col("shard"))
@@ -894,10 +893,9 @@ object TextAnalysis {
         // over duplicated gram starts — inside the row. A doc with no
         // duplicated spans passes through byte-identical.
         val n = 5
-        val toks = documents(s, d)
+        val toks = graft.Caches.lease(documents(s, d)
           .select(col("doc_id"), tokens(col("text")).as("w"))
-          .filter(size(col("w")) >= n)
-          .cache() // grams source + the final rewrite join re-read it
+          .filter(size(col("w")) >= n)) // grams source + the final rewrite join re-read it
         val grams = toks.select(col("doc_id"),
           posexplode(transform(sequence(lit(0), size(col("w")) - n), i =>
             concat_ws(" ", (0 until n).map(j =>
@@ -998,7 +996,7 @@ object TextAnalysis {
         // stream. cache: the curated token relation feeds the bucket-sum
         // spine AND the offset join-back — without it the dedup window
         // and gates would execute twice.
-        exclusiveRunningSum(train.cache(), "doc_id", "t", "start")
+        exclusiveRunningSum(graft.Caches.lease(train), "doc_id", "t", "start")
           .withColumn("shard", expr(s"start div $BUDGET"))
           .groupBy(col("shard"))
           .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"),
@@ -1364,9 +1362,8 @@ object TextAnalysis {
         // weight: the count of preceding rows IS the 0-based ordinal,
         // computed as the log-depth bucket recursion in which no window
         // partition exceeds ~PACK_FANOUT rows at any corpus size.
-        val ids = documents(s, d)
-          .select(col("doc_id"), lit(1L).as("one"))
-          .cache()
+        val ids = graft.Caches.lease(documents(s, d)
+          .select(col("doc_id"), lit(1L).as("one")))
         exclusiveRunningSum(ids, "doc_id", "one", "ord")
           .select(col("doc_id"), (col("ord") + 1L).as("ordinal"))
       },
@@ -1581,7 +1578,112 @@ object TextAnalysis {
           FROM documents)
         SELECT lang, source, doc_id FROM ranked
         WHERE rn <= greatest(1, n // 10)"""),
-      "exact proportional stratified sample (per-stratum quota rides into a k-capped aggregator; no stratum windows)")
+      "exact proportional stratified sample (per-stratum quota rides into a k-capped aggregator; no stratum windows)"),
+
+    QueryDef(
+      "q165_substring_dedup",
+      (s, d) => {
+        // Exact substring-level dedup (Lee et al. 2022, "Deduplicating
+        // Training Data Makes Language Models Better" — the ExactSubstr
+        // operator, the suffix-array companion to MinHash in production
+        // corpus dedup): find every MAXIMAL token span whose content
+        // occurs at more than one site in the corpus and report the
+        // per-doc removal extents. Two deliberate deltas from q91 (which
+        // excises cross-doc duplicated positions): duplication here is
+        // SITE-level — a substring repeated twice inside one document is
+        // a duplicate too, exactly Lee et al.'s criterion — and adjacent
+        // or overlapping duplicated grams MERGE into maximal extents
+        // (the "duplicated substring itself"), not a position set.
+        //
+        // A distributed suffix array is the paper's in-memory tool, not
+        // its semantics; the semantics — every token covered by an
+        // n-gram occurring >= 2 times anywhere — reduce to the sorted
+        // n-gram-run shape q77 already proved out: ONE linear gram
+        // stream, a partial-aggregated site-frequency groupBy on the
+        // gram domain (a boilerplate gram at a million sites is one row
+        // after map-side combine), an equi join back, and per-doc
+        // window/agg passes whose partitions are bounded by document
+        // length. No pair space, no driver state: the 100 TB plan.
+        //
+        // Extent merge: duplicated start positions p, q (p < q) have
+        // overlapping-or-adjacent covers [p, p+n-1], [q, q+n-1] iff
+        // q - p <= n, so runs split where the gap exceeds n; within a
+        // run the union is contiguous ([s0, e0]), across runs disjoint
+        // and non-adjacent — summing per-run lengths IS the exact
+        // removed-token count.
+        import org.apache.spark.sql.expressions.Window
+        val n = 5
+        val toks = documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .filter(size(col("w")) >= n)
+        val sites = toks.select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"),
+          posexplode(transform(sequence(lit(0), size(col("w")) - n), i =>
+            concat_ws(" ", (0 until n).map(j =>
+              element_at(col("w"), i + j + 1)): _*))).as(Seq("pos", "g")))
+        // site frequency (not doc frequency): count(*) over ALL (doc,pos)
+        // sites — the >= 2 occurrences test is what makes an intra-doc
+        // repeat a duplicate, per the paper
+        val dupG = sites.groupBy(col("g")).agg(count(lit(1)).as("sdf"))
+          .filter(col("sdf") > 1)
+          .select(col("g"))
+        val w1 = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val runs = sites.join(dupG, Seq("g"))
+          .select(col("doc_id"), col("n_tokens"), col("pos"))
+          .withColumn("brk",
+            when(col("pos") - lag(col("pos"), 1).over(w1) <= n, 0L)
+              .otherwise(1L)) // first row: null gap -> new run
+          .withColumn("run", sum(col("brk")).over(w1))
+          .groupBy(col("doc_id"), col("n_tokens"), col("run"))
+          .agg(min(col("pos")).as("s0"),
+            (max(col("pos")) + lit(n - 1)).as("e0"))
+        runs.groupBy(col("doc_id"), col("n_tokens"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("e0") - col("s0") + 1).as("dup_tokens"),
+            max(col("e0") - col("s0") + 1).cast("long").as("max_span"),
+            min(col("s0")).cast("long").as("first_start"))
+          .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+            col("dup_tokens"), col("max_span"), col("first_start"),
+            round(col("dup_tokens") * lit(1.0) / col("n_tokens"), 4)
+              .as("dup_frac"))
+        // unordered output: the gate sorts rows itself
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, $SQL_TOKENS AS w FROM documents),
+        docs AS (
+          SELECT doc_id, len(w)::BIGINT AS n_tokens, w
+          FROM toks WHERE len(w) >= 5),
+        sites AS (
+          SELECT doc_id, n_tokens, i - 1 AS pos,
+                 array_to_string(w[i:i+4], ' ') AS g
+          FROM docs, unnest(range(1, len(w) - 3)) AS t(i)),
+        dup AS (
+          SELECT g FROM (SELECT g, count(*) AS sdf FROM sites GROUP BY 1)
+          WHERE sdf > 1),
+        flag AS (
+          SELECT doc_id, n_tokens, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+                      THEN 0 ELSE 1 END AS brk
+          FROM sites JOIN dup USING (g)),
+        runs AS (
+          SELECT doc_id, n_tokens, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM flag),
+        spans AS (
+          SELECT doc_id, n_tokens, run,
+                 min(pos) AS s0, max(pos) + 4 AS e0
+          FROM runs GROUP BY 1, 2, 3)
+        SELECT doc_id, n_tokens,
+               count(*) AS n_spans,
+               cast(sum(e0 - s0 + 1) as bigint) AS dup_tokens,
+               cast(max(e0 - s0 + 1) as bigint) AS max_span,
+               cast(min(s0) as bigint) AS first_start,
+               round(sum(e0 - s0 + 1) * 1.0 / n_tokens, 4) AS dup_frac
+        FROM spans GROUP BY 1, 2
+        ORDER BY 1"""),
+      "exact substring dedup (Lee et al. ExactSubstr): site-frequency duplicated n-grams merged into maximal per-doc removal extents")
   )
 
   /** (doc_id, toks, bigs) frame shared by both q69 implementations. */

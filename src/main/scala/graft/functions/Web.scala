@@ -157,7 +157,11 @@ object Web {
         // uncached, the funnel re-executed the documents scan + tokenize
         // subtree 15x (measured in the plan); leased, the corpus subtree
         // runs once per population. Harnesses clearCache per query;
-        // library callers release via graft.Caches.
+        // library callers release via graft.Caches. The scored cache
+        // carries ntok, NOT the token arrays: every downstream consumer
+        // reads only size(w), so caching w would hold roughly the whole
+        // corpus token mass resident for a funnel that needs one long
+        // per doc (the r14 verdict's cache-narrowing directive).
         val survivorIds = graft.Caches.lease(canon.groupBy(col("canon_url"))
           .agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id")))
@@ -165,7 +169,8 @@ object Web {
           .join(survivorIds, Seq("doc_id"), "left_semi")
         val scored = graft.Caches.lease(survivors
           .filter(size(col("w")) > 0)
-          .select(col("doc_id"), col("source"), col("w"),
+          .select(col("doc_id"), col("source"),
+            size(col("w")).cast("long").as("ntok"),
             TextAnalysis.lexDiversityScore4("w").as("score4")))
         val hist = scored.groupBy(col("source"), col("score4"))
           .agg(count(lit(1)).as("cnt"))
@@ -179,7 +184,7 @@ object Web {
           .groupBy(col("source")).agg(min(col("score4")).as("thr4"))
         val gated = scored.join(broadcast(thr), Seq("source"))
           .filter(col("score4") >= col("thr4"))
-          .select(col("doc_id"), col("source"), col("w"))
+          .select(col("doc_id"), col("source"), col("ntok"))
         val admit = gated
           .join(broadcast(Mixture.admissionThresholds(gated)
             .select(col("source"), col("k"))), Seq("source"))
@@ -191,8 +196,7 @@ object Web {
         val funnel = admit.groupBy(col("source"))
           .agg(count(lit(1)).as("n_gated"),
             sum(when(col("kept"), 1L).otherwise(0L)).as("n_admitted"),
-            sum(when(col("kept"), size(col("w")).cast("long"))
-              .otherwise(0L)).as("tok_admitted"))
+            sum(when(col("kept"), col("ntok")).otherwise(0L)).as("tok_admitted"))
         raw.join(surv, Seq("source")).join(funnel, Seq("source"))
       },
       Some("""

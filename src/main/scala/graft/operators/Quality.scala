@@ -122,8 +122,9 @@ object Quality {
     // one-row stats frame, cached: it feeds BOTH the broadcast into the
     // bucketing pass and the k-row spine, and without the cache each use
     // would be its own full scan of base
-    val stats = base.agg(min(col("c")).as("lo"), max(col("c")).as("hi"),
-      count(lit(1)).as("n1")).cache()
+    val stats = graft.Caches.lease(
+      base.agg(min(col("c")).as("lo"), max(col("c")).as("hi"),
+        count(lit(1)).as("n1")))
     // ONE tagged pass histograms both cohorts together (base is scanned
     // twice in total — once for its range stats, once here — and curr
     // once; a naive per-side histogram would pay four full scans)

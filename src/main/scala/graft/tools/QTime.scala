@@ -34,6 +34,7 @@ object QTime {
         q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val s = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        graft.Caches.release() // drop lease-registry references too
         s
       }
       println(f"$name%-28s ${times.map(t => f"$t%6.2f").mkString(" ")}  min=${times.min}%6.2f s")

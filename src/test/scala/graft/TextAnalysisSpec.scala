@@ -479,4 +479,30 @@ class TextAnalysisSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.lit(4)) === 3).count() > 0)
   }
+
+  test("q165 exact substring dedup: maximal extents, intra-doc repeats count") {
+    val dir = java.nio.file.Files.createTempDirectory("ssdocs").toString
+    // A/B share an 8-token run (cross-doc dup: 4 dup'd 5-gram starts in A,
+    // merged into ONE maximal extent of 8 tokens); C repeats a 5-token run
+    // INSIDE itself (site-frequency criterion — q91's cross-doc test would
+    // miss it) at gap > n, so two disjoint extents; D is unique.
+    Seq(
+      (0L, "dup1 dup2 dup3 dup4 dup5 dup6 dup7 dup8 ua1 ua2 ua3"),
+      (1L, "ub1 ub2 dup1 dup2 dup3 dup4 dup5 dup6 dup7 dup8 ub3"),
+      (2L, "x1 x2 x3 x4 x5 f1 f2 f3 f4 f5 f6 x1 x2 x3 x4 x5"),
+      (3L, "z1 z2 z3 z4 z5 z6"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q165_substring_dedup")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    assert(got.keySet == Set(0L, 1L, 2L), s"unique doc must be absent: $got")
+    // (n_tokens, n_spans, dup_tokens, max_span, first_start, dup_frac)
+    assert(got(0L) == ((11L, 1L, 8L, 8L, 0L, 0.7273)), got(0L).toString)
+    assert(got(1L) == ((11L, 1L, 8L, 8L, 2L, 0.7273)), got(1L).toString)
+    assert(got(2L) == ((16L, 2L, 10L, 5L, 0L, 0.625)), got(2L).toString)
+  }
 }
