@@ -1683,7 +1683,71 @@ object TextAnalysis {
                round(sum(e0 - s0 + 1) * 1.0 / n_tokens, 4) AS dup_frac
         FROM spans GROUP BY 1, 2
         ORDER BY 1"""),
-      "exact substring dedup (Lee et al. ExactSubstr): site-frequency duplicated n-grams merged into maximal per-doc removal extents")
+      "exact substring dedup (Lee et al. ExactSubstr): site-frequency duplicated n-grams merged into maximal per-doc removal extents"),
+
+    QueryDef(
+      "q166_decontamination",
+      (s, d) => {
+        // Benchmark-contamination check (Brown et al. 2020 Appendix C,
+        // the GPT-3 n-gram decontamination; Dodge et al. 2021 for C4):
+        // flag every TRAINING document that shares an n-gram with the
+        // EVAL set — the substring-level companion to q138, which audits
+        // whole-doc near-dup pairs across splits and therefore misses
+        // partial inclusion (a benchmark item quoted inside a long
+        // training doc never reaches Jaccard 0.8; one shared n-gram
+        // flags it here). Eval set = doc_id % 10 == 0, the corpus's
+        // standing onboarding slice.
+        //
+        // 100 TB shape: both sides reduce to the gram domain first —
+        // the eval side to DISTINCT grams (at production scale a
+        // benchmark suite is ~1e6 grams, a broadcast; here it is a
+        // corpus slice, so the join stays a partial-agg'd gram-domain
+        // equi join either way), the train side to per-doc distinct
+        // grams (array_distinct in-row). One join, one groupBy; no
+        // pair space, nothing driver-side.
+        val n = 5
+        val grams = documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .filter(size(col("w")) >= n)
+          .select(col("doc_id"),
+            explode(array_distinct(
+              transform(sequence(lit(0), size(col("w")) - n), i =>
+                concat_ws(" ", (0 until n).map(j =>
+                  element_at(col("w"), i + j + 1)): _*)))).as("g"))
+        val evalG = grams.filter(col("doc_id") % 10 === 0)
+          .select(col("g")).distinct()
+          .withColumn("hit", lit(1L))
+        grams.filter(col("doc_id") % 10 =!= 0)
+          .join(evalG, Seq("g"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+          .filter(col("n_overlap") > 0)
+          .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+            round(col("n_overlap") * lit(1.0) / col("n_grams"), 4)
+              .as("overlap_frac"))
+        // unordered output: the gate sorts rows itself
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, $SQL_TOKENS AS w FROM documents),
+        grams AS (
+          SELECT doc_id, unnest(list_distinct(
+            list_transform(range(1, len(w) - 3),
+              i -> array_to_string(w[i:i+4], ' ')))) AS g
+          FROM toks WHERE len(w) >= 5),
+        eg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+        SELECT t.doc_id, count(*) AS n_grams,
+               cast(sum(CASE WHEN eg.g IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+                 AS n_overlap,
+               round(sum(CASE WHEN eg.g IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS overlap_frac
+        FROM (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0) t
+        LEFT JOIN eg ON t.g = eg.g
+        GROUP BY 1
+        HAVING sum(CASE WHEN eg.g IS NOT NULL THEN 1 ELSE 0 END) > 0
+        ORDER BY 1"""),
+      "benchmark decontamination (GPT-3 Appendix C): training docs sharing an n-gram with the eval slice, gram-domain join, no pair space")
   )
 
   /** (doc_id, toks, bigs) frame shared by both q69 implementations. */

@@ -505,4 +505,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) == ((11L, 1L, 8L, 8L, 2L, 0.7273)), got(1L).toString)
     assert(got(2L) == ((16L, 2L, 10L, 5L, 0L, 0.625)), got(2L).toString)
   }
+
+  test("q166 decontamination flags partial inclusion q138's doc-level audit misses") {
+    val dir = java.nio.file.Files.createTempDirectory("decondocs").toString
+    // doc 10 is eval (% 10 == 0); train doc 1 QUOTES five of its tokens
+    // inside otherwise-unique text (Jaccard vs doc 10 is 5/10 = 0.5,
+    // far under q138's 0.8 — exactly the partial-inclusion case);
+    // train doc 2 is clean.
+    Seq(
+      (10L, "e1 e2 e3 e4 e5 e6"),
+      (1L, "t1 t2 e1 e2 e3 e4 e5 tz1 tz2"),
+      (2L, "u1 u2 u3 u4 u5 u6 u7"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q166_decontamination")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // only the quoting doc is flagged: 5 distinct grams, 1 shared
+    assert(got == Map(1L -> ((5L, 1L, 0.2))), got.toString)
+  }
 }
