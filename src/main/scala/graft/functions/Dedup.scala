@@ -455,10 +455,7 @@ object Dedup {
   def minhashPairsFromSigs(sigsIn: DataFrame, scope: Seq[String],
       threshold: Double, scopeBound: => Option[Long] = None): DataFrame = {
     val sigs = graft.Caches.lease(sigsIn)
-    val banded = sigs.select(
-      (col("doc_id") +: scope.map(col)) :+
-        explode(minhashBandStructs(col("sig"))).as("bk"): _*)
-      .select((col("doc_id") +: scope.map(col)) :+ col("bk.band") :+ col("bk.bh"): _*)
+    val banded = minhashBandIndex(sigs, scope)
     val joinKeys = scope ++ Seq("band", "bh")
     // a pair can share several bands; dedup is fused into the ia-side
     // verify join's aggregation ([[dedupFused]], same shape as
@@ -487,6 +484,59 @@ object Dedup {
     * row-wise path (DedupSpec proves the signatures identical). */
   def minhashPairs(toks: DataFrame, scope: Seq[String], threshold: Double): DataFrame =
     minhashPairsFromSigs(minhashSignatures(toks, scope), scope, threshold)
+
+  /** The stored minhash band index for text onboarding — the text twin of
+    * [[lshCodeIndex]]: one row per (doc, scope..., band) carrying the band
+    * hash. At production scale it is written bucketed on (band, bh) so
+    * probe joins co-locate, with the signature frame persisted beside it
+    * for the exact verify (two narrow tables instead of one that repeats
+    * the 32-perm signature across every band row). */
+  def minhashBandIndex(sigs: DataFrame, scope: Seq[String]): DataFrame =
+    sigs.select(
+      (col("doc_id") +: scope.map(col)) :+
+        explode(minhashBandStructs(col("sig"))).as("bk"): _*)
+      .select((col("doc_id") +: scope.map(col)) :+ col("bk.band") :+ col("bk.bh"): _*)
+
+  /** Batch probe of incoming signature rows against a STORED
+    * [[minhashBandIndex]] — the text analog of [[probeLshIndex]], closing
+    * the rebuild-per-call gap for the MinHash family the way
+    * `q64_probe_stored`/`q98_probe_stored` close it for embeddings:
+    * incoming docs band-explode, candidates come from the
+    * (scope, band, bh) equi join against the stored bands, and every
+    * candidate's estimated Jaccard is computed exactly from the stored
+    * signatures. Sharing a band hash is a SYMMETRIC pair condition, so
+    * the output equals [[minhashPairsFromSigs]] restricted to
+    * incoming-involving pairs (DedupProps property) while candidate work
+    * shrinks from corpus-sized to batch-sized. `sigs` must cover every
+    * doc in `bands`; an incoming set overlapping the corpus (the q96
+    * onboarding idiom) contributes each signature once. */
+  def probeMinhashBands(bands: DataFrame, sigs: DataFrame,
+      incoming: DataFrame, scope: Seq[String], threshold: Double): DataFrame = {
+    val joinKeys = scope ++ Seq("band", "bh")
+    // one count serves the join sizing and the auto-salt tier-1 bound
+    // (bands rows upper-bound any single (scope, band, bh) bucket)
+    val nIdx = bands.count()
+    val cand0 = minhashBandIndex(incoming, scope).alias("x")
+      .join(sizedBuildSide(bands.alias("y"), nIdx, INDEX_ROW_BYTES), joinKeys)
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      // normalize: an incoming-incoming pair may arrive both ways;
+      // dedupFused dedups inside its own first exchange
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("ia"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("ib"))
+    val cand = dedupFused(cand0,
+      maxBucket = tieredProbe(bands.sparkSession)(nIdx)(
+        maxBucketOf(bands, joinKeys.map(col))))
+    val vsigs = sigs.select(col("doc_id"), col("sig"))
+      .union(incoming.select(col("doc_id"), col("sig")))
+      .dropDuplicates("doc_id")
+    val sa = vsigs.select(col("doc_id").as("ia"), col("sig").as("siga"))
+    val sb = vsigs.select(col("doc_id").as("ib"), col("sig").as("sigb"))
+    cand.join(sa, "ia").join(sb, "ib")
+      .select(col("ia"), col("ib"),
+        (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
+          b => b)) * lit(1.0) / MINHASH_PERMS).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
 
   /** Exact Jaccard >= t pairs via the inverted-index self-join — the
     * VERIFICATION BASELINE for [[jaccardPairsPrefix]], not a registered

@@ -195,6 +195,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("stored minhash band probe equals the full q36 relation restricted to incoming") {
+    // the text member of the stored-index family (q36_probe_stored):
+    // band-hash equality is symmetric, so probing only incoming docs
+    // against the full band index must yield exactly the full pair
+    // relation's incoming-involving subset — including incoming-incoming
+    // pairs arriving once despite matching both ways
+    val sf = "/root/testdata/sf0.01"
+    val scope = Seq("lang", "source")
+    def norm(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select(col("ia").cast("long"), col("ib").cast("long"), col("est_jaccard"))
+        .as[(Long, Long, Double)].collect().toSet
+    val sigs = Dedup.minhashSignaturesRowwise(
+      graft.Tables.documents(spark, sf), scope).cache()
+    val full = norm(Dedup.minhashPairsFromSigs(sigs, scope, 0.75))
+      .filter { case (a, b, _) => a % 10 == 0 || b % 10 == 0 }
+    val probed = norm(Dedup.probeMinhashBands(
+      Dedup.minhashBandIndex(sigs, scope), sigs,
+      sigs.filter(col("doc_id") % 10 === 0), scope, 0.75))
+    assert(probed == full, s"probe (${probed.size}) != filtered full (${full.size})")
+    assert(probed.nonEmpty, "expected incoming-involving pairs at sf0.01")
+    sigs.unpersist(false)
+  }
+
   test("incremental LSH probe equals the full q64 relation restricted to incoming") {
     // the sublinear onboarding path: probing only incoming codes against
     // the corpus code index is output-identical to running full q64 and
