@@ -44,8 +44,10 @@ object LanguageModel {
             element_at(col("w"), i + 1).as("w2")))).as("b"))
       .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
 
-  /** Score `batch` docs under the bigram LM fitted on `base` docs. */
-  private[graft] def bigramLmScore(base: DataFrame, batch: DataFrame): DataFrame = {
+  /** Per-doc fixed-point cross-entropy (doc_id, source, n_bigrams, x4) of
+    * `batch` under the bigram LM fitted on `base` — the shared trunk of
+    * q157 (2-sigma outlier flags) and q167 (CCNet tercile buckets). */
+  private[graft] def perDocXent(base: DataFrame, batch: DataFrame): DataFrame = {
     val fit = bigrams(base)
     val c12 = fit.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val c1 = fit.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
@@ -63,9 +65,14 @@ object LanguageModel {
         round(-log((coalesce(col("c12"), lit(0L)) + 1) * lit(1.0) /
           (coalesce(col("c1"), lit(0L)) + col("v"))) * lit(1000000))
           .cast("long").as("c6"))
-    val perDoc = cost.groupBy(col("doc_id"), col("source"))
+    cost.groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_bigrams"),
         expr("(sum(c6) div count(*)) div 100").as("x4"))
+  }
+
+  /** Score `batch` docs under the bigram LM fitted on `base` docs. */
+  private[graft] def bigramLmScore(base: DataFrame, batch: DataFrame): DataFrame = {
+    val perDoc = perDocXent(base, batch)
     val stats = perDoc.groupBy(col("source"))
       .agg(count(lit(1)).as("nd"), sum(col("x4")).as("sx"),
         sum(col("x4") * col("x4")).as("sxx"))
@@ -80,8 +87,9 @@ object LanguageModel {
         (abs(col("x4") - col("mu4")) > lit(2.0) * col("sd4")).as("is_outlier"))
   }
 
-  private val ORACLE = """
-    WITH toks AS (
+  /** Shared oracle trunk through the per-doc fixed-point xent — q157 and
+    * q167 append their own reporting tail. */
+  private val PERDOC_CTES = """toks AS (
       SELECT doc_id, source,
              list_filter(string_split(text, ' '), t -> t <> '') AS w
       FROM documents),
@@ -106,7 +114,10 @@ object LanguageModel {
     perdoc AS (
       SELECT doc_id, source, count(*) AS n_bigrams,
              (sum(c6) // count(*)) // 100 AS x4
-      FROM cost GROUP BY 1, 2),
+      FROM cost GROUP BY 1, 2)"""
+
+  private val ORACLE = s"""
+    WITH $PERDOC_CTES,
     stats AS (
       SELECT source, count(*) AS nd, sum(x4) AS sx, sum(x4 * x4) AS sxx
       FROM perdoc GROUP BY 1)
@@ -115,6 +126,30 @@ object LanguageModel {
              2.0 * sqrt(s.sxx * 1.0 / s.nd -
                (s.sx * 1.0 / s.nd) * (s.sx * 1.0 / s.nd)) AS is_outlier
     FROM perdoc p JOIN stats s USING (source)"""
+
+  private val BUCKET_ORACLE = s"""
+    WITH $PERDOC_CTES,
+    hist AS (
+      SELECT source, x4, count(*) AS cnt FROM perdoc GROUP BY 1, 2),
+    cum AS (
+      SELECT source, x4,
+             sum(cnt) OVER (PARTITION BY source ORDER BY x4
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER (PARTITION BY source) AS n
+      FROM hist),
+    cuts AS (
+      SELECT source,
+             min(CASE WHEN cum * 3 >= n THEN x4 END) AS t1,
+             min(CASE WHEN cum * 3 >= 2 * n THEN x4 END) AS t2
+      FROM cum GROUP BY 1)
+    SELECT p.source,
+           CASE WHEN p.x4 <= c.t1 THEN 'head'
+                WHEN p.x4 <= c.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           round(sum(p.x4) * 1.0 / count(*) / 10000.0, 4) AS mean_xent
+    FROM perdoc p JOIN cuts c USING (source)
+    GROUP BY 1, 2"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -126,5 +161,53 @@ object LanguageModel {
           docs.filter(col("doc_id") % 10 === 0))
       },
       Some(ORACLE),
-      "add-one-smoothed bigram-LM scoring of an incoming batch under the base-corpus model (KenLM/CCNet shape); per-source 2-sigma outlier flags in exact fixed-point"))
+      "add-one-smoothed bigram-LM scoring of an incoming batch under the base-corpus model (KenLM/CCNet shape); per-source 2-sigma outlier flags in exact fixed-point"),
+
+    QueryDef(
+      "q167_ppl_buckets",
+      (s, d) => {
+        // CCNet's RELEASE operator (Wenzek et al. 2020 §4.3): the scored
+        // batch splits into head/middle/tail by per-source perplexity
+        // TERCILES — head (lowest xent, most LM-like) is what CC dumps
+        // ship for pretraining; q157 flags tail outliers, this assigns
+        // every doc its bucket and reports the per-(source, bucket)
+        // counts + mean xent a mixture planner consumes.
+        //
+        // Exactness: tercile cuts come from the q159 rank-cut shape — an
+        // exact value histogram on the fixed-point x4 domain (cells
+        // bounded by distinct scores per source, never corpus rows), the
+        // smallest x4 with cum*3 >= n (and >= 2n) as the cut, ties
+        // landing whole in the lower bucket on both engines. Buckets are
+        // a broadcast map-side flag; the report is one groupBy on the
+        // bounded (source, bucket) roster. Like q157, the LM tables are
+        // the only corpus-volume stages and persist at production scale.
+        import org.apache.spark.sql.expressions.Window
+        val docs = documents(s, d)
+        val pd = perDocXent(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0))
+        val hist = pd.groupBy(col("source"), col("x4"))
+          .agg(count(lit(1)).as("cnt"))
+        val wsp = Window.partitionBy(col("source")).orderBy(col("x4"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cuts = hist
+          .withColumn("cum", sum(col("cnt")).over(wsp))
+          .withColumn("n", sum(col("cnt")).over(
+            Window.partitionBy(col("source"))))
+          .groupBy(col("source"))
+          .agg(min(when(col("cum") * 3 >= col("n"), col("x4"))).as("t1"),
+            min(when(col("cum") * 3 >= col("n") * 2, col("x4"))).as("t2"))
+        pd.join(broadcast(cuts), Seq("source"))
+          .select(col("source"),
+            when(col("x4") <= col("t1"), lit("head"))
+              .when(col("x4") <= col("t2"), lit("middle"))
+              .otherwise(lit("tail")).as("bucket"),
+            col("x4"))
+          .groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum(col("x4")) * lit(1.0) / count(lit(1)) / 10000.0, 4)
+              .as("mean_xent"))
+      },
+      Some(BUCKET_ORACLE),
+      "CCNet head/middle/tail perplexity buckets: exact per-source tercile cuts on the fixed-point xent histogram, map-side bucket flag, bounded report"))
 }

@@ -103,7 +103,8 @@ object ScaleBench {
     "q163_length_buckets",     // map-side bucket grid + one groupBy
     "q164_embedding_drift",    // per-(label,pop,dim) integer sums + pivot
     "q165_substring_dedup",    // gram-site-freq groupBy + per-doc extent merge
-    "q166_decontamination")    // eval-gram domain join + per-doc overlap agg
+    "q166_decontamination",    // eval-gram domain join + per-doc overlap agg
+    "q167_ppl_buckets")        // LM tables + xent-histogram tercile cuts
 
   /** Out-of-registry study variants, timed like registry queries when
     * named in the roster args.
