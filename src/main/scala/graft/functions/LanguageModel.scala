@@ -70,9 +70,14 @@ object LanguageModel {
         expr("(sum(c6) div count(*)) div 100").as("x4"))
   }
 
-  /** Score `batch` docs under the bigram LM fitted on `base` docs. */
+  /** Score `batch` docs under the bigram LM fitted on `base` docs.
+    * The per-doc frame is leased: the stats (broadcast) path and the
+    * final join BOTH consume it, and uncached each re-executes the whole
+    * LM trunk — fit groupBys, vocab count, scoring joins (8 corpus scans
+    * in the audited plan, halved by the cache). It is batch-sized and
+    * 4 narrow columns — the cheap side of the trade at any scale. */
   private[graft] def bigramLmScore(base: DataFrame, batch: DataFrame): DataFrame = {
-    val perDoc = perDocXent(base, batch)
+    val perDoc = graft.Caches.lease(perDocXent(base, batch))
     val stats = perDoc.groupBy(col("source"))
       .agg(count(lit(1)).as("nd"), sum(col("x4")).as("sx"),
         sum(col("x4") * col("x4")).as("sxx"))
@@ -183,9 +188,12 @@ object LanguageModel {
         // the only corpus-volume stages and persist at production scale.
         import org.apache.spark.sql.expressions.Window
         val docs = documents(s, d)
-        val pd = perDocXent(
+        // leased for the same reason as bigramLmScore's perDoc: the
+        // histogram->cuts (broadcast) path and the bucket join both
+        // consume it; uncached the LM trunk ran twice (plan-audited)
+        val pd = graft.Caches.lease(perDocXent(
           docs.filter(col("doc_id") % 10 =!= 0),
-          docs.filter(col("doc_id") % 10 === 0))
+          docs.filter(col("doc_id") % 10 === 0)))
         val hist = pd.groupBy(col("source"), col("x4"))
           .agg(count(lit(1)).as("cnt"))
         val wsp = Window.partitionBy(col("source")).orderBy(col("x4"))
