@@ -63,4 +63,22 @@ class LanguageModelSpec extends SparkSpec {
       Seq((50L, "t", "z q z"), (51L, "t", "q z q"), (52L, "t", "z q z")))
     assert(got.values.forall(!_._3), s"uniform source must not flag: $got")
   }
+
+  test("q167 degenerate distribution: one distinct score => everything is head") {
+    // identical batch docs share one x4, so both tercile cuts land on it
+    // and the <= t1 branch takes every row — the tie rule (ties fall to
+    // the LOWER bucket, whole) reduced to its sharpest case; middle and
+    // tail groups must be ABSENT, not zero-count
+    val dir = java.nio.file.Files.createTempDirectory("ppldocs").toString
+    (Seq((1L, "a b a b a b a c"), (3L, "a b a c a b")) ++ // base (% 10 != 0)
+      Seq((10L, "a b a b"), (20L, "a b a b"), (30L, "a b a b"))) // batch: identical
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q167_ppl_buckets")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("s", "head") -> 3L), got.toString)
+  }
 }

@@ -81,4 +81,41 @@ object TextAnalysisProps extends Properties("textanalysis") {
       val want = brute(docs)
       Prop(got == want) :| s"got=$got want=$want"
     }
+
+  /** Brute-force q166: per-doc distinct grams; a train doc (id % 10 != 0)
+    * is flagged with the count of its grams present in the eval set's
+    * distinct-gram pool. */
+  private def bruteDecon(docs: List[(Long, String)])
+      : Map[Long, (Long, Long, Double)] = {
+    val grams = docs.map { case (id, t) =>
+      val w = t.split(" ").filter(_.nonEmpty).toVector
+      id -> (if (w.size >= N) (0 to w.size - N)
+        .map(p => w.slice(p, p + N).mkString(" ")).distinct else Seq.empty)
+    }.toMap
+    val evalG = grams.collect { case (id, gs) if id % 10 == 0 => gs }
+      .flatten.toSet
+    grams.collect { case (id, gs) if id % 10 != 0 && gs.nonEmpty =>
+      val overlap = gs.count(evalG)
+      id -> ((gs.size.toLong, overlap.toLong,
+        round4(overlap.toDouble / gs.size)))
+    }.filter(_._2._2 > 0)
+  }
+
+  property("q166 overlap report equals the brute-force eval-gram check") =
+    Prop.forAll(corpusGen) { docs0 =>
+      import spark.implicits._
+      // stride-5 ids put ~half the docs in the eval slice (% 10 == 0);
+      // sequential 0..6 ids would leave a single-doc eval pool
+      val docs = docs0.map { case (id, t) => (id * 5, t) }
+      val dir = java.nio.file.Files.createTempDirectory("deconprops").toString
+      docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("q166_decontamination")(spark, dir)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      val want = bruteDecon(docs)
+      Prop(got == want) :| s"got=$got want=$want"
+    }
 }
