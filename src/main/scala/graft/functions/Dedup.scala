@@ -502,30 +502,41 @@ object Dedup {
     * the rebuild-per-call gap for the MinHash family the way
     * `q64_probe_stored`/`q98_probe_stored` close it for embeddings:
     * incoming docs band-explode, candidates come from the
-    * (scope, band, bh) equi join against the stored bands, and every
-    * candidate's estimated Jaccard is computed exactly from the stored
-    * signatures. Sharing a band hash is a SYMMETRIC pair condition, so
-    * the output equals [[minhashPairsFromSigs]] restricted to
-    * incoming-involving pairs (DedupProps property) while candidate work
+    * (scope, band, bh) equi join against the stored bands unioned with
+    * the batch's own bands, and every candidate's estimated Jaccard is
+    * computed exactly from the stored signatures. Sharing a band hash is
+    * a SYMMETRIC pair condition and the build side covers both
+    * populations, so the output equals [[minhashPairsFromSigs]]
+    * restricted to incoming-involving pairs (DedupProps property) with
+    * NO containment precondition on the batch, while candidate work
     * shrinks from corpus-sized to batch-sized. `sigs` must cover every
     * doc in `bands`; an incoming set overlapping the corpus (the q96
     * onboarding idiom) contributes each signature once. */
   def probeMinhashBands(bands: DataFrame, sigs: DataFrame,
       incoming: DataFrame, scope: Seq[String], threshold: Double): DataFrame = {
     val joinKeys = scope ++ Seq("band", "bh")
-    // one count serves the join sizing and the auto-salt tier-1 bound
-    // (bands rows upper-bound any single (scope, band, bh) bucket)
-    val nIdx = bands.count()
+    // build side = stored bands UNION the incoming batch's own bands: two
+    // genuinely NEW docs (absent from the index) that share a band pair
+    // through the incoming half, so the contract above holds whether or
+    // not incoming is contained in the indexed corpus. Sizing: stored
+    // count + the batch's exact band fanout (MINHASH_BANDS per doc, a
+    // constant) — no extra count job over the exploded frame, and the
+    // broadcast decision sees the true unioned row count; the same number
+    // serves the auto-salt tier-1 bound (build rows upper-bound any
+    // single (scope, band, bh) bucket).
+    val nIdx = bands.count() + MINHASH_BANDS * incoming.count()
+    val build = bands.unionByName(minhashBandIndex(incoming, scope))
     val cand0 = minhashBandIndex(incoming, scope).alias("x")
-      .join(sizedBuildSide(bands.alias("y"), nIdx, INDEX_ROW_BYTES), joinKeys)
+      .join(sizedBuildSide(build.alias("y"), nIdx, INDEX_ROW_BYTES), joinKeys)
       .filter(col("x.doc_id") =!= col("y.doc_id"))
-      // normalize: an incoming-incoming pair may arrive both ways;
-      // dedupFused dedups inside its own first exchange
+      // normalize: a pair may arrive both ways (incoming-incoming, or an
+      // overlapping doc seen through both union halves); dedupFused
+      // dedups inside its own first exchange
       .select(least(col("x.doc_id"), col("y.doc_id")).as("ia"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("ib"))
     val cand = dedupFused(cand0,
       maxBucket = tieredProbe(bands.sparkSession)(nIdx)(
-        maxBucketOf(bands, joinKeys.map(col))))
+        maxBucketOf(build, joinKeys.map(col))))
     val vsigs = sigs.select(col("doc_id"), col("sig"))
       .union(incoming.select(col("doc_id"), col("sig")))
       .dropDuplicates("doc_id")
@@ -847,13 +858,21 @@ object Dedup {
       .select(col("vec_id").as("q"), col("t"),
         explode(array(Similarity.probeMasks(p, r).map(m =>
           col("code").bitwiseXOR(lit(m))): _*)).as("code"))
-    // one count serves the probe tier, the join sizing, and the verify
-    // sizing (nTables rows per vector, so it upper-bounds the vecs frame)
-    val nIdx = index.count()
+    // build side = stored codes UNION the incoming batch's own raw codes:
+    // two genuinely NEW vectors (absent from the index) whose codes sit
+    // within the probe radius pair through the incoming half — the same
+    // no-containment-precondition contract as [[probeMinhashBands]]; an
+    // overlapping batch only produces duplicate candidates that
+    // cosVerifyGrouped's fused dedup removes. Sizing: stored count + the
+    // batch's exact code fanout (nTables rows per vector) — the counts
+    // serve the probe tier, the join sizing, and the verify sizing
+    // (nTables rows per vector upper-bound the vecs frame).
+    val nIdx = index.count() + nTables * incoming.count()
+    val build = index.select(col("vec_id").as("x"), col("t"), col("code"))
+      .unionByName(lshCodeIndex(incoming, p, nTables)
+        .select(col("vec_id").as("x"), col("t"), col("code")))
     val cand = probes
-      .join(sizedBuildSide(
-        index.select(col("vec_id").as("x"), col("t"), col("code")), nIdx,
-        INDEX_ROW_BYTES), Seq("t", "code"))
+      .join(sizedBuildSide(build, nIdx, INDEX_ROW_BYTES), Seq("t", "code"))
       .filter(col("q") =!= col("x"))
       .select(least(col("q"), col("x")).as("ia"),
         greatest(col("q"), col("x")).as("ib"))
@@ -864,11 +883,11 @@ object Dedup {
       .select(col("vec_id"), col("v"), col("nrm"))
       .union(incoming.select(col("vec_id"), col("v"), col("nrm")))
       .dropDuplicates("vec_id")
-    // tier 1: the index's row count (nTables rows per vector) bounds any
-    // code bucket; one count over the caller's (typically cached) index
+    // tier 1: the unioned build row count bounds any code bucket; the
+    // refined probe (rare) aggregates over the same build relation
     cosVerifyGrouped(vecs, cand, threshold, nIdx,
       maxBucket = tieredProbe(index.sparkSession)(nIdx)(
-        maxBucketOf(index, Seq(col("t"), col("code")))))
+        maxBucketOf(build, Seq(col("t"), col("code")))))
   }
 
   /** Per-doc arrays for the AllPairs prefix join, from ONE aggregation:

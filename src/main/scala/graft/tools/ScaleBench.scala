@@ -216,13 +216,19 @@ object ScaleBench {
       import org.apache.spark.sql.functions.col
       val sigStore = scratchStore(dir, "documents.parquet", "mhsigs.parquet")
       val bandStore = scratchStore(dir, "documents.parquet", "mhbands.parquet")
-      if (mhBuilt.add(bandStore)) {
+      // mark built only AFTER both writes land: an exception mid-write
+      // with the flag pre-set would make every later same-JVM pass read a
+      // missing/partial parquet instead of rebuilding (the getOrElseUpdate
+      // memos above don't insert on exception; this Set must match)
+      if (!mhBuilt.contains(bandStore)) {
         val sigs = Dedup.minhashSignaturesRowwise(
           graft.Tables.documents(s, dir), Seq("lang", "source")).cache()
-        sigs.write.mode("overwrite").parquet(sigStore)
-        Dedup.minhashBandIndex(sigs, Seq("lang", "source"))
-          .write.mode("overwrite").parquet(bandStore)
-        sigs.unpersist(false)
+        try {
+          sigs.write.mode("overwrite").parquet(sigStore)
+          Dedup.minhashBandIndex(sigs, Seq("lang", "source"))
+            .write.mode("overwrite").parquet(bandStore)
+        } finally sigs.unpersist(false)
+        mhBuilt.add(bandStore)
       }
       val sigs = s.read.parquet(sigStore)
       val incoming = sigs.filter(col("doc_id") < 1000000000L &&

@@ -235,6 +235,65 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("stored probes surface NEW-NEW pairs (incoming not contained in the index)") {
+    // the r15 ADVICE gap: with candidates generated only from
+    // incoming-bands JOIN stored-bands, two genuinely new docs (absent
+    // from the stored index) sharing a band could never pair. The build
+    // side now unions the batch's own bands/codes, so the
+    // "equals the full relation restricted to incoming-involving pairs"
+    // contract holds with NO containment precondition — pinned here on a
+    // fixture where the only interesting pair is new-new.
+    val scope = Seq("lang", "source")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // stored-stored dup (excluded)
+      (3L, "zeta eta theta iota kappa"),
+      (100L, "lambda mu nu xi omicron pi rho"),
+      (101L, "lambda mu nu xi omicron pi rho"), // NEW-NEW dup pair
+      (102L, "zeta eta theta iota kappa")) // new-stored dup of 3
+      .map { case (i, t) => (i, t, "xx", "src") }
+      .toDF("doc_id", "text", "lang", "source")
+    val sigs = Dedup.minhashSignaturesRowwise(docs, scope).cache()
+    val stored = sigs.filter(col("doc_id") < 100L)
+    val incoming = sigs.filter(col("doc_id") >= 100L)
+    def norm(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("ia").cast("long"), col("ib").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    val probed = norm(Dedup.probeMinhashBands(
+      Dedup.minhashBandIndex(stored, scope), sigs, incoming, scope, 0.75))
+    val full = norm(Dedup.minhashPairsFromSigs(sigs, scope, 0.75))
+      .filter { case (a, b) => a >= 100L || b >= 100L }
+    assert(probed == full, s"probe ($probed) != filtered full ($full)")
+    assert(probed.contains((100L, 101L)), "the new-new pair must surface")
+    assert(probed.contains((3L, 102L)), "the new-stored pair must surface")
+    assert(!probed.contains((1L, 2L)), "stored-stored pairs stay excluded")
+    sigs.unpersist(false)
+
+    // the embedding twin (probeLshIndex): identical fixture shape over
+    // vectors — the new-new identical pair must surface, stored-stored not
+    import graft.functions.{Similarity, VectorOps}
+    val vecs = Seq(
+      1L -> Array(1.0, 0.0, 0.0, 0.0),
+      2L -> Array(1.0, 0.02, 0.0, 0.0), // stored-stored near-dup (excluded)
+      3L -> Array(0.0, 1.0, 0.0, 0.0),
+      100L -> Array(0.0, 0.0, 1.0, 0.0),
+      101L -> Array(0.0, 0.0, 1.0, 0.03), // NEW-NEW near-dup pair
+      102L -> Array(0.0, 1.0, 0.03, 0.0)) // new-stored near-dup of 3
+      .toDF("vec_id", "v")
+      .withColumn("nrm", VectorOps.norm(col("v")))
+      .cache()
+    val p = Similarity.planesForCorpus(6L, 32)
+    val idx = Dedup.lshCodeIndex(vecs.filter(col("vec_id") < 100L), p)
+    val probedV = Dedup.probeLshIndex(
+        idx, vecs.filter(col("vec_id") >= 100L), p, radius = 3,
+        nTables = 2, threshold = 0.9)
+      .select(col("ia").cast("long"), col("ib").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(probedV == Set((100L, 101L), (3L, 102L)),
+      s"expected exactly the incoming-involving near-dup pairs, got $probedV")
+    vecs.unpersist(false)
+  }
+
   test("verify joins stay sort-free past the broadcast cap (sizedBuildSide)") {
     // every embedding verify/candidate join plans its corpus-bounded side
     // by MEASURED size: broadcast under spark.graft.verifyBroadcastVectors,
