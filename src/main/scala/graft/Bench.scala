@@ -288,7 +288,19 @@ object Bench {
       case Nil => ""
       case fields => fields.mkString(",", ",", "")
     }
-    s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"loadavg":$load,"gedcom_mb_per_s":${r1(gedcomMBs)},"gedcom_mb_per_s_1g":${r1(gedcom1gMBs)}$legs,"qunit":"decisec","queries":$qs,"sf":"$sfName"}"""
+    def line(qsJson: String) =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"loadavg":$load,"gedcom_mb_per_s":${r1(gedcomMBs)},"gedcom_mb_per_s_1g":${r1(gedcom1gMBs)}$legs,"qunit":"decisec","queries":$qsJson,"sf":"$sfName"}"""
+    val full = line(qs)
+    // graceful degradation at the tail wall (the r15 directive-6
+    // structural change, arrived at 165 queries): the driver keeps
+    // exactly 2000 stdout bytes, and a line that models past it truncates
+    // into unparseable JSON (BENCH_r07/r08's "parsed":null). Rather than
+    // trimming units again, a line that would overflow keeps every
+    // headline/failed/loadavg/leg field and replaces the per-query map
+    // with an explicit omission marker — the full map always persists in
+    // target/bench.json and per-pass seconds in bench-detail.json.
+    if (full.length <= 1990) full
+    else line(s"""{"omitted":${results.size}}""")
   }
 
   /** Full-precision per-query seconds under full registry names — the

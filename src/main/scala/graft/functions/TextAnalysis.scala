@@ -70,7 +70,7 @@ object TextAnalysis {
     pmod(h12(concat(lit("w#"), bucket.cast("string"))), lit(2001L)) - 1000L
   }
 
-  private val STOPWORDS = Seq("the", "a", "of", "to", "and")
+  private[functions] val STOPWORDS = Seq("the", "a", "of", "to", "and")
 
   /** Distinct word-trigram set of a token array — the q73 decontamination
     * gram unit, factored so the streaming probe
@@ -126,7 +126,7 @@ object TextAnalysis {
 
   // DuckDB fragments used by several oracles below.
   private val SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
-  private val SQL_STOP = STOPWORDS.map(w => s"'$w'").mkString("(", ",", ")")
+  private[functions] val SQL_STOP = STOPWORDS.map(w => s"'$w'").mkString("(", ",", ")")
 
   /** q104's query phrases: mixed lengths, plus a repeated-term phrase
     * ("batch batch") that exercises the distinct-slot vote. */

@@ -104,7 +104,461 @@ object Web {
     FROM canon
     GROUP BY 1"""
 
+  // ------------------------------------------------------------------
+  // HTML boilerplate removal / main-content extraction (jusText shape:
+  // Pomikalek 2011, "Removing boilerplate and duplicate content from web
+  // corpora" — the public algorithm CCNet/C4/FineWeb-style corpora run
+  // before any text operator sees a document).
+  //
+  // Shape: (1) drop script/style/comment subtrees; (2) segment on
+  // block-level tags; (3) per block, strip inline tags + decode the
+  // basic entities and compute link density (chars of <a> text / block
+  // chars) and stopword density; (4) context-free classify each block
+  // bad / short / neargood / good on integer-exact threshold ratios;
+  // (5) context pass: short and neargood blocks resolve against the
+  // nearest context-free-decided (good/bad) neighbours, edges defaulting
+  // to bad — the engine's documented simplification of jusText's
+  // revision step (neargood promotes on EITHER neighbour good, short
+  // needs BOTH).
+  //
+  // 100 TB shape: the ENTIRE pipeline — parse, feature extraction, both
+  // classification passes — runs in the array domain of one projection
+  // (higher-order functions over the per-doc block array; the context
+  // pass is a running fold, not a window), so the plan is scan ->
+  // project -> generate with ZERO exchanges; it composes map-side with
+  // the q161 funnel the way extraction precedes curation in production.
+  //
+  // Thresholds are integer ratios (no float classification boundaries,
+  // engine-exact in DuckDB): link-density bad above 1/5, stopword
+  // neargood at >= 1/25, good at >= 2/25 with > 20 words, short below 8
+  // words. The stopword cuts are calibrated to THIS corpus's density
+  // distribution (synthetic vocab: median ~0.055, p75 ~0.09 — jusText's
+  // English defaults of 0.30/0.32 would classify every block bad).
+  // ------------------------------------------------------------------
+
+  /** Tags that terminate a text block (jusText segments on these);
+    * inline markup (<a>, <b>, <i>, <span>, ...) stays inside its block. */
+  private val BLOCK_SPLIT =
+    "(?i)</?(?:p|div|h[1-6]|ul|ol|li|table|thead|tbody|tr|td|th|blockquote|" +
+      "article|section|header|footer|nav|main|aside|html|head|body|title|form)\\b[^>]*>"
+
+  private val W_LOW = 8 // words; below => short (jusText length_low)
+  private val W_HIGH = 20 // words; stopword-rich above => good (length_high)
+
+  /** script/style subtrees and comments vanish BEFORE block segmentation
+    * (their contents are code, not content). */
+  private[graft] def stripHtmlChrome(html: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(html,
+      "(?is)<script\\b[^>]*>.*?</script>", " "),
+      "(?is)<style\\b[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+
+  /** Visible text of an HTML fragment: inline tags out, the five basic
+    * entities decoded (&amp; LAST so double-escapes don't cascade),
+    * whitespace collapsed. A deliberate regex-level extractor: attribute
+    * values containing '>' are out of scope (documented, spec-pinned). */
+  private[graft] def htmlInnerText(frag: Column): Column = {
+    val untag = regexp_replace(frag, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(untag) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Total visible chars inside <a> elements of a fragment — the link
+    * numerator of jusText's link density. */
+  private[graft] def linkInnerChars(frag: Column): Column =
+    coalesce(aggregate(
+      transform(regexp_extract_all(frag, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
+        l => length(htmlInnerText(l))),
+      lit(0), (acc, x) => acc + x), lit(0))
+
+  /** Non-empty text blocks of an HTML document, in document order, each
+    * with its visible text and link-char count. */
+  def htmlBlocks(html: Column): Column =
+    filter(transform(split(stripHtmlChrome(html), BLOCK_SPLIT), b =>
+        struct(htmlInnerText(b).as("text"), linkInnerChars(b).as("link_chars"))),
+      s => s.getField("text") =!= lit(""))
+
+  /** Running nearest-decided-class fold: element i of the result is the
+    * class of the closest PRECEDING context-free good/bad block (edge =>
+    * "bad"). Reverse in, reverse out for the following-neighbour side. */
+  private def runningDecided(cfArr: Column): Column =
+    aggregate(cfArr,
+      struct(lit("bad").as("last"),
+        array().cast("array<string>").as("arr")),
+      (st, c) => struct(
+        when(c === "good" || c === "bad", c)
+          .otherwise(st.getField("last")).as("last"),
+        concat(st.getField("arr"), array(st.getField("last"))).as("arr")),
+      st => st.getField("arr"))
+
+  /** Block feature structs from a [[htmlBlocks]] array. */
+  private def blockFeatures(blocks: Column): Column =
+    transform(blocks, b => {
+      val wsArr = split(b.getField("text"), " ")
+      struct(
+        b.getField("text").as("text"),
+        size(wsArr).as("n_words"),
+        size(filter(wsArr, w => w.isin(TextAnalysis.STOPWORDS: _*))).as("n_stop"),
+        b.getField("link_chars").as("link_chars"),
+        length(b.getField("text")).as("text_chars"))
+    })
+
+  /** Context-free jusText class per feature struct. */
+  private def contextFree(feat: Column): Column =
+    transform(feat, f =>
+      when(f.getField("link_chars") * 5 > f.getField("text_chars"), lit("bad"))
+        .when(f.getField("n_words") < W_LOW,
+          when(f.getField("link_chars") > 0, lit("bad")).otherwise(lit("short")))
+        .when(f.getField("n_stop") * 25 >= f.getField("n_words") * 2,
+          when(f.getField("n_words") > W_HIGH, lit("good")).otherwise(lit("neargood")))
+        .when(f.getField("n_stop") * 25 >= f.getField("n_words"), lit("neargood"))
+        .otherwise(lit("bad")))
+
+  /** Final per-block structs from the staged arrays. */
+  private def zipFinal(feat: Column, cfArr: Column,
+      prevArr: Column, nextArr: Column): Column = {
+    val pn = zip_with(prevArr, nextArr, (p, nx) =>
+      struct(p.as("p"), nx.as("n")))
+    val cls = zip_with(cfArr, pn, (c, x) => {
+      val p = x.getField("p")
+      val nx = x.getField("n")
+      when(c === "good" || c === "bad", c)
+        .when(c === "neargood",
+          when(p === "good" || nx === "good", lit("good")).otherwise(lit("bad")))
+        .otherwise(
+          when(p === "good" && nx === "good", lit("good")).otherwise(lit("bad")))
+    })
+    val cfCls = zip_with(cfArr, cls, (a, b) => struct(a.as("cf"), b.as("cls")))
+    zip_with(feat, cfCls, (f, c) => struct(
+      f.getField("text").as("text"),
+      f.getField("n_words").as("n_words"),
+      f.getField("n_stop").as("n_stop"),
+      f.getField("link_chars").as("link_chars"),
+      f.getField("text_chars").as("text_chars"),
+      c.getField("cf").as("cf"),
+      c.getField("cls").as("cls")))
+  }
+
+  /** Per-block structs (text, n_words, n_stop, link_chars, text_chars,
+    * cf, cls) for an HTML column — the whole jusText pipeline as one
+    * array-domain expression. One-shot Column form for composition on
+    * SMALL inputs; the registered query goes through
+    * [[classifiedBlocksRel]], which stages the same pipeline so the
+    * parse executes once per row (HOFs sit outside codegen subexpression
+    * elimination, so the inlined form re-parses per derived array). */
+  def classifiedBlocks(html: Column): Column = {
+    val feat = blockFeatures(htmlBlocks(html))
+    val cfArr = contextFree(feat)
+    zipFinal(feat, cfArr,
+      runningDecided(cfArr), reverse(runningDecided(reverse(cfArr))))
+  }
+
+  /** The staged relational form: (doc_id, blocks) with each expensive
+    * array (parse, features, context-free classes) materialized ONCE per
+    * row in its own projection — CollapseProject keeps multi-referenced
+    * non-cheap aliases staged, so the parse subtree is not re-executed
+    * per derived array. Still zero exchanges. */
+  def classifiedBlocksRel(docs: org.apache.spark.sql.DataFrame,
+      html: Column): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), htmlBlocks(html).as("__blocks"))
+      .select(col("doc_id"), blockFeatures(col("__blocks")).as("__feat"))
+      .select(col("doc_id"), col("__feat"),
+        contextFree(col("__feat")).as("__cf"))
+      .select(col("doc_id"), col("__feat"), col("__cf"),
+        runningDecided(col("__cf")).as("__prev"),
+        reverse(runningDecided(reverse(col("__cf")))).as("__next"))
+      .select(col("doc_id"), zipFinal(col("__feat"), col("__cf"),
+        col("__prev"), col("__next")).as("blocks"))
+
+  /** The user-facing extractor: main content = final-good blocks,
+    * newline-joined — what downstream text operators consume. */
+  def extractMainText(html: Column): Column =
+    array_join(transform(
+      filter(classifiedBlocks(html), b => b.getField("cls") === "good"),
+      b => b.getField("text")), "\n")
+
+  /** The deterministic HTML fixture (same construction in the oracle):
+    * every doc renders as chrome (script/style/comment) + a link-only nav
+    * + a short title with an entity and the doc's first words + the
+    * text's first half as a <p> with an inline <b> + (doc_id % 3) a
+    * link-heavy "related" block + (doc_id % 5) a short quote + the
+    * second half as a <p> + a link footer. Assumes >= 5 words per doc
+    * (testdata minimum is 10). */
+  private[graft] def syntheticHtml(text: Column, docId: Column): Column = {
+    val ws = split(text, " ")
+    val n = size(ws)
+    val h = floor((n + lit(1)) / lit(2)).cast("int")
+    concat(
+      lit("<html><head><script>var x=1;</script><style>.b{k:1}</style>" +
+        "</head><body><!-- layout -->"),
+      lit("<div class=\"nav\"><a href=\"/\">home</a> <a href=\"/archive\">" +
+        "archive</a> <a href=\"/about\">about</a></div>"),
+      lit("<h1>"), element_at(ws, 1), lit(" "), element_at(ws, 2), lit(" "),
+      element_at(ws, 3), lit(" &amp; co</h1>"),
+      lit("<p><b>"), element_at(ws, 1), lit("</b>"),
+      when(h > 1, concat(lit(" "), array_join(slice(ws, lit(2), h - 1), " ")))
+        .otherwise(lit("")),
+      lit("</p>"),
+      when(docId % 3 === 0, concat(
+        lit("<div class=\"rel\">see also <a href=\"/r/1\">"), element_at(ws, 2),
+        lit("</a> <a href=\"/r/2\">"), element_at(ws, 3), lit("</a></div>")))
+        .otherwise(lit("")),
+      when(docId % 5 === 0, concat(
+        lit("<p>"), array_join(slice(ws, lit(2), lit(4)), " "), lit("</p>")))
+        .otherwise(lit("")),
+      lit("<p>"), array_join(slice(ws, h + 1, n - h), " "), lit("</p>"),
+      lit("<div class=\"footer\">copyright <a href=\"/terms\">terms</a> " +
+        "<a href=\"/privacy\">privacy</a></div></body></html>"))
+  }
+
+  // ------------------------------------------------------------------
+  // Line-level quality rules (C4 §2.2, Raffel et al. 2020; duplicate-line
+  // fraction from the Gopher/FineWeb rule set, Rae et al. 2021 / Penedo
+  // et al. 2024 — all public). The doc-level ratios (q31) and repetition
+  // signals (q69) assume these line rules already ran; this is the rung
+  // that feeds them. Rules, applied per line with fixed precedence
+  // (javascript > terminal punctuation > min words):
+  //   - drop lines containing "javascript" (case-insensitive),
+  //   - drop lines not ending in terminal punctuation (. ! ? "),
+  //   - drop lines with fewer than 3 whitespace words;
+  // and per page: kept-line count >= 5 plus duplicate-line fraction
+  // <= 0.3, both as integer comparisons (no float boundaries).
+  //
+  // 100 TB shape: like q168, the whole thing is array-domain expressions
+  // in staged projections — per-line classes never explode to rows, the
+  // output is one row per doc, the plan is scan -> project with ZERO
+  // exchanges, and it composes map-side after extraction and before the
+  // q161 funnel.
+  // ------------------------------------------------------------------
+
+  private val TERMINAL_PUNCT = "[.!?\"]$"
+  private val LINE_MIN_WORDS = 3
+  private val PAGE_MIN_KEPT = 5
+
+  /** Per-line rule verdict: 'js' | 'nopunct' | 'short' | 'kept', with the
+    * documented precedence. */
+  private def lineClasses(lines: Column, nwArr: Column): Column =
+    zip_with(lines, nwArr, (l, nw) =>
+      when(lower(l).contains("javascript"), lit("js"))
+        .when(!l.rlike(TERMINAL_PUNCT), lit("nopunct"))
+        .when(nw < LINE_MIN_WORDS, lit("short"))
+        .otherwise(lit("kept")))
+
+  /** Doc-level line-quality report for a newline-separated page column:
+    * per-rule drop counts, kept-line word mass, duplicate-line count and
+    * the page-pass verdict. Staged like [[classifiedBlocksRel]] so the
+    * line split and word counts evaluate once per row. */
+  def lineQualityRel(docs: org.apache.spark.sql.DataFrame,
+      page: Column): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), split(page, "\n").as("__lines"))
+      .select(col("doc_id"), col("__lines"),
+        transform(col("__lines"), l =>
+          size(filter(split(trim(l), " "), w => w =!= ""))).as("__nw"))
+      .select(col("doc_id"), col("__lines"), col("__nw"),
+        lineClasses(col("__lines"), col("__nw")).as("__cls"))
+      .select(col("doc_id"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(array_distinct(col("__lines"))).cast("long").as("n_distinct"),
+        size(filter(col("__cls"), c => c === "kept")).cast("long").as("n_kept"),
+        size(filter(col("__cls"), c => c === "js")).cast("long").as("n_js"),
+        size(filter(col("__cls"), c => c === "nopunct")).cast("long").as("n_nopunct"),
+        size(filter(col("__cls"), c => c === "short")).cast("long").as("n_short"),
+        aggregate(zip_with(col("__cls"), col("__nw"), (c, nw) =>
+            when(c === "kept", nw).otherwise(lit(0))),
+          lit(0), (acc, x) => acc + x).cast("long").as("kept_words"))
+      .withColumn("page_pass",
+        (col("n_kept") >= PAGE_MIN_KEPT &&
+          (col("n_lines") - col("n_distinct")) * 10 <= col("n_lines") * 3)
+          .cast("long"))
+
+  /** The deterministic multi-line page fixture (same construction in the
+    * oracle): the doc's words in 5-word lines; line i gains the word
+    * "javascript" when (doc_id*7 + i) % 11 == 0, ends in '.' when
+    * (doc_id + i) % 3 == 0, in '!' or '?' (by i parity) when % 3 == 1,
+    * and unterminated when % 3 == 2; docs with doc_id % 4 == 0 repeat
+    * their first line at the end (the planted duplicate). */
+  private[graft] def syntheticPage(text: Column, docId: Column): Column = {
+    val ws = split(text, " ")
+    val n = size(ws)
+    val lines0 = transform(
+      sequence(lit(0), floor((n - lit(1)) / lit(5)).cast("int")), i => {
+        val seg = array_join(slice(ws, i * 5 + 1, lit(5)), " ")
+        val withJs = when((docId * 7 + i) % 11 === 0,
+          concat(seg, lit(" javascript"))).otherwise(seg)
+        val p = (docId + i) % 3
+        when(p === 0, concat(withJs, lit(".")))
+          .when(p === 1, concat(withJs,
+            when(i % 2 === 0, lit("!")).otherwise(lit("?"))))
+          .otherwise(withJs)
+      })
+    val lines = when(docId % 4 === 0,
+      concat(lines0, slice(lines0, lit(1), lit(1)))).otherwise(lines0)
+    array_join(lines, "\n")
+  }
+
+  private lazy val LINE_ORACLE = s"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    pg AS (
+      SELECT doc_id,
+        list_transform(range(0, (len(ws) - 1) // 5 + 1), i ->
+          (CASE WHEN (doc_id * 7 + i) % 11 = 0
+                THEN array_to_string(ws[i*5+1 : i*5+5], ' ') || ' javascript'
+                ELSE array_to_string(ws[i*5+1 : i*5+5], ' ') END) ||
+          (CASE WHEN (doc_id + i) % 3 = 0 THEN '.'
+                WHEN (doc_id + i) % 3 = 1 THEN
+                  (CASE WHEN i % 2 = 0 THEN '!' ELSE '?' END)
+                ELSE '' END)) AS lines0
+      FROM d),
+    lns AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0 THEN list_concat(lines0, [lines0[1]])
+             ELSE lines0 END AS lines
+      FROM pg),
+    cls AS (
+      SELECT doc_id, lines,
+        list_transform(lines, l ->
+          CASE WHEN contains(lower(l), 'javascript') THEN 'js'
+               WHEN NOT regexp_matches(l, '$TERMINAL_PUNCT') THEN 'nopunct'
+               WHEN len(list_filter(string_split(trim(l), ' '), w -> w <> ''))
+                    < $LINE_MIN_WORDS THEN 'short'
+               ELSE 'kept' END) AS c,
+        list_transform(lines, l ->
+          len(list_filter(string_split(trim(l), ' '), w -> w <> ''))) AS nw
+      FROM lns),
+    agg AS (
+      SELECT doc_id,
+        len(lines)::BIGINT AS n_lines,
+        len(list_distinct(lines))::BIGINT AS n_distinct,
+        len(list_filter(c, x -> x = 'kept'))::BIGINT AS n_kept,
+        len(list_filter(c, x -> x = 'js'))::BIGINT AS n_js,
+        len(list_filter(c, x -> x = 'nopunct'))::BIGINT AS n_nopunct,
+        len(list_filter(c, x -> x = 'short'))::BIGINT AS n_short,
+        coalesce(list_sum(list_transform(range(0, len(lines)), j ->
+          CASE WHEN c[j+1] = 'kept' THEN nw[j+1] ELSE 0 END)), 0)::BIGINT
+          AS kept_words
+      FROM cls)
+    SELECT doc_id, n_lines, n_distinct, n_kept, n_js, n_nopunct, n_short,
+           kept_words,
+           (CASE WHEN n_kept >= $PAGE_MIN_KEPT
+                  AND (n_lines - n_distinct) * 10 <= n_lines * 3
+                 THEN 1 ELSE 0 END)::BIGINT AS page_pass
+    FROM agg"""
+
+  private val SQL_STOPCNT = (l: String) =>
+    s"len(list_filter($l, x -> x IN ${TextAnalysis.SQL_STOP}))"
+
+  /** The q168 oracle rebuilds each block's integer features from the
+    * generative formula (never parsing HTML — that's the Spark side's
+    * job) and applies the identical integer-ratio classification and
+    * window-based context pass. */
+  private lazy val HTML_ORACLE = s"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    b0 AS (
+      SELECT doc_id, ws, len(ws) AS n, (len(ws) + 1) // 2 AS h FROM d),
+    blk AS (
+      SELECT doc_id, 0 AS ord, 3 AS n_words, 0 AS n_stop,
+             len('home')+len('archive')+len('about') AS link_chars,
+             len('home archive about') AS text_chars
+      FROM b0
+      UNION ALL
+      SELECT doc_id, 1, 5, ${SQL_STOPCNT("ws[1:3]")}, 0,
+             len(ws[1] || ' ' || ws[2] || ' ' || ws[3] || ' & co')
+      FROM b0
+      UNION ALL
+      SELECT doc_id, 2, h, ${SQL_STOPCNT("ws[1:h]")}, 0,
+             len(array_to_string(ws[1:h], ' '))
+      FROM b0
+      UNION ALL
+      SELECT doc_id, 3, 4, ${SQL_STOPCNT("ws[2:3]")},
+             len(ws[2]) + len(ws[3]),
+             len('see also ' || ws[2] || ' ' || ws[3])
+      FROM b0 WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, 4, 4, ${SQL_STOPCNT("ws[2:5]")}, 0,
+             len(array_to_string(ws[2:5], ' '))
+      FROM b0 WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, 5, n - h, ${SQL_STOPCNT("ws[h+1:n]")}, 0,
+             len(array_to_string(ws[h+1:n], ' '))
+      FROM b0
+      UNION ALL
+      SELECT doc_id, 6, 3, 0, len('terms')+len('privacy'),
+             len('copyright terms privacy')
+      FROM b0),
+    idx AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS block_idx,
+             n_words, n_stop, link_chars, text_chars
+      FROM blk),
+    cf AS (
+      SELECT *,
+        CASE WHEN link_chars * 5 > text_chars THEN 'bad'
+             WHEN n_words < $W_LOW THEN
+               (CASE WHEN link_chars > 0 THEN 'bad' ELSE 'short' END)
+             WHEN n_stop * 25 >= n_words * 2 THEN
+               (CASE WHEN n_words > $W_HIGH THEN 'good' ELSE 'neargood' END)
+             WHEN n_stop * 25 >= n_words THEN 'neargood'
+             ELSE 'bad' END AS cf
+      FROM idx),
+    ctx AS (
+      SELECT *,
+        coalesce(last_value(CASE WHEN cf IN ('good','bad') THEN cf END IGNORE NULLS)
+          OVER (PARTITION BY doc_id ORDER BY block_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') AS pv,
+        coalesce(first_value(CASE WHEN cf IN ('good','bad') THEN cf END IGNORE NULLS)
+          OVER (PARTITION BY doc_id ORDER BY block_idx
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') AS nx
+      FROM cf)
+    SELECT doc_id, block_idx,
+           n_words::BIGINT AS n_words, n_stop::BIGINT AS n_stop,
+           link_chars::BIGINT AS link_chars, text_chars::BIGINT AS text_chars,
+           cf,
+           CASE WHEN cf IN ('good','bad') THEN cf
+                WHEN cf = 'neargood' THEN
+                  (CASE WHEN pv = 'good' OR nx = 'good' THEN 'good' ELSE 'bad' END)
+                ELSE
+                  (CASE WHEN pv = 'good' AND nx = 'good' THEN 'good' ELSE 'bad' END)
+           END AS cls
+    FROM ctx"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q168_html_extract",
+      (s, d) => {
+        // parse REAL HTML (the closed-form fixture rendered per doc) back
+        // into per-block integer features + both classification verdicts;
+        // the oracle recomputes the expectation from the generative
+        // formula, so the parse itself is what's under test
+        // posexplode_OUTER: the inner form makes InferFiltersFromGenerate
+        // inject a size(blocks)>0 filter whose predicate inlines the whole
+        // parse pipeline — doubling per-row work; every doc renders >= 5
+        // blocks, so outer is value-identical and keeps the parse single
+        val blocks = classifiedBlocksRel(documents(s, d),
+          syntheticHtml(col("text"), col("doc_id")))
+          .select(col("doc_id"),
+            posexplode_outer(col("blocks")).as(Seq("block_idx", "b")))
+        blocks.select(col("doc_id"),
+          col("block_idx").cast("long").as("block_idx"),
+          col("b.n_words").cast("long").as("n_words"),
+          col("b.n_stop").cast("long").as("n_stop"),
+          col("b.link_chars").cast("long").as("link_chars"),
+          col("b.text_chars").cast("long").as("text_chars"),
+          col("b.cf").as("cf"), col("b.cls").as("cls"))
+      },
+      Some(HTML_ORACLE),
+      "HTML boilerplate extraction (jusText shape): block segmentation + link/stopword-density classification + context pass, all in the array domain of one zero-exchange projection"),
+
+    QueryDef(
+      "q169_line_quality",
+      (s, d) => lineQualityRel(documents(s, d),
+        syntheticPage(col("text"), col("doc_id"))),
+      Some(LINE_ORACLE),
+      "line-level C4/FineWeb quality rules: javascript / terminal-punctuation / min-words line filters + duplicate-line fraction and page verdict, array-domain, zero exchanges"),
+
     QueryDef(
       "q158_url_dedup",
       (s, d) => {

@@ -68,14 +68,20 @@ class QueriesSpec extends SparkSpec {
       "/root/testdata/sf0.1", Some(41.96), Some(139.7), worstLegs)
     assert(full.contains("\"gedcom_150m_passes\":[132,143,155]"), full)
     assert(full.contains("\"gedcom_1g_passes\":[153,166,182]"), full)
-    // r16 recalibration (leg-pass fields added per the r15 directive): the
-    // `full` model is already COMPOUND worst case — every query 3-digit
-    // decisec AND both legs on the 3-pass rule — and the hard wall is
-    // 1999 (the driver tail is exactly 2000 bytes with the final print
-    // last). 1950 keeps ~50 bytes against trailing noise on top of a
-    // regime that has never fully occurred; the `realistic` pin below
-    // still owns the growth-headroom guarantee.
-    assert(full.length < 1950, s"bench line ${full.length} bytes risks tail truncation")
+    // r16 recalibration (leg-pass fields + 165 queries): the `full` model
+    // is COMPOUND worst case — every query 3-digit decisec AND both legs
+    // on the 3-pass rule — and renderJson now degrades gracefully at the
+    // 1990 wall (per-query map -> {"omitted":N}), so the invariants are
+    // (a) the compound worst case still ships the REAL map, and (b) any
+    // overflow beyond it still parses.
+    assert(full.length <= 1990 && full.contains("\"q01\":123"),
+      s"compound worst case (${full.length} bytes) must still carry the real map")
+    val overflow = Bench.renderJson(
+      (1 to 400).map(i => f"q$i%03d_x" -> 12.3), "sf", Some(41.96),
+      Some(139.7), worstLegs)
+    assert(overflow.length < 600 && overflow.contains("\"queries\":{\"omitted\":400}")
+      && overflow.contains("\"gedcom_1g_passes\":"),
+      s"overflow must degrade to the omission marker: $overflow")
     // r11 directive, recalibrated r13 and again r14 (156 queries,
     // decisec era): the driver's tail is exactly 2000 bytes
     // (BENCH_r12.json "tail") and the final print lands last, so a

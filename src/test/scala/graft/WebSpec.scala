@@ -65,4 +65,136 @@ class WebSpec extends SparkSpec {
     assert(once == twice,
       once.zip(twice).filter { case (a, b) => a != b }.take(3).toString)
   }
+
+  // ---- HTML boilerplate extraction (q168) fixture pins ----
+
+  private def blocksOf(html: String): Seq[(String, String, String)] =
+    Seq(html).toDF("h")
+      .select(explode(Web.classifiedBlocks(col("h"))).as("b"))
+      .select(col("b.text"), col("b.cf"), col("b.cls"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+
+  private val GOOD_P = "the second paragraph of the article holds a calm " +
+    "and steady line of prose to close the story and a tidy end" // 22 words, 10 stopwords
+
+  test("jusText block decisions: chrome vanishes, context pass promotes and demotes") {
+    val html = s"""<html><head><title>ignored title tag splits</title>
+      |<script type="text/javascript">var hidden = "script words must not appear";</script>
+      |<style>p { color: red }</style></head>
+      |<body><!-- comment words must not appear -->
+      |<div id="nav"><a href="/">Home</a> | <a href="/x">Archive</a></div>
+      |<p>the quick brown fox and a lazy dog of the meadow keep the garden warm and green to a fault today</p>
+      |<H2>A Short Heading</H2>
+      |<p>$GOOD_P</p>
+      |<div>tiny</div>
+      |<div class="footer"><a href="/t">Terms</a> <a href="/p">Privacy</a></div>
+      |</body></html>""".stripMargin
+    val got = blocksOf(html)
+    // no script/style/comment content anywhere
+    assert(!got.exists(b => b._1.contains("hidden") || b._1.contains("comment")),
+      got.map(_._1).mkString(" | "))
+    val byText = got.map { case (t, cf, cls) => (t.split(" ").head, cf, cls) }
+    assert(byText == Seq(
+      ("ignored", "short", "bad"), // title: short, edge neighbour => bad
+      ("Home", "bad", "bad"), // nav: link density 11*5 > 14
+      ("the", "good", "good"), // 21 words, 9 stopwords => good
+      ("A", "short", "good"), // short BETWEEN two good => promoted
+      ("the", "good", "good"), // 22 words, 10 stopwords => good
+      ("tiny", "short", "bad"), // short with a bad (footer) neighbour
+      ("Terms", "bad", "bad")), // footer: link density
+      got.toString)
+    // the user-facing extractor returns exactly the final-good blocks
+    val main = Seq(html).toDF("h")
+      .select(Web.extractMainText(col("h"))).head.getString(0)
+    assert(main.startsWith("the quick brown fox") &&
+      main.contains("\nA Short Heading\n") && main.endsWith("a tidy end"), main)
+  }
+
+  test("inline tags strip, entities decode, uppercase block tags segment") {
+    val got = blocksOf(
+      "<DIV>rock &amp; roll &lt;tags&gt; stay &quot;quoted&quot; and " +
+        "<b>bold</b> words survive with a nod to the close</DIV>")
+    assert(got.map(_._1) == Seq(
+      "rock & roll <tags> stay \"quoted\" and bold words survive with a nod to the close"),
+      got)
+  }
+
+  test("neargood resolves by neighbours: one good side promotes, none demotes") {
+    val ng = "a stream of nine plain words for filler here" // 9 words, 2 stop
+    val nav = "<div><a href=\"/\">home</a> <a href=\"/x\">links</a></div>"
+    val isolated = blocksOf(s"$nav<p>$ng</p>$nav")
+    assert(isolated.map(b => (b._2, b._3)) ==
+      Seq(("bad", "bad"), ("neargood", "bad"), ("bad", "bad")), isolated)
+    val nextToGood = blocksOf(s"<p>$GOOD_P</p><p>$ng</p>$nav")
+    assert(nextToGood.map(b => (b._2, b._3)) ==
+      Seq(("good", "good"), ("neargood", "good"), ("bad", "bad")), nextToGood)
+  }
+
+  test("link-density alone kills a long-enough block") {
+    val got = blocksOf("<p>read <a href=\"/x\">this great linked article " +
+      "now</a> ok fine yes</p>")
+    // 9 words (not short), link chars 29 vs text 47: 29*5 > 47 => bad
+    assert(got.map(b => (b._2, b._3)) == Seq(("bad", "bad")), got)
+  }
+
+  // ---- line-level quality rules (q169) fixture pins ----
+
+  private def lineReport(page: String): Map[String, Long] = {
+    val df = Web.lineQualityRel(
+      Seq((1L, page)).toDF("doc_id", "page"), col("page"))
+    val row = df.head
+    df.columns.zip(row.toSeq).collect {
+      case (c, v: Long) => c -> v
+    }.toMap
+  }
+
+  test("line rules: precedence js > punctuation > short, page verdict on both axes") {
+    val page = Seq(
+      "a good first line with plenty of words here.", // kept
+      "powered by JavaScript widgets.", // js (case-insensitive, punct irrelevant)
+      "this line never ends", // nopunct
+      "so?", // punct ok, 1 word => short
+      "a second proper sentence closes well!", // kept
+      "quoted lines count as terminated\"", // kept
+      "ok then.", // 2 words => short
+      "the third full sentence lands the page over the keep floor.", // kept
+      "a good first line with plenty of words here.", // duplicate + kept
+      "one more decent sentence for margin?" // kept
+    ).mkString("\n")
+    val r = lineReport(page)
+    assert(r("n_lines") == 10 && r("n_distinct") == 9, r)
+    assert(r("n_js") == 1 && r("n_nopunct") == 1 && r("n_short") == 2, r)
+    assert(r("n_kept") == 6, r)
+    // kept words: 9 + 6 + 5 + 11 + 9 + 6
+    assert(r("kept_words") == 46, r)
+    // 6 kept >= 5 and dup fraction 1/10 <= 0.3
+    assert(r("page_pass") == 1, r)
+    // duplicate-heavy page fails even with enough kept lines
+    val dupPage = (Seq.fill(4)("the same sentence repeats again and again.") ++
+      Seq("one honest line to vary the set.", "and a closing line lands here."))
+      .mkString("\n")
+    val d = lineReport(dupPage)
+    assert(d("n_kept") == 6 && d("n_distinct") == 3, d)
+    assert(d("page_pass") == 0, s"dup fraction 3/6 must fail the 0.3 gate: $d")
+    // a page below the kept floor fails on the other axis
+    val thin = lineReport(Seq(
+      "a first honest line lands fine.",
+      "a second honest line lands fine too.").mkString("\n"))
+    assert(thin("n_kept") == 2 && thin("page_pass") == 0, thin)
+  }
+
+  test("line rules compose downstream of extraction (q168 -> q169 shape)") {
+    // main-content text from the HTML extractor feeds the line gate the
+    // way a production pipeline chains them; block texts become lines
+    val html = s"<p>$GOOD_P.</p><div><a href=\"/\">nav nav nav</a></div>" +
+      s"<p>$GOOD_P!</p><p>$GOOD_P</p>"
+    val main = Seq(html).toDF("h")
+      .select(Web.extractMainText(col("h")).as("page"))
+    val r = Web.lineQualityRel(
+      main.select(lit(1L).as("doc_id"), col("page")), col("page")).head
+    // three good blocks survive extraction; the unterminated one then
+    // falls to the punctuation line rule
+    assert(r.getAs[Long]("n_lines") == 3 && r.getAs[Long]("n_kept") == 2 &&
+      r.getAs[Long]("n_nopunct") == 1, r.toString)
+  }
 }
