@@ -948,6 +948,56 @@ object Multimodal {
     }
   }
 
+  /** A SLICE of the planted-variant corpus, synthesized without paying
+    * for the rest: only ids with g < `gMax` and v in `vs` ever encode a
+    * PNG (the filter runs on the id range BEFORE the map). This is the
+    * fixed-onboarding-batch builder for the stored-index study
+    * (`q142_probe_stored`): the x1 universe's incoming slice stays 96
+    * images while the indexed corpus amplifies, so a probe pass measures
+    * probing — not corpus synthesis. */
+  def syntheticImageSlice(s: SparkSession, groups: Int, gMax: Int,
+      vs: Seq[Int]): Dataset[MediaAsset] = {
+    import s.implicits._
+    val vset = vs.toSet
+    s.range(0, groups * 8L)
+      .filter(i => i % groups < gMax && vset.contains((i / groups).toInt))
+      .map { i =>
+        val g = i % groups
+        val v = i / groups
+        val shift = if (v <= 3) 4 * v.toInt else 0
+        val p = encodeDhashPng(dhashPatternWord(g, v), shift)
+        MediaAsset(i, p, MediaMeta("image", "png", p.length.toLong))
+      }
+  }
+
+  /** Batch probe of incoming (asset_id, dhash) rows against a STORED
+    * [[imageBandIndex]] — the image member of the stored-index family
+    * (`probeMinhashBands` / `probeLshIndex` for text / embeddings): the
+    * incoming rows band-explode, candidates come from the (band, bv)
+    * equi join against the stored bands UNIONED with the batch's own
+    * bands (so two genuinely NEW images absent from the index still
+    * pair — no containment precondition), and the exact hamming distance
+    * is computed in-row from the dhash both sides carry. Output equals
+    * [[imageNearDupPairsIncremental]] on the indexed corpus (pigeonhole
+    * exactness is unchanged; MultimodalSpec pins the identity). At scale
+    * the index is bucketed on (band, bv) so the corpus never shuffles. */
+  def probeImageBandIndex(index: DataFrame, incoming: DataFrame,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= DHASH_BANDS - 1,
+      s"banded candidates exact only to hamming ${DHASH_BANDS - 1}")
+    val inc = dhashBands(incoming)
+    val build = index
+      .select(col("asset_id"), col("dhash"), col("band"), col("bv"))
+      .unionByName(inc)
+    inc.alias("x").join(build.alias("y"), Seq("band", "bv"))
+      .filter(col("x.asset_id") =!= col("y.asset_id"))
+      .select(least(col("x.asset_id"), col("y.asset_id")).as("ia"),
+        greatest(col("x.asset_id"), col("y.asset_id")).as("ib"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Batched LIVE decode -> dHash over an image-asset Dataset — the same
     * mapPartitions batch shape as [[extractFeatures]]: pure executor-side
     * CPU, no shuffle, scales with input splits. Non-image or undecodable

@@ -355,6 +355,32 @@ class MultimodalSpec extends SparkSpec {
     assert(brute.exists { case (a, b) => hs.toMap.apply(a) == hs.toMap.apply(b) })
     // and MIXED pairs exist — the batch cuts within groups, not across
     assert(brute.exists { case (a, b) => isNew(a) != isNew(b) })
+
+    // the stored-index probe (q142_probe_stored's operator) is
+    // output-identical to the live incremental join on the same corpus:
+    // banding is pigeonhole-exact whether the bands come from a stored
+    // parquet or a live explode
+    val probed = Multimodal.probeImageBandIndex(
+        Multimodal.imageBandIndex(hashes),
+        hashes.filter(expr("asset_id div 48").isin(3, 6)), maxHamming = 2)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(probed == brute, s"stored probe ${probed.size} vs brute ${brute.size}")
+
+    // new-new coverage: two images ABSENT from the index that match each
+    // other must still pair (the build side unions the batch's bands)
+    val idxOld = Multimodal.imageBandIndex(
+      hashes.filter(!expr("asset_id div 48").isin(3, 6)))
+    val newNew = Multimodal.probeImageBandIndex(idxOld,
+        hashes.filter(expr("asset_id div 48").isin(3, 6)), maxHamming = 2)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    val bruteNN = (for {
+      (ia, ha) <- hs.iterator; (ib, hb) <- hs.iterator
+      if ia < ib && (isNew(ia) || isNew(ib))
+      if java.lang.Long.bitCount(ha ^ hb) <= 2
+    } yield (ia, ib)).toSet
+    assert(newNew == bruteNN, s"probe vs disjoint index: ${newNew.size} vs ${bruteNN.size}")
+    assert(newNew.exists { case (a, b) => isNew(a) && isNew(b) },
+      "expected at least one new-new pair (v=3 vs v=6 of the same group)")
     hashes.unpersist()
   }
 

@@ -140,6 +140,81 @@ class StreamingSpec extends SparkSpec {
     assert(hour1.toSeq == Seq(2L), s"late event leaked in: ${hour1.toSeq}") // not 3
   }
 
+  test("watermark late-data drops equal the batch-simulated set across replay schedules") {
+    // the r15 directive-4 pin: watermark/late-data semantics get a
+    // batch-computed oracle. A DataFrame simulator reproduces Spark's
+    // contract — the watermark a batch observes is max(ts) over EARLIER
+    // batches minus the delay; a row whose window end lags that watermark
+    // is dropped; a window is emitted once the final watermark passes its
+    // end — and two different replay schedules of the same fixture must
+    // both match it (the planted stragglers are late by hours, so no
+    // schedule boundary can save them).
+    import org.apache.spark.sql.expressions.Window
+    val E = Seq(
+      Event(1, ts(10), 1, "click", 1.0, "{}"),
+      Event(2, ts(20), 1, "click", 2.0, "{}"),
+      Event(3, ts(25), 1, "view", 3.0, "{}"),
+      Event(4, ts(240), 2, "click", 4.0, "{}"), // advances wm to 3:50
+      Event(5, ts(35), 1, "click", 99.0, "{}"), // hour-0 straggler => drop
+      Event(6, ts(40), 1, "view", 99.0, "{}"), // hour-0 straggler => drop
+      Event(7, ts(250), 2, "view", 5.0, "{}"),
+      Event(8, ts(600), 3, "click", 6.0, "{}")) // flush; own window unemitted
+    val byId = E.map(e => e.event_id -> e).toMap
+    val schedA = Seq(Seq(1L, 2L, 3L), Seq(4L), Seq(5L, 6L, 7L), Seq(8L))
+      .map(_.map(byId))
+    val schedB = Seq(Seq(1L, 2L, 3L, 4L), Seq(5L, 6L, 7L, 8L)).map(_.map(byId))
+
+    def simulate(sched: Seq[Seq[Event]])
+        : (Set[(Timestamp, String, Long, Double)], Set[Long]) = {
+      val rows = sched.zipWithIndex.flatMap { case (b, i) =>
+        b.map(e => (e.event_id, e.ts, e.event_type, e.value, i))
+      }
+      val df = rows.toDF("event_id", "ts", "event_type", "value", "batch")
+        .withColumn("wend", timestamp_seconds(
+          (floor(unix_timestamp($"ts") / 3600) + 1) * 3600))
+      val wmB = df.groupBy($"batch").agg(max($"ts").as("bmax"))
+        .withColumn("wm", max($"bmax").over(
+          Window.orderBy($"batch").rowsBetween(Window.unboundedPreceding, -1))
+          - expr("INTERVAL 10 minutes"))
+        .select($"batch", $"wm")
+      val joined = df.join(wmB, "batch")
+      val drops = joined.filter($"wm".isNotNull && $"wend" <= $"wm")
+        .select($"event_id").as[Long].collect().toSet
+      val finalWm = new Timestamp(sched.flatten.map(_.ts.getTime).max - 600000L)
+      val expected = joined.filter($"wm".isNull || $"wend" > $"wm")
+        .withColumn("bucket", timestamp_seconds(
+          floor(unix_timestamp($"ts") / 3600) * 3600))
+        .groupBy($"bucket", $"event_type")
+        .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+        .filter($"bucket" + expr("INTERVAL 1 hour") <= lit(finalWm))
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      (expected, drops)
+    }
+
+    def runSched(sched: Seq[Seq[Event]], name: String)
+        : Set[(Timestamp, String, Long, Double)] = {
+      val in = MemoryStream[Event]
+      val q = StreamingOps.tumblingCounts(in.toDF(), "1 hour")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try sched.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name)
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+    }
+
+    val (expA, dropsA) = simulate(schedA)
+    val (expB, dropsB) = simulate(schedB)
+    // the batch oracle predicts exactly the planted stragglers, under
+    // BOTH schedules — the fixture is schedule-insensitive by design
+    assert(dropsA == Set(5L, 6L) && dropsB == Set(5L, 6L), (dropsA, dropsB))
+    assert(expA == expB, s"schedules must agree:\n$expA\n$expB")
+    assert(expA.nonEmpty && expA.toSeq.map(_._3).sum == 5L, expA) // 5 surviving events emitted
+    val gotA = runSched(schedA, "wm_replay_a")
+    val gotB = runSched(schedB, "wm_replay_b")
+    assert(gotA == expA, s"schedule A diverged from the batch oracle:\n$gotA\n$expA")
+    assert(gotB == expA, s"schedule B diverged from the batch oracle:\n$gotB\n$expA")
+  }
+
   test("streaming GEDCOM ingestion processes arriving files exactly once") {
     val base = java.nio.file.Files.createTempDirectory("gedstream")
     val (watch, out) = (s"$base/in", s"$base/out")
