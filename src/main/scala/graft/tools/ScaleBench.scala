@@ -106,7 +106,8 @@ object ScaleBench {
     "q166_decontamination",    // eval-gram domain join + per-doc overlap agg
     "q167_ppl_buckets",        // LM tables + xent-histogram tercile cuts
     "q168_html_extract",       // array-domain jusText parse, zero exchanges
-    "q169_line_quality")       // array-domain line rules, zero exchanges
+    "q169_line_quality",       // array-domain line rules, zero exchanges
+    "q170_pii_redaction")      // three-regex scrub, pure map
 
   /** Out-of-registry study variants, timed like registry queries when
     * named in the roster args.

@@ -36,4 +36,23 @@ class PrivacySpec extends SparkSpec {
       ("en", "b") -> ((3L, true)),
       ("de", "a") -> ((1L, true))))
   }
+
+  test("PII redaction scrubs emails/IPs/phones and spares the lookalikes") {
+    def redact(s: String): String =
+      Seq(s).toDF("t").select(Privacy.redactPii(col("t"))).head.getString(0)
+    // multiple hits of mixed kinds in one string
+    assert(redact("mail a.b+c@sub.ex.org or x_1%y@ex.co, host 192.168.0.1, " +
+      "call +44-201-5550 or +1-555-1234.") ==
+      "mail <EMAIL> or <EMAIL>, host <IP>, call <PHONE> or <PHONE>.")
+    // negatives: TLD-less mailto, 4-digit octet, bare dotted version,
+    // plus-number without the full shape
+    for (neg <- Seq("admin@localhost stays", "build 1.2.3.4000 ok",
+        "version 1.2.3 tag", "sum +12-34-56 here", "a@b.c single-letter tld"))
+      assert(redact(neg) == neg, neg)
+    // an email wrapping a dotted quad redacts as ONE email (precedence)
+    assert(redact("odd user@10.1.2.3.net case") == "odd <EMAIL> case")
+    // idempotent: placeholders contain no redactable material
+    val once = redact("x y9@z.io 1.2.3.4 +1-555-0000")
+    assert(redact(once) == once, once)
+  }
 }
