@@ -37,6 +37,11 @@ object Privacy {
   // In-text PII redaction (the FineWeb/Dolma anonymization rung, Penedo
   // et al. 2024 §3.5 / Soldaini et al. 2024 — public): emails, IPv4
   // addresses and phone numbers scrubbed from free text BEFORE release.
+  // Complements q76 (TextAnalysis), the corpus-wide pattern AUDIT whose
+  // PII counters are legitimately ZERO on this clean synthetic corpus:
+  // here a closed-form fixture PLANTS the PII, so the scrub itself —
+  // replacements, placeholders, negative lookalikes — is value-checked
+  // end to end, per doc, full redacted text hash-compared.
   // Patterns are deliberately RE2-compatible (DuckDB) AND Java-regex
   // compatible (Spark) so one definition serves both engines; the
   // replace chain applies email -> IP -> phone (documented precedence —
@@ -86,7 +91,7 @@ object Privacy {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
-      "q170_pii_redaction",
+      "q170_pii_scrub",
       (s, d) =>
         documents(s, d)
           .select(col("doc_id"),
@@ -116,7 +121,7 @@ object Privacy {
             '$IP_RE', '<IP>', 'g'),
             '$PHONE_RE', '<PHONE>', 'g'))::BIGINT AS n_chars_after
         FROM t"""),
-      "in-text PII redaction (FineWeb/Dolma anonymization): email/IPv4/phone regex scrub with typed placeholders + per-doc counts, pure map, zero shuffles"),
+      "in-text PII scrub (FineWeb/Dolma anonymization): email/IPv4/phone regex redaction with typed placeholders + per-doc counts on PLANTED fixtures — completes q76's zero-match audit with value-checked replacements; pure map, zero shuffles"),
 
 
     QueryDef(
