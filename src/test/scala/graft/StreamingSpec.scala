@@ -405,7 +405,14 @@ class StreamingSpec extends SparkSpec {
     // production pipeline maintains
     val index = Dedup.lshCodeIndex(corpus, p).cache()
     val incoming = e.filter(col("vec_id") % 3 === 0)
+    // since r16 the batch probe also surfaces incoming-incoming pairs
+    // (its build side unions the batch's own codes); the streaming twin
+    // deliberately does NOT — incoming-incoming pairs are the next index
+    // refresh's business (the split that keeps the corpus-probe half
+    // stateless) — so parity is pinned on the incoming-vs-CORPUS
+    // restriction, the relation both sides claim
     val expected = Dedup.probeLshIndex(index, incoming, p)
+      .filter(!(col("ia") % 3 === 0 && col("ib") % 3 === 0))
       .as[(Long, Long, Double)].collect().toSet
     val vecs = incoming.select(col("vec_id"), col("v")).collect()
       .map(r => VecIn(r.getLong(0), r.getSeq[Double](1),
