@@ -487,8 +487,11 @@ object Dedup {
 
   /** The stored minhash band index for text onboarding — the text twin of
     * [[lshCodeIndex]]: one row per (doc, scope..., band) carrying the band
-    * hash. At production scale it is written bucketed on (band, bh) so
-    * probe joins co-locate, with the signature frame persisted beside it
+    * hash. At production scale it is written bucketed on the FULL probe
+    * key set (scope..., band, bh) so probe joins co-locate — a subset-key
+    * bucketing does not satisfy the join's required distribution
+    * (StorageSpec pins the exchange-free plan) — with the signature frame
+    * persisted beside it
     * for the exact verify (two narrow tables instead of one that repeats
     * the 32-perm signature across every band row). */
   def minhashBandIndex(sigs: DataFrame, scope: Seq[String]): DataFrame =
@@ -502,41 +505,46 @@ object Dedup {
     * the rebuild-per-call gap for the MinHash family the way
     * `q64_probe_stored`/`q98_probe_stored` close it for embeddings:
     * incoming docs band-explode, candidates come from the
-    * (scope, band, bh) equi join against the stored bands unioned with
-    * the batch's own bands, and every candidate's estimated Jaccard is
-    * computed exactly from the stored signatures. Sharing a band hash is
-    * a SYMMETRIC pair condition and the build side covers both
-    * populations, so the output equals [[minhashPairsFromSigs]]
-    * restricted to incoming-involving pairs (DedupProps property) with
-    * NO containment precondition on the batch, while candidate work
-    * shrinks from corpus-sized to batch-sized. `sigs` must cover every
-    * doc in `bands`; an incoming set overlapping the corpus (the q96
-    * onboarding idiom) contributes each signature once. */
+    * (scope, band, bh) equi join against the stored bands PLUS a
+    * batch x batch self-join on the same keys, and every candidate's
+    * estimated Jaccard is computed exactly from the stored signatures.
+    * Sharing a band hash is a SYMMETRIC pair condition and the two joins
+    * cover both populations, so the output equals
+    * [[minhashPairsFromSigs]] restricted to incoming-involving pairs
+    * (DedupProps property) with NO containment precondition on the
+    * batch, while candidate work shrinks from corpus-sized to
+    * batch-sized. `sigs` must cover every doc in `bands`; an incoming
+    * set overlapping the corpus (the q96 onboarding idiom) contributes
+    * each signature once. */
   def probeMinhashBands(bands: DataFrame, sigs: DataFrame,
       incoming: DataFrame, scope: Seq[String], threshold: Double): DataFrame = {
     val joinKeys = scope ++ Seq("band", "bh")
-    // build side = stored bands UNION the incoming batch's own bands: two
-    // genuinely NEW docs (absent from the index) that share a band pair
-    // through the incoming half, so the contract above holds whether or
-    // not incoming is contained in the indexed corpus. Sizing: stored
-    // count + the batch's exact band fanout (MINHASH_BANDS per doc, a
-    // constant) — no extra count job over the exploded frame, and the
-    // broadcast decision sees the true unioned row count; the same number
-    // serves the auto-salt tier-1 bound (build rows upper-bound any
-    // single (scope, band, bh) bucket).
-    val nIdx = bands.count() + MINHASH_BANDS * incoming.count()
-    val build = bands.unionByName(minhashBandIndex(incoming, scope))
-    val cand0 = minhashBandIndex(incoming, scope).alias("x")
-      .join(sizedBuildSide(build.alias("y"), nIdx, INDEX_ROW_BYTES), joinKeys)
-      .filter(col("x.doc_id") =!= col("y.doc_id"))
-      // normalize: a pair may arrive both ways (incoming-incoming, or an
-      // overlapping doc seen through both union halves); dedupFused
-      // dedups inside its own first exchange
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("ia"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("ib"))
+    // TWO candidate joins, unioned on the PAIR side: (a) incoming bands
+    // vs the stored index — the corpus-sized join, whose build side stays
+    // the pristine stored relation so a (scope, band, bh)-bucketed index
+    // keeps its partitioning (unioning incoming INTO the build side would
+    // void the bucketing and re-shuffle the corpus every probe); (b)
+    // incoming bands vs themselves — batch x batch, so two genuinely NEW
+    // docs absent from the index still pair and the contract above holds
+    // with no containment precondition. An overlapping batch (the q96
+    // idiom) produces each pair through both joins; dedupFused dedups
+    // inside its own first exchange. Sizing: exact band fanout
+    // (MINHASH_BANDS per doc) prices the self-join side without a second
+    // count job over the exploded frame.
+    val nIdx = bands.count()
+    val nIncBands = MINHASH_BANDS * incoming.count()
+    val incBands = minhashBandIndex(incoming, scope)
+    def pairsAgainst(build: DataFrame, nBuild: Long) =
+      incBands.alias("x")
+        .join(sizedBuildSide(build.alias("y"), nBuild, INDEX_ROW_BYTES), joinKeys)
+        .filter(col("x.doc_id") =!= col("y.doc_id"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("ia"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("ib"))
+    val cand0 = pairsAgainst(bands, nIdx)
+      .unionByName(pairsAgainst(incBands, nIncBands))
     val cand = dedupFused(cand0,
-      maxBucket = tieredProbe(bands.sparkSession)(nIdx)(
-        maxBucketOf(build, joinKeys.map(col))))
+      maxBucket = tieredProbe(bands.sparkSession)(nIdx + nIncBands)(
+        maxBucketOf(bands.unionByName(incBands), joinKeys.map(col))))
     val vsigs = sigs.select(col("doc_id"), col("sig"))
       .union(incoming.select(col("doc_id"), col("sig")))
       .dropDuplicates("doc_id")
@@ -858,24 +866,28 @@ object Dedup {
       .select(col("vec_id").as("q"), col("t"),
         explode(array(Similarity.probeMasks(p, r).map(m =>
           col("code").bitwiseXOR(lit(m))): _*)).as("code"))
-    // build side = stored codes UNION the incoming batch's own raw codes:
-    // two genuinely NEW vectors (absent from the index) whose codes sit
-    // within the probe radius pair through the incoming half — the same
-    // no-containment-precondition contract as [[probeMinhashBands]]; an
-    // overlapping batch only produces duplicate candidates that
-    // cosVerifyGrouped's fused dedup removes. Sizing: stored count + the
-    // batch's exact code fanout (nTables rows per vector) — the counts
-    // serve the probe tier, the join sizing, and the verify sizing
-    // (nTables rows per vector upper-bound the vecs frame).
-    val nIdx = index.count() + nTables * incoming.count()
-    val build = index.select(col("vec_id").as("x"), col("t"), col("code"))
-      .unionByName(lshCodeIndex(incoming, p, nTables)
-        .select(col("vec_id").as("x"), col("t"), col("code")))
-    val cand = probes
-      .join(sizedBuildSide(build, nIdx, INDEX_ROW_BYTES), Seq("t", "code"))
-      .filter(col("q") =!= col("x"))
-      .select(least(col("q"), col("x")).as("ia"),
-        greatest(col("q"), col("x")).as("ib"))
+    // TWO candidate joins, unioned on the PAIR side (the
+    // [[probeMinhashBands]] shape): (a) probe ring vs the stored index —
+    // the corpus-sized join, build side kept pristine so a (t, code)-
+    // bucketed index keeps its partitioning; (b) probe ring vs the
+    // batch's own raw codes — batch x batch, so two genuinely NEW vectors
+    // absent from the index whose codes sit within the probe radius still
+    // pair (no containment precondition). Overlapping batches produce
+    // duplicate candidates that cosVerifyGrouped's fused dedup removes.
+    // Sizing: exact code fanout (nTables rows per vector) prices the
+    // self side without a second count job.
+    val nIdx = index.count()
+    val nIncCodes = nTables * incoming.count()
+    val incCodes = lshCodeIndex(incoming, p, nTables)
+      .select(col("vec_id").as("x"), col("t"), col("code"))
+    def pairsAgainst(build: DataFrame, nBuild: Long) =
+      probes.join(sizedBuildSide(build, nBuild, INDEX_ROW_BYTES), Seq("t", "code"))
+        .filter(col("q") =!= col("x"))
+        .select(least(col("q"), col("x")).as("ia"),
+          greatest(col("q"), col("x")).as("ib"))
+    val cand = pairsAgainst(
+        index.select(col("vec_id").as("x"), col("t"), col("code")), nIdx)
+      .unionByName(pairsAgainst(incCodes, nIncCodes))
     // verify-side vectors: the index's (one row per vec at t=0) plus the
     // incoming frame — dedup'd so an overlapping incoming set (the q96
     // idiom, incoming subset of corpus) contributes each vector once
@@ -883,11 +895,13 @@ object Dedup {
       .select(col("vec_id"), col("v"), col("nrm"))
       .union(incoming.select(col("vec_id"), col("v"), col("nrm")))
       .dropDuplicates("vec_id")
-    // tier 1: the unioned build row count bounds any code bucket; the
-    // refined probe (rare) aggregates over the same build relation
-    cosVerifyGrouped(vecs, cand, threshold, nIdx,
-      maxBucket = tieredProbe(index.sparkSession)(nIdx)(
-        maxBucketOf(build, Seq(col("t"), col("code")))))
+    // tier 1: stored + incoming code rows bound any single bucket; the
+    // refined probe (rare) aggregates over both relations
+    cosVerifyGrouped(vecs, cand, threshold, nIdx + nIncCodes,
+      maxBucket = tieredProbe(index.sparkSession)(nIdx + nIncCodes)(
+        maxBucketOf(index.select(col("t"), col("code"))
+          .unionByName(incCodes.select(col("t"), col("code"))),
+          Seq(col("t"), col("code")))))
   }
 
   /** Per-doc arrays for the AllPairs prefix join, from ONE aggregation:

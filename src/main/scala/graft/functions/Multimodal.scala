@@ -974,9 +974,9 @@ object Multimodal {
     * [[imageBandIndex]] — the image member of the stored-index family
     * (`probeMinhashBands` / `probeLshIndex` for text / embeddings): the
     * incoming rows band-explode, candidates come from the (band, bv)
-    * equi join against the stored bands UNIONED with the batch's own
-    * bands (so two genuinely NEW images absent from the index still
-    * pair — no containment precondition), and the exact hamming distance
+    * equi join against the stored bands PLUS a batch x batch self-join
+    * (so two genuinely NEW images absent from the index still pair — no
+    * containment precondition), and the exact hamming distance
     * is computed in-row from the dhash both sides carry. Output equals
     * [[imageNearDupPairsIncremental]] on the indexed corpus (pigeonhole
     * exactness is unchanged; MultimodalSpec pins the identity). At scale
@@ -986,14 +986,19 @@ object Multimodal {
     require(maxHamming <= DHASH_BANDS - 1,
       s"banded candidates exact only to hamming ${DHASH_BANDS - 1}")
     val inc = dhashBands(incoming)
-    val build = index
-      .select(col("asset_id"), col("dhash"), col("band"), col("bv"))
-      .unionByName(inc)
-    inc.alias("x").join(build.alias("y"), Seq("band", "bv"))
-      .filter(col("x.asset_id") =!= col("y.asset_id"))
-      .select(least(col("x.asset_id"), col("y.asset_id")).as("ia"),
-        greatest(col("x.asset_id"), col("y.asset_id")).as("ib"),
-        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
+    // two candidate joins, unioned on the PAIR side (the probeMinhashBands
+    // shape): the stored join keeps the index pristine — a (band, bv)-
+    // bucketed index keeps its partitioning — while the batch x batch
+    // self-join surfaces new-new pairs; distinct() absorbs the overlap
+    def pairsAgainst(build: org.apache.spark.sql.DataFrame) =
+      inc.alias("x").join(build.alias("y"), Seq("band", "bv"))
+        .filter(col("x.asset_id") =!= col("y.asset_id"))
+        .select(least(col("x.asset_id"), col("y.asset_id")).as("ia"),
+          greatest(col("x.asset_id"), col("y.asset_id")).as("ib"),
+          bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
+    pairsAgainst(
+        index.select(col("asset_id"), col("dhash"), col("band"), col("bv")))
+      .unionByName(pairsAgainst(inc))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -165,6 +165,65 @@ class StorageSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("stored minhash band index bucketed on the probe keys joins without shuffling the corpus side") {
+    // proves the stored-index family's 100 TB claim THROUGH the probe
+    // function itself: an index bucketed on the FULL probe key set
+    // (scope ++ band ++ bh — a subset-key bucketing does not satisfy the
+    // join's required distribution) scans with its partitioning intact, so the corpus side joins
+    // with NO Exchange even on the over-broadcast-cap SHUFFLE_HASH path
+    // — this is exactly why the r16 probes union candidate PAIRS instead
+    // of unioning the batch into the build side (a union voids the
+    // bucketed partitioning and re-shuffles the corpus every probe).
+    import graft.functions.Dedup
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val scope = Seq("lang", "source")
+    val sigs = Dedup.minhashSignaturesRowwise(
+      Tables.documents(spark, SF), scope).cache()
+    val bands = Dedup.minhashBandIndex(sigs, scope)
+    spark.sql("DROP TABLE IF EXISTS b_mhbands")
+    bands.write.mode(SaveMode.Overwrite)
+      .bucketBy(4, "lang", "source", "band", "bh").saveAsTable("b_mhbands")
+    val incoming = sigs.filter(col("doc_id") % 10 === 0)
+    def run(idx: org.apache.spark.sql.DataFrame) =
+      Dedup.probeMinhashBands(idx, sigs, incoming, scope, 0.75)
+    // reference values on the default (broadcast) path, unbucketed input
+    val plain = run(bands).collect().map(_.toSeq).toSet
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.graft.verifyBroadcastVectors", "1") // force SHUFFLE_HASH
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // plain tree for collect()
+    try {
+      val df = run(spark.table("b_mhbands"))
+      val plan = df.queryExecution.executedPlan
+      val bandScans = plan.collect {
+        case s: FileSourceScanExec
+          if s.tableIdentifier.exists(_.table == "b_mhbands") => s
+      }
+      assert(bandScans.nonEmpty && bandScans.forall(_.bucketedScan),
+        s"expected a bucketed scan of b_mhbands:\n$plan")
+      // the precise claim: the corpus side ENTERS its join exchange-free
+      // (later pair-domain exchanges — dedup, verify — are output-bounded
+      // and expected); only the batch-sized probe side shuffles
+      val exchangeFreeBuild = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }.exists { j =>
+        j.right.collect {
+          case s: FileSourceScanExec
+            if s.tableIdentifier.exists(_.table == "b_mhbands") => s
+        }.nonEmpty &&
+        j.right.collect { case e: ShuffleExchangeExec => e }.isEmpty
+      }
+      assert(exchangeFreeBuild,
+        s"the bucketed index must enter its join with NO Exchange:\n$plan")
+      // and the plan flip + bucketing changed no values
+      assert(df.collect().map(_.toSeq).toSet == plain)
+    } finally {
+      spark.conf.unset("spark.graft.verifyBroadcastVectors")
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      sigs.unpersist(false)
+    }
+  }
+
   test("IVF index bucketed by cid probes without shuffling the index side") {
     // proves q67's scale claim: the inverted lists ARE a partitioning key.
     // Write the index bucketed by cid once; every probe query then equi
