@@ -67,6 +67,31 @@ object DedupProps extends Properties("dedup") {
       Prop(inc == full) :| s"inc=${inc.size} full-filtered=${full.size} t=$t mod=$mod"
     }
 
+  property("stored band probe covers new-new pairs on ANY corpus split") =
+    Prop.forAll(corpusGen, Gen.chooseNum(2, 4)) { case ((docs, t), mod) =>
+      // the r16 no-containment contract at property level: index the
+      // doc_id % mod != 0 population ONLY, probe with the % mod == 0
+      // batch (genuinely absent from the index), and the output must
+      // equal the full band-pair relation restricted to incoming-
+      // involving pairs — including pairs where BOTH members are new
+      // (the batch x batch self-join's reason to exist)
+      import spark.implicits._
+      val scope = Seq("lang", "source")
+      val df = docs.toDF("doc_id", "text", "lang", "source")
+      val sigs = Dedup.minhashSignaturesRowwise(df, scope)
+      val stored = sigs.filter(col("doc_id") % mod =!= 0)
+      val incoming = sigs.filter(col("doc_id") % mod === 0)
+      val probed = Dedup.probeMinhashBands(
+          Dedup.minhashBandIndex(stored, scope), sigs, incoming, scope, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val full: Set[(Long, Long, Double)] =
+        Dedup.minhashPairsFromSigs(sigs, scope, t)
+          .as[(Long, Long, Double)].collect().toSet
+      val fullInc = full.filter { case (a, b, _) =>
+        a % mod == 0 || b % mod == 0 }
+      Prop(probed == fullInc) :| s"probed=${probed.size} full=${fullInc.size} mod=$mod t=$t"
+    }
+
   property("salt guard auto-arms on a mass-dup corpus and stays row-identical") = {
     // planted mass-duplication skew — one viral boilerplate shared by 60
     // docs (every one a >= 0.8 neighbor of every other: a single hot ia
