@@ -137,9 +137,13 @@ object Web {
   // ------------------------------------------------------------------
 
   /** Tags that terminate a text block (jusText segments on these);
-    * inline markup (<a>, <b>, <i>, <span>, ...) stays inside its block. */
+    * inline markup (<a>, <b>, <i>, <span>, ...) stays inside its block.
+    * A RUN of two-plus <br> acts as a paragraph break (the old-style-HTML
+    * convention jusText honors); a single <br> is a soft wrap and stays
+    * inside its block (the inner-text strip turns it into a space). */
   private val BLOCK_SPLIT =
-    "(?i)</?(?:p|div|h[1-6]|ul|ol|li|table|thead|tbody|tr|td|th|blockquote|" +
+    "(?i)(?:<br\\b[^>]*>\\s*){2,}|" +
+      "</?(?:p|div|h[1-6]|ul|ol|li|table|thead|tbody|tr|td|th|blockquote|" +
       "article|section|header|footer|nav|main|aside|html|head|body|title|form)\\b[^>]*>"
 
   private val W_LOW = 8 // words; below => short (jusText length_low)

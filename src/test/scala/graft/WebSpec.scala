@@ -119,6 +119,21 @@ class WebSpec extends SparkSpec {
       got)
   }
 
+  test("br runs segment paragraphs; single br is a soft wrap; no-good pages extract empty") {
+    // two-plus <br> = the old-style-HTML paragraph break; one <br> stays
+    // inside its block as whitespace
+    val split = blocksOf(s"<div>$GOOD_P<br><br>$GOOD_P</div>")
+    assert(split.size == 2 && split.forall(_._3 == "good"), split)
+    val soft = blocksOf("<div>one line<br>same block here ok</div>")
+    assert(soft.map(_._1) == Seq("one line same block here ok"), soft)
+    val mixed = blocksOf(s"<div>$GOOD_P<br/><BR >$GOOD_P</div>")
+    assert(mixed.size == 2, s"self-closing/cased br runs must split: $mixed")
+    // a page with no good blocks extracts the empty string, not nulls
+    val none = Seq("<div><a href=\"/\">only nav links here</a></div>").toDF("h")
+      .select(Web.extractMainText(col("h"))).head.getString(0)
+    assert(none == "", s"expected empty extraction, got '$none'")
+  }
+
   test("neargood resolves by neighbours: one good side promotes, none demotes") {
     val ng = "a stream of nine plain words for filler here" // 9 words, 2 stop
     val nav = "<div><a href=\"/\">home</a> <a href=\"/x\">links</a></div>"
