@@ -157,15 +157,70 @@ object Web {
       "(?is)<style\\b[^>]*>.*?</style>", " "),
       "(?s)<!--.*?-->", " ")
 
-  /** Visible text of an HTML fragment: inline tags out, the five basic
-    * entities decoded (&amp; LAST so double-escapes don't cascade),
-    * whitespace collapsed. A deliberate regex-level extractor: attribute
-    * values containing '>' are out of scope (documented, spec-pinned). */
+  /** Numeric character references this extractor decodes: decimal
+    * `&#NNNN;` and hex `&#xHHHH;`, digit counts bounded so anything
+    * longer stays literal text (bounds cover the whole BMP with slack
+    * for leading zeros; a cast can then never overflow). The SAME
+    * constant drives both the ref extraction and the segment split, so
+    * the two arrays align positionally by construction. */
+  private val CHARREF = "&#(?:[xX][0-9a-fA-F]{1,6}|[0-9]{1,8});"
+
+  /** The single BMP character of a codepoint column, built as UTF-8
+    * bytes in hex and decoded — pure built-in functions (hex/unhex/
+    * decode), codegen-friendly, no UDF. Spark's own `chr` is mod-256
+    * (ASCII-era semantics), hence the byte construction. Caller guards
+    * the printable-BMP range; this assumes 0 <= cp <= 0xFFFF. */
+  private def codepointChar(cp: Column): Column = {
+    def hx(b: Column) = lpad(hex(b), 2, "0")
+    val one = hx(cp)
+    val two = concat(hx(shiftright(cp, 6) + lit(0xC0L)),
+      hx(cp.bitwiseAND(lit(0x3FL)) + lit(0x80L)))
+    val three = concat(hx(shiftright(cp, 12) + lit(0xE0L)),
+      hx(shiftright(cp, 6).bitwiseAND(lit(0x3FL)) + lit(0x80L)),
+      hx(cp.bitwiseAND(lit(0x3FL)) + lit(0x80L)))
+    decode(unhex(when(cp < 0x80, one).when(cp < 0x800, two).otherwise(three)),
+      "UTF-8")
+  }
+
+  /** Decoded character of one matched [[CHARREF]] token, or the literal
+    * token itself outside the printable BMP (cp < 32, surrogates
+    * D800-DFFF, and anything past FFFD stay as written — the jusText
+    * corpora convention: an out-of-range ref is content noise, not a
+    * character the length/density features should count as one). */
+  private def charrefChar(ref: Column): Column = {
+    val isHex = substring(ref, 3, 1).isin("x", "X")
+    val cp = when(isHex,
+        conv(ref.substr(lit(4), length(ref) - 4), 16, 10).cast("long"))
+      .otherwise(ref.substr(lit(3), length(ref) - 3).cast("long"))
+    val printable = cp >= 32 && cp <= 0xFFFD &&
+      !(cp >= 0xD800 && cp <= 0xDFFF)
+    when(printable, codepointChar(cp)).otherwise(ref)
+  }
+
+  /** Visible text of an HTML fragment: inline tags out, numeric charrefs
+    * (`&#8217;` / `&#x2019;`) decoded for the printable BMP, the five
+    * basic named entities decoded (&amp; LAST so double-escapes don't
+    * cascade), whitespace collapsed. The numeric pass runs BEFORE the
+    * named pass for the same non-cascade reason: `&amp;#8217;` must
+    * surface as the literal text `&#8217;`, so the numeric decoder must
+    * never see the post-`&amp;` form. Decode shape: extract all refs +
+    * split on the same pattern, then stitch segment/char/segment — one
+    * zip_with fold, no per-ref regexp passes. A deliberate regex-level
+    * extractor: attribute values containing '>' are out of scope
+    * (documented, spec-pinned). */
   private[graft] def htmlInnerText(frag: Column): Column = {
     val untag = regexp_replace(frag, "<[^>]*>", " ")
+    val refs = regexp_extract_all(untag, lit(CHARREF), lit(0))
+    val segs = split(untag, CHARREF, -1)
+    val numDecoded = concat(element_at(segs, 1),
+      aggregate(
+        zip_with(refs, slice(segs, lit(2), size(refs)), (r, s2) =>
+          concat(charrefChar(r), s2)),
+        lit(""), (a, x) => concat(a, x)))
+    // &#39; needs no named entry: the numeric pass above covers it
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(untag) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(numDecoded) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
@@ -299,8 +354,11 @@ object Web {
         "</head><body><!-- layout -->"),
       lit("<div class=\"nav\"><a href=\"/\">home</a> <a href=\"/archive\">" +
         "archive</a> <a href=\"/about\">about</a></div>"),
+      // numeric charrefs planted through the ORACLE-verified path (r17):
+      // decimal &#8217; here, hex &#x2014; in the quote block, and the
+      // double-escape &amp;#169; in the footer (must surface literal)
       lit("<h1>"), element_at(ws, 1), lit(" "), element_at(ws, 2), lit(" "),
-      element_at(ws, 3), lit(" &amp; co</h1>"),
+      element_at(ws, 3), lit(" &amp; co&#8217;s</h1>"),
       lit("<p><b>"), element_at(ws, 1), lit("</b>"),
       when(h > 1, concat(lit(" "), array_join(slice(ws, lit(2), h - 1), " ")))
         .otherwise(lit("")),
@@ -310,10 +368,11 @@ object Web {
         lit("</a> <a href=\"/r/2\">"), element_at(ws, 3), lit("</a></div>")))
         .otherwise(lit("")),
       when(docId % 5 === 0, concat(
-        lit("<p>"), array_join(slice(ws, lit(2), lit(4)), " "), lit("</p>")))
+        lit("<p>"), array_join(slice(ws, lit(2), lit(4)), " "),
+        lit(" &#x2014;</p>")))
         .otherwise(lit("")),
       lit("<p>"), array_join(slice(ws, h + 1, n - h), " "), lit("</p>"),
-      lit("<div class=\"footer\">copyright <a href=\"/terms\">terms</a> " +
+      lit("<div class=\"footer\">copyright &amp;#169; <a href=\"/terms\">terms</a> " +
         "<a href=\"/privacy\">privacy</a></div></body></html>"))
   }
 
@@ -470,7 +529,7 @@ object Web {
       FROM b0
       UNION ALL
       SELECT doc_id, 1, 5, ${SQL_STOPCNT("ws[1:3]")}, 0,
-             len(ws[1] || ' ' || ws[2] || ' ' || ws[3] || ' & co')
+             len(ws[1] || ' ' || ws[2] || ' ' || ws[3] || ' & co’s')
       FROM b0
       UNION ALL
       SELECT doc_id, 2, h, ${SQL_STOPCNT("ws[1:h]")}, 0,
@@ -482,16 +541,16 @@ object Web {
              len('see also ' || ws[2] || ' ' || ws[3])
       FROM b0 WHERE doc_id % 3 = 0
       UNION ALL
-      SELECT doc_id, 4, 4, ${SQL_STOPCNT("ws[2:5]")}, 0,
-             len(array_to_string(ws[2:5], ' '))
+      SELECT doc_id, 4, 5, ${SQL_STOPCNT("ws[2:5]")}, 0,
+             len(array_to_string(ws[2:5], ' ') || ' —')
       FROM b0 WHERE doc_id % 5 = 0
       UNION ALL
       SELECT doc_id, 5, n - h, ${SQL_STOPCNT("ws[h+1:n]")}, 0,
              len(array_to_string(ws[h+1:n], ' '))
       FROM b0
       UNION ALL
-      SELECT doc_id, 6, 3, 0, len('terms')+len('privacy'),
-             len('copyright terms privacy')
+      SELECT doc_id, 6, 4, 0, len('terms')+len('privacy'),
+             len('copyright &#169; terms privacy')
       FROM b0),
     idx AS (
       SELECT doc_id,

@@ -119,6 +119,35 @@ class WebSpec extends SparkSpec {
       got)
   }
 
+  // ---- numeric character references (r17 directive 3) ----
+
+  private def inner(frag: String): String =
+    Seq(frag).toDF("f").select(Web.htmlInnerText(col("f"))).head.getString(0)
+
+  test("numeric charrefs decode: decimal, hex, interleaved, next to named entities") {
+    assert(inner("it&#8217;s &#x2019; fine") == "it’s ’ fine")
+    assert(inner("&#65;&#66;c&#8212;d") == "ABc—d")
+    assert(inner("&lt;&#8217;&gt;") == "<’>")
+    // uppercase hex marker and hex digits both accepted
+    assert(inner("&#X2014; &#x201C;") == "— “")
+  }
+
+  test("double-escaped refs do NOT cascade: &amp;#8217; surfaces literal") {
+    assert(inner("&amp;#8217;") == "&#8217;")
+    assert(inner("a &amp;#169; b &#169; c") == "a &#169; b © c")
+  }
+
+  test("out-of-printable-BMP refs stay literal text") {
+    // control char, lone surrogate, past-BMP (hex and decimal), overlong digits
+    assert(inner("&#8;") == "&#8;")
+    assert(inner("&#55296;") == "&#55296;")
+    assert(inner("&#x110000;") == "&#x110000;")
+    assert(inner("&#1114111;") == "&#1114111;")
+    assert(inner("&#000000065;") == "&#000000065;") // 9 digits: outside the bound
+    // malformed refs (no digits / unterminated) never match
+    assert(inner("&#; &#x; &#8217") == "&#; &#x; &#8217")
+  }
+
   test("br runs segment paragraphs; single br is a soft wrap; no-good pages extract empty") {
     // two-plus <br> = the old-style-HTML paragraph break; one <br> stays
     // inside its block as whitespace
