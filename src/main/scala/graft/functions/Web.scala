@@ -412,29 +412,35 @@ object Web {
   /** Doc-level line-quality report for a newline-separated page column:
     * per-rule drop counts, kept-line word mass, duplicate-line count and
     * the page-pass verdict. Staged like [[classifiedBlocksRel]] so the
-    * line split and word counts evaluate once per row. */
+    * line split and word counts evaluate once per row. `passthrough`
+    * names extra input columns carried through every stage (the q172
+    * banned-word count rides here so page-level filters compose in the
+    * same zero-exchange projection chain). */
   def lineQualityRel(docs: org.apache.spark.sql.DataFrame,
-      page: Column): org.apache.spark.sql.DataFrame =
-    docs.select(col("doc_id"), split(page, "\n").as("__lines"))
-      .select(col("doc_id"), col("__lines"),
+      page: Column,
+      passthrough: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val pt = passthrough.map(col)
+    docs.select(col("doc_id") +: pt :+ split(page, "\n").as("__lines"): _*)
+      .select(col("doc_id") +: pt :+ col("__lines") :+
         transform(col("__lines"), l =>
-          size(filter(split(trim(l), " "), w => w =!= ""))).as("__nw"))
-      .select(col("doc_id"), col("__lines"), col("__nw"),
-        lineClasses(col("__lines"), col("__nw")).as("__cls"))
-      .select(col("doc_id"),
-        size(col("__lines")).cast("long").as("n_lines"),
-        size(array_distinct(col("__lines"))).cast("long").as("n_distinct"),
-        size(filter(col("__cls"), c => c === "kept")).cast("long").as("n_kept"),
-        size(filter(col("__cls"), c => c === "js")).cast("long").as("n_js"),
-        size(filter(col("__cls"), c => c === "nopunct")).cast("long").as("n_nopunct"),
-        size(filter(col("__cls"), c => c === "short")).cast("long").as("n_short"),
+          size(filter(split(trim(l), " "), w => w =!= ""))).as("__nw"): _*)
+      .select(col("doc_id") +: pt :+ col("__lines") :+ col("__nw") :+
+        lineClasses(col("__lines"), col("__nw")).as("__cls"): _*)
+      .select(col("doc_id") +: pt :+
+        size(col("__lines")).cast("long").as("n_lines") :+
+        size(array_distinct(col("__lines"))).cast("long").as("n_distinct") :+
+        size(filter(col("__cls"), c => c === "kept")).cast("long").as("n_kept") :+
+        size(filter(col("__cls"), c => c === "js")).cast("long").as("n_js") :+
+        size(filter(col("__cls"), c => c === "nopunct")).cast("long").as("n_nopunct") :+
+        size(filter(col("__cls"), c => c === "short")).cast("long").as("n_short") :+
         aggregate(zip_with(col("__cls"), col("__nw"), (c, nw) =>
             when(c === "kept", nw).otherwise(lit(0))),
-          lit(0), (acc, x) => acc + x).cast("long").as("kept_words"))
+          lit(0), (acc, x) => acc + x).cast("long").as("kept_words"): _*)
       .withColumn("page_pass",
         (col("n_kept") >= PAGE_MIN_KEPT &&
           (col("n_lines") - col("n_distinct")) * 10 <= col("n_lines") * 3)
           .cast("long"))
+  }
 
   /** The deterministic multi-line page fixture (same construction in the
     * oracle): the doc's words in 5-word lines; line i gains the word
@@ -508,6 +514,107 @@ object Web {
            (CASE WHEN n_kept >= $PAGE_MIN_KEPT
                   AND (n_lines - n_distinct) * 10 <= n_lines * 3
                  THEN 1 ELSE 0 END)::BIGINT AS page_pass
+    FROM agg"""
+
+  // ------------------------------------------------------------------
+  // C4 banned-word page filter (Raffel et al. 2020 §2.2: C4 removes any
+  // page containing ANY word on a banned-word list — the "List of Dirty,
+  // Naughty, Obscene or Otherwise Bad Words" in the paper; here a
+  // public-safe stand-in set, parameterized). Match semantics: whole
+  // words (\b boundaries — "frelking"/"unfrelk" must NOT hit "frelk"),
+  // case-insensitive, anywhere on the page. Composes with q169's line
+  // verdict: final admission = page_pass AND zero banned hits.
+  //
+  // 100 TB shape: the hit count is one regexp_extract_all over the page
+  // inside the SAME staged projection chain as the line rules (the
+  // passthrough arm of lineQualityRel) — still scan -> project, zero
+  // exchanges, embarrassingly parallel at any scale.
+  // ------------------------------------------------------------------
+
+  /** Public-safe stand-in banned list (parameterizes [[bannedHits]]). */
+  private[graft] val BANNED_WORDS = Seq("frelk", "snarg", "plugh")
+
+  private def bannedRe(words: Seq[String]): String =
+    "(?i)\\b(?:" + words.mkString("|") + ")\\b"
+
+  /** Count of banned-word occurrences on a page (C4 kills on >= 1). */
+  def bannedHits(page: Column, words: Seq[String] = BANNED_WORDS): Column =
+    size(regexp_extract_all(page, lit(bannedRe(words)), lit(0))).cast("long")
+
+  /** The q172 fixture: [[syntheticPage]] plus a deterministically planted
+    * tail line — a kept line with one banned word (doc_id % 7 == 2), an
+    * unterminated line with two case-varied banned words (% 7 == 5), or a
+    * decoy line whose superstrings must NOT match (% 7 == 3). */
+  private[graft] def bannedSyntheticPage(text: Column, docId: Column): Column =
+    concat(syntheticPage(text, docId),
+      when(docId % 7 === 2, lit("\nreader discretion the word frelk lands here."))
+        .when(docId % 7 === 5, lit("\nSnarg and PLUGH both appear unterminated"))
+        .when(docId % 7 === 3, lit("\nfrelking about unfrelk stays clean."))
+        .otherwise(lit("")))
+
+  private lazy val C4_ORACLE = s"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    pg AS (
+      SELECT doc_id,
+        list_transform(range(0, (len(ws) - 1) // 5 + 1), i ->
+          (CASE WHEN (doc_id * 7 + i) % 11 = 0
+                THEN array_to_string(ws[i*5+1 : i*5+5], ' ') || ' javascript'
+                ELSE array_to_string(ws[i*5+1 : i*5+5], ' ') END) ||
+          (CASE WHEN (doc_id + i) % 3 = 0 THEN '.'
+                WHEN (doc_id + i) % 3 = 1 THEN
+                  (CASE WHEN i % 2 = 0 THEN '!' ELSE '?' END)
+                ELSE '' END)) AS lines0
+      FROM d),
+    lns0 AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0 THEN list_concat(lines0, [lines0[1]])
+             ELSE lines0 END AS lines
+      FROM pg),
+    lns AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 2 THEN
+               list_concat(lines, ['reader discretion the word frelk lands here.'])
+             WHEN doc_id % 7 = 5 THEN
+               list_concat(lines, ['Snarg and PLUGH both appear unterminated'])
+             WHEN doc_id % 7 = 3 THEN
+               list_concat(lines, ['frelking about unfrelk stays clean.'])
+             ELSE lines END AS lines
+      FROM lns0),
+    cls AS (
+      SELECT doc_id, lines,
+        list_transform(lines, l ->
+          CASE WHEN contains(lower(l), 'javascript') THEN 'js'
+               WHEN NOT regexp_matches(l, '$TERMINAL_PUNCT') THEN 'nopunct'
+               WHEN len(list_filter(string_split(trim(l), ' '), w -> w <> ''))
+                    < $LINE_MIN_WORDS THEN 'short'
+               ELSE 'kept' END) AS c,
+        list_transform(lines, l ->
+          len(list_filter(string_split(trim(l), ' '), w -> w <> ''))) AS nw
+      FROM lns),
+    agg AS (
+      SELECT doc_id,
+        len(regexp_extract_all(array_to_string(lines, chr(10)),
+          '${bannedRe(BANNED_WORDS)}'))::BIGINT AS banned_hits,
+        len(lines)::BIGINT AS n_lines,
+        len(list_distinct(lines))::BIGINT AS n_distinct,
+        len(list_filter(c, x -> x = 'kept'))::BIGINT AS n_kept,
+        len(list_filter(c, x -> x = 'js'))::BIGINT AS n_js,
+        len(list_filter(c, x -> x = 'nopunct'))::BIGINT AS n_nopunct,
+        len(list_filter(c, x -> x = 'short'))::BIGINT AS n_short,
+        coalesce(list_sum(list_transform(range(0, len(lines)), j ->
+          CASE WHEN c[j+1] = 'kept' THEN nw[j+1] ELSE 0 END)), 0)::BIGINT
+          AS kept_words
+      FROM cls)
+    SELECT doc_id, banned_hits, n_lines, n_distinct, n_kept, n_js,
+           n_nopunct, n_short, kept_words,
+           (CASE WHEN n_kept >= $PAGE_MIN_KEPT
+                  AND (n_lines - n_distinct) * 10 <= n_lines * 3
+                 THEN 1 ELSE 0 END)::BIGINT AS page_pass,
+           (CASE WHEN n_kept >= $PAGE_MIN_KEPT
+                  AND (n_lines - n_distinct) * 10 <= n_lines * 3
+                  AND banned_hits = 0
+                 THEN 1 ELSE 0 END)::BIGINT AS final_pass
     FROM agg"""
 
   private val SQL_STOPCNT = (l: String) =>
@@ -621,6 +728,25 @@ object Web {
         syntheticPage(col("text"), col("doc_id"))),
       Some(LINE_ORACLE),
       "line-level C4/FineWeb quality rules: javascript / terminal-punctuation / min-words line filters + duplicate-line fraction and page verdict, array-domain, zero exchanges"),
+
+    QueryDef(
+      "q172_c4_badwords",
+      (s, d) => {
+        // banned-hit count rides the passthrough arm of the line-rule
+        // projection chain: one staged select computes the page ONCE,
+        // the regexp hit count and every line-rule column derive from
+        // that alias — scan -> project, zero exchanges
+        val base = documents(s, d)
+          .select(col("doc_id"),
+            bannedSyntheticPage(col("text"), col("doc_id")).as("__page"))
+          .select(col("doc_id"), col("__page"),
+            bannedHits(col("__page")).as("banned_hits"))
+        lineQualityRel(base, col("__page"), passthrough = Seq("banned_hits"))
+          .withColumn("final_pass",
+            (col("page_pass") === 1 && col("banned_hits") === 0).cast("long"))
+      },
+      Some(C4_ORACLE),
+      "C4 banned-word page filter (Raffel et al. 2020 §2.2): case-insensitive whole-word banned-set hit count composed with the q169 line verdict into a final page admission, zero exchanges"),
 
     QueryDef(
       "q158_url_dedup",

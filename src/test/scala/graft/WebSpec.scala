@@ -227,6 +227,43 @@ class WebSpec extends SparkSpec {
     assert(thin("n_kept") == 2 && thin("page_pass") == 0, thin)
   }
 
+  // ---- C4 banned-word page filter (q172) pins ----
+
+  private def hits(page: String, words: Seq[String] = Web.BANNED_WORDS): Long =
+    Seq(page).toDF("p").select(Web.bannedHits(col("p"), words))
+      .head.getLong(0)
+
+  test("banned words match whole words only, case-insensitively, across lines") {
+    assert(hits("the word frelk lands here") == 1)
+    assert(hits("Snarg and PLUGH and fRELk") == 3)
+    // superstrings never match: boundary on both sides
+    assert(hits("frelking unfrelk frelks snargy") == 0)
+    // punctuation and line breaks are boundaries
+    assert(hits("frelk, snarg.\nplugh!") == 3)
+    assert(hits("clean page with ordinary words") == 0)
+    // parameterized set: a different list matches its own words
+    assert(hits("frelk ordinary", Seq("ordinary")) == 1)
+  }
+
+  test("banned filter composes with the line verdict into final_pass") {
+    import org.apache.spark.sql.Row
+    val passing = (1 to 6).map(i => s"an honest line number $i lands fine.")
+    val cases = Seq(
+      (1L, passing.mkString("\n"), 0L, 1L, 1L), // clean + passing page
+      (2L, (passing :+ "and one frelk slips in late.").mkString("\n"), 1L, 1L, 0L),
+      (3L, "too thin. to pass, frelk aside.", 1L, 0L, 0L))
+    val df = cases.map(c => (c._1, c._2)).toDF("doc_id", "page")
+      .select(col("doc_id"), col("page"),
+        Web.bannedHits(col("page")).as("banned_hits"))
+    val rep = Web.lineQualityRel(df, col("page"), passthrough = Seq("banned_hits"))
+      .withColumn("final_pass",
+        (col("page_pass") === 1 && col("banned_hits") === 0).cast("long"))
+      .select(col("doc_id"), col("banned_hits"), col("page_pass"), col("final_pass"))
+      .collect().map { case Row(id: Long, b: Long, p: Long, f: Long) => (id, b, p, f) }
+      .sortBy(_._1).toSeq
+    assert(rep == cases.map(c => (c._1, c._3, c._4, c._5)), rep)
+  }
+
   test("line rules compose downstream of extraction (q168 -> q169 shape)") {
     // main-content text from the HTML extractor feeds the line gate the
     // way a production pipeline chains them; block texts become lines
