@@ -331,6 +331,28 @@ object Web {
       .select(col("doc_id"), zipFinal(col("__feat"), col("__cf"),
         col("__prev"), col("__next")).as("blocks"))
 
+  /** Exploded per-block feature/verdict rows — q168's output shape,
+    * factored so the streaming admission twin runs the IDENTICAL
+    * projection (parity by construction; StreamingSpec pins it anyway).
+    * posexplode_OUTER: the inner form makes InferFiltersFromGenerate
+    * inject a size(blocks)>0 filter whose predicate inlines the whole
+    * parse pipeline — doubling per-row work; every fixture doc renders
+    * >= 5 blocks, so outer is value-identical and keeps the parse
+    * single. Stateless scan -> project -> generate, zero exchanges —
+    * append-mode streamable with no watermark. */
+  def htmlBlockRows(docs: org.apache.spark.sql.DataFrame,
+      html: Column): org.apache.spark.sql.DataFrame =
+    classifiedBlocksRel(docs, html)
+      .select(col("doc_id"),
+        posexplode_outer(col("blocks")).as(Seq("block_idx", "b")))
+      .select(col("doc_id"),
+        col("block_idx").cast("long").as("block_idx"),
+        col("b.n_words").cast("long").as("n_words"),
+        col("b.n_stop").cast("long").as("n_stop"),
+        col("b.link_chars").cast("long").as("link_chars"),
+        col("b.text_chars").cast("long").as("text_chars"),
+        col("b.cf").as("cf"), col("b.cls").as("cls"))
+
   /** The user-facing extractor: main content = final-good blocks,
     * newline-joined — what downstream text operators consume. */
   def extractMainText(html: Column): Column =
@@ -698,27 +720,13 @@ object Web {
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q168_html_extract",
-      (s, d) => {
+      (s, d) =>
         // parse REAL HTML (the closed-form fixture rendered per doc) back
         // into per-block integer features + both classification verdicts;
         // the oracle recomputes the expectation from the generative
         // formula, so the parse itself is what's under test
-        // posexplode_OUTER: the inner form makes InferFiltersFromGenerate
-        // inject a size(blocks)>0 filter whose predicate inlines the whole
-        // parse pipeline — doubling per-row work; every doc renders >= 5
-        // blocks, so outer is value-identical and keeps the parse single
-        val blocks = classifiedBlocksRel(documents(s, d),
-          syntheticHtml(col("text"), col("doc_id")))
-          .select(col("doc_id"),
-            posexplode_outer(col("blocks")).as(Seq("block_idx", "b")))
-        blocks.select(col("doc_id"),
-          col("block_idx").cast("long").as("block_idx"),
-          col("b.n_words").cast("long").as("n_words"),
-          col("b.n_stop").cast("long").as("n_stop"),
-          col("b.link_chars").cast("long").as("link_chars"),
-          col("b.text_chars").cast("long").as("text_chars"),
-          col("b.cf").as("cf"), col("b.cls").as("cls"))
-      },
+        htmlBlockRows(documents(s, d),
+          syntheticHtml(col("text"), col("doc_id"))),
       Some(HTML_ORACLE),
       "HTML boilerplate extraction (jusText shape): block segmentation + link/stopword-density classification + context pass, all in the array domain of one zero-exchange projection"),
 

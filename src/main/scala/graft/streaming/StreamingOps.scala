@@ -647,6 +647,31 @@ object StreamingOps {
       .withColumn("keep", col("score") >= 0)
   }
 
+  /** Stateless streaming twin of q168's jusText HTML extraction: arriving
+    * pages parse, classify and explode through the IDENTICAL shared
+    * projection ([[graft.functions.Web.htmlBlockRows]] over the identical
+    * fixture derivation) — the whole pipeline is array-domain expressions
+    * inside the row, so the query holds NO aggregation state, needs no
+    * watermark, and runs in append mode as a pure map + generate. The
+    * extraction-to-admission chain (extract -> line rules -> classifier)
+    * is therefore streamable end to end, rowwise. */
+  def htmlExtractStream(docs: Dataset[DocIn]): DataFrame = {
+    import graft.functions.Web
+    Web.htmlBlockRows(docs.toDF(),
+      Web.syntheticHtml(col("text"), col("doc_id")))
+  }
+
+  /** Stateless streaming twin of q169's line-level C4/FineWeb quality
+    * rules: the same staged zero-exchange projection
+    * ([[graft.functions.Web.lineQualityRel]] over the identical fixture
+    * derivation), rowwise — per-line classes fold inside the row's line
+    * array, so there is no state, no watermark, pure append-mode map. */
+  def lineQualityStream(docs: Dataset[DocIn]): DataFrame = {
+    import graft.functions.Web
+    Web.lineQualityRel(docs.toDF(),
+      Web.syntheticPage(col("text"), col("doc_id")))
+  }
+
   /** File-source stream over a directory of parquet events, normalizing
     * `ts` exactly like the batch loader ([[graft.Tables.events]]): the
     * fixture has shipped as both TIMESTAMP(NANOS) (surfaced as raw long

@@ -561,6 +561,58 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${stream -- batch}; batch-only: ${batch -- stream}")
   }
 
+  test("streaming HTML extraction matches batch q168 exactly") {
+    import graft.streaming.StreamingOps.DocIn
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => DocIn(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), new Timestamp(86400_000L + r.getLong(0) * 1000)))
+      .sortBy(_.doc_id)
+    val in = MemoryStream[DocIn]
+    val q = StreamingOps.htmlExtractStream(in.toDS())
+      .writeStream.format("memory").queryName("htmlstream").outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("htmlstream")
+      .as[(Long, Long, Long, Long, Long, Long, String, String)].collect().toSet
+    val batch = SparkEntry.queries("q168_html_extract")(spark, SF)
+      .as[(Long, Long, Long, Long, Long, Long, String, String)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(stream == batch,
+      s"stream-only: ${(stream -- batch).take(3)}; batch-only: ${(batch -- stream).take(3)}")
+  }
+
+  test("streaming line-quality rules match batch q169 exactly") {
+    import graft.streaming.StreamingOps.DocIn
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => DocIn(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), new Timestamp(86400_000L + r.getLong(0) * 1000)))
+      .sortBy(_.doc_id)
+    val in = MemoryStream[DocIn]
+    val q = StreamingOps.lineQualityStream(in.toDS())
+      .writeStream.format("memory").queryName("linestream").outputMode("append").start()
+    try {
+      // three uneven batches: rowwise statelessness means any replay
+      // schedule must reproduce batch exactly
+      val (b1, rest) = docs.splitAt(docs.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("linestream")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("q169_line_quality")(spark, SF)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(stream == batch,
+      s"stream-only: ${(stream -- batch).take(3)}; batch-only: ${(batch -- stream).take(3)}")
+  }
+
   test("file-source event stream aggregates the sf0.001 table like batch") {
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
     // stage the driver parquet into a stream-source dir
