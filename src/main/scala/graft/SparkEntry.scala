@@ -34,6 +34,7 @@ object SparkEntry {
       functions.Mixture.defs ++
       operators.Skyline.defs ++
       sources.Layout.defs ++
+      sources.Warc.defs ++
       gedcom.GedcomQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

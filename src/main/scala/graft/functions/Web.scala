@@ -62,6 +62,18 @@ object Web {
         .otherwise(lit("?a=2&b=1&utm_campaign=x")),
       when(docId % 7 === 0, lit("#sec")).otherwise(lit("")))
 
+  /** [[rawUrl]] as a DuckDB expression over (doc_id, source) — shared
+    * with the q171 WARC oracle's expected Target-URI. */
+  private[graft] val RAW_URL_SQL =
+    """(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END) ||
+       (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || upper(source) || '.COM'
+             ELSE source || '.com' END) ||
+       '/docs/' || CAST(doc_id // 5 AS VARCHAR) ||
+       (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+       (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=1&a=2'
+             ELSE '?a=2&b=1&utm_campaign=x' END) ||
+       (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END)"""
+
   private val ORACLE = """
     WITH raw AS (
       SELECT doc_id,
@@ -352,6 +364,26 @@ object Web {
         col("b.link_chars").cast("long").as("link_chars"),
         col("b.text_chars").cast("long").as("text_chars"),
         col("b.cf").as("cf"), col("b.cls").as("cls"))
+
+  /** Staged main-text extraction over an arbitrary relation: appends
+    * `outCol` = extracted main content (final-good blocks, newline-
+    * joined), keeping every input column — the q171 WARC chain feeds
+    * exploded record payloads through here. Same staging discipline as
+    * [[classifiedBlocksRel]]: each expensive array materializes once
+    * per row in its own projection (the one-shot [[extractMainText]]
+    * Column form re-executes the parse per derived array — the r16
+    * HOF-CSE lesson). */
+  def withMainText(df: org.apache.spark.sql.DataFrame, html: Column,
+      outCol: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("__wmt_feat", blockFeatures(htmlBlocks(html)))
+      .withColumn("__wmt_cf", contextFree(col("__wmt_feat")))
+      .withColumn("__wmt_fin", zipFinal(col("__wmt_feat"), col("__wmt_cf"),
+        runningDecided(col("__wmt_cf")),
+        reverse(runningDecided(reverse(col("__wmt_cf"))))))
+      .withColumn(outCol, array_join(transform(
+        filter(col("__wmt_fin"), b => b.getField("cls") === "good"),
+        b => b.getField("text")), "\n"))
+      .drop("__wmt_feat", "__wmt_cf", "__wmt_fin")
 
   /** The user-facing extractor: main content = final-good blocks,
     * newline-joined — what downstream text operators consume. */
@@ -645,12 +677,14 @@ object Web {
   /** The q168 oracle rebuilds each block's integer features from the
     * generative formula (never parsing HTML — that's the Spark side's
     * job) and applies the identical integer-ratio classification and
-    * window-based context pass. */
-  private lazy val HTML_ORACLE = s"""
-    WITH d AS (
-      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    * window-based context pass. The CTE chain is factored so the q171
+    * WARC oracle can derive per-doc extracted-main-text expectations
+    * from the same `verdicts` relation. */
+  private[graft] lazy val HTML_BLOCK_CTES = s"""
+    d AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
     b0 AS (
-      SELECT doc_id, ws, len(ws) AS n, (len(ws) + 1) // 2 AS h FROM d),
+      SELECT doc_id, source, ws, len(ws) AS n, (len(ws) + 1) // 2 AS h FROM d),
     blk AS (
       SELECT doc_id, 0 AS ord, 3 AS n_words, 0 AS n_stop,
              len('home')+len('archive')+len('about') AS link_chars,
@@ -704,18 +738,25 @@ object Web {
         coalesce(first_value(CASE WHEN cf IN ('good','bad') THEN cf END IGNORE NULLS)
           OVER (PARTITION BY doc_id ORDER BY block_idx
                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') AS nx
-      FROM cf)
-    SELECT doc_id, block_idx,
-           n_words::BIGINT AS n_words, n_stop::BIGINT AS n_stop,
-           link_chars::BIGINT AS link_chars, text_chars::BIGINT AS text_chars,
-           cf,
-           CASE WHEN cf IN ('good','bad') THEN cf
-                WHEN cf = 'neargood' THEN
-                  (CASE WHEN pv = 'good' OR nx = 'good' THEN 'good' ELSE 'bad' END)
-                ELSE
-                  (CASE WHEN pv = 'good' AND nx = 'good' THEN 'good' ELSE 'bad' END)
-           END AS cls
-    FROM ctx"""
+      FROM cf),
+    verdicts AS (
+      SELECT doc_id, block_idx,
+             n_words::BIGINT AS n_words, n_stop::BIGINT AS n_stop,
+             link_chars::BIGINT AS link_chars, text_chars::BIGINT AS text_chars,
+             cf,
+             CASE WHEN cf IN ('good','bad') THEN cf
+                  WHEN cf = 'neargood' THEN
+                    (CASE WHEN pv = 'good' OR nx = 'good' THEN 'good' ELSE 'bad' END)
+                  ELSE
+                    (CASE WHEN pv = 'good' AND nx = 'good' THEN 'good' ELSE 'bad' END)
+             END AS cls
+      FROM ctx)"""
+
+  private lazy val HTML_ORACLE = s"""
+    WITH $HTML_BLOCK_CTES
+    SELECT doc_id, block_idx, n_words, n_stop, link_chars, text_chars,
+           cf, cls
+    FROM verdicts"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(

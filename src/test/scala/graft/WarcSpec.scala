@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.sources.Warc
+
+/** WARC container walk semantics: well-formed multi-record parse,
+  * marker-in-payload immunity, every typed malformation, the WET record
+  * shape, and the maxRecords overflow surface. */
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def record(typ: String, payload: String,
+      extra: String = ""): String =
+    s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Record-ID: <urn:test:$typ>\r\n" +
+      extra + s"Content-Length: ${payload.length}\r\n\r\n$payload\r\n\r\n"
+
+  /** Parse a literal container; returns (typ, uri, clen, payload, ok, err)
+    * per record plus the leftover char count. */
+  private def parse(container: String, maxRecords: Int = 6)
+      : (Seq[(String, String, Option[Long], String, Boolean, String)], Long) = {
+    val df = Warc.warcRecordsRel(
+      Seq((1L, container)).toDF("gid", "c"), col("c"), maxRecords, Seq("gid"))
+    val row = df.select(col("records"), col("leftover_chars")).head
+    val recs = row.getSeq[Row](0).map(r => (
+      r.getAs[String]("typ"), r.getAs[String]("uri"),
+      Option(r.getAs[java.lang.Long]("clen")).map(_.longValue),
+      r.getAs[String]("payload"), r.getAs[Boolean]("ok"),
+      r.getAs[String]("err")))
+    (recs.toSeq, row.getLong(1))
+  }
+
+  test("multi-record container parses in order; payload cut is length-delimited") {
+    val c = record("warcinfo", "software: x\r\nformat: WARC/1.0") +
+      record("response", "<p>hello page one</p>",
+        "WARC-Target-URI: http://a.example/1\r\n") +
+      record("response", "<p>page two</p>",
+        "WARC-Target-URI: http://a.example/2\r\n")
+    val (recs, leftover) = parse(c)
+    assert(leftover == 0L)
+    assert(recs.map(_._1) == Seq("warcinfo", "response", "response"))
+    assert(recs.map(_._2) == Seq("", "http://a.example/1", "http://a.example/2"))
+    assert(recs.forall(_._5), recs)
+    // the warcinfo payload CONTAINS the record marker "WARC/1.0" right
+    // before the separator CRLFs — the length cut must sail through it
+    assert(recs.head._4 == "software: x\r\nformat: WARC/1.0")
+    assert(recs(1)._4 == "<p>hello page one</p>")
+    assert(recs.map(r => r._3.get) == recs.map(r => r._4.length.toLong))
+  }
+
+  test("a payload containing a full fake record is NOT split") {
+    val fake = record("response", "inner payload")
+    val c = record("response", fake) + record("response", "tail ok")
+    val (recs, leftover) = parse(c)
+    assert(leftover == 0L)
+    assert(recs.size == 2 && recs.forall(_._5), recs)
+    assert(recs.head._4 == fake) // the embedded record comes back verbatim
+    assert(recs(1)._4 == "tail ok")
+  }
+
+  test("WET-shape records (conversion + text/plain) parse identically") {
+    val wet = "WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Record-ID: <urn:test:wet>\r\n" +
+      "WARC-Target-URI: http://a.example/wet\r\n" +
+      "Content-Type: text/plain\r\nContent-Length: 19\r\n\r\n" +
+      "plain wet text here\r\n\r\n"
+    val (recs, leftover) = parse(wet)
+    assert(leftover == 0L)
+    assert(recs == Seq(("conversion", "http://a.example/wet", Some(19L),
+      "plain wet text here", true, null)))
+  }
+
+  test("header names match case-insensitively; WARC/1.1 magic accepted") {
+    val c = "WARC/1.1\r\nwarc-type: response\r\ncontent-length: 2\r\n\r\nok\r\n\r\n"
+    val (recs, _) = parse(c)
+    assert(recs == Seq(("response", "", Some(2L), "ok", true, null)))
+  }
+
+  test("truncated payload surfaces the partial cut and halts") {
+    val c = record("response", "first complete") +
+      "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 50\r\n\r\nonly ten c"
+    val (recs, _) = parse(c)
+    assert(recs.size == 2)
+    assert(recs.head._5 && recs.head._4 == "first complete")
+    val bad = recs(1)
+    assert(!bad._5 && bad._6 == "truncated_payload", bad)
+    assert(bad._3 == Some(50L) && bad._4 == "only ten c", bad)
+  }
+
+  test("missing Content-Length, truncated header, and bad magic are typed halts") {
+    val noLen = "WARC/1.0\r\nWARC-Type: response\r\n\r\npayload\r\n\r\n"
+    val (r1, _) = parse(noLen)
+    assert(r1.size == 1 && !r1.head._5 && r1.head._6 == "no_length", r1)
+    val noBlank = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 3\r\n"
+    val (r2, _) = parse(noBlank)
+    assert(r2.size == 1 && r2.head._6 == "truncated_header", r2)
+    val garbage = record("response", "fine") + "not a warc record at all"
+    val (r3, _) = parse(garbage)
+    assert(r3.size == 2 && r3.head._5 && r3(1)._6 == "bad_magic", r3)
+    // an unsupported version is bad magic too
+    val (r4, _) = parse("WARC/0.18\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+    assert(r4.size == 1 && r4.head._6 == "bad_magic", r4)
+  }
+
+  test("maxRecords bound surfaces unparsed residue, never truncates silently") {
+    val c = record("response", "one") + record("response", "two") +
+      record("response", "three")
+    val (recs, leftover) = parse(c, maxRecords = 2)
+    assert(recs.size == 2 && recs.forall(_._5))
+    assert(leftover == record("response", "three").length.toLong, leftover)
+    // whitespace-only residue is exhaustion, not a phantom record
+    val (recs2, leftover2) = parse(c + "\r\n", maxRecords = 6)
+    assert(recs2.size == 3 && leftover2 == 0L)
+  }
+
+  test("fixture containers group four docs after a warcinfo, in doc_id order") {
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "source", "text")
+    val containers = Warc.syntheticContainers(docs)
+    val n = containers.count()
+    assert(n == math.ceil(docs.count() / 4.0).toLong)
+    val (recs, leftover) = {
+      val row = Warc.warcRecordsRel(containers.filter(col("gid") === 1),
+        col("container"), 6, Seq("gid"))
+        .select(col("records"), col("leftover_chars")).head
+      (row.getSeq[Row](0).map(r =>
+        (r.getAs[String]("typ"), r.getAs[String]("rid"))), row.getLong(1))
+    }
+    assert(leftover == 0L)
+    assert(recs.head == (("warcinfo", "<urn:graft:warcinfo:1>")))
+    assert(recs.tail.map(_._1).forall(_ == "response"))
+    assert(recs.tail.map(_._2) == Seq(4L, 5L, 6L, 7L).map(i => s"<urn:graft:doc:$i>"))
+  }
+}
