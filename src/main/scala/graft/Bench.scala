@@ -277,13 +277,17 @@ object Bench {
     // refuted it — the evidence rides IN the artifact now. ~45 bytes per
     // leg at 2 passes, bounded by the 3-pass rule; QueriesSpec's tail
     // model includes them.
-    // integer MB/s per pass: at a 24 MB/s baseline and 150-180 MB/s bands
-    // the decimal carries nothing, and the tail budget is the binding
-    // constraint (6 values x ~2 bytes saved keeps the compound worst case
-    // under the wall)
+    // ONE DECIMAL per pass since r17 (directive 2): integer rounding made
+    // the 1.5x third-pass rule unverifiable from the record ([14,9] reads
+    // as 1.56x but could be 1.44x real) on the leg that published three
+    // consecutive sub-baseline artifact readings; tenths make every
+    // in-record ratio check exact to +-1%. ~6 extra bytes/leg; the
+    // compound tail model in QueriesSpec re-ran with them (and past the
+    // 1990 wall the omission-marker degradation below is the designed
+    // fallback — never another unit trim).
     val legs = legPassesMBs.map { case (k, ps) =>
       "\"" + k + "_passes\":" +
-        ps.map(v => math.rint(v).toLong.toString).mkString("[", ",", "]")
+        ps.map(v => (math.rint(v * 10) / 10).toString).mkString("[", ",", "]")
     } match {
       case Nil => ""
       case fields => fields.mkString(",", ",", "")

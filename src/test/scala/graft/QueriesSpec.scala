@@ -66,16 +66,30 @@ class QueriesSpec extends SparkSpec {
     val full = Bench.renderJson(
       SparkEntry.all.map(q => q.name -> 12.345678901234567),
       "/root/testdata/sf0.1", Some(41.96), Some(139.7), worstLegs)
-    assert(full.contains("\"gedcom_150m_passes\":[132,143,155]"), full)
-    assert(full.contains("\"gedcom_1g_passes\":[153,166,182]"), full)
-    // r16 recalibration (leg-pass fields + 165 queries): the `full` model
-    // is COMPOUND worst case — every query 3-digit decisec AND both legs
-    // on the 3-pass rule — and renderJson now degrades gracefully at the
-    // 1990 wall (per-query map -> {"omitted":N}), so the invariants are
-    // (a) the compound worst case still ships the REAL map, and (b) any
-    // overflow beyond it still parses.
-    assert(full.length <= 1990 && full.contains("\"q01\":123"),
-      s"compound worst case (${full.length} bytes) must still carry the real map")
+    // tenths since r17 (directive 2): the in-record 1.5x-rule check is
+    // now exact to +-1%
+    assert(full.contains("\"gedcom_150m_passes\":[131.9,142.7,155.3]"), full)
+    assert(full.contains("\"gedcom_1g_passes\":[152.9,166.4,182.5]"), full)
+    // r17 recalibration (168 queries + decimal leg passes): the COMPOUND
+    // worst case — EVERY query 3-digit decisec (>= 10 s each, a 28+ min
+    // suite that really runs ~3) AND both legs on the 3-pass rule — now
+    // models ~11 bytes past the 1990 wall, so it exercises the designed
+    // degradation: headline/failed/loadavg/leg fields all survive and the
+    // per-query map becomes the explicit omission marker (full map
+    // persists in target/bench.json). The r16 verdict's directive 6
+    // blessed exactly this over another unit trim.
+    assert(full.contains("\"queries\":{\"omitted\":") ||
+      (full.length <= 1990 && full.contains("\"q01\":123")),
+      s"compound worst case (${full.length} bytes) must degrade, not truncate")
+    assert(full.contains("\"gedcom_1g_passes\":[152.9,166.4,182.5]") &&
+      full.contains("\"value\":"), full)
+    // the DEGRADED-HOST regime that actually occurs (r13/r16 artifacts:
+    // every query 1-10 s) must still ship the REAL per-query map
+    val degraded = Bench.renderJson(
+      SparkEntry.all.map(q => q.name -> 9.9),
+      "/root/testdata/sf0.1", Some(41.96), Some(139.7), worstLegs)
+    assert(degraded.length <= 1990 && degraded.contains("\"q01\":99"),
+      s"degraded-host case (${degraded.length} bytes) must still carry the real map")
     val overflow = Bench.renderJson(
       (1 to 400).map(i => f"q$i%03d_x" -> 12.3), "sf", Some(41.96),
       Some(139.7), worstLegs)
