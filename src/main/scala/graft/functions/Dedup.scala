@@ -857,8 +857,11 @@ object Dedup {
     * incoming codes fan out to their probe ring, candidates come from the
     * (t, code) equi join, and every candidate is exactly verified. The
     * streaming twin ([[graft.streaming.StreamingOps.incrementalEmbedProbe]])
-    * runs the same probe per micro-batch against the same index —
-    * StreamingSpec pins output parity on identical inputs. */
+    * runs the same probe per micro-batch against the same index, but
+    * deliberately emits only incoming-vs-corpus pairs — the batch probe
+    * ALSO emits incoming-incoming pairs (the pair-side self-join below),
+    * so StreamingSpec pins parity on the incoming-vs-corpus restriction
+    * of this output, not on the full pair set. */
   def probeLshIndex(index: DataFrame, incoming: DataFrame, p: Int,
       radius: Int = 3, nTables: Int = 2, threshold: Double = 0.4): DataFrame = {
     val r = math.min(radius, Similarity.ringBoundedRadius(p, radius))

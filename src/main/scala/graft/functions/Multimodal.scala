@@ -937,15 +937,21 @@ object Multimodal {
     * group) — the registered q141 runs [[DHASH_GROUPS]]; the scale study
     * (tools.DhashScale) amplifies groups to measure the banded join's
     * growth, since the pattern-word arithmetic is valid for any g. */
+  /** THE single per-id definition of the planted-variant fixture formula
+    * — shared by the full-corpus and slice builders so an edit to one
+    * cannot silently desynchronize the q142_probe_stored incoming slice
+    * from its stored index (r16 ADVICE). */
+  private def plantedAsset(i: Long, groups: Int): MediaAsset = {
+    val g = i % groups
+    val v = i / groups
+    val shift = if (v <= 3) 4 * v.toInt else 0
+    val p = encodeDhashPng(dhashPatternWord(g, v), shift)
+    MediaAsset(i, p, MediaMeta("image", "png", p.length.toLong))
+  }
+
   def syntheticImageCorpusOf(s: SparkSession, groups: Int): Dataset[MediaAsset] = {
     import s.implicits._
-    s.range(0, groups * 8L).map { i =>
-      val g = i % groups
-      val v = i / groups
-      val shift = if (v <= 3) 4 * v.toInt else 0
-      val p = encodeDhashPng(dhashPatternWord(g, v), shift)
-      MediaAsset(i, p, MediaMeta("image", "png", p.length.toLong))
-    }
+    s.range(0, groups * 8L).map(i => plantedAsset(i, groups))
   }
 
   /** A SLICE of the planted-variant corpus, synthesized without paying
@@ -961,13 +967,7 @@ object Multimodal {
     val vset = vs.toSet
     s.range(0, groups * 8L)
       .filter(i => i % groups < gMax && vset.contains((i / groups).toInt))
-      .map { i =>
-        val g = i % groups
-        val v = i / groups
-        val shift = if (v <= 3) 4 * v.toInt else 0
-        val p = encodeDhashPng(dhashPatternWord(g, v), shift)
-        MediaAsset(i, p, MediaMeta("image", "png", p.length.toLong))
-      }
+      .map(i => plantedAsset(i, groups))
   }
 
   /** Batch probe of incoming (asset_id, dhash) rows against a STORED
@@ -981,24 +981,41 @@ object Multimodal {
     * [[imageNearDupPairsIncremental]] on the indexed corpus (pigeonhole
     * exactness is unchanged; MultimodalSpec pins the identity). At scale
     * the index is bucketed on (band, bv) so the corpus never shuffles. */
+  /** Bytes per (asset_id, dhash, band, bv) index row — what the
+    * [[Dedup.sizedBuildSide]] row cap is scaled by for the image member
+    * (three longs + an int; the Dedup INDEX_ROW_BYTES convention). */
+  private val IMG_INDEX_ROW_BYTES = 28L
+
   def probeImageBandIndex(index: DataFrame, incoming: DataFrame,
       maxHamming: Int): DataFrame = {
     require(maxHamming <= DHASH_BANDS - 1,
       s"banded candidates exact only to hamming ${DHASH_BANDS - 1}")
     val inc = dhashBands(incoming)
+    // sizing (the probeLshIndex convention, r16 ADVICE): one count per
+    // side — the self side priced as its exact DHASH_BANDS fanout, no
+    // second count job over the banded relation. sizedBuildSide then
+    // broadcasts under the cap and pins SHUFFLE_HASH above it, so a
+    // corpus-sized index can never flip to a sort-merge join that sorts
+    // the corpus (the q64 broadcast-cliff lesson); StorageSpec pins the
+    // bucketed index entering its join exchange-free THROUGH this probe.
+    val nIdx = index.count()
+    val nInc = DHASH_BANDS.toLong * incoming.count()
     // two candidate joins, unioned on the PAIR side (the probeMinhashBands
     // shape): the stored join keeps the index pristine — a (band, bv)-
     // bucketed index keeps its partitioning — while the batch x batch
     // self-join surfaces new-new pairs; distinct() absorbs the overlap
-    def pairsAgainst(build: org.apache.spark.sql.DataFrame) =
-      inc.alias("x").join(build.alias("y"), Seq("band", "bv"))
+    def pairsAgainst(build: org.apache.spark.sql.DataFrame, nBuild: Long) =
+      inc.alias("x")
+        .join(Dedup.sizedBuildSide(build.alias("y"), nBuild,
+          IMG_INDEX_ROW_BYTES), Seq("band", "bv"))
         .filter(col("x.asset_id") =!= col("y.asset_id"))
         .select(least(col("x.asset_id"), col("y.asset_id")).as("ia"),
           greatest(col("x.asset_id"), col("y.asset_id")).as("ib"),
           bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
     pairsAgainst(
-        index.select(col("asset_id"), col("dhash"), col("band"), col("bv")))
-      .unionByName(pairsAgainst(inc))
+        index.select(col("asset_id"), col("dhash"), col("band"), col("bv")),
+        nIdx)
+      .unionByName(pairsAgainst(inc, nInc))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

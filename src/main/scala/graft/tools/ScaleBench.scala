@@ -255,11 +255,19 @@ object ScaleBench {
       val k = "x(\\d+)$".r.findFirstMatchIn(dir).map(_.group(1).toInt).getOrElse(1)
       val groups = Multimodal.DHASH_GROUPS * k
       val store = s"/tmp/graft-scale-index/img-g$groups/imgbands.parquet"
-      // built-flag AFTER the write lands (the q36 retry lesson)
+      // the store is content-addressed (a pure function of the group
+      // count) and persistent, so honor an index a PREVIOUS JVM completed:
+      // a committed write always lands _SUCCESS, and rebuilding over it
+      // wastes a corpus synthesis + decode per fresh driver (and could
+      // clobber it mid-probe under a concurrent second driver). The
+      // in-process Set still skips the filesystem probe per pass, and is
+      // still set only AFTER the write lands (the q36 retry lesson).
       if (!imgBuilt.contains(store)) {
-        Multimodal.imageBandIndex(Multimodal.imageDhashes(
-            Multimodal.syntheticImageCorpusOf(s, groups)))
-          .write.mode("overwrite").parquet(store)
+        if (!new java.io.File(s"$store/_SUCCESS").exists()) {
+          Multimodal.imageBandIndex(Multimodal.imageDhashes(
+              Multimodal.syntheticImageCorpusOf(s, groups)))
+            .write.mode("overwrite").parquet(store)
+        }
         imgBuilt.add(store)
       }
       val incoming = Multimodal.imageDhashes(

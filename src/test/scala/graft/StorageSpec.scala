@@ -224,6 +224,57 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("stored image band index bucketed on (band, bv) joins without shuffling the corpus side") {
+    // the image member of the stored-index family gets the same pin the
+    // minhash member has (r16 ADVICE): a (band, bv)-bucketed dHash index
+    // — the FULL probe join key set — enters its join exchange-free
+    // THROUGH probeImageBandIndex even on the over-cap SHUFFLE_HASH
+    // path, and the plan flip changes no values.
+    import graft.functions.Multimodal
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val hashes = Multimodal.imageDhashes(
+      Multimodal.syntheticImageCorpus(spark)).cache()
+    val bands = Multimodal.imageBandIndex(hashes)
+    spark.sql("DROP TABLE IF EXISTS b_imgbands")
+    bands.write.mode(SaveMode.Overwrite)
+      .bucketBy(4, "band", "bv").saveAsTable("b_imgbands")
+    val incoming = hashes.filter(col("asset_id") % 8 === 3)
+    def run(idx: org.apache.spark.sql.DataFrame) =
+      Multimodal.probeImageBandIndex(idx, incoming, 2)
+    val plain = run(bands).collect().map(_.toSeq).toSet
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.graft.verifyBroadcastVectors", "1") // force SHUFFLE_HASH
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // plain tree for collect()
+    try {
+      val df = run(spark.table("b_imgbands"))
+      val plan = df.queryExecution.executedPlan
+      val bandScans = plan.collect {
+        case s: FileSourceScanExec
+          if s.tableIdentifier.exists(_.table == "b_imgbands") => s
+      }
+      assert(bandScans.nonEmpty && bandScans.forall(_.bucketedScan),
+        s"expected a bucketed scan of b_imgbands:\n$plan")
+      val exchangeFreeBuild = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }.exists { j =>
+        j.right.collect {
+          case s: FileSourceScanExec
+            if s.tableIdentifier.exists(_.table == "b_imgbands") => s
+        }.nonEmpty &&
+        j.right.collect { case e: ShuffleExchangeExec => e }.isEmpty
+      }
+      assert(exchangeFreeBuild,
+        s"the bucketed image index must enter its join with NO Exchange:\n$plan")
+      assert(df.collect().map(_.toSeq).toSet == plain)
+      assert(plain.nonEmpty) // the probe actually pairs something
+    } finally {
+      spark.conf.unset("spark.graft.verifyBroadcastVectors")
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      hashes.unpersist(false)
+    }
+  }
+
   test("IVF index bucketed by cid probes without shuffling the index side") {
     // proves q67's scale claim: the inverted lists ARE a partitioning key.
     // Write the index bucketed by cid once; every probe query then equi
