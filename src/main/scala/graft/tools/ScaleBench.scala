@@ -107,7 +107,9 @@ object ScaleBench {
     "q167_ppl_buckets",        // LM tables + xent-histogram tercile cuts
     "q168_html_extract",       // array-domain jusText parse, zero exchanges
     "q169_line_quality",       // array-domain line rules, zero exchanges
-    "q170_pii_scrub")      // three-regex scrub, pure map
+    "q170_pii_scrub",          // three-regex scrub, pure map
+    "q171_warc_extract",       // WARC walk + jusText on payloads, map-side
+    "q172_c4_badwords")        // banned-hit regex + line rules, pure map
 
   /** Out-of-registry study variants, timed like registry queries when
     * named in the roster args.
