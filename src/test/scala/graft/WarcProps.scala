@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.sources.Warc
+
+/** Property-based round-trip of the WARC container walk: for ANY randomly
+  * generated container — random record counts, types, URIs and payloads,
+  * where payloads may embed CRLFs, double-CRLFs, header-shaped lines
+  * ("Content-Length: 7") and FULL fake records including the "WARC/1.0"
+  * magic — parsing recovers every record's type, URI, Content-Length and
+  * payload exactly, in order, with zero leftover. Random adversarial
+  * payloads cover what the hand fixtures can't enumerate; any marker- or
+  * header-sniffing shortcut in the parser fails this immediately. */
+object WarcProps extends Properties("warc") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private lazy val spark = SparkSpec.session
+
+  private val payloadPiece: Gen[String] = Gen.oneOf(
+    Gen.listOfN(6, Gen.alphaNumChar).map(_.mkString),
+    Gen.const("\r\n"),
+    Gen.const("\r\n\r\n"),
+    Gen.const("Content-Length: 7\r\n"),
+    Gen.const("WARC/1.0\r\n"),
+    // a complete well-formed fake record as payload content
+    Gen.const("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 3\r\n\r\nxyz\r\n\r\n"),
+    Gen.const(""))
+
+  private val record: Gen[(String, String, String)] = for {
+    typ <- Gen.oneOf("response", "conversion", "warcinfo", "request")
+    uriWord <- Gen.listOfN(8, Gen.alphaLowerChar).map(_.mkString)
+    pieces <- Gen.chooseNum(0, 6).flatMap(Gen.listOfN(_, payloadPiece))
+  } yield (typ, s"http://$uriWord.example/x", pieces.mkString)
+
+  private val containerGen: Gen[List[(String, String, String)]] =
+    Gen.chooseNum(1, 5).flatMap(Gen.listOfN(_, record))
+
+  private def render(recs: Seq[(String, String, String)]): String =
+    recs.map { case (typ, uri, payload) =>
+      s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Record-ID: <urn:p:$typ>\r\n" +
+        s"WARC-Target-URI: $uri\r\nContent-Length: ${payload.length}" +
+        s"\r\n\r\n$payload\r\n\r\n"
+    }.mkString
+
+  property("random containers round-trip exactly, adversarial payloads included") =
+    Prop.forAll(containerGen) { recs =>
+      import spark.implicits._
+      val df = Warc.warcRecordsRel(
+        Seq((0L, render(recs))).toDF("gid", "c"), col("c"), 6, Seq("gid"))
+      val row = df.select(col("records"), col("leftover_chars")).head
+      val got = row.getSeq[Row](0).map(r => (
+        r.getAs[String]("typ"), r.getAs[String]("uri"),
+        r.getAs[Long]("clen"), r.getAs[String]("payload"),
+        r.getAs[Boolean]("ok")))
+      val want = recs.map { case (t, u, p) => (t, u, p.length.toLong, p, true) }
+      val leftOk = row.getLong(1) == 0L
+      if (got != want || !leftOk)
+        println(s"MISMATCH:\n got=$got\n want=$want leftover=${row.getLong(1)}")
+      got == want && leftOk
+    }
+}
