@@ -676,6 +676,156 @@ object Web {
                  THEN 1 ELSE 0 END)::BIGINT AS final_pass
     FROM agg"""
 
+  // ------------------------------------------------------------------
+  // Outlink extraction + host-level web graph (the CommonCrawl webgraph
+  // move: CC's published host-level webgraph aggregates page-level
+  // <a href> edges to host->host with link and page counts; host
+  // PageRank / harmonic centrality over that graph is the standard
+  // crawl-prioritization and quality prior — all public). This is the
+  // rung between q168's block parse (which already measures link
+  // DENSITY but discards the targets) and the q119/q133 graph
+  // operators (which need an edge list to rank).
+  //
+  // Resolution is deliberately HOST-level, not full RFC 3986 path
+  // resolution: for a host graph, every root-relative, document-
+  // relative and fragment-bearing path link stays on the page's own
+  // host, so only the scheme prefix needs classifying —
+  //   - absolute http(s):// links resolve to their own authority,
+  //   - protocol-relative // links likewise,
+  //   - fragment-only / javascript: / mailto: pseudo-links are not
+  //     navigation edges and drop,
+  //   - everything else is an internal edge to the page host.
+  // Hosts normalize like q158's canonicalizer (lowercase, `www.`
+  // stripped) so the graph keys join against canonical-URL keys.
+  //
+  // 100 TB shape: extraction + classification is a pure map; the only
+  // exchanges are the two partial-agg groupBys that shrink page-level
+  // edges to (host, host) — output is bounded by the host roster
+  // squared, in practice linear in hosts. No joins, no skew hazard
+  // (a mega-host fan-in arrives pre-combined by the map-side partial
+  // agg). Composes upstream with q171 (WARC payloads) and downstream
+  // with q133 (weighted PageRank over the emitted edges).
+  // ------------------------------------------------------------------
+
+  /** Double-quoted href values of <a> elements, in document order. The
+    * same deliberate regex-level scope as [[htmlInnerText]]: attribute
+    * values containing '>' and unquoted/single-quoted hrefs are out of
+    * scope (documented, spec-pinned). */
+  def hrefTargets(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?is)<a\\b[^>]*?\\bhref\\s*=\\s*\"([^\"]*)\""), lit(1))
+
+  /** Canonical host of a scheme-stripped URL: authority up to the first
+    * `/`, `?` or `#`, lowercased, leading `www.` dropped (the q158
+    * normalization, so graph keys join against canonical-URL keys). */
+  private[graft] def hostOf(noScheme: Column): Column =
+    regexp_replace(lower(regexp_extract(noScheme, "^([^/?#]*)", 1)),
+      "^www\\.", "")
+
+  /** Canonical host of a page URL (scheme tolerated in any case). */
+  def pageHost(url: Column): Column =
+    hostOf(regexp_replace(url, "^(?i)https?://", ""))
+
+  /** Destination host of one href, given the linking page's host:
+    * absolute/protocol-relative links resolve to their own authority,
+    * fragment/javascript/mailto pseudo-links to NULL (dropped), any
+    * other form (root-relative, document-relative) to the page host. */
+  def resolveLinkHost(href: Column, srcHost: Column): Column = {
+    val h = trim(href)
+    when(h.isNull, lit(null).cast("string"))
+      .when(h.rlike("^(?i)https?://"), pageHost(h))
+      .when(h.rlike("^//"), hostOf(regexp_replace(h, "^//", "")))
+      .when(h === "" || h.rlike("^(#|(?i:javascript|mailto):)"),
+        lit(null).cast("string"))
+      .otherwise(srcHost)
+  }
+
+  /** The q173 fixture: [[syntheticHtml]] plus a trailing external-links
+    * block planting every resolution class — a case-varied absolute
+    * https host (lowercasing under test), a protocol-relative image
+    * host (doc_id % 2 == 0), a `www.`-prefixed absolute with scheme in
+    * caps (strip + case under test, doc_id % 3 == 1), a fragment-only
+    * link, a javascript: pseudo-link (doc_id % 5 == 2), a mailto:
+    * (doc_id % 4 == 3) and a document-relative path. The base fixture
+    * contributes the internal mass: 3 nav + 2 footer + 2 related links
+    * when doc_id % 3 == 0. */
+  private[graft] def syntheticLinkedHtml(text: Column, docId: Column): Column =
+    concat(syntheticHtml(text, docId),
+      lit("<div class=\"ext\"><a href=\"https://CDN"),
+      (docId % 5).cast("string"),
+      lit(".Example.org/static/lib.js\">mirror</a>"),
+      when(docId % 2 === 0, concat(lit("<a href=\"//img"),
+        (docId % 3).cast("string"),
+        lit(".example.net/i.png\">img</a>"))).otherwise(lit("")),
+      when(docId % 3 === 1, concat(lit("<a href=\"HTTP://www.partner"),
+        (docId % 4).cast("string"),
+        lit(".example.com/deal?x=1\">partner</a>"))).otherwise(lit("")),
+      lit("<a href=\"#top\">top</a>"),
+      when(docId % 5 === 2, lit("<a href=\"javascript:void(0)\">noop</a>"))
+        .otherwise(lit("")),
+      when(docId % 4 === 3, lit("<a href=\"mailto:ops@example.org\">mail</a>"))
+        .otherwise(lit("")),
+      lit("<a href=\"notes/rel.html\">notes</a></div>"))
+
+  /** Host-level outlink graph of (page-host, html) rows: one edge row
+    * per (src_host, dst_host) with total link count and linking-page
+    * count. Two-level aggregation: the per-(doc, src, dst) partial
+    * shrinks page-level multiplicity map-side before the host-level
+    * rollup, so the second exchange carries one row per page-edge.
+    * explode_OUTER for the q168 reason: the inner form makes
+    * InferFiltersFromGenerate inject a size(hrefs)>0 filter whose
+    * predicate re-inlines the whole document-scale extraction regex
+    * (doubling per-row parse work); a zero-href page's null row is
+    * dropped by the null guard in [[resolveLinkHost]] instead. */
+  def outlinkHostGraph(pages: org.apache.spark.sql.DataFrame,
+      html: Column, srcHost: Column): org.apache.spark.sql.DataFrame =
+    pages
+      .select(col("doc_id"), srcHost.as("src_host"),
+        hrefTargets(html).as("__hrefs"))
+      .select(col("doc_id"), col("src_host"),
+        explode_outer(col("__hrefs")).as("__href"))
+      .select(col("doc_id"), col("src_host"),
+        resolveLinkHost(col("__href"), col("src_host")).as("dst_host"))
+      .filter(col("dst_host").isNotNull)
+      .groupBy(col("doc_id"), col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(sum(col("__n")).as("n_links"), count(lit(1)).as("n_pages"))
+      .withColumn("internal",
+        (col("src_host") === col("dst_host")).cast("long"))
+
+  /** The q173 oracle derives the expected link multiset GENERATIVELY
+    * from the fixture residues (never parsing HTML — the Spark side's
+    * regex walk is what's under test, the q168 oracle convention).
+    * src_host: the rawUrl host is `www.SRC.COM` (doc_id % 3 == 0) or
+    * `src.com`, which the q158 normalization collapses to `src.com`
+    * for every doc. */
+  private lazy val OUTLINK_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, source || '.com' AS src_host FROM documents),
+    links AS (
+      SELECT doc_id, src_host, src_host AS dst_host,
+             6 + (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END) AS n
+      FROM d
+      UNION ALL
+      SELECT doc_id, src_host,
+             'cdn' || (doc_id % 5) || '.example.org', 1 FROM d
+      UNION ALL
+      SELECT doc_id, src_host,
+             'img' || (doc_id % 3) || '.example.net', 1 FROM d
+      WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, src_host,
+             'partner' || (doc_id % 4) || '.example.com', 1 FROM d
+      WHERE doc_id % 3 = 1)
+    SELECT src_host, dst_host,
+           cast(sum(n) AS BIGINT) AS n_links,
+           count(*) AS n_pages,
+           (CASE WHEN src_host = dst_host THEN 1 ELSE 0 END)::BIGINT
+             AS internal
+    FROM links
+    GROUP BY src_host, dst_host"""
+
   private val SQL_STOPCNT = (l: String) =>
     s"len(list_filter($l, x -> x IN ${TextAnalysis.SQL_STOP}))"
 
@@ -801,6 +951,22 @@ object Web {
       },
       Some(C4_ORACLE),
       "C4 banned-word page filter (Raffel et al. 2020 §2.2): case-insensitive whole-word banned-set hit count composed with the q169 line verdict into a final page admission, zero exchanges"),
+
+    QueryDef(
+      "q173_outlink_graph",
+      (s, d) => {
+        // parse REAL <a href> targets out of the rendered fixture and
+        // resolve each against the page's rawUrl host; the oracle
+        // recomputes the expected multiset from the fixture residues,
+        // so the extraction + resolution walk is what's under test
+        val pages = documents(s, d)
+          .select(col("doc_id"),
+            syntheticLinkedHtml(col("text"), col("doc_id")).as("__html"),
+            pageHost(rawUrl(col("doc_id"), col("source"))).as("__src"))
+        outlinkHostGraph(pages, col("__html"), col("__src"))
+      },
+      Some(OUTLINK_ORACLE),
+      "outlink extraction + host-level web graph (the CommonCrawl webgraph shape): href parse, scheme-class resolution, www-stripped host normalization, two partial-agg rollups to (src_host, dst_host) edges"),
 
     QueryDef(
       "q158_url_dedup",

@@ -278,4 +278,51 @@ class WebSpec extends SparkSpec {
     assert(r.getAs[Long]("n_lines") == 3 && r.getAs[Long]("n_kept") == 2 &&
       r.getAs[Long]("n_nopunct") == 1, r.toString)
   }
+
+  // ---------------------------------------------------------------- q173
+
+  private def resolved(pairs: (String, String)*): Seq[Option[String]] =
+    pairs.toSeq.toDF("href", "src")
+      .select(Web.resolveLinkHost(col("href"), col("src")).as("h"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+
+  test("href extraction: document order, attribute noise, case, multiline tags") {
+    val html = """<a href="/a">x</a><A CLASS="z" HREF="/b">y</A>
+      |<a rel="nofollow"
+      |   href="https://ex.org/c">z</a><a name="no-href">w</a>""".stripMargin
+    val got = Seq(html).toDF("h")
+      .select(Web.hrefTargets(col("h")).as("t")).head.getSeq[String](0)
+    assert(got == Seq("/a", "/b", "https://ex.org/c"), got)
+  }
+
+  test("link-host resolution: every scheme class lands on the right host") {
+    val got = resolved(
+      "https://CDN2.Example.org/x" -> "page.com", // absolute: own authority
+      "HTTP://www.Partner.example.COM/d?x=1" -> "page.com", // caps + www strip
+      "//img.example.net/i.png" -> "page.com", // protocol-relative
+      "/root/path" -> "page.com", // root-relative: page host
+      "notes/rel.html" -> "page.com", // document-relative: page host
+      "#frag" -> "page.com", // fragment-only: dropped
+      "javascript:void(0)" -> "page.com", // pseudo-link: dropped
+      "MAILTO:ops@example.org" -> "page.com", // pseudo-link: dropped
+      "" -> "page.com") // empty href: dropped
+    assert(got == Seq(Some("cdn2.example.org"), Some("partner.example.com"),
+      Some("img.example.net"), Some("page.com"), Some("page.com"),
+      None, None, None, None), got)
+  }
+
+  test("host graph aggregates: multiplicity vs page counts, zero-href page drops") {
+    val pages = Seq(
+      (1L, """<a href="/a">i</a><a href="/b">i</a><a href="https://ex.org/">e</a>"""),
+      (2L, """<a href="https://ex.org/x">e</a><a href="#top">f</a>"""),
+      (3L, "no links at all")).toDF("doc_id", "html")
+    val g = Web.outlinkHostGraph(
+        pages.select(col("doc_id"), col("html"), lit("page.com").as("src")),
+        col("html"), col("src"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+    assert(g == Seq(
+      ("page.com", "ex.org", 2L, 2L, 0L),      // 1 link from each of 2 pages
+      ("page.com", "page.com", 2L, 1L, 1L)), g) // 2 links from 1 page
+  }
 }
