@@ -29,6 +29,7 @@ object SparkEntry {
       functions.Tokenizer.defs ++
       functions.LanguageModel.defs ++
       functions.Web.defs ++
+      functions.Normalize.defs ++
       functions.Batching.defs ++
       functions.Winnowing.defs ++
       functions.Mixture.defs ++
