@@ -677,6 +677,144 @@ object Web {
     FROM agg"""
 
   // ------------------------------------------------------------------
+  // Gopher document-level quality rules (Rae et al. 2021, "Scaling
+  // Language Models: Methods, Analysis & Insights from Training
+  // Gopher", §A1.1 — public). The rule FAMILY q169's C4 line gate does
+  // not cover: document-shape signals (word count bounds, mean word
+  // length bounds, symbol-to-word ratio), layout signals (bullet-start
+  // and ellipsis-end line fractions), and lexical sanity (alphabetic-
+  // word fraction, required-stopword coverage). q69 computes the
+  // repetition third of the Gopher set; this is the composite verdict
+  // the other two thirds roll into. Word-count and stopword thresholds
+  // are calibrated to THIS corpus (docs run 10-99 words; Gopher's
+  // 50-word floor would kill half of it), the q168 convention.
+  //
+  // Every rule is an integer comparison (no float boundaries, engine-
+  // exact in DuckDB). 100 TB shape: like q169 — array-domain
+  // expressions in staged projections, one row per doc out, scan ->
+  // project, ZERO exchanges; composes map-side between extraction
+  // (q168) and the q161 funnel.
+  // ------------------------------------------------------------------
+
+  private val GOPHER_MIN_WORDS = 20L // corpus-calibrated (Gopher: 50)
+  private val GOPHER_MAX_WORDS = 100000L
+
+  private val REQUIRED_WORDS = TextAnalysis.STOPWORDS
+  private val SQL_REQUIRED =
+    REQUIRED_WORDS.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** Doc-level Gopher-rule report for a newline-separated page column:
+    * the eight shape/layout/lexical signals plus the composite verdict,
+    * staged like [[lineQualityRel]] so the line split and word arrays
+    * evaluate once per row. */
+  def gopherRulesRel(docs: org.apache.spark.sql.DataFrame,
+      page: Column): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), page.as("__pg"))
+      .select(col("doc_id"), col("__pg"),
+        split(col("__pg"), "\n").as("__lines"),
+        filter(split(regexp_replace(col("__pg"), "\n", " "), " "),
+          w => w =!= "").as("__words"))
+      .select(col("doc_id"),
+        size(col("__words")).cast("long").as("n_words"),
+        aggregate(transform(col("__words"), w => length(w)),
+          lit(0), (a, x) => a + x).cast("long").as("word_chars"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(filter(col("__lines"), l => l.startsWith("- ")))
+          .cast("long").as("n_bullet"),
+        size(filter(col("__lines"), l => l.endsWith("...")))
+          .cast("long").as("n_ellipsis_end"),
+        (size(regexp_extract_all(col("__pg"), lit("#"), lit(0))) +
+          size(regexp_extract_all(col("__pg"), lit("\\.\\.\\."), lit(0))))
+          .cast("long").as("n_symbols"),
+        size(filter(col("__words"), w => w.rlike("[A-Za-z]")))
+          .cast("long").as("n_alpha_words"),
+        size(filter(array(REQUIRED_WORDS.map(lit): _*),
+          sw => array_contains(col("__words"), sw)))
+          .cast("long").as("req_stop_hits"))
+      .withColumn("gopher_pass",
+        (col("n_words") >= GOPHER_MIN_WORDS &&
+          col("n_words") <= GOPHER_MAX_WORDS &&
+          col("word_chars") >= col("n_words") * 3 &&
+          col("word_chars") <= col("n_words") * 10 &&
+          col("n_symbols") * 10 <= col("n_words") &&
+          col("n_bullet") * 10 <= col("n_lines") * 9 &&
+          col("n_ellipsis_end") * 10 <= col("n_lines") * 3 &&
+          col("n_alpha_words") * 5 >= col("n_words") * 4 &&
+          col("req_stop_hits") >= 2).cast("long"))
+
+  /** The q175 fixture (same construction in the oracle): the doc's
+    * words in 6-word lines; line i gains a `- ` bullet prefix when
+    * (doc_id + 2i) % 5 == 0, a trailing ` ##` symbol token when
+    * (doc_id + i) % 9 == 0, and ends in `...` when (3*doc_id + i)
+    * % 7 == 0 (else `.`) — planting every layout/symbol class the
+    * rules measure, at fractions that leave each rule's verdict
+    * varying across the corpus. */
+  private[graft] def gopherSyntheticPage(text: Column, docId: Column): Column = {
+    val ws = split(text, " ")
+    val n = size(ws)
+    val lines = transform(
+      sequence(lit(0), floor((n - lit(1)) / lit(6)).cast("int")), i => {
+        val seg = array_join(slice(ws, i * 6 + 1, lit(6)), " ")
+        val withSym = when((docId + i) % 9 === 0, concat(seg, lit(" ##")))
+          .otherwise(seg)
+        val withB = when((docId + i * 2) % 5 === 0,
+          concat(lit("- "), withSym)).otherwise(withSym)
+        when((docId * 3 + i) % 7 === 0, concat(withB, lit("...")))
+          .otherwise(concat(withB, lit(".")))
+      })
+    array_join(lines, "\n")
+  }
+
+  private lazy val GOPHER_ORACLE = s"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    pg AS (
+      SELECT doc_id,
+        array_to_string(list_transform(range(0, (len(ws) - 1) // 6 + 1), i ->
+          (CASE WHEN (doc_id + 2*i) % 5 = 0 THEN '- ' ELSE '' END) ||
+          array_to_string(ws[i*6+1 : i*6+6], ' ') ||
+          (CASE WHEN (doc_id + i) % 9 = 0 THEN ' ##' ELSE '' END) ||
+          (CASE WHEN (doc_id*3 + i) % 7 = 0 THEN '...' ELSE '.' END)),
+          chr(10)) AS page
+      FROM d),
+    arrs AS (
+      SELECT doc_id, page,
+        string_split(page, chr(10)) AS lines,
+        list_filter(string_split(replace(page, chr(10), ' '), ' '),
+          w -> w <> '') AS words
+      FROM pg),
+    sig AS (
+      SELECT doc_id,
+        len(words)::BIGINT AS n_words,
+        coalesce(list_sum(list_transform(words, w -> length(w))), 0)::BIGINT
+          AS word_chars,
+        len(lines)::BIGINT AS n_lines,
+        len(list_filter(lines, l -> starts_with(l, '- ')))::BIGINT
+          AS n_bullet,
+        len(list_filter(lines, l -> ends_with(l, '...')))::BIGINT
+          AS n_ellipsis_end,
+        (len(regexp_extract_all(page, '#')) +
+         len(regexp_extract_all(page, '\\.\\.\\.')))::BIGINT AS n_symbols,
+        len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT
+          AS n_alpha_words,
+        len(list_filter($SQL_REQUIRED, sw -> list_contains(words, sw)))::BIGINT
+          AS req_stop_hits
+      FROM arrs)
+    SELECT doc_id, n_words, word_chars, n_lines, n_bullet, n_ellipsis_end,
+           n_symbols, n_alpha_words, req_stop_hits,
+           (CASE WHEN n_words >= $GOPHER_MIN_WORDS
+                  AND n_words <= $GOPHER_MAX_WORDS
+                  AND word_chars >= n_words * 3
+                  AND word_chars <= n_words * 10
+                  AND n_symbols * 10 <= n_words
+                  AND n_bullet * 10 <= n_lines * 9
+                  AND n_ellipsis_end * 10 <= n_lines * 3
+                  AND n_alpha_words * 5 >= n_words * 4
+                  AND req_stop_hits >= 2
+                 THEN 1 ELSE 0 END)::BIGINT AS gopher_pass
+    FROM sig"""
+
+  // ------------------------------------------------------------------
   // Outlink extraction + host-level web graph (the CommonCrawl webgraph
   // move: CC's published host-level webgraph aggregates page-level
   // <a href> edges to host->host with link and page counts; host
@@ -951,6 +1089,13 @@ object Web {
       },
       Some(C4_ORACLE),
       "C4 banned-word page filter (Raffel et al. 2020 §2.2): case-insensitive whole-word banned-set hit count composed with the q169 line verdict into a final page admission, zero exchanges"),
+
+    QueryDef(
+      "q175_gopher_rules",
+      (s, d) => gopherRulesRel(documents(s, d),
+        gopherSyntheticPage(col("text"), col("doc_id"))),
+      Some(GOPHER_ORACLE),
+      "Gopher document-level quality composite (Rae et al. 2021 §A1.1): word-count / mean-word-length / symbol-ratio / bullet-and-ellipsis line fractions / alpha-word fraction / required-stopword coverage, all integer comparisons, zero exchanges"),
 
     QueryDef(
       "q173_outlink_graph",

@@ -279,6 +279,42 @@ class WebSpec extends SparkSpec {
       r.getAs[Long]("n_nopunct") == 1, r.toString)
   }
 
+  // ---------------------------------------------------------------- q175
+
+  test("gopher rules: each rule kills its own pathology, the clean page passes") {
+    // every page but the target's keeps the other seven rules satisfied
+    val stop = "the of and to a the of and" // required-word coverage
+    val goodLine = s"alpha beta gamma delta $stop words."
+    val clean = Seq.fill(5)(goodLine).mkString("\n")
+    val cases = Seq(
+      ("clean", clean, 1L),
+      ("too-few-words", s"$stop.", 0L), // 9 words < 20
+      ("short-words", ("a b " * 15 + stop + ".").trim, 0L), // mean len < 3
+      ("symbol-heavy", Seq.fill(5)(s"$goodLine ## ## ##").mkString("\n"), 0L),
+      ("all-bullets", Seq.fill(5)(s"- $goodLine").mkString("\n"), 0L),
+      ("ellipsis-heavy", Seq.fill(5)(s"$goodLine..").mkString("\n"), 0L),
+      ("numeric-words", Seq.fill(5)(s"12 345 6789 01 23 45 $stop.").mkString("\n"), 0L),
+      ("no-required-words", Seq.fill(5)("alpha beta gamma delta epsilon zeta.").mkString("\n"), 0L))
+    val got = cases.map(c => (c._1, c._2)).toDF("doc_id", "page")
+    // doc_id here is the case label: gopherRulesRel only reads it through
+    val rep = Web.gopherRulesRel(got, col("page"))
+      .select(col("doc_id"), col("gopher_pass"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((name, _, want) <- cases)
+      assert(rep(name) == want, s"$name: got ${rep(name)}, want $want")
+  }
+
+  test("gopher signals count what they claim on a hand-built page") {
+    val page = "- the of and to a first." + "\n" +
+      "plain words here with no marks..." + "\n" +
+      "symbols ## here and more." // '##' + the '...' = 3 symbol hits
+    val r = Web.gopherRulesRel(
+      Seq((1L, page)).toDF("doc_id", "page"), col("page")).head
+    assert(r.getAs[Long]("n_lines") == 3 && r.getAs[Long]("n_bullet") == 1 &&
+      r.getAs[Long]("n_ellipsis_end") == 1 && r.getAs[Long]("n_symbols") == 3 &&
+      r.getAs[Long]("req_stop_hits") == 5, r.toString)
+  }
+
   // ---------------------------------------------------------------- q173
 
   private def resolved(pairs: (String, String)*): Seq[Option[String]] =
