@@ -932,6 +932,90 @@ object Web {
       .withColumn("internal",
         (col("src_host") === col("dst_host")).cast("long"))
 
+  // ------------------------------------------------------------------
+  // Anchor-text aggregation (the other half of the webgraph move:
+  // CommonCrawl/ClueWeb-style anchor corpora collect, per TARGET, the
+  // words other pages use to link to it — the classic relevance signal
+  // retrieval/embedding training sets are mined from, MS MARCO / ORCAS
+  // shape; all public). q173 keeps the edge, this keeps the words.
+  //
+  // Extraction shape: ONE document-scale walk collects the full <a>
+  // elements (group 0); href and anchor text then come from per-anchor
+  // group extracts over the short matched strings — the hot column is
+  // regex-scanned once, and (href, text) can never misalign because
+  // both come out of the same matched element.
+  //
+  // 100 TB shape: extraction is a map; two generates (anchors, then
+  // terms) stay exchange-free; the only shuffle is the final
+  // (dst_host, term) partial-agg groupBy — a mega-host's anchor mass
+  // arrives pre-combined map-side. Output is bounded by hosts x anchor
+  // vocabulary, linear in practice.
+  // ------------------------------------------------------------------
+
+  /** One pattern: group 0 is the whole <a> element (the document-walk
+    * unit), groups 1/2 the href and anchor text (per-element extracts). */
+  private val A_PAIR_RE =
+    "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>"
+
+  /** Per-(dst_host, term) anchor-term counts over (doc_id, html,
+    * src_host) rows: anchor elements extract + host-resolve like
+    * [[outlinkHostGraph]] (same drop classes), anchor inner text strips
+    * inline markup and decodes entities via [[htmlInnerText]], terms
+    * split on whitespace. Both generates are OUTER for the q168/q173
+    * reason (the inferred size()>0 filter would re-inline the upstream
+    * extraction). */
+  def anchorTermIndex(pages: org.apache.spark.sql.DataFrame,
+      html: Column, srcHost: Column): org.apache.spark.sql.DataFrame =
+    pages
+      .select(col("doc_id"), srcHost.as("src_host"),
+        regexp_extract_all(html, lit(A_PAIR_RE), lit(0)).as("__tags"))
+      .select(col("doc_id"), col("src_host"),
+        explode_outer(col("__tags")).as("__tag"))
+      .select(col("doc_id"),
+        resolveLinkHost(regexp_extract(col("__tag"), A_PAIR_RE, 1),
+          col("src_host")).as("dst_host"),
+        regexp_extract(col("__tag"), A_PAIR_RE, 2).as("__anchor"))
+      .filter(col("dst_host").isNotNull)
+      .select(col("dst_host"),
+        explode_outer(split(htmlInnerText(col("__anchor")), " ")).as("term"))
+      .filter(col("term").isNotNull && col("term") =!= "")
+      .groupBy(col("dst_host"), col("term"))
+      .agg(count(lit(1)).as("n_links"))
+
+  /** The q176 fixture: [[syntheticLinkedHtml]] plus one anchor whose
+    * text carries inline markup and several words — the inner-text
+    * strip and the term split are what it exercises. */
+  private[graft] def syntheticAnchorHtml(text: Column, docId: Column): Column =
+    concat(syntheticLinkedHtml(text, docId),
+      lit("<p>read <a href=\"/guide\">the <b>full</b> guide</a> today</p>"))
+
+  /** Generative oracle, the q173 convention: the expected term multiset
+    * from the fixture residues; anchor texts are the literal fixture
+    * words plus ws[2]/ws[3] in the related block. */
+  private lazy val ANCHOR_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, source || '.com' AS src_host,
+             string_split(text, ' ') AS ws
+      FROM documents),
+    t AS (
+      SELECT doc_id, src_host AS dst_host,
+             unnest(['home','archive','about','notes','terms','privacy',
+                     'the','full','guide']) AS term
+      FROM d
+      UNION ALL
+      SELECT doc_id, src_host, unnest([ws[2], ws[3]]) FROM d
+      WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, 'cdn' || (doc_id % 5) || '.example.org', 'mirror' FROM d
+      UNION ALL
+      SELECT doc_id, 'img' || (doc_id % 3) || '.example.net', 'img' FROM d
+      WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, 'partner' || (doc_id % 4) || '.example.com', 'partner'
+      FROM d WHERE doc_id % 3 = 1)
+    SELECT dst_host, term, count(*)::BIGINT AS n_links
+    FROM t GROUP BY 1, 2"""
+
   /** The q173 oracle derives the expected link multiset GENERATIVELY
     * from the fixture residues (never parsing HTML — the Spark side's
     * regex walk is what's under test, the q168 oracle convention).
@@ -1112,6 +1196,18 @@ object Web {
       },
       Some(OUTLINK_ORACLE),
       "outlink extraction + host-level web graph (the CommonCrawl webgraph shape): href parse, scheme-class resolution, www-stripped host normalization, two partial-agg rollups to (src_host, dst_host) edges"),
+
+    QueryDef(
+      "q176_anchor_terms",
+      (s, d) => {
+        val pages = documents(s, d)
+          .select(col("doc_id"),
+            syntheticAnchorHtml(col("text"), col("doc_id")).as("__html"),
+            pageHost(rawUrl(col("doc_id"), col("source"))).as("__src"))
+        anchorTermIndex(pages, col("__html"), col("__src"))
+      },
+      Some(ANCHOR_ORACLE),
+      "anchor-text aggregation per destination host (the ORCAS/anchor-corpus shape): aligned dual-group href/text extraction, host resolution with the q173 drop classes, inner-text strip, one partial-agg groupBy on (dst_host, term)"),
 
     QueryDef(
       "q158_url_dedup",

@@ -672,6 +672,19 @@ object StreamingOps {
       Web.syntheticPage(col("text"), col("doc_id")))
   }
 
+  /** Stateless streaming twin of q175's Gopher document-shape rules:
+    * the identical staged zero-exchange projection
+    * ([[graft.functions.Web.gopherRulesRel]] over the identical fixture
+    * derivation) — all eight signals fold inside the row's own line and
+    * word arrays, so there is no state, no watermark, pure append-mode
+    * map. With the q121/q168/q169 twins this closes the full streaming
+    * admission chain: extract -> line gate -> doc-shape gate -> classify. */
+  def gopherRulesStream(docs: Dataset[DocIn]): DataFrame = {
+    import graft.functions.Web
+    Web.gopherRulesRel(docs.toDF(),
+      Web.gopherSyntheticPage(col("text"), col("doc_id")))
+  }
+
   /** File-source stream over a directory of parquet events, normalizing
     * `ts` exactly like the batch loader ([[graft.Tables.events]]): the
     * fixture has shipped as both TIMESTAMP(NANOS) (surfaced as raw long

@@ -109,7 +109,10 @@ object ScaleBench {
     "q169_line_quality",       // array-domain line rules, zero exchanges
     "q170_pii_scrub",          // three-regex scrub, pure map
     "q171_warc_extract",       // WARC walk + jusText on payloads, map-side
-    "q172_c4_badwords")        // banned-hit regex + line rules, pure map
+    "q172_c4_badwords",        // banned-hit regex + line rules, pure map
+    "q173_outlink_graph",      // href parse + two host-edge rollups
+    "q174_nfc_normalize",      // native normalize expression, pure map
+    "q175_gopher_rules")       // array-domain doc-shape rules, zero exchanges
 
   /** Out-of-registry study variants, timed like registry queries when
     * named in the roster args.

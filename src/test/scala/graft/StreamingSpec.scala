@@ -613,6 +613,30 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${(stream -- batch).take(3)}; batch-only: ${(batch -- stream).take(3)}")
   }
 
+  test("streaming Gopher document-shape rules match batch q175 exactly") {
+    import graft.streaming.StreamingOps.DocIn
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => DocIn(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), new Timestamp(86400_000L + r.getLong(0) * 1000)))
+      .sortBy(_.doc_id)
+    val in = MemoryStream[DocIn]
+    val q = StreamingOps.gopherRulesStream(in.toDS())
+      .writeStream.format("memory").queryName("gopherstream").outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("gopherstream")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("q175_gopher_rules")(spark, SF)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(stream == batch,
+      s"stream-only: ${(stream -- batch).take(3)}; batch-only: ${(batch -- stream).take(3)}")
+  }
+
   test("file-source event stream aggregates the sf0.001 table like batch") {
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
     // stage the driver parquet into a stream-source dir

@@ -347,6 +347,24 @@ class WebSpec extends SparkSpec {
       None, None, None, None), got)
   }
 
+  test("anchor terms: inline markup strips, entities decode, drop classes drop") {
+    val pages = Seq(
+      (1L, """<a href="/guide">the <b>full</b> guide</a>
+             |<a href="https://ex.org/">Smith &amp; Sons</a>
+             |<a href="javascript:void(0)">never counted</a>""".stripMargin),
+      (2L, """<a href="/guide">the guide</a><a href="#top">skip</a>"""),
+      (3L, "anchor-free page")).toDF("doc_id", "html")
+    val got = Web.anchorTermIndex(
+        pages.select(col("doc_id"), col("html"), lit("page.com").as("src")),
+        col("html"), col("src"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      ("ex.org", "&", 1L), ("ex.org", "Smith", 1L), ("ex.org", "Sons", 1L),
+      ("page.com", "full", 1L), ("page.com", "guide", 2L),
+      ("page.com", "the", 2L)), got)
+  }
+
   test("host graph aggregates: multiplicity vs page counts, zero-href page drops") {
     val pages = Seq(
       (1L, """<a href="/a">i</a><a href="/b">i</a><a href="https://ex.org/">e</a>"""),
