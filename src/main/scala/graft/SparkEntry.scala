@@ -30,6 +30,7 @@ object SparkEntry {
       functions.LanguageModel.defs ++
       functions.Web.defs ++
       functions.Normalize.defs ++
+      functions.Robots.defs ++
       functions.Batching.defs ++
       functions.Winnowing.defs ++
       functions.Mixture.defs ++

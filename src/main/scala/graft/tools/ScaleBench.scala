@@ -112,7 +112,8 @@ object ScaleBench {
     "q172_c4_badwords",        // banned-hit regex + line rules, pure map
     "q173_outlink_graph",      // href parse + two host-edge rollups
     "q174_nfc_normalize",      // native normalize expression, pure map
-    "q175_gopher_rules")       // array-domain doc-shape rules, zero exchanges
+    "q175_gopher_rules",       // array-domain doc-shape rules, zero exchanges
+    "q177_robots_rules")       // robots group-walk fold + prefix argmax, pure map
 
   /** Out-of-registry study variants, timed like registry queries when
     * named in the roster args.

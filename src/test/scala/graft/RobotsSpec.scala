@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Robots
+
+/** Parse and precedence semantics of the robots.txt evaluator: group
+  * selection, header-run widening, comments/blank lines, the empty
+  * Disallow, and the RFC 9309 longest-match + Allow-tie verdict. */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def verdicts(robots: String, agent: String, paths: String*)
+      : Seq[(Boolean, String)] =
+    paths.toSeq.toDF("path")
+      .select(Robots.robotsVerdict(col("path"),
+        Robots.robotsRules(lit(robots), agent)).as("v"))
+      .collect().map(r => (r.getStruct(0).getBoolean(0),
+        r.getStruct(0).getString(1))).toSeq
+
+  test("longest match wins; Allow wins length ties; no match allows") {
+    val robots =
+      """User-agent: *
+        |Disallow: /docs/
+        |Allow: /docs/pub/
+        |Disallow: /tmp
+        |Allow: /tmp""".stripMargin
+    val got = verdicts(robots, "anybot",
+      "/docs/secret", "/docs/pub/x", "/tmp/y", "/open/z")
+    assert(got == Seq(
+      (false, "/docs/"), // only the Disallow matches
+      (true, "/docs/pub/"), // longer Allow beats shorter Disallow
+      (true, "/tmp"), // exact length tie: Allow wins
+      (true, "")), got) // nothing matches: crawlable by default
+  }
+
+  test("agent-specific groups replace the wildcard groups entirely") {
+    val robots =
+      """User-agent: *
+        |Disallow: /
+        |
+        |User-agent: GraftBot
+        |Disallow: /private/""".stripMargin
+    // the * group's root Disallow must NOT leak into graftbot's view
+    assert(verdicts(robots, "graftbot", "/a", "/private/x") ==
+      Seq((true, ""), (false, "/private/")))
+    // an unrelated agent sees only the wildcard group
+    assert(verdicts(robots, "otherbot", "/a") == Seq((false, "/")))
+  }
+
+  test("consecutive user-agent lines share one group; a UA line after rules starts a new one") {
+    val robots =
+      """User-agent: badbot
+        |User-agent: graftbot
+        |Disallow: /shared/
+        |User-agent: badbot
+        |Disallow: /badonly/""".stripMargin
+    // first group names graftbot too -> its rule applies; the second
+    // group (started by a UA line AFTER rules) names only badbot
+    assert(verdicts(robots, "graftbot", "/shared/x", "/badonly/y") ==
+      Seq((false, "/shared/"), (true, "")))
+  }
+
+  test("comments strip, directive names are case-insensitive, empty Disallow is no restriction") {
+    val robots =
+      """# top comment
+        |USER-AGENT: *   # trailing comment
+        |DISALLOW: /a  # comment after value
+        |disallow:
+        |ALLOW: /a/b""".stripMargin
+    assert(verdicts(robots, "anybot", "/a/x", "/a/b/c", "/z") ==
+      Seq((false, "/a"), (true, "/a/b"), (true, "")))
+  }
+
+  test("rules before any user-agent line are ignored") {
+    val robots =
+      """Disallow: /orphan/
+        |User-agent: *
+        |Disallow: /real/""".stripMargin
+    assert(verdicts(robots, "anybot", "/orphan/x", "/real/x") ==
+      Seq((true, ""), (false, "/real/")))
+  }
+}
