@@ -1048,6 +1048,55 @@ object Web {
     FROM links
     GROUP BY src_host, dst_host"""
 
+  // ------------------------------------------------------------------
+  // Host-rank quality prior (q178): weighted PageRank over the q173
+  // host graph — the CommonCrawl-style host ranking used as a crawl-
+  // prioritization / data-quality prior (a page from a well-linked
+  // host gets a better prior than one from a link-island; the public
+  // cc-webgraph releases ship exactly this ranking). Composition gets
+  // its own oracle per the q97/q161 boundary lesson: which edges feed
+  // the rank (EXTERNAL edges only — internal self-loops would let a
+  // host vote for itself) is a boundary individually-green stages
+  // don't pin.
+  //
+  // The rank reuses q133's exact-integer damped recurrence
+  // (IterativeGraph.pageRankWeighted) with string hosts as vertex ids
+  // directly — no ordinal encoding needed; the graph is symmetrized
+  // (link affinity) like q133 so pure-sink hosts hold rank mass.
+  // 100 TB shape: the host graph is bounded by the host roster, so
+  // after q173's rollup the iteration runs on a TINY relation (one
+  // join per pinned round); everything upstream is the q173 map.
+  // ------------------------------------------------------------------
+
+  private val HOST_RANK_ITERS = 5
+  private val HOST_RANK_SCALE = 10000000000L
+
+  private lazy val HOST_RANK_ORACLE = s"""
+    WITH d AS (
+      SELECT doc_id, source || '.com' AS src_host FROM documents),
+    links AS (
+      SELECT doc_id, src_host,
+             'cdn' || (doc_id % 5) || '.example.org' AS dst_host, 1 AS n
+      FROM d
+      UNION ALL
+      SELECT doc_id, src_host,
+             'img' || (doc_id % 3) || '.example.net', 1 FROM d
+      WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, src_host,
+             'partner' || (doc_id % 4) || '.example.com', 1 FROM d
+      WHERE doc_id % 3 = 1),
+    pw AS (
+      SELECT src_host AS src, dst_host AS dst, cast(sum(n) AS bigint) AS w
+      FROM links GROUP BY 1, 2),
+    sym AS (
+      SELECT src, dst, w FROM pw
+      UNION ALL
+      SELECT dst AS src, src AS dst, w FROM pw),
+    ${graft.operators.Advanced.pagerankWeightedRoundsSql(
+        HOST_RANK_ITERS, HOST_RANK_SCALE)}
+    SELECT v AS host, r FROM r$HOST_RANK_ITERS"""
+
   private val SQL_STOPCNT = (l: String) =>
     s"len(list_filter($l, x -> x IN ${TextAnalysis.SQL_STOP}))"
 
@@ -1196,6 +1245,29 @@ object Web {
       },
       Some(OUTLINK_ORACLE),
       "outlink extraction + host-level web graph (the CommonCrawl webgraph shape): href parse, scheme-class resolution, www-stripped host normalization, two partial-agg rollups to (src_host, dst_host) edges"),
+
+    QueryDef(
+      "q178_host_rank",
+      (s, d) => {
+        // q173's parsed host graph, EXTERNAL edges only, symmetrized,
+        // through q133's exact-integer weighted PageRank — string
+        // hosts ride as vertex ids directly
+        val pages = documents(s, d)
+          .select(col("doc_id"),
+            syntheticLinkedHtml(col("text"), col("doc_id")).as("__html"),
+            pageHost(rawUrl(col("doc_id"), col("source"))).as("__src"))
+        val ext = outlinkHostGraph(pages, col("__html"), col("__src"))
+          .filter(col("internal") === 0)
+          .select(col("src_host").as("src"), col("dst_host").as("dst"),
+            col("n_links").as("w"))
+        val sym = ext.unionAll(ext.select(col("dst").as("src"),
+          col("src").as("dst"), col("w")))
+        graft.operators.IterativeGraph
+          .pageRankWeighted(sym, HOST_RANK_ITERS, HOST_RANK_SCALE)
+          .select(col("v").as("host"), col("r"))
+      },
+      Some(HOST_RANK_ORACLE),
+      "host-rank quality prior: q173's parsed external host edges, symmetrized, through the exact-integer weighted PageRank recurrence — the cc-webgraph host ranking as a composition with its own oracle"),
 
     QueryDef(
       "q176_anchor_terms",

@@ -85,7 +85,13 @@ $rounds
 
   /** DuckDB oracle for q133: the weighted recurrence unrolled — mass
     * splits as `(r * w) // tw` per edge, teleport as in q119. */
-  private def pagerankWeightedOracleSql(iters: Int, scale: Long): String = {
+  /** The weighted-PageRank recurrence as DuckDB CTEs, shared with the
+    * q178 host-rank oracle: expects an upstream `sym(src, dst, w)` CTE
+    * (symmetric, integer weights) and emits `r0` plus `iters` unrolled
+    * rounds — SELECT from `r<iters>` to read the final ranks. Exactly
+    * [[graft.operators.IterativeGraph.pageRankWeighted]]'s integer
+    * contract: per-edge (r*w) div tw, damped 15/85 over scale. */
+  private[graft] def pagerankWeightedRoundsSql(iters: Int, scale: Long): String = {
     val teleport = 15L * (scale / 100L)
     val rounds = (1 to iters).map { k =>
       s"""    s$k AS (
@@ -97,6 +103,13 @@ $rounds
     |             cast($teleport + (85 * coalesce(s$k.s, 0)) // 100 AS bigint) AS r
     |      FROM r${k - 1} p LEFT JOIN s$k ON s$k.v = p.v)""".stripMargin
     }.mkString(",\n")
+    s"""r0 AS (
+      SELECT src AS v, cast(sum(w) AS bigint) AS tw, cast($scale AS bigint) AS r
+      FROM sym GROUP BY src),
+$rounds"""
+  }
+
+  private def pagerankWeightedOracleSql(iters: Int, scale: Long): String = {
     s"""
     WITH pw AS (
       SELECT src, dst, count(*) AS w FROM (
@@ -109,10 +122,7 @@ $rounds
       SELECT src, dst, w FROM pw
       UNION ALL
       SELECT dst AS src, src AS dst, w FROM pw),
-    r0 AS (
-      SELECT src AS v, cast(sum(w) AS bigint) AS tw, cast($scale AS bigint) AS r
-      FROM sym GROUP BY src),
-$rounds
+    ${pagerankWeightedRoundsSql(iters, scale)}
     SELECT v, r FROM r$iters ORDER BY r DESC, v LIMIT 100"""
   }
 

@@ -113,7 +113,8 @@ object ScaleBench {
     "q173_outlink_graph",      // href parse + two host-edge rollups
     "q174_nfc_normalize",      // native normalize expression, pure map
     "q175_gopher_rules",       // array-domain doc-shape rules, zero exchanges
-    "q177_robots_rules")       // robots group-walk fold + prefix argmax, pure map
+    "q177_robots_rules",       // robots group-walk fold + prefix argmax, pure map
+    "q178_host_rank")          // q173 rollup + tiny-relation pinned rank rounds
 
   /** Out-of-registry study variants, timed like registry queries when
     * named in the roster args.

@@ -315,6 +315,30 @@ class WebSpec extends SparkSpec {
       r.getAs[Long]("req_stop_hits") == 5, r.toString)
   }
 
+  // ---------------------------------------------------------------- q178
+
+  test("host rank: internal self-loops are excluded; sinks hold rank via symmetrization") {
+    // one page linking itself (internal) and one external host: the
+    // internal edge must NOT feed the rank (a host voting for itself),
+    // and the pure-sink external host must still receive rank mass
+    val pages = Seq(
+      (1L, """<a href="/self">i</a><a href="https://sink.org/x">e</a>"""))
+      .toDF("doc_id", "html")
+      .select(col("doc_id"), col("html"), lit("page.com").as("s"))
+    val ext = Web.outlinkHostGraph(pages, col("html"), col("s"))
+      .filter(col("internal") === 0)
+      .select(col("src_host").as("src"), col("dst_host").as("dst"),
+        col("n_links").as("w"))
+    val sym = ext.unionAll(ext.select(col("dst").as("src"),
+      col("src").as("dst"), col("w")))
+    val ranks = graft.operators.IterativeGraph
+      .pageRankWeighted(sym, 2, 10000000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks.keySet == Set("page.com", "sink.org"), ranks)
+    // two-vertex symmetric graph: equal mass both sides
+    assert(ranks("page.com") == ranks("sink.org"), ranks)
+  }
+
   // ---------------------------------------------------------------- q173
 
   private def resolved(pairs: (String, String)*): Seq[Option[String]] =
