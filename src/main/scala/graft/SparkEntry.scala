@@ -37,6 +37,7 @@ object SparkEntry {
       operators.Skyline.defs ++
       sources.Layout.defs ++
       sources.Warc.defs ++
+      sources.Jsonl.defs ++
       gedcom.GedcomQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

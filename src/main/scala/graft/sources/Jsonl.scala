@@ -1,0 +1,125 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.Web
+
+/** JSON-lines container ingestion — the row-delimited sibling of the
+  * q171 WARC walk and the de-facto interchange format of LLM training
+  * corpora (Dolma, RedPajama, FineWeb all ship JSONL; public). The
+  * engine-relevant semantics: line-by-line schema projection with
+  * PER-LINE malformed-record accounting (one broken line must cost
+  * one typed error row, never the container), blank-line tolerance,
+  * and positional line numbers for provenance.
+  *
+  * 100 TB shape: one exchange to BUILD the fixture containers (the
+  * groupBy — a real pipeline reads files and has zero); the parse
+  * under test is split -> generate -> from_json, a pure map.
+  *
+  * Fixture/oracle split (the q171 convention): the container text is
+  * assembled by Spark's own to_json (round-trip-exact by
+  * construction), while the oracle never parses JSON — it rebuilds
+  * each line's expected classification and field values generatively
+  * from the documents columns, so Spark's split, line accounting and
+  * from_json projection are what's under test.
+  */
+object Jsonl {
+  import Tables._
+
+  /** Record schema of one JSONL line. */
+  private val LINE_SCHEMA = "id bigint, url string, lang string, text string"
+
+  /** A fixed malformed line planted after every doc_id % 5 == 3 record
+    * (truncated JSON — the classic mid-write artifact). The bad token
+    * sits ON the id value so even PERMISSIVE partial parsing can never
+    * surface a phantom id (spec-pinned). */
+  private[graft] val MALFORMED = """{"id": broken, "url"""
+
+  /** Containers over the documents table: gid = doc_id // 4; each
+    * container = an optional leading blank line (gid % 3 == 0 — blank
+    * tolerance under test), then per doc in doc_id order one to_json
+    * record line, followed by the planted malformed line after
+    * doc_id % 5 == 3 records. */
+  private[graft] def syntheticContainers(docs: DataFrame): DataFrame = {
+    val line = to_json(struct(
+      col("doc_id").as("id"),
+      Web.rawUrl(col("doc_id"), col("source")).as("url"),
+      col("lang"), col("text")))
+    val withErr = concat(line,
+      when(col("doc_id") % 5 === 3, lit("\n" + MALFORMED)).otherwise(lit("")))
+    docs
+      .select((col("doc_id") / 4).cast("long").as("gid"),
+        col("doc_id"), withErr.as("rec"))
+      .groupBy(col("gid"))
+      .agg(concat(
+        when(col("gid") % 3 === 0, lit("\n")).otherwise(lit("")),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+          x => x.getField("rec")), "\n")).as("container"))
+  }
+
+  /** Parsed line rows of a JSONL container column: (keys..., line_no,
+    * kind record|blank|malformed, id, lang, host, n_text_chars).
+    * posexplode_OUTER for the q168 reason (the inferred size()>0
+    * filter would re-inline the split). */
+  def jsonlRecordsRel(containers: DataFrame, container: Column,
+      keys: Seq[String]): DataFrame = {
+    val kt = keys.map(col)
+    containers
+      .select(kt :+ split(container, "\n").as("__lines"): _*)
+      .select(kt :+ posexplode_outer(col("__lines")).as(Seq("line_no", "__l")): _*)
+      .select(kt :+ col("line_no").cast("long").as("line_no") :+
+        col("__l") :+
+        from_json(col("__l"),
+          org.apache.spark.sql.types.StructType.fromDDL(LINE_SCHEMA))
+          .as("__r"): _*)
+      .select(kt :+ col("line_no") :+
+        when(trim(col("__l")) === "", lit("blank"))
+          .when(col("__r").isNotNull && col("__r.id").isNotNull, lit("record"))
+          .otherwise(lit("malformed")).as("kind") :+
+        col("__r.id").as("id") :+
+        col("__r.lang").as("lang") :+
+        when(col("__r.url").isNotNull, Web.pageHost(col("__r.url")))
+          .otherwise(lit(null).cast("string")).as("host") :+
+        length(col("__r.text")).cast("long").as("n_text_chars"): _*)
+  }
+
+  /** Oracle: rebuild the per-container ordered line list generatively —
+    * a blank row first for gid % 3 == 0, then per doc a record row and
+    * (doc_id % 5 == 3) a malformed row; line_no by row_number within
+    * gid over that order; field values straight from documents. */
+  private val ORACLE = """
+    WITH d AS (
+      SELECT doc_id, doc_id // 4 AS gid, lang, source,
+             length(text)::BIGINT AS n_text_chars,
+             regexp_replace(lower(
+               CASE WHEN doc_id % 3 = 0 THEN 'www.' || source || '.com'
+                    ELSE source || '.com' END), '^www\.', '') AS host
+      FROM documents),
+    rows_ AS (
+      SELECT gid, -1::BIGINT AS ord1, 0 AS ord2, 'blank' AS kind,
+             NULL::BIGINT AS id, NULL::VARCHAR AS lang,
+             NULL::VARCHAR AS host, NULL::BIGINT AS n_text_chars
+      FROM (SELECT DISTINCT gid FROM d) WHERE gid % 3 = 0
+      UNION ALL
+      SELECT gid, doc_id, 0, 'record', doc_id, lang, host, n_text_chars
+      FROM d
+      UNION ALL
+      SELECT gid, doc_id, 1, 'malformed', NULL, NULL, NULL, NULL
+      FROM d WHERE doc_id % 5 = 3)
+    SELECT gid,
+           (row_number() OVER (PARTITION BY gid ORDER BY ord1, ord2) - 1)::BIGINT
+             AS line_no,
+           kind, id, lang, host, n_text_chars
+    FROM rows_"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q179_jsonl_ingest",
+      (s, d) => jsonlRecordsRel(
+        syntheticContainers(documents(s, d)), col("container"), Seq("gid")),
+      Some(ORACLE),
+      "JSONL container ingestion: line split + per-line schema projection (from_json) with typed blank/malformed accounting and positional provenance; one fixture-build exchange, the parse a pure map"))
+}
