@@ -42,7 +42,48 @@ object Normalize {
       when(docId % 5 === 0, lit(" man\u0303ana")).otherwise(lit("")),
       when(docId % 7 === 0, lit(" \u00e9clair")).otherwise(lit("")))
 
+  /** Accent folding (search/matching normalization): canonical
+    * decomposition then combining-mark removal — `é` → `e`, `Å` → `A`,
+    * while compatibility characters (ligatures, superscripts) stay
+    * untouched. Exactly DuckDB's `strip_accents` (utf8proc STRIPMARK)
+    * semantics on canonical text, so the oracle replays the transform;
+    * the fuzzy-match family (q108/q123/q152) keys on folded text in
+    * production. */
+  def foldAccents(c: Column): Column =
+    regexp_replace(unicodeNormalize(c, "NFD"), "\\p{M}", "")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q180_accent_fold",
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"),
+            accentedText(col("text"), col("doc_id")).as("__t"))
+          .select(col("doc_id"), col("__t"),
+            foldAccents(col("__t")).as("folded"))
+          .select(col("doc_id"), col("folded"),
+            (col("__t") =!= col("folded")).cast("long").as("changed"),
+            length(col("folded")).cast("long").as("len_post")),
+      Some("""
+        WITH f AS (
+          SELECT doc_id, text ||
+            (CASE WHEN doc_id % 2 = 0 THEN ' cafe' || chr(769) ELSE '' END) ||
+            (CASE WHEN doc_id % 3 = 0
+                  THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+                  ELSE '' END) ||
+            (CASE WHEN doc_id % 5 = 0 THEN ' man' || chr(771) || 'ana'
+                  ELSE '' END) ||
+            (CASE WHEN doc_id % 7 = 0 THEN ' ' || chr(233) || 'clair'
+                  ELSE '' END) AS t
+          FROM documents)
+        SELECT doc_id,
+               strip_accents(t) AS folded,
+               (CASE WHEN strip_accents(t) <> t THEN 1 ELSE 0 END)::BIGINT
+                 AS changed,
+               length(strip_accents(t))::BIGINT AS len_post
+        FROM f"""),
+      "accent folding (NFD + combining-mark strip) through the native normalize expression; full-text hash compare against DuckDB's strip_accents, compatibility chars untouched"),
+
     QueryDef(
       "q174_nfc_normalize",
       (s, d) =>

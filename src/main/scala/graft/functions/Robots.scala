@@ -168,29 +168,32 @@ object Robots {
       END AS rule
     FROM v"""
 
+  /** The q177 projection over any (doc_id, source) relation: fixture
+    * robots parsed through the group-walk fold, fixture path verdicted
+    * by longest match — staged so the parse fold evaluates once per
+    * row. Factored so the streaming admission twin runs the IDENTICAL
+    * plan (parity by construction; StreamingSpec pins it anyway). */
+  def robotsVerdictRows(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("cast(substr(source, 4) as bigint)").as("__h"),
+        concat(lit("/docs/"),
+          (col("doc_id").cast("long") / 5).cast("long").cast("string"),
+          when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")))
+          .as("path"))
+      .select(col("doc_id"), col("path"),
+        robotsRules(syntheticRobots(col("__h")), "graftbot").as("__rules"))
+      .select(col("doc_id"), col("path"),
+        robotsVerdict(col("path"), col("__rules")).as("__v"))
+      .select(col("doc_id"), col("path"),
+        col("__v.allowed").as("allowed"),
+        col("__v.rule").as("rule"))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q177_robots_rules",
-      (s, d) => {
-        // parse REAL robots.txt text (rendered per host) through the
-        // group-walk fold, then longest-match each page path; staged so
-        // the parse fold evaluates once per row
-        val docs = documents(s, d)
-          .select(col("doc_id"),
-            expr("cast(substr(source, 4) as bigint)").as("__h"),
-            concat(lit("/docs/"),
-              (col("doc_id").cast("long") / 5).cast("long").cast("string"),
-              when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")))
-              .as("path"))
-          .select(col("doc_id"), col("path"),
-            robotsRules(Robots.syntheticRobots(col("__h")), "graftbot")
-              .as("__rules"))
-          .select(col("doc_id"), col("path"),
-            robotsVerdict(col("path"), col("__rules")).as("__v"))
-        docs.select(col("doc_id"), col("path"),
-          col("__v.allowed").as("allowed"),
-          col("__v.rule").as("rule"))
-      },
+      (s, d) => robotsVerdictRows(documents(s, d)),
       Some(ORACLE),
       "robots.txt evaluation (RFC 9309): group walk (agent-specific over wildcard, comments, empty directives) as one array-domain fold + longest-match prefix verdict with the Allow tie rule, zero exchanges"))
 }

@@ -685,6 +685,14 @@ object StreamingOps {
       Web.gopherSyntheticPage(col("text"), col("doc_id")))
   }
 
+  /** Stateless streaming twin of q177's robots evaluation: the parse
+    * fold and the longest-match verdict both run inside the row's own
+    * arrays — no state, no watermark, pure append-mode map (the crawl
+    * frontier is exactly this stream in production: URL + robots in,
+    * crawl-permission verdict out). */
+  def robotsStream(docs: Dataset[DocIn]): DataFrame =
+    graft.functions.Robots.robotsVerdictRows(docs.toDF())
+
   /** File-source stream over a directory of parquet events, normalizing
     * `ts` exactly like the batch loader ([[graft.Tables.events]]): the
     * fixture has shipped as both TIMESTAMP(NANOS) (surfaced as raw long

@@ -637,6 +637,58 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${(stream -- batch).take(3)}; batch-only: ${(batch -- stream).take(3)}")
   }
 
+  test("streaming robots verdicts match batch q177 exactly") {
+    import graft.streaming.StreamingOps.DocIn
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => DocIn(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), new Timestamp(86400_000L + r.getLong(0) * 1000)))
+      .sortBy(_.doc_id)
+    val in = MemoryStream[DocIn]
+    val q = StreamingOps.robotsStream(in.toDS())
+      .writeStream.format("memory").queryName("robotsstream").outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("robotsstream")
+      .as[(Long, String, Boolean, String)].collect().toSet
+    val batch = SparkEntry.queries("q177_robots_rules")(spark, SF)
+      .as[(Long, String, Boolean, String)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(stream == batch,
+      s"stream-only: ${(stream -- batch).take(3)}; batch-only: ${(batch -- stream).take(3)}")
+  }
+
+  test("streaming JSONL container parse matches batch q179 exactly") {
+    // containers arrive as rows (a file tailer's unit of work); the
+    // parse is the stateless map under test — batch and stream share
+    // jsonlRecordsRel verbatim
+    import graft.sources.Jsonl
+    val containers = Jsonl.syntheticContainers(
+        spark.read.parquet(s"$SF/documents.parquet"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val in = MemoryStream[(Long, String)]
+    val q = Jsonl.jsonlRecordsRel(
+        in.toDS().toDF("gid", "container"), col("container"), Seq("gid"))
+      .writeStream.format("memory").queryName("jsonlstream").outputMode("append").start()
+    try {
+      val (b1, b2) = containers.splitAt(containers.length / 2)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("jsonlstream")
+      .as[(Long, Long, String, Option[Long], Option[String], Option[String], Option[Long])]
+      .collect().toSet
+    val batch = SparkEntry.queries("q179_jsonl_ingest")(spark, SF)
+      .as[(Long, Long, String, Option[Long], Option[String], Option[String], Option[Long])]
+      .collect().toSet
+    assert(batch.nonEmpty)
+    assert(stream == batch,
+      s"stream-only: ${(stream -- batch).take(3)}; batch-only: ${(batch -- stream).take(3)}")
+  }
+
   test("file-source event stream aggregates the sf0.001 table like batch") {
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
     // stage the driver parquet into a stream-source dir
