@@ -1112,39 +1112,42 @@ object Web {
     b0 AS (
       SELECT doc_id, source, ws, len(ws) AS n, (len(ws) + 1) // 2 AS h FROM d),
     blk AS (
+      -- last column is the block's visible TEXT (btext); text_chars
+      -- derives from it in idx, and the q181 composition oracle reads
+      -- the strings themselves
       SELECT doc_id, 0 AS ord, 3 AS n_words, 0 AS n_stop,
              len('home')+len('archive')+len('about') AS link_chars,
-             len('home archive about') AS text_chars
+             'home archive about' AS btext
       FROM b0
       UNION ALL
       SELECT doc_id, 1, 5, ${SQL_STOPCNT("ws[1:3]")}, 0,
-             len(ws[1] || ' ' || ws[2] || ' ' || ws[3] || ' & co’s')
+             ws[1] || ' ' || ws[2] || ' ' || ws[3] || ' & co’s'
       FROM b0
       UNION ALL
       SELECT doc_id, 2, h, ${SQL_STOPCNT("ws[1:h]")}, 0,
-             len(array_to_string(ws[1:h], ' '))
+             array_to_string(ws[1:h], ' ')
       FROM b0
       UNION ALL
       SELECT doc_id, 3, 4, ${SQL_STOPCNT("ws[2:3]")},
              len(ws[2]) + len(ws[3]),
-             len('see also ' || ws[2] || ' ' || ws[3])
+             'see also ' || ws[2] || ' ' || ws[3]
       FROM b0 WHERE doc_id % 3 = 0
       UNION ALL
       SELECT doc_id, 4, 5, ${SQL_STOPCNT("ws[2:5]")}, 0,
-             len(array_to_string(ws[2:5], ' ') || ' —')
+             array_to_string(ws[2:5], ' ') || ' —'
       FROM b0 WHERE doc_id % 5 = 0
       UNION ALL
       SELECT doc_id, 5, n - h, ${SQL_STOPCNT("ws[h+1:n]")}, 0,
-             len(array_to_string(ws[h+1:n], ' '))
+             array_to_string(ws[h+1:n], ' ')
       FROM b0
       UNION ALL
       SELECT doc_id, 6, 4, 0, len('terms')+len('privacy'),
-             len('copyright &#169; terms privacy')
+             'copyright &#169; terms privacy'
       FROM b0),
     idx AS (
       SELECT doc_id,
              row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS block_idx,
-             n_words, n_stop, link_chars, text_chars
+             n_words, n_stop, link_chars, length(btext) AS text_chars, btext
       FROM blk),
     cf AS (
       SELECT *,
@@ -1169,7 +1172,7 @@ object Web {
       SELECT doc_id, block_idx,
              n_words::BIGINT AS n_words, n_stop::BIGINT AS n_stop,
              link_chars::BIGINT AS link_chars, text_chars::BIGINT AS text_chars,
-             cf,
+             btext, cf,
              CASE WHEN cf IN ('good','bad') THEN cf
                   WHEN cf = 'neargood' THEN
                     (CASE WHEN pv = 'good' OR nx = 'good' THEN 'good' ELSE 'bad' END)
@@ -1177,6 +1180,61 @@ object Web {
                     (CASE WHEN pv = 'good' AND nx = 'good' THEN 'good' ELSE 'bad' END)
              END AS cls
       FROM ctx)"""
+
+  /** q181 oracle: good-block texts (from the extended verdicts CTEs)
+    * joined into the extracted page EXACTLY as the engine joins them
+    * (array_to_string over the in-order good list; a no-good-blocks doc
+    * yields the empty page, whose split is [''] on both engines), then
+    * the q175 Gopher signal/verdict formulas replayed on that page.
+    * Composition boundary under test: WHICH blocks feed the doc-shape
+    * statistics (the q97/q161 lesson). */
+  private lazy val EXTRACT_ADMISSION_ORACLE = s"""
+    WITH $HTML_BLOCK_CTES,
+    mainpage AS (
+      SELECT d.doc_id,
+             coalesce(g.page, '') AS page
+      FROM (SELECT DISTINCT doc_id FROM d) d
+      LEFT JOIN (
+        SELECT doc_id,
+               array_to_string(list(btext ORDER BY block_idx), chr(10)) AS page
+        FROM verdicts WHERE cls = 'good' GROUP BY doc_id) g
+      USING (doc_id)),
+    arrs AS (
+      SELECT doc_id, page,
+        string_split(page, chr(10)) AS lines,
+        list_filter(string_split(replace(page, chr(10), ' '), ' '),
+          w -> w <> '') AS words
+      FROM mainpage),
+    sig AS (
+      SELECT doc_id,
+        len(words)::BIGINT AS n_words,
+        coalesce(list_sum(list_transform(words, w -> length(w))), 0)::BIGINT
+          AS word_chars,
+        len(lines)::BIGINT AS n_lines,
+        len(list_filter(lines, l -> starts_with(l, '- ')))::BIGINT
+          AS n_bullet,
+        len(list_filter(lines, l -> ends_with(l, '...')))::BIGINT
+          AS n_ellipsis_end,
+        (len(regexp_extract_all(page, '#')) +
+         len(regexp_extract_all(page, '\\.\\.\\.')))::BIGINT AS n_symbols,
+        len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT
+          AS n_alpha_words,
+        len(list_filter($SQL_REQUIRED, sw -> list_contains(words, sw)))::BIGINT
+          AS req_stop_hits
+      FROM arrs)
+    SELECT doc_id, n_words, word_chars, n_lines, n_bullet, n_ellipsis_end,
+           n_symbols, n_alpha_words, req_stop_hits,
+           (CASE WHEN n_words >= $GOPHER_MIN_WORDS
+                  AND n_words <= $GOPHER_MAX_WORDS
+                  AND word_chars >= n_words * 3
+                  AND word_chars <= n_words * 10
+                  AND n_symbols * 10 <= n_words
+                  AND n_bullet * 10 <= n_lines * 9
+                  AND n_ellipsis_end * 10 <= n_lines * 3
+                  AND n_alpha_words * 5 >= n_words * 4
+                  AND req_stop_hits >= 2
+                 THEN 1 ELSE 0 END)::BIGINT AS gopher_pass
+    FROM sig"""
 
   private lazy val HTML_ORACLE = s"""
     WITH $HTML_BLOCK_CTES
@@ -1245,6 +1303,26 @@ object Web {
       },
       Some(OUTLINK_ORACLE),
       "outlink extraction + host-level web graph (the CommonCrawl webgraph shape): href parse, scheme-class resolution, www-stripped host normalization, two partial-agg rollups to (src_host, dst_host) edges"),
+
+    QueryDef(
+      "q181_extract_admission",
+      (s, d) => {
+        // the production chain extract -> doc-shape gate as ONE query:
+        // parse real HTML to classified blocks, join the good blocks
+        // into the extracted page, run the q175 Gopher rules on THAT
+        // text. Individually-green stages can drift at the boundary
+        // (which blocks feed the statistics) — the composition oracle
+        // pins it. Zero exchanges end to end: parse, extraction and
+        // rules all stage through projections.
+        val pages = classifiedBlocksRel(documents(s, d),
+            syntheticHtml(col("text"), col("doc_id")))
+          .select(col("doc_id"), array_join(transform(
+            filter(col("blocks"), b => b.getField("cls") === "good"),
+            b => b.getField("text")), "\n").as("__page"))
+        gopherRulesRel(pages, col("__page"))
+      },
+      Some(EXTRACT_ADMISSION_ORACLE),
+      "composed extract->admission chain: jusText block parse, good-block page assembly, Gopher doc-shape verdict on the EXTRACTED text — the composition boundary (which blocks feed the statistics) carries its own oracle"),
 
     QueryDef(
       "q178_host_rank",

@@ -315,6 +315,34 @@ class WebSpec extends SparkSpec {
       r.getAs[Long]("req_stop_hits") == 5, r.toString)
   }
 
+  // ---------------------------------------------------------------- q181
+
+  test("extract->admission boundary: rules run on the EXTRACTED population") {
+    // a page whose RAW words would sail through the doc-shape gate but
+    // whose every block is link-heavy boilerplate: extraction yields
+    // the empty page, so the composed verdict must fail on n_words —
+    // the exact boundary drift a composition oracle exists to catch
+    // stopword-dense enough for the jusText good class (>= 8%), long
+    // enough words for the Gopher mean-length floor (>= 3)
+    val base = "the of and alpha beta gamma delta epsilon"
+    val stop = Seq.fill(4)(base).mkString(" ")
+    val boiler = (1 to 4).map(i =>
+      s"""<div><a href="/$i">$stop</a></div>""").mkString
+    val good = s"<p>$stop</p>"
+    val rows = Web.gopherRulesRel(
+      Web.classifiedBlocksRel(
+          Seq((1L, boiler), (2L, good + boiler)).toDF("doc_id", "h"),
+          col("h"))
+        .select(col("doc_id"), array_join(transform(
+          filter(col("blocks"), b => b.getField("cls") === "good"),
+          b => b.getField("text")), "\n").as("p")),
+      col("p"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("gopher_pass"))).toMap
+    assert(rows(1L) == (0L, 0L), rows) // all-boilerplate: empty extraction fails
+    assert(rows(2L)._1 > 20L && rows(2L)._2 == 1L, rows) // content block passes
+  }
+
   // ---------------------------------------------------------------- q178
 
   test("host rank: internal self-loops are excluded; sinks hold rank via symmetrization") {
