@@ -1181,6 +1181,83 @@ object Web {
              END AS cls
       FROM ctx)"""
 
+  // ------------------------------------------------------------------
+  // HTML head-metadata extraction + SURT keys (q182): the per-record
+  // fields crawl corpora actually store beside the payload — <title>,
+  // the html lang attribute, link rel=canonical, meta description —
+  // plus the SURT form of the page URL (Sort-friendly URI Reordering
+  // Transform, the public CommonCrawl/OpenWayback index key: host
+  // labels reversed and comma-joined, then ')' + path) so records
+  // sort/range-scan by registrable domain. All single-regex map work;
+  // zero exchanges.
+  // ------------------------------------------------------------------
+
+  /** Inner text of the first <title> element (entity/charref decoded). */
+  def htmlTitle(html: Column): Column =
+    htmlInnerText(regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1))
+
+  /** The html element's lang attribute ('' when absent). */
+  def htmlLangAttr(html: Column): Column =
+    regexp_extract(html, "(?is)<html\\b[^>]*?\\blang\\s*=\\s*\"([^\"]*)\"", 1)
+
+  /** content= of a named <meta>, NULL when the tag is absent. */
+  def metaContent(html: Column, name: String): Column = {
+    val re = s"""(?is)<meta\\b[^>]*?\\bname\\s*=\\s*"$name"[^>]*?\\bcontent\\s*=\\s*"([^"]*)""""
+    val got = regexp_extract(html, re, 1)
+    when(html.rlike(re), got).otherwise(lit(null).cast("string"))
+  }
+
+  /** href of <link rel="canonical">, NULL when absent. */
+  def relCanonical(html: Column): Column = {
+    val re = """(?is)<link\b[^>]*?\brel\s*=\s*"canonical"[^>]*?\bhref\s*=\s*"([^"]*)""""
+    when(html.rlike(re), regexp_extract(html, re, 1))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** SURT key of a (host, path) pair: labels reversed + ')' + path —
+    * `com,example)/docs/7`. */
+  def surtKey(host: Column, path: Column): Column =
+    concat(array_join(reverse(split(host, "\\.")), ","), lit(")"), path)
+
+  /** The q182 fixture: a head carrying every field class by residue —
+    * title always (with an entity under decode), description for
+    * doc_id % 3 != 1, canonical for doc_id % 2 == 0 — over a minimal
+    * body. */
+  private[graft] def syntheticMetaHtml(text: Column, docId: Column,
+      lang: Column, source: Column): Column = {
+    val ws = split(text, " ")
+    concat(
+      lit("<html lang=\""), lang, lit("\"><head><title>"),
+      element_at(ws, 1), lit(" "), element_at(ws, 2),
+      lit(" &amp; "), upper(source), lit("</title>"),
+      when(docId % 3 =!= 1, concat(
+        lit("<meta name=\"description\" content=\""),
+        array_join(slice(ws, lit(1), lit(5)), " "), lit("\">")))
+        .otherwise(lit("")),
+      when(docId % 2 === 0, concat(
+        lit("<link rel=\"canonical\" href=\"https://"), source,
+        lit(".com/docs/"), (docId.cast("long") / 5).cast("long").cast("string"),
+        lit("\">"))).otherwise(lit("")),
+      lit("</head><body><p>"), array_join(ws, " "),
+      lit("</p></body></html>"))
+  }
+
+  private lazy val META_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, lang, source, string_split(text, ' ') AS ws
+      FROM documents)
+    SELECT doc_id,
+           lang AS lang_attr,
+           ws[1] || ' ' || ws[2] || ' & ' || upper(source) AS title,
+           CASE WHEN doc_id % 3 <> 1
+                THEN array_to_string(ws[1:5], ' ') END AS description,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'https://' || source || '.com/docs/' ||
+                     CAST(doc_id // 5 AS VARCHAR) END AS canonical,
+           'com,' || source || ')/docs/' || CAST(doc_id // 5 AS VARCHAR) ||
+             (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) AS surt
+    FROM d"""
+
   /** q181 oracle: good-block texts (from the extended verdicts CTEs)
     * joined into the extracted page EXACTLY as the engine joins them
     * (array_to_string over the in-order good list; a no-good-blocks doc
@@ -1303,6 +1380,31 @@ object Web {
       },
       Some(OUTLINK_ORACLE),
       "outlink extraction + host-level web graph (the CommonCrawl webgraph shape): href parse, scheme-class resolution, www-stripped host normalization, two partial-agg rollups to (src_host, dst_host) edges"),
+
+    QueryDef(
+      "q182_html_meta",
+      (s, d) => {
+        // parse the rendered head back out; the SURT key derives from
+        // the page's rawUrl host + path (the q173 host machinery)
+        val base = documents(s, d)
+          .select(col("doc_id"),
+            syntheticMetaHtml(col("text"), col("doc_id"),
+              col("lang"), col("source")).as("__html"),
+            rawUrl(col("doc_id"), col("source")).as("__url"))
+          .select(col("doc_id"), col("__html"),
+            pageHost(col("__url")).as("__host"),
+            regexp_extract(
+              regexp_replace(col("__url"), "^(?i)https?://", ""),
+              "^[^/?#]*([^?#]*)", 1).as("__path"))
+        base.select(col("doc_id"),
+          htmlLangAttr(col("__html")).as("lang_attr"),
+          htmlTitle(col("__html")).as("title"),
+          metaContent(col("__html"), "description").as("description"),
+          relCanonical(col("__html")).as("canonical"),
+          surtKey(col("__host"), col("__path")).as("surt"))
+      },
+      Some(META_ORACLE),
+      "HTML head-metadata extraction (title/lang/canonical/description — the fields crawl corpora store per record) + the SURT index key (reversed host labels + path), pure map"),
 
     QueryDef(
       "q181_extract_admission",

@@ -117,7 +117,8 @@ object ScaleBench {
     "q178_host_rank",          // q173 rollup + tiny-relation pinned rank rounds
     "q179_jsonl_ingest",       // line split + from_json projection, map past fixture
     "q180_accent_fold",        // NFD + mark strip through the native expression
-    "q181_extract_admission")  // parse -> extract -> doc-shape gate, zero exchanges
+    "q181_extract_admission",  // parse -> extract -> doc-shape gate, zero exchanges
+    "q182_html_meta")          // head-metadata regex extracts + SURT key, pure map
 
   /** Out-of-registry study variants, timed like registry queries when
     * named in the roster args.

@@ -315,6 +315,34 @@ class WebSpec extends SparkSpec {
       r.getAs[Long]("req_stop_hits") == 5, r.toString)
   }
 
+  // ---------------------------------------------------------------- q182
+
+  test("head metadata: decode, absence semantics, first-match, SURT shape") {
+    val html = """<HTML LANG="en-US"><head>
+      |<title>A &amp; B &#8212; site</title>
+      |<meta name="description" content="first desc">
+      |<meta name="description" content="second desc">
+      |<link rel="canonical" href="https://ex.com/a">
+      |</head><body></body></html>""".stripMargin
+    val r = Seq(html).toDF("h").select(
+      Web.htmlLangAttr(col("h")).as("lang"),
+      Web.htmlTitle(col("h")).as("title"),
+      Web.metaContent(col("h"), "description").as("d"),
+      Web.metaContent(col("h"), "keywords").as("k"),
+      Web.relCanonical(col("h")).as("c"),
+      Web.surtKey(lit("sub.example.com"), lit("/docs/7/")).as("s")).head
+    assert(r.getString(0) == "en-US")
+    assert(r.getString(1) == "A & B \u2014 site", r.getString(1))
+    assert(r.getString(2) == "first desc") // first matching meta wins
+    assert(r.isNullAt(3)) // absent meta is NULL, not ''
+    assert(r.getString(4) == "https://ex.com/a")
+    assert(r.getString(5) == "com,example,sub)/docs/7/", r.getString(5))
+    val bare = Seq("<html><head></head><body>x</body></html>").toDF("h")
+      .select(Web.htmlLangAttr(col("h")).as("l"),
+        Web.htmlTitle(col("h")).as("t"), Web.relCanonical(col("h")).as("c")).head
+    assert(bare.getString(0) == "" && bare.getString(1) == "" && bare.isNullAt(2))
+  }
+
   // ---------------------------------------------------------------- q181
 
   test("extract->admission boundary: rules run on the EXTRACTED population") {
