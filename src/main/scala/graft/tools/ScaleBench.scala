@@ -113,6 +113,7 @@ object ScaleBench {
     "q173_outlink_graph",      // href parse + two host-edge rollups
     "q174_nfc_normalize",      // native normalize expression, pure map
     "q175_gopher_rules",       // array-domain doc-shape rules, zero exchanges
+    "q176_anchor_terms",       // anchor-element walk + (dst_host, term) rollup
     "q177_robots_rules",       // robots group-walk fold + prefix argmax, pure map
     "q178_host_rank",          // q173 rollup + tiny-relation pinned rank rounds
     "q179_jsonl_ingest",       // line split + from_json projection, map past fixture
