@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.functions.Robots
+
+/** Property-based check of the robots.txt evaluator: for ANY randomly
+  * generated file — random group counts, multi-UA header runs, rules
+  * before any group, comments, blank lines, empty directives, case
+  * variation — and any path, the Spark fold + longest-match verdict
+  * equal an INDEPENDENT imperative parser/matcher (diversifying the
+  * oracle beyond the generative fixture, the LinkProps convention). */
+object RobotsProps extends Properties("robots") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(16)
+
+  private lazy val spark = SparkSpec.session
+
+  private val AGENT = "graftbot"
+
+  private val uaGen: Gen[String] =
+    Gen.oneOf("*", "graftbot", "GraftBot", "badbot", "otherbot")
+  private val prefixGen: Gen[String] =
+    Gen.oneOf("/a", "/a/b", "/docs/", "/docs/1", "/r/", "/", "/x")
+  private val pathGen: Gen[String] =
+    Gen.oneOf("/a", "/a/bc", "/a/b/c", "/docs/1", "/docs/12", "/r/7",
+      "/x", "/zzz", "/")
+
+  private val ruleLineGen: Gen[String] = for {
+    dir <- Gen.oneOf("Allow", "allow", "Disallow", "DISALLOW")
+    p <- Gen.frequency(6 -> prefixGen.map(x => x), 1 -> Gen.const(""))
+    pad <- Gen.oneOf("", " ", "  ")
+    cmt <- Gen.frequency(4 -> Gen.const(""), 1 -> Gen.const(" # note"))
+  } yield s"$dir:$pad$p$cmt"
+
+  private val groupGen: Gen[List[String]] = for {
+    nUa <- Gen.chooseNum(1, 3)
+    uas <- Gen.listOfN(nUa, uaGen)
+    nR <- Gen.chooseNum(0, 4)
+    rules <- Gen.listOfN(nR, ruleLineGen)
+    blanks <- Gen.oneOf(List(""), Nil)
+  } yield uas.map(u => s"User-agent: $u") ++ rules ++ blanks
+
+  private val robotsGen: Gen[String] = for {
+    orphan <- Gen.frequency(3 -> Gen.const(Nil),
+      1 -> ruleLineGen.map(List(_))) // rules before any group: ignored
+    nG <- Gen.chooseNum(0, 4)
+    gs <- Gen.listOfN(nG, groupGen)
+    head <- Gen.oneOf(Nil, List("# policy file"))
+  } yield (head ++ orphan ++ gs.flatten).mkString("\n")
+
+  // ---- independent reference (imperative, shares no code) ----
+
+  private def refRules(robots: String, agent: String): List[(Boolean, String)] = {
+    var groups = List.empty[(List[String], List[(Boolean, String)])]
+    var uas = List.empty[String]
+    var rules = List.empty[(Boolean, String)]
+    var inHeader = false
+    def flush(): Unit = {
+      if (uas.nonEmpty) groups = groups :+ (uas, rules)
+      uas = Nil; rules = Nil
+    }
+    for (raw <- robots.split("\n", -1)) {
+      val l = raw.replaceAll("#.*", "").trim
+      val lo = l.toLowerCase
+      if (lo.startsWith("user-agent:")) {
+        if (!inHeader) flush()
+        uas = uas :+ l.substring(l.indexOf(":") + 1).trim
+        inHeader = true
+      } else if (lo.startsWith("allow:") || lo.startsWith("disallow:")) {
+        inHeader = false
+        val v = l.substring(l.indexOf(":") + 1).trim
+        if (v.nonEmpty) rules = rules :+ (lo.startsWith("allow:"), v)
+      }
+      // blank / comment-only lines change nothing (a header run survives them)
+    }
+    flush()
+    val spec = groups.filter(_._1.exists(_.equalsIgnoreCase(agent)))
+    val pool = if (spec.nonEmpty) spec
+      else groups.filter(_._1.contains("*"))
+    pool.flatMap(_._2)
+  }
+
+  private def refVerdict(path: String,
+      rules: List[(Boolean, String)]): (Boolean, String) = {
+    val m = rules.filter(r => path.startsWith(r._2))
+    if (m.isEmpty) (true, "")
+    else {
+      val maxLen = m.map(_._2.length).max
+      val top = m.filter(_._2.length == maxLen)
+      // engine fold: a later equal-length Allow overwrites; Disallow
+      // never overwrites an equal -> last max-length allow, else first
+      val w = if (top.exists(_._1)) top.filter(_._1).last else top.head
+      (w._1, w._2)
+    }
+  }
+
+  property("verdicts equal the independent parser on random files and paths") =
+    Prop.forAll(robotsGen, Gen.listOfN(6, pathGen)) { (robots, paths) =>
+      import spark.implicits._
+      val got = paths.toDF("path")
+        .select(Robots.robotsVerdict(col("path"),
+          Robots.robotsRules(lit(robots), AGENT)).as("v"))
+        .collect().map(r => (r.getStruct(0).getBoolean(0),
+          r.getStruct(0).getString(1))).toList
+      val rules = refRules(robots, AGENT)
+      val want = paths.map(refVerdict(_, rules))
+      Prop(got == want) :| s"got=$got\nwant=$want\nrules=$rules\nrobots=\n$robots"
+    }
+
+  property("a specific-agent group anywhere makes wildcard groups irrelevant") =
+    Prop.forAll(robotsGen) { robots =>
+      val withSpec = robots + "\nUser-agent: GraftBot\nDisallow: /only/"
+      val rules = refRules(withSpec, AGENT)
+      import spark.implicits._
+      val got = Seq("/only/x").toDF("path")
+        .select(Robots.robotsVerdict(col("path"),
+          Robots.robotsRules(lit(withSpec), AGENT)).as("v")).head
+      // every surviving rule comes from a graftbot group, and the
+      // planted Disallow always governs /only/x unless an even longer
+      // graftbot rule (impossible here: /only/ is not in the alphabet)
+      Prop(!got.getStruct(0).getBoolean(0) &&
+        rules.forall(r => refRules(withSpec, AGENT).contains(r))) :| rules.toString
+    }
+}
