@@ -75,15 +75,20 @@ object Jsonl {
         from_json(col("__l"),
           org.apache.spark.sql.types.StructType.fromDDL(LINE_SCHEMA))
           .as("__r"): _*)
-      .select(kt :+ col("line_no") :+
+      .select(kt :+ col("line_no") :+ col("__r") :+
         when(trim(col("__l")) === "", lit("blank"))
           .when(col("__r").isNotNull && col("__r.id").isNotNull, lit("record"))
-          .otherwise(lit("malformed")).as("kind") :+
-        col("__r.id").as("id") :+
-        col("__r.lang").as("lang") :+
-        when(col("__r.url").isNotNull, Web.pageHost(col("__r.url")))
-          .otherwise(lit(null).cast("string")).as("host") :+
-        length(col("__r.text")).cast("long").as("n_text_chars"): _*)
+          .otherwise(lit("malformed")).as("kind"): _*)
+      // fields surface ONLY for record rows: a salvageable fragment of
+      // a malformed line (a valid object missing the id, say) must not
+      // leak partial values beside a 'malformed' verdict (spec-pinned)
+      .select(kt :+ col("line_no") :+ col("kind") :+
+        when(col("kind") === "record", col("__r.id")).as("id") :+
+        when(col("kind") === "record", col("__r.lang")).as("lang") :+
+        when(col("kind") === "record", Web.pageHost(col("__r.url")))
+          .as("host") :+
+        when(col("kind") === "record", length(col("__r.text")).cast("long"))
+          .as("n_text_chars"): _*)
   }
 
   /** Oracle: rebuild the per-container ordered line list generatively —
