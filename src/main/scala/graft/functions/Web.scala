@@ -854,11 +854,15 @@ object Web {
       lit("(?is)<a\\b[^>]*?\\bhref\\s*=\\s*\"([^\"]*)\""), lit(1))
 
   /** Canonical host of a scheme-stripped URL: authority up to the first
-    * `/`, `?` or `#`, lowercased, leading `www.` dropped (the q158
-    * normalization, so graph keys join against canonical-URL keys). */
+    * `/`, `?` or `#`, with `userinfo@` and `:port` stripped (one
+    * physical host must not split into `host`/`host:8080`/`user@host`
+    * graph keys), lowercased, leading `www.` dropped (the q158
+    * normalization, so graph keys join against canonical-URL keys).
+    * The userinfo cut is the RFC 3986 one — everything before the first
+    * `@` within the authority (the optional group cannot cross `/?#`). */
   private[graft] def hostOf(noScheme: Column): Column =
-    regexp_replace(lower(regexp_extract(noScheme, "^([^/?#]*)", 1)),
-      "^www\\.", "")
+    regexp_replace(lower(regexp_extract(noScheme,
+      "^(?:[^/?#@]*@)?([^/?#:]*)", 1)), "^www\\.", "")
 
   /** Canonical host of a page URL (scheme tolerated in any case). */
   def pageHost(url: Column): Column =
@@ -867,15 +871,19 @@ object Web {
   /** Destination host of one href, given the linking page's host:
     * absolute/protocol-relative links resolve to their own authority,
     * fragment/javascript/mailto pseudo-links to NULL (dropped), any
-    * other form (root-relative, document-relative) to the page host. */
+    * other form (root-relative, document-relative) to the page host.
+    * An EMPTY resolved authority (`"https://"`, `"//"`, `"///x"` —
+    * all real-crawl artifacts) is NULL too: an empty-string vertex in
+    * the host graph is never meaningful. */
   def resolveLinkHost(href: Column, srcHost: Column): Column = {
     val h = trim(href)
-    when(h.isNull, lit(null).cast("string"))
+    val resolved = when(h.isNull, lit(null).cast("string"))
       .when(h.rlike("^(?i)https?://"), pageHost(h))
       .when(h.rlike("^//"), hostOf(regexp_replace(h, "^//", "")))
       .when(h === "" || h.rlike("^(#|(?i:javascript|mailto):)"),
         lit(null).cast("string"))
       .otherwise(srcHost)
+    when(resolved === "", lit(null).cast("string")).otherwise(resolved)
   }
 
   /** The q173 fixture: [[syntheticHtml]] plus a trailing external-links
@@ -1200,9 +1208,12 @@ object Web {
   def htmlLangAttr(html: Column): Column =
     regexp_extract(html, "(?is)<html\\b[^>]*?\\blang\\s*=\\s*\"([^\"]*)\"", 1)
 
-  /** content= of a named <meta>, NULL when the tag is absent. */
+  /** content= of a named <meta>, NULL when the tag is absent. `name`
+    * is regex-quoted, so a caller-supplied token containing regex
+    * metacharacters matches literally instead of breaking the parse. */
   def metaContent(html: Column, name: String): Column = {
-    val re = s"""(?is)<meta\\b[^>]*?\\bname\\s*=\\s*"$name"[^>]*?\\bcontent\\s*=\\s*"([^"]*)""""
+    val qn = java.util.regex.Pattern.quote(name)
+    val re = s"""(?is)<meta\\b[^>]*?\\bname\\s*=\\s*"$qn"[^>]*?\\bcontent\\s*=\\s*"([^"]*)""""
     val got = regexp_extract(html, re, 1)
     when(html.rlike(re), got).otherwise(lit(null).cast("string"))
   }

@@ -83,8 +83,6 @@ $rounds
   private val PAGERANK_ORACLE_SQL =
     pagerankOracleSql(PAGERANK_ITERS, PAGERANK_SCALE)
 
-  /** DuckDB oracle for q133: the weighted recurrence unrolled — mass
-    * splits as `(r * w) // tw` per edge, teleport as in q119. */
   /** The weighted-PageRank recurrence as DuckDB CTEs, shared with the
     * q178 host-rank oracle: expects an upstream `sym(src, dst, w)` CTE
     * (symmetric, integer weights) and emits `r0` plus `iters` unrolled

@@ -39,6 +39,16 @@ object LinkProps extends Properties("links") {
     } yield s"$sch$www$h$p"),
     2 -> (for { h <- hostGen; p <- Gen.oneOf("", "/i.png") }
       yield s"//$h$p"),
+    // userinfo@ and :port in the authority — one physical host must
+    // not split into host / host:8080 / user@host graph keys
+    1 -> (for {
+      u <- Gen.oneOf("", "u@", "u:pw@")
+      h <- hostGen; pt <- Gen.oneOf("", ":8080", ":80")
+      p <- Gen.oneOf("", "/x")
+    } yield s"https://$u$h$pt$p"),
+    // empty-authority hrefs (real-crawl artifacts) — must resolve to
+    // NULL, never an empty-string graph vertex
+    1 -> Gen.oneOf("https://", "//", "///x", "HTTPS:///p"),
     3 -> (for { w <- word } yield s"/$w"),
     2 -> (for { w <- word } yield s"$w/rel.html"),
     1 -> Gen.const("#top"),
@@ -78,17 +88,23 @@ object LinkProps extends Properties("links") {
   } yield (s"<p>$filler</p>$decoy" + as.map(_.html).mkString(s" $filler "),
     as)
 
-  /** Independent resolver — same contract, different code path. */
+  /** Independent resolver — same contract, different code path.
+    * Userinfo (`user@`, up to the first `@` in the authority) and
+    * `:port` strip off; an empty resolved authority is None. */
   private def refHost(href: String, src: String): Option[String] = {
     val h = href.trim
     val lo = h.toLowerCase
-    def norm(s: String): String = {
-      val host = s.takeWhile(c => c != '/' && c != '?' && c != '#').toLowerCase
-      if (host.startsWith("www.")) host.drop(4) else host
+    def norm(s: String): Option[String] = {
+      val auth = s.takeWhile(c => c != '/' && c != '?' && c != '#')
+      val i = auth.indexOf('@')
+      val hp = if (i >= 0) auth.substring(i + 1) else auth
+      val host0 = hp.takeWhile(_ != ':').toLowerCase
+      val host = if (host0.startsWith("www.")) host0.drop(4) else host0
+      if (host.isEmpty) None else Some(host)
     }
     if (lo.startsWith("http://") || lo.startsWith("https://"))
-      Some(norm(h.substring(h.indexOf("//") + 2)))
-    else if (h.startsWith("//")) Some(norm(h.drop(2)))
+      norm(h.substring(h.indexOf("//") + 2))
+    else if (h.startsWith("//")) norm(h.drop(2))
     else if (h.isEmpty || h.startsWith("#") ||
       lo.startsWith("javascript:") || lo.startsWith("mailto:")) None
     else Some(src)

@@ -117,11 +117,16 @@ object RobotsProps extends Properties("robots") {
       import spark.implicits._
       val got = Seq("/only/x").toDF("path")
         .select(Robots.robotsVerdict(col("path"),
-          Robots.robotsRules(lit(withSpec), AGENT)).as("v")).head
-      // every surviving rule comes from a graftbot group, and the
-      // planted Disallow always governs /only/x unless an even longer
-      // graftbot rule (impossible here: /only/ is not in the alphabet)
-      Prop(!got.getStruct(0).getBoolean(0) &&
-        rules.forall(r => refRules(withSpec, AGENT).contains(r))) :| rules.toString
+          Robots.robotsRules(lit(withSpec), AGENT)).as("v"),
+          Robots.robotsRules(lit(withSpec), AGENT).as("r")).head
+      // the ENGINE's surviving rule list must be exactly the graftbot
+      // groups' rules per the independent parser (wildcard groups
+      // irrelevant), and the planted Disallow always governs /only/x
+      // (no longer graftbot rule is generable: /only/ isn't in the
+      // prefix alphabet)
+      val engineRules = got.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getBoolean(0), r.getString(1))).toList
+      Prop(!got.getStruct(0).getBoolean(0) && engineRules == rules) :|
+        s"engine=$engineRules ref=$rules"
     }
 }
