@@ -57,6 +57,15 @@ object Bench {
     // the record the judge actually reads.
     val legPasses = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
     val legMBsPasses = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+    // 1-minute loadavg snapshotted at the START of each leg pass: four
+    // straight rounds published artifact leg numbers (5.8-21.2 MB/s) that
+    // the contemporaneous five-pass band refuted as co-tenant steal, and
+    // the pass vectors alone could prove the dispute but not adjudicate
+    // it — the contention evidence now rides in the artifact per pass
+    val legLoadPasses = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+    // prior round's five-pass band best MB/s per leg (BAND_r17.json) —
+    // the rerun rule's reference point, updated each round at close-out
+    val priorBandBestMBs = Map("150m" -> 45.4, "1g" -> 55.5)
     def gedcomLeg(label: String, path: String, targetBytes: Long): Option[Double] =
       try {
         val f = new java.io.File(path)
@@ -73,17 +82,30 @@ object Bench {
           val buf = new Array[Byte](1 << 20)
           try while (in.read(buf) >= 0) () finally in.close()
         }
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
         def pass(): Double = {
+          loads += loadavg1().getOrElse(-1.0)
           val t0 = System.nanoTime()
           gedcom.GedcomPipeline.run(spark, path, s"/tmp/graft-bench-gedcsv-$label")
           (System.nanoTime() - t0) / 1e9
         }
         val (s1, s2) = (pass(), pass())
-        val passes =
+        var passes =
           if (math.max(s1, s2) > 1.5 * math.min(s1, s2)) Vector(s1, s2, pass())
           else Vector(s1, s2)
+        // rerun rule (r17 directive 4): a best pass below HALF the prior
+        // round's band best is the co-tenant signature, not a plausible
+        // regression shape — spend exactly one more pass before
+        // publishing, so a quiet window can rescue the leg in-artifact
+        if (priorBandBestMBs.get(label)
+            .exists(pb => passes.map(size / 1e6 / _).max < 0.5 * pb)) {
+          System.err.println(s"[bench] gedcom $label best " +
+            f"${passes.map(size / 1e6 / _).max}%.1f MB/s < 0.5x prior band — one rerun")
+          passes = passes :+ pass()
+        }
         legPasses(s"gedcom_$label") = passes
         legMBsPasses(s"gedcom_$label") = passes.map(size / 1e6 / _)
+        legLoadPasses(s"gedcom_$label") = loads.toVector
         System.err.println(
           f"[bench] gedcom $label legs: ${passes.map(t => f"$t%.1fs").mkString(" / ")} (min taken)")
         Some(size / 1e6 / passes.min)
@@ -185,7 +207,7 @@ object Bench {
       out
     }
     val json = renderJson(results, sfDir, gedcom150m, gedcom1g,
-      legMBsPasses.toSeq)
+      legMBsPasses.toSeq, legLoadPasses.toSeq)
     // print the line FIRST thing after it exists AND as the very last
     // stdout action: the driver keeps only a ~2 KB stdout tail, which for
     // two rounds running truncated the (one) JSON line into "parsed":null.
@@ -205,7 +227,8 @@ object Bench {
       val legResults = legPasses.toSeq.map { case (k, ps) => k -> ps.min }
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/bench-detail.json"),
-        renderDetailJson(legResults ++ results, legPasses.toMap ++ passLog.toMap) + "\n")
+        renderDetailJson(legResults ++ results, legPasses.toMap ++ passLog.toMap,
+          legLoadPasses.toMap) + "\n")
     } catch {
       case e: java.io.IOException =>
         System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
@@ -239,7 +262,8 @@ object Bench {
   def renderJson(results: Seq[(String, Double)], sfDir: String,
       gedcomMBs: Option[Double] = None,
       gedcom1gMBs: Option[Double] = None,
-      legPassesMBs: Seq[(String, Vector[Double])] = Nil): String = {
+      legPassesMBs: Seq[(String, Vector[Double])] = Nil,
+      legLoads: Seq[(String, Vector[Double])] = Nil): String = {
     def r4(v: Double) = math.rint(v * 1e4) / 1e4
     // per-query values as INTEGER DECISECONDS since r14 ("qunit"
     // documents it — the r13 verdict's directive-7 proposal): at 156
@@ -285,26 +309,39 @@ object Bench {
     // compound tail model in QueriesSpec re-ran with them (and past the
     // 1990 wall the omission-marker degradation below is the designed
     // fallback — never another unit trim).
-    val legs = legPassesMBs.map { case (k, ps) =>
-      "\"" + k + "_passes\":" +
-        ps.map(v => (math.rint(v * 10) / 10).toString).mkString("[", ",", "]")
-    } match {
+    // per-pass leg loadavg (r17 directive 4): a contended leg must
+    // identify ITSELF as contended — ~25 bytes/leg, covered by the
+    // compact-map degradation below
+    val tenth = (v: Double) => (math.rint(v * 10) / 10).toString
+    val legs = (legPassesMBs.map { case (k, ps) =>
+      "\"" + k + "_passes\":" + ps.map(tenth).mkString("[", ",", "]")
+    } ++ legLoads.map { case (k, ls) =>
+      "\"" + k + "_load\":" + ls.map(tenth).mkString("[", ",", "]")
+    }) match {
       case Nil => ""
       case fields => fields.mkString(",", ",", "")
     }
     def line(qsJson: String) =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"loadavg":$load,"gedcom_mb_per_s":${r1(gedcomMBs)},"gedcom_mb_per_s_1g":${r1(gedcom1gMBs)}$legs,"qunit":"decisec","queries":$qsJson,"sf":"$sfName"}"""
     val full = line(qs)
-    // graceful degradation at the tail wall (the r15 directive-6
-    // structural change, arrived at 165 queries): the driver keeps
-    // exactly 2000 stdout bytes, and a line that models past it truncates
-    // into unparseable JSON (BENCH_r07/r08's "parsed":null). Rather than
-    // trimming units again, a line that would overflow keeps every
-    // headline/failed/loadavg/leg field and replaces the per-query map
-    // with an explicit omission marker — the full map always persists in
-    // target/bench.json and per-pass seconds in bench-detail.json.
+    // graceful degradation at the tail wall: the driver keeps exactly
+    // 2000 stdout bytes, and a line that models past it truncates into
+    // unparseable JSON (BENCH_r07/r08's "parsed":null). Structural
+    // change at 179 queries (r17 directive 5): a line that would
+    // overflow first compacts the per-query map to a REGISTRY-ORDER
+    // decisecond value array — names live under full registry names in
+    // bench-detail.json (same ordering), so no measurement is lost from
+    // the artifact; ~4 bytes/query vs ~10 for the map keeps even 400
+    // 3-digit queries inside the tail. Only if the compact form ALSO
+    // overflows does the map degrade to the explicit omission marker
+    // (the full map always persists in target/bench.json).
     if (full.length <= 1990) full
-    else line(s"""{"omitted":${results.size}}""")
+    else {
+      val compact = line(s"""{"n":${results.size},"v":""" +
+        results.map(r => cs(r._2)).mkString("[", ",", "]") + "}")
+      if (compact.length <= 1990) compact
+      else line(s"""{"omitted":${results.size}}""")
+    }
   }
 
   /** Full-precision per-query seconds under full registry names — the
@@ -314,10 +351,13 @@ object Bench {
     * pass (first-pass cold cost vs co-tenant spike vs real regression)
     * without a rerun. */
   def renderDetailJson(results: Seq[(String, Double)],
-      passes: Map[String, Vector[Double]] = Map.empty): String =
+      passes: Map[String, Vector[Double]] = Map.empty,
+      loads: Map[String, Vector[Double]] = Map.empty): String =
     results.map { case (k, v) =>
       val ps = passes.getOrElse(k, Vector.empty)
         .mkString("[", ",", "]")
-      "\"" + k + "\":{\"best\":" + v + ",\"passes\":" + ps + "}"
+      val ld = loads.get(k).map(ls =>
+        ",\"loads\":" + ls.mkString("[", ",", "]")).getOrElse("")
+      "\"" + k + "\":{\"best\":" + v + ",\"passes\":" + ps + ld + "}"
     }.mkString("{", ",", "}")
 }

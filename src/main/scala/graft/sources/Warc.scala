@@ -1,10 +1,11 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.functions.Web
+import graft.functions.expressions.{GzipCompress, WarcRecords}
 
 /** WARC/WET container ingestion (ISO 28500 / WARC 1.0-1.1, public spec;
   * WET files — Common Crawl's extracted-text sidecars — are ordinary WARC
@@ -16,113 +17,83 @@ import graft.functions.Web
   * pipeline multi-record WARC containers, and record extraction is the
   * rung BEFORE q168's HTML main-content extraction can run.
   *
-  * Parse design — a fixed-bound LENGTH-DELIMITED walk, not a
-  * split-on-marker: each step reads the header block (up to the first
-  * CRLF CRLF), takes `Content-Length` characters of payload, then skips
-  * the two-CRLF record separator. Splitting the container on the
-  * "WARC/1.0" marker would be wrong the moment a payload CONTAINS the
-  * marker (WARC files store crawled WARC files all the time); the
-  * fixture's warcinfo payload plants exactly that string, so marker
-  * immunity is pinned through the full DuckDB oracle, not just specs.
-  * Malformed input degrades to typed per-record errors (`bad_magic`,
-  * `truncated_header`, `no_length`, `truncated_payload`) and a halt —
-  * a reader cannot resync safely without a trustworthy length.
+  * Parse design — a BYTE-DOMAIN length-delimited walk in one native
+  * Catalyst expression ([[WarcRecords]]): each step reads the header
+  * block (up to the first CRLF CRLF), takes `Content-Length` OCTETS of
+  * payload (the spec's definition — a character-count cut would
+  * misalign every subsequent record the moment a payload holds
+  * multi-byte UTF-8), then skips the two-CRLF record separator. A
+  * record whose first bytes are the RFC 1952 magic is a gzip member
+  * (real Common Crawl is `.warc.gz`: one record per member, members
+  * concatenated): it inflates with exact consumed-length accounting and
+  * parses identically. Splitting the container on the "WARC/1.0" marker
+  * would be wrong the moment a payload CONTAINS the marker (WARC files
+  * store crawled WARC files all the time); the fixture's warcinfo
+  * payload plants exactly that string, so marker immunity is pinned
+  * through the full DuckDB oracle, not just specs. Malformed input
+  * degrades to typed per-record errors (`bad_magic`, `truncated_header`,
+  * `no_length`, `truncated_payload`, `bad_gzip`, `gzip_residue`) and a
+  * halt — a reader cannot resync safely without a trustworthy length.
   *
-  * 100 TB shape: the walk is `maxRecords` staged projections over the
-  * container column — scan -> project, ZERO exchanges, embarrassingly
-  * parallel; per-row cost is O(maxRecords × container size). Real
-  * deployments read containers as whole-file binary rows (one WARC file
-  * per row, `binaryFile` source or a custom FileFormat) and parse
-  * byte-delimited; this string-domain walk treats Content-Length as a
-  * character count, exact for ASCII payloads (the fixture is ASCII by
-  * construction) and for any single-byte page encoding. `leftover_chars`
-  * surfaces unparsed residue past the bound — no silent truncation.
+  * 100 TB shape: one cursor pass per container row — scan → project,
+  * ZERO exchanges, embarrassingly parallel, O(container) per row (the
+  * earlier string-domain walk re-materialized the remainder once per
+  * record: O(maxRecords × container) — retired r18). Real deployments
+  * read containers as whole-file binary rows (`binaryFile` source: one
+  * `.warc.gz` per row) straight into [[warcBinaryRecordsRel]];
+  * `leftover_bytes` surfaces unparsed residue past the `maxRecords`
+  * bound — no silent truncation.
   */
 object Warc {
   import Tables._
 
-  private val REC_SCHEMA =
-    "struct<typ:string,rid:string,uri:string,clen:bigint," +
-      "payload:string,ok:boolean,err:string>"
+  private def gzip(c: Column): Column =
+    GraftSqlBridge.column(GzipCompress(GraftSqlBridge.expression(c)))
 
-  private def mkRec(typ: Column, rid: Column, uri: Column, clen: Column,
-      payload: Column, ok: Column, err: Column): Column =
-    struct(typ.as("typ"), rid.as("rid"), uri.as("uri"),
-      clen.cast("long").as("clen"), payload.as("payload"),
-      ok.as("ok"), err.as("err"))
-
-  private def nullStr = lit(null).cast("string")
-  private def nullLong = lit(null).cast("long")
-
-  /** One step of the walk: struct(rec, next) from the container
-    * remainder. `rec` is null when the remainder is exhausted (only
-    * whitespace); `next` is "" whenever the walk must halt (error or
-    * exhaustion). Header-field names match case-insensitively
-    * (ISO 28500 §5.1); values are single tokens (record ids, URIs). */
-  private def parseOne(rem: Column): Column = {
-    val blank = instr(rem, "\r\n\r\n")
-    val hdr = rem.substr(lit(1), blank - 1)
-    def field(name: String) =
-      regexp_extract(hdr, "(?mi)^" + name + ":[ \\t]*(\\S+)[ \\t]*\\r?$", 1)
-    val typ = field("WARC-Type")
-    val rid = field("WARC-Record-ID")
-    val uri = field("WARC-Target-URI")
-    val clenStr = regexp_extract(hdr,
-      "(?mi)^Content-Length:[ \\t]*([0-9]{1,9})[ \\t]*\\r?$", 1)
-    val clen = clenStr.cast("int") // only referenced after the "" guard
-    val bodyStart = blank + 4
-    val avail = length(rem) - bodyStart + 1
-    def halt(rec: Column) = struct(rec.as("rec"), lit("").as("next"))
-    when(rem.rlike("^\\s*$"),
-        struct(lit(null).cast(REC_SCHEMA).as("rec"), lit("").as("next")))
-      .when(!rem.rlike("^WARC/1\\.[01]\\r\\n"),
-        halt(mkRec(nullStr, nullStr, nullStr, nullLong, nullStr,
-          lit(false), lit("bad_magic"))))
-      .when(blank === 0,
-        halt(mkRec(nullStr, nullStr, nullStr, nullLong, nullStr,
-          lit(false), lit("truncated_header"))))
-      .when(clenStr === "",
-        halt(mkRec(typ, rid, uri, nullLong, nullStr,
-          lit(false), lit("no_length"))))
-      .when(avail < clen,
-        halt(mkRec(typ, rid, uri, clen,
-          rem.substr(bodyStart, greatest(avail, lit(0))),
-          lit(false), lit("truncated_payload"))))
-      .otherwise(struct(
-        mkRec(typ, rid, uri, clen, rem.substr(bodyStart, clen),
-          lit(true), nullStr).as("rec"),
-        // skip the record separator (two CRLF); tolerate one or zero so
-        // a final record without its trailer still ends the walk clean
-        regexp_replace(rem.substr(bodyStart + clen, length(rem)),
-          "^(\\r\\n){1,2}", "").as("next")))
+  /** Parsed records of a BINARY WARC container column: `keys` + a
+    * `records` array (in container order, typed errors included,
+    * binary payloads, per-record `gzipped` provenance) + the unparsed
+    * `leftover_bytes` past the `maxRecords` bound. */
+  def warcBinaryRecordsRel(containers: DataFrame, container: Column,
+      maxRecords: Int, keys: Seq[String]): DataFrame = {
+    val kt = keys.map(col)
+    containers
+      .select(kt :+ GraftSqlBridge.column(
+        WarcRecords(GraftSqlBridge.expression(container), maxRecords))
+        .as("__w"): _*)
+      .select(kt :+ col("__w.records").as("records")
+        :+ col("__w.leftover_bytes").as("leftover_bytes"): _*)
   }
 
-  /** Parsed records of a WARC container column: `keys` + a `records`
-    * array (in container order, typed errors included) + the unparsed
-    * `leftover_chars` past the `maxRecords` bound. Each walk step is its
-    * own projection stage so the remainder materializes once per step
-    * (CollapseProject keeps multi-referenced non-cheap aliases). */
+  /** String façade over the byte walk for TEXT container columns (the
+    * q171 fixture; WET sidecars read as text): encode → walk → decode
+    * payloads back to strings. Field and error semantics are identical
+    * to the historical string-domain walk (absent header fields are
+    * `''` on parsed-header records, NULL on pre-header errors); `clen`
+    * and `leftover_chars` count BYTES — equal to characters on the
+    * ASCII/single-byte content this façade serves, exact octets beyond
+    * it (use [[warcBinaryRecordsRel]] when byte payloads must survive
+    * undecoded). */
   def warcRecordsRel(containers: DataFrame, container: Column,
       maxRecords: Int, keys: Seq[String]): DataFrame = {
     val kt = keys.map(col)
-    var df = containers.select(kt :+ container.as("__rem0"): _*)
-    for (i <- 0 until maxRecords) {
-      val prior = (0 until i).map(j => col(s"__rec$j"))
-      df = df
-        .select(kt ++ prior :+ parseOne(col(s"__rem$i")).as(s"__p$i"): _*)
-        .select(kt ++ prior
-          :+ col(s"__p$i").getField("rec").as(s"__rec$i")
-          :+ col(s"__p$i").getField("next").as(s"__rem${i + 1}"): _*)
-    }
-    df.select(kt
-      :+ filter(array((0 until maxRecords).map(i => col(s"__rec$i")): _*),
-        r => r.isNotNull).as("records")
-      :+ length(col(s"__rem$maxRecords")).cast("long").as("leftover_chars"): _*)
+    warcBinaryRecordsRel(containers, encode(container, "UTF-8"),
+      maxRecords, keys)
+      .select(kt
+        :+ transform(col("records"), r => struct(
+          r.getField("typ").as("typ"),
+          r.getField("rid").as("rid"),
+          r.getField("uri").as("uri"),
+          r.getField("clen").as("clen"),
+          decode(r.getField("payload"), "UTF-8").as("payload"),
+          r.getField("ok").as("ok"),
+          r.getField("err").as("err"))).as("records")
+        :+ col("leftover_bytes").as("leftover_chars"): _*)
   }
 
   // ------------------------------------------------------------------
-  // Deterministic multi-record container fixture (same construction
-  // rebuilt arithmetically in the oracle).
+  // Deterministic multi-record container fixtures (same construction
+  // rebuilt arithmetically in the oracles).
   // ------------------------------------------------------------------
 
   /** warc-fields payload of each container's warcinfo record. It embeds
@@ -143,8 +114,9 @@ object Warc {
       lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:graft:doc:"),
       docId.cast("string"),
       lit(">\r\nWARC-Target-URI: "), uri,
+      // octets, per spec — equal to the char count on the ASCII corpus
       lit("\r\nContent-Type: text/html\r\nContent-Length: "),
-      length(html).cast("string"),
+      octet_length(html).cast("string"),
       lit("\r\n\r\n"), html, lit("\r\n\r\n"))
 
   /** Containers over the documents table: gid = doc_id // 4 groups four
@@ -164,6 +136,39 @@ object Warc {
         array_join(transform(
           array_sort(collect_list(struct(col("doc_id"), col("rec")))),
           x => x.getField("rec")), "")).as("container"))
+  }
+
+  /** The q183 BINARY fixture: the q171 grouping, but every payload
+    * plants multi-byte UTF-8 (`№` always; umlaut/dash suffix classes by
+    * doc_id residue — so every record's byte Content-Length differs
+    * from its character count), and every third response record is a
+    * per-record gzip member between plain neighbours. The walk under
+    * test never meets the compressor — only the RFC 1952 format. */
+  private[graft] def syntheticBinaryContainers(docs: DataFrame): DataFrame = {
+    val payload = concat(col("text"),
+      lit(" №"), col("doc_id").cast("string"),
+      when(col("doc_id") % 2 === 0, lit(" ünïcødé"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit(" — résumé…"))
+        .otherwise(lit("")))
+    val header = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:graft:doc:"),
+      col("doc_id").cast("string"),
+      lit(">\r\nWARC-Target-URI: "), Web.rawUrl(col("doc_id"), col("source")),
+      lit("\r\nContent-Type: text/html\r\nContent-Length: "),
+      octet_length(payload).cast("string"), lit("\r\n\r\n"))
+    val recBin = concat(encode(header, "UTF-8"), encode(payload, "UTF-8"),
+      encode(lit("\r\n\r\n"), "UTF-8"))
+    val member = when(col("doc_id") % 3 === 0, gzip(recBin)).otherwise(recBin)
+    docs
+      .select((col("doc_id") / 4).cast("long").as("gid"),
+        col("doc_id"), member.as("rec"))
+      .groupBy(col("gid"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+          x => x.getField("rec")),
+        encode(warcinfoRecord(col("gid")), "UTF-8"),
+        (acc, r) => concat(acc, r)).as("container"))
   }
 
   /** The oracle never parses WARC text: it rebuilds each record's
@@ -202,7 +207,8 @@ object Warc {
       SELECT doc_id, doc_id // 4 AS gid, 'response' AS warc_type,
              '<urn:graft:doc:' || doc_id || '>' AS record_id,
              ${Web.RAW_URL_SQL} AS target_uri,
-             len(html)::BIGINT AS content_length,
+             octet_length(encode(html))::BIGINT AS content_length,
+             len(html)::BIGINT AS payload_chars,
              main_chars
       FROM html JOIN main USING (doc_id)),
     info AS (SELECT DISTINCT doc_id // 4 AS gid FROM d),
@@ -219,10 +225,56 @@ object Warc {
              (row_number() OVER (PARTITION BY gid ORDER BY doc_id))::BIGINT
                AS rec_idx,
              warc_type, record_id, target_uri, content_length,
-             content_length AS payload_chars, main_chars
+             payload_chars, main_chars
       FROM resp)
     SELECT gid, rec_idx, warc_type, record_id, target_uri, content_length,
            payload_chars, main_chars, 0::BIGINT AS leftover_chars
+    FROM rows_all"""
+
+  /** q183 oracle: the byte walk's outputs rebuilt generatively — the
+    * payload string re-derived in SQL, content_length as its UTF-8
+    * octet count (`octet_length(encode(..))`, ≠ `length(..)` on every
+    * record by the planted `№`), gzip membership from the residue rule.
+    * The oracle never sees compressed bytes; the inflate path is under
+    * test via the SAME length/field checks the plain records get. */
+  private lazy val WARC_BINARY_ORACLE = s"""
+    WITH d AS (
+      SELECT doc_id, doc_id // 4 AS gid, source,
+             text || ' ' || chr(8470) || CAST(doc_id AS VARCHAR) ||
+             (CASE WHEN doc_id % 2 = 0 THEN ' ' || chr(252) || 'n' ||
+                chr(239) || 'c' || chr(248) || 'd' || chr(233)
+              ELSE '' END) ||
+             (CASE WHEN doc_id % 5 = 0 THEN ' ' || chr(8212) || ' r' ||
+                chr(233) || 'sum' || chr(233) || chr(8230)
+              ELSE '' END) AS payload
+      FROM documents),
+    resp AS (
+      SELECT gid, doc_id, 'response' AS warc_type,
+             '<urn:graft:doc:' || doc_id || '>' AS record_id,
+             ${Web.RAW_URL_SQL} AS target_uri,
+             octet_length(encode(payload))::BIGINT AS content_length,
+             length(payload)::BIGINT AS payload_chars,
+             (doc_id % 3 = 0) AS gzipped
+      FROM d),
+    info AS (SELECT DISTINCT gid FROM d),
+    rows_all AS (
+      SELECT gid, 0::BIGINT AS rec_idx, 'warcinfo' AS warc_type,
+             '<urn:graft:warcinfo:' || gid || '>' AS record_id,
+             '' AS target_uri,
+             ${INFO_PAYLOAD.length}::BIGINT AS content_length,
+             ${INFO_PAYLOAD.length}::BIGINT AS payload_chars,
+             false AS gzipped
+      FROM info
+      UNION ALL
+      SELECT gid,
+             (row_number() OVER (PARTITION BY gid ORDER BY doc_id))::BIGINT
+               AS rec_idx,
+             warc_type, record_id, target_uri, content_length,
+             payload_chars, gzipped
+      FROM resp)
+    SELECT gid, rec_idx, warc_type, record_id, target_uri, content_length,
+           content_length AS payload_octets, payload_chars, gzipped,
+           0::BIGINT AS leftover_bytes
     FROM rows_all"""
 
   val defs: Seq[QueryDef] = Seq(
@@ -249,5 +301,29 @@ object Warc {
             col("leftover_chars"))
       },
       Some(WARC_ORACLE),
-      "WARC/WET container ingestion (ISO 28500): length-delimited multi-record walk — header parse, Content-Length payload cut, marker-in-payload immunity — feeding the q168 extractor, zero exchanges"))
+      "WARC/WET container ingestion (ISO 28500): length-delimited multi-record walk — header parse, Content-Length payload cut, marker-in-payload immunity — feeding the q168 extractor, zero exchanges"),
+
+    QueryDef(
+      "q183_warc_binary",
+      (s, d) => {
+        val recs = warcBinaryRecordsRel(
+          syntheticBinaryContainers(documents(s, d)),
+          col("container"), maxRecords = 6, keys = Seq("gid"))
+        recs
+          .select(col("gid"), col("leftover_bytes"),
+            posexplode_outer(col("records")).as(Seq("rec_idx", "r")))
+          .select(col("gid"),
+            col("rec_idx").cast("long").as("rec_idx"),
+            col("r.typ").as("warc_type"),
+            col("r.rid").as("record_id"),
+            col("r.uri").as("target_uri"),
+            col("r.clen").as("content_length"),
+            length(col("r.payload")).cast("long").as("payload_octets"),
+            length(decode(col("r.payload"), "UTF-8")).cast("long")
+              .as("payload_chars"),
+            col("r.gzipped").as("gzipped"),
+            col("leftover_bytes"))
+      },
+      Some(WARC_BINARY_ORACLE),
+      "byte-domain WARC ingestion over binary containers: octet Content-Length cut on multi-byte UTF-8 payloads + per-record RFC 1952 gzip members (the .warc.gz shape), one native-expression cursor pass, zero exchanges"))
 }

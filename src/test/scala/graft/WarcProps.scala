@@ -63,4 +63,55 @@ object WarcProps extends Properties("warc") {
         println(s"MISMATCH:\n got=$got\n want=$want leftover=${row.getLong(1)}")
       got == want && leftOk
     }
+
+  // ---- byte-domain walk (r18): multi-byte payloads, gzip members ----
+
+  private val mbPiece: Gen[String] = Gen.oneOf(
+    payloadPiece,
+    Gen.const("ünïcødé…"), Gen.const("№ — résumé"),
+    Gen.const("é́"), // precomposed + combining: odd byte runs
+    Gen.const("日本語テキスト"))
+
+  private val byteRecord: Gen[(String, String, String, Boolean)] = for {
+    typ <- Gen.oneOf("response", "conversion", "warcinfo")
+    uriWord <- Gen.listOfN(8, Gen.alphaLowerChar).map(_.mkString)
+    pieces <- Gen.chooseNum(0, 6).flatMap(Gen.listOfN(_, mbPiece))
+    gz <- Gen.oneOf(false, true)
+  } yield (typ, s"http://$uriWord.example/x", pieces.mkString, gz)
+
+  private def gzipJdk(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close(); bos.toByteArray
+  }
+
+  /** Independent byte render: octet Content-Length, per-record JDK gzip
+    * (a compressor the engine's Inflater walk shares no code with). */
+  private def renderBytes(recs: Seq[(String, String, String, Boolean)]): Array[Byte] =
+    recs.flatMap { case (typ, uri, payload, gz) =>
+      val p = payload.getBytes("UTF-8")
+      val rec = (s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Record-ID: <urn:p:$typ>\r\n" +
+        s"WARC-Target-URI: $uri\r\nContent-Length: ${p.length}" +
+        s"\r\n\r\n").getBytes("UTF-8") ++ p ++ "\r\n\r\n".getBytes("UTF-8")
+      (if (gz) gzipJdk(rec) else rec).toSeq
+    }.toArray
+
+  property("byte containers round-trip: octet lengths, random gzip members interleaved") =
+    Prop.forAll(Gen.chooseNum(1, 5).flatMap(Gen.listOfN(_, byteRecord))) { recs =>
+      import spark.implicits._
+      val df = Warc.warcBinaryRecordsRel(
+        Seq((0L, renderBytes(recs))).toDF("gid", "c"), col("c"), 6, Seq("gid"))
+      val row = df.select(col("records"), col("leftover_bytes")).head
+      val got = row.getSeq[Row](0).map(r => (
+        r.getAs[String]("typ"), r.getAs[String]("uri"),
+        r.getAs[Long]("clen"),
+        new String(r.getAs[Array[Byte]]("payload"), "UTF-8"),
+        r.getAs[Boolean]("gzipped"), r.getAs[Boolean]("ok")))
+      val want = recs.map { case (t, u, p, gz) =>
+        (t, u, p.getBytes("UTF-8").length.toLong, p, gz, true) }
+      val leftOk = row.getLong(1) == 0L
+      if (got != want || !leftOk)
+        println(s"MISMATCH:\n got=$got\n want=$want leftover=${row.getLong(1)}")
+      got == want && leftOk
+    }
 }

@@ -114,6 +114,87 @@ class WarcSpec extends SparkSpec {
     assert(recs2.size == 3 && leftover2 == 0L)
   }
 
+  // ---- byte-domain pins (r18): octet cut, gzip members ----
+
+  private def gzipJdk(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close(); bos.toByteArray
+  }
+
+  private def recordBytes(typ: String, payload: String): Array[Byte] = {
+    val p = payload.getBytes("UTF-8")
+    (s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Record-ID: <urn:test:$typ>\r\n" +
+      s"Content-Length: ${p.length}\r\n\r\n").getBytes("UTF-8") ++
+      p ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  /** Parse a binary container; (typ, clen, payloadUtf8, gzipped, ok, err). */
+  private def parseBin(container: Array[Byte], maxRecords: Int = 6)
+      : (Seq[(String, Option[Long], String, Boolean, Boolean, String)], Long) = {
+    val df = Warc.warcBinaryRecordsRel(
+      Seq((1L, container)).toDF("gid", "c"), col("c"), maxRecords, Seq("gid"))
+    val row = df.select(col("records"), col("leftover_bytes")).head
+    val recs = row.getSeq[Row](0).map(r => (
+      r.getAs[String]("typ"),
+      Option(r.getAs[java.lang.Long]("clen")).map(_.longValue),
+      Option(r.getAs[Array[Byte]]("payload")).map(new String(_, "UTF-8")).orNull,
+      r.getAs[Boolean]("gzipped"), r.getAs[Boolean]("ok"),
+      r.getAs[String]("err")))
+    (recs.toSeq, row.getLong(1))
+  }
+
+  test("Content-Length counts OCTETS: a multi-byte payload cuts at the byte boundary") {
+    val p1 = "héllo №1 — ünïcødé…" // 19 chars, 28 UTF-8 bytes
+    assert(p1.getBytes("UTF-8").length != p1.length)
+    val c = recordBytes("response", p1) ++ recordBytes("response", "tail ok")
+    val (recs, leftover) = parseBin(c)
+    assert(leftover == 0L)
+    assert(recs.map(r => (r._1, r._5)) ==
+      Seq(("response", true), ("response", true)), recs)
+    assert(recs.head._3 == p1 &&
+      recs.head._2 == Some(p1.getBytes("UTF-8").length.toLong), recs.head)
+    assert(recs(1)._3 == "tail ok")
+  }
+
+  test("a CHARACTER-count Content-Length misaligns the walk (the cut is byte-domain)") {
+    val p1 = "héllo №1 — ünïcødé…"
+    val wrong = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"Content-Length: ${p1.length}\r\n\r\n").getBytes("UTF-8") ++
+      p1.getBytes("UTF-8") ++ "\r\n\r\n".getBytes("UTF-8")
+    val c = wrong ++ recordBytes("response", "tail")
+    val (recs, _) = parseBin(c)
+    // the short cut leaves payload residue at the cursor — the next
+    // "record" cannot start with the magic, so the walk halts typed
+    assert(recs.size == 2 && recs(1)._6 == "bad_magic", recs)
+  }
+
+  test("gzip members parse between plain records with exact consumed-length accounting") {
+    val c = recordBytes("warcinfo", "software: x") ++
+      gzipJdk(recordBytes("response", "zipped pagé №")) ++
+      recordBytes("response", "plain tail")
+    val (recs, leftover) = parseBin(c)
+    assert(leftover == 0L)
+    assert(recs.map(r => (r._1, r._4, r._5)) ==
+      Seq(("warcinfo", false, true), ("response", true, true),
+        ("response", false, true)), recs)
+    assert(recs(1)._3 == "zipped pagé №")
+  }
+
+  test("corrupt gzip member is a typed halt; two records in one member is gzip_residue") {
+    val good = gzipJdk(recordBytes("response", "fine"))
+    val corrupt = good.clone()
+    corrupt(corrupt.length / 2) = (corrupt(corrupt.length / 2) ^ 0x5a).toByte
+    val (r1, _) = parseBin(recordBytes("response", "first") ++ corrupt)
+    assert(r1.size == 2 && r1.head._5 && !r1(1)._5, r1)
+    // either the deflate stream breaks (DataFormatException) or it
+    // inflates to bytes the CRC32 trailer refutes — both are bad_gzip
+    assert(r1(1)._6 == "bad_gzip", r1)
+    val packed = gzipJdk(recordBytes("response", "a") ++ recordBytes("response", "b"))
+    val (r2, _) = parseBin(packed)
+    assert(r2.size == 1 && !r2.head._5 && r2.head._6 == "gzip_residue", r2)
+  }
+
   test("fixture containers group four docs after a warcinfo, in doc_id order") {
     val docs = spark.read.parquet(s"$SF/documents.parquet")
       .select("doc_id", "source", "text")
