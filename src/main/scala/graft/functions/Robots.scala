@@ -10,13 +10,19 @@ import graft.{QueryDef, Tables}
   * every real crawl pipeline filters fetched URLs through the target
   * host's robots rules before any content lands in the corpus.
   *
-  * Scope (documented, spec-pinned): literal path-prefix rules with the
-  * RFC's longest-match precedence (Allow wins length ties), group
-  * selection per the RFC — a group is consecutive User-agent lines
-  * followed by rules; if any group names the crawling agent
-  * specifically, ONLY those groups apply, else the `*` groups;
+  * Scope (documented, spec-pinned): path rules with the RFC's
+  * MUST-support special characters — `*` matches any character
+  * sequence (including empty) anywhere in the pattern, a TRAILING `$`
+  * anchors the pattern to the end of the path (RFC 9309 §2.2.3; a `$`
+  * anywhere else is a literal octet, the reference-implementation
+  * stance) — under longest-PATTERN precedence (the RFC's "most
+  * specific = longest" measured on the raw pattern, Allow wins length
+  * ties); group selection per the RFC — a group is consecutive
+  * User-agent lines followed by rules; if any group names the crawling
+  * agent specifically, ONLY those groups apply, else the `*` groups;
   * comments (`#`) and blank lines per spec; an empty `Disallow:` is
-  * no-restriction. The `*`/`$` wildcard extensions are out of scope.
+  * no-restriction. Percent-encoding equivalence (§2.2.2) stays out of
+  * scope: paths are compared octet-for-octet as given.
   *
   * 100 TB shape: the parse is one array-domain fold per robots
   * document (zero exchanges); the verdict is a per-URL map against the
@@ -41,7 +47,12 @@ object Robots {
     *   - hdr: whether the previous line was a User-agent line (a UA
     *     line after rules STARTS a new group; consecutive UA lines
     *     extend the same header run);
-    *   - wild / spec: rules collected from `*` / agent-specific groups.
+    *   - wild / spec: rules collected from `*` / agent-specific groups;
+    *   - seen: whether ANY group named the agent specifically — per
+    *     RFC 9309 §2.2.1 a matching specific group preempts the `*`
+    *     groups even when it carries ZERO rules (= no restrictions),
+    *     so the final selection keys on seen, not on spec being
+    *     non-empty (property-found r18).
     */
   def robotsRules(robots: Column, agent: String): Column = {
     val lines = transform(split(robots, "\n"), l =>
@@ -49,7 +60,8 @@ object Robots {
     val st0 = struct(
       lit(0).as("mode"), lit(false).as("hdr"),
       array().cast("array<struct<allow:boolean,prefix:string>>").as("wild"),
-      array().cast("array<struct<allow:boolean,prefix:string>>").as("spec"))
+      array().cast("array<struct<allow:boolean,prefix:string>>").as("spec"),
+      lit(false).as("seen"))
     val folded = aggregate(lines, st0, (st, l) => {
       val lower0 = lower(l)
       val isUa = lower0.startsWith("user-agent:")
@@ -66,7 +78,8 @@ object Robots {
       val rule = struct(isAllow.as("allow"), value.as("prefix"))
       val keep = (isAllow || isDis) && value =!= ""
       when(isUa, struct(newMode.as("mode"), lit(true).as("hdr"),
-          st.getField("wild").as("wild"), st.getField("spec").as("spec")))
+          st.getField("wild").as("wild"), st.getField("spec").as("spec"),
+          (st.getField("seen") || newMode === 2).as("seen")))
         .when(keep, struct(st.getField("mode").as("mode"),
           lit(false).as("hdr"),
           when(st.getField("mode") === 1,
@@ -74,26 +87,75 @@ object Robots {
             .otherwise(st.getField("wild")).as("wild"),
           when(st.getField("mode") === 2,
             concat(st.getField("spec"), array(rule)))
-            .otherwise(st.getField("spec")).as("spec")))
+            .otherwise(st.getField("spec")).as("spec"),
+          st.getField("seen").as("seen")))
         // blank / comment-only / empty-valued directive lines: rules
         // end the header run too, but nothing is collected
         .otherwise(struct(st.getField("mode").as("mode"),
           when(isAllow || isDis, lit(false))
             .otherwise(st.getField("hdr")).as("hdr"),
-          st.getField("wild").as("wild"), st.getField("spec").as("spec")))
+          st.getField("wild").as("wild"), st.getField("spec").as("spec"),
+          st.getField("seen").as("seen")))
     },
-      st => when(size(st.getField("spec")) > 0, st.getField("spec"))
+      st => when(st.getField("seen"), st.getField("spec"))
         .otherwise(st.getField("wild")))
     folded
   }
 
+  /** RFC 9309 §2.2.3 pattern match of one path against one rule
+    * pattern: literal octets except `*` (any sequence, possibly empty)
+    * and a TRAILING `$` (end-of-path anchor; a `$` elsewhere is
+    * literal). One fold over the pattern's `*`-split segments — the
+    * first segment anchors at the path start, middle segments take
+    * their leftmost occurrence after the cursor (greedy-leftmost is
+    * exact for existence), a final segment under `$` must align with
+    * the path's end at or past the cursor. A pattern with no `*`/`$`
+    * degenerates to the literal startsWith this evaluator shipped with.
+    * Pure array-domain column work — zero exchanges, broadcastable. */
+  private[graft] def wildcardMatch(path: Column, pattern: Column): Column = {
+    val anchored = pattern.endsWith("$")
+    val pat = when(anchored, pattern.substr(lit(1), length(pattern) - 1))
+      .otherwise(pattern)
+    val segs = split(pat, "\\*", -1)
+    val n = size(segs)
+    val idxSegs = transform(segs, (s, i) => struct(s.as("s"), i.as("i")))
+    val st0 = struct(lit(1).as("pos"), lit(true).as("ok"))
+    val folded = aggregate(idxSegs, st0, (st, x) => {
+      val seg = x.getField("s")
+      val i = x.getField("i")
+      val slen = length(seg)
+      val isFirst = i === 0
+      val isLast = i === n - 1
+      val pos = st.getField("pos")
+      val ok = st.getField("ok")
+      val p = call_function("locate", seg, path, pos)
+      when(!ok, st)
+        // an empty segment (leading/trailing '*', or '**') constrains
+        // nothing; under a trailing anchor it means "anything to the
+        // end" — state passes through in every case
+        .when(seg === "", st)
+        .when(isFirst && isLast && anchored,
+          struct(pos.as("pos"), (path === seg).as("ok")))
+        .when(isFirst,
+          struct((slen + 1).as("pos"), path.startsWith(seg).as("ok")))
+        .when(isLast && anchored,
+          struct(pos.as("pos"),
+            (path.endsWith(seg) && (length(path) - slen + 1 >= pos))
+              .as("ok")))
+        .otherwise(struct((p + slen).as("pos"), (p > 0).as("ok")))
+    })
+    folded.getField("ok")
+  }
+
   /** RFC 9309 longest-match verdict for one path against a parsed rule
-    * array: among matching prefixes the longest wins; on a length tie
-    * Allow wins; no match = allowed. Returns a struct
-    * (allowed: boolean, rule: string — the winning prefix or ''). */
+    * array: among matching patterns ([[wildcardMatch]]) the longest
+    * RAW PATTERN wins (`*`/`$` count — the reference-implementation
+    * specificity measure); on a length tie Allow wins; no match =
+    * allowed. Returns a struct (allowed: boolean, rule: string — the
+    * winning pattern or ''). */
   def robotsVerdict(path: Column, rules: Column): Column = {
     val matched = filter(rules, r =>
-      path.startsWith(r.getField("prefix")))
+      wildcardMatch(path, r.getField("prefix")))
     val best = aggregate(matched,
       struct(lit(true).as("allow"), lit(-1).as("len"), lit("").as("p")),
       (b, r) => {
@@ -112,11 +174,21 @@ object Robots {
     * IGNORED; the `*` group with a group-dir Disallow, a tie-breaking
     * Allow on the same prefix (hostNum % 5 == 0 — the RFC tie rule
     * under test), a never-matching `/r/` Disallow, a shorter `/docs/`
-    * Allow (hostNum % 3 == 0), a root Disallow (hostNum % 2 == 0) and
-    * an EMPTY Disallow (no-restriction parse coverage); and for
-    * hostNum % 11 == 0 a trailing agent-specific group that allows
-    * everything — which per the RFC then makes the `*` group
-    * irrelevant for that host. */
+    * Allow (hostNum % 3 == 0), a root Disallow (hostNum % 2 == 0), an
+    * EMPTY Disallow (no-restriction parse coverage), and two WILDCARD
+    * rules (r18 — RFC §2.2.3): an anchored dir-path Allow
+    * "docs, star, slash, dollar" (hostNum % 13 == 0) and a mid-star
+    * anchored Disallow "docs, star, 7, dollar" (hostNum % 9 == 0; the
+    * patterns are spelled out in [[syntheticRobots]]'s body — Scala
+    * block comments nest on the slash-star pair, so they cannot appear
+    * verbatim here), both LONGER
+    * than every literal rule so longest-PATTERN precedence flips
+    * verdicts where they match (the star-slash-dollar one flips dir
+    * paths to allowed on matching hosts, the star-7-dollar one flips
+    * trailing-7 paths to disallowed);
+    * and for hostNum % 11 == 0 a trailing agent-specific group
+    * that allows everything — which per the RFC then makes the `*`
+    * group irrelevant for that host. */
   private[graft] def syntheticRobots(hostNum: Column): Column = {
     val g = (hostNum % 7).cast("string")
     concat(
@@ -127,18 +199,22 @@ object Robots {
       lit("Disallow: /r/\n"),
       when(hostNum % 3 === 0, lit("Allow: /docs/\n")).otherwise(lit("")),
       when(hostNum % 2 === 0, lit("Disallow: /\n")).otherwise(lit("")),
+      when(hostNum % 13 === 0, lit("Allow: /docs/*/$\n")).otherwise(lit("")),
+      when(hostNum % 9 === 0, lit("Disallow: /docs/*7$\n")).otherwise(lit("")),
       lit("Disallow:\n"),
       when(hostNum % 11 === 0,
         lit("\nUser-agent: GraftBot\nAllow: /\n")).otherwise(lit("")))
   }
 
   /** The oracle replays longest-match on the KNOWN generative rule set
-    * (never parsing robots text — the Spark group walk is what's under
-    * test). Path = the rawUrl path; rules per host as planted above.
-    * Precedence, replayed: the GraftBot group (hostNum % 11 == 0)
-    * allows all; else the longest matching prefix among
-    * {/docs/<g> dis, /docs/<g> allow tie (%5), /docs/ allow (%3),
-    * / dis (%2)} with Allow winning the tie. */
+    * (never parsing robots text — the Spark group walk AND the wildcard
+    * matcher are what's under test): every planted rule becomes a
+    * candidate row with its pattern length and an EXPLICIT SQL match
+    * predicate (each wildcard pattern's semantics spelled out per rule
+    * as starts_with + ends_with + the cursor bound, never a regex),
+    * and the winner is the longest matched pattern with
+    * Allow taking length ties; the GraftBot group (hostNum % 11 == 0)
+    * preempts the pool per the RFC. */
   private val ORACLE = """
     WITH d AS (
       SELECT doc_id,
@@ -146,27 +222,41 @@ object Robots {
              '/docs/' || CAST(doc_id // 5 AS VARCHAR) ||
              (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) AS path
       FROM documents),
-    v AS (
-      SELECT doc_id, h, path,
-        starts_with(path, '/docs/' || CAST(h % 7 AS VARCHAR)) AS m_g,
-        (6 + length(CAST(h % 7 AS VARCHAR)))::INT AS len_g
-      FROM d)
-    SELECT doc_id, path,
-      CASE
-        WHEN h % 11 = 0 THEN true            -- GraftBot group: Allow /
-        WHEN m_g THEN (h % 5 = 0)            -- group dir: tie => Allow
-        WHEN h % 3 = 0 THEN true             -- Allow /docs/
-        WHEN h % 2 = 0 THEN false            -- Disallow /
-        ELSE true                            -- no match
-      END AS allowed,
-      CASE
-        WHEN h % 11 = 0 THEN '/'
-        WHEN m_g THEN '/docs/' || CAST(h % 7 AS VARCHAR)
-        WHEN h % 3 = 0 THEN '/docs/'
-        WHEN h % 2 = 0 THEN '/'
-        ELSE ''
-      END AS rule
-    FROM v"""
+    g AS (SELECT doc_id, h, path, CAST(h % 7 AS VARCHAR) AS gs FROM d),
+    cand AS (
+      SELECT doc_id, false AS allow, 6 + length(gs) AS len,
+             '/docs/' || gs AS pat,
+             starts_with(path, '/docs/' || gs) AS matched FROM g
+      UNION ALL
+      SELECT doc_id, true, 6 + length(gs), '/docs/' || gs,
+             starts_with(path, '/docs/' || gs) FROM g WHERE h % 5 = 0
+      UNION ALL
+      SELECT doc_id, false, 3, '/r/', starts_with(path, '/r/') FROM g
+      UNION ALL
+      SELECT doc_id, true, 6, '/docs/', starts_with(path, '/docs/')
+      FROM g WHERE h % 3 = 0
+      UNION ALL
+      SELECT doc_id, false, 1, '/', true FROM g WHERE h % 2 = 0
+      UNION ALL
+      SELECT doc_id, true, 9, '/docs/*/$',
+             starts_with(path, '/docs/') AND ends_with(path, '/')
+               AND length(path) >= 7
+      FROM g WHERE h % 13 = 0
+      UNION ALL
+      SELECT doc_id, false, 9, '/docs/*7$',
+             starts_with(path, '/docs/') AND ends_with(path, '7')
+               AND length(path) >= 7
+      FROM g WHERE h % 9 = 0),
+    win AS (
+      SELECT doc_id, allow, pat,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY len DESC, allow DESC) AS rn
+      FROM cand WHERE matched)
+    SELECT doc_id, d.path,
+      CASE WHEN d.h % 11 = 0 THEN true ELSE coalesce(w.allow, true) END
+        AS allowed,
+      CASE WHEN d.h % 11 = 0 THEN '/' ELSE coalesce(w.pat, '') END AS rule
+    FROM d LEFT JOIN (SELECT * FROM win WHERE rn = 1) w USING (doc_id)"""
 
   /** The q177 projection over any (doc_id, source) relation: fixture
     * robots parsed through the group-walk fold, fixture path verdicted
@@ -195,5 +285,5 @@ object Robots {
       "q177_robots_rules",
       (s, d) => robotsVerdictRows(documents(s, d)),
       Some(ORACLE),
-      "robots.txt evaluation (RFC 9309): group walk (agent-specific over wildcard, comments, empty directives) as one array-domain fold + longest-match prefix verdict with the Allow tie rule, zero exchanges"))
+      "robots.txt evaluation (RFC 9309): group walk (agent-specific over wildcard, comments, empty directives) as one array-domain fold + longest-pattern verdict with *(any-sequence)/$ (end-anchor) wildcard matching and the Allow tie rule, zero exchanges"))
 }

@@ -22,8 +22,12 @@ object RobotsProps extends Properties("robots") {
 
   private val uaGen: Gen[String] =
     Gen.oneOf("*", "graftbot", "GraftBot", "badbot", "otherbot")
-  private val prefixGen: Gen[String] =
-    Gen.oneOf("/a", "/a/b", "/docs/", "/docs/1", "/r/", "/", "/x")
+  private val prefixGen: Gen[String] = Gen.frequency(
+    4 -> Gen.oneOf("/a", "/a/b", "/docs/", "/docs/1", "/r/", "/", "/x"),
+    // RFC 9309 §2.2.3 wildcard patterns over the same path alphabet —
+    // mid-*, leading *, anchored, *-then-anchor, bare *, literal $
+    3 -> Gen.oneOf("/a*", "/*", "/docs/*", "/a/*/c", "/*7$", "/docs/1$",
+      "/a/b$", "*", "/a$", "/*c*", "/docs/*2$"))
   private val pathGen: Gen[String] =
     Gen.oneOf("/a", "/a/bc", "/a/b/c", "/docs/1", "/docs/12", "/r/7",
       "/x", "/zzz", "/")
@@ -83,9 +87,33 @@ object RobotsProps extends Properties("robots") {
     pool.flatMap(_._2)
   }
 
+  /** Independent RFC 9309 §2.2.3 matcher: `*` = any sequence (greedy-
+    * leftmost segment walk), trailing `$` = end anchor, `$` elsewhere
+    * literal. Shares no code with the engine's column fold. */
+  private def refMatch(path: String, pattern: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val pat = if (anchored) pattern.dropRight(1) else pattern
+    val segs = pat.split("\\*", -1)
+    if (!path.startsWith(segs.head)) return false
+    if (segs.length == 1) return if (anchored) path == pat else true
+    var pos = segs.head.length
+    for (k <- 1 until segs.length) {
+      val seg = segs(k)
+      if (seg.isEmpty) () // '**', leading/trailing '*': constrains nothing
+      else if (k == segs.length - 1 && anchored)
+        return path.endsWith(seg) && path.length - seg.length >= pos
+      else {
+        val p = path.indexOf(seg, pos)
+        if (p < 0) return false
+        pos = p + seg.length
+      }
+    }
+    true
+  }
+
   private def refVerdict(path: String,
       rules: List[(Boolean, String)]): (Boolean, String) = {
-    val m = rules.filter(r => path.startsWith(r._2))
+    val m = rules.filter(r => refMatch(path, r._2))
     if (m.isEmpty) (true, "")
     else {
       val maxLen = m.map(_._2.length).max

@@ -46,6 +46,14 @@ class RobotsSpec extends SparkSpec {
       Seq((true, ""), (false, "/private/")))
     // an unrelated agent sees only the wildcard group
     assert(verdicts(robots, "otherbot", "/a") == Seq((false, "/")))
+    // a specific group with ZERO rules still preempts (RFC 9309 §2.2.1:
+    // a matching group means "these are your restrictions" — none)
+    val emptySpec =
+      """User-agent: *
+        |Disallow: /
+        |
+        |User-agent: GraftBot""".stripMargin
+    assert(verdicts(emptySpec, "graftbot", "/a") == Seq((true, "")))
   }
 
   test("consecutive user-agent lines share one group; a UA line after rules starts a new one") {
@@ -70,6 +78,40 @@ class RobotsSpec extends SparkSpec {
         |ALLOW: /a/b""".stripMargin
     assert(verdicts(robots, "anybot", "/a/x", "/a/b/c", "/z") ==
       Seq((false, "/a"), (true, "/a/b"), (true, "")))
+  }
+
+  test("RFC 9309 wildcards: * spans any sequence, trailing $ anchors, elsewhere $ is literal") {
+    val robots =
+      """User-agent: *
+        |Disallow: /a/*/secret
+        |Disallow: /*.pdf$
+        |Allow: /$
+        |Disallow: /e$f""".stripMargin
+    assert(verdicts(robots, "anybot",
+      "/a/x/secret", "/a/x/y/secretz", "/a/secret",
+      "/files/doc.pdf", "/files/doc.pdfx",
+      "/", "/e$f/zz") == Seq(
+      (false, "/a/*/secret"), // * spans one segment
+      (false, "/a/*/secret"), // unanchored pattern tolerates a suffix
+      (true, ""),             // * never matches "backwards" past its cursor
+      (false, "/*.pdf$"),     // anchored extension rule
+      (true, ""),             // $ means END: .pdfx escapes
+      (true, "/$"),           // exact-root Allow (anchor, no star)
+      (false, "/e$f")))       // mid-pattern $ is a literal octet
+  }
+
+  test("longest raw pattern wins across wildcard and literal rules; Allow wins pattern-length ties") {
+    val robots =
+      """User-agent: *
+        |Allow: /docs/
+        |Disallow: /docs/*.js$
+        |Disallow: /p/q
+        |Allow: /p/*""".stripMargin
+    assert(verdicts(robots, "anybot",
+      "/docs/app.js", "/docs/app.jsx", "/p/q") == Seq(
+      (false, "/docs/*.js$"), // 11-char wildcard beats the 6-char Allow
+      (true, "/docs/"),       // anchored rule misses: literal Allow rules
+      (true, "/p/*")))        // literal-vs-wildcard 4-char tie: Allow wins
   }
 
   test("rules before any user-agent line are ignored") {
