@@ -35,6 +35,45 @@ class JsonlSpec extends SparkSpec {
       Seq((0L, "blank"), (1L, "record"), (2L, "blank"), (3L, "blank")))
   }
 
+  test("nested metadata and tag arrays project; absent nesting stays null") {
+    val c = Seq(
+      """{"id": 1, "url": "u", "lang": "en", "text": "x.", """ +
+        """"metadata": {"origin": "srcA", "score": 42}, "tags": ["b3", "en"]}""",
+      """{"id": 2, "url": "u", "lang": "de", "text": "y."}""").mkString("\n")
+    val got = Jsonl.jsonlRecordsRel(
+        Seq((1L, c)).toDF("gid", "container"), col("container"), Seq("gid"))
+      .orderBy("line_no")
+      .select(col("id"), col("origin"), col("score"), col("n_tags"), col("tag0"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        Option(r.getString(4)))).toSeq
+    assert(got == Seq(
+      (1L, Some("srcA"), Some(42L), Some(2L), Some("b3")),
+      // flat-only record: still a record; nested projections null
+      (2L, None, None, None, None)), got)
+  }
+
+  test("gzip-compressed containers parse to identical rows; corrupt gzip is one typed row") {
+    val c = """{"id": 9, "url": "https://z.com/p", "lang": "en", "text": "zz."}"""
+    val plain = c.getBytes("UTF-8")
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(plain); g.close()
+    val gzBytes = bos.toByteArray
+    def parse(b: Array[Byte]) = Jsonl.jsonlBinaryRecordsRel(
+        Seq((1L, b)).toDF("gid", "container"), col("container"), Seq("gid"))
+      .select(col("line_no"), col("kind"), col("id")).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(parse(plain) == parse(gzBytes) &&
+      parse(plain) == Seq((0L, "record", 9L)))
+    val corrupt = gzBytes.clone()
+    corrupt(corrupt.length / 2) = (corrupt(corrupt.length / 2) ^ 0x5a).toByte
+    assert(parse(corrupt) == Seq((-1L, "malformed", -1L)), parse(corrupt))
+  }
+
   test("to_json/from_json round-trips quotes, backslashes and newlines in text") {
     val tricky = "he said \"hi\\there\"\nnew line\ttab"
     val df = Seq((5L, "https://h.com/p", "en", tricky))

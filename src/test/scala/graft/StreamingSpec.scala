@@ -666,11 +666,11 @@ class StreamingSpec extends SparkSpec {
     // parse is the stateless map under test — batch and stream share
     // jsonlRecordsRel verbatim
     import graft.sources.Jsonl
-    val containers = Jsonl.syntheticContainers(
+    val containers = Jsonl.syntheticBinaryContainers(
         spark.read.parquet(s"$SF/documents.parquet"))
-      .as[(Long, String)].collect().sortBy(_._1)
-    val in = MemoryStream[(Long, String)]
-    val q = Jsonl.jsonlRecordsRel(
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = Jsonl.jsonlBinaryRecordsRel(
         in.toDS().toDF("gid", "container"), col("container"), Seq("gid"))
       .writeStream.format("memory").queryName("jsonlstream").outputMode("append").start()
     try {
@@ -678,12 +678,11 @@ class StreamingSpec extends SparkSpec {
       in.addData(b1: _*); q.processAllAvailable()
       in.addData(b2: _*); q.processAllAvailable()
     } finally q.stop()
-    val stream = spark.table("jsonlstream")
-      .as[(Long, Long, String, Option[Long], Option[String], Option[String], Option[Long])]
-      .collect().toSet
+    // 11 columns — past the comfortable tuple-encoder arity; the rows
+    // hold only scalars, so the Row rendering is a faithful set key
+    val stream = spark.table("jsonlstream").collect().map(_.toString).toSet
     val batch = SparkEntry.queries("q179_jsonl_ingest")(spark, SF)
-      .as[(Long, Long, String, Option[Long], Option[String], Option[String], Option[Long])]
-      .collect().toSet
+      .collect().map(_.toString).toSet
     assert(batch.nonEmpty)
     assert(stream == batch,
       s"stream-only: ${(stream -- batch).take(3)}; batch-only: ${(batch -- stream).take(3)}")
