@@ -61,5 +61,6 @@ object SparkEntry {
     * dump dir, so the q67/q86/q79 oracles replay assignment + scoring
     * against the exact codebooks the engine trained. */
   def auxTables: Map[String, (SparkSession, String) => DataFrame] =
-    functions.Similarity.auxDefs ++ functions.Dedup.auxDefs
+    functions.Similarity.auxDefs ++ functions.Dedup.auxDefs ++
+      functions.Normalize.auxDefs
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -14,11 +14,18 @@ import graft.functions.expressions.UnicodeNormalize
   *
   * The operator is [[expressions.UnicodeNormalize]], a native Catalyst
   * expression (Spark has no built-in; a UDF would box every row out of
-  * Tungsten): NFC for the registered query because that's the
-  * WHATWG/W3C interchange form AND DuckDB ships `nfc_normalize`, so
-  * the oracle replays the exact transform; NFKC (the compatibility
-  * fold tokenizer pipelines prefer — ligatures, fullwidth forms) is
-  * spec-pinned since DuckDB has no NFKC.
+  * Tungsten): NFC for q174 because that's the WHATWG/W3C interchange
+  * form AND DuckDB ships `nfc_normalize`, so the oracle replays the
+  * exact transform; NFKC (the compatibility fold tokenizer pipelines
+  * prefer — ligatures, fullwidth forms, enclosed/super/sub characters)
+  * is oracle-checked since r18 via DUMP-AND-REPLAY (the q67/q86
+  * codebook convention): DuckDB has no NFKC, so the engine dumps the
+  * per-variant normalization of the planted compatibility sequences as
+  * an aux table and the q184 oracle REBUILDS each row's expected
+  * output by composition from that dump — pinning that the
+  * distributed per-row application equals the independently-dumped
+  * per-variant artifact (whose absolute values NormalizeSpec pins
+  * against hand-written expectations).
   *
   * 100 TB shape: pure per-row map, zero exchanges, with an ASCII
   * fast path that skips all allocation on the dominant byte class.
@@ -52,7 +59,78 @@ object Normalize {
   def foldAccents(c: Column): Column =
     regexp_replace(unicodeNormalize(c, "NFD"), "\\p{M}", "")
 
+  /** The planted NFKC-relevant variants, each space-led so composition
+    * cannot interact across boundaries (NFKC of the concatenation ==
+    * concatenation of the NFKCs — the property the oracle's replay
+    * composition relies on; the one combining-mark variant sits LAST in
+    * the fixture so nothing follows it). vid order is the fixture's
+    * plant order. */
+  private[graft] val NFKC_VARIANTS: Seq[(Int, String)] = Seq(
+    0 -> " ﬁnance №",        // fi-ligature, numero sign
+    1 -> " Ｆｕｌｌ",  // fullwidth F u l l
+    2 -> " x²½",             // superscript two, vulgar half
+    3 -> " ℕ①",              // double-struck N, circled one
+    4 -> " café")                // combining acute (canonical part)
+
+  /** Oracle-support dump for q184: the ENGINE's NFKC of each planted
+    * variant — a five-row codebook the replay composes from. Absolute
+    * correctness of the values is NormalizeSpec's hand-pinned job;
+    * the registered query pins the distributed application. */
+  def auxDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "aux_nfkc_variants" -> ((s, _) => {
+      import s.implicits._
+      NFKC_VARIANTS.toDF("vid", "raw")
+        .select(col("vid"), col("raw"),
+          unicodeNormalize(col("raw"), "NFKC").as("nfkc"))
+    }))
+
+  /** The q184 fixture: ASCII doc identity (source, doc_id — NFKC
+    * identity by construction) + residue-planted compatibility
+    * variants. */
+  private[graft] def nfkcText(docId: Column, source: Column): Column =
+    concat(source, lit(" "), docId.cast("string"),
+      lit(NFKC_VARIANTS(0)._2),
+      when(docId % 2 === 0, lit(NFKC_VARIANTS(1)._2)).otherwise(lit("")),
+      when(docId % 3 === 0, lit(NFKC_VARIANTS(2)._2)).otherwise(lit("")),
+      when(docId % 5 === 0, lit(NFKC_VARIANTS(3)._2)).otherwise(lit("")),
+      when(docId % 7 === 0, lit(NFKC_VARIANTS(4)._2)).otherwise(lit("")))
+
+  private def nfkcOracleConcat(field: String): String =
+    s"""source || ' ' || CAST(doc_id AS VARCHAR) ||
+       (SELECT $field FROM v WHERE vid = 0) ||
+       (CASE WHEN doc_id % 2 = 0 THEN (SELECT $field FROM v WHERE vid = 1) ELSE '' END) ||
+       (CASE WHEN doc_id % 3 = 0 THEN (SELECT $field FROM v WHERE vid = 2) ELSE '' END) ||
+       (CASE WHEN doc_id % 5 = 0 THEN (SELECT $field FROM v WHERE vid = 3) ELSE '' END) ||
+       (CASE WHEN doc_id % 7 = 0 THEN (SELECT $field FROM v WHERE vid = 4) ELSE '' END)"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q184_nfkc_normalize",
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"),
+            nfkcText(col("doc_id"), col("source")).as("__t"))
+          .select(col("doc_id"), col("__t"),
+            unicodeNormalize(col("__t"), "NFKC").as("nfkc_text"))
+          .select(col("doc_id"), col("nfkc_text"),
+            (col("__t") =!= col("nfkc_text")).cast("long").as("changed"),
+            length(col("__t")).cast("long").as("len_pre"),
+            length(col("nfkc_text")).cast("long").as("len_post")),
+      Some(s"""
+        WITH v AS (
+          SELECT * FROM read_parquet('${Similarity.AUXDIR}/aux_nfkc_variants/*.parquet')),
+        e AS (
+          SELECT doc_id,
+                 ${nfkcOracleConcat("raw")} AS raw_t,
+                 ${nfkcOracleConcat("nfkc")} AS want
+          FROM documents)
+        SELECT doc_id, want AS nfkc_text,
+               (CASE WHEN want <> raw_t THEN 1 ELSE 0 END)::BIGINT AS changed,
+               length(raw_t)::BIGINT AS len_pre,
+               length(want)::BIGINT AS len_post
+        FROM e"""),
+      "Unicode NFKC compatibility fold, oracle-checked by dump-and-replay: the engine dumps its per-variant normalization codebook and the oracle rebuilds every row's expected output by composition from it — full-text hash compare over ligature/fullwidth/super-sub/enclosed/combining plants"),
+
     QueryDef(
       "q180_accent_fold",
       (s, d) =>

@@ -118,6 +118,7 @@ object ScaleBench {
     "q178_host_rank",          // q173 rollup + tiny-relation pinned rank rounds
     "q179_jsonl_ingest",       // line split + from_json projection, map past fixture
     "q183_warc_binary",        // byte-domain WARC walk + gzip members, one cursor pass
+    "q184_nfkc_normalize",     // NFKC fold through the native expression, pure map
     "q180_accent_fold",        // NFD + mark strip through the native expression
     "q181_extract_admission",  // parse -> extract -> doc-shape gate, zero exchanges
     "q182_html_meta")          // head-metadata regex extracts + SURT key, pure map

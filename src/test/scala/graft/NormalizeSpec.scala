@@ -9,8 +9,9 @@ import graft.functions.Normalize
 import graft.functions.expressions.UnicodeNormalize
 
 /** Semantics of the native Unicode-normalization expression: NFC on the
-  * planted classes (the registered query's transform), NFKC's
-  * compatibility folds (not oracle-reachable — DuckDB has no NFKC),
+  * planted classes (the q174 transform), NFKC's compatibility folds
+  * (oracle-reached via the q184 dump-and-replay codebook, whose
+  * ABSOLUTE values are hand-pinned here — DuckDB has no NFKC),
   * the identity fast paths, and codegen/interpreted agreement. */
 class NormalizeSpec extends SparkSpec {
   import spark.implicits._
@@ -65,6 +66,28 @@ class NormalizeSpec extends SparkSpec {
       .toDF("s").select(Normalize.unicodeNormalize(col("s")).as("n"))
       .collect().map(r => Option(r.getString(0))).toSeq
     assert(nulls == Seq(None, Some("\u00e9")), nulls)
+  }
+
+  test("the q184 NFKC variant codebook matches hand-written expectations") {
+    // the dump-and-replay oracle proves distributed application ==
+    // codebook; THIS pin is the codebook's absolute truth (Unicode 15
+    // compatibility decompositions + canonical composition)
+    val got = Normalize.auxDefs("aux_nfkc_variants")(spark, "")
+      .collect().map(r => r.getInt(0) -> r.getString(2)).toMap
+    assert(got == Map(
+      0 -> " finance No",     // fi-ligature unfolds; numero -> "No"
+      1 -> " Full",           // fullwidth letters fold
+      2 -> " x21⁄2",     // superscript 2 -> 2; half -> 1<fraction slash>2
+      3 -> " N1",             // double-struck N -> N; circled one -> 1
+      4 -> " café")      // combining acute composes to precomposed
+      , got.toString)
+    // and the composition-safety property the oracle replay relies on:
+    // NFKC over the concatenated fixture == concatenation of the
+    // dumped per-variant NFKCs (space-led variants, no cross-boundary
+    // composition)
+    val allRaw = graft.functions.Normalize.NFKC_VARIANTS.map(_._2).mkString
+    val allNfkc = (0 to 4).map(got).mkString
+    assert(Normalizer.normalize(allRaw, Normalizer.Form.NFKC) == allNfkc)
   }
 
   test("unknown form and non-string input are rejected") {
