@@ -661,6 +661,42 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${(stream -- batch).take(3)}; batch-only: ${(batch -- stream).take(3)}")
   }
 
+  test("streaming binary WARC container parse matches batch q183 exactly") {
+    // whole-file binary containers arrive as rows (the binaryFile
+    // tailer's unit of work); the byte-cursor walk is the stateless
+    // map under test — batch and stream share warcBinaryRecordsRel
+    // (and the WarcRecords expression under it) verbatim
+    import graft.sources.Warc
+    val containers = Warc.syntheticBinaryContainers(
+        spark.read.parquet(s"$SF/documents.parquet"))
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    val in = MemoryStream[(Long, Array[Byte])]
+    val rel = Warc.warcBinaryRecordsRel(
+        in.toDS().toDF("gid", "container"), col("container"), 6, Seq("gid"))
+      .select(col("gid"), col("leftover_bytes"),
+        posexplode_outer(col("records")).as(Seq("rec_idx", "r")))
+      .select(col("gid"), col("rec_idx").cast("long").as("rec_idx"),
+        col("r.typ"), col("r.rid"), col("r.uri"), col("r.clen"),
+        length(col("r.payload")).cast("long").as("payload_octets"),
+        col("r.gzipped"), col("leftover_bytes"))
+    val q = rel.writeStream.format("memory").queryName("warcstream")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = containers.splitAt(containers.length / 2)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("warcstream").collect().map(_.toString).toSet
+    val batch = SparkEntry.queries("q183_warc_binary")(spark, SF)
+      .select(col("gid"), col("rec_idx"), col("warc_type"), col("record_id"),
+        col("target_uri"), col("content_length"), col("payload_octets"),
+        col("gzipped"), col("leftover_bytes"))
+      .collect().map(_.toString).toSet
+    assert(batch.nonEmpty)
+    assert(stream == batch,
+      s"stream-only: ${(stream -- batch).take(3)}; batch-only: ${(batch -- stream).take(3)}")
+  }
+
   test("streaming JSONL container parse matches batch q179 exactly") {
     // containers arrive as rows (a file tailer's unit of work); the
     // parse is the stateless map under test — batch and stream share
