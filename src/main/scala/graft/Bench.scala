@@ -63,9 +63,12 @@ object Bench {
     // the pass vectors alone could prove the dispute but not adjudicate
     // it — the contention evidence now rides in the artifact per pass
     val legLoadPasses = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
-    // prior round's five-pass band best MB/s per leg (BAND_r17.json) —
-    // the rerun rule's reference point, updated each round at close-out
-    val priorBandBestMBs = Map("150m" -> 45.4, "1g" -> 55.5)
+    // prior round's five-pass band best MB/s per leg (BAND_r18.json) —
+    // the rerun rule's reference point, updated each round at close-out.
+    // The 1 GB best is a warm-cache high reading; if it buys an extra
+    // pass on a merely-average day, that pass costs ~10-30 s and
+    // arrives with its own loadavg evidence
+    val priorBandBestMBs = Map("150m" -> 57.1, "1g" -> 182.9)
     def gedcomLeg(label: String, path: String, targetBytes: Long): Option[Double] =
       try {
         val f = new java.io.File(path)
