@@ -38,6 +38,7 @@ object SparkEntry {
       sources.Layout.defs ++
       sources.Warc.defs ++
       sources.Jsonl.defs ++
+      sources.Sitemap.defs ++
       gedcom.GedcomQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

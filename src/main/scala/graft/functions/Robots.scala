@@ -215,7 +215,42 @@ object Robots {
     * and the winner is the longest matched pattern with
     * Allow taking length ties; the GraftBot group (hostNum % 11 == 0)
     * preempts the pool per the RFC. */
-  private val ORACLE = """
+  /** The planted-rule replay as CTE fragments shared by the q177 and
+    * q185/q186 oracles: expects an upstream CTE `g(<keys>, h, path,
+    * gs)` (gs = the group-dir digit as VARCHAR) and emits `cand` plus
+    * `win` (rn = 1 row per key when any rule matched). Join `win` back
+    * on the keys and apply the hostNum % 11 GraftBot override. */
+  private[graft] def rulesReplaySql(keys: String): String = s"""cand AS (
+      SELECT $keys, false AS allow, 6 + length(gs) AS len,
+             '/docs/' || gs AS pat,
+             starts_with(path, '/docs/' || gs) AS matched FROM g
+      UNION ALL
+      SELECT $keys, true, 6 + length(gs), '/docs/' || gs,
+             starts_with(path, '/docs/' || gs) FROM g WHERE h % 5 = 0
+      UNION ALL
+      SELECT $keys, false, 3, '/r/', starts_with(path, '/r/') FROM g
+      UNION ALL
+      SELECT $keys, true, 6, '/docs/', starts_with(path, '/docs/')
+      FROM g WHERE h % 3 = 0
+      UNION ALL
+      SELECT $keys, false, 1, '/', true FROM g WHERE h % 2 = 0
+      UNION ALL
+      SELECT $keys, true, 9, '/docs/*/$$',
+             starts_with(path, '/docs/') AND ends_with(path, '/')
+               AND length(path) >= 7
+      FROM g WHERE h % 13 = 0
+      UNION ALL
+      SELECT $keys, false, 9, '/docs/*7$$',
+             starts_with(path, '/docs/') AND ends_with(path, '7')
+               AND length(path) >= 7
+      FROM g WHERE h % 9 = 0),
+    win AS (
+      SELECT $keys, allow, pat,
+             row_number() OVER (PARTITION BY $keys
+               ORDER BY len DESC, allow DESC) AS rn
+      FROM cand WHERE matched)"""
+
+  private val ORACLE = s"""
     WITH d AS (
       SELECT doc_id,
              CAST(substr(source, 4) AS BIGINT) AS h,
@@ -223,35 +258,7 @@ object Robots {
              (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) AS path
       FROM documents),
     g AS (SELECT doc_id, h, path, CAST(h % 7 AS VARCHAR) AS gs FROM d),
-    cand AS (
-      SELECT doc_id, false AS allow, 6 + length(gs) AS len,
-             '/docs/' || gs AS pat,
-             starts_with(path, '/docs/' || gs) AS matched FROM g
-      UNION ALL
-      SELECT doc_id, true, 6 + length(gs), '/docs/' || gs,
-             starts_with(path, '/docs/' || gs) FROM g WHERE h % 5 = 0
-      UNION ALL
-      SELECT doc_id, false, 3, '/r/', starts_with(path, '/r/') FROM g
-      UNION ALL
-      SELECT doc_id, true, 6, '/docs/', starts_with(path, '/docs/')
-      FROM g WHERE h % 3 = 0
-      UNION ALL
-      SELECT doc_id, false, 1, '/', true FROM g WHERE h % 2 = 0
-      UNION ALL
-      SELECT doc_id, true, 9, '/docs/*/$',
-             starts_with(path, '/docs/') AND ends_with(path, '/')
-               AND length(path) >= 7
-      FROM g WHERE h % 13 = 0
-      UNION ALL
-      SELECT doc_id, false, 9, '/docs/*7$',
-             starts_with(path, '/docs/') AND ends_with(path, '7')
-               AND length(path) >= 7
-      FROM g WHERE h % 9 = 0),
-    win AS (
-      SELECT doc_id, allow, pat,
-             row_number() OVER (PARTITION BY doc_id
-               ORDER BY len DESC, allow DESC) AS rn
-      FROM cand WHERE matched)
+    ${rulesReplaySql("doc_id")}
     SELECT doc_id, d.path,
       CASE WHEN d.h % 11 = 0 THEN true ELSE coalesce(w.allow, true) END
         AS allowed,

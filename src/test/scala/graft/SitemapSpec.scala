@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sitemap
+
+/** Parse and scheduling semantics of the sitemap/frontier rungs:
+  * comment stripping, positional ordinals, entity decode (non-cascade),
+  * optional-tag nulls, path derivation, robots composition, and the
+  * politeness window's ordering contract. */
+class SitemapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ROBOTS = "User-agent: *\nDisallow: /private/\nAllow: /\n"
+
+  private def entries(xml: String, robots: String = ROBOTS)
+      : Seq[(Long, String, Option[String], Option[String], String, String, Boolean)] =
+    Sitemap.sitemapAdmissionRel(
+        Seq((xml, robots)).toDF("xml", "robots"),
+        col("xml"), col("robots"), "graftbot", keys = Nil)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)),
+        r.getString(4), r.getString(5), r.getBoolean(6))).toSeq
+      .sortBy(_._1)
+
+  test("url blocks walk positionally; commented-out blocks never surface") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<!-- header note -->
+        |<!--<url><loc>https://decoy.example/x</loc></url>-->
+        |<urlset>
+        |  <url><loc>https://a.example.com/one</loc></url>
+        |  <url><loc>https://a.example.com/two</loc></url>
+        |</urlset>""".stripMargin
+    val got = entries(xml)
+    assert(got.map(e => (e._1, e._2)) == Seq(
+      (0L, "https://a.example.com/one"), (1L, "https://a.example.com/two")), got)
+    assert(got.forall(_._7), got) // nothing under /private/
+  }
+
+  test("loc entity decode: &amp; round-trips; escaped escapes never cascade") {
+    val xml =
+      """<url><loc>https://h.example.com/p?a=1&amp;b=2</loc></url>
+        |<url><loc>https://h.example.com/q?x=&amp;lt;tag&amp;gt;</loc></url>""".stripMargin
+    val got = entries(xml)
+    assert(got(0)._2 == "https://h.example.com/p?a=1&b=2", got(0))
+    // "&amp;lt;" is an ESCAPED "&lt;" — one decode, not two
+    assert(got(1)._2 == "https://h.example.com/q?x=&lt;tag&gt;", got(1))
+  }
+
+  test("optional lastmod/priority stay null; whitespace around values trims") {
+    val xml =
+      """<url>
+        |  <loc>  https://h.example.com/a  </loc>
+        |  <lastmod> 2026-02-03 </lastmod>
+        |  <priority>0.8</priority>
+        |</url>
+        |<url><loc>https://h.example.com/b</loc></url>""".stripMargin
+    val got = entries(xml)
+    assert(got(0)._2 == "https://h.example.com/a")
+    assert(got(0)._3 == Some("2026-02-03") && got(0)._4 == Some("0.8"), got(0))
+    assert(got(1)._3 == None && got(1)._4 == None, got(1))
+  }
+
+  test("path re-derives through the scheme/authority strip; robots verdict applies per entry") {
+    val xml =
+      """<url><loc>HTTPS://WWW.H.Example.com/private/x?q=1</loc></url>
+        |<url><loc>https://h.example.com/open/y#frag</loc></url>
+        |<url><loc>https://h.example.com</loc></url>""".stripMargin
+    val got = entries(xml)
+    assert(got.map(e => (e._5, e._6, e._7)) == Seq(
+      ("h.example.com", "/private/x", false), // case/www/query strip; refused
+      ("h.example.com", "/open/y", true),     // fragment cut
+      ("h.example.com", "/", true)), got)     // authority-only loc = root
+  }
+
+  test("frontier schedule: priority desc nulls last, ord ties, delay spacing per host") {
+    val cands = Seq(
+      ("h1", 0L, "u0", null.asInstanceOf[String]),
+      ("h1", 1L, "u1", "0.9"),
+      ("h1", 2L, "u2", "0.9"),
+      ("h1", 3L, "u3", "0.2"),
+      ("h2", 0L, "v0", null.asInstanceOf[String]))
+      .toDF("host", "ord", "loc", "priority")
+    val config = Seq(("h1", 2000L), ("h2", 5000L)).toDF("host", "delay_ms")
+    val got = Sitemap.frontierSchedule(cands, config)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(4))).toSeq.sortBy(t => (t._1, t._2))
+    assert(got == Seq(
+      ("h1", 0L, "u1", 0L),     // 0.9, ord 1 before ord 2
+      ("h1", 1L, "u2", 2000L),
+      ("h1", 2L, "u3", 4000L),
+      ("h1", 3L, "u0", 6000L),  // null priority LAST
+      ("h2", 0L, "v0", 0L)), got)
+  }
+
+  test("fixture sitemaps: one per host, entries in doc order, robots attached") {
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    val sm = Sitemap.syntheticSitemaps(docs)
+    assert(sm.count() == docs.select("source").distinct().count())
+    val row = sm.orderBy("source").select("xml", "robots").head
+    assert(row.getString(0).contains("<urlset") &&
+      row.getString(0).contains("&amp;"), row.getString(0).take(200))
+    assert(row.getString(1).contains("User-agent: *"))
+  }
+}
