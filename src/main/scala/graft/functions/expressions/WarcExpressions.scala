@@ -33,8 +33,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *     error, never silently dropped);
   *   - the same typed error taxonomy as before (`bad_magic`,
   *     `truncated_header`, `no_length`, `truncated_payload`, plus
-  *     `bad_gzip`/`gzip_residue`) with a halt — a reader cannot resync
-  *     safely without a trustworthy length.
+  *     `bad_gzip`/`gzip_residue`/`gzip_too_large`) with a halt — a
+  *     reader cannot resync safely without a trustworthy length.
   *
   * One cursor pass per container, zero per-step re-materialization.
   * `CodegenFallback` is deliberate: the body is a per-row parser over
@@ -48,9 +48,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * fixture column) parses independently — embarrassingly parallel,
   * zero exchanges.
   */
-case class WarcRecords(child: Expression, maxRecords: Int)
+case class WarcRecords(child: Expression, maxRecords: Int,
+    maxInflate: Long = WarcRecords.MAX_INFLATE)
     extends UnaryExpression with CodegenFallback {
   require(maxRecords > 0, "maxRecords must be positive")
+  require(maxInflate > 0, "maxInflate must be positive")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -61,7 +63,7 @@ case class WarcRecords(child: Expression, maxRecords: Int)
   override def prettyName: String = "warc_records"
 
   override def nullSafeEval(input: Any): Any =
-    WarcRecords.parse(input.asInstanceOf[Array[Byte]], maxRecords)
+    WarcRecords.parse(input.asInstanceOf[Array[Byte]], maxRecords, maxInflate)
 
   override protected def withNewChildInternal(newChild: Expression): WarcRecords =
     copy(child = newChild)
@@ -82,13 +84,27 @@ object WarcRecords {
     StructField("records", ArrayType(REC_TYPE, containsNull = false)),
     StructField("leftover_bytes", LongType)))
 
+  /** Inflated-output bound per gzip member (and for [[GunzipBytes]]'s
+    * whole-stream inflate): 256 MiB — far above any sane WARC record,
+    * far below executor memory, so a crafted ~1000:1 deflate bomb
+    * degrades to the typed `gzip_too_large` error instead of an OOM. */
+  val MAX_INFLATE: Long = 256L << 20
+
   // header-field patterns — identical semantics to the string walk's
   // regexp_extract calls (case-insensitive names, single-token values,
   // tolerated trailing CR under (?m))
   private val TYPE_RE = Pattern.compile("(?mi)^WARC-Type:[ \\t]*(\\S+)[ \\t]*\\r?$")
   private val RID_RE = Pattern.compile("(?mi)^WARC-Record-ID:[ \\t]*(\\S+)[ \\t]*\\r?$")
   private val URI_RE = Pattern.compile("(?mi)^WARC-Target-URI:[ \\t]*(\\S+)[ \\t]*\\r?$")
-  private val CLEN_RE = Pattern.compile("(?mi)^Content-Length:[ \\t]*([0-9]{1,9})[ \\t]*\\r?$")
+  // Content-Length digits capped at 18 so the Long parse can never
+  // overflow — that admits every spec-plausible length (a 10^18-octet
+  // record does not exist; >= 19 digits stays a header-parse error,
+  // `no_length`). A valid in-range length larger than the container's
+  // remaining bytes (including anything past 2 GiB, since a container
+  // row is an Int-indexed array) reports as `truncated_payload` via the
+  // avail check below — the r18 9-digit cap misfiled >= 1 GB lengths
+  // as `no_length` (advisor-found).
+  private val CLEN_RE = Pattern.compile("(?mi)^Content-Length:[ \\t]*([0-9]{1,18})[ \\t]*\\r?$")
 
   private def field(re: Pattern, hdr: String): String = {
     val m = re.matcher(hdr)
@@ -200,7 +216,8 @@ object WarcRecords {
   /** Inflate ONE RFC 1952 member at `pos` and parse the record inside
     * it. Returns the step whose `consumed` covers the member's exact
     * compressed length (header + deflate stream + 8-byte trailer). */
-  private def parseGzipMember(bytes: Array[Byte], pos: Int): Step = {
+  private def parseGzipMember(bytes: Array[Byte], pos: Int,
+      maxInflate: Long): Step = {
     def bad = Step(errRec(null, null, null, null, null, true, "bad_gzip"), -1)
     val len = bytes.length
     if (pos + 10 > len || bytes(pos + 2) != 8) return bad
@@ -223,7 +240,17 @@ object WarcRecords {
         val buf = new Array[Byte](1 << 13)
         while (!inf.finished()) {
           val n = inf.inflate(buf)
-          if (n > 0) out.write(buf, 0, n)
+          if (n > 0) {
+            // deflate's max ratio is ~1032:1, so a few-KB crafted member
+            // can claim gigabytes — bound the expansion so one
+            // adversarial container degrades to a typed error instead of
+            // OOMing the executor (the 'malformed input degrades, never
+            // a job failure' contract; advisor-found r18)
+            if (out.size().toLong + n > maxInflate)
+              return Step(errRec(null, null, null, null, null, true,
+                "gzip_too_large"), -1)
+            out.write(buf, 0, n)
+          }
           else if (inf.needsInput()) return bad // truncated deflate stream
         }
         val deflateLen = (len - p) - inf.getRemaining
@@ -264,7 +291,8 @@ object WarcRecords {
     * the unparsed byte count past the bound. Error records halt the
     * walk with leftover 0 (the string walk's `next = ""` contract);
     * whitespace-only residue is exhaustion, not a phantom record. */
-  def parse(bytes: Array[Byte], maxRecords: Int): InternalRow = {
+  def parse(bytes: Array[Byte], maxRecords: Int,
+      maxInflate: Long = MAX_INFLATE): InternalRow = {
     val recs = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     var pos = 0
     var halted = false
@@ -273,7 +301,7 @@ object WarcRecords {
       val step =
         if (pos + 1 < bytes.length && bytes(pos) == 0x1f.toByte &&
           bytes(pos + 1) == 0x8b.toByte) {
-          val s = parseGzipMember(bytes, pos)
+          val s = parseGzipMember(bytes, pos, maxInflate)
           // after a member, tolerate stray separator CRLFs before the
           // next record (same tolerance as the plain path)
           if (s.consumed > 0) s.copy(consumed =
@@ -320,7 +348,12 @@ case class GzipCompress(child: Expression)
   * `.jsonl.gz` container shape) to its decompressed bytes; NULL on a
   * corrupt stream so a broken container degrades to typed per-container
   * accounting instead of failing the job. Pass-through for input that
-  * does not start with the gzip magic (mixed-compression corpora). */
+  * does not start with the gzip magic (mixed-compression corpora).
+  * Output is bounded at [[WarcRecords.MAX_INFLATE]] — a crafted
+  * ~1000:1 deflate bomb degrades to NULL (the same typed-degrade path
+  * as corruption) instead of OOMing the executor (advisor-found r18;
+  * the unbounded `readAllBytes` would buffer whatever the stream
+  * claims). */
 case class GunzipBytes(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -339,7 +372,17 @@ case class GunzipBytes(child: Expression)
       try {
         val in = new java.util.zip.GZIPInputStream(
           new java.io.ByteArrayInputStream(bytes))
-        try in.readAllBytes() finally in.close()
+        try {
+          val out = new java.io.ByteArrayOutputStream(1 << 12)
+          val buf = new Array[Byte](1 << 13)
+          var n = in.read(buf)
+          while (n >= 0) {
+            if (out.size().toLong + n > WarcRecords.MAX_INFLATE) return null
+            out.write(buf, 0, n)
+            n = in.read(buf)
+          }
+          out.toByteArray
+        } finally in.close()
       } catch { case _: java.io.IOException => null }
   }
   override protected def withNewChildInternal(newChild: Expression): GunzipBytes =

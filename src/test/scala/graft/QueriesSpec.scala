@@ -52,6 +52,29 @@ class QueriesSpec extends SparkSpec {
     assert(broken.contains("\"gedcom_mb_per_s\":null"), broken)
   }
 
+  test("leg rerun reference reads the LATEST band file; absent files disable the rule") {
+    val dir = java.nio.file.Files.createTempDirectory("bandref").toFile
+    // empty dir: rule disabled, never a crash
+    assert(Bench.priorBandBests(dir.getPath).isEmpty)
+    def write(name: String, text: String): Unit =
+      java.nio.file.Files.writeString(new java.io.File(dir, name).toPath, text)
+    write("BAND_r17.json",
+      """{"gedcom_legs":{"gedcom_150m":{"best_mb_per_s": 99.9},
+        |"gedcom_1g":{"best_mb_per_s": 199.9}}}""".stripMargin)
+    write("BAND_r18.json",
+      """{"gedcom_legs":{
+        |"gedcom_150m":{"mbs_passes_per_bench_pass":[[19.8,51.2]],
+        |  "best_mb_per_s": 51.2},
+        |"gedcom_1g":{"best_mb_per_s": 101.4}}}""".stripMargin)
+    // r18 wins over r17 (latest round), and each leg reads ITS block's
+    // best even with other numeric fields in between
+    assert(Bench.priorBandBests(dir.getPath) ==
+      Map("150m" -> 51.2, "1g" -> 101.4))
+    // a malformed latest file degrades to the disabled rule, not a crash
+    write("BAND_r19.json", "{ not json at all")
+    assert(Bench.priorBandBests(dir.getPath).isEmpty)
+  }
+
   test("bench JSON carries loadavg and fits the driver's 2 KB stdout tail") {
     val ok = Bench.renderJson(Seq("a" -> 1.5), "sf")
     assert(ok.contains("\"loadavg\":"), ok)

@@ -181,6 +181,41 @@ class WarcSpec extends SparkSpec {
     assert(recs(1)._3 == "zipped pagé №")
   }
 
+  test("spec-valid huge Content-Length is truncated_payload, not a header error") {
+    // r18's 9-digit CLEN cap misfiled >= 1 GB lengths as `no_length`
+    // (advisor-found): the header is well-formed, the payload just
+    // isn't there — that's the truncation taxonomy entry
+    val big = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 1073741824\r\n\r\nshort"
+    val (r1, _) = parseBin(big.getBytes("UTF-8"))
+    assert(r1.size == 1 && !r1.head._5 && r1.head._6 == "truncated_payload", r1)
+    assert(r1.head._2 == Some(1073741824L), r1)
+    // >= 19 digits cannot be a real length and stays a header-parse error
+    val absurd = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 1234567890123456789012\r\n\r\nx"
+    val (r2, _) = parseBin(absurd.getBytes("UTF-8"))
+    assert(r2.size == 1 && r2.head._6 == "no_length", r2)
+  }
+
+  test("a gzip member inflating past the bound is typed gzip_too_large, not an OOM") {
+    import org.apache.spark.sql.GraftSqlBridge
+    import graft.functions.expressions.WarcRecords
+    // ~16 KB of zeros compresses to a few dozen bytes; a 1 KiB inflate
+    // bound must reject it through the typed-degrade path (the
+    // production bound is 256 MiB — the mechanism is what's pinned)
+    val bomb = gzipJdk(recordBytes("response", "z" * 16384))
+    val df = Seq(Tuple1(bomb)).toDF("c")
+      .select(GraftSqlBridge.column(WarcRecords(
+        GraftSqlBridge.expression(col("c")), 6, maxInflate = 1024L)).as("w"))
+    val row = df.select(col("w.records"), col("w.leftover_bytes")).head
+    val recs = row.getSeq[Row](0)
+    assert(recs.size == 1 && !recs.head.getAs[Boolean]("ok"), recs)
+    assert(recs.head.getAs[String]("err") == "gzip_too_large", recs)
+    // under the production default the same member parses fine
+    val (ok, _) = parseBin(bomb)
+    assert(ok.size == 1 && ok.head._5 && ok.head._4, ok)
+  }
+
   test("corrupt gzip member is a typed halt; two records in one member is gzip_residue") {
     val good = gzipJdk(recordBytes("response", "fine"))
     val corrupt = good.clone()
