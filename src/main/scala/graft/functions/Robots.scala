@@ -21,8 +21,14 @@ import graft.{QueryDef, Tables}
   * User-agent lines followed by rules; if any group names the crawling
   * agent specifically, ONLY those groups apply, else the `*` groups;
   * comments (`#`) and blank lines per spec; an empty `Disallow:` is
-  * no-restriction. Percent-encoding equivalence (§2.2.2) stays out of
-  * scope: paths are compared octet-for-octet as given.
+  * no-restriction. Percent-encoding equivalence (§2.2.2, r19): rule
+  * patterns and paths normalize to a common octet form before
+  * matching — `%XX` of an UNRESERVED octet decodes, any other valid
+  * `%XX` uppercases its hex, raw non-ASCII characters percent-encode
+  * their UTF-8 octets — so `Disallow: /caf%C3%A9` governs the path
+  * `/café` and vice versa. `%2F` never conflates with a literal `/`
+  * (0x2F is reserved, so neither side ever crosses the form). Rule
+  * precedence stays measured on the RAW pattern.
   *
   * 100 TB shape: the parse is one array-domain fold per robots
   * document (zero exchanges); the verdict is a per-URL map against the
@@ -102,6 +108,38 @@ object Robots {
     folded
   }
 
+  /** RFC 9309 §2.2.2 comparison form of a path or rule pattern: a
+    * valid `%XX` triple decodes when XX is an UNRESERVED octet (RFC
+    * 3986 §2.3: ALPHA / DIGIT / `-` `.` `_` `~`) and uppercases its
+    * hex otherwise (`%2f` → `%2F` — 0x2F is reserved, so an encoded
+    * slash never becomes a path-structure slash); a raw non-ASCII
+    * character percent-encodes its UTF-8 octets in uppercase hex; raw
+    * ASCII (including the `*`/`$` metacharacters and a `%` not
+    * followed by two hex digits) passes through. Both sides of every
+    * match normalize through this, so mixed-encoding robots files
+    * govern decoded paths and vice versa. One token walk per string
+    * (the htmlInnerText stitch discipline), behind an instr/octet
+    * guard so the all-ASCII-no-escape common case stays a no-op. */
+  private[graft] def pctNormalize(c: Column): Column = {
+    val toks = regexp_extract_all(c, lit("(?s)%[0-9A-Fa-f]{2}|."), lit(0))
+    val norm = array_join(transform(toks, t => {
+      val isPct = length(t) === 3
+      val cp = conv(substring(t, 2, 2), 16, 10).cast("int")
+      val unreserved = (cp >= 0x30 && cp <= 0x39) ||
+        (cp >= 0x41 && cp <= 0x5A) || (cp >= 0x61 && cp <= 0x7A) ||
+        cp.isin(0x2D, 0x2E, 0x5F, 0x7E)
+      val rawMultibyte = octet_length(t) > 1
+      when(isPct, when(unreserved, chr(cp.cast("long"))).otherwise(upper(t)))
+        .when(rawMultibyte,
+          regexp_replace(hex(encode(t, "UTF-8")), "(..)", "%$1"))
+        .otherwise(t)
+    }), "")
+    // guard: normalization can only matter when the string carries a
+    // '%' or a non-ASCII character (octet count > char count)
+    when(instr(c, "%") === 0 && octet_length(c) === length(c), c)
+      .otherwise(norm)
+  }
+
   /** RFC 9309 §2.2.3 pattern match of one path against one rule
     * pattern: literal octets except `*` (any sequence, possibly empty)
     * and a TRAILING `$` (end-of-path anchor; a `$` elsewhere is
@@ -130,12 +168,18 @@ object Robots {
       val ok = st.getField("ok")
       val p = call_function("locate", seg, path, pos)
       when(!ok, st)
+        // the whole-pattern-anchored case FIRST: a bare '$' pattern
+        // strips to the empty segment, and the empty-segment
+        // pass-through below would otherwise turn "match only the
+        // empty path" into match-everything (the reference-
+        // implementation stance — Google's RFC 9309 parser — is that
+        // 'Disallow: $' disallows nothing real; advisor-found r18)
+        .when(isFirst && isLast && anchored,
+          struct(pos.as("pos"), (path === seg).as("ok")))
         // an empty segment (leading/trailing '*', or '**') constrains
         // nothing; under a trailing anchor it means "anything to the
         // end" — state passes through in every case
         .when(seg === "", st)
-        .when(isFirst && isLast && anchored,
-          struct(pos.as("pos"), (path === seg).as("ok")))
         .when(isFirst,
           struct((slen + 1).as("pos"), path.startsWith(seg).as("ok")))
         .when(isLast && anchored,
@@ -148,14 +192,16 @@ object Robots {
   }
 
   /** RFC 9309 longest-match verdict for one path against a parsed rule
-    * array: among matching patterns ([[wildcardMatch]]) the longest
+    * array: both sides normalize to the §2.2.2 comparison form
+    * ([[pctNormalize]] — metacharacters are ASCII and survive it), and
+    * among matching patterns ([[wildcardMatch]]) the longest
     * RAW PATTERN wins (`*`/`$` count — the reference-implementation
     * specificity measure); on a length tie Allow wins; no match =
     * allowed. Returns a struct (allowed: boolean, rule: string — the
-    * winning pattern or ''). */
+    * winning RAW pattern or ''). */
   def robotsVerdict(path: Column, rules: Column): Column = {
     val matched = filter(rules, r =>
-      wildcardMatch(path, r.getField("prefix")))
+      wildcardMatch(pctNormalize(path), pctNormalize(r.getField("prefix"))))
     val best = aggregate(matched,
       struct(lit(true).as("allow"), lit(-1).as("len"), lit("").as("p")),
       (b, r) => {
@@ -188,7 +234,16 @@ object Robots {
     * trailing-7 paths to disallowed);
     * and for hostNum % 11 == 0 a trailing agent-specific group
     * that allows everything — which per the RFC then makes the `*`
-    * group irrelevant for that host. */
+    * group irrelevant for that host. r19 adds the §2.2.2
+    * percent-equivalence pair (spelled in words — block comments nest
+    * on the slash-star pair): an ENCODED lowercase-hex anchored
+    * Disallow "docs, star, percent-c3-percent-a9, dollar" (hostNum %
+    * 3 == 1, len 14 — beats every other rule where it matches) that
+    * must govern paths ending in a RAW é, and a DECODED anchored Allow
+    * "docs, star, tilde, dollar" (hostNum % 4 == 1, len 9) that must
+    * govern paths ending in the RAW TRIPLE percent-7-E, flipping the
+    * group-dir Disallows among them (odd class — the %-suffixed
+    * doc_ids are odd, so only odd hosts ever see those paths). */
   private[graft] def syntheticRobots(hostNum: Column): Column = {
     val g = (hostNum % 7).cast("string")
     concat(
@@ -201,6 +256,16 @@ object Robots {
       when(hostNum % 2 === 0, lit("Disallow: /\n")).otherwise(lit("")),
       when(hostNum % 13 === 0, lit("Allow: /docs/*/$\n")).otherwise(lit("")),
       when(hostNum % 9 === 0, lit("Disallow: /docs/*7$\n")).otherwise(lit("")),
+      // percent-equivalence rules (r19 — RFC 9309 §2.2.2), both LONGER
+      // than the literal rules so they flip verdicts where they match:
+      // an ENCODED lowercase-hex Disallow governing paths that end in a
+      // RAW é (hostNum % 3 == 1), and a DECODED Allow governing paths
+      // that end in the RAW TRIPLE '%7E' (hostNum % 4 == 1 — odd, like
+      // every %-suffixed doc_id, so the rule actually meets its paths
+      // and flips the group-dir Disallows among them)
+      when(hostNum % 3 === 1, lit("Disallow: /docs/*%c3%a9$\n"))
+        .otherwise(lit("")),
+      when(hostNum % 4 === 1, lit("Allow: /docs/*~$\n")).otherwise(lit("")),
       lit("Disallow:\n"),
       when(hostNum % 11 === 0,
         lit("\nUser-agent: GraftBot\nAllow: /\n")).otherwise(lit("")))
@@ -243,7 +308,22 @@ object Robots {
       SELECT $keys, false, 9, '/docs/*7$$',
              starts_with(path, '/docs/') AND ends_with(path, '7')
                AND length(path) >= 7
-      FROM g WHERE h % 9 = 0),
+      FROM g WHERE h % 9 = 0
+      UNION ALL
+      -- §2.2.2 percent-equivalence rules (r19): the ENCODED
+      -- lowercase-hex pattern matches paths ending in the RAW é
+      -- (chr(233)), and the DECODED '~' pattern matches paths ending
+      -- in the RAW TRIPLE '%7E' — each spelled out as the explicit
+      -- post-normalization predicate, never a regex
+      SELECT $keys, false, 14, '/docs/*%c3%a9$$',
+             starts_with(path, '/docs/') AND ends_with(path, chr(233))
+               AND length(path) >= 7
+      FROM g WHERE h % 3 = 1
+      UNION ALL
+      SELECT $keys, true, 9, '/docs/*~$$',
+             starts_with(path, '/docs/') AND ends_with(path, '%7E')
+               AND length(path) >= 7
+      FROM g WHERE h % 4 = 1),
     win AS (
       SELECT $keys, allow, pat,
              row_number() OVER (PARTITION BY $keys
@@ -255,7 +335,9 @@ object Robots {
       SELECT doc_id,
              CAST(substr(source, 4) AS BIGINT) AS h,
              '/docs/' || CAST(doc_id // 5 AS VARCHAR) ||
-             (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) AS path
+             (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+             (CASE WHEN doc_id % 6 = 3 THEN chr(233)
+                   WHEN doc_id % 6 = 5 THEN '%7E' ELSE '' END) AS path
       FROM documents),
     g AS (SELECT doc_id, h, path, CAST(h % 7 AS VARCHAR) AS gs FROM d),
     ${rulesReplaySql("doc_id")}
@@ -277,7 +359,13 @@ object Robots {
         expr("cast(substr(source, 4) as bigint)").as("__h"),
         concat(lit("/docs/"),
           (col("doc_id").cast("long") / 5).cast("long").cast("string"),
-          when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")))
+          when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+          // §2.2.2 fixture classes (disjoint from the slash class —
+          // % 6 == 3/5 are odd): a RAW é the encoded rule must govern,
+          // and a RAW '%7E' triple the decoded rule must govern
+          when(col("doc_id") % 6 === 3, lit("é"))
+            .when(col("doc_id") % 6 === 5, lit("%7E"))
+            .otherwise(lit("")))
           .as("path"))
       .select(col("doc_id"), col("path"),
         robotsRules(syntheticRobots(col("__h")), "graftbot").as("__rules"))

@@ -220,20 +220,30 @@ object Web {
     * zip_with fold, no per-ref regexp passes. A deliberate regex-level
     * extractor: attribute values containing '>' are out of scope
     * (documented, spec-pinned). */
-  private[graft] def htmlInnerText(frag: Column): Column = {
-    val untag = regexp_replace(frag, "<[^>]*>", " ")
-    val refs = regexp_extract_all(untag, lit(CHARREF), lit(0))
-    val segs = split(untag, CHARREF, -1)
-    // cheap instr guard: "&#" is necessary for any CHARREF match, and
-    // most fragments (paragraph blocks, link texts) carry none — the
-    // extract/split/stitch machinery only runs when it can matter
-    // (value-identical either way; recovered ~25% of q168's cost)
-    val numDecoded = when(instr(untag, "&#") === 0, untag)
+  /** Numeric-charref decode of one string column: every [[CHARREF]]
+    * match (`&#NNNN;` / `&#xHHHH;`) becomes its character for the
+    * printable BMP ([[charrefChar]] — out-of-range refs stay literal).
+    * Decode shape: extract all refs + split on the same pattern, then
+    * stitch segment/char/segment — one zip_with fold, no per-ref
+    * regexp passes. Behind the cheap instr guard ("&#" is necessary
+    * for any match; recovered ~25% of q168's cost when introduced).
+    * Shared by [[htmlInnerText]] and the sitemap loc decode (r19 —
+    * sitemap locs are XML-escaped URLs and real files carry
+    * `&#38;`-style refs alongside the named entities). */
+  private[graft] def decodeCharrefs(c: Column): Column = {
+    val refs = regexp_extract_all(c, lit(CHARREF), lit(0))
+    val segs = split(c, CHARREF, -1)
+    when(instr(c, "&#") === 0, c)
       .otherwise(concat(element_at(segs, 1),
         aggregate(
           zip_with(refs, slice(segs, lit(2), size(refs)), (r, s2) =>
             concat(charrefChar(r), s2)),
           lit(""), (a, x) => concat(a, x))))
+  }
+
+  private[graft] def htmlInnerText(frag: Column): Column = {
+    val untag = regexp_replace(frag, "<[^>]*>", " ")
+    val numDecoded = decodeCharrefs(untag)
     // &#39; needs no named entry: the numeric pass above covers it
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&nbsp;" -> " ", "&amp;" -> "&")
@@ -859,10 +869,15 @@ object Web {
     * graph keys), lowercased, leading `www.` dropped (the q158
     * normalization, so graph keys join against canonical-URL keys).
     * The userinfo cut is the RFC 3986 one — everything before the first
-    * `@` within the authority (the optional group cannot cross `/?#`). */
+    * `@` within the authority (the optional group cannot cross `/?#`).
+    * A BRACKETED authority (RFC 3986 IP-literal, `[::1]:8080`) keeps
+    * its whole bracket group as the host — the `:port` cut would
+    * otherwise truncate at the first colon INSIDE the brackets and
+    * yield `[` (advisor-found r18); the port strip then applies past
+    * the closing bracket by the alternation's maximal bracket match. */
   private[graft] def hostOf(noScheme: Column): Column =
     regexp_replace(lower(regexp_extract(noScheme,
-      "^(?:[^/?#@]*@)?([^/?#:]*)", 1)), "^www\\.", "")
+      "^(?:[^/?#@]*@)?(\\[[^\\]/?#]*\\]|[^/?#:]*)", 1)), "^www\\.", "")
 
   /** Canonical host of a page URL (scheme tolerated in any case). */
   def pageHost(url: Column): Column =

@@ -25,12 +25,23 @@ object RobotsProps extends Properties("robots") {
   private val prefixGen: Gen[String] = Gen.frequency(
     4 -> Gen.oneOf("/a", "/a/b", "/docs/", "/docs/1", "/r/", "/", "/x"),
     // RFC 9309 §2.2.3 wildcard patterns over the same path alphabet —
-    // mid-*, leading *, anchored, *-then-anchor, bare *, literal $
+    // mid-*, leading *, anchored, *-then-anchor, bare * and bare $
+    // (the r18 advisor gap: bare '$' strips to the empty segment, which
+    // the engine's pass-through once turned into match-everything), a
+    // literal mid-$
     3 -> Gen.oneOf("/a*", "/*", "/docs/*", "/a/*/c", "/*7$", "/docs/1$",
-      "/a/b$", "*", "/a$", "/*c*", "/docs/*2$"))
-  private val pathGen: Gen[String] =
-    Gen.oneOf("/a", "/a/bc", "/a/b/c", "/docs/1", "/docs/12", "/r/7",
-      "/x", "/zzz", "/")
+      "/a/b$", "*", "/a$", "/*c*", "/docs/*2$", "$", "*$"),
+    // §2.2.2 percent-equivalence classes (r19): encoded-unreserved
+    // (%61='a', %41='A', %7E='~'), encoded-reserved in both hex cases
+    // (%2F, %c3%a9 = é's UTF-8 octets), raw non-ASCII, an invalid
+    // escape ('%zz' — stays literal), and wildcard/percent compounds
+    2 -> Gen.oneOf("/caf%C3%A9", "/caf%c3%a9", "/café", "/%61", "/a%2Fb",
+      "/%7E", "/~", "/b%41*", "/*%a9$", "/%zz", "/caf%C3%A9$"))
+  private val pathGen: Gen[String] = Gen.frequency(
+    4 -> Gen.oneOf("/a", "/a/bc", "/a/b/c", "/docs/1", "/docs/12", "/r/7",
+      "/x", "/zzz", "/"),
+    2 -> Gen.oneOf("/café", "/caf%c3%a9", "/caf%C3%A9", "/a", "/A", "/%41",
+      "/a/b", "/a%2Fb", "/~", "/%7E", "/%7e", "/%zz", "/bA7"))
 
   private val ruleLineGen: Gen[String] = for {
     dir <- Gen.oneOf("Allow", "allow", "Disallow", "DISALLOW")
@@ -87,6 +98,37 @@ object RobotsProps extends Properties("robots") {
     pool.flatMap(_._2)
   }
 
+  /** Independent §2.2.2 comparison form: valid %XX decodes when the
+    * octet is unreserved, uppercases otherwise; raw non-ASCII
+    * percent-encodes its UTF-8 octets; everything else literal.
+    * Imperative StringBuilder walk — shares no code with the engine's
+    * token-array fold. */
+  private def refNormalize(s: String): String = {
+    def unreserved(v: Int): Boolean =
+      (v >= '0' && v <= '9') || (v >= 'A' && v <= 'Z') ||
+        (v >= 'a' && v <= 'z') || v == '-' || v == '.' || v == '_' || v == '~'
+    val hex = "0123456789abcdefABCDEF".toSet
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '%' && i + 2 < s.length &&
+          hex(s.charAt(i + 1)) && hex(s.charAt(i + 2))) {
+        val v = Integer.parseInt(s.substring(i + 1, i + 3), 16)
+        if (unreserved(v)) out.append(v.toChar)
+        else out.append('%').append(s.substring(i + 1, i + 3).toUpperCase)
+        i += 3
+      } else if (ch < 0x80) { out.append(ch); i += 1 }
+      else {
+        val n = Character.charCount(s.codePointAt(i))
+        for (b <- s.substring(i, i + n).getBytes("UTF-8"))
+          out.append(f"%%${b & 0xff}%02X")
+        i += n
+      }
+    }
+    out.toString
+  }
+
   /** Independent RFC 9309 §2.2.3 matcher: `*` = any sequence (greedy-
     * leftmost segment walk), trailing `$` = end anchor, `$` elsewhere
     * literal. Shares no code with the engine's column fold. */
@@ -113,7 +155,9 @@ object RobotsProps extends Properties("robots") {
 
   private def refVerdict(path: String,
       rules: List[(Boolean, String)]): (Boolean, String) = {
-    val m = rules.filter(r => refMatch(path, r._2))
+    // match on the §2.2.2 comparison forms; precedence and the winning
+    // rule string stay on the RAW pattern (the engine contract)
+    val m = rules.filter(r => refMatch(refNormalize(path), refNormalize(r._2)))
     if (m.isEmpty) (true, "")
     else {
       val maxLen = m.map(_._2.length).max

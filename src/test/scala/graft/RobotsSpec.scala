@@ -114,6 +114,40 @@ class RobotsSpec extends SparkSpec {
       (true, "/p/*")))        // literal-vs-wildcard 4-char tie: Allow wins
   }
 
+  test("percent normalization: unreserved decodes, reserved uppercases, raw non-ASCII encodes") {
+    val got = Seq("/caf%c3%a9", "/café", "/%61%41%7e", "/a%2Fb", "/%zz",
+      "/a/b", "/%2f%24", "/*%a9$")
+      .toDF("s").select(Robots.pctNormalize(col("s")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "/caf%C3%A9",  // reserved-range hex uppercases
+      "/caf%C3%A9",  // raw é percent-encodes to the same form
+      "/aA~",        // unreserved octets decode
+      "/a%2Fb",      // encoded slash NEVER becomes a path slash
+      "/%zz",        // invalid escape stays literal
+      "/a/b",        // ASCII no-op (guard path)
+      "/%2F%24",     // $ and / are reserved: uppercase, never decode
+      "/*%A9$"), got) // metacharacters survive normalization
+  }
+
+  test("§2.2.2 equivalence: encoded rules govern decoded paths and vice versa") {
+    val robots =
+      """User-agent: *
+        |Disallow: /caf%c3%a9
+        |Allow: /t%69lde*~$
+        |Disallow: /ti*""".stripMargin
+    val got = verdicts(robots, "anybot",
+      "/café/menu",   // raw path vs encoded rule
+      "/caf%C3%A9/x", // encoded path (either hex case) vs encoded rule
+      "/tilde/%7E",   // raw %69='i' decodes in the rule; path %7E -> ~
+      "/tilde/x")     // the Allow's ~$ anchor fails; the /ti* Disallow governs
+    assert(got == Seq(
+      (false, "/caf%c3%a9"),
+      (false, "/caf%c3%a9"),
+      (true, "/t%69lde*~$"), // longer raw pattern (11) beats /ti* (4)
+      (false, "/ti*")), got)
+  }
+
   test("rules before any user-agent line are ignored") {
     val robots =
       """Disallow: /orphan/

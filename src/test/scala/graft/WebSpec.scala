@@ -427,6 +427,21 @@ class WebSpec extends SparkSpec {
       None, None, None, None), got)
   }
 
+  test("host extraction: userinfo/port strip and IPv6 bracket carve-out") {
+    val got = resolved(
+      "https://Example.org:8080/x" -> "page.com", // :port strips
+      "https://user:pw@Example.org/x" -> "page.com", // userinfo strips
+      "https://u@www.Example.org:443/x" -> "page.com", // both + www
+      // bracketed IP-literals (RFC 3986): the whole bracket group IS the
+      // host — the r18 ':port' cut truncated these to '[' (advisor-found)
+      "https://[::1]:8080/x" -> "page.com",
+      "https://[2001:DB8::1]/x" -> "page.com",
+      "https://u@[::1]:8080/x" -> "page.com")
+    assert(got == Seq(Some("example.org"), Some("example.org"),
+      Some("example.org"), Some("[::1]"), Some("[2001:db8::1]"),
+      Some("[::1]")), got)
+  }
+
   test("anchor terms: inline markup strips, entities decode, drop classes drop") {
     val pages = Seq(
       (1L, """<a href="/guide">the <b>full</b> guide</a>
