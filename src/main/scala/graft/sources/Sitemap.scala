@@ -1,11 +1,11 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.functions.{Robots, Web}
+import graft.functions.expressions.{GunzipBytes, GzipCompress}
 
 /** Sitemap ingestion + crawl-frontier scheduling — the discovery rungs
   * between the robots gate (q177) and container ingestion (q171/q183)
@@ -25,19 +25,31 @@ import graft.functions.{Robots, Web}
   * the same scheme/authority strip the host graph uses, and the
   * per-host robots rules (the q177 group walk + RFC 9309 wildcard
   * verdict, staged ONCE per sitemap row before the entry explode)
-  * admit or refuse it. Absent optional tags stay NULL.
+  * admit or refuse it. Absent optional tags stay NULL. Loc decode
+  * covers numeric charrefs (`&#47;`/`&#x2F;`, r19) ahead of the named
+  * entities.
+  *
+  * Index files (q187, r19): the protocol caps a sitemap at 50k URLs /
+  * 50 MB, so every large host ships a `<sitemapindex>` of child
+  * sitemaps, usually `.xml.gz` — [[sitemapIndexRel]] walks the index
+  * positionally, [[sitemapIndexAdmissionRel]] resolves children
+  * against a fetched-bodies relation (one sitemap-scale equi join),
+  * inflates gz transparently and reuses the q185 walk per child.
   *
   * Scheduling (q186): admitted entries join a per-host politeness
-  * config (broadcast — one row per host) and a single per-host window
+  * config (broadcast — one row per host) and a de-skewed per-host rank
+  * (range-sort + partition-offset ordinals — see [[frontierSchedule]])
   * assigns `seq` by (priority DESC NULLS LAST, ord) and
   * `fetch_at_ms = seq * delay_ms` — the earliest-allowed fetch instant
   * under a fixed inter-request delay, from epoch 0 (deterministic).
   *
   * 100 TB shape: q185 is one fixture-build exchange (groupBy source)
   * then a pure map — the rules fold runs once per HOST row, not per
-  * entry; q186 adds one broadcast join (tiny config dim) and one
-  * window exchange on host. Frontier output is linear in admitted
-  * URLs; no joins between entry-scale relations.
+  * entry; q186 adds one broadcast join (tiny config dim), one RANGE
+  * exchange on the full ordering (a mega host spreads across
+  * partitions instead of serializing into one), and a partial-agg
+  * host-min that broadcasts back. Frontier output is linear in
+  * admitted URLs; no joins between entry-scale relations.
   */
 object Sitemap {
   import Tables._
@@ -46,11 +58,16 @@ object Sitemap {
   // Parse
   // ------------------------------------------------------------------
 
-  /** Minimal XML named-entity decode for loc values (the five XML
-    * predefined entities; specific entities first, `&amp;` LAST so
+  /** XML entity decode for loc values: NUMERIC character references
+    * first (`&#38;` / `&#x2F;` — the shared q168 decoder; numeric
+    * BEFORE named for the same non-cascade reason as htmlInnerText:
+    * `&amp;#38;` must surface as the literal `&#38;`, so the numeric
+    * decoder never sees the post-`&amp;` form), then the five XML
+    * predefined entities (specific entities first, `&amp;` LAST so
     * `&amp;lt;` decodes to the literal `&lt;`, never a cascade). */
   private def xmlDecode(c: Column): Column = {
-    val step1 = regexp_replace(c, "&lt;", "<")
+    val num = Web.decodeCharrefs(c)
+    val step1 = regexp_replace(num, "&lt;", "<")
     val step2 = regexp_replace(step1, "&gt;", ">")
     val step3 = regexp_replace(step2, "&quot;", "\"")
     val step4 = regexp_replace(step3, "&apos;", "'")
@@ -104,21 +121,116 @@ object Sitemap {
   }
 
   // ------------------------------------------------------------------
+  // Sitemap index files (r19): <sitemapindex>-of-children, gz children
+  // ------------------------------------------------------------------
+
+  /** Child-sitemap entries of a `<sitemapindex>` document (sitemaps.org:
+    * a sitemap caps at 50k URLs / 50 MB, so every large host ships an
+    * index of child sitemaps, usually `.xml.gz`; the protocol allows
+    * exactly ONE index level). One row per `<sitemap>` block in
+    * document order — (keys..., sitemap_ord, child_loc, child_lastmod)
+    * — with the q185 walk's conventions: comments stripped first,
+    * positional ordinals, charref + entity decode on loc,
+    * absent-lastmod NULL. Pure map past `keys`. */
+  def sitemapIndexRel(indexes: DataFrame, xml: Column,
+      keys: Seq[String]): DataFrame = {
+    val kt = keys.map(col)
+    val stripped = regexp_replace(xml, "(?s)<!--.*?-->", "")
+    indexes
+      .select(kt :+ posexplode_outer(
+        regexp_extract_all(stripped, lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1)))
+        .as(Seq("sitemap_ord", "__b")): _*)
+      .select(kt :+ col("sitemap_ord").cast("long").as("sitemap_ord")
+        :+ xmlDecode(regexp_extract(col("__b"),
+          "(?s)<loc>\\s*(.*?)\\s*</loc>", 1)).as("child_loc")
+        :+ when(col("__b").rlike("(?s)<lastmod>"),
+          regexp_extract(col("__b"), "(?s)<lastmod>\\s*(.*?)\\s*</lastmod>", 1))
+          .as("child_lastmod"): _*)
+  }
+
+  /** Admitted entries of index-of-children hosts: walk the index
+    * ([[sitemapIndexRel]]), resolve each child loc against the
+    * `fetched` relation (child_loc, body — what a crawler's fetcher
+    * hands back; an unfetched child contributes nothing, the fetcher's
+    * own error accounting is upstream), inflate `.gz` children
+    * transparently ([[graft.functions.expressions.GunzipBytes]]
+    * pass-through on plain bodies, NULL on corrupt streams → that
+    * child's entries drop, typed accounting upstream), and walk each
+    * child urlset through the SAME entry/robots logic as q185
+    * ([[sitemapAdmissionRel]]) carrying (child_loc, sitemap_ord, ord)
+    * provenance.
+    *
+    * 100 TB shape: the index walk is a pure map; the child resolve is
+    * ONE equi join keyed by child_loc between child-sitemap-scale
+    * relations (rows = sitemaps, not URLs — orders of magnitude below
+    * entry scale); the urlset walk past it is the q185 pure map with
+    * the rules fold staged once per CHILD row. */
+  def sitemapIndexAdmissionRel(indexes: DataFrame, xml: Column,
+      robots: Column, fetched: DataFrame, agent: String,
+      keys: Seq[String]): DataFrame = {
+    val idx = sitemapIndexRel(
+      indexes.select(keys.map(col) :+ xml.as("__xml")
+        :+ robots.as("__robots"): _*),
+      col("__xml"), keys = keys :+ "__robots")
+    val children = idx
+      .join(fetched, Seq("child_loc"))
+      .select(keys.map(col) :+ col("child_loc") :+ col("sitemap_ord")
+        :+ col("__robots")
+        :+ decode(GraftSqlBridge.column(GunzipBytes(
+          GraftSqlBridge.expression(col("body")))), "UTF-8").as("__cxml"): _*)
+    sitemapAdmissionRel(children, col("__cxml"), col("__robots"), agent,
+      keys = keys ++ Seq("child_loc", "sitemap_ord"))
+  }
+
+  // ------------------------------------------------------------------
   // Frontier scheduling
   // ------------------------------------------------------------------
 
   /** Politeness schedule of admitted frontier candidates: per host,
     * rank by (priority DESC NULLS LAST, ord) and space fetches
     * `delay_ms` apart from epoch 0. `config` is one row per host
-    * (host, delay_ms) — broadcast. */
+    * (host, delay_ms) — broadcast.
+    *
+    * De-skewed per-host ranking (r18's one `weak`, cleared r19): a
+    * `Window.partitionBy(host)` serializes each host into ONE
+    * partition, and at crawl scale a mega-host — tens of millions of
+    * admitted URLs behind one authority — is the common case, exactly
+    * the skewed key family the engine de-skews elsewhere. Instead the
+    * rank comes from the q152 sorted-neighborhood construction: range-
+    * partition + local sort on the full ordering (host, priority DESC
+    * NULLS LAST, ord) — a total order, since `ord` is unique within a
+    * host — then `zipWithIndex` global ordinals (driver state is one
+    * count per partition, the GedcomParser record-numbering
+    * discipline). Each host occupies a CONTIGUOUS ordinal range under
+    * the host-leading sort, so its per-host seq is the global ordinal
+    * minus the host's first ordinal — a partial-agg `min` per host
+    * (tiny: one row per host, map-side combined) broadcast back. A
+    * mega-host's rows stay spread across every range partition; no
+    * single-partition-per-host sort survives in the physical plan
+    * (PlanSpec-pinned). Both cached frames are [[graft.Caches]] leases
+    * (zipWithIndex runs its partition-count job eagerly; the ranked
+    * frame crosses an RDD boundary and is consumed by both the agg and
+    * the join probe). */
   def frontierSchedule(candidates: DataFrame, config: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("host"))
-      .orderBy(col("priority").desc_nulls_last, col("ord").asc)
-    candidates
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val joined = candidates
       .join(broadcast(config), Seq("host"))
       .select(col("host"), col("ord"), col("loc"), col("priority"),
-        col("delay_ms"),
-        (row_number().over(w) - 1).cast("long").as("seq"))
+        col("delay_ms"))
+    val sorted = graft.Caches.lease(joined
+      .repartitionByRange(col("host"), col("priority").desc_nulls_last,
+        col("ord").asc)
+      .sortWithinPartitions(col("host"), col("priority").desc_nulls_last,
+        col("ord").asc))
+    val ranked = graft.Caches.lease(sorted.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ i) },
+      sorted.schema.add("__g", LongType)))
+    val hostStart = ranked.groupBy(col("host"))
+      .agg(min(col("__g")).as("__g0"))
+    ranked.join(broadcast(hostStart), Seq("host"))
+      .select(col("host"), (col("__g") - col("__g0")).as("seq"), col("loc"),
+        col("delay_ms"))
       .select(col("host"), col("seq"), col("loc"), col("delay_ms"),
         (col("seq") * col("delay_ms")).as("fetch_at_ms"))
   }
@@ -127,18 +239,22 @@ object Sitemap {
   // Deterministic fixture (rebuilt arithmetically in the oracles)
   // ------------------------------------------------------------------
 
-  /** One sitemap per HOST (= per distinct source): a comment header, a
-    * commented-out decoy `<url>` block (must not surface), then per
-    * doc of that host in doc_id order one `<url>` block — loc = the
-    * XML-ESCAPED q158 raw URL (real query strings ⇒ `&amp;` on every
-    * even/odd class), lastmod on doc_id % 2 == 0, priority on
-    * doc_id % 3 == 0. Carries the host's [[Robots.syntheticRobots]]
-    * text alongside (hostNum = the numeric tail of source). */
-  private[graft] def syntheticSitemaps(docs: DataFrame): DataFrame = {
+  /** The per-doc `<url>` block shared by the flat-sitemap (q185) and
+    * child-sitemap (q187) fixtures: loc = the XML-ESCAPED q158 raw URL
+    * (real query strings ⇒ `&amp;` on every even/odd class), and for
+    * doc_id % 8 == 1 the `/docs/` path slashes transport as NUMERIC
+    * charrefs (`&#x2F;` hex + `&#47;` decimal — the r19 decode class;
+    * the decoded loc is IDENTICAL, so the oracle's generative rawUrl
+    * pins the decode), lastmod on doc_id % 2 == 0, priority on
+    * doc_id % 3 == 0. */
+  private def urlEntry: Column = {
     val escaped = regexp_replace(
       Web.rawUrl(col("doc_id"), col("source")), "&", "&amp;")
-    val entry = concat(
-      lit("  <url>\n    <loc>"), escaped, lit("</loc>\n"),
+    val loc = when(col("doc_id") % 8 === 1,
+        regexp_replace(escaped, "/docs/", "&#x2F;docs&#47;"))
+      .otherwise(escaped)
+    concat(
+      lit("  <url>\n    <loc>"), loc, lit("</loc>\n"),
       when(col("doc_id") % 2 === 0, concat(
         lit("    <lastmod>2026-0"),
         ((col("doc_id") % 9) + 1).cast("string"),
@@ -148,22 +264,85 @@ object Sitemap {
         lit("    <priority>0."), (col("doc_id") % 10).cast("string"),
         lit("</priority>\n"))).otherwise(lit("")),
       lit("  </url>\n"))
+  }
+
+  /** `<urlset>` document of a collected (doc_id, entry) list: comment
+    * header, a commented-out decoy `<url>` block (must not surface),
+    * entries in doc_id order. */
+  private def urlsetXml(entries: Column): Column =
+    concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<!-- crawl fixture -->\n" +
+        "<!--<url><loc>https://decoy.example/x</loc></url>-->\n" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+      array_join(transform(array_sort(entries), x => x.getField("__e")), ""),
+      lit("</urlset>\n"))
+
+  /** One sitemap per HOST (= per distinct source): the [[urlsetXml]]
+    * wrapper over one [[urlEntry]] per doc of that host in doc_id
+    * order. Carries the host's [[Robots.syntheticRobots]] text
+    * alongside (hostNum = the numeric tail of source). */
+  private[graft] def syntheticSitemaps(docs: DataFrame): DataFrame =
     docs
       .select(col("source"), col("doc_id"),
         expr("cast(substr(source, 4) as bigint)").as("__h"),
-        entry.as("__e"))
+        urlEntry.as("__e"))
+      .groupBy(col("source"))
+      .agg(
+        urlsetXml(collect_list(struct(col("doc_id"), col("__e")))).as("xml"),
+        Robots.syntheticRobots(first(col("__h"))).as("robots"))
+
+  /** Decoded child-sitemap loc of (source, k): child 0 is a plain
+    * `.xml`, child 1 a `.xml.gz` with a real query string (its `&`
+    * transports XML-escaped in the index; a bad decode breaks the
+    * fetched-body JOIN and loses the child — the decode is
+    * join-load-bearing, not cosmetic). */
+  private def childLoc(source: Column, k: Column): Column =
+    concat(lit("https://"), source, lit(".com/sitemap-"), k.cast("string"),
+      when(k === 1, lit(".xml.gz?v=1&k=2")).otherwise(lit(".xml")))
+
+  /** One `<sitemapindex>` per HOST: a comment header, a commented-out
+    * decoy `<sitemap>` block, then two `<sitemap>` blocks in child
+    * order — child 0's loc transports its slashes as numeric charrefs
+    * (`&#x2F;` — decode under test on the INDEX rung too) with a
+    * lastmod, child 1's loc XML-escapes its query-string `&`. Carries
+    * the host robots. */
+  private[graft] def syntheticSitemapIndexes(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        expr("cast(substr(source, 4) as bigint)").as("__h"))
       .groupBy(col("source"))
       .agg(
         concat(
           lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
-            "<!-- crawl fixture -->\n" +
-            "<!--<url><loc>https://decoy.example/x</loc></url>-->\n" +
-            "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
-          array_join(transform(
-            array_sort(collect_list(struct(col("doc_id"), col("__e")))),
-            x => x.getField("__e")), ""),
-          lit("</urlset>\n")).as("xml"),
+            "<!-- index fixture -->\n" +
+            "<!--<sitemap><loc>https://decoy.example/s.xml</loc></sitemap>-->\n" +
+            "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+            "  <sitemap>\n    <loc>https://"),
+          first(col("source")),
+          lit(".com&#x2F;sitemap-0.xml</loc>\n" +
+            "    <lastmod>2026-01-01</lastmod>\n  </sitemap>\n" +
+            "  <sitemap>\n    <loc>https://"),
+          first(col("source")),
+          lit(".com/sitemap-1.xml.gz?v=1&amp;k=2</loc>\n  </sitemap>\n" +
+            "</sitemapindex>\n")).as("xml"),
         Robots.syntheticRobots(first(col("__h"))).as("robots"))
+
+  /** The fetched child-sitemap bodies: per (host, doc_id % 2) one
+    * `<urlset>` of that parity's docs in doc_id order — child 1 BODIES
+    * ARE GZIPPED (the `.xml.gz` shape; the walk must inflate before
+    * parsing), child 0 plain UTF-8 bytes. */
+  private[graft] def syntheticChildSitemaps(docs: DataFrame): DataFrame = {
+    val xml = urlsetXml(collect_list(struct(col("doc_id"), col("__e"))))
+    docs
+      .select(col("source"), col("doc_id"), (col("doc_id") % 2).as("__k"),
+        urlEntry.as("__e"))
+      .groupBy(col("source"), col("__k"))
+      .agg(xml.as("__xml"))
+      .select(childLoc(col("source"), col("__k")).as("child_loc"),
+        when(col("__k") === 1, GraftSqlBridge.column(GzipCompress(
+          GraftSqlBridge.expression(encode(col("__xml"), "UTF-8")))))
+          .otherwise(encode(col("__xml"), "UTF-8")).as("body"))
   }
 
   /** Per-host politeness config: delay_ms = 1000 * (1 + hostNum % 7).
@@ -216,6 +395,47 @@ object Sitemap {
     SELECT host, ord, loc, lastmod, priority, path, allowed, rule
     FROM adm"""
 
+  /** q187 oracle: entries rebuilt generatively per (host, child) — the
+    * child split is doc_id parity, ord = doc order WITHIN the child,
+    * child_loc from the [[childLoc]] formula (its decode is what makes
+    * the Spark-side join find the body at all) — and the planted-robots
+    * replay keyed by (host, sitemap_ord, ord). The oracle never sees
+    * XML, gzip bytes, or charrefs: index walk, inflate, entity/charref
+    * decode and the urlset walk are all under test. */
+  private lazy val INDEX_ORACLE = s"""
+    WITH d AS (
+      SELECT doc_id, source, CAST(substr(source, 4) AS BIGINT) AS h
+      FROM documents),
+    e AS (
+      SELECT doc_id, h,
+             lower(source) || '.com' AS host,
+             (doc_id % 2)::BIGINT AS sitemap_ord,
+             (row_number() OVER (PARTITION BY source, doc_id % 2
+                ORDER BY doc_id) - 1)::BIGINT AS ord,
+             'https://' || source || '.com/sitemap-' ||
+               CAST(doc_id % 2 AS VARCHAR) ||
+               (CASE WHEN doc_id % 2 = 1 THEN '.xml.gz?v=1&k=2'
+                     ELSE '.xml' END) AS child_loc,
+             ${Web.RAW_URL_SQL} AS loc,
+             CASE WHEN doc_id % 2 = 0
+                  THEN '2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR) ||
+                       '-1' || CAST(doc_id % 10 AS VARCHAR) END AS lastmod,
+             CASE WHEN doc_id % 3 = 0
+                  THEN '0.' || CAST(doc_id % 10 AS VARCHAR) END AS priority,
+             '/docs/' || CAST(doc_id // 5 AS VARCHAR) ||
+             (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) AS path
+      FROM d),
+    g AS (SELECT host, sitemap_ord, ord, h, path,
+                 CAST(h % 7 AS VARCHAR) AS gs FROM e),
+    ${Robots.rulesReplaySql("host, sitemap_ord, ord")}
+    SELECT e.host, e.sitemap_ord, e.ord, e.child_loc, e.loc, e.lastmod,
+           e.priority, e.path,
+           CASE WHEN e.h % 11 = 0 THEN true ELSE coalesce(w.allow, true) END
+             AS allowed,
+           CASE WHEN e.h % 11 = 0 THEN '/' ELSE coalesce(w.pat, '') END AS rule
+    FROM e LEFT JOIN (SELECT * FROM win WHERE rn = 1) w
+      USING (host, sitemap_ord, ord)"""
+
   private lazy val FRONTIER_ORACLE = s"""
     WITH $ADMISSION_CTES
     SELECT host,
@@ -246,5 +466,16 @@ object Sitemap {
           syntheticConfig(documents(s, d)))
       },
       Some(FRONTIER_ORACLE),
-      "crawl-frontier politeness scheduling: robots-admitted sitemap URLs join a broadcast per-host config and ONE per-host window assigns (priority DESC, ord) ranks and delay-spaced fetch instants — linear output, one window exchange"))
+      "crawl-frontier politeness scheduling: robots-admitted sitemap URLs join a broadcast per-host config; per-host (priority DESC, ord) ranks come from range-sort + partition-offset global ordinals minus a broadcast host-min — NO per-host window, a mega host never serializes into one partition"),
+
+    QueryDef(
+      "q187_sitemap_index",
+      (s, d) => {
+        val docs = documents(s, d)
+        sitemapIndexAdmissionRel(
+          syntheticSitemapIndexes(docs), col("xml"), col("robots"),
+          syntheticChildSitemaps(docs), "graftbot", keys = Nil)
+      },
+      Some(INDEX_ORACLE),
+      "sitemapindex ingestion (sitemaps.org index-of-children): positional <sitemap> walk with charref+entity loc decode, fetched-body resolve as ONE sitemap-scale equi join, transparent RFC 1952 inflate of .xml.gz children, then the q185 urlset/robots walk per child with (child_loc, sitemap_ord, ord) provenance"))
 }

@@ -120,7 +120,8 @@ object ScaleBench {
     "q183_warc_binary",        // byte-domain WARC walk + gzip members, one cursor pass
     "q184_nfkc_normalize",     // NFKC fold through the native expression, pure map
     "q185_sitemap_admission",  // sitemap walk + per-host robots fold, map past fixture
-    "q186_frontier_schedule",  // admitted URLs -> broadcast config + one host window
+    "q186_frontier_schedule",  // admitted URLs -> range-sort + offset ordinals, no host window
+    "q187_sitemap_index",      // index walk + child-body join + gz inflate + urlset walk
     "q180_accent_fold",        // NFD + mark strip through the native expression
     "q181_extract_admission",  // parse -> extract -> doc-shape gate, zero exchanges
     "q182_html_meta")          // head-metadata regex extracts + SURT key, pure map

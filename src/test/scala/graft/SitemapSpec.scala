@@ -95,6 +95,34 @@ class SitemapSpec extends SparkSpec {
       ("h2", 0L, "v0", 0L)), got)
   }
 
+  test("frontier schedule carries NO window: a mega host never serializes into one partition") {
+    // one deliberately mega host (h1: 2000 admitted URLs) beside a tiny
+    // one — the r18 per-host row_number window put all 2000 in ONE
+    // partition; the range-sort + partition-offset construction must
+    // (a) keep Window out of the physical plan entirely and (b) still
+    // produce exact dense per-host ranks
+    val cands = ((0L until 2000L).map(i =>
+        ("h1", i, s"u$i", if (i % 3 == 0) "0.9" else null)) :+
+        (("h2", 0L, "v0", null.asInstanceOf[String])))
+      .toDF("host", "ord", "loc", "priority")
+    val config = Seq(("h1", 1000L), ("h2", 5000L)).toDF("host", "delay_ms")
+    val sched = Sitemap.frontierSchedule(cands, config)
+    val plan = sched.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.linesIterator.take(30).mkString("\n"))
+    val got = sched.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2), r.getLong(4)))
+    val h1 = got.filter(_._1 == "h1").sortBy(_._2)
+    // dense 0..1999, delay-spaced, 0.9-priority block (ords 0,3,6,..)
+    // before the null block, ord ascending within each
+    assert(h1.map(_._2).toSeq == (0L until 2000L), h1.take(5).toSeq)
+    assert(h1.forall(t => t._4 == t._2 * 1000L))
+    val expectLocs = ((0L until 2000L by 3) ++
+      (0L until 2000L).filter(_ % 3 != 0)).map(i => s"u$i")
+    assert(h1.map(_._3).toSeq == expectLocs, h1.take(5).toSeq)
+    assert(got.filter(_._1 == "h2").toSeq == Seq(("h2", 0L, "v0", 0L)))
+    graft.Caches.release()
+  }
+
   test("fixture sitemaps: one per host, entries in doc order, robots attached") {
     val docs = spark.read.parquet(s"$SF/documents.parquet")
     val sm = Sitemap.syntheticSitemaps(docs)
