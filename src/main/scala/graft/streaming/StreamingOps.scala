@@ -693,6 +693,56 @@ object StreamingOps {
   def robotsStream(docs: Dataset[DocIn]): DataFrame =
     graft.functions.Robots.robotsVerdictRows(docs.toDF())
 
+  final case class FrontierIn(host: String, ord: Long, loc: String,
+      priority: Option[String], delay_ms: Long)
+  final case class FrontierOut(host: String, seq: Long, loc: String,
+      delay_ms: Long, fetch_at_ms: Long)
+  private[streaming] final case class FrontierState(next_seq: Long)
+
+  /** Streaming twin of q186's crawl-frontier politeness scheduling —
+    * THE stateful streaming op of a real crawler: admitted URLs arrive
+    * as a stream (delay_ms already on the row via the broadcast
+    * stream-static config join, the [[enrichWithStatic]] shape) and
+    * each host's fetch slots are handed out in order. State per host
+    * is ONE counter — the next politeness slot — so the store is
+    * bounded by the number of live hosts, never by URL volume.
+    * Within a micro-batch a host's rows order by (priority DESC NULLS
+    * LAST, ord) — exactly the batch ranking — and seq continues from
+    * the host's state across batches, so a single-batch replay is
+    * bit-identical to batch q186 (StreamingSpec pins it) and
+    * cross-batch arrivals append after everything already scheduled
+    * (the only causality a live frontier can honor: a slot once handed
+    * out is never re-ranked). `fetch_at_ms = seq * delay_ms` from
+    * epoch 0, the deterministic batch formula; production would anchor
+    * epoch at the host's last real fetch instant via the same state. */
+  def frontierStream(cands: Dataset[FrontierIn]): Dataset[FrontierOut] = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands
+      .groupByKey(_.host)
+      .flatMapGroupsWithState[FrontierState, FrontierOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (host, rows, state) =>
+          var seq = state.getOption.map(_.next_seq).getOrElse(0L)
+          val ranked = rows.toSeq.sortWith { (a, b) =>
+            (a.priority, b.priority) match {
+              case (Some(x), Some(y)) if x != y => x > y
+              case (Some(_), None) => true
+              case (None, Some(_)) => false
+              case _ => a.ord < b.ord
+            }
+          }
+          val out = ranked.map { r =>
+            val o = FrontierOut(host, seq, r.loc, r.delay_ms,
+              seq * r.delay_ms)
+            seq += 1
+            o
+          }
+          state.update(FrontierState(seq))
+          out.iterator
+      }
+  }
+
   /** File-source stream over a directory of parquet events, normalizing
     * `ts` exactly like the batch loader ([[graft.Tables.events]]): the
     * fixture has shipped as both TIMESTAMP(NANOS) (surfaced as raw long

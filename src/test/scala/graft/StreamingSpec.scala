@@ -507,6 +507,63 @@ class StreamingSpec extends SparkSpec {
     thresholds.unpersist()
   }
 
+  test("streaming frontier schedule matches batch q186 on a single-batch replay") {
+    import graft.streaming.StreamingOps.{FrontierIn, FrontierOut}
+    // the exact q186 input population: robots-admitted fixture entries
+    // joined to the per-host config (the stream-static enrichment a
+    // live frontier would do per micro-batch)
+    val docsDf = spark.read.parquet(s"$SF/documents.parquet")
+    val adm = graft.sources.Sitemap.sitemapAdmissionRel(
+        graft.sources.Sitemap.syntheticSitemaps(docsDf),
+        col("xml"), col("robots"), "graftbot", keys = Nil)
+      .filter(col("allowed"))
+      .join(broadcast(graft.sources.Sitemap.syntheticConfig(docsDf)),
+        Seq("host"))
+    val cands = adm
+      .select(col("host"), col("ord"), col("loc"), col("priority"),
+        col("delay_ms"))
+      .as[FrontierIn].collect().sortBy(c => (c.host, c.ord))
+    val in = MemoryStream[FrontierIn]
+    val q = StreamingOps.frontierStream(in.toDS())
+      .writeStream.format("memory").queryName("frontstream")
+      .outputMode("append").start()
+    try { in.addData(cands.toIndexedSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+    val stream = spark.table("frontstream")
+      .as[FrontierOut].collect().toSet
+    val batch = SparkEntry.queries("q186_frontier_schedule")(spark, SF)
+      .as[FrontierOut].collect().toSet
+    assert(batch.nonEmpty)
+    assert(stream == batch,
+      s"stream-only: ${(stream -- batch).take(3)}; batch-only: ${(batch -- stream).take(3)}")
+    graft.Caches.release()
+  }
+
+  test("frontier state continues across batches: later arrivals append, never re-rank") {
+    import graft.streaming.StreamingOps.{FrontierIn, FrontierOut}
+    val in = MemoryStream[FrontierIn]
+    val q = StreamingOps.frontierStream(in.toDS())
+      .writeStream.format("memory").queryName("frontstream2")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        FrontierIn("h", 0L, "a", None, 1000L),
+        FrontierIn("h", 1L, "b", Some("0.9"), 1000L))
+      q.processAllAvailable()
+      // batch 2: HIGHER priority than anything in batch 1 — but slots
+      // 0/1 are already handed out, so it takes seq 2
+      in.addData(FrontierIn("h", 2L, "c", Some("1.0"), 1000L),
+        FrontierIn("g", 0L, "z", None, 500L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("frontstream2").as[FrontierOut].collect().toSet
+    assert(got == Set(
+      FrontierOut("h", 0L, "b", 1000L, 0L),    // 0.9 beats null in batch 1
+      FrontierOut("h", 1L, "a", 1000L, 1000L),
+      FrontierOut("h", 2L, "c", 1000L, 2000L), // appended, not re-ranked
+      FrontierOut("g", 0L, "z", 500L, 0L)), got)
+  }
+
   test("streaming anomaly flags match batch q135 on the replayed corpus") {
     val evs = Tables.events(spark, SF)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
