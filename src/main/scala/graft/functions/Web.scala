@@ -718,29 +718,31 @@ object Web {
     * staged like [[lineQualityRel]] so the line split and word arrays
     * evaluate once per row. */
   def gopherRulesRel(docs: org.apache.spark.sql.DataFrame,
-      page: Column): org.apache.spark.sql.DataFrame =
-    docs.select(col("doc_id"), page.as("__pg"))
-      .select(col("doc_id"), col("__pg"),
-        split(col("__pg"), "\n").as("__lines"),
-        filter(split(regexp_replace(col("__pg"), "\n", " "), " "),
-          w => w =!= "").as("__words"))
-      .select(col("doc_id"),
-        size(col("__words")).cast("long").as("n_words"),
-        aggregate(transform(col("__words"), w => length(w)),
-          lit(0), (a, x) => a + x).cast("long").as("word_chars"),
-        size(col("__lines")).cast("long").as("n_lines"),
-        size(filter(col("__lines"), l => l.startsWith("- ")))
-          .cast("long").as("n_bullet"),
-        size(filter(col("__lines"), l => l.endsWith("...")))
-          .cast("long").as("n_ellipsis_end"),
-        (size(regexp_extract_all(col("__pg"), lit("#"), lit(0))) +
+      page: Column, keys: Seq[String] = Seq("doc_id"))
+      : org.apache.spark.sql.DataFrame = {
+    val kt = keys.map(col)
+    docs.select(kt :+ page.as("__pg"): _*)
+      .select(kt :+ col("__pg")
+        :+ split(col("__pg"), "\n").as("__lines")
+        :+ filter(split(regexp_replace(col("__pg"), "\n", " "), " "),
+          w => w =!= "").as("__words"): _*)
+      .select(kt :+
+        size(col("__words")).cast("long").as("n_words")
+        :+ aggregate(transform(col("__words"), w => length(w)),
+          lit(0), (a, x) => a + x).cast("long").as("word_chars")
+        :+ size(col("__lines")).cast("long").as("n_lines")
+        :+ size(filter(col("__lines"), l => l.startsWith("- ")))
+          .cast("long").as("n_bullet")
+        :+ size(filter(col("__lines"), l => l.endsWith("...")))
+          .cast("long").as("n_ellipsis_end")
+        :+ (size(regexp_extract_all(col("__pg"), lit("#"), lit(0))) +
           size(regexp_extract_all(col("__pg"), lit("\\.\\.\\."), lit(0))))
-          .cast("long").as("n_symbols"),
-        size(filter(col("__words"), w => w.rlike("[A-Za-z]")))
-          .cast("long").as("n_alpha_words"),
-        size(filter(array(REQUIRED_WORDS.map(lit): _*),
+          .cast("long").as("n_symbols")
+        :+ size(filter(col("__words"), w => w.rlike("[A-Za-z]")))
+          .cast("long").as("n_alpha_words")
+        :+ size(filter(array(REQUIRED_WORDS.map(lit): _*),
           sw => array_contains(col("__words"), sw)))
-          .cast("long").as("req_stop_hits"))
+          .cast("long").as("req_stop_hits"): _*)
       .withColumn("gopher_pass",
         (col("n_words") >= GOPHER_MIN_WORDS &&
           col("n_words") <= GOPHER_MAX_WORDS &&
@@ -751,6 +753,7 @@ object Web {
           col("n_ellipsis_end") * 10 <= col("n_lines") * 3 &&
           col("n_alpha_words") * 5 >= col("n_words") * 4 &&
           col("req_stop_hits") >= 2).cast("long"))
+  }
 
   /** The q175 fixture (same construction in the oracle): the doc's
     * words in 6-word lines; line i gains a `- ` bullet prefix when
@@ -775,24 +778,16 @@ object Web {
     array_join(lines, "\n")
   }
 
-  private lazy val GOPHER_ORACLE = s"""
-    WITH d AS (
-      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    pg AS (
-      SELECT doc_id,
-        array_to_string(list_transform(range(0, (len(ws) - 1) // 6 + 1), i ->
-          (CASE WHEN (doc_id + 2*i) % 5 = 0 THEN '- ' ELSE '' END) ||
-          array_to_string(ws[i*6+1 : i*6+6], ' ') ||
-          (CASE WHEN (doc_id + i) % 9 = 0 THEN ' ##' ELSE '' END) ||
-          (CASE WHEN (doc_id*3 + i) % 7 = 0 THEN '...' ELSE '.' END)),
-          chr(10)) AS page
-      FROM d),
-    arrs AS (
+  /** The Gopher signal/verdict replay as CTE fragments shared by the
+    * q175, q181 and q188 oracles (the rulesReplaySql pattern): expects
+    * an upstream CTE `<src>(doc_id, page)` and emits `arrs` + `sig` +
+    * `gop` — all eight signals plus the composite verdict per doc. */
+  private[graft] def gopherReplaySql(src: String): String = s"""arrs AS (
       SELECT doc_id, page,
         string_split(page, chr(10)) AS lines,
         list_filter(string_split(replace(page, chr(10), ' '), ' '),
           w -> w <> '') AS words
-      FROM pg),
+      FROM $src),
     sig AS (
       SELECT doc_id,
         len(words)::BIGINT AS n_words,
@@ -809,20 +804,38 @@ object Web {
           AS n_alpha_words,
         len(list_filter($SQL_REQUIRED, sw -> list_contains(words, sw)))::BIGINT
           AS req_stop_hits
-      FROM arrs)
+      FROM arrs),
+    gop AS (
+      SELECT doc_id, n_words, word_chars, n_lines, n_bullet,
+             n_ellipsis_end, n_symbols, n_alpha_words, req_stop_hits,
+             (CASE WHEN n_words >= $GOPHER_MIN_WORDS
+                    AND n_words <= $GOPHER_MAX_WORDS
+                    AND word_chars >= n_words * 3
+                    AND word_chars <= n_words * 10
+                    AND n_symbols * 10 <= n_words
+                    AND n_bullet * 10 <= n_lines * 9
+                    AND n_ellipsis_end * 10 <= n_lines * 3
+                    AND n_alpha_words * 5 >= n_words * 4
+                    AND req_stop_hits >= 2
+                   THEN 1 ELSE 0 END)::BIGINT AS gopher_pass
+      FROM sig)"""
+
+  private lazy val GOPHER_ORACLE = s"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    pg AS (
+      SELECT doc_id,
+        array_to_string(list_transform(range(0, (len(ws) - 1) // 6 + 1), i ->
+          (CASE WHEN (doc_id + 2*i) % 5 = 0 THEN '- ' ELSE '' END) ||
+          array_to_string(ws[i*6+1 : i*6+6], ' ') ||
+          (CASE WHEN (doc_id + i) % 9 = 0 THEN ' ##' ELSE '' END) ||
+          (CASE WHEN (doc_id*3 + i) % 7 = 0 THEN '...' ELSE '.' END)),
+          chr(10)) AS page
+      FROM d),
+    ${gopherReplaySql("pg")}
     SELECT doc_id, n_words, word_chars, n_lines, n_bullet, n_ellipsis_end,
-           n_symbols, n_alpha_words, req_stop_hits,
-           (CASE WHEN n_words >= $GOPHER_MIN_WORDS
-                  AND n_words <= $GOPHER_MAX_WORDS
-                  AND word_chars >= n_words * 3
-                  AND word_chars <= n_words * 10
-                  AND n_symbols * 10 <= n_words
-                  AND n_bullet * 10 <= n_lines * 9
-                  AND n_ellipsis_end * 10 <= n_lines * 3
-                  AND n_alpha_words * 5 >= n_words * 4
-                  AND req_stop_hits >= 2
-                 THEN 1 ELSE 0 END)::BIGINT AS gopher_pass
-    FROM sig"""
+           n_symbols, n_alpha_words, req_stop_hits, gopher_pass
+    FROM gop"""
 
   // ------------------------------------------------------------------
   // Outlink extraction + host-level web graph (the CommonCrawl webgraph
@@ -1291,53 +1304,27 @@ object Web {
     * the q175 Gopher signal/verdict formulas replayed on that page.
     * Composition boundary under test: WHICH blocks feed the doc-shape
     * statistics (the q97/q161 lesson). */
-  private lazy val EXTRACT_ADMISSION_ORACLE = s"""
-    WITH $HTML_BLOCK_CTES,
-    mainpage AS (
-      SELECT d.doc_id,
-             coalesce(g.page, '') AS page
-      FROM (SELECT DISTINCT doc_id FROM d) d
+  /** Good-block page assembly per doc — the SQL twin of the engine's
+    * good-block `array_join` (a no-good-blocks doc yields the empty
+    * page). Expects the [[HTML_BLOCK_CTES]] `verdicts` upstream; shared
+    * by the q181 and q188 composition oracles. */
+  private[graft] lazy val MAINPAGE_CTE = """mainpage AS (
+      SELECT dd.doc_id,
+             coalesce(gb.page, '') AS page
+      FROM (SELECT DISTINCT doc_id FROM d) dd
       LEFT JOIN (
         SELECT doc_id,
                array_to_string(list(btext ORDER BY block_idx), chr(10)) AS page
-        FROM verdicts WHERE cls = 'good' GROUP BY doc_id) g
-      USING (doc_id)),
-    arrs AS (
-      SELECT doc_id, page,
-        string_split(page, chr(10)) AS lines,
-        list_filter(string_split(replace(page, chr(10), ' '), ' '),
-          w -> w <> '') AS words
-      FROM mainpage),
-    sig AS (
-      SELECT doc_id,
-        len(words)::BIGINT AS n_words,
-        coalesce(list_sum(list_transform(words, w -> length(w))), 0)::BIGINT
-          AS word_chars,
-        len(lines)::BIGINT AS n_lines,
-        len(list_filter(lines, l -> starts_with(l, '- ')))::BIGINT
-          AS n_bullet,
-        len(list_filter(lines, l -> ends_with(l, '...')))::BIGINT
-          AS n_ellipsis_end,
-        (len(regexp_extract_all(page, '#')) +
-         len(regexp_extract_all(page, '\\.\\.\\.')))::BIGINT AS n_symbols,
-        len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT
-          AS n_alpha_words,
-        len(list_filter($SQL_REQUIRED, sw -> list_contains(words, sw)))::BIGINT
-          AS req_stop_hits
-      FROM arrs)
+        FROM verdicts WHERE cls = 'good' GROUP BY doc_id) gb
+      USING (doc_id))"""
+
+  private lazy val EXTRACT_ADMISSION_ORACLE = s"""
+    WITH $HTML_BLOCK_CTES,
+    $MAINPAGE_CTE,
+    ${gopherReplaySql("mainpage")}
     SELECT doc_id, n_words, word_chars, n_lines, n_bullet, n_ellipsis_end,
-           n_symbols, n_alpha_words, req_stop_hits,
-           (CASE WHEN n_words >= $GOPHER_MIN_WORDS
-                  AND n_words <= $GOPHER_MAX_WORDS
-                  AND word_chars >= n_words * 3
-                  AND word_chars <= n_words * 10
-                  AND n_symbols * 10 <= n_words
-                  AND n_bullet * 10 <= n_lines * 9
-                  AND n_ellipsis_end * 10 <= n_lines * 3
-                  AND n_alpha_words * 5 >= n_words * 4
-                  AND req_stop_hits >= 2
-                 THEN 1 ELSE 0 END)::BIGINT AS gopher_pass
-    FROM sig"""
+           n_symbols, n_alpha_words, req_stop_hits, gopher_pass
+    FROM gop"""
 
   private lazy val HTML_ORACLE = s"""
     WITH $HTML_BLOCK_CTES

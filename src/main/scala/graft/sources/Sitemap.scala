@@ -188,8 +188,9 @@ object Sitemap {
 
   /** Politeness schedule of admitted frontier candidates: per host,
     * rank by (priority DESC NULLS LAST, ord) and space fetches
-    * `delay_ms` apart from epoch 0. `config` is one row per host
-    * (host, delay_ms) — broadcast.
+    * `delay_ms` apart from epoch 0; the input ordinal rides through as
+    * provenance (the q188 chain joins fetched slots back to content on
+    * it). `config` is one row per host (host, delay_ms) — broadcast.
     *
     * De-skewed per-host ranking (r18's one `weak`, cleared r19): a
     * `Window.partitionBy(host)` serializes each host into ONE
@@ -229,10 +230,10 @@ object Sitemap {
     val hostStart = ranked.groupBy(col("host"))
       .agg(min(col("__g")).as("__g0"))
     ranked.join(broadcast(hostStart), Seq("host"))
-      .select(col("host"), (col("__g") - col("__g0")).as("seq"), col("loc"),
-        col("delay_ms"))
-      .select(col("host"), col("seq"), col("loc"), col("delay_ms"),
-        (col("seq") * col("delay_ms")).as("fetch_at_ms"))
+      .select(col("host"), (col("__g") - col("__g0")).as("seq"),
+        col("ord"), col("loc"), col("delay_ms"))
+      .select(col("host"), col("seq"), col("ord"), col("loc"),
+        col("delay_ms"), (col("seq") * col("delay_ms")).as("fetch_at_ms"))
   }
 
   // ------------------------------------------------------------------
@@ -355,6 +356,99 @@ object Sitemap {
       .select(col("host"), ((col("__h") % 7 + 1) * 1000).as("delay_ms"))
 
   // ------------------------------------------------------------------
+  // Composed crawl chain (q188, r19)
+  // ------------------------------------------------------------------
+
+  /** Fetch-budget horizon for the composed chain: a frontier slot is
+    * fetched this cycle iff its politeness instant lands inside it —
+    * so per-host fetch counts vary with the host's delay class (4..30
+    * of the admitted URLs), exercising the cutoff hand-off. */
+  private[graft] val FETCH_HORIZON_MS = 30000L
+
+  /** (host, ord) → (doc_id, text, h) — the fixture's own ordinal
+    * assignment (doc order within host), built shuffle-light like the
+    * sitemap fixture itself: one groupBy + sorted-array posexplode,
+    * NO per-host window. This is the synthetic "origin server": the
+    * chain joins fetched frontier slots back to page content on the
+    * (host, ord) provenance carried since the sitemap walk. */
+  private[graft] def docPages(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("doc_id"), col("text"))
+      .groupBy(col("source"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("text"))))
+        .as("__a"))
+      .select(col("source"), posexplode(col("__a")).as(Seq("ord", "__x")))
+      .select(lower(concat(col("source"), lit(".com"))).as("host"),
+        col("ord").cast("long").as("ord"),
+        col("__x.doc_id").as("doc_id"), col("__x.text").as("text"),
+        expr("cast(substr(source, 4) as bigint)").as("__h"))
+
+  /** The full crawl-discovery chain as ONE query, the q161/q181
+    * composition convention: sitemap walk → robots admission (q185) →
+    * politeness schedule (q186, de-skewed ranking) → fetch-horizon
+    * cutoff → synthetic fetch rendered into one WARC container per
+    * host (warcinfo + responses in schedule order) → container
+    * ingestion (q171) → jusText extraction (q168) → Gopher doc-shape
+    * gate (q175), reported as per-host funnel counts. Individually
+    * each rung is oracle-green; the hand-offs — host keys, (host, ord)
+    * provenance, admission flags, schedule cutoffs, container
+    * round-trip — are where integration bugs live, so the composition
+    * carries its own oracle built from the shared CTE fragments
+    * (rulesReplaySql / HTML_BLOCK_CTES / MAINPAGE_CTE /
+    * gopherReplaySql).
+    *
+    * 100 TB shape: every stage is the registered operator's own plan
+    * (fixture exchanges + pure maps + the de-skewed rank); the chain
+    * adds one (host, ord) equi join to page content, one per-host
+    * container groupBy (bounded at the horizon, ≤31 records each),
+    * and host-level partial-agg rollups joined at host scale. */
+  private def crawlChainRel(docs: DataFrame): DataFrame = {
+    val adm = graft.Caches.lease(sitemapAdmissionRel(
+      syntheticSitemaps(docs), col("xml"), col("robots"), "graftbot",
+      keys = Nil))
+    val admCounts = adm.groupBy(col("host")).agg(
+      count(lit(1)).cast("long").as("n_candidates"),
+      sum(when(col("allowed"), 1L).otherwise(0L)).as("n_admitted"))
+    val fetched = graft.Caches.lease(
+      frontierSchedule(adm.filter(col("allowed")), syntheticConfig(docs))
+        .filter(col("fetch_at_ms") < FETCH_HORIZON_MS))
+    val fetchCounts = fetched.groupBy(col("host"))
+      .agg(count(lit(1)).cast("long").as("n_fetched"))
+    val pages = fetched.join(docPages(docs), Seq("host", "ord"))
+    val containers = pages
+      .select(col("host"), col("__h"), col("seq"),
+        Warc.responseRecord(col("doc_id"), col("loc"),
+          Web.syntheticHtml(col("text"), col("doc_id"))).as("__rec"))
+      .groupBy(col("host"))
+      .agg(first(col("__h")).as("__h"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seq"), col("__rec")))),
+          x => x.getField("__rec")), "").as("__body"))
+      .select(col("host"),
+        concat(Warc.warcinfoRecord(col("__h")), col("__body")).as("container"))
+    val recs = Warc.warcRecordsRel(containers, col("container"),
+        maxRecords = 64, keys = Seq("host"))
+      .select(col("host"), explode(col("records")).as("r"))
+      .filter(col("r.typ") === "response" && col("r.ok"))
+    val gated = Web.gopherRulesRel(
+      Web.withMainText(recs, col("r.payload"), "__main")
+        .select(col("host"), col("__main")),
+      col("__main"), keys = Seq("host"))
+    val gateCounts = gated.groupBy(col("host")).agg(
+      count(lit(1)).cast("long").as("n_parsed"),
+      sum(when(col("n_words") > 0, 1L).otherwise(0L)).as("n_extracted"),
+      sum(col("gopher_pass")).as("n_gate_pass"))
+    admCounts
+      .join(fetchCounts, Seq("host"), "left")
+      .join(gateCounts, Seq("host"), "left")
+      .select(col("host"), col("n_candidates"), col("n_admitted"),
+        coalesce(col("n_fetched"), lit(0L)).as("n_fetched"),
+        coalesce(col("n_parsed"), lit(0L)).as("n_parsed"),
+        coalesce(col("n_extracted"), lit(0L)).as("n_extracted"),
+        coalesce(col("n_gate_pass"), lit(0L)).as("n_gate_pass"))
+  }
+
+  // ------------------------------------------------------------------
   // Oracles
   // ------------------------------------------------------------------
 
@@ -362,7 +456,7 @@ object Sitemap {
     * rebuilt generatively per doc, ord by doc order within host) and
     * the planted-robots replay keyed by (host, ord) — `adm` is the
     * full q185 relation. */
-  private lazy val ADMISSION_CTES = s"""d AS (
+  private lazy val ADMISSION_CTES = s"""sd AS (
       SELECT doc_id, source, CAST(substr(source, 4) AS BIGINT) AS h
       FROM documents),
     e AS (
@@ -378,7 +472,7 @@ object Sitemap {
                   THEN '0.' || CAST(doc_id % 10 AS VARCHAR) END AS priority,
              '/docs/' || CAST(doc_id // 5 AS VARCHAR) ||
              (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) AS path
-      FROM d),
+      FROM sd),
     g AS (SELECT host, ord, h, path, CAST(h % 7 AS VARCHAR) AS gs FROM e),
     ${Robots.rulesReplaySql("host, ord")},
     adm AS (
@@ -436,12 +530,57 @@ object Sitemap {
     FROM e LEFT JOIN (SELECT * FROM win WHERE rn = 1) w
       USING (host, sitemap_ord, ord)"""
 
+  /** q188 oracle: the whole funnel replayed from shared fragments —
+    * admission from [[ADMISSION_CTES]], the schedule as the window
+    * replay, the horizon cutoff, (host, ord) → doc_id from the `e`
+    * CTE, extraction from HTML_BLOCK_CTES + MAINPAGE_CTE, the gate
+    * from gopherReplaySql — rolled up per host. The oracle never sees
+    * WARC bytes: n_parsed is the fetched-page count, so any container
+    * round-trip loss on the Spark side hash-mismatches. */
+  private lazy val CHAIN_ORACLE = s"""
+    WITH ${Web.HTML_BLOCK_CTES},
+    ${Web.MAINPAGE_CTE},
+    $ADMISSION_CTES,
+    cnt AS (
+      SELECT host, count(*)::BIGINT AS n_candidates,
+             sum(CASE WHEN allowed THEN 1 ELSE 0 END)::BIGINT AS n_admitted
+      FROM adm GROUP BY host),
+    sched AS (
+      SELECT host, ord, delay_ms,
+             (row_number() OVER (PARTITION BY host
+                ORDER BY priority DESC NULLS LAST, ord) - 1)::BIGINT AS seq
+      FROM adm WHERE allowed),
+    fetched AS (
+      SELECT host, ord FROM sched WHERE seq * delay_ms < $FETCH_HORIZON_MS),
+    pages AS (
+      SELECT host, ord, e.doc_id FROM fetched JOIN e USING (host, ord)),
+    fpage AS (
+      SELECT p.doc_id, m.page FROM pages p JOIN mainpage m USING (doc_id)),
+    ${Web.gopherReplaySql("fpage")},
+    fcnt AS (
+      SELECT host, count(*)::BIGINT AS n_fetched FROM fetched GROUP BY host),
+    per_host AS (
+      SELECT p.host,
+             count(*)::BIGINT AS n_parsed,
+             sum(CASE WHEN gop.n_words > 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_extracted,
+             sum(gop.gopher_pass)::BIGINT AS n_gate_pass
+      FROM pages p JOIN gop USING (doc_id) GROUP BY p.host)
+    SELECT c.host, c.n_candidates, c.n_admitted,
+           coalesce(f.n_fetched, 0)::BIGINT AS n_fetched,
+           coalesce(ph.n_parsed, 0)::BIGINT AS n_parsed,
+           coalesce(ph.n_extracted, 0)::BIGINT AS n_extracted,
+           coalesce(ph.n_gate_pass, 0)::BIGINT AS n_gate_pass
+    FROM cnt c
+    LEFT JOIN fcnt f USING (host)
+    LEFT JOIN per_host ph USING (host)"""
+
   private lazy val FRONTIER_ORACLE = s"""
     WITH $ADMISSION_CTES
     SELECT host,
            (row_number() OVER (PARTITION BY host
               ORDER BY priority DESC NULLS LAST, ord) - 1)::BIGINT AS seq,
-           loc, delay_ms,
+           ord, loc, delay_ms,
            ((row_number() OVER (PARTITION BY host
               ORDER BY priority DESC NULLS LAST, ord) - 1) * delay_ms)::BIGINT
              AS fetch_at_ms
@@ -477,5 +616,11 @@ object Sitemap {
           syntheticChildSitemaps(docs), "graftbot", keys = Nil)
       },
       Some(INDEX_ORACLE),
-      "sitemapindex ingestion (sitemaps.org index-of-children): positional <sitemap> walk with charref+entity loc decode, fetched-body resolve as ONE sitemap-scale equi join, transparent RFC 1952 inflate of .xml.gz children, then the q185 urlset/robots walk per child with (child_loc, sitemap_ord, ord) provenance"))
+      "sitemapindex ingestion (sitemaps.org index-of-children): positional <sitemap> walk with charref+entity loc decode, fetched-body resolve as ONE sitemap-scale equi join, transparent RFC 1952 inflate of .xml.gz children, then the q185 urlset/robots walk per child with (child_loc, sitemap_ord, ord) provenance"),
+
+    QueryDef(
+      "q188_crawl_chain",
+      (s, d) => crawlChainRel(documents(s, d)),
+      Some(CHAIN_ORACLE),
+      "the composed crawl-discovery funnel: sitemap walk -> robots admission -> de-skewed politeness schedule -> fetch-horizon cutoff -> synthetic fetch into per-host WARC containers -> container ingestion -> jusText extraction -> Gopher gate, per-host counts; the hand-offs (host keys, (host,ord) provenance, cutoffs, container round-trip) carry their own composition oracle"))
 }

@@ -102,14 +102,14 @@ object Warc {
     * breaks exactly here; the length-delimited walk must not. */
   private[graft] val INFO_PAYLOAD = "software: graft/0.1\r\nformat: WARC/1.0"
 
-  private def warcinfoRecord(gid: Column): Column =
+  private[sources] def warcinfoRecord(gid: Column): Column =
     concat(
       lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Record-ID: <urn:graft:warcinfo:"),
       gid.cast("string"),
       lit(s">\r\nContent-Type: application/warc-fields\r\nContent-Length: " +
         s"${INFO_PAYLOAD.length}\r\n\r\n$INFO_PAYLOAD\r\n\r\n"))
 
-  private def responseRecord(docId: Column, uri: Column, html: Column): Column =
+  private[sources] def responseRecord(docId: Column, uri: Column, html: Column): Column =
     concat(
       lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:graft:doc:"),
       docId.cast("string"),

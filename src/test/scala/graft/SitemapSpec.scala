@@ -85,8 +85,8 @@ class SitemapSpec extends SparkSpec {
       .toDF("host", "ord", "loc", "priority")
     val config = Seq(("h1", 2000L), ("h2", 5000L)).toDF("host", "delay_ms")
     val got = Sitemap.frontierSchedule(cands, config)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
-        r.getLong(4))).toSeq.sortBy(t => (t._1, t._2))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(3),
+        r.getLong(5))).toSeq.sortBy(t => (t._1, t._2))
     assert(got == Seq(
       ("h1", 0L, "u1", 0L),     // 0.9, ord 1 before ord 2
       ("h1", 1L, "u2", 2000L),
@@ -110,7 +110,7 @@ class SitemapSpec extends SparkSpec {
     val plan = sched.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan.linesIterator.take(30).mkString("\n"))
     val got = sched.collect().map(r =>
-      (r.getString(0), r.getLong(1), r.getString(2), r.getLong(4)))
+      (r.getString(0), r.getLong(1), r.getString(3), r.getLong(5)))
     val h1 = got.filter(_._1 == "h1").sortBy(_._2)
     // dense 0..1999, delay-spaced, 0.9-priority block (ords 0,3,6,..)
     // before the null block, ord ascending within each
