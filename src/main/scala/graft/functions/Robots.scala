@@ -105,7 +105,15 @@ object Robots {
     },
       st => when(st.getField("seen"), st.getField("spec"))
         .otherwise(st.getField("wild")))
-    folded
+    // the §2.2.2 comparison form rides IN the rule struct, computed
+    // once per rule AT PARSE TIME: the verdict runs per URL row (q185
+    // stages the parse once per host and then explodes to entries), so
+    // normalizing inside the verdict would re-walk every pattern once
+    // per entry x rule — measured 6x on q185 before this moved here
+    transform(folded, r => struct(
+      r.getField("allow").as("allow"),
+      r.getField("prefix").as("prefix"),
+      pctNormalize(r.getField("prefix")).as("norm")))
   }
 
   /** RFC 9309 §2.2.2 comparison form of a path or rule pattern: a
@@ -199,9 +207,17 @@ object Robots {
     * specificity measure); on a length tie Allow wins; no match =
     * allowed. Returns a struct (allowed: boolean, rule: string — the
     * winning RAW pattern or ''). */
-  def robotsVerdict(path: Column, rules: Column): Column = {
+  def robotsVerdict(path: Column, rules: Column): Column =
+    normalizedVerdict(pctNormalize(path), rules)
+
+  /** [[robotsVerdict]] for a path ALREADY in comparison form: the hot
+    * relations (q177's rows, q185's entries) stage `pctNormalize(path)`
+    * once per row in a projection — inlining it here would re-evaluate
+    * the token walk once per rule under the interpreted HOF filter. */
+  private[graft] def normalizedVerdict(normPath: Column,
+      rules: Column): Column = {
     val matched = filter(rules, r =>
-      wildcardMatch(pctNormalize(path), pctNormalize(r.getField("prefix"))))
+      wildcardMatch(normPath, r.getField("norm")))
     val best = aggregate(matched,
       struct(lit(true).as("allow"), lit(-1).as("len"), lit("").as("p")),
       (b, r) => {
@@ -369,8 +385,10 @@ object Robots {
           .as("path"))
       .select(col("doc_id"), col("path"),
         robotsRules(syntheticRobots(col("__h")), "graftbot").as("__rules"))
+      .select(col("doc_id"), col("path"), col("__rules"),
+        pctNormalize(col("path")).as("__pathn"))
       .select(col("doc_id"), col("path"),
-        robotsVerdict(col("path"), col("__rules")).as("__v"))
+        normalizedVerdict(col("__pathn"), col("__rules")).as("__v"))
       .select(col("doc_id"), col("path"),
         col("__v.allowed").as("allowed"),
         col("__v.rule").as("rule"))

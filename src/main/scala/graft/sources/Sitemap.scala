@@ -112,8 +112,12 @@ object Sitemap {
         :+ Web.pageHost(col("loc")).as("host")
         :+ locPath(col("loc")).as("path"): _*)
       .select(kt :+ col("ord") :+ col("loc") :+ col("lastmod")
+        :+ col("priority") :+ col("__rules") :+ col("host") :+ col("path")
+        :+ Robots.pctNormalize(col("path")).as("__pathn"): _*)
+      .select(kt :+ col("ord") :+ col("loc") :+ col("lastmod")
         :+ col("priority") :+ col("host") :+ col("path")
-        :+ Robots.robotsVerdict(col("path"), col("__rules")).as("__v"): _*)
+        :+ Robots.normalizedVerdict(col("__pathn"), col("__rules"))
+          .as("__v"): _*)
       .select(kt :+ col("ord") :+ col("loc") :+ col("lastmod")
         :+ col("priority") :+ col("host") :+ col("path")
         :+ col("__v.allowed").as("allowed")
@@ -215,10 +219,16 @@ object Sitemap {
   def frontierSchedule(candidates: DataFrame, config: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
-    val joined = candidates
+    // CACHE the input projection too (three leases total, the q152
+    // discipline): the range partitioner's SAMPLING job and the
+    // shuffle write each evaluate the child, and the child here is
+    // whatever expensive relation feeds the frontier (q186's is the
+    // whole sitemap-admission parse — uncached it re-ran per job and
+    // measured 14 s where the cached chain costs ~2 s)
+    val joined = graft.Caches.lease(candidates
       .join(broadcast(config), Seq("host"))
       .select(col("host"), col("ord"), col("loc"), col("priority"),
-        col("delay_ms"))
+        col("delay_ms")))
     val sorted = graft.Caches.lease(joined
       .repartitionByRange(col("host"), col("priority").desc_nulls_last,
         col("ord").asc)

@@ -160,6 +160,29 @@ object ScaleBench {
   private val lshMemo = scala.collection.mutable.Map.empty[String, (Int, Long)]
 
   val Extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    // The r18 verdict's frontier weak, measured at its worst: HALF of
+    // all frontier candidates behind ONE authority (the mega-host crawl
+    // shape), the skew the registry q186 fixture cannot produce (its
+    // hosts are near-uniform). The de-skewed rank (range-sort +
+    // partition-offset ordinals) must hold a flat slope here; the
+    // r18 per-host window would serialize half the corpus into one
+    // partition and go superlinear.
+    "q186_megahost" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables.documents(s, dir)
+      val cands = docs.select(
+        when(col("doc_id") % 2 === 0, lit("mega.example"))
+          .otherwise(lower(concat(col("source"), lit(".com")))).as("host"),
+        col("doc_id").cast("long").as("ord"),
+        concat(lit("u"), col("doc_id").cast("string")).as("loc"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("0."), (col("doc_id") % 10).cast("string")))
+          .otherwise(lit(null).cast("string")).as("priority"))
+      val config = cands.select(col("host")).distinct()
+        .select(col("host"), lit(1000L).as("delay_ms"))
+      graft.sources.Sitemap.frontierSchedule(cands, config)
+    }),
+
     "q98_fixed_batch" -> ((s, dir) =>
       graft.functions.Dedup.embeddingPairsIncrementalExact(
         graft.functions.Similarity.prepared(s, dir), 0.4,
