@@ -169,6 +169,32 @@ object RobotsProps extends Properties("robots") {
     }
   }
 
+  // gnarlier strings than the path alphabet: truncated/invalid escapes,
+  // mixed hex case, multi-octet codepoints (2- and 3-byte UTF-8),
+  // metacharacters adjacent to escapes, bare '%' at end-of-string
+  private val gnarlyGen: Gen[String] = for {
+    n <- Gen.chooseNum(0, 8)
+    parts <- Gen.listOfN(n, Gen.oneOf(
+      "%", "%2", "%2F", "%2f", "%zz", "%7E", "%7e", "%41", "%c3", "%C3%A9",
+      "a", "/", "é", "€", "~", "*", "$", ".", "_", "-", "9", "%%41", "Z"))
+  } yield parts.mkString
+
+  property("pctNormalize equals the independent normalizer and is idempotent") =
+    Prop.forAll(Gen.listOfN(8, gnarlyGen)) { ss =>
+      import spark.implicits._
+      val got = ss.toDF("s")
+        .select(Robots.pctNormalize(col("s")).as("n"))
+        .collect().map(_.getString(0)).toList
+      val want = ss.map(refNormalize)
+      // idempotence: the comparison form is a fixed point, so matching
+      // an already-normalized side can never drift
+      val twice = got.toDF("s")
+        .select(Robots.pctNormalize(col("s")).as("n"))
+        .collect().map(_.getString(0)).toList
+      (Prop(got == want) :| s"got=$got want=$want in=$ss") &&
+        (Prop(twice == got) :| s"not idempotent: $got -> $twice")
+    }
+
   property("verdicts equal the independent parser on random files and paths") =
     Prop.forAll(robotsGen, Gen.listOfN(6, pathGen)) { (robots, paths) =>
       import spark.implicits._
