@@ -98,6 +98,13 @@ object Sitemap {
         :+ Robots.robotsRules(robots, agent).as("__rules"): _*)
       .select(kt :+ col("__rules")
         :+ posexplode_outer(col("__blocks")).as(Seq("ord", "__b")): _*)
+      // the OUTER explode keeps the parse single (the q168
+      // InferFiltersFromGenerate lesson), but a block-less document —
+      // empty urlset, or a NULL xml from a corrupt gz child — then
+      // emits one all-null row; filtering on the GENERATOR OUTPUT
+      // column drops it without anything pushing below the generate
+      // (r19 spec-found: a corrupt child leaked a phantom entry)
+      .filter(col("ord").isNotNull)
       .select(kt :+ col("ord").cast("long").as("ord") :+ col("__rules")
         :+ xmlDecode(regexp_extract(col("__b"),
           "(?s)<loc>\\s*(.*?)\\s*</loc>", 1)).as("loc")
@@ -144,6 +151,7 @@ object Sitemap {
       .select(kt :+ posexplode_outer(
         regexp_extract_all(stripped, lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1)))
         .as(Seq("sitemap_ord", "__b")): _*)
+      .filter(col("sitemap_ord").isNotNull) // block-less index: zero rows
       .select(kt :+ col("sitemap_ord").cast("long").as("sitemap_ord")
         :+ xmlDecode(regexp_extract(col("__b"),
           "(?s)<loc>\\s*(.*?)\\s*</loc>", 1)).as("child_loc")

@@ -123,6 +123,25 @@ class SitemapSpec extends SparkSpec {
     graft.Caches.release()
   }
 
+  test("a corrupt gz child contributes ZERO entries — never a phantom null row") {
+    val idx = Seq((
+      "<sitemapindex><sitemap><loc>https://h.example.com/a.xml</loc></sitemap>" +
+        "<sitemap><loc>https://h.example.com/b.xml.gz</loc></sitemap></sitemapindex>",
+      "User-agent: *\nAllow: /\n")).toDF("xml", "robots")
+    val good = "<urlset><url><loc>https://h.example.com/ok</loc></url></urlset>"
+      .getBytes("UTF-8")
+    // gzip magic then garbage: GunzipBytes degrades to NULL
+    val bad = Array[Byte](0x1f, 0x8b.toByte, 8, 0, 1, 2, 3)
+    val got = Sitemap.sitemapIndexAdmissionRel(
+        idx, col("xml"), col("robots"),
+        Seq(("https://h.example.com/a.xml", good),
+          ("https://h.example.com/b.xml.gz", bad)).toDF("child_loc", "body"),
+        "graftbot", keys = Nil)
+      .collect().map(r => (r.getString(0), r.getString(3)))
+    assert(got.toSeq == Seq(("https://h.example.com/a.xml",
+      "https://h.example.com/ok")), got.toSeq)
+  }
+
   test("fixture sitemaps: one per host, entries in doc order, robots attached") {
     val docs = spark.read.parquet(s"$SF/documents.parquet")
     val sm = Sitemap.syntheticSitemaps(docs)
