@@ -45,10 +45,12 @@ import graft.functions.expressions.{GunzipBytes, GzipCompress}
   *
   * 100 TB shape: q185 is one fixture-build exchange (groupBy source)
   * then a pure map — the rules fold runs once per HOST row, not per
-  * entry; q186 adds one broadcast join (tiny config dim), one RANGE
-  * exchange on the full ordering (a mega host spreads across
-  * partitions instead of serializing into one), and a partial-agg
-  * host-min that broadcasts back. Frontier output is linear in
+  * entry; q186 adds one equi join against the host-config dim (AQE
+  * picks broadcast vs SMJ — the frame is one row per host, which at
+  * crawl scale is NOT broadcast-able), one RANGE exchange on the full
+  * ordering (a mega host spreads across partitions instead of
+  * serializing into one), and a partial-agg host-min joined back
+  * un-hinted for the same reason. Frontier output is linear in
   * admitted URLs; no joins between entry-scale relations.
   */
 object Sitemap {
@@ -202,7 +204,8 @@ object Sitemap {
     * rank by (priority DESC NULLS LAST, ord) and space fetches
     * `delay_ms` apart from epoch 0; the input ordinal rides through as
     * provenance (the q188 chain joins fetched slots back to content on
-    * it). `config` is one row per host (host, delay_ms) — broadcast.
+    * it). `config` is one row per host (host, delay_ms) — joined
+    * un-hinted (see the broadcast note below).
     *
     * De-skewed per-host ranking (r18's one `weak`, cleared r19): a
     * `Window.partitionBy(host)` serializes each host into ONE
@@ -223,7 +226,27 @@ object Sitemap {
     * (PlanSpec-pinned). Both cached frames are [[graft.Caches]] leases
     * (zipWithIndex runs its partition-count job eagerly; the ranked
     * frame crosses an RDD boundary and is consumed by both the agg and
-    * the join probe). */
+    * the join probe).
+    *
+    * NEITHER host-keyed join carries a broadcast hint (r19's one
+    * `weak`, cleared r20): `config` and the host-min frame are both
+    * one-row-PER-HOST relations, and at real crawl scale distinct
+    * hosts run 10^8+ — a forced broadcast of a host-cardinality frame
+    * is a multi-GB driver materialization, a cliff the x32 scale rows
+    * cannot see. Both joins are skew-free by construction (the key is
+    * unique per row on the small side), so AQE is free to pick
+    * broadcast when the frame is actually small and SMJ when it
+    * isn't; the spec pins the absence of a forced hint in the
+    * optimized plan.
+    *
+    * NOT lazy (documented for plan-only callers): building the
+    * returned DataFrame eagerly runs Spark jobs — the range
+    * partitioner's sampling pass plus zipWithIndex's partition-count
+    * job — and takes three [[graft.Caches]] leases the caller must
+    * later release (every call path — q186, q188's crawlChainRel, the
+    * ScaleBench variants, the specs — pairs with `Caches.release()`).
+    * A PlanSpec-style caller that only wants the plan shape should
+    * expect job execution at construction time. */
   def frontierSchedule(candidates: DataFrame, config: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
@@ -234,7 +257,7 @@ object Sitemap {
     // whole sitemap-admission parse — uncached it re-ran per job and
     // measured 14 s where the cached chain costs ~2 s)
     val joined = graft.Caches.lease(candidates
-      .join(broadcast(config), Seq("host"))
+      .join(config, Seq("host"))
       .select(col("host"), col("ord"), col("loc"), col("priority"),
         col("delay_ms")))
     val sorted = graft.Caches.lease(joined
@@ -247,7 +270,7 @@ object Sitemap {
       sorted.schema.add("__g", LongType)))
     val hostStart = ranked.groupBy(col("host"))
       .agg(min(col("__g")).as("__g0"))
-    ranked.join(broadcast(hostStart), Seq("host"))
+    ranked.join(hostStart, Seq("host"))
       .select(col("host"), (col("__g") - col("__g0")).as("seq"),
         col("ord"), col("loc"), col("delay_ms"))
       .select(col("host"), col("seq"), col("ord"), col("loc"),
@@ -623,7 +646,7 @@ object Sitemap {
           syntheticConfig(documents(s, d)))
       },
       Some(FRONTIER_ORACLE),
-      "crawl-frontier politeness scheduling: robots-admitted sitemap URLs join a broadcast per-host config; per-host (priority DESC, ord) ranks come from range-sort + partition-offset global ordinals minus a broadcast host-min — NO per-host window, a mega host never serializes into one partition"),
+      "crawl-frontier politeness scheduling: robots-admitted sitemap URLs join the per-host config un-hinted (host cardinality is 10^8+ at crawl scale — AQE picks the strategy, never a forced driver broadcast); per-host (priority DESC, ord) ranks come from range-sort + partition-offset global ordinals minus an un-hinted host-min join — NO per-host window, a mega host never serializes into one partition"),
 
     QueryDef(
       "q187_sitemap_index",

@@ -183,6 +183,30 @@ object ScaleBench {
       graft.sources.Sitemap.frontierSchedule(cands, config)
     }),
 
+    // The opposite extreme (the r19 verdict's residual, measured): host
+    // cardinality GROWS with the corpus — one host per 4 candidates, so
+    // at x32 the config dim and the host-min frame are corpus-scale
+    // relations. The un-hinted joins must let AQE abandon broadcast and
+    // plan a shuffle join; the r19 forced `broadcast()` hints would
+    // materialize the whole host dim on the driver — a cliff this row
+    // exists to keep visible.
+    "q186_manyhosts" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables.documents(s, dir)
+      val cands = docs.select(
+        concat(lit("h"), (col("doc_id").cast("long") / 4).cast("string"),
+          lit(".example")).as("host"),
+        col("doc_id").cast("long").as("ord"),
+        concat(lit("u"), col("doc_id").cast("string")).as("loc"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("0."), (col("doc_id") % 10).cast("string")))
+          .otherwise(lit(null).cast("string")).as("priority"))
+      val config = cands.select(col("host")).distinct()
+        .select(col("host"),
+          ((abs(hash(col("host"))) % 7 + 1) * 1000L).as("delay_ms"))
+      graft.sources.Sitemap.frontierSchedule(cands, config)
+    }),
+
     "q98_fixed_batch" -> ((s, dir) =>
       graft.functions.Dedup.embeddingPairsIncrementalExact(
         graft.functions.Similarity.prepared(s, dir), 0.4,

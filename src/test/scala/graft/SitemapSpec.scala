@@ -109,6 +109,14 @@ class SitemapSpec extends SparkSpec {
     val sched = Sitemap.frontierSchedule(cands, config)
     val plan = sched.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan.linesIterator.take(30).mkString("\n"))
+    // r20: neither host-keyed join (config, host-min) may carry a FORCED
+    // broadcast hint — both sides are one-row-per-host relations, and at
+    // crawl scale distinct hosts run 10^8+, so a forced broadcast is a
+    // driver-memory cliff. AQE choosing broadcast at this toy size is
+    // fine (size-based, reversible); a hint in the optimized plan is not.
+    val opt = sched.queryExecution.optimizedPlan.toString
+    assert(!opt.toLowerCase.contains("strategy=broadcast"),
+      opt.linesIterator.take(30).mkString("\n"))
     val got = sched.collect().map(r =>
       (r.getString(0), r.getLong(1), r.getString(3), r.getLong(5)))
     val h1 = got.filter(_._1 == "h1").sortBy(_._2)
