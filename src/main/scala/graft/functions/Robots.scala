@@ -42,9 +42,9 @@ import graft.{QueryDef, Tables}
 object Robots {
   import Tables._
 
-  /** Parsed rules of one robots.txt for one crawling agent, as an
-    * array of structs (allow: boolean, prefix: string), group-selected
-    * per the RFC: agent-specific groups if any exist, else `*` groups.
+  /** The group walk shared by [[robotsRules]] and [[robotsCrawlDelay]]
+    * — ONE fold implementation so rule selection and delay selection
+    * can never drift. Returns the final fold state struct.
     *
     * One running fold (the q168 runningDecided shape). State:
     *   - mode: 0 = outside any matching group / after a non-matching
@@ -54,25 +54,36 @@ object Robots {
     *     line after rules STARTS a new group; consecutive UA lines
     *     extend the same header run);
     *   - wild / spec: rules collected from `*` / agent-specific groups;
+    *   - wd / sd: the first VALID `Crawl-delay` seconds seen in a `*` /
+    *     agent-specific group (r20 — the de-facto group rule Yandex and
+    *     Bing honor; RFC 9309 leaves it undefined). A Crawl-delay line
+    *     is a recognized GROUP RULE here: it ends a User-agent header
+    *     run exactly like Allow/Disallow (parsers that recognize the
+    *     directive treat it as group content), and a non-numeric or
+    *     negative value is ignored. `Sitemap:` lines, by contrast, are
+    *     GLOBAL (sitemaps.org: independent of the user-agent context) —
+    *     they neither join a group nor end a header run;
     *   - seen: whether ANY group named the agent specifically — per
     *     RFC 9309 §2.2.1 a matching specific group preempts the `*`
     *     groups even when it carries ZERO rules (= no restrictions),
     *     so the final selection keys on seen, not on spec being
     *     non-empty (property-found r18).
     */
-  def robotsRules(robots: Column, agent: String): Column = {
+  private def groupFold(robots: Column, agent: String): Column = {
     val lines = transform(split(robots, "\n"), l =>
       trim(regexp_replace(l, "#.*", "")))
     val st0 = struct(
       lit(0).as("mode"), lit(false).as("hdr"),
       array().cast("array<struct<allow:boolean,prefix:string>>").as("wild"),
       array().cast("array<struct<allow:boolean,prefix:string>>").as("spec"),
+      lit(null).cast("double").as("wd"), lit(null).cast("double").as("sd"),
       lit(false).as("seen"))
-    val folded = aggregate(lines, st0, (st, l) => {
+    aggregate(lines, st0, (st, l) => {
       val lower0 = lower(l)
       val isUa = lower0.startsWith("user-agent:")
       val isAllow = lower0.startsWith("allow:")
       val isDis = lower0.startsWith("disallow:")
+      val isCd = lower0.startsWith("crawl-delay:")
       val value = trim(substr(l, instr(l, ":") + 1))
       val uaThis = when(lower(value) === agent.toLowerCase, lit(2))
         .when(value === "*", lit(1)).otherwise(lit(0))
@@ -83,8 +94,16 @@ object Robots {
         .otherwise(uaThis)
       val rule = struct(isAllow.as("allow"), value.as("prefix"))
       val keep = (isAllow || isDis) && value =!= ""
+      // first valid delay per class wins; an invalid value changes
+      // nothing (but the line still ended the header run below). The
+      // rlike guard gates the cast — ANSI mode throws on a malformed
+      // numeric string, and 'Crawl-delay: soon' must degrade, not fail
+      val isNum = value.rlike("^[0-9]+(\\.[0-9]+)?$")
+      val delay = when(isNum, value).otherwise(lit(null)).cast("double")
+      val cdValid = isCd && isNum
       when(isUa, struct(newMode.as("mode"), lit(true).as("hdr"),
           st.getField("wild").as("wild"), st.getField("spec").as("spec"),
+          st.getField("wd").as("wd"), st.getField("sd").as("sd"),
           (st.getField("seen") || newMode === 2).as("seen")))
         .when(keep, struct(st.getField("mode").as("mode"),
           lit(false).as("hdr"),
@@ -94,17 +113,37 @@ object Robots {
           when(st.getField("mode") === 2,
             concat(st.getField("spec"), array(rule)))
             .otherwise(st.getField("spec")).as("spec"),
+          st.getField("wd").as("wd"), st.getField("sd").as("sd"),
           st.getField("seen").as("seen")))
-        // blank / comment-only / empty-valued directive lines: rules
-        // end the header run too, but nothing is collected
+        .when(cdValid, struct(st.getField("mode").as("mode"),
+          lit(false).as("hdr"),
+          st.getField("wild").as("wild"), st.getField("spec").as("spec"),
+          when(st.getField("mode") === 1,
+            coalesce(st.getField("wd"), delay))
+            .otherwise(st.getField("wd")).as("wd"),
+          when(st.getField("mode") === 2,
+            coalesce(st.getField("sd"), delay))
+            .otherwise(st.getField("sd")).as("sd"),
+          st.getField("seen").as("seen")))
+        // blank / comment-only / empty-valued / global (Sitemap:) lines:
+        // rule-class lines end the header run, everything else leaves it
         .otherwise(struct(st.getField("mode").as("mode"),
-          when(isAllow || isDis, lit(false))
+          when(isAllow || isDis || isCd, lit(false))
             .otherwise(st.getField("hdr")).as("hdr"),
           st.getField("wild").as("wild"), st.getField("spec").as("spec"),
+          st.getField("wd").as("wd"), st.getField("sd").as("sd"),
           st.getField("seen").as("seen")))
-    },
-      st => when(st.getField("seen"), st.getField("spec"))
-        .otherwise(st.getField("wild")))
+    }, st => st)
+  }
+
+  /** Parsed rules of one robots.txt for one crawling agent, as an
+    * array of structs (allow: boolean, prefix: string, norm: string),
+    * group-selected per the RFC via [[groupFold]]: agent-specific
+    * groups if any exist, else `*` groups. */
+  def robotsRules(robots: Column, agent: String): Column = {
+    val st = groupFold(robots, agent)
+    val folded = when(st.getField("seen"), st.getField("spec"))
+      .otherwise(st.getField("wild"))
     // the §2.2.2 comparison form rides IN the rule struct, computed
     // once per rule AT PARSE TIME: the verdict runs per URL row (q185
     // stages the parse once per host and then explodes to entries), so
@@ -116,18 +155,55 @@ object Robots {
       pctNormalize(r.getField("prefix")).as("norm")))
   }
 
+  /** `Crawl-delay` seconds of one robots.txt for one crawling agent
+    * (r20): the first valid value in the group class [[groupFold]]
+    * selects — agent-specific groups preempt `*` groups EVEN when the
+    * specific groups carry no delay (a preempting group with no
+    * Crawl-delay means "no declared delay", exactly the rules
+    * discipline), NULL when the applicable class declares none. The
+    * caller supplies its crawler default for NULL. */
+  def robotsCrawlDelay(robots: Column, agent: String): Column = {
+    val st = groupFold(robots, agent)
+    when(st.getField("seen"), st.getField("sd"))
+      .otherwise(st.getField("wd"))
+  }
+
+  /** `Sitemap:` URLs of one robots.txt (r20), in file order. Global
+    * directives per sitemaps.org — independent of any user-agent group,
+    * so this is a plain line filter, no group walk: every line whose
+    * (comment-stripped, trimmed) form starts with `sitemap:`
+    * case-insensitively contributes its value. Empty values drop. The
+    * value keeps everything past the FIRST colon, so the `https://`
+    * scheme colon survives. */
+  def robotsSitemaps(robots: Column): Column = {
+    val lines = transform(split(robots, "\n"), l =>
+      trim(regexp_replace(l, "#.*", "")))
+    filter(
+      transform(lines, l =>
+        when(lower(l).startsWith("sitemap:"),
+          trim(substr(l, instr(l, ":") + 1)))
+          .otherwise(lit(null).cast("string"))),
+      v => v.isNotNull && v =!= "")
+  }
+
   /** RFC 9309 §2.2.2 comparison form of a path or rule pattern: a
     * valid `%XX` triple decodes when XX is an UNRESERVED octet (RFC
     * 3986 §2.3: ALPHA / DIGIT / `-` `.` `_` `~`) and uppercases its
     * hex otherwise (`%2f` → `%2F` — 0x2F is reserved, so an encoded
     * slash never becomes a path-structure slash); a raw non-ASCII
     * character percent-encodes its UTF-8 octets in uppercase hex; raw
-    * ASCII (including the `*`/`$` metacharacters and a `%` not
-    * followed by two hex digits) passes through. Both sides of every
-    * match normalize through this, so mixed-encoding robots files
-    * govern decoded paths and vice versa. One token walk per string
-    * (the htmlInnerText stitch discipline), behind an instr/octet
-    * guard so the all-ASCII-no-escape common case stays a no-op. */
+    * ASCII (including the `*`/`$` metacharacters) passes through —
+    * EXCEPT a stray `%` that starts no valid escape, which encodes to
+    * `%25` (r20): that is its §2.2.2 octet form (`/100%` must govern
+    * `/100%25` and vice versa), and it is what makes the comparison
+    * form a true FIXED POINT — the r19 pass-through let a decode
+    * manufacture a new apparent escape (`%a%41` → `%aA` → `%AA` on a
+    * second pass), a property-found non-idempotence that could drift
+    * a match when one side re-normalized. Both sides of every match
+    * normalize through this, so mixed-encoding robots files govern
+    * decoded paths and vice versa. One token walk per string (the
+    * htmlInnerText stitch discipline), behind an instr/octet guard so
+    * the all-ASCII-no-escape common case stays a no-op. */
   private[graft] def pctNormalize(c: Column): Column = {
     val toks = regexp_extract_all(c, lit("(?s)%[0-9A-Fa-f]{2}|."), lit(0))
     val norm = array_join(transform(toks, t => {
@@ -140,6 +216,7 @@ object Robots {
       when(isPct, when(unreserved, chr(cp.cast("long"))).otherwise(upper(t)))
         .when(rawMultibyte,
           regexp_replace(hex(encode(t, "UTF-8")), "(..)", "%$1"))
+        .when(t === "%", lit("%25")) // stray '%': its own octet form
         .otherwise(t)
     }), "")
     // guard: normalization can only matter when the string carries a
@@ -259,11 +336,22 @@ object Robots {
     * "docs, star, tilde, dollar" (hostNum % 4 == 1, len 9) that must
     * govern paths ending in the RAW TRIPLE percent-7-E, flipping the
     * group-dir Disallows among them (odd class — the %-suffixed
-    * doc_ids are odd, so only odd hosts ever see those paths). */
+    * doc_ids are odd, so only odd hosts ever see those paths). r20 adds
+    * the directive pair the chain now consumes from this file:
+    * `Crawl-delay` (a 99 decoy in the badbot group that group scoping
+    * must ignore, an invalid `soon` decoy on even hosts that
+    * first-VALID-wins must skip, the real (hostNum % 7) + 1 seconds in
+    * the `*` group, mirrored into the GraftBot group so the % 11 hosts
+    * keep the same delay under preemption) and a global `Sitemap:`
+    * line naming the host's index sitemap (key case varies by parity —
+    * the extractor is case-insensitive). */
   private[graft] def syntheticRobots(hostNum: Column): Column = {
     val g = (hostNum % 7).cast("string")
     concat(
-      lit("# graft crawl policy\nUser-agent: badbot\nDisallow: /\n\n"),
+      // the badbot group's Crawl-delay is a DECOY: group-scoped parsing
+      // must never let a non-applicable group's delay leak out (r20)
+      lit("# graft crawl policy\nUser-agent: badbot\nDisallow: /\n" +
+        "Crawl-delay: 99\n\n"),
       lit("User-agent: *\nDisallow: /docs/"), g, lit("\n"),
       when(hostNum % 5 === 0, concat(lit("Allow: /docs/"), g, lit("\n")))
         .otherwise(lit("")),
@@ -283,8 +371,23 @@ object Robots {
         .otherwise(lit("")),
       when(hostNum % 4 === 1, lit("Allow: /docs/*~$\n")).otherwise(lit("")),
       lit("Disallow:\n"),
+      // r20 Crawl-delay: an INVALID decoy first on even hosts (must be
+      // skipped — first VALID wins), then the real per-host delay that
+      // q186's politeness config now reads from this very file
+      when(hostNum % 2 === 0, lit("Crawl-delay: soon\n")).otherwise(lit("")),
+      concat(lit("Crawl-delay: "), ((hostNum % 7) + 1).cast("string"),
+        lit("\n")),
       when(hostNum % 11 === 0,
-        lit("\nUser-agent: GraftBot\nAllow: /\n")).otherwise(lit("")))
+        concat(lit("\nUser-agent: GraftBot\nAllow: /\nCrawl-delay: "),
+          ((hostNum % 7) + 1).cast("string"), lit("\n")))
+        .otherwise(lit("")),
+      // r20 Sitemap directive (global, sitemaps.org): the discovery
+      // entry point q187 now walks — case of the key varies by residue
+      // (the extractor is case-insensitive)
+      concat(
+        when(hostNum % 2 === 0, lit("\nSitemap: https://src"))
+          .otherwise(lit("\nsitemap: https://src")),
+        hostNum.cast("string"), lit(".com/sitemap-index.xml\n")))
   }
 
   /** The oracle replays longest-match on the KNOWN generative rule set

@@ -196,6 +196,29 @@ object Sitemap {
       keys = keys ++ Seq("child_loc", "sitemap_ord"))
   }
 
+  /** [[sitemapIndexAdmissionRel]] with the index DISCOVERED from
+    * robots.txt (r20 — closing r19 gap #1's other half): real crawl
+    * discovery starts from the `Sitemap:` lines in the host's robots
+    * file, so `hosts` here carries one robots document per host, the
+    * global `Sitemap:` directives name the index loc(s), and each
+    * named loc resolves against `fetchedIndexes` (sitemap_loc, xml) —
+    * a fetched index nobody's robots names, or a named loc the fetcher
+    * never returned, contributes nothing. The resolved indexes then
+    * walk through [[sitemapIndexAdmissionRel]] unchanged.
+    *
+    * 100 TB shape: discovery is a pure map (the [[Robots
+    * .robotsSitemaps]] line filter + explode) and ONE host-scale equi
+    * join — both orders of magnitude below entry scale. */
+  def discoveredIndexAdmissionRel(hosts: DataFrame, robots: Column,
+      fetchedIndexes: DataFrame, fetchedChildren: DataFrame,
+      agent: String, keys: Seq[String]): DataFrame = {
+    val named = hosts.select(keys.map(col) :+ robots.as("__hrobots")
+      :+ explode(Robots.robotsSitemaps(robots)).as("sitemap_loc"): _*)
+    val idx = named.join(fetchedIndexes, Seq("sitemap_loc"))
+    sitemapIndexAdmissionRel(idx, col("xml"), col("__hrobots"),
+      fetchedChildren, agent, keys)
+  }
+
   // ------------------------------------------------------------------
   // Frontier scheduling
   // ------------------------------------------------------------------
@@ -343,32 +366,44 @@ object Sitemap {
     concat(lit("https://"), source, lit(".com/sitemap-"), k.cast("string"),
       when(k === 1, lit(".xml.gz?v=1&k=2")).otherwise(lit(".xml")))
 
-  /** One `<sitemapindex>` per HOST: a comment header, a commented-out
-    * decoy `<sitemap>` block, then two `<sitemap>` blocks in child
-    * order — child 0's loc transports its slashes as numeric charrefs
-    * (`&#x2F;` — decode under test on the INDEX rung too) with a
-    * lastmod, child 1's loc XML-escapes its query-string `&`. Carries
-    * the host robots. */
-  private[graft] def syntheticSitemapIndexes(docs: DataFrame): DataFrame =
+  /** One (source, robots) row per host — the discovery ROOT since r20:
+    * the robots file's global `Sitemap:` line names the host's index,
+    * so q187 starts here instead of being handed the index directly. */
+  private[graft] def syntheticHostRobots(docs: DataFrame): DataFrame =
     docs
       .select(col("source"),
         expr("cast(substr(source, 4) as bigint)").as("__h"))
-      .groupBy(col("source"))
-      .agg(
+      .distinct()
+      .select(col("source"),
+        Robots.syntheticRobots(col("__h")).as("robots"))
+
+  /** The fetched index bodies, keyed by the loc the robots `Sitemap:`
+    * line names (`https://{source}.com/sitemap-index.xml` — an exact
+    * match is what makes the discovery join load-bearing): a comment
+    * header, a commented-out decoy `<sitemap>` block, then two
+    * `<sitemap>` blocks in child order — child 0's loc transports its
+    * slashes as numeric charrefs (`&#x2F;` — decode under test on the
+    * INDEX rung too) with a lastmod, child 1's loc XML-escapes its
+    * query-string `&`. */
+  private[graft] def syntheticFetchedIndexes(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source")).distinct()
+      .select(
+        concat(lit("https://"), col("source"),
+          lit(".com/sitemap-index.xml")).as("sitemap_loc"),
         concat(
           lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
             "<!-- index fixture -->\n" +
             "<!--<sitemap><loc>https://decoy.example/s.xml</loc></sitemap>-->\n" +
             "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
             "  <sitemap>\n    <loc>https://"),
-          first(col("source")),
+          col("source"),
           lit(".com&#x2F;sitemap-0.xml</loc>\n" +
             "    <lastmod>2026-01-01</lastmod>\n  </sitemap>\n" +
             "  <sitemap>\n    <loc>https://"),
-          first(col("source")),
+          col("source"),
           lit(".com/sitemap-1.xml.gz?v=1&amp;k=2</loc>\n  </sitemap>\n" +
-            "</sitemapindex>\n")).as("xml"),
-        Robots.syntheticRobots(first(col("__h"))).as("robots"))
+            "</sitemapindex>\n")).as("xml"))
 
   /** The fetched child-sitemap bodies: per (host, doc_id % 2) one
     * `<urlset>` of that parity's docs in doc_id order — child 1 BODIES
@@ -387,14 +422,30 @@ object Sitemap {
           .otherwise(encode(col("__xml"), "UTF-8")).as("body"))
   }
 
-  /** Per-host politeness config: delay_ms = 1000 * (1 + hostNum % 7).
-    * One row per host, joined broadcast. */
+  /** Per-host politeness config extracted from each host's own
+    * robots.txt (r20 — closing r19 gap #1: the chain's two ends now
+    * meet): (host, delay_ms) with delay_ms = the `Crawl-delay` seconds
+    * the agent's selected group declares, times 1000; `defaultMs` when
+    * the file declares none. A pure map over one-row-per-host input —
+    * the fold runs once per HOST, never per URL. */
+  def crawlDelayConfig(hosts: DataFrame, host: Column, robots: Column,
+      agent: String, defaultMs: Long = 1000L): DataFrame =
+    hosts.select(host.as("host"),
+      coalesce(
+        (Robots.robotsCrawlDelay(robots, agent) * 1000).cast("long"),
+        lit(defaultMs)).as("delay_ms"))
+
+  /** Fixture wrapper: the per-host delay is no longer a synthetic dim —
+    * it reads `Crawl-delay` from the SAME fixture robots file the
+    * admission walk parses ((hostNum % 7) + 1 seconds, past a decoy in
+    * the badbot group and an invalid value on even hosts), so the
+    * oracle's ((h % 7 + 1) * 1000) formula now pins the extraction. */
   private[graft] def syntheticConfig(docs: DataFrame): DataFrame =
-    docs
-      .select(lower(concat(col("source"), lit(".com"))).as("host"),
-        expr("cast(substr(source, 4) as bigint)").as("__h"))
-      .distinct()
-      .select(col("host"), ((col("__h") % 7 + 1) * 1000).as("delay_ms"))
+    crawlDelayConfig(
+      docs.select(col("source"),
+        expr("cast(substr(source, 4) as bigint)").as("__h")).distinct(),
+      lower(concat(col("source"), lit(".com"))),
+      Robots.syntheticRobots(col("__h")), "graftbot")
 
   // ------------------------------------------------------------------
   // Composed crawl chain (q188, r19)
@@ -646,18 +697,19 @@ object Sitemap {
           syntheticConfig(documents(s, d)))
       },
       Some(FRONTIER_ORACLE),
-      "crawl-frontier politeness scheduling: robots-admitted sitemap URLs join the per-host config un-hinted (host cardinality is 10^8+ at crawl scale — AQE picks the strategy, never a forced driver broadcast); per-host (priority DESC, ord) ranks come from range-sort + partition-offset global ordinals minus an un-hinted host-min join — NO per-host window, a mega host never serializes into one partition"),
+      "crawl-frontier politeness scheduling: robots-admitted sitemap URLs join the per-host config un-hinted (host cardinality is 10^8+ at crawl scale — AQE picks the strategy, never a forced driver broadcast) with delay_ms READ FROM each host's robots Crawl-delay directive (group-scoped, decoys ignored); per-host (priority DESC, ord) ranks come from range-sort + partition-offset global ordinals minus an un-hinted host-min join — NO per-host window, a mega host never serializes into one partition"),
 
     QueryDef(
       "q187_sitemap_index",
       (s, d) => {
         val docs = documents(s, d)
-        sitemapIndexAdmissionRel(
-          syntheticSitemapIndexes(docs), col("xml"), col("robots"),
+        discoveredIndexAdmissionRel(
+          syntheticHostRobots(docs), col("robots"),
+          syntheticFetchedIndexes(docs),
           syntheticChildSitemaps(docs), "graftbot", keys = Nil)
       },
       Some(INDEX_ORACLE),
-      "sitemapindex ingestion (sitemaps.org index-of-children): positional <sitemap> walk with charref+entity loc decode, fetched-body resolve as ONE sitemap-scale equi join, transparent RFC 1952 inflate of .xml.gz children, then the q185 urlset/robots walk per child with (child_loc, sitemap_ord, ord) provenance"),
+      "sitemapindex ingestion DISCOVERED from robots.txt (sitemaps.org): the global Sitemap: directives name each host's index (case-insensitive key, one host-scale resolve join), then the positional <sitemap> walk with charref+entity loc decode, fetched-body resolve as ONE sitemap-scale equi join, transparent RFC 1952 inflate of .xml.gz children, and the q185 urlset/robots walk per child with (child_loc, sitemap_ord, ord) provenance"),
 
     QueryDef(
       "q188_crawl_chain",

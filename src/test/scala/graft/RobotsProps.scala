@@ -50,11 +50,32 @@ object RobotsProps extends Properties("robots") {
     cmt <- Gen.frequency(4 -> Gen.const(""), 1 -> Gen.const(" # note"))
   } yield s"$dir:$pad$p$cmt"
 
+  // r20: Crawl-delay group rules — valid integers/decimals, invalid
+  // values ('soon', empty, negative) that must be skipped without
+  // ending the parse, and case-varied keys
+  private val delayLineGen: Gen[String] = for {
+    key <- Gen.oneOf("Crawl-delay", "crawl-delay", "CRAWL-DELAY")
+    v <- Gen.frequency(4 -> Gen.chooseNum(0, 99).map(_.toString),
+      2 -> Gen.oneOf("0.5", "2.25", "10"),
+      2 -> Gen.oneOf("soon", "", "-1", "1s"))
+    cmt <- Gen.frequency(4 -> Gen.const(""), 1 -> Gen.const(" # pace"))
+  } yield s"$key: $v$cmt"
+
+  // r20: global Sitemap lines — case-varied key, occasionally empty
+  private val sitemapLineGen: Gen[String] = for {
+    key <- Gen.oneOf("Sitemap", "sitemap", "SiteMap")
+    v <- Gen.frequency(5 -> Gen.oneOf(
+      "https://x.example/s.xml", "https://x.example/a/b.xml.gz",
+      "http://y.example/idx.xml"), 1 -> Gen.const(""))
+  } yield s"$key: $v"
+
   private val groupGen: Gen[List[String]] = for {
     nUa <- Gen.chooseNum(1, 3)
     uas <- Gen.listOfN(nUa, uaGen)
     nR <- Gen.chooseNum(0, 4)
-    rules <- Gen.listOfN(nR, ruleLineGen)
+    rules <- Gen.listOfN(nR,
+      Gen.frequency(4 -> ruleLineGen, 1 -> delayLineGen,
+        1 -> sitemapLineGen))
     blanks <- Gen.oneOf(List(""), Nil)
   } yield uas.map(u => s"User-agent: $u") ++ rules ++ blanks
 
@@ -64,18 +85,26 @@ object RobotsProps extends Properties("robots") {
     nG <- Gen.chooseNum(0, 4)
     gs <- Gen.listOfN(nG, groupGen)
     head <- Gen.oneOf(Nil, List("# policy file"))
-  } yield (head ++ orphan ++ gs.flatten).mkString("\n")
+    tailSm <- Gen.frequency(3 -> Gen.const(Nil),
+      1 -> sitemapLineGen.map(List(_))) // global directive at EOF
+  } yield (head ++ orphan ++ gs.flatten ++ tailSm).mkString("\n")
 
   // ---- independent reference (imperative, shares no code) ----
 
-  private def refRules(robots: String, agent: String): List[(Boolean, String)] = {
-    var groups = List.empty[(List[String], List[(Boolean, String)])]
+  /** One parsed group: UA names, rules, first valid Crawl-delay. */
+  private case class RefGroup(uas: List[String],
+    rules: List[(Boolean, String)], delay: Option[Double])
+
+  private def refParse(robots: String): (List[RefGroup], List[String]) = {
+    var groups = List.empty[RefGroup]
+    var sitemaps = List.empty[String]
     var uas = List.empty[String]
     var rules = List.empty[(Boolean, String)]
+    var delay = Option.empty[Double]
     var inHeader = false
     def flush(): Unit = {
-      if (uas.nonEmpty) groups = groups :+ (uas, rules)
-      uas = Nil; rules = Nil
+      if (uas.nonEmpty) groups = groups :+ RefGroup(uas, rules, delay)
+      uas = Nil; rules = Nil; delay = None
     }
     for (raw <- robots.split("\n", -1)) {
       val l = raw.replaceAll("#.*", "").trim
@@ -88,15 +117,42 @@ object RobotsProps extends Properties("robots") {
         inHeader = false
         val v = l.substring(l.indexOf(":") + 1).trim
         if (v.nonEmpty) rules = rules :+ (lo.startsWith("allow:"), v)
+      } else if (lo.startsWith("crawl-delay:")) {
+        // a recognized group rule: ends the header run even when the
+        // value is invalid; first VALID value per group run wins
+        inHeader = false
+        val v = l.substring(l.indexOf(":") + 1).trim
+        if (v.matches("[0-9]+(\\.[0-9]+)?") && delay.isEmpty)
+          delay = Some(v.toDouble)
+      } else if (lo.startsWith("sitemap:")) {
+        // GLOBAL directive (sitemaps.org): collected independent of any
+        // group, and it neither joins nor ends a header run
+        val v = l.substring(l.indexOf(":") + 1).trim
+        if (v.nonEmpty) sitemaps = sitemaps :+ v
       }
       // blank / comment-only lines change nothing (a header run survives them)
     }
     flush()
-    val spec = groups.filter(_._1.exists(_.equalsIgnoreCase(agent)))
-    val pool = if (spec.nonEmpty) spec
-      else groups.filter(_._1.contains("*"))
-    pool.flatMap(_._2)
+    (groups, sitemaps)
   }
+
+  private def refPool(robots: String, agent: String): List[RefGroup] = {
+    val groups = refParse(robots)._1
+    val spec = groups.filter(_.uas.exists(_.equalsIgnoreCase(agent)))
+    if (spec.nonEmpty) spec else groups.filter(_.uas.contains("*"))
+  }
+
+  private def refRules(robots: String, agent: String): List[(Boolean, String)] =
+    refPool(robots, agent).flatMap(_.rules)
+
+  /** First valid delay across the selected group class — the same
+    * first-wins discipline as the engine's fold (groups concatenate in
+    * file order in both). */
+  private def refCrawlDelay(robots: String, agent: String): Option[Double] =
+    refPool(robots, agent).flatMap(_.delay).headOption
+
+  private def refSitemaps(robots: String): List[String] =
+    refParse(robots)._2
 
   /** Independent §2.2.2 comparison form: valid %XX decodes when the
     * octet is unreserved, uppercases otherwise; raw non-ASCII
@@ -118,6 +174,11 @@ object RobotsProps extends Properties("robots") {
         if (unreserved(v)) out.append(v.toChar)
         else out.append('%').append(s.substring(i + 1, i + 3).toUpperCase)
         i += 3
+      } else if (ch == '%') {
+        // stray '%' (no valid escape): its own §2.2.2 octet form — also
+        // what makes the comparison form a fixed point (r20; the r19
+        // pass-through let '%a%41' -> '%aA' re-parse as an escape)
+        out.append("%25"); i += 1
       } else if (ch < 0x80) { out.append(ch); i += 1 }
       else {
         val n = Character.charCount(s.codePointAt(i))
@@ -226,5 +287,25 @@ object RobotsProps extends Properties("robots") {
         .map(r => (r.getBoolean(0), r.getString(1))).toList
       Prop(!got.getStruct(0).getBoolean(0) && engineRules == rules) :|
         s"engine=$engineRules ref=$rules"
+    }
+
+  property("Crawl-delay equals the independent parser: group-scoped, first valid wins") =
+    Prop.forAll(robotsGen) { robots =>
+      import spark.implicits._
+      val got = Option(Seq(robots).toDF("r")
+        .select(Robots.robotsCrawlDelay(col("r"), AGENT).as("d"))
+        .head.get(0)).map(_.asInstanceOf[Double])
+      val want = refCrawlDelay(robots, AGENT)
+      Prop(got == want) :| s"got=$got want=$want robots=\n$robots"
+    }
+
+  property("Sitemap: extraction equals the independent parser (global, file order)") =
+    Prop.forAll(robotsGen) { robots =>
+      import spark.implicits._
+      val got = Seq(robots).toDF("r")
+        .select(Robots.robotsSitemaps(col("r")).as("s"))
+        .head.getSeq[String](0).toList
+      val want = refSitemaps(robots)
+      Prop(got == want) :| s"got=$got want=$want robots=\n$robots"
     }
 }

@@ -124,7 +124,7 @@ class RobotsSpec extends SparkSpec {
       "/caf%C3%A9",  // raw é percent-encodes to the same form
       "/aA~",        // unreserved octets decode
       "/a%2Fb",      // encoded slash NEVER becomes a path slash
-      "/%zz",        // invalid escape stays literal
+      "/%25zz",      // stray '%' encodes to its own octet form (r20)
       "/a/b",        // ASCII no-op (guard path)
       "/%2F%24",     // $ and / are reserved: uppercase, never decode
       "/*%A9$"), got) // metacharacters survive normalization
@@ -155,5 +155,73 @@ class RobotsSpec extends SparkSpec {
         |Disallow: /real/""".stripMargin
     assert(verdicts(robots, "anybot", "/orphan/x", "/real/x") ==
       Seq((true, ""), (false, "/real/")))
+  }
+
+  private def delayOf(robots: String, agent: String): Option[Double] =
+    Option(Seq(robots).toDF("r")
+      .select(Robots.robotsCrawlDelay(col("r"), agent).as("d"))
+      .head.get(0)).map(_.asInstanceOf[Double])
+
+  test("Crawl-delay is group-scoped: specific preempts wildcard, decoys never leak") {
+    val robots =
+      """User-agent: badbot
+        |Disallow: /
+        |Crawl-delay: 99
+        |
+        |User-agent: *
+        |Disallow: /x
+        |Crawl-delay: soon
+        |Crawl-delay: 2.5
+        |Crawl-delay: 7
+        |
+        |User-agent: GraftBot
+        |Allow: /
+        |CRAWL-DELAY: 4""".stripMargin
+    // specific group wins; key case-insensitive
+    assert(delayOf(robots, "graftbot") == Some(4.0))
+    // wildcard class: the invalid 'soon' skips, first VALID (2.5) wins
+    assert(delayOf(robots, "otherbot") == Some(2.5))
+    // a preempting specific group with NO delay = no declared delay
+    val noSpecDelay = "User-agent: *\nCrawl-delay: 3\n\nUser-agent: GraftBot\nAllow: /"
+    assert(delayOf(noSpecDelay, "graftbot") == None)
+    assert(delayOf(noSpecDelay, "anybot") == Some(3.0))
+    assert(delayOf("User-agent: *\nDisallow: /x", "anybot") == None)
+  }
+
+  test("a Crawl-delay line ends a header run like a rule; Sitemap lines do not") {
+    // crawl-delay between UA runs: the second UA line starts a NEW
+    // group, so the Disallow belongs to graftbot only
+    val cd =
+      """User-agent: *
+        |Crawl-delay: 1
+        |User-agent: GraftBot
+        |Disallow: /g/""".stripMargin
+    assert(verdicts(cd, "otherbot", "/g/x") == Seq((true, "")))
+    assert(verdicts(cd, "graftbot", "/g/x") == Seq((false, "/g/")))
+    // a global Sitemap line between UA lines leaves the header run
+    // open: both agents share one group
+    val sm =
+      """User-agent: *
+        |Sitemap: https://x.example/s.xml
+        |User-agent: GraftBot
+        |Disallow: /g/""".stripMargin
+    assert(verdicts(sm, "otherbot", "/g/x") == Seq((false, "/g/")))
+  }
+
+  test("Sitemap: lines collect globally in file order, any case, empties dropped") {
+    val robots =
+      """Sitemap: https://h.example/a.xml
+        |User-agent: badbot
+        |Disallow: /
+        |sitemap: https://h.example/b.xml.gz
+        |User-agent: *
+        |Allow: /
+        |Sitemap:
+        |SITEMAP: https://h.example/c.xml # note""".stripMargin
+    val got = Seq(robots).toDF("r")
+      .select(Robots.robotsSitemaps(col("r")).as("s"))
+      .head.getSeq[String](0).toList
+    assert(got == List("https://h.example/a.xml",
+      "https://h.example/b.xml.gz", "https://h.example/c.xml"), got)
   }
 }

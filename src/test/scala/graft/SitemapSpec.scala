@@ -150,6 +150,34 @@ class SitemapSpec extends SparkSpec {
       "https://h.example.com/ok")), got.toSeq)
   }
 
+  test("index discovery starts from robots Sitemap: lines; unnamed and unfetched indexes contribute nothing") {
+    val hosts = Seq(
+      // names its index (plus a loc the fetcher never returned)
+      ("h1", "User-agent: *\nAllow: /\nSitemap: https://h1.example/idx.xml\n" +
+        "Sitemap: https://h1.example/missing.xml"),
+      // robots with NO Sitemap line: the fetched decoy below must not leak in
+      ("h2", "User-agent: *\nAllow: /\n")).toDF("hk", "robots")
+    val fetchedIdx = Seq(
+      ("https://h1.example/idx.xml",
+        "<sitemapindex><sitemap><loc>https://h1.example/c.xml</loc></sitemap></sitemapindex>"),
+      ("https://h2.example/decoy.xml",
+        "<sitemapindex><sitemap><loc>https://h2.example/d.xml</loc></sitemap></sitemapindex>"))
+      .toDF("sitemap_loc", "xml")
+    val children = Seq(
+      ("https://h1.example/c.xml",
+        "<urlset><url><loc>https://h1.example/page</loc></url></urlset>".getBytes("UTF-8")),
+      ("https://h2.example/d.xml",
+        "<urlset><url><loc>https://h2.example/page</loc></url></urlset>".getBytes("UTF-8")))
+      .toDF("child_loc", "body")
+    val got = Sitemap.discoveredIndexAdmissionRel(
+        hosts, col("robots"), fetchedIdx, children, "graftbot",
+        keys = Seq("hk"))
+      .select("hk", "child_loc", "loc").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq(("h1", "https://h1.example/c.xml",
+      "https://h1.example/page")), got)
+  }
+
   test("fixture sitemaps: one per host, entries in doc order, robots attached") {
     val docs = spark.read.parquet(s"$SF/documents.parquet")
     val sm = Sitemap.syntheticSitemaps(docs)
