@@ -388,3 +388,250 @@ case class GunzipBytes(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): GunzipBytes =
     copy(child = newChild)
 }
+
+/** HTTP-layer payload decode for WARC response records (RFC 9112 —
+  * the message framing Common Crawl captures actually carry): a
+  * `WARC-Type: response` payload is a full HTTP/1.x message, so before
+  * any extractor can read the entity the engine must (1) split the
+  * status line + header block, (2) undo `Transfer-Encoding: chunked`
+  * (hex-size chunk walk with extension and trailer tolerance), and
+  * (3) undo `Content-Encoding: gzip`/`deflate` (whole-entity inflate,
+  * zlib-wrapped or raw — broken servers ship both deflate variants,
+  * so the zlib attempt falls back to raw). Without this rung, an
+  * extractor reads chunk framing bytes or compressed octets (the r19
+  * verdict's gap #2).
+  *
+  * Contract (same degrade discipline as [[WarcRecords]]):
+  *   - input that does not start with `HTTP/` passes through as the
+  *     body (warcinfo warc-fields, WET conversion text, `resource`
+  *     records) with NULL status — non-HTTP payloads flow to the
+  *     extractor unchanged;
+  *   - malformed framing degrades to a typed error, never a job
+  *     failure: `bad_http` (no header terminator), `bad_chunk`
+  *     (malformed size line, truncated chunk data, missing CRLF),
+  *     `bad_gzip` / `bad_deflate` (corrupt entity stream),
+  *     `gzip_too_large` (inflate bound [[WarcRecords.MAX_INFLATE]] —
+  *     the same bomb-degrade contract), `unsupported_encoding`
+  *     (`br`, compress, …: undecodable → NULL body, typed);
+  *   - a valid `Content-Length` on an identity body cuts the body to
+  *     that many octets when the capture carries more (trailing
+  *     separator artifacts); a SHORTER capture keeps what exists —
+  *     truncated captures are data, not errors.
+  *
+  * Output struct: (status INT, ctype STRING, body BINARY, err STRING).
+  * One imperative pass per row over the record's own bytes — pure map,
+  * zero exchanges, composes with the container walk in one projection.
+  */
+case class HttpPayload(child: Expression,
+    maxInflate: Long = WarcRecords.MAX_INFLATE)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"http_payload requires binary input, got ${t.sql}")
+  }
+  override def dataType: DataType = HttpPayload.OUT_TYPE
+  override def prettyName: String = "http_payload"
+  override def nullSafeEval(input: Any): Any =
+    HttpPayload.parse(input.asInstanceOf[Array[Byte]], maxInflate)
+  override protected def withNewChildInternal(newChild: Expression): HttpPayload =
+    copy(child = newChild)
+}
+
+object HttpPayload {
+  /** `encoding` is the lowercased Content-Encoding actually undone (or
+    * attempted), NULL for identity — corpus indexes (Common Crawl's
+    * CDX) store it per record, and it tells a consumer which records'
+    * FRAMED lengths are compressor-dependent. */
+  val OUT_TYPE: StructType = StructType(Seq(
+    StructField("status", IntegerType),
+    StructField("ctype", StringType),
+    StructField("encoding", StringType),
+    StructField("body", BinaryType),
+    StructField("err", StringType)))
+
+  private val STATUS_RE =
+    Pattern.compile("^HTTP/\\d\\.\\d[ \\t]+(\\d{3})")
+  private val TE_RE = Pattern.compile(
+    "(?mi)^Transfer-Encoding:[ \\t]*([^\\r\\n]*?)[ \\t]*\\r?$")
+  private val CE_RE = Pattern.compile(
+    "(?mi)^Content-Encoding:[ \\t]*([^\\r\\n]*?)[ \\t]*\\r?$")
+  private val CT_RE = Pattern.compile(
+    "(?mi)^Content-Type:[ \\t]*([^\\r\\n]*?)[ \\t]*\\r?$")
+  private val CL_RE = Pattern.compile(
+    "(?mi)^Content-Length:[ \\t]*([0-9]{1,18})[ \\t]*\\r?$")
+
+  private def field(re: Pattern, hdr: String): String = {
+    val m = re.matcher(hdr)
+    if (m.find()) m.group(1) else ""
+  }
+
+  private def utf8(s: String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s)
+
+  private def out(status: java.lang.Integer, ctype: String,
+      encoding: String, body: Array[Byte], err: String): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        if (status == null) null else status.intValue(),
+        utf8(ctype), utf8(encoding), body, utf8(err)))
+
+  /** Dechunk an RFC 9112 §7.1 chunked body starting at `from`: hex
+    * size line (chunk extensions past `;` ignored), CRLF, data, CRLF,
+    * repeated until the zero chunk; trailer section tolerated (skipped
+    * to end — the WARC record is already length-delimited, so nothing
+    * follows that we must account for). Returns null on any framing
+    * violation (the caller maps that to `bad_chunk`). */
+  private def dechunk(bytes: Array[Byte], from: Int): Array[Byte] = {
+    val outB = new java.io.ByteArrayOutputStream(1 << 12)
+    var pos = from
+    while (true) {
+      // size line: hex digits, optional ;extensions, CRLF
+      var i = pos
+      while (i < bytes.length && bytes(i) != '\r' && bytes(i) != '\n') i += 1
+      if (i + 1 >= bytes.length || bytes(i) != '\r' || bytes(i + 1) != '\n')
+        return null
+      val line = new String(bytes, pos, i - pos,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val hexPart = line.split(";", 2)(0).trim
+      if (hexPart.isEmpty || hexPart.length > 15 ||
+        !hexPart.forall(c => Character.digit(c, 16) >= 0)) return null
+      val size = java.lang.Long.parseLong(hexPart, 16)
+      pos = i + 2
+      if (size == 0) return outB.toByteArray // trailers (if any) ignored
+      if (size > bytes.length - pos) return null // truncated chunk data
+      outB.write(bytes, pos, size.toInt)
+      pos += size.toInt
+      if (pos + 1 >= bytes.length || bytes(pos) != '\r' ||
+        bytes(pos + 1) != '\n') return null // data must end CRLF
+      pos += 2
+    }
+    null // unreachable
+  }
+
+  /** Whole-entity inflate. `raw = false` expects RFC 1952 gzip (via
+    * GZIPInputStream — multi-member tolerant); `raw = true` handles
+    * Content-Encoding: deflate, trying RFC 1950 zlib first and bare
+    * deflate on failure. Returns Right(bytes) or Left(typed error). */
+  private def inflateEntity(bytes: Array[Byte], gzip: Boolean,
+      maxInflate: Long): Either[String, Array[Byte]] = {
+    // stream construction happens INSIDE the try: GZIPInputStream's
+    // constructor reads (and can refute) the member header eagerly
+    def run(mk: () => java.io.InputStream): Either[String, Array[Byte]] = {
+      var in: java.io.InputStream = null
+      try {
+        in = mk()
+        val outB = new java.io.ByteArrayOutputStream(1 << 12)
+        val buf = new Array[Byte](1 << 13)
+        var n = in.read(buf)
+        while (n >= 0) {
+          if (outB.size().toLong + n > maxInflate)
+            return Left("gzip_too_large")
+          outB.write(buf, 0, n)
+          n = in.read(buf)
+        }
+        Right(outB.toByteArray)
+      } catch {
+        case _: java.io.IOException =>
+          Left(if (gzip) "bad_gzip" else "bad_deflate")
+      } finally if (in != null) in.close()
+    }
+    if (gzip)
+      run(() => new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+    else
+      run(() => new java.util.zip.InflaterInputStream(
+        new java.io.ByteArrayInputStream(bytes))) match {
+        case Left("bad_deflate") =>
+          // bare deflate (the historically common server bug)
+          run(() => new java.util.zip.InflaterInputStream(
+            new java.io.ByteArrayInputStream(bytes),
+            new Inflater(true)))
+        case r => r
+      }
+  }
+
+  def parse(bytes: Array[Byte], maxInflate: Long = WarcRecords.MAX_INFLATE)
+      : InternalRow = {
+    // non-HTTP payloads pass through whole (warcinfo, WET conversion)
+    val isHttp = bytes.length >= 5 && bytes(0) == 'H' && bytes(1) == 'T' &&
+      bytes(2) == 'T' && bytes(3) == 'P' && bytes(4) == '/'
+    if (!isHttp) return out(null, null, null, bytes, null)
+    val blank = {
+      var i = 0
+      val end = bytes.length - 3
+      var found = -1
+      while (found < 0 && i <= end) {
+        if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+          bytes(i + 2) == '\r' && bytes(i + 3) == '\n') found = i
+        i += 1
+      }
+      found
+    }
+    if (blank < 0) return out(null, null, null, null, "bad_http")
+    val hdr = new String(bytes, 0, blank,
+      java.nio.charset.StandardCharsets.UTF_8)
+    val statusStr = field(STATUS_RE, hdr)
+    if (statusStr.isEmpty) return out(null, null, null, null, "bad_http")
+    val status = java.lang.Integer.valueOf(statusStr)
+    val ctype0 = field(CT_RE, hdr)
+    val ctype = if (ctype0.isEmpty) null else ctype0
+    val te = field(TE_RE, hdr).toLowerCase
+    val ce = field(CE_RE, hdr).toLowerCase
+    val bodyStart = blank + 4
+    var body = java.util.Arrays.copyOfRange(bytes, bodyStart, bytes.length)
+    val enc = if (ce.isEmpty || ce == "identity") null else ce
+    if (te.contains("chunked")) {
+      val de = dechunk(bytes, bodyStart)
+      if (de == null) return out(status, ctype, enc, null, "bad_chunk")
+      body = de
+    } else {
+      // identity framing: a valid Content-Length CUTS trailing capture
+      // artifacts; a shorter capture keeps what exists (truncation is
+      // data, not an error — the WARC walk already delimited the record)
+      val cl = field(CL_RE, hdr)
+      if (cl.nonEmpty) {
+        val n = cl.toLong
+        if (n < body.length) body = java.util.Arrays.copyOf(body, n.toInt)
+      }
+    }
+    ce match {
+      case "" | "identity" => out(status, ctype, enc, body, null)
+      case "gzip" | "x-gzip" =>
+        inflateEntity(body, gzip = true, maxInflate) match {
+          case Right(b) => out(status, ctype, enc, b, null)
+          case Left(e) => out(status, ctype, enc, null, e)
+        }
+      case "deflate" =>
+        inflateEntity(body, gzip = false, maxInflate) match {
+          case Right(b) => out(status, ctype, enc, b, null)
+          case Left(e) => out(status, ctype, enc, null, e)
+        }
+      case _ => out(status, ctype, enc, null, "unsupported_encoding")
+    }
+  }
+}
+
+/** RFC 1950 zlib of a binary column — the fixture-side compressor for
+  * `Content-Encoding: deflate` HTTP bodies (the decode under test never
+  * sees the compressor, only the format; oracles rebuild the DECODED
+  * content generatively and never read compressed bytes). */
+case class ZlibCompress(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"zlib_compress requires binary input, got ${t.sql}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "zlib_compress"
+  override def nullSafeEval(input: Any): Any = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.util.zip.DeflaterOutputStream(bos)
+    d.write(input.asInstanceOf[Array[Byte]])
+    d.close()
+    bos.toByteArray
+  }
+  override protected def withNewChildInternal(newChild: Expression): ZlibCompress =
+    copy(child = newChild)
+}

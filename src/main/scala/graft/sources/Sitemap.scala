@@ -522,8 +522,14 @@ object Sitemap {
         maxRecords = 64, keys = Seq("host"))
       .select(col("host"), explode(col("records")).as("r"))
       .filter(col("r.typ") === "response" && col("r.ok"))
+      // r20: response payloads are HTTP messages (the fixture frames
+      // them like real captures) — decode the transfer framing before
+      // the extractor reads the entity
+      .select(col("host"), decode(
+        Warc.httpPayload(encode(col("r.payload"), "UTF-8"))
+          .getField("body"), "UTF-8").as("__page"))
     val gated = Web.gopherRulesRel(
-      Web.withMainText(recs, col("r.payload"), "__main")
+      Web.withMainText(recs, col("__page"), "__main")
         .select(col("host"), col("__main")),
       col("__main"), keys = Seq("host"))
     val gateCounts = gated.groupBy(col("host")).agg(

@@ -114,4 +114,84 @@ object WarcProps extends Properties("warc") {
         println(s"MISMATCH:\n got=$got\n want=$want leftover=${row.getLong(1)}")
       got == want && leftOk
     }
+
+  // ------------------------------------------------------------------
+  // HTTP-layer entity decode (r20): for ANY body bytes, ANY chunk
+  // split, and ANY content encoding, the decoder recovers the body
+  // exactly. The assembler below is independent imperative code (JDK
+  // compressors, hand chunker) sharing nothing with the engine walk.
+  // ------------------------------------------------------------------
+
+  private val bodyGen: Gen[Array[Byte]] = for {
+    n <- Gen.chooseNum(0, 300)
+    bs <- Gen.listOfN(n, Gen.chooseNum(0, 255).map(_.toByte))
+  } yield bs.toArray
+
+  private def zlibJdk(b: Array[Byte], raw: Boolean): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.util.zip.DeflaterOutputStream(bos,
+      new java.util.zip.Deflater(-1, raw))
+    d.write(b); d.close(); bos.toByteArray
+  }
+
+  /** Hand chunker: split the entity at the given cut fractions, hex
+    * sizes in MIXED case, occasional chunk extension, a trailer. */
+  private def chunkify(entity: Array[Byte], cuts: List[Double]): Array[Byte] = {
+    val points = cuts.map(f => (f * entity.length).toInt).distinct.sorted
+      .filter(p => p > 0 && p < entity.length)
+    val bounds = (0 +: points :+ entity.length).distinct.sorted
+    val parts = bounds.zip(bounds.tail).map { case (a, b) =>
+      java.util.Arrays.copyOfRange(entity, a, b) }
+    val bos = new java.io.ByteArrayOutputStream()
+    parts.zipWithIndex.foreach { case (part, i) =>
+      val hexSize = if (i % 2 == 0) Integer.toHexString(part.length)
+        else Integer.toHexString(part.length).toUpperCase
+      val ext = if (i % 3 == 1) ";q=z" else ""
+      bos.write((hexSize + ext + "\r\n").getBytes("US-ASCII"))
+      bos.write(part)
+      bos.write("\r\n".getBytes("US-ASCII"))
+    }
+    bos.write("0\r\nX-Trail: t\r\n\r\n".getBytes("US-ASCII"))
+    bos.toByteArray
+  }
+
+  private val encGen: Gen[String] =
+    Gen.oneOf("identity", "gzip", "deflate", "deflate-raw")
+
+  property("HTTP entities round-trip through any chunking and content encoding") =
+    Prop.forAll(bodyGen, encGen, Gen.oneOf(true, false),
+      Gen.listOfN(3, Gen.chooseNum(0.0, 1.0))) { (body, encName, chunked, cuts) =>
+      import spark.implicits._
+      val entity = encName match {
+        case "identity" => body
+        case "gzip" => gzipJdk(body)
+        case "deflate" => zlibJdk(body, raw = false)
+        case "deflate-raw" => zlibJdk(body, raw = true)
+      }
+      val ceHdr = encName match {
+        case "identity" => ""
+        case "deflate-raw" => "Content-Encoding: deflate\r\n"
+        case e => s"Content-Encoding: $e\r\n"
+      }
+      val (teHdr, framed) =
+        if (chunked) ("Transfer-Encoding: chunked\r\n", chunkify(entity, cuts))
+        else (s"Content-Length: ${entity.length}\r\n", entity)
+      val msg = (s"HTTP/1.1 200 OK\r\nContent-Type: application/x-t\r\n" +
+        ceHdr + teHdr + "\r\n").getBytes("US-ASCII") ++ framed
+      val row = Seq(Tuple1(msg)).toDF("b")
+        .select(Warc.httpPayload(col("b")).as("h")).head.getStruct(0)
+      val gotBody = row.getAs[Array[Byte]]("body")
+      val wantEnc = encName match {
+        case "identity" => null
+        case "deflate-raw" => "deflate"
+        case e => e
+      }
+      val ok = row.getAs[java.lang.Integer]("status") == 200 &&
+        row.getAs[String]("err") == null &&
+        row.getAs[String]("encoding") == wantEnc &&
+        gotBody != null && java.util.Arrays.equals(gotBody, body)
+      if (!ok) println(s"HTTP MISMATCH enc=$encName chunked=$chunked " +
+        s"len=${body.length} row=$row")
+      ok
+    }
 }

@@ -248,4 +248,98 @@ class WarcSpec extends SparkSpec {
     assert(recs.tail.map(_._1).forall(_ == "response"))
     assert(recs.tail.map(_._2) == Seq(4L, 5L, 6L, 7L).map(i => s"<urn:graft:doc:$i>"))
   }
+
+  // ------------------------------------------------------------------
+  // HTTP-layer payload decode (r20)
+  // ------------------------------------------------------------------
+
+  private def http(bytes: Array[Byte])
+      : (Option[Int], Option[String], Option[String], Option[Array[Byte]], Option[String]) = {
+    val row = Seq(Tuple1(bytes)).toDF("b")
+      .select(Warc.httpPayload(col("b")).as("h")).head.getStruct(0)
+    (Option(row.getAs[java.lang.Integer]("status")).map(_.intValue),
+      Option(row.getAs[String]("ctype")),
+      Option(row.getAs[String]("encoding")),
+      Option(row.getAs[Array[Byte]]("body")),
+      Option(row.getAs[String]("err")))
+  }
+
+  private def httpStr(s: String) = http(s.getBytes("UTF-8"))
+
+  test("non-HTTP payloads pass through the decoder whole (warcinfo, WET)") {
+    val (st, ct, enc, body, err) = httpStr("software: x\r\nformat: WARC/1.0")
+    assert(st.isEmpty && ct.isEmpty && enc.isEmpty && err.isEmpty)
+    assert(new String(body.get, "UTF-8") == "software: x\r\nformat: WARC/1.0")
+  }
+
+  test("identity framing: Content-Length cuts trailing artifacts; shorter captures keep what exists") {
+    val cut = httpStr("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: 5\r\n\r\nhelloEXTRA")
+    assert(cut._1 == Some(200) && cut._2 == Some("text/html"), cut)
+    assert(new String(cut._4.get, "UTF-8") == "hello")
+    val short = httpStr("HTTP/1.1 200 OK\r\nContent-Length: 100\r\n\r\nhi")
+    assert(new String(short._4.get, "UTF-8") == "hi" && short._5.isEmpty)
+  }
+
+  test("chunked: multi-chunk with extensions and trailers reassembles; status parses") {
+    val msg = "HTTP/1.1 404 Not Found\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "4;x=y\r\nWiki\r\n5\r\npedia\r\n0\r\nX-Trailer: v\r\n\r\n"
+    val (st, _, enc, body, err) = httpStr(msg)
+    assert(st == Some(404) && enc.isEmpty && err.isEmpty)
+    assert(new String(body.get, "UTF-8") == "Wikipedia")
+  }
+
+  test("chunked malformations are typed bad_chunk: bad size line, truncated data, missing CRLF") {
+    val base = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+    for (body <- Seq(
+      "zz\r\nabcd\r\n0\r\n\r\n",   // non-hex size
+      "ff\r\nshort\r\n0\r\n\r\n",  // size exceeds available data
+      "4\r\nWikiXX",                 // data not followed by CRLF
+      "4\r\nWiki\r\n"))            // stream ends before zero chunk
+      assert(httpStr(base + body)._5 == Some("bad_chunk"), body)
+  }
+
+  test("Content-Encoding gzip and deflate (zlib AND raw) inflate; unknown encodings are typed") {
+    val text = "hello encoded wörld №7".getBytes("UTF-8")
+    def msg(enc: String, body: Array[Byte]) =
+      s"HTTP/1.1 200 OK\r\nContent-Encoding: $enc\r\n\r\n".getBytes("UTF-8") ++ body
+    val gz = http(msg("gzip", gzipJdk(text)))
+    assert(gz._3 == Some("gzip") && gz._5.isEmpty &&
+      java.util.Arrays.equals(gz._4.get, text), gz)
+    val zbos = new java.io.ByteArrayOutputStream()
+    val zs = new java.util.zip.DeflaterOutputStream(zbos)
+    zs.write(text); zs.close()
+    val zl = http(msg("deflate", zbos.toByteArray))
+    assert(zl._3 == Some("deflate") && java.util.Arrays.equals(zl._4.get, text), zl)
+    // the historically common server bug: BARE deflate (no zlib wrapper)
+    val rbos = new java.io.ByteArrayOutputStream()
+    val rs = new java.util.zip.DeflaterOutputStream(rbos,
+      new java.util.zip.Deflater(-1, true))
+    rs.write(text); rs.close()
+    val raw = http(msg("deflate", rbos.toByteArray))
+    assert(raw._3 == Some("deflate") && java.util.Arrays.equals(raw._4.get, text), raw)
+    val br = http(msg("br", text))
+    assert(br._5 == Some("unsupported_encoding") && br._4.isEmpty, br)
+    // corrupt gzip entity: typed, never a job failure
+    val bad = http(msg("gzip", Array[Byte](0x1f, 0x8b.toByte, 8, 0, 9, 9)))
+    assert(bad._5 == Some("bad_gzip"), bad)
+  }
+
+  test("an entity inflating past the bound is typed gzip_too_large (HTTP layer)") {
+    import org.apache.spark.sql.GraftSqlBridge
+    import graft.functions.expressions.HttpPayload
+    val msg = "HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n".getBytes("UTF-8") ++
+      gzipJdk(("y" * 4096).getBytes("UTF-8"))
+    val row = Seq(Tuple1(msg)).toDF("b")
+      .select(GraftSqlBridge.column(HttpPayload(
+        GraftSqlBridge.expression(col("b")), maxInflate = 64)).as("h"))
+      .head.getStruct(0)
+    assert(row.getAs[String]("err") == "gzip_too_large", row)
+    assert(row.getAs[Array[Byte]]("body") == null)
+  }
+
+  test("a status line without a header terminator is typed bad_http") {
+    assert(httpStr("HTTP/1.1 200 OK\r\nContent-Length: 3\r\nabc")._5 ==
+      Some("bad_http"))
+    assert(httpStr("HTTP/x\r\n\r\nbody")._5 == Some("bad_http"))
+  }
 }
