@@ -1258,10 +1258,112 @@ object Web {
   def surtKey(host: Column, path: Column): Column =
     concat(array_join(reverse(split(host, "\\.")), ","), lit(")"), path)
 
+  // ------------------------------------------------------------------
+  // Canonical-fed URL collapse (q190, r20 — closing r19 gap #3): the
+  // page's own <link rel=canonical> is the strongest crawl-dedup
+  // signal after content hash, and <meta name=robots> noindex is the
+  // page's opt-out — both must FEED the q158 collapse, not just sit in
+  // the q182 metadata table.
+  // ------------------------------------------------------------------
+
+  /** Canonical-aware collapse of (doc_id, url, html) pages:
+    *   - pages whose meta robots carries `noindex` are EXCLUDED before
+    *     any grouping (the page opted out of the index);
+    *   - the collapse key is [[canonicalUrl]] of the page's DECLARED
+    *     canonical when one exists, else of its own URL — so
+    *     tracking-variant pages that declare the clean page collapse
+    *     into it even when string canonicalization alone could not
+    *     equate them (real `?v=` params are not in the tracker list);
+    *   - survivorship prefers a SELF-CANONICAL member (a page whose
+    *     own URL canonicalizes to the cluster key — the actual
+    *     canonical target) over plain min-doc_id: when the clean page
+    *     and its variants share a cluster, the clean page survives
+    *     even when a variant has the smaller doc_id. Encoded as one
+    *     arithmetic argmin ((self ? 0 : 1e12) + doc_id), exactly
+    *     replayable in SQL.
+    *
+    * 100 TB shape: extraction and key derivation are pure maps; ONE
+    * partial-agg groupBy on the canonical key — the same exchange
+    * budget as q158. */
+  def canonicalCollapse(pages: org.apache.spark.sql.DataFrame,
+      url: Column, html: Column): org.apache.spark.sql.DataFrame = {
+    val SELF = 1000000000000L
+    pages
+      .select(col("doc_id"), url.as("__url"),
+        relCanonical(html).as("__decl"),
+        metaContent(html, "robots").as("__robots"))
+      .filter(!coalesce(col("__robots"), lit("")).contains("noindex"))
+      .select(col("doc_id"), col("__decl"),
+        canonicalUrl(coalesce(col("__decl"), col("__url"))).as("canon_key"),
+        canonicalUrl(col("__url")).as("__own"))
+      .select(col("doc_id"), col("__decl"), col("canon_key"),
+        (when(col("__own") === col("canon_key"), lit(0L))
+          .otherwise(lit(SELF)) + col("doc_id")).as("__rank"))
+      .groupBy(col("canon_key"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(when(col("__decl").isNotNull, 1L).otherwise(0L))
+          .as("n_declared"),
+        (min(col("__rank")) % SELF).as("survivor"))
+  }
+
+  /** q190 fixture URL: group pages `/p/{doc_id div 5}` per source —
+    * the CLEAN page (no query) at doc_id % 5 == 3 (deliberately NOT
+    * the group minimum, so canonical-target survivorship visibly
+    * beats min-doc_id), content variants `?v={doc_id % 5}` otherwise.
+    * `v` is a REAL parameter (not a tracker), so string
+    * canonicalization alone cannot collapse the variants. */
+  private[graft] def canonicalFixtureUrl(docId: Column,
+      source: Column): Column = {
+    val g = (docId.cast("long") / 5).cast("long").cast("string")
+    concat(lit("https://"), source, lit(".com/p/"), g,
+      when(docId % 5 === 3, lit(""))
+        .otherwise(concat(lit("?v="), (docId % 5).cast("string"))))
+  }
+
+  /** q190 fixture head: variants doc_id % 5 in {0,1,2} declare the
+    * group's clean page as canonical; % 5 == 4 declares nothing (it
+    * stays its own cluster); % 7 == 2 opts out via meta robots
+    * `noindex` (which can remove a cluster's clean page — the
+    * fallback survivor path is then under test). */
+  private[graft] def canonicalFixtureHtml(docId: Column,
+      source: Column): Column = {
+    val g = (docId.cast("long") / 5).cast("long").cast("string")
+    concat(
+      lit("<html><head><title>p</title>"),
+      when(docId % 5 < 3, concat(
+        lit("<link rel=\"canonical\" href=\"https://"), source,
+        lit(".com/p/"), g, lit("\">"))).otherwise(lit("")),
+      when(docId % 7 === 2,
+        lit("<meta name=\"robots\" content=\"noindex,follow\">"))
+        .otherwise(lit("")),
+      lit("</head><body><p>x</p></body></html>"))
+  }
+
+  private lazy val CANONICAL_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, source, doc_id // 5 AS g, doc_id % 5 AS v
+      FROM documents
+      WHERE doc_id % 7 <> 2),
+    k AS (
+      SELECT doc_id,
+             source || '.com/p/' || g ||
+               (CASE WHEN v = 4 THEN '?v=4' ELSE '' END) AS canon_key,
+             (v < 3) AS declared,
+             (v = 3 OR v = 4) AS self
+      FROM d)
+    SELECT canon_key,
+           count(*) AS n_pages,
+           sum(CASE WHEN declared THEN 1 ELSE 0 END)::BIGINT AS n_declared,
+           (min((CASE WHEN self THEN 0 ELSE 1000000000000 END) + doc_id)
+             % 1000000000000)::BIGINT AS survivor
+    FROM k
+    GROUP BY 1"""
+
   /** The q182 fixture: a head carrying every field class by residue —
     * title always (with an entity under decode), description for
-    * doc_id % 3 != 1, canonical for doc_id % 2 == 0 — over a minimal
-    * body. */
+    * doc_id % 3 != 1, canonical for doc_id % 2 == 0, meta robots for
+    * doc_id % 7 == 2 (`noindex,nofollow` — the crawl-control field a
+    * corpus index must honor, r20) — over a minimal body. */
   private[graft] def syntheticMetaHtml(text: Column, docId: Column,
       lang: Column, source: Column): Column = {
     val ws = split(text, " ")
@@ -1277,6 +1379,9 @@ object Web {
         lit("<link rel=\"canonical\" href=\"https://"), source,
         lit(".com/docs/"), (docId.cast("long") / 5).cast("long").cast("string"),
         lit("\">"))).otherwise(lit("")),
+      when(docId % 7 === 2,
+        lit("<meta name=\"robots\" content=\"noindex,nofollow\">"))
+        .otherwise(lit("")),
       lit("</head><body><p>"), array_join(ws, " "),
       lit("</p></body></html>"))
   }
@@ -1293,6 +1398,8 @@ object Web {
            CASE WHEN doc_id % 2 = 0
                 THEN 'https://' || source || '.com/docs/' ||
                      CAST(doc_id // 5 AS VARCHAR) END AS canonical,
+           CASE WHEN doc_id % 7 = 2 THEN 'noindex,nofollow' END
+             AS robots_meta,
            'com,' || source || ')/docs/' || CAST(doc_id // 5 AS VARCHAR) ||
              (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) AS surt
     FROM d"""
@@ -1414,10 +1521,11 @@ object Web {
           htmlTitle(col("__html")).as("title"),
           metaContent(col("__html"), "description").as("description"),
           relCanonical(col("__html")).as("canonical"),
+          metaContent(col("__html"), "robots").as("robots_meta"),
           surtKey(col("__host"), col("__path")).as("surt"))
       },
       Some(META_ORACLE),
-      "HTML head-metadata extraction (title/lang/canonical/description — the fields crawl corpora store per record) + the SURT index key (reversed host labels + path), pure map"),
+      "HTML head-metadata extraction (title/lang/canonical/description/meta-robots — the fields crawl corpora store per record) + the SURT index key (reversed host labels + path), pure map"),
 
     QueryDef(
       "q181_extract_admission",
@@ -1488,6 +1596,18 @@ object Web {
       },
       Some(ORACLE),
       "URL canonicalization + collapse: map-side scheme/www/slash/tracker/param-order normalization, one groupBy on the canonical key"),
+
+    QueryDef(
+      "q190_canonical_collapse",
+      (s, d) => {
+        val pages = documents(s, d)
+          .select(col("doc_id"),
+            canonicalFixtureUrl(col("doc_id"), col("source")).as("__u"),
+            canonicalFixtureHtml(col("doc_id"), col("source")).as("__h"))
+        canonicalCollapse(pages, col("__u"), col("__h"))
+      },
+      Some(CANONICAL_ORACLE),
+      "canonical-fed URL collapse: rel=canonical parsed from each page feeds the q158 collapse key (variants declaring a clean page collapse into it where string canonicalization cannot), meta-robots noindex pages opt out before grouping, and survivorship prefers the self-canonical target over min-doc_id — pure-map extraction, one partial-agg groupBy"),
 
     QueryDef(
       "q161_curation_funnel",

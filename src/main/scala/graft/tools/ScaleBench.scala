@@ -124,7 +124,8 @@ object ScaleBench {
     "q187_sitemap_index",      // index walk + child-body join + gz inflate + urlset walk
     "q180_accent_fold",        // NFD + mark strip through the native expression
     "q181_extract_admission",  // parse -> extract -> doc-shape gate, zero exchanges
-    "q182_html_meta")          // head-metadata regex extracts + SURT key, pure map
+    "q182_html_meta",          // head-metadata regex extracts + SURT key, pure map
+    "q190_canonical_collapse") // rel=canonical extract -> keyed collapse groupBy
 
   /** Out-of-registry study variants, timed like registry queries when
     * named in the roster args.

@@ -474,4 +474,33 @@ class WebSpec extends SparkSpec {
       ("page.com", "ex.org", 2L, 2L, 0L),      // 1 link from each of 2 pages
       ("page.com", "page.com", 2L, 1L, 1L)), g) // 2 links from 1 page
   }
+
+  test("canonical collapse: declared canonical beats string canonicalization; self-canonical target survives; noindex opts out") {
+    import graft.functions.Web
+    val pages = Seq(
+      // cluster /p/1: two declaring variants (ids 1, 2), the clean page
+      // (id 7 — NOT the min), one non-declaring variant (id 9)
+      (1L, "https://s.com/p/1?v=0",
+        "<html><head><link rel=\"canonical\" href=\"https://s.com/p/1\"></head><body></body></html>"),
+      (2L, "https://s.com/p/1?v=1",
+        "<html><head><link rel=\"canonical\" href=\"https://s.com/p/1\"></head><body></body></html>"),
+      (7L, "https://s.com/p/1", "<html><head></head><body></body></html>"),
+      (9L, "https://s.com/p/1?v=9", "<html><head></head><body></body></html>"),
+      // cluster /p/2: declaring variants ONLY (clean page opted out via
+      // noindex) -> fallback survivor = min doc_id among the variants
+      (4L, "https://s.com/p/2?v=0",
+        "<html><head><link rel=\"canonical\" href=\"https://s.com/p/2\"></head><body></body></html>"),
+      (6L, "https://s.com/p/2?v=1",
+        "<html><head><link rel=\"canonical\" href=\"https://s.com/p/2\"></head><body></body></html>"),
+      (3L, "https://s.com/p/2",
+        "<html><head><meta name=\"robots\" content=\"noindex\"></head><body></body></html>"))
+      .toDF("doc_id", "u", "h")
+    val got = Web.canonicalCollapse(pages, col("u"), col("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    assert(got == Seq(
+      ("s.com/p/1", 3L, 2L, 7L),      // clean page survives, not id 1
+      ("s.com/p/1?v=9", 1L, 0L, 9L),  // non-declaring variant stays apart
+      ("s.com/p/2", 2L, 2L, 4L)), got) // noindex page gone; fallback min
+  }
 }
