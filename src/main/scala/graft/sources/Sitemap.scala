@@ -300,6 +300,60 @@ object Sitemap {
         col("delay_ms"), (col("seq") * col("delay_ms")).as("fetch_at_ms"))
   }
 
+  /** Incremental frontier maintenance (q189, r20 — closing r19 gap #4:
+    * `lastmod` was parsed and dropped): a real frontier is not rebuilt
+    * per cycle — STORED state (host, loc, known_lastmod) absorbs each
+    * new sitemap batch (the q106/q113 merge == recompute discipline)
+    * and `lastmod` drives freshness:
+    *
+    *   - a batch entry with no stored row is `new` (schedule it);
+    *   - a stored row whose batch `lastmod` is strictly newer is
+    *     `changed` (re-schedule it — the page moved under us); a batch
+    *     entry with NO lastmod can prove nothing and stays
+    *     `unchanged`;
+    *   - equal-or-older lastmod is `unchanged` (no fetch slot spent);
+    *   - a stored row the batch no longer lists is `gone` (the host
+    *     withdrew it — newly robots-refused entries surface here too,
+    *     since the batch is the ADMITTED relation).
+    *
+    * Scheduling reuses [[frontierSchedule]] verbatim — `changed`
+    * entries age AHEAD of `new` ones at equal priority by prepending a
+    * changed bit to the priority key (the encoding is
+    * order-isomorphic to (changed DESC, priority DESC NULLS LAST,
+    * ord), which is what the oracle replays); `unchanged`/`gone` rows
+    * carry NULL seq/fetch_at_ms.
+    *
+    * 100 TB shape: ONE full-outer merge join keyed (host, loc) — the
+    * CDC reconciliation exchange — the de-skewed schedule over only
+    * the new/changed subset, and one left join back on (host, ord).
+    * State stays linear in live URLs; no per-host window anywhere. */
+  def frontierDelta(stored: DataFrame, batch: DataFrame,
+      config: DataFrame): DataFrame = {
+    val merged = batch
+      .select(col("host"), col("loc"), col("ord"), col("priority"),
+        col("lastmod"))
+      .join(stored.select(col("host"), col("loc"), col("known_lastmod"),
+        lit(true).as("__instore")), Seq("host", "loc"), "full_outer")
+    val st = merged.select(col("host"), col("loc"), col("ord"),
+      col("priority"), col("lastmod"),
+      when(col("ord").isNull, lit("gone"))
+        .when(col("__instore").isNull, lit("new"))
+        .when(col("lastmod").isNotNull &&
+          col("lastmod") > col("known_lastmod"), lit("changed"))
+        .otherwise(lit("unchanged")).as("status"))
+    val sched = frontierSchedule(
+      st.filter(col("status").isin("new", "changed"))
+        .select(col("host"), col("ord"), col("loc"),
+          concat(when(col("status") === "changed", lit("1"))
+            .otherwise(lit("0")),
+            coalesce(col("priority"), lit(""))).as("priority")),
+      config)
+    st.join(sched.select(col("host"), col("ord"), col("seq"),
+        col("fetch_at_ms")), Seq("host", "ord"), "left")
+      .select(col("host"), col("loc"), col("ord"), col("status"),
+        col("lastmod"), col("seq"), col("fetch_at_ms"))
+  }
+
   // ------------------------------------------------------------------
   // Deterministic fixture (rebuilt arithmetically in the oracles)
   // ------------------------------------------------------------------
@@ -446,6 +500,29 @@ object Sitemap {
         expr("cast(substr(source, 4) as bigint)").as("__h")).distinct(),
       lower(concat(col("source"), lit(".com"))),
       Robots.syntheticRobots(col("__h")), "graftbot")
+
+  /** Stored frontier state from a PREVIOUS crawl cycle (the q189
+    * fixture): the even docs — exactly those whose sitemap entry
+    * carries a lastmod — keyed by the DECODED loc, with an OLDER
+    * known_lastmod for doc_id % 4 == 0 (the batch's lastmod supersedes
+    * it → `changed`) and the current one for doc_id % 4 == 2
+    * (`unchanged`); odd docs are absent (→ `new`); plus one loc per
+    * host the new batch no longer lists (→ `gone`). */
+  private[graft] def syntheticStoredFrontier(docs: DataFrame): DataFrame = {
+    val current = concat(lit("2026-0"),
+      ((col("doc_id") % 9) + 1).cast("string"),
+      lit("-1"), (col("doc_id") % 10).cast("string"))
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(lower(concat(col("source"), lit(".com"))).as("host"),
+        Web.rawUrl(col("doc_id"), col("source")).as("loc"),
+        when(col("doc_id") % 4 === 0, lit("2025-12-31"))
+          .otherwise(current).as("known_lastmod"))
+      .unionAll(docs.select(col("source")).distinct()
+        .select(lower(concat(col("source"), lit(".com"))).as("host"),
+          concat(lit("https://"), col("source"), lit(".com/gone"))
+            .as("loc"),
+          lit("2025-01-01").as("known_lastmod")))
+  }
 
   // ------------------------------------------------------------------
   // Composed crawl chain (q188, r19)
@@ -673,6 +750,49 @@ object Sitemap {
     LEFT JOIN fcnt f USING (host)
     LEFT JOIN per_host ph USING (host)"""
 
+  /** q189 oracle: stored state rebuilt generatively from the `e` CTE
+    * (the oracle never sees XML), the merge replayed as one FULL JOIN,
+    * statuses by the lastmod comparison, and the delta schedule as the
+    * window replay ordered (changed DESC, priority DESC NULLS LAST,
+    * ord) — the order-isomorphic form of the engine's changed-bit
+    * priority encoding. */
+  private lazy val DELTA_ORACLE = s"""
+    WITH $ADMISSION_CTES,
+    stored AS (
+      SELECT host, loc,
+             CASE WHEN doc_id % 4 = 0 THEN '2025-12-31'
+                  ELSE '2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR) ||
+                       '-1' || CAST(doc_id % 10 AS VARCHAR)
+             END AS known_lastmod
+      FROM e WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT DISTINCT host, 'https://src' || h || '.com/gone',
+             '2025-01-01'
+      FROM e),
+    m AS (
+      SELECT host, loc, ord, priority, lastmod, delay_ms, known_lastmod
+      FROM (SELECT host, ord, loc, lastmod, priority, delay_ms
+            FROM adm WHERE allowed) b
+      FULL JOIN stored s USING (host, loc)),
+    st AS (
+      SELECT host, loc, ord, priority, lastmod, delay_ms,
+             CASE WHEN ord IS NULL THEN 'gone'
+                  WHEN known_lastmod IS NULL THEN 'new'
+                  WHEN lastmod IS NOT NULL AND lastmod > known_lastmod
+                    THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM m),
+    sched AS (
+      SELECT host, ord,
+             (row_number() OVER (PARTITION BY host ORDER BY
+                (CASE WHEN status = 'changed' THEN 1 ELSE 0 END) DESC,
+                priority DESC NULLS LAST, ord) - 1)::BIGINT AS seq,
+             delay_ms
+      FROM st WHERE status IN ('new', 'changed'))
+    SELECT st.host, st.loc, st.ord, st.status, st.lastmod, s2.seq,
+           (s2.seq * s2.delay_ms)::BIGINT AS fetch_at_ms
+    FROM st LEFT JOIN sched s2 USING (host, ord)"""
+
   private lazy val FRONTIER_ORACLE = s"""
     WITH $ADMISSION_CTES
     SELECT host,
@@ -721,5 +841,17 @@ object Sitemap {
       "q188_crawl_chain",
       (s, d) => crawlChainRel(documents(s, d)),
       Some(CHAIN_ORACLE),
-      "the composed crawl-discovery funnel: sitemap walk -> robots admission -> de-skewed politeness schedule -> fetch-horizon cutoff -> synthetic fetch into per-host WARC containers -> container ingestion -> jusText extraction -> Gopher gate, per-host counts; the hand-offs (host keys, (host,ord) provenance, cutoffs, container round-trip) carry their own composition oracle"))
+      "the composed crawl-discovery funnel: sitemap walk -> robots admission -> de-skewed politeness schedule -> fetch-horizon cutoff -> synthetic fetch into per-host WARC containers -> container ingestion -> HTTP-layer decode -> jusText extraction -> Gopher gate, per-host counts; the hand-offs (host keys, (host,ord) provenance, cutoffs, container round-trip) carry their own composition oracle"),
+
+    QueryDef(
+      "q189_frontier_delta",
+      (s, d) => {
+        val docs = documents(s, d)
+        val adm = sitemapAdmissionRel(syntheticSitemaps(docs),
+          col("xml"), col("robots"), "graftbot", keys = Nil)
+        frontierDelta(syntheticStoredFrontier(docs),
+          adm.filter(col("allowed")), syntheticConfig(docs))
+      },
+      Some(DELTA_ORACLE),
+      "incremental frontier maintenance with lastmod freshness: stored state absorbs a new sitemap batch via ONE full-outer merge keyed (host, loc) — new / changed / unchanged / gone statuses, a strictly newer lastmod re-schedules AHEAD of new entries, a missing lastmod proves nothing — scheduling only the delta through the de-skewed q186 ranking; merge == recompute, the q106/q113 discipline"))
 }

@@ -743,6 +743,53 @@ object StreamingOps {
       }
   }
 
+  final case class DeltaIn(host: String, loc: String, ord: Long,
+    lastmod: Option[String])
+  final case class DeltaOut(host: String, loc: String, ord: Long,
+    status: String)
+  private[streaming] final case class DeltaState(
+    known_lastmod: Option[String])
+
+  /** Streaming twin of q189's incremental-frontier STATUS assignment
+    * (r20): sitemap entries arrive as a stream and each (host, loc)
+    * key carries ONE lastmod string of state — bounded by live URLs,
+    * the same linear state budget as the batch operator's stored
+    * table. A first sighting is `new`; a strictly newer lastmod
+    * against non-null known state is `changed` (the batch comparison
+    * verbatim: a missing lastmod on either side proves nothing →
+    * `unchanged`); state absorbs the newest lastmod seen. `gone` is
+    * inherently a SWEEP over absence — no event carries it — so it
+    * stays with the batch operator (q106's reconciliation shape), and
+    * the politeness pacing of the delta rides the existing
+    * [[frontierStream]] twin downstream. Replay parity: priming the
+    * state with the stored rows and then streaming the batch yields
+    * exactly q189's statuses (StreamingSpec pins it). */
+  def frontierDeltaStream(entries: Dataset[DeltaIn]): Dataset[DeltaOut] = {
+    val spark = entries.sparkSession
+    import spark.implicits._
+    entries
+      .groupByKey(e => (e.host, e.loc))
+      .flatMapGroupsWithState[DeltaState, DeltaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((host, loc), rows, state) =>
+          var known = state.getOption.flatMap(_.known_lastmod)
+          var primed = state.exists
+          val out = rows.toSeq.sortBy(_.ord).map { e =>
+            val status =
+              if (!primed) "new"
+              else (e.lastmod, known) match {
+                case (Some(lm), Some(k)) if lm > k => "changed"
+                case _ => "unchanged"
+              }
+            primed = true
+            known = e.lastmod.orElse(known)
+            DeltaOut(host, loc, e.ord, status)
+          }
+          state.update(DeltaState(known))
+          out.iterator
+      }
+  }
+
   /** File-source stream over a directory of parquet events, normalizing
     * `ts` exactly like the batch loader ([[graft.Tables.events]]): the
     * fixture has shipped as both TIMESTAMP(NANOS) (surfaced as raw long

@@ -125,6 +125,7 @@ object ScaleBench {
     "q180_accent_fold",        // NFD + mark strip through the native expression
     "q181_extract_admission",  // parse -> extract -> doc-shape gate, zero exchanges
     "q182_html_meta",          // head-metadata regex extracts + SURT key, pure map
+    "q189_frontier_delta",     // full-outer state merge + delta-only de-skewed schedule
     "q190_canonical_collapse") // rel=canonical extract -> keyed collapse groupBy
 
   /** Out-of-registry study variants, timed like registry queries when

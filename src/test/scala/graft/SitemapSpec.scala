@@ -150,6 +150,33 @@ class SitemapSpec extends SparkSpec {
       "https://h.example.com/ok")), got.toSeq)
   }
 
+  test("frontier delta: statuses from the lastmod merge; changed schedules ahead of new; unchanged/gone never schedule") {
+    val stored = Seq(
+      ("h", "u/old", "2026-01-01"),   // batch has newer -> changed
+      ("h", "u/same", "2026-02-02"),  // equal -> unchanged
+      ("h", "u/gone", "2026-01-01"))  // absent from batch -> gone
+      .toDF("host", "loc", "known_lastmod")
+    val batch = Seq(
+      ("h", "u/old", 0L, Some("0.5"), Some("2026-03-03")),
+      ("h", "u/same", 1L, Some("0.9"), Some("2026-02-02")),
+      ("h", "u/new1", 2L, Some("0.9"), None),    // new, high priority
+      ("h", "u/new2", 3L, None, Some("2026-01-05"))) // new, no priority
+      .toDF("host", "loc", "ord", "priority", "lastmod")
+    val config = Seq(("h", 1000L)).toDF("host", "delay_ms")
+    val got = Sitemap.frontierDelta(stored, batch, config)
+      .collect().map(r => (r.getString(1), r.getString(3),
+        Option(r.get(5)).map(_.asInstanceOf[Long]),
+        Option(r.get(6)).map(_.asInstanceOf[Long]))).toSeq.sortBy(_._1)
+    assert(got == Seq(
+      // the changed entry outranks BOTH new entries despite 0.5 < 0.9
+      ("u/gone", "gone", None, None),
+      ("u/new1", "new", Some(1L), Some(1000L)),
+      ("u/new2", "new", Some(2L), Some(2000L)),
+      ("u/old", "changed", Some(0L), Some(0L)),
+      ("u/same", "unchanged", None, None)), got)
+    graft.Caches.release()
+  }
+
   test("index discovery starts from robots Sitemap: lines; unnamed and unfetched indexes contribute nothing") {
     val hosts = Seq(
       // names its index (plus a loc the fetcher never returned)

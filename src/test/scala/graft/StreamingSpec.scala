@@ -564,6 +564,46 @@ class StreamingSpec extends SparkSpec {
       FrontierOut("g", 0L, "z", 500L, 0L)), got)
   }
 
+  test("streaming frontier delta matches batch q189 statuses on a primed replay") {
+    import graft.streaming.StreamingOps.{DeltaIn, DeltaOut}
+    val docsDf = spark.read.parquet(s"$SF/documents.parquet")
+    // batch 1 PRIMES the state with the stored rows (tagged ord = -1 so
+    // their own outputs filter out); batch 2 streams the admitted
+    // sitemap batch — its statuses must equal q189's, minus 'gone'
+    // (absence has no event; the sweep is the batch operator's job)
+    val stored = graft.sources.Sitemap.syntheticStoredFrontier(docsDf)
+      .select(col("host"), col("loc"), lit(-1L).as("ord"),
+        col("known_lastmod").as("lastmod"))
+      .as[DeltaIn].collect()
+    val batchIn = graft.sources.Sitemap.sitemapAdmissionRel(
+        graft.sources.Sitemap.syntheticSitemaps(docsDf),
+        col("xml"), col("robots"), "graftbot", keys = Nil)
+      .filter(col("allowed"))
+      .select(col("host"), col("loc"), col("ord"), col("lastmod"))
+      .as[DeltaIn].collect()
+    val in = MemoryStream[DeltaIn]
+    val q = StreamingOps.frontierDeltaStream(in.toDS())
+      .writeStream.format("memory").queryName("deltastream")
+      .outputMode("append").start()
+    try {
+      in.addData(stored.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(batchIn.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("deltastream").as[DeltaOut].collect()
+      .filter(_.ord >= 0).map(o => (o.host, o.loc) -> o.status).toMap
+    val batch = SparkEntry.queries("q189_frontier_delta")(spark, SF)
+      .filter(col("status") =!= "gone")
+      .select(col("host"), col("loc"), col("status"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2))
+      .toMap
+    assert(batch.nonEmpty && batch.values.toSet ==
+      Set("new", "changed", "unchanged"), "all three statuses must occur")
+    assert(stream == batch,
+      s"stream-only: ${(stream.toSet -- batch.toSet).take(3)}; " +
+        s"batch-only: ${(batch.toSet -- stream.toSet).take(3)}")
+    graft.Caches.release()
+  }
+
   test("streaming anomaly flags match batch q135 on the replayed corpus") {
     val evs = Tables.events(spark, SF)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
