@@ -273,8 +273,12 @@ object Bench {
         try {
           val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
             java.nio.charset.StandardCharsets.UTF_8)
+          // scoped to the leg's OWN object ([^}]* stops at its closing
+          // brace): a leg missing best_mb_per_s drops from the rule
+          // instead of silently capturing the next leg's value through
+          // a non-greedy cross-object scan (advisor-found r19)
           val out = Seq("150m", "1g").flatMap { label =>
-            ("\"gedcom_" + label + "\"[\\s\\S]*?\"best_mb_per_s\":\\s*([0-9.]+)").r
+            ("\"gedcom_" + label + "\"\\s*:\\s*\\{[^}]*\"best_mb_per_s\":\\s*([0-9.]+)").r
               .findFirstMatchIn(text)
               .map(m => label -> m.group(1).toDouble)
           }.toMap

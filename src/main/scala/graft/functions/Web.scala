@@ -229,7 +229,19 @@ object Web {
     * for any match; recovered ~25% of q168's cost when introduced).
     * Shared by [[htmlInnerText]] and the sitemap loc decode (r19 —
     * sitemap locs are XML-escaped URLs and real files carry
-    * `&#38;`-style refs alongside the named entities). */
+    * `&#38;`-style refs alongside the named entities).
+    *
+    * DOCUMENTED DIVERGENCE (advisor r19): callers run this numeric
+    * pass and then their NAMED-entity passes as layered replaces, not
+    * one single-pass tokenizer — so an input whose numeric decode
+    * MANUFACTURES a named entity decodes twice: `&#38;lt;` → `&lt;` →
+    * `<`, where a spec single-pass decoder stops at the literal
+    * `&lt;`. Ordering numeric-first keeps the common cascades right
+    * (`&amp;#38;` stays the literal `&#38;`), the property suites
+    * exclude exactly this one corner, and no fixture nor any sane
+    * document depends on it; a caller needing exact single-pass
+    * semantics must tokenize once over `&#\\d+;|&[a-z]+;|.` instead of
+    * layering replaces. */
   private[graft] def decodeCharrefs(c: Column): Column = {
     val refs = regexp_extract_all(c, lit(CHARREF), lit(0))
     val segs = split(c, CHARREF, -1)

@@ -353,7 +353,15 @@ case class GzipCompress(child: Expression)
   * ~1000:1 deflate bomb degrades to NULL (the same typed-degrade path
   * as corruption) instead of OOMing the executor (advisor-found r18;
   * the unbounded `readAllBytes` would buffer whatever the stream
-  * claims). */
+  * claims).
+  *
+  * DOCUMENTED CONFLATION (advisor r19): the over-bound case maps to
+  * the SAME NULL as corruption, so a q187 consumer cannot distinguish
+  * a bombed/oversized child sitemap from a corrupt one — acceptable
+  * because 256 MiB sits 5x above the 50 MB sitemap cap (a legitimate
+  * child can never hit it) and the loss is one child's entries, not a
+  * job. If per-cause child-loss accounting ever matters, return a
+  * typed (bytes, err) struct like [[HttpPayload]] does. */
 case class GunzipBytes(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

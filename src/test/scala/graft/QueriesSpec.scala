@@ -73,6 +73,15 @@ class QueriesSpec extends SparkSpec {
     // a malformed latest file degrades to the disabled rule, not a crash
     write("BAND_r19.json", "{ not json at all")
     assert(Bench.priorBandBests(dir.getPath).isEmpty)
+    // r20 (advisor r19): a leg whose OWN object omits best_mb_per_s
+    // drops that leg — the scan is scoped to the leg's braces and must
+    // never capture the NEXT leg's value through a cross-object match
+    write("BAND_r20.json",
+      """{"gedcom_legs":{
+        |"gedcom_150m":{"mbs_passes_per_bench_pass":[[19.8,51.2]]},
+        |"gedcom_1g":{"best_mb_per_s": 88.8}}}""".stripMargin)
+    assert(Bench.priorBandBests(dir.getPath) == Map("1g" -> 88.8))
+    new java.io.File(dir, "BAND_r20.json").delete()
   }
 
   test("bench JSON carries loadavg and fits the driver's 2 KB stdout tail") {
