@@ -784,10 +784,20 @@ class StreamingSpec extends SparkSpec {
       in.addData(b2: _*); q.processAllAvailable()
     } finally q.stop()
     val stream = spark.table("warcstream").collect().map(_.toString).toSet
-    val batch = SparkEntry.queries("q183_warc_binary")(spark, SF)
-      .select(col("gid"), col("rec_idx"), col("warc_type"), col("record_id"),
-        col("target_uri"), col("content_length"), col("payload_octets"),
-        col("gzipped"), col("leftover_bytes"))
+    // batch side: the SAME rel over the same fixture (q183's registered
+    // output reports the HTTP-decoded entity since r20, so the raw walk
+    // fields — clen, payload octets — compare here at full fidelity
+    // against the identical expression the stream ran)
+    val batch = Warc.warcBinaryRecordsRel(
+        Warc.syntheticBinaryContainers(
+          spark.read.parquet(s"$SF/documents.parquet")),
+        col("container"), 6, Seq("gid"))
+      .select(col("gid"), col("leftover_bytes"),
+        posexplode_outer(col("records")).as(Seq("rec_idx", "r")))
+      .select(col("gid"), col("rec_idx").cast("long").as("rec_idx"),
+        col("r.typ"), col("r.rid"), col("r.uri"), col("r.clen"),
+        length(col("r.payload")).cast("long").as("payload_octets"),
+        col("r.gzipped"), col("leftover_bytes"))
       .collect().map(_.toString).toSet
     assert(batch.nonEmpty)
     assert(stream == batch,
