@@ -88,7 +88,17 @@ object Sitemap {
     * relation: one row per `<url>` block in document order —
     * (keys..., ord, loc, lastmod, priority, host, path, allowed,
     * rule). The robots rules are parsed ONCE per input row (staged
-    * before the entry explode); `agent` selects the rule group. */
+    * before the entry explode); `agent` selects the rule group.
+    *
+    * CONSUMPTION NOTE (r20-measured, 13x): a consumer that FILTERS on
+    * `allowed` (or `rule`) must put a pushdown barrier — a
+    * [[graft.Caches]] lease, like every registered consumer — between
+    * this rel and the filter. Catalyst's predicate pushdown otherwise
+    * rewrites the filter through the staged projections, inlining the
+    * per-HOST robots fold + wildcard verdict into a per-ENTRY
+    * predicate (and the projection still computes it again), turning
+    * the once-per-host parse into several-per-entry interpreted-HOF
+    * evaluations. */
   def sitemapAdmissionRel(sitemaps: DataFrame, xml: Column,
       robots: Column, agent: String, keys: Seq[String]): DataFrame = {
     val kt = keys.map(col)
@@ -256,11 +266,16 @@ object Sitemap {
     * one-row-PER-HOST relations, and at real crawl scale distinct
     * hosts run 10^8+ — a forced broadcast of a host-cardinality frame
     * is a multi-GB driver materialization, a cliff the x32 scale rows
-    * cannot see. Both joins are skew-free by construction (the key is
-    * unique per row on the small side), so AQE is free to pick
-    * broadcast when the frame is actually small and SMJ when it
-    * isn't; the spec pins the absence of a forced hint in the
-    * optimized plan.
+    * cannot see. No join here carries a hint: `config` joins the
+    * host-min frame (host-scale x host-scale — never entry-scale), and
+    * the combined (host, __g0, delay_ms) frame joins `ranked` as the
+    * schedule's ONE entry-scale equi join; both are skew-free by
+    * construction (unique key per row on the small side), so AQE picks
+    * broadcast when a frame is actually small and SMJ when it isn't
+    * (the runtime sessions set `spark.sql.optimizer
+    * .canChangeCachedPlanOutputPartitioning` so AQE may re-plan joins
+    * above the cached leases from runtime sizes). The spec pins the
+    * absence of a forced hint in the optimized plan.
     *
     * NOT lazy (documented for plan-only callers): building the
     * returned DataFrame eagerly runs Spark jobs — the range
@@ -273,17 +288,20 @@ object Sitemap {
   def frontierSchedule(candidates: DataFrame, config: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
-    // CACHE the input projection too (three leases total, the q152
+    // CACHE the input projection (three leases total, the q152
     // discipline): the range partitioner's SAMPLING job and the
     // shuffle write each evaluate the child, and the child here is
     // whatever expensive relation feeds the frontier (q186's is the
     // whole sitemap-admission parse — uncached it re-ran per job and
-    // measured 14 s where the cached chain costs ~2 s)
-    val joined = graft.Caches.lease(candidates
-      .join(config, Seq("host"))
-      .select(col("host"), col("ord"), col("loc"), col("priority"),
-        col("delay_ms")))
-    val sorted = graft.Caches.lease(joined
+    // measured 14 s where the cached chain costs ~2 s).
+    //
+    // `config` deliberately does NOT join the entry-scale candidates
+    // (r20): delay_ms is only consumed per host, so it joins the
+    // host-min frame below — a host-scale x host-scale join — and the
+    // schedule pays ONE entry-scale equi join total instead of two.
+    val staged = graft.Caches.lease(candidates
+      .select(col("host"), col("ord"), col("loc"), col("priority")))
+    val sorted = graft.Caches.lease(staged
       .repartitionByRange(col("host"), col("priority").desc_nulls_last,
         col("ord").asc)
       .sortWithinPartitions(col("host"), col("priority").desc_nulls_last,
@@ -293,6 +311,7 @@ object Sitemap {
       sorted.schema.add("__g", LongType)))
     val hostStart = ranked.groupBy(col("host"))
       .agg(min(col("__g")).as("__g0"))
+      .join(config, Seq("host"))
     ranked.join(hostStart, Seq("host"))
       .select(col("host"), (col("__g") - col("__g0")).as("seq"),
         col("ord"), col("loc"), col("delay_ms"))
@@ -816,9 +835,15 @@ object Sitemap {
     QueryDef(
       "q186_frontier_schedule",
       (s, d) => {
-        val adm = sitemapAdmissionRel(
+        // LEASE the admission rel before filtering on `allowed` (the
+        // q188 discipline, r20-measured 13x): predicate pushdown
+        // otherwise rewrites the filter through the rel's staged
+        // projections, inlining the per-host robots fold + verdict
+        // into a per-ENTRY predicate — the cache is a pushdown
+        // barrier, so the parse stays staged-once-per-host
+        val adm = graft.Caches.lease(sitemapAdmissionRel(
           syntheticSitemaps(documents(s, d)),
-          col("xml"), col("robots"), "graftbot", keys = Nil)
+          col("xml"), col("robots"), "graftbot", keys = Nil))
         frontierSchedule(adm.filter(col("allowed")),
           syntheticConfig(documents(s, d)))
       },
@@ -847,8 +872,11 @@ object Sitemap {
       "q189_frontier_delta",
       (s, d) => {
         val docs = documents(s, d)
-        val adm = sitemapAdmissionRel(syntheticSitemaps(docs),
-          col("xml"), col("robots"), "graftbot", keys = Nil)
+        // leased before the `allowed` filter — the q186/q188 pushdown
+        // barrier (see q186's note)
+        val adm = graft.Caches.lease(sitemapAdmissionRel(
+          syntheticSitemaps(docs),
+          col("xml"), col("robots"), "graftbot", keys = Nil))
         frontierDelta(syntheticStoredFrontier(docs),
           adm.filter(col("allowed")), syntheticConfig(docs))
       },
