@@ -97,7 +97,16 @@ class InvarianceSpec extends SparkSpec {
     // pure-map bucket resolution + one integer groupBy
     "q163_length_buckets",
     // integer-milli centroid sums; cosine from exact integer inputs
-    "q164_embedding_drift")
+    "q164_embedding_drift",
+    // the crawl chain (r20): the admission walk is a pure map; the
+    // frontier ranks ride the q152 zipWithIndex total-order claim
+    // ((host, priority DESC NULLS LAST, ord) is a TOTAL order, so the
+    // partition-offset ordinals are layout-free); the delta merge and
+    // the canonical collapse are keyed exact semantics; the composed
+    // funnel inherits all of the above
+    "q185_sitemap_admission", "q186_frontier_schedule",
+    "q187_sitemap_index", "q188_crawl_chain", "q189_frontier_delta",
+    "q190_canonical_collapse")
 
   private def runAt(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
