@@ -417,4 +417,28 @@ class PlanSpec extends SparkSpec {
     assert(!pt.contains("Window"), pt)
     assert(pt.contains("partial_count"), pt)
   }
+
+  test("q190 canonical collapse is extraction maps + ONE aggregate, no joins or windows") {
+    // the collapse's scale claim: parse, key derivation and the argmin
+    // encoding are all map work; the only exchange is the partial+final
+    // groupBy on the canonical key — the same budget as q158
+    val p = plan("q190_canonical_collapse")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p) // map-side combine on the collapse
+  }
+
+  test("q189 frontier delta: keyed merge + de-skewed schedule, no windows or cartesians") {
+    // the state merge is ONE keyed full-outer join; the schedule is the
+    // q186 construction (range sort + offset ordinals, PlanSpec-adjacent
+    // pin lives in SitemapSpec); nothing may plan a per-host Window or
+    // any cartesian product
+    val p = plan("q189_frontier_delta")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("FullOuter") || p.contains("full_outer"), p)
+    graft.Caches.release()
+  }
 }
