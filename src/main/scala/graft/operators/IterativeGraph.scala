@@ -136,7 +136,9 @@ object IterativeGraph {
       // rounds WITHOUT a pin in between multiplies the upstream subtree
       // ~4x per chained round — measured 2.5x slower at 2 rounds/job.
       // The pin is what keeps every subtree computed exactly once.
-      val (mat, matRdd) = pin(starRound(e))
+      val roundF = starRound(e)
+      graft.PlanProbe.emit("cc.round", roundF)
+      val (mat, matRdd) = pin(roundF)
       // ONE job: computes the round, fills the persisted blocks, and runs
       // the exact star test over them. A vertex breaks the star iff it
       // appears as u more than once, or as both u and v; sum of breakers
@@ -277,11 +279,13 @@ object IterativeGraph {
       // same-job shuffle reuse. The count keeps DAG depth O(1) per round
       // and makes a lost block recompute one round, not the whole chain
       // (same discipline as connectedComponents' per-round stats job).
-      val (nr, nrRdd) = pin(ranks.select(col("v"), col("d"))
+      val roundF = ranks.select(col("v"), col("d"))
         .join(sums, Seq("v"), "left")
         .select(col("v"), col("d"),
           (lit(15L * (scale / 100L)) +
-            expr("(85 * coalesce(s, cast(0 as bigint))) div 100")).as("r")))
+            expr("(85 * coalesce(s, cast(0 as bigint))) div 100")).as("r"))
+      graft.PlanProbe.emit("pagerank.round", roundF)
+      val (nr, nrRdd) = pin(roundF)
       nrRdd.count()
       ranksRdd.unpersist(blocking = false)
       ranks = nr
@@ -334,11 +338,13 @@ object IterativeGraph {
         .agg(sum(expr("(r * w) div tw")).as("s"))
       // pin + materialize each round before releasing the previous one —
       // see pageRank's loop for why the count is what makes the pin real
-      val (nr, nrRdd) = pin(ranks.select(col("v"), col("tw"))
+      val roundF = ranks.select(col("v"), col("tw"))
         .join(sums, Seq("v"), "left")
         .select(col("v"), col("tw"),
           (lit(15L * (scale / 100L)) +
-            expr("(85 * coalesce(s, cast(0 as bigint))) div 100")).as("r")))
+            expr("(85 * coalesce(s, cast(0 as bigint))) div 100")).as("r"))
+      graft.PlanProbe.emit("pagerank_weighted.round", roundF)
+      val (nr, nrRdd) = pin(roundF)
       nrRdd.count()
       ranksRdd.unpersist(blocking = false)
       ranks = nr
@@ -409,12 +415,14 @@ object IterativeGraph {
       // per round on q122). Retry-safety: a re-run task can only inflate
       // a nonzero count, never zero a nonzero one, and the exit tests
       // moved == 0 exactly.
-      val (nl, nlRdd) = pin(labels.select(col("v"), col("seed"),
+      val roundF = labels.select(col("v"), col("seed"),
           col("lbl").as("prev"))
         .join(best, Seq("v"), "left")
         .select(col("v"), col("seed"), col("prev"),
           when(col("seed").isNotNull, col("seed"))
-            .otherwise(coalesce(col("blbl"), col("prev"))).as("lbl")))
+            .otherwise(coalesce(col("blbl"), col("prev"))).as("lbl"))
+      graft.PlanProbe.emit("lpa.round", roundF)
+      val (nl, nlRdd) = pin(roundF)
       val prevOrd = nl.schema.fieldIndex("prev")
       val lblOrd = nl.schema.fieldIndex("lbl")
       val lblType = nl.schema(lblOrd).dataType // scalar by contract
@@ -476,8 +484,10 @@ object IterativeGraph {
         .select(col("v").as("src"))
       val next = e.join(frontier, "src")
         .select(col("dst").as("v"), lit(k.toLong).as("d"))
-      val (nd, ndRdd) = pin(dist.unionAll(next)
-        .groupBy(col("v")).agg(min(col("d")).as("d")))
+      val roundF = dist.unionAll(next)
+        .groupBy(col("v")).agg(min(col("d")).as("d"))
+      graft.PlanProbe.emit("bfs.round", roundF)
+      val (nd, ndRdd) = pin(roundF)
       // materialize before releasing the previous round (see pageRank);
       // the same count doubles as the FIXPOINT test: a reached vertex's
       // d can never change (BFS levels are monotone — any shorter path
@@ -529,10 +539,12 @@ object IterativeGraph {
       val keep = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
         .groupBy(col("x")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
-      val (ne, neRdd) = pin(e
+      val roundF = e
         .join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
-        .select(col("u"), col("v")))
+        .select(col("u"), col("v"))
+      graft.PlanProbe.emit("kcore.round", roundF)
+      val (ne, neRdd) = pin(roundF)
       // materialize before releasing the previous round (see pageRank);
       // the count doubles as the FIXPOINT test: peeling only removes
       // edges, so an unchanged edge count means no vertex fell below k
@@ -574,35 +586,78 @@ object IterativeGraph {
   def triangleStats(pairs: DataFrame): DataFrame = {
     val (e, eRdd) = pin(
       pairs.select(col("u"), col("v")).filter(col("u") < col("v")).distinct())
+    // materializing the pin yields the exact edge count for free — it
+    // prices every join side below (and replaces the n_edges re-scan)
+    val m = eRdd.count()
     val (deg, degRdd) = pin(
       e.select(col("u").as("x")).union(e.select(col("v").as("x")))
         .groupBy(col("x")).agg(count(lit(1)).as("d")))
+    val nVerts = degRdd.count()
+    // ~bytes per built hash-relation row of 2-3 longs (the Dedup-family
+    // INDEX_ROW_BYTES estimate): the sizing decisions below compare
+    // measured row counts, never Catalyst estimates (a pinned LogicalRDD
+    // has no stats, so the auto-broadcast path can't see these sides)
+    val ROW_BYTES = 28L
+    import graft.functions.Dedup.sizedBuildSide
     // rank = (degree, id) lexicographically; u < v already, so on a
     // degree tie the orientation keeps (u -> v).
     val lowFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
+    // degree sides are vertex-cardinality: broadcast under the cap keeps
+    // the edge set out of BOTH orientation exchanges (it streams once)
     val (ori, oriRdd) = pin(e
-      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .join(sizedBuildSide(
+        deg.select(col("x").as("u"), col("d").as("du")), nVerts, ROW_BYTES), "u")
+      .join(sizedBuildSide(
+        deg.select(col("x").as("v"), col("d").as("dv")), nVerts, ROW_BYTES), "v")
       .select(
         when(lowFirst, col("u")).otherwise(col("v")).as("a"),
         when(lowFirst, col("v")).otherwise(col("u")).as("b"),
         when(lowFirst, col("dv")).otherwise(col("du")).as("rb")))
     val wl = ori.select(col("a"), col("b").as("wa"), col("rb").as("ra"))
     val wr = ori.select(col("a"), col("b").as("wb"), col("rb").as("rw"))
-    val wedges = wl.join(wr, Seq("a"))
+    // both wedge enumeration and the closing join build on the EDGE set
+    // (m rows) while streaming the WEDGE relation (sum od^2 rows — 41M vs
+    // 1.2M on the sf0.1 co-purchase graph): sized build sides keep the
+    // wedge relation out of every exchange under the cap (it is generated
+    // and closed within one map stage), and above the cap SHUFFLE_HASH
+    // still never SORTS it — the SortMergeJoin default would sort the
+    // largest relation this operator touches (measured 146 executor-CPU-s
+    // at sf0.1, dominated by that sort).
+    val wedges = wl.join(sizedBuildSide(wr, m, ROW_BYTES), Seq("a"))
       .filter(col("ra") < col("rw") ||
         (col("ra") === col("rw") && col("wa") < col("wb")))
       .select(col("wa").as("a"), col("wb").as("b"))
-    val tri = wedges.join(ori.select(col("a"), col("b")), Seq("a", "b"))
+    // the closing probe runs once per wedge — the hottest expression in
+    // the operator. When every id fits an unsigned int (one tiny agg over
+    // the pinned vertex frame decides), both sides key on ONE packed long
+    // so the build side is a LongHashedRelation (primitive-long lookups)
+    // instead of a two-field UnsafeRow relation (hash + row compare per
+    // probe); id ranges past 2^31 keep the general two-key join. Packing
+    // is injective on [0, 2^31), so the join matches exactly the same
+    // (a, b) pairs.
+    val idRange = deg.agg(min(col("x")), max(col("x"))).head()
+    val packable = !idRange.isNullAt(0) &&
+      idRange.getLong(0) >= 0L && idRange.getLong(1) < (1L << 31)
+    def packed(f: DataFrame) = f.select(
+      shiftleft(col("a"), 32).bitwiseOR(col("b")).as("ab"))
+    val tri = (if (packable)
+        packed(wedges).join(
+          sizedBuildSide(packed(ori), m, ROW_BYTES), Seq("ab"))
+      else
+        wedges.join(
+          sizedBuildSide(ori.select(col("a"), col("b")), m, ROW_BYTES),
+          Seq("a", "b")))
       .agg(count(lit(1)).as("n_triangles"))
     val stats = deg
       .agg(count(lit(1)).as("n_vertices"),
         sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .withColumn("n_edges", lit(m))
       .crossJoin(tri)
       .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
         col("n_triangles"))
+    graft.PlanProbe.emit("triangles.closing", tri)
+    graft.PlanProbe.emit("triangles.stats", stats)
     val out = stats.localCheckpoint(true)
     eRdd.unpersist(blocking = false)
     degRdd.unpersist(blocking = false)

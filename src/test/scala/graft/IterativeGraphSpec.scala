@@ -354,4 +354,23 @@ class IterativeGraphSpec extends SparkSpec {
       .distinct
     assert(triRow(pairs) == refTriangles(pairs.toSet))
   }
+
+  test("triangleStats packed and general closing joins agree (id-range fallback)") {
+    // the closing join packs (a, b) into one long key only when every id
+    // fits [0, 2^31); ids past the range (and negative ids) must take the
+    // general two-key join and produce the identical census. Same graph
+    // twice: small ids (packed path) vs the same ids shifted past 2^31
+    // and negated (both fallback triggers) — shifting ids changes no
+    // degree and no adjacency, so all four census numbers must match.
+    val rnd = new scala.util.Random(29)
+    val base = Seq.fill(120)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val smallIds = triRow(base)
+    val bigIds = triRow(base.map { case (a, b) => (a + (1L << 31), b + (1L << 31)) })
+    val negIds = triRow(base.map { case (a, b) => (a - 100L, b - 100L) })
+    assert(bigIds == smallIds, "ids past 2^31 (general join) diverged")
+    assert(negIds == smallIds, "negative ids (general join) diverged")
+  }
 }
