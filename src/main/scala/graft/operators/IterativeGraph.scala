@@ -72,22 +72,36 @@ object IterativeGraph {
     * neighbors of u are all smaller, m = their minimum; relink them (and
     * u itself) to m. minS(u, m) already IS the distinct (u, m) row set,
     * so only the relinked neighbors join. */
-  private def starRound(e: DataFrame): DataFrame = {
+  private def starRound(e: DataFrame, nEdges: Long): DataFrame = {
+    import graft.functions.Dedup.sizedBuildSide
     val sym = e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
+    // minL/minS are vertex-cardinality (bounded by 2x the measured edge
+    // count): sized build sides keep the edge-cardinality relations (sym,
+    // large) out of the relink joins' exchanges under the cap — the round
+    // then exchanges only aggregation partials and the final distinct —
+    // and above the cap SHUFFLE_HASH still never sorts the big side
+    val nVertBound = 2L * math.max(nEdges, 1L)
     val minL = sym.groupBy(col("u"))
       .agg(min(col("v")).as("mn"))
       .select(col("u"), least(col("mn"), col("u")).as("m"))
-    val large = sym.join(minL, "u")
+    val large = sym.join(sizedBuildSide(minL, nVertBound, KEY_ROW_BYTES), "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
     val minS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-    large.join(minS, "u")
+    large.join(sizedBuildSide(minS, nVertBound, KEY_ROW_BYTES), "u")
       .filter(col("v") =!= col("m"))
       .select(col("v").as("u"), col("m").as("v"))
       .union(minS.select(col("u"), col("m").as("v")))
       .distinct()
   }
+
+  /** ~bytes per built hash-relation row of 2-3 longs (the Dedup-family
+    * INDEX_ROW_BYTES estimate) — what [[graft.functions.Dedup.sizedBuildSide]]
+    * sizing decisions in this module are denominated in; row counts are
+    * always measured (pinned-RDD counts), never Catalyst estimates, since
+    * a pinned LogicalRDD has no stats. */
+  private val KEY_ROW_BYTES = 28L
 
   /** Pin a frame's rows and rebuild it lineage-free: rows must be copied
     * (toRdd reuses per-partition buffers) before persisting. The RDD
@@ -103,6 +117,55 @@ object IterativeGraph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     rdd.localCheckpoint()
     (GraftSqlBridge.internalCreateDataFrame(df.sparkSession, rdd, df.schema), rdd)
+  }
+
+  /** [[pin]] with the rows repartitioned by `keys` and that hash
+    * distribution DECLARED on the rebuilt frame — the loop-state shape
+    * (guide §2.4: operations keyed the same way share one exchange). A
+    * plain pin is a LogicalRDD with UnknownPartitioning, so EVERY
+    * per-round join re-exchanges (and, under SortMergeJoin, re-sorts) the
+    * pinned edge set — the largest relation the loop touches, shuffled
+    * once per iteration at any scale. Declaring the distribution lets
+    * each round's state-onto-edges join plan with NO exchange and no
+    * sort on the pinned side; only the O(V) state side moves.
+    *
+    * The partition count is DERIVED FROM THE MEASURED relation, not the
+    * core count: the rows are first pinned plain and counted, then laid
+    * out in ~`spark.graft.pinPartitionBytes` (default 64 MB, the AQE
+    * advisory default) chunks capped at `spark.sql.shuffle.partitions`.
+    * A fixed n = cores would fan every round's fixed per-task costs
+    * (sort/hash init, shuffle segment setup) across the full core count
+    * even for a toy edge set — measured 2x total CPU on the sf0.1 loop
+    * queries, which is exactly the wall cost at the driver's lower-core
+    * scaling bench — while a huge input still gets the full parallelism.
+    *
+    * Truthfulness of the declaration: the rows really are distributed
+    * `HashPartitioning(keys, n)` because the pin itself runs an explicit
+    * `repartition(n, keys)` — a user-numbered repartition AQE never
+    * coalesces or splits — immediately before capturing the rows.
+    *
+    * Cost: one extra pass over the pinned rows (staging pin + count +
+    * repartition) — paid once, against `iters` saved per-round exchanges
+    * and sorts of the same rows. NOT lazy: builds run two jobs. */
+  private[graft] def pinPartitioned(df: DataFrame, keys: Seq[String])
+      : (DataFrame, RDD[InternalRow]) = {
+    val spark = df.sparkSession
+    val (df0, rdd0) = pin(df)
+    val rows = rdd0.count()
+    val rowBytes = 16L + 8L * df.schema.length // UnsafeRow, fixed-width cols
+    val maxN = spark.conf.get("spark.sql.shuffle.partitions").toLong
+    val target = spark.conf.getOption("spark.graft.pinPartitionBytes")
+      .map(_.toLong).getOrElse(1L << 26)
+    val n = math.max(1L,
+      math.min(maxN, (rows * rowBytes + target - 1L) / target)).toInt
+    val rdd = df0.repartition(n, keys.map(col): _*)
+      .queryExecution.toRdd.map(_.copy())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.localCheckpoint()
+    rdd.count() // materialize before releasing the staging copy
+    rdd0.unpersist(blocking = false)
+    (GraftSqlBridge.internalCreateDataFramePartitioned(
+      spark, rdd, df.schema, keys, n), rdd)
   }
 
   def connectedComponents(edges: DataFrame, maxIter: Int = 50,
@@ -128,6 +191,10 @@ object IterativeGraph {
       .agg(count(lit(1)), count(when(col("u") === col("v"), 1))).head()
     val hasSelfLoops = statsRow.getLong(1) > 0L
     var converged = statsRow.getLong(0) == statsRow.getLong(1) // no real edges
+    // measured row count of the current edge set (canon rows initially,
+    // then each round's sum(nu) — one u per mat row): sizes starRound's
+    // vertex-cardinality build sides without any extra job
+    var curEdges = statsRow.getLong(0)
     var iter = 0
     while (!converged && iter < maxIter) {
       val t0 = System.nanoTime()
@@ -136,7 +203,7 @@ object IterativeGraph {
       // rounds WITHOUT a pin in between multiplies the upstream subtree
       // ~4x per chained round — measured 2.5x slower at 2 rounds/job.
       // The pin is what keeps every subtree computed exactly once.
-      val roundF = starRound(e)
+      val roundF = starRound(e, curEdges)
       graft.PlanProbe.emit("cc.round", roundF)
       val (mat, matRdd) = pin(roundF)
       // ONE job: computes the round, fills the persisted blocks, and runs
@@ -164,6 +231,7 @@ object IterativeGraph {
       deg = degF
       degRdd = degRddNew
       converged = row.getLong(1) == 0L
+      curEdges = row.getLong(0)
       iter += 1
       if (roundHook != null) roundHook(iter, row.getLong(0), System.nanoTime() - t0)
     }
@@ -251,7 +319,13 @@ object IterativeGraph {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     require(scale > 0 && scale % 100L == 0,
       s"pageRank: scale must be positive and divisible by 100, got $scale")
-    val (e, eRdd) = pin(edgesSym.select(col("src"), col("dst")).distinct())
+    // the edge pin DECLARES its hash distribution on src: every round's
+    // contributions join (and the initial degree aggregation) then plans
+    // with no exchange over the O(E) side — one repartition at pin time
+    // replaces `iters` per-round edge shuffles (guide §2.4)
+    val (e, eRdd) =
+      pinPartitioned(edgesSym.select(col("src"), col("dst")).distinct(),
+        Seq("src"))
     // the out-degree RIDES IN the rank state (it is per-vertex constant),
     // so a round needs only ONE keyed join (state onto edges) + one
     // partial-agg sum + one left join back — not a second ranks-to-degree
@@ -270,7 +344,10 @@ object IterativeGraph {
         " — lower the scale (1e10 holds to ~1.08e7 vertices)")
     for (_ <- 1 to iters) {
       val contrib = ranks.select(col("v").as("src"), expr("r div d").as("c"))
-      val sums = e.join(contrib, "src")
+      // SHUFFLE_HASH builds on the O(V) state side: the pinned edge side
+      // streams its declared partitioning with no exchange AND no sort
+      // (the SortMergeJoin default would re-sort the edge set each round)
+      val sums = e.join(contrib.hint("SHUFFLE_HASH"), "src")
         .groupBy(col("dst").as("v"))
         .agg(sum(col("c")).as("s"))
       // pin each round AND materialize it (count) before releasing the
@@ -279,8 +356,10 @@ object IterativeGraph {
       // same-job shuffle reuse. The count keeps DAG depth O(1) per round
       // and makes a lost block recompute one round, not the whole chain
       // (same discipline as connectedComponents' per-round stats job).
+      // both spine sides are O(V): hash-build the aggregated side so
+      // neither is sorted (sums already leaves its agg hash-partitioned)
       val roundF = ranks.select(col("v"), col("d"))
-        .join(sums, Seq("v"), "left")
+        .join(sums.hint("SHUFFLE_HASH"), Seq("v"), "left")
         .select(col("v"), col("d"),
           (lit(15L * (scale / 100L)) +
             expr("(85 * coalesce(s, cast(0 as bigint))) div 100")).as("r"))
@@ -309,8 +388,11 @@ object IterativeGraph {
     require(iters >= 1, s"pageRankWeighted: iters must be >= 1, got $iters")
     require(scale > 0 && scale % 100L == 0,
       s"pageRankWeighted: scale must be positive and divisible by 100, got $scale")
-    val (e, eRdd) = pin(edgesSym
-      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
+    // declared src distribution: see pageRank — kills the per-round edge
+    // exchange and the initial out-weight aggregation's exchange
+    val (e, eRdd) = pinPartitioned(edgesSym
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")),
+      Seq("src"))
     var (ranks, ranksRdd) = pin(e.groupBy(col("src").as("v"))
       .agg(sum(col("w")).as("tw"))
       .select(col("v"), col("tw"), lit(scale).as("r")))
@@ -333,13 +415,15 @@ object IterativeGraph {
         s" got V=$nVerts scale=$scale maxW=$maxW — lower the scale")
     for (_ <- 1 to iters) {
       val contrib = ranks.select(col("v").as("src"), col("tw"), col("r"))
-      val sums = e.join(contrib, "src")
+      // hash-build the O(V) state side; the pinned edge side streams with
+      // no exchange and no sort (see pageRank's loop)
+      val sums = e.join(contrib.hint("SHUFFLE_HASH"), "src")
         .groupBy(col("dst").as("v"))
         .agg(sum(expr("(r * w) div tw")).as("s"))
       // pin + materialize each round before releasing the previous one —
       // see pageRank's loop for why the count is what makes the pin real
       val roundF = ranks.select(col("v"), col("tw"))
-        .join(sums, Seq("v"), "left")
+        .join(sums.hint("SHUFFLE_HASH"), Seq("v"), "left")
         .select(col("v"), col("tw"),
           (lit(15L * (scale / 100L)) +
             expr("(85 * coalesce(s, cast(0 as bigint))) div 100")).as("r"))
@@ -379,7 +463,12 @@ object IterativeGraph {
   def labelPropagation(edgesSym: DataFrame, seeds: DataFrame,
       iters: Int, roundHook: (Int, Long) => Unit = null): DataFrame = {
     require(iters >= 1, s"labelPropagation: iters must be >= 1, got $iters")
-    val (e, eRdd) = pin(edgesSym.select(col("src"), col("dst")).distinct())
+    // declared src distribution: every round's labels-onto-edges join
+    // (and the initial vertex distinct) plans with no exchange over the
+    // O(E) side — see pageRank
+    val (e, eRdd) =
+      pinPartitioned(edgesSym.select(col("src"), col("dst")).distinct(),
+        Seq("src"))
     // the clamp RIDES IN the label state (seed is per-vertex constant):
     // a round is one labels-onto-edges join, one (v, lbl) partial-agg
     // count, one aggregate argmax, and one left join back — no per-round
@@ -393,7 +482,7 @@ object IterativeGraph {
     while (round <= iters && !converged) {
       val cnt = e
         .join(labels.filter(col("lbl").isNotNull)
-          .select(col("v").as("src"), col("lbl")), "src")
+          .select(col("v").as("src"), col("lbl")).hint("SHUFFLE_HASH"), "src")
         .groupBy(col("dst").as("v"), col("lbl"))
         .agg(count(lit(1)).as("c"))
       val best = cnt.groupBy(col("v"))
@@ -417,7 +506,7 @@ object IterativeGraph {
       // moved == 0 exactly.
       val roundF = labels.select(col("v"), col("seed"),
           col("lbl").as("prev"))
-        .join(best, Seq("v"), "left")
+        .join(best.hint("SHUFFLE_HASH"), Seq("v"), "left")
         .select(col("v"), col("seed"), col("prev"),
           when(col("seed").isNotNull, col("seed"))
             .otherwise(coalesce(col("blbl"), col("prev"))).as("lbl"))
@@ -471,7 +560,11 @@ object IterativeGraph {
   def bfsDistances(edgesSym: DataFrame, sources: DataFrame,
       maxDepth: Int): DataFrame = {
     require(maxDepth >= 1, s"bfsDistances: maxDepth must be >= 1, got $maxDepth")
-    val (e, eRdd) = pin(edgesSym.select(col("src"), col("dst")).distinct())
+    // declared src distribution: every round's frontier join (and the
+    // vertex-set distinct) plans with no exchange over the O(E) side
+    val (e, eRdd) =
+      pinPartitioned(edgesSym.select(col("src"), col("dst")).distinct(),
+        Seq("src"))
     val (verts, vertsRdd) = pin(e.select(col("src").as("v")).distinct())
     var (dist, distRdd) = pin(verts
       .join(sources.select(col("v")).distinct(), Seq("v"), "left_semi")
@@ -482,7 +575,7 @@ object IterativeGraph {
     while (k <= maxDepth && !converged) {
       val frontier = dist.filter(col("d") === (k - 1))
         .select(col("v").as("src"))
-      val next = e.join(frontier, "src")
+      val next = e.join(frontier.hint("SHUFFLE_HASH"), "src")
         .select(col("dst").as("v"), lit(k.toLong).as("d"))
       val roundF = dist.unionAll(next)
         .groupBy(col("v")).agg(min(col("d")).as("d"))
@@ -539,9 +632,17 @@ object IterativeGraph {
       val keep = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
         .groupBy(col("x")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
+      // `keep` is vertex-cardinality (<= 2x the measured surviving edge
+      // count): sized build sides keep the edge set out of BOTH semi-join
+      // exchanges under the cap (it streams once per round), and above
+      // the cap SHUFFLE_HASH still never sorts it — the SortMergeJoin
+      // default exchanged AND sorted the edge set twice per peel
+      import graft.functions.Dedup.sizedBuildSide
       val roundF = e
-        .join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
-        .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
+        .join(sizedBuildSide(keep.select(col("x").as("u")),
+          2L * prevCount, KEY_ROW_BYTES), Seq("u"), "left_semi")
+        .join(sizedBuildSide(keep.select(col("x").as("v")),
+          2L * prevCount, KEY_ROW_BYTES), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
       graft.PlanProbe.emit("kcore.round", roundF)
       val (ne, neRdd) = pin(roundF)

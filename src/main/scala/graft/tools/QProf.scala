@@ -36,6 +36,10 @@ object QProf {
     val cpuNs = new LongAdder; val swBytes = new LongAdder
     val swRows = new LongAdder; val inBytes = new LongAdder
     val stages = new LongAdder
+    // GRAFT_QPROF_STAGES=1 additionally prints one line per completed
+    // stage (CPU, shuffle, task count, name) — the attribution view for
+    // "which stage grew" questions that the per-query totals can't answer
+    val perStage = sys.env.get("GRAFT_QPROF_STAGES").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val m = sc.stageInfo.taskMetrics
@@ -44,6 +48,12 @@ object QProf {
           swBytes.add(m.shuffleWriteMetrics.bytesWritten)
           swRows.add(m.shuffleWriteMetrics.recordsWritten)
           inBytes.add(m.inputMetrics.bytesRead)
+          if (perStage)
+            println(f"  [stage ${sc.stageInfo.stageId}%4d] " +
+              f"cpu=${m.executorCpuTime / 1e9}%7.2f " +
+              f"swRows=${m.shuffleWriteMetrics.recordsWritten}%9d " +
+              f"tasks=${sc.stageInfo.numTasks}%3d " +
+              sc.stageInfo.name.take(90))
         }
         stages.add(1L)
       }

@@ -28,4 +28,32 @@ object GraftSqlBridge {
       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
+  /** [[internalCreateDataFrame]] with a DECLARED hash distribution: the
+    * LogicalRDD (and the RDDScanExec planned from it) reports
+    * `HashPartitioning(hashKeys, numPartitions)`, so a downstream join or
+    * aggregation clustered on those keys plans WITHOUT an exchange over
+    * this side — the property `Dataset.checkpoint` preserves for its own
+    * scans, exposed for hand-pinned loop state. The caller GUARANTEES the
+    * rows are actually distributed that way (i.e. the RDD came from an
+    * explicit `repartition(numPartitions, hashKeys)` of the same rows —
+    * note AQE never re-coalesces a user-numbered repartition, so the
+    * declared partition count is exact); declaring a distribution the
+    * rows don't have silently mis-joins. */
+  def internalCreateDataFramePartitioned(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType,
+      hashKeys: Seq[String],
+      numPartitions: Int): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val attrs =
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
+    val keyAttrs = hashKeys.map(k => attrs(schema.fieldIndex(k)))
+    val part = org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(
+      keyAttrs, numPartitions)
+    val plan = new org.apache.spark.sql.execution.LogicalRDD(
+      attrs, rdd, part, Nil, false, None)(cs, None, None)
+    classic.Dataset.ofRows(cs, plan)
+  }
 }

@@ -373,4 +373,32 @@ class IterativeGraphSpec extends SparkSpec {
     assert(bigIds == smallIds, "ids past 2^31 (general join) diverged")
     assert(negIds == smallIds, "negative ids (general join) diverged")
   }
+
+  test("pinPartitioned: declared hash layout is real — rows, plan, and joins agree") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    // a declared distribution the rows don't actually have would silently
+    // mis-join (co-partitioned join, no exchange to fix the layout), so
+    // pin three guarantees: (1) the pinned frame reports HashPartitioning
+    // on the key, (2) the row multiset is unchanged, (3) an equi-join on
+    // the declared key matches the plain DataFrame join exactly.
+    val df = (1L to 5000L).map(i => (i % 97, i)).toDF("src", "dst")
+    val (pinned, rdd) = IterativeGraph.pinPartitioned(df, Seq("src"))
+    try {
+      pinned.queryExecution.executedPlan.outputPartitioning match {
+        case h: HashPartitioning =>
+          assert(h.expressions.map(_.references.head.name) == Seq("src"))
+        case other => fail(s"expected declared HashPartitioning, got $other")
+      }
+      assert(pinned.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+        .toSeq == df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+      val probe = spark.range(97).select(col("id").as("src"), (col("id") * 7).as("w"))
+      val got = pinned.join(probe.hint("SHUFFLE_HASH"), "src")
+        .select(col("src"), col("dst"), col("w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val want = df.join(probe, "src")
+        .select(col("src"), col("dst"), col("w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(got == want, "join through the declared layout diverged")
+    } finally rdd.unpersist(blocking = false)
+  }
 }
