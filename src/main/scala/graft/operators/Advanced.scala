@@ -370,8 +370,29 @@ $body,
         val hist = lineitem(s, d)
           .groupBy(col("l_returnflag"), Money.cents(col("l_extendedprice")).as("c"))
           .agg(count(lit(1)).as("cnt"))
-        val cum = hist.withColumn("cum",
-          sum(col("cnt")).over(Window.partitionBy("l_returnflag").orderBy("c")))
+        // Two-level cumulative sum: a window partitioned by l_returnflag
+        // alone has 3 partition values, so the whole histogram serializes
+        // into 3 tasks (the single-task-straggler skew of guide §2.5).
+        // Bucketing the cents axis ($100 ranges — bucket count is bounded
+        // by the price DOMAIN, not the row count, so it is scale-invariant)
+        // makes the heavy window parallel over (flag, bucket); intra-bucket
+        // running sums plus the previous buckets' offsets equal the global
+        // per-flag running sum exactly, because buckets are contiguous
+        // ranges of the ordering key.
+        val histB = hist.withColumn("b", expr("c div 10000"))
+        val intra = histB.withColumn("icum", sum(col("cnt")).over(
+          Window.partitionBy(col("l_returnflag"), col("b")).orderBy("c")))
+        // bucket offsets: one row per (flag, bucket) — domain-bounded
+        // (~1k buckets x |flags|), hence the explicit broadcast
+        val boff = histB.groupBy(col("l_returnflag"), col("b"))
+          .agg(sum(col("cnt")).as("bc"))
+          .withColumn("off", coalesce(sum(col("bc")).over(
+            Window.partitionBy("l_returnflag").orderBy("b")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("l_returnflag"), col("b"), col("off"))
+        val cum = intra.join(broadcast(boff), Seq("l_returnflag", "b"))
+          .withColumn("cum", col("icum") + col("off"))
+          .select(col("l_returnflag"), col("c"), col("cnt"), col("cum"))
         val tot = hist.groupBy(col("l_returnflag")).agg(sum(col("cnt")).as("n"))
         val j = cum.join(tot, "l_returnflag")
         def pos(q: Double): Column = (col("n") - 1).cast("double") * lit(q)
@@ -737,16 +758,29 @@ $body,
         // density; past that, center degrees on the mean first.)
         val li = lineitem(s, d).select(col("l_orderkey"),
           col("l_partkey").cast("long").as("p"))
-        val e = li.select(col("l_orderkey"), col("p").as("u"))
+        // lease-cache the edge set: it feeds both union branches of sym
+        // AND the degree aggregation — uncached, the lineitem pair
+        // generation re-executes per consumer. The count prices the
+        // degree build sides below (deg is vertex-cardinality, <= 2E)
+        // and doubles as the lease's materialization.
+        val e = graft.Caches.lease(li.select(col("l_orderkey"), col("p").as("u"))
           .join(li.select(col("l_orderkey"), col("p").as("v")), "l_orderkey")
           .filter(col("u") < col("v"))
           .select(col("u"), col("v"))
-          .distinct()
+          .distinct())
+        val nE = e.count()
         val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
         val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        // sized build sides keep the edge-cardinality sym out of both
+        // degree joins' exchanges (the SortMergeJoin default exchanged
+        // AND sorted it twice); above the cap SHUFFLE_HASH still never
+        // sorts it. The moments then reduce map-side to one row.
+        import graft.functions.Dedup.sizedBuildSide
         sym
-          .join(deg.select(col("u"), col("d").as("du")), "u")
-          .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+          .join(sizedBuildSide(
+            deg.select(col("u"), col("d").as("du")), 2L * nE, 28L), "u")
+          .join(sizedBuildSide(
+            deg.select(col("u").as("v"), col("d").as("dv")), 2L * nE, 28L), "v")
           .agg(count(lit(1)).as("m"),
             min(col("du")).as("min_degree"),
             max(col("du")).as("max_degree"),
@@ -871,15 +905,30 @@ $body,
             .select(col("u"), col("v")))
         val sym = graft.Caches.lease(edges.unionAll(
           edges.select(col("v").as("u"), col("u").as("v"))))
+        // measured size for the build-side rule below (cheap: edges is
+        // leased, so this doubles as the lease's materialization); sym
+        // is exactly 2x edges and deg (vertex-cardinality) is <= 2x
+        val nE = edges.count()
         val deg = sym.groupBy(col("u").as("x")).agg(count(lit(1)).as("d"))
+        // sized build sides: the wedge enumeration builds on the (small,
+        // thresholded) sym side so wedges stream map-side into their
+        // partial agg, and both degree joins build on vertex-cardinality
+        // deg so the wedge-pair relation `common` — the largest relation
+        // here — flows from its aggregation straight into the bounded
+        // top-k with no exchange and no sort (SortMergeJoin exchanged and
+        // sorted it twice); above the cap SHUFFLE_HASH still never sorts.
+        import graft.functions.Dedup.sizedBuildSide
         val common = sym.select(col("u").as("w"), col("v").as("a"))
-          .join(sym.select(col("u").as("w"), col("v").as("b")), "w")
+          .join(sizedBuildSide(
+            sym.select(col("u").as("w"), col("v").as("b")), 2L * nE, 28L), "w")
           .filter(col("a") < col("b"))
           .groupBy(col("a").as("u"), col("b").as("v"))
           .agg(count(lit(1)).as("common_n"))
         common
-          .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
-          .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+          .join(sizedBuildSide(
+            deg.select(col("x").as("u"), col("d").as("du")), 2L * nE, 28L), "u")
+          .join(sizedBuildSide(
+            deg.select(col("x").as("v"), col("d").as("dv")), 2L * nE, 28L), "v")
           .select(col("u"), col("v"), col("common_n"), col("du"), col("dv"),
             expr("(common_n * 10000) div (du + dv - common_n)").as("jac4"))
           .orderBy(col("jac4").desc, col("u"), col("v"))
