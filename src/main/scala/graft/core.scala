@@ -55,6 +55,54 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** [[documents]] spread for heavy fused scan work — OPT-IN per call
+    * site (tokenize/shingle/signature pipelines), not the default:
+    * consumers whose per-row work is light (q158's map-side
+    * canonicalization, fixture generators) would pay the exchange for
+    * nothing, and several pin their exchange counts. */
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    spread(s, d, "documents", "doc_id")
+
+  /** Spread a small single-file scan across the session parallelism before
+    * expensive per-row work. The driver testdata ships each table as ONE
+    * parquet row group, so a scan produces at most one non-empty task no
+    * matter the split size — and every expression fused onto the scan
+    * (tokenizer, signature hash draws, shingles, vector math) runs
+    * single-threaded. Guide §2.5's unsplittable-input remedy: repartition
+    * immediately after the read. Applied to documents only — the table
+    * whose scan fuses the tokenizer/shingle/signature work that dominates
+    * the text family (measured at 8 cores, best-of-3 wall: q36 3.44→2.37,
+    * q65 2.61→1.37, q37 1.41→1.08). NOT applied to embeddings: the IVF-PQ
+    * ADC scan (q86) builds its per-partition ADC lookup tables and top-k
+    * partials once per input partition, so spreading multiplied its CPU
+    * ~10x (1.5→17.5 CPU-s) and doubled 8-core wall (2.55→5.19); the
+    * vector queries' per-row scan work is SIMD-cheap relative to that
+    * fixed per-partition cost. Relational tables keep their bare scans —
+    * their fused work is cheap arithmetic and many of their consumers pin
+    * exchange counts.
+    *
+    * Scale-gated, not a local[32] constant: fires only when the file is
+    * too small to fill the session parallelism at the configured split
+    * size (bytes < shuffle.partitions x maxPartitionBytes) — a
+    * production-sized table splits naturally and pays nothing. The
+    * repartition hashes the row key: deterministic under task retry
+    * (guide §2.5's rand() repartition warning) and, unlike keyless
+    * round-robin, no sort-before-repartition pass. Filters and column
+    * pruning push through a RepartitionByExpression, so scans keep their
+    * PushedFilters/ReadSchema. */
+  private def spread(s: SparkSession, d: String, name: String,
+      key: String): DataFrame = {
+    val df = table(s, d, name)
+    val bytes =
+      try java.nio.file.Files.size(java.nio.file.Paths.get(s"$d/$name.parquet"))
+      catch { case _: Exception => Long.MaxValue }
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val split =
+      try s.conf.get("spark.sql.files.maxPartitionBytes").filter(_.isDigit).toLong
+      catch { case _: Exception => 128L * 1024 * 1024 }
+    if (bytes < n.toLong * split) df.repartition(n, col(key)) else df
+  }
 }
 
 /** Exact-money arithmetic shared by Spark queries and their DuckDB oracles.

@@ -345,9 +345,13 @@ object Dedup {
         FROM labels
         ORDER BY doc_id"""
 
-  /** (doc_id, lang, source, word) distinct token relation. */
+  /** (doc_id, lang, source, word) distinct token relation. Reads the
+    * SPREAD documents scan: the tokenize+explode fused here is the
+    * dominant per-row work of the whole jaccard/prefix family, and the
+    * testdata's single-row-group file would otherwise run it in one
+    * task (guide §2.5; measured q65 2.61→1.37 s at 8 cores). */
   private[graft] def docTokens(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    documentsSpread(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         explode(array_distinct(tokens(col("text")))).as("word"))
 
@@ -1050,7 +1054,7 @@ object Dedup {
     * whole-stage codegen. Pick the twin when network bandwidth, not CPU,
     * binds the cluster. */
   def simhash(s: SparkSession, d: String): DataFrame =
-    simhashExploded(documents(s, d))
+    simhashExploded(documentsSpread(s, d))
 
   /** Shuffle-free twin of [[simhash]]: summing +/-1 per token OCCURRENCE
     * equals the per-word tf-weighted sum (sum over occurrences == sum over
@@ -1147,7 +1151,7 @@ object Dedup {
         // global sort here would range-sample the whole LSH pipeline (a
         // second execution of its tail — measured +1.3 s at sf0.1)
         minhashPairsFromSigs(
-          minhashSignaturesRowwise(documents(s, d), Seq("lang", "source")),
+          minhashSignaturesRowwise(documentsSpread(s, d), Seq("lang", "source")),
           Seq("lang", "source"), 0.75,
           // auto-salt tier-1 bound straight off the raw table (2 columns)
           scopeBound = Some(documents(s, d)

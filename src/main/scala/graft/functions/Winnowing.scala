@@ -73,7 +73,7 @@ object Winnowing {
   /** Cross-document copy report: pairs sharing >= MIN_SHARED rare
     * fingerprints, strongest first. */
   def copyPairs(s: SparkSession, d: String): DataFrame =
-    copyPairsOf(documents(s, d))
+    copyPairsOf(documentsSpread(s, d))
 
   private[graft] def copyPairsOf(docs: DataFrame): DataFrame = {
     val fp = fingerprints(docs)
