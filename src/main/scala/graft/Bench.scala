@@ -19,6 +19,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // without this, a cached (leased) frame's plan compiles WITHOUT AQE:
+      // its static shuffle.partitions exchanges and unadapted joins then
+      // execute inside whichever consumer job cold-builds the cache —
+      // measured 14.8-23.7 executor-CPU-s vs 4.4-4.9 for q99's pair lease
+      // under the CC pin job at sf0.1 (Q99Prof), same results either way
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

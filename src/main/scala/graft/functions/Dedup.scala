@@ -919,8 +919,23 @@ object Dedup {
     * (max df) sorts LAST in every document, so it lands in no prefix and
     * its D^2-pair bucket never exists. */
   private def docPrefixArrays(toks: DataFrame, t: Double): DataFrame = {
-    val dfreq = toks.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    toks.join(dfreq, "word")
+    // `toks` feeds BOTH the df aggregation and the per-doc rejoin; consumed
+    // directly, its upstream (the fused tokenize+explode — the family's
+    // dominant per-row work) executes twice. Group the tokens per doc ONCE
+    // into a leased array frame and re-explode that for both consumers:
+    // the second tokenize pass disappears for one token-mass shuffle
+    // (measured q68 ~21-26 -> 13.8 executor-CPU-s at sf0.1, q65 ~9-11 -> 6.0,
+    // q139 ~20-27 -> 9.4; the spread repartition upstream keeps the saved
+    // pass parallel at every core count).
+    // collect_list keeps duplicates, so df counts and the downstream tw
+    // relation are IDENTICAL for any input, distinct-per-doc or not.
+    val docsArr = graft.Caches.lease(toks
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(collect_list(col("word")).as("wl")))
+    val ex = docsArr.select(col("doc_id"), col("lang"), col("source"),
+      explode(col("wl")).as("word"))
+    val dfreq = ex.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    ex.join(dfreq, "word")
       .groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(sort_array(collect_list(struct(col("df"), col("word")))).as("tw"))
       .select(col("doc_id"), col("lang"), col("source"),

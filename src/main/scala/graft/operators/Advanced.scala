@@ -592,9 +592,13 @@ $body,
           .select((col("o_custkey").cast("long") * 2).as("src"),
             (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
         // no distinct here: pageRank canonicalizes (one shuffle over the
-        // symmetrized stream instead of two over pairs-then-sym)
-        val sym = pairs.union(
-          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        // symmetrized stream instead of two over pairs-then-sym).
+        // inline-symmetrize, not union: each union branch re-executes the
+        // orders x lineitem join inside the loop's pin job; inline emits
+        // both directions from ONE pass over the join output
+        val sym = pairs.select(inline(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))))
         IterativeGraph.pageRank(sym, PAGERANK_ITERS, PAGERANK_SCALE)
           .orderBy(col("r").desc, col("v").asc)
           .limit(100)
@@ -638,9 +642,12 @@ $body,
           .join(li.select(col("l_orderkey"), col("p").as("v")), "l_orderkey")
           .filter(col("u") < col("v"))
           .select(col("u"), col("v"))
-        // labelPropagation dedups the symmetrized set in one shuffle
-        val sym = pairs.select(col("u").as("src"), col("v").as("dst"))
-          .union(pairs.select(col("v").as("src"), col("u").as("dst")))
+        // labelPropagation dedups the symmetrized set in one shuffle;
+        // inline-symmetrize so the lineitem self-join runs once, not per
+        // union branch (see q119)
+        val sym = pairs.select(inline(array(
+          struct(col("u").as("src"), col("v").as("dst")),
+          struct(col("v").as("src"), col("u").as("dst")))))
         val seeds = part(s, d).filter(col("p_size") <= 5)
           .select(col("p_partkey").cast("long").as("v"),
             col("p_size").cast("long").as("seed"))
@@ -665,8 +672,10 @@ $body,
             col("l_orderkey") === col("o_orderkey"))
           .select((col("o_custkey").cast("long") * 2).as("src"),
             (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
-        val sym = pairs.union(
-          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        // inline-symmetrize: one pass over the join output (see q119)
+        val sym = pairs.select(inline(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))))
         val srcs = supplier(s, d).filter(col("s_nationkey") === 0)
           .select((col("s_suppkey").cast("long") * 2 + 1).as("v"))
         IterativeGraph.bfsDistances(sym, srcs, BFS_DEPTH)
@@ -860,8 +869,11 @@ $body,
             col("o_orderkey"))
           .distinct()
           .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-        val sym = pairs.unionAll(pairs.select(col("dst").as("src"),
-          col("src").as("dst"), col("w")))
+        // inline-symmetrize: the union form re-ran the join + distinct +
+        // weight agg once per branch inside the loop's pin job (see q119)
+        val sym = pairs.select(inline(array(
+          struct(col("src"), col("dst"), col("w")),
+          struct(col("dst").as("src"), col("src").as("dst"), col("w")))))
         IterativeGraph.pageRankWeighted(sym, PAGERANK_ITERS, PAGERANK_SCALE)
           .orderBy(col("r").desc, col("v").asc)
           .limit(100)
