@@ -1038,7 +1038,12 @@ object Dedup {
         col("lang").as("lb"), col("source").as("sb")), "ib")
       .filter(col("la") === col("lb") && col("sa") === col("sb"))
       .select(col("ia"), col("ib"),
-        size(array_intersect(col("wsa"), col("wsb"))).as("i"),
+        // both sides are array_sort outputs: the codegen'd sorted merge
+        // counts distinct common tokens without array_intersect's per-pair
+        // hash set + result array (allocation-free; equality with
+        // size(array_intersect) pinned in SortedIntersectSizeSpec)
+        expressions.SortedIntersectSize.sortedIntersectSize(
+          col("wsa"), col("wsb")).as("i"),
         size(col("wsa")).as("sza"), size(col("wsb")).as("szb"))
       .select(col("ia"), col("ib"),
         round(col("i") * lit(1.0) / (col("sza") + col("szb") - col("i")), 4).as("jaccard"))

@@ -75,3 +75,88 @@ object UnicodeNormalize {
     }
   }
 }
+
+/** `size(array_intersect(a, b))` for two SORTED string arrays, as one
+  * codegen'd merge — the exact-Jaccard verify kernel of the prefix-dedup
+  * family (q65/q68/q96/q138/q139 run it per candidate pair).
+  *
+  * `array_intersect` builds a hash set over one side and an output array
+  * per row pair, only for `size` to throw the array away. Both verify
+  * sides here are sorted by construction (`array_sort`), so the distinct
+  * common-element COUNT is a single allocation-free merge over the two
+  * unsafe arrays. Equal runs advance past duplicates on both sides, so
+  * duplicate elements count once — exactly `array_intersect`'s distinct
+  * semantics; null elements (sorted last by `array_sort`) compare equal
+  * to each other and above every non-null, also matching.
+  *
+  * CORRECTNESS CONTRACT: both inputs must be sorted ascending in
+  * `UTF8String` binary order (what `array_sort`/`sort_array` produce for
+  * string arrays). Unsorted input returns an undercount — call sites own
+  * the guarantee; TextExpressionsSpec pins equality with
+  * `size(array_intersect)` on randomized sorted arrays with duplicates.
+  * (Custom-operator ladder step (b), the VecDot pattern.)
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"sorted_intersect_size requires two array<string> inputs, got ${l.sql} / ${r.sql}")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectSize.merge(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.SortedIntersectSize.merge($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectSize {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** Shared eval/codegen body: distinct-count merge over two sorted
+    * string arrays. Null sorts above every value (array_sort order). */
+  def merge(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val an = a.isNullAt(i); val bn = b.isNullAt(j)
+      if (an && bn) { c += 1; i = n; j = m } // nulls are last; one match
+      else if (an) j += 1 // null > any string: advance the smaller side
+      else if (bn) i += 1
+      else {
+        val av = a.getUTF8String(i); val bv = b.getUTF8String(j)
+        val cmp = av.binaryCompare(bv)
+        if (cmp < 0) i += 1
+        else if (cmp > 0) j += 1
+        else {
+          c += 1
+          i += 1; j += 1
+          while (i < n && !a.isNullAt(i) && a.getUTF8String(i).binaryCompare(av) == 0) i += 1
+          while (j < m && !b.isNullAt(j) && b.getUTF8String(j).binaryCompare(bv) == 0) j += 1
+        }
+      }
+    }
+    c
+  }
+
+  /** Column wrapper. */
+  def sortedIntersectSize(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(SortedIntersectSize(
+      org.apache.spark.sql.GraftSqlBridge.expression(a),
+      org.apache.spark.sql.GraftSqlBridge.expression(b)))
+}

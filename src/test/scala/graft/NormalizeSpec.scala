@@ -102,3 +102,49 @@ class NormalizeSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("string"), err.getMessage)
   }
 }
+
+class SortedIntersectSizeSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  import graft.functions.expressions.SortedIntersectSize.sortedIntersectSize
+
+  test("sorted merge == size(array_intersect) on randomized sorted arrays with duplicates") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("", "a", "ab", "abc", "b", "ba", "z", "zz", "é", "中文")
+    val rows = (1 to 400).map { _ =>
+      def arr() = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+      (arr(), arr())
+    }
+    // sort with Spark's OWN array_sort — the ordering the contract names
+    val df = rows.toDF("a0", "b0")
+      .select(array_sort(col("a0")).as("a"), array_sort(col("b0")).as("b"))
+      .select(sortedIntersectSize(col("a"), col("b")).as("got"),
+        size(array_intersect(col("a"), col("b"))).as("want"))
+    assert(df.filter(col("got") =!= col("want")).count() === 0)
+    // and at least some rows intersect non-trivially
+    assert(df.filter(col("got") > 0).count() > 0)
+  }
+
+  test("interpreted eval matches codegen path") {
+    // force interpreted evaluation through the expression's nullSafeEval
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def ad(xs: String*) = new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+    val m = graft.functions.expressions.SortedIntersectSize.merge _
+    assert(m(ad(), ad()) === 0)
+    assert(m(ad("a", "a", "b"), ad("a", "b", "b", "c")) === 2)
+    assert(m(ad("a", "b", "c"), ad("d", "e")) === 0)
+    assert(m(ad("x"), ad("x")) === 1)
+  }
+
+  test("null elements: one shared null counts once, sorted last") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def adn(xs: Option[String]*) = new GenericArrayData(
+      xs.map(_.map(UTF8String.fromString).orNull).toArray[Any])
+    val m = graft.functions.expressions.SortedIntersectSize.merge _
+    assert(m(adn(Some("a"), None), adn(Some("a"), None)) === 2)
+    assert(m(adn(Some("a"), None), adn(Some("b"), None)) === 1)
+    assert(m(adn(None), adn(Some("a"))) === 0)
+  }
+}
