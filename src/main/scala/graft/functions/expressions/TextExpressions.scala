@@ -124,6 +124,86 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[SortedIntersectSize]] for two SORTED long arrays — the triangle
+  * census's closing kernel (q120): oriented adjacency lists are long
+  * arrays, and per oriented edge the triangle count through that edge is
+  * exactly the distinct-common-element count of `adj(a)` and `adj(b)`.
+  * One allocation-free merge of two unsafe long arrays replaces a
+  * per-wedge hash probe AND the materialization of the wedge stream
+  * itself (the largest relation the wedge-closure shape touches).
+  *
+  * Same contract as the string kernel: both inputs sorted ascending
+  * (`array_sort` order — nulls LAST; `sort_array`'s default asc puts
+  * nulls first and would break the merge), duplicates count once,
+  * matching `size(array_intersect)` exactly — pinned on randomized
+  * arrays in SortedIntersectSizeSpec. (Custom-operator ladder step (b),
+  * the VecDot pattern; interpreted eval and codegen share one body.)
+  */
+case class SortedLongIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"sorted_long_intersect_size requires two array<bigint> inputs, got ${l.sql} / ${r.sql}")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_long_intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedLongIntersectSize.merge(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.SortedLongIntersectSize.merge($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedLongIntersectSize {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** Shared eval/codegen body: distinct-count merge over two sorted long
+    * arrays. Null elements sort above every value (array_sort order). */
+  def merge(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val an = a.isNullAt(i); val bn = b.isNullAt(j)
+      if (an && bn) { c += 1; i = n; j = m } // nulls are last; one match
+      else if (an) j += 1 // null > any long: advance the smaller side
+      else if (bn) i += 1
+      else {
+        val av = a.getLong(i); val bv = b.getLong(j)
+        if (av < bv) i += 1
+        else if (av > bv) j += 1
+        else {
+          c += 1
+          i += 1; j += 1
+          while (i < n && !a.isNullAt(i) && a.getLong(i) == av) i += 1
+          while (j < m && !b.isNullAt(j) && b.getLong(j) == bv) j += 1
+        }
+      }
+    }
+    c
+  }
+
+  /** Column wrapper. */
+  def sortedLongIntersectSize(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(SortedLongIntersectSize(
+      org.apache.spark.sql.GraftSqlBridge.expression(a),
+      org.apache.spark.sql.GraftSqlBridge.expression(b)))
+}
+
 object SortedIntersectSize {
   import org.apache.spark.sql.catalyst.util.ArrayData
 

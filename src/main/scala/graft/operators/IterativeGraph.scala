@@ -715,41 +715,82 @@ object IterativeGraph {
         when(lowFirst, col("u")).otherwise(col("v")).as("a"),
         when(lowFirst, col("v")).otherwise(col("u")).as("b"),
         when(lowFirst, col("dv")).otherwise(col("du")).as("rb")))
-    val wl = ori.select(col("a"), col("b").as("wa"), col("rb").as("ra"))
-    val wr = ori.select(col("a"), col("b").as("wb"), col("rb").as("rw"))
-    // both wedge enumeration and the closing join build on the EDGE set
-    // (m rows) while streaming the WEDGE relation (sum od^2 rows — 41M vs
-    // 1.2M on the sf0.1 co-purchase graph): sized build sides keep the
-    // wedge relation out of every exchange under the cap (it is generated
-    // and closed within one map stage), and above the cap SHUFFLE_HASH
-    // still never SORTS it — the SortMergeJoin default would sort the
-    // largest relation this operator touches (measured 146 executor-CPU-s
-    // at sf0.1, dominated by that sort).
-    val wedges = wl.join(sizedBuildSide(wr, m, ROW_BYTES), Seq("a"))
-      .filter(col("ra") < col("rw") ||
-        (col("ra") === col("rw") && col("wa") < col("wb")))
-      .select(col("wa").as("a"), col("wb").as("b"))
-    // the closing probe runs once per wedge — the hottest expression in
-    // the operator. When every id fits an unsigned int (one tiny agg over
-    // the pinned vertex frame decides), both sides key on ONE packed long
-    // so the build side is a LongHashedRelation (primitive-long lookups)
-    // instead of a two-field UnsafeRow relation (hash + row compare per
-    // probe); id ranges past 2^31 keep the general two-key join. Packing
-    // is injective on [0, 2^31), so the join matches exactly the same
-    // (a, b) pairs.
-    val idRange = deg.agg(min(col("x")), max(col("x"))).head()
-    val packable = !idRange.isNullAt(0) &&
-      idRange.getLong(0) >= 0L && idRange.getLong(1) < (1L << 31)
-    def packed(f: DataFrame) = f.select(
-      shiftleft(col("a"), 32).bitwiseOR(col("b")).as("ab"))
-    val tri = (if (packable)
-        packed(wedges).join(
-          sizedBuildSide(packed(ori), m, ROW_BYTES), Seq("ab"))
-      else
-        wedges.join(
-          sizedBuildSide(ori.select(col("a"), col("b")), m, ROW_BYTES),
-          Seq("a", "b")))
-      .agg(count(lit(1)).as("n_triangles"))
+    // Closing kernel (conf-switched; results identical, spec-pinned):
+    //
+    // "adjacency" (default) — edge-iterator closing: per oriented vertex
+    // its out-neighbors become ONE sorted long array (total payload = m
+    // longs, the edge set itself), each oriented edge (a, b) attaches
+    // adj(a) and adj(b) via sized build sides and counts their common
+    // out-neighbors with the allocation-free sorted merge
+    // (SortedLongIntersectSize). A triangle {x,y,z} with rank x<y<z is
+    // seen exactly once, at edge (x,y): z ∈ adj(x) ∩ adj(y), while at
+    // (x,z) and (y,z) the third vertex is not an out-neighbor of the
+    // higher-ranked endpoint. The wedge stream — sum od^2 rows, the
+    // largest relation the previous shape touched (46M rows / 17
+    // executor-CPU-s at sf0.1 even after its joins were sized) — is
+    // never materialized: the same comparisons run as primitive long
+    // merges inside one codegen stage.
+    //
+    // "wedge" — the previous shape, kept as the A/B surface and spec
+    // fallback: enumerate wedges at the lower-ranked endpoint, close
+    // each against the edge set (packed-long probe when ids fit 2^31).
+    val kernel = pairs.sparkSession.conf
+      .get("spark.graft.triangleKernel", "adjacency")
+    val tri = if (kernel == "wedge") {
+      val wl = ori.select(col("a"), col("b").as("wa"), col("rb").as("ra"))
+      val wr = ori.select(col("a"), col("b").as("wb"), col("rb").as("rw"))
+      // both wedge enumeration and the closing join build on the EDGE
+      // set (m rows) while streaming the WEDGE relation: sized build
+      // sides keep the wedge relation out of every exchange under the
+      // cap (it is generated and closed within one map stage), and above
+      // the cap SHUFFLE_HASH still never SORTS it — the SortMergeJoin
+      // default would sort the largest relation this operator touches
+      // (measured 146 executor-CPU-s at sf0.1, dominated by that sort).
+      val wedges = wl.join(sizedBuildSide(wr, m, ROW_BYTES), Seq("a"))
+        .filter(col("ra") < col("rw") ||
+          (col("ra") === col("rw") && col("wa") < col("wb")))
+        .select(col("wa").as("a"), col("wb").as("b"))
+      // the closing probe runs once per wedge — the hottest expression
+      // in this shape. When every id fits an unsigned int (one tiny agg
+      // over the pinned vertex frame decides), both sides key on ONE
+      // packed long so the build side is a LongHashedRelation
+      // (primitive-long lookups) instead of a two-field UnsafeRow
+      // relation (hash + row compare per probe); id ranges past 2^31
+      // keep the general two-key join. Packing is injective on
+      // [0, 2^31), so the join matches exactly the same (a, b) pairs.
+      val idRange = deg.agg(min(col("x")), max(col("x"))).head()
+      val packable = !idRange.isNullAt(0) &&
+        idRange.getLong(0) >= 0L && idRange.getLong(1) < (1L << 31)
+      def packed(f: DataFrame) = f.select(
+        shiftleft(col("a"), 32).bitwiseOR(col("b")).as("ab"))
+      (if (packable)
+          packed(wedges).join(
+            sizedBuildSide(packed(ori), m, ROW_BYTES), Seq("ab"))
+        else
+          wedges.join(
+            sizedBuildSide(ori.select(col("a"), col("b")), m, ROW_BYTES),
+            Seq("a", "b")))
+        .agg(count(lit(1)).as("n_triangles"))
+    } else {
+      import graft.functions.expressions.SortedLongIntersectSize.sortedLongIntersectSize
+      // array_sort, not sort_array: the merge kernel's contract is
+      // nulls-LAST order (none occur here — collect_list skips nulls —
+      // but the contract is pinned once, in the expression's spec)
+      val adj = ori.groupBy(col("a"))
+        .agg(array_sort(collect_list(col("b"))).as("nb"))
+      // the adjacency relation is vertex-cardinality in rows but its
+      // payload is exactly the m oriented edges, so the build-side rule
+      // prices it on m — same rule, same cap as every other side here.
+      // An edge whose head has no out-neighbors closes nothing, so the
+      // inner join dropping it is exact.
+      ori.select(col("a"), col("b"))
+        .join(sizedBuildSide(
+          adj.select(col("a"), col("nb").as("na")), m, ROW_BYTES), Seq("a"))
+        .join(sizedBuildSide(
+          adj.select(col("a").as("b"), col("nb")), m, ROW_BYTES), Seq("b"))
+        .select(sortedLongIntersectSize(col("na"), col("nb")).as("t"))
+        .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
+    }
     val stats = deg
       .agg(count(lit(1)).as("n_vertices"),
         sum(expr("d * (d - 1) div 2")).as("n_wedges"))

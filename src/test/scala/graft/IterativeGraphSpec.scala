@@ -374,6 +374,28 @@ class IterativeGraphSpec extends SparkSpec {
     assert(negIds == smallIds, "negative ids (general join) diverged")
   }
 
+  test("triangleStats adjacency and wedge kernels agree (conf switch)") {
+    // the closing kernel is conf-switched: "adjacency" (default) counts
+    // per oriented edge via the sorted-merge intersect of the two
+    // endpoints' out-neighbor arrays; "wedge" materializes the wedge
+    // stream and closes it against the edge set. Same hub-skewed random
+    // graph through both — every census number must match (and match the
+    // brute-force reference).
+    val rnd = new scala.util.Random(61)
+    val pairs = (Seq.fill(150)((0L, 1L + rnd.nextInt(40).toLong)) ++
+      Seq.fill(250)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val want = refTriangles(pairs.toSet)
+    def withKernel(k: String) = {
+      spark.conf.set("spark.graft.triangleKernel", k)
+      try triRow(pairs) finally spark.conf.unset("spark.graft.triangleKernel")
+    }
+    assert(withKernel("adjacency") == want, "adjacency kernel diverged")
+    assert(withKernel("wedge") == want, "wedge kernel diverged")
+  }
+
   test("pinPartitioned: declared hash layout is real — rows, plan, and joins agree") {
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     // a declared distribution the rows don't actually have would silently

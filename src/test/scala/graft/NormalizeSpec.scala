@@ -148,3 +148,48 @@ class SortedIntersectSizeSpec extends SparkSpec {
     assert(m(adn(None), adn(Some("a"))) === 0)
   }
 }
+
+class SortedLongIntersectSizeSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  import graft.functions.expressions.SortedLongIntersectSize.sortedLongIntersectSize
+
+  test("sorted merge == size(array_intersect) on randomized sorted long arrays with duplicates") {
+    val rnd = new scala.util.Random(43)
+    // small value domain forces collisions and duplicate runs; include
+    // negatives and the extremes the triangle ids can carry
+    val vocab = Vector(-5L, -1L, 0L, 1L, 2L, 3L, 7L, 1L << 31, Long.MaxValue)
+    val rows = (1 to 400).map { _ =>
+      def arr() = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+      (arr(), arr())
+    }
+    // sort with Spark's OWN array_sort — the ordering the contract names
+    val df = rows.toDF("a0", "b0")
+      .select(array_sort(col("a0")).as("a"), array_sort(col("b0")).as("b"))
+      .select(sortedLongIntersectSize(col("a"), col("b")).as("got"),
+        size(array_intersect(col("a"), col("b"))).as("want"))
+    assert(df.filter(col("got") =!= col("want")).count() === 0)
+    assert(df.filter(col("got") > 0).count() > 0)
+  }
+
+  test("interpreted eval matches codegen path") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def ad(xs: Long*) = new GenericArrayData(xs.map(Long.box).toArray[Any])
+    val m = graft.functions.expressions.SortedLongIntersectSize.merge _
+    assert(m(ad(), ad()) === 0)
+    assert(m(ad(1L, 1L, 2L), ad(1L, 2L, 2L, 3L)) === 2)
+    assert(m(ad(1L, 2L, 3L), ad(4L, 5L)) === 0)
+    assert(m(ad(7L), ad(7L)) === 1)
+    assert(m(ad(-3L, -1L, 0L), ad(-1L, 0L, 9L)) === 2)
+  }
+
+  test("null elements: one shared null counts once, sorted last") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def adn(xs: Option[Long]*) = new GenericArrayData(
+      xs.map(_.map(Long.box).orNull).toArray[Any])
+    val m = graft.functions.expressions.SortedLongIntersectSize.merge _
+    assert(m(adn(Some(1L), None), adn(Some(1L), None)) === 2)
+    assert(m(adn(Some(1L), None), adn(Some(2L), None)) === 1)
+    assert(m(adn(None), adn(Some(1L))) === 0)
+  }
+}
