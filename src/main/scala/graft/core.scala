@@ -64,6 +64,20 @@ object Tables {
   def documentsSpread(s: SparkSession, d: String): DataFrame =
     spread(s, d, "documents", "doc_id")
 
+  /** [[lineitem]] spread for the graph-prelude pair generators — OPT-IN
+    * per call site, same gate as [[documentsSpread]]. The co-purchase /
+    * trade-graph preludes join lineitem on `l_orderkey` (self-join or
+    * orders⋈lineitem) and explode each order's item set into C(L,2)
+    * pairs; fused onto a one-row-group scan, that explosion plus the
+    * symmetrize and the distinct/agg partials run on the scan's 1–3
+    * tasks (measured q122: 3.1 CPU-s serialized in one 3-task stage).
+    * Spreading by the JOIN key means the exchange is not even extra
+    * work at scale reasoning: the self-join reuses the hash layout on
+    * both sides. Relational consumers keep the bare scan (their fused
+    * work is cheap arithmetic; several pin exchange counts). */
+  def lineitemSpread(s: SparkSession, d: String): DataFrame =
+    spread(s, d, "lineitem", "l_orderkey")
+
   /** Spread a small single-file scan across the session parallelism before
     * expensive per-row work. The driver testdata ships each table as ONE
     * parquet row group, so a scan produces at most one non-empty task no

@@ -587,7 +587,7 @@ $body,
         // shuffles move 8-byte keys. Top-100 by (rank, id) — bounded
         // output via TakeOrderedAndProject, no global sort exchange.
         val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-          .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          .join(lineitemSpread(s, d).select(col("l_orderkey"), col("l_suppkey")),
             col("l_orderkey") === col("o_orderkey"))
           .select((col("o_custkey").cast("long") * 2).as("src"),
             (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
@@ -616,7 +616,7 @@ $body,
         // constant factor of lineitem). Counting uses the degree-ordered
         // orientation so hub parts cannot concentrate wedge enumeration
         // into one task.
-        val li = lineitem(s, d).select(col("l_orderkey"),
+        val li = lineitemSpread(s, d).select(col("l_orderkey"),
           col("l_partkey").cast("long").as("p"))
         val pairs = li.select(col("l_orderkey"), col("p").as("u"))
           .join(li.select(col("l_orderkey"), col("p").as("v")), "l_orderkey")
@@ -636,7 +636,11 @@ $body,
         // the rest of the graph. Output is the class histogram (-1 =
         // never reached). The deterministic min-tiebreak plurality rule
         // is what lets an LPA-family algorithm run under the hash gate.
-        val li = lineitem(s, d).select(col("l_orderkey"),
+        // lineitemSpread: the C(L,2) pair explosion + symmetrize fused
+        // onto the one-row-group scan ran on 3 tasks (3.1 CPU-s
+        // serialized); spreading by the join key parallelizes it and the
+        // self-join reuses the layout (gate off at production sizes)
+        val li = lineitemSpread(s, d).select(col("l_orderkey"),
           col("l_partkey").cast("long").as("p"))
         val pairs = li.select(col("l_orderkey"), col("p").as("u"))
           .join(li.select(col("l_orderkey"), col("p").as("v")), "l_orderkey")
@@ -668,7 +672,7 @@ $body,
         // "blast radius" shape of lineage/contamination tracing over a
         // relationship graph.
         val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-          .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          .join(lineitemSpread(s, d).select(col("l_orderkey"), col("l_suppkey")),
             col("l_orderkey") === col("o_orderkey"))
           .select((col("o_custkey").cast("long") * 2).as("src"),
             (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
@@ -765,7 +769,7 @@ $body,
         // of degrees onto edges; no windows, nothing quadratic.
         // (m*sxy needs ~m^2*maxdeg^2 < 2^63: fine to ~1e7 edges of this
         // density; past that, center degrees on the mean first.)
-        val li = lineitem(s, d).select(col("l_orderkey"),
+        val li = lineitemSpread(s, d).select(col("l_orderkey"),
           col("l_partkey").cast("long").as("p"))
         // lease-cache the edge set: it feeds both union branches of sym
         // AND the degree aggregation — uncached, the lineitem pair
@@ -834,7 +838,7 @@ $body,
         // spec pins that the fixture graphs reach the peeling fixpoint
         // within the budget (a seventh peel changes nothing).
         val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-          .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          .join(lineitemSpread(s, d).select(col("l_orderkey"), col("l_suppkey")),
             col("l_orderkey") === col("o_orderkey"))
           .select(least(col("o_custkey").cast("long") * 2,
               col("l_suppkey").cast("long") * 2 + 1).as("u"),
@@ -862,7 +866,7 @@ $body,
         // adjacency. Same exact-integer contract (per-edge
         // (r*w) div out-weight), same pinned one-join-per-round shape.
         val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-          .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          .join(lineitemSpread(s, d).select(col("l_orderkey"), col("l_suppkey")),
             col("l_orderkey") === col("o_orderkey"))
           .select((col("o_custkey").cast("long") * 2).as("src"),
             (col("l_suppkey").cast("long") * 2 + 1).as("dst"),
@@ -899,7 +903,7 @@ $body,
         // (i*10000 div (du+dv-i)); top-50 by (jac4, u, v) is a bounded
         // TakeOrderedAndProject, no global sort exchange.
         val SUPPORT = 2
-        val li = lineitem(s, d).select(col("l_orderkey"),
+        val li = lineitemSpread(s, d).select(col("l_orderkey"),
           col("l_partkey").cast("long").as("p"))
         // lease-cache BOTH relations: edges is consumed twice (the
         // union's two branches) and sym three times (degrees + both

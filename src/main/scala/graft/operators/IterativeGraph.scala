@@ -112,7 +112,12 @@ object IterativeGraph {
     * referenced many times across rounds, and without the pin each lazy
     * reference would re-execute the whole upstream subtree.
     */
-  private[operators] def pin(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
+  private[operators] def pin(df: DataFrame, probe: String = null)
+      : (DataFrame, RDD[InternalRow]) = {
+    // prelude plans execute inside this pin job and are invisible to a
+    // top-level explain on the returned LogicalRDD — operators label
+    // their INITIAL pin so PlanDump can record the staged subtree
+    if (probe != null) graft.PlanProbe.emit(probe, df)
     val rdd = df.queryExecution.toRdd.map(_.copy())
       .persist(StorageLevel.MEMORY_AND_DISK)
     rdd.localCheckpoint()
@@ -147,10 +152,10 @@ object IterativeGraph {
     * Cost: one extra pass over the pinned rows (staging pin + count +
     * repartition) — paid once, against `iters` saved per-round exchanges
     * and sorts of the same rows. NOT lazy: builds run two jobs. */
-  private[graft] def pinPartitioned(df: DataFrame, keys: Seq[String])
-      : (DataFrame, RDD[InternalRow]) = {
+  private[graft] def pinPartitioned(df: DataFrame, keys: Seq[String],
+      probe: String = null): (DataFrame, RDD[InternalRow]) = {
     val spark = df.sparkSession
-    val (df0, rdd0) = pin(df)
+    val (df0, rdd0) = pin(df, probe)
     val rows = rdd0.count()
     val rowBytes = 16L + 8L * df.schema.length // UnsafeRow, fixed-width cols
     val maxN = spark.conf.get("spark.sql.shuffle.partitions").toLong
@@ -175,7 +180,7 @@ object IterativeGraph {
     // vertex derivation reads these blocks instead of re-running the
     // caller's (possibly expensive) edge subtree twice. The loop itself
     // runs on the self-loop-free view.
-    val (canon, canonRdd) = pin(edges
+    val (canon, canonRdd) = pin(probe = "cc.prelude", df = edges
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
       .distinct())
@@ -325,7 +330,7 @@ object IterativeGraph {
     // replaces `iters` per-round edge shuffles (guide §2.4)
     val (e, eRdd) =
       pinPartitioned(edgesSym.select(col("src"), col("dst")).distinct(),
-        Seq("src"))
+        Seq("src"), "pagerank.prelude")
     // the out-degree RIDES IN the rank state (it is per-vertex constant),
     // so a round needs only ONE keyed join (state onto edges) + one
     // partial-agg sum + one left join back — not a second ranks-to-degree
@@ -392,7 +397,7 @@ object IterativeGraph {
     // exchange and the initial out-weight aggregation's exchange
     val (e, eRdd) = pinPartitioned(edgesSym
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")),
-      Seq("src"))
+      Seq("src"), "pagerank_weighted.prelude")
     var (ranks, ranksRdd) = pin(e.groupBy(col("src").as("v"))
       .agg(sum(col("w")).as("tw"))
       .select(col("v"), col("tw"), lit(scale).as("r")))
@@ -468,7 +473,7 @@ object IterativeGraph {
     // O(E) side — see pageRank
     val (e, eRdd) =
       pinPartitioned(edgesSym.select(col("src"), col("dst")).distinct(),
-        Seq("src"))
+        Seq("src"), "lpa.prelude")
     // the clamp RIDES IN the label state (seed is per-vertex constant):
     // a round is one labels-onto-edges join, one (v, lbl) partial-agg
     // count, one aggregate argmax, and one left join back — no per-round
@@ -564,7 +569,7 @@ object IterativeGraph {
     // vertex-set distinct) plans with no exchange over the O(E) side
     val (e, eRdd) =
       pinPartitioned(edgesSym.select(col("src"), col("dst")).distinct(),
-        Seq("src"))
+        Seq("src"), "bfs.prelude")
     val (verts, vertsRdd) = pin(e.select(col("src").as("v")).distinct())
     var (dist, distRdd) = pin(verts
       .join(sources.select(col("v")).distinct(), Seq("v"), "left_semi")
@@ -623,7 +628,7 @@ object IterativeGraph {
   def kCoreEdges(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1,
       s"kCoreEdges: k and rounds must be >= 1, got k=$k rounds=$rounds")
-    var (e, eRdd) = pin(
+    var (e, eRdd) = pin(probe = "kcore.prelude", df =
       pairs.select(col("u"), col("v")).filter(col("u") < col("v")).distinct())
     var prevCount = eRdd.count() // materializes the initial pin too
     var r = 1
@@ -685,7 +690,7 @@ object IterativeGraph {
     * orientation pass, and the closing join.
     */
   def triangleStats(pairs: DataFrame): DataFrame = {
-    val (e, eRdd) = pin(
+    val (e, eRdd) = pin(probe = "triangles.prelude", df =
       pairs.select(col("u"), col("v")).filter(col("u") < col("v")).distinct())
     // materializing the pin yields the exact edge count for free — it
     // prices every join side below (and replaces the n_edges re-scan)
