@@ -768,7 +768,8 @@ object Dedup {
     val ec = graft.Caches.lease(e)
     val n = ec.count()
     val c = semdedupCells(n, clusterTarget)
-    val cents = Similarity.trainCentroids(ec, c, Similarity.LLOYD_ROUNDS)
+    val cents = Similarity.trainCentroids(ec, c, Similarity.LLOYD_ROUNDS,
+      knownTotal = n)
     val idx = ec.withColumn("cid", Similarity.nearestCid(col("v"), cents))
     val centDf = cents.zipWithIndex.map { case (cv, i) => (i, cv) }
       .toDF("cid", "cent")
@@ -1579,8 +1580,10 @@ object Dedup {
     "aux_semdedup_centroids" -> ((s, d) => {
       import s.implicits._
       val e = Similarity.prepared(s, d).cache()
-      val c = semdedupCells(e.count(), SEMDEDUP_CLUSTER)
-      val cents = Similarity.trainCentroids(e, c, Similarity.LLOYD_ROUNDS)
+      val nAux = e.count()
+      val c = semdedupCells(nAux, SEMDEDUP_CLUSTER)
+      val cents = Similarity.trainCentroids(e, c, Similarity.LLOYD_ROUNDS,
+        knownTotal = nAux)
       e.unpersist()
       cents.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cid", "cent")
     }))
@@ -1595,7 +1598,8 @@ object Dedup {
     val n = e.count()
     val c = semdedupCells(n, clusterTarget)
     val p = probesOverride.getOrElse(semdedupProbes(c))
-    val cents = Similarity.trainCentroids(e, c, Similarity.LLOYD_ROUNDS)
+    val cents = Similarity.trainCentroids(e, c, Similarity.LLOYD_ROUNDS,
+      knownTotal = n)
     // home cell (first probe) labels the output; the full probe list only
     // feeds candidate generation. Shuffle carries (cid, id) probes — the
     // vectors join back by id for exact verification, IVF-style.

@@ -201,14 +201,20 @@ object Similarity {
     * codebook size, never the corpus. Centroid means are
     * rounded to 1e-6 before normalizing: partial double sums merge in
     * shuffle-arrival order, and the rounding squashes the order-dependent
-    * low bits so the codebook is stable across cluster layouts too. */
-  def trainCentroids(e: DataFrame, c: Int, rounds: Int): Seq[Seq[Double]] = {
+    * low bits so the codebook is stable across cluster layouts too.
+    *
+    * `knownTotal`: every caller has already counted the corpus to size
+    * the codebook, so recounting here was one pure-latency driver
+    * round-trip per training (guide §1 — measure what each job is for;
+    * the same parameter [[trainSubCentroidsL2All]] always had). */
+  def trainCentroids(e: DataFrame, c: Int, rounds: Int,
+      knownTotal: Long = -1L): Seq[Seq[Double]] = {
     def normalize(x: Seq[Double]): Seq[Double] = {
       val n = math.sqrt(x.map(y => y * y).sum)
       if (n == 0) x else x.map(_ / n)
     }
     val target = c.toLong * TRAIN_PER_CENTROID
-    val total = e.count()
+    val total = if (knownTotal >= 0) knownTotal else e.count()
     val train =
       if (total > target)
         e.filter(pmod(xxhash64(col("vec_id")), lit(total / target)) === 0)
@@ -688,7 +694,9 @@ object Similarity {
     "aux_ivf_centroids" -> ((s, d) => {
       import s.implicits._
       val e = prepared(s, d).cache()
-      val cents = trainCentroids(e, centroidsForCorpus(e.count()), LLOYD_ROUNDS)
+      val nAux = e.count()
+      val cents = trainCentroids(e, centroidsForCorpus(nAux), LLOYD_ROUNDS,
+        knownTotal = nAux)
       e.unpersist()
       cents.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cid", "cent")
     }),
@@ -790,8 +798,9 @@ object Similarity {
         // lists; codebook size follows sqrt(N) and nprobe log2(C), so probe
         // cost per query stays ~log(N) * sqrt(N) as the corpus grows.
         val e = graft.Caches.lease(prepared(s, d))
-        val c = centroidsForCorpus(e.count())
-        val cents = trainCentroids(e, c, LLOYD_ROUNDS)
+        val n = e.count()
+        val c = centroidsForCorpus(n)
+        val cents = trainCentroids(e, c, LLOYD_ROUNDS, knownTotal = n)
         ivfTopK(e, cents, nprobeFor(c), N_QUERIES, K)
       },
       // FULL oracle against the Verify-dumped codebook (aux_ivf_centroids
@@ -843,11 +852,24 @@ object Similarity {
         val e = graft.Caches.lease(prepared(s, d))
         val n = e.count()
         val c = centroidsForCorpus(n)
-        val cents = trainCentroids(e, c, LLOYD_ROUNDS)
+        // The coarse codebook and the PQ sub-books are INDEPENDENT
+        // deterministic trainings over the same cached sample, but each
+        // is a chain of tiny collect-driven Lloyd jobs — pure driver
+        // round-trip latency at any scale. Overlap them (guide §2.6,
+        // "overlap independent jobs"): the sub-book training runs on a
+        // second thread while the coarse trainer's rounds run on this
+        // one. Results are bit-identical to the sequential order — each
+        // training reads only the immutable cached frame and its own
+        // prior round.
+        val booksF = scala.concurrent.Future(
+          trainSubCentroidsL2All(e, pqKForCorpus(n), LLOYD_ROUNDS, knownTotal = n))(
+          scala.concurrent.ExecutionContext.global)
         // sub-codebook size follows the corpus ([[pqKForCorpus]]): K=256
         // (the one-byte production point, recall 0.960 measured at sf0.1)
         // once training density allows, K=32 below
-        val books = trainSubCentroidsL2All(e, pqKForCorpus(n), LLOYD_ROUNDS, knownTotal = n)
+        val cents = trainCentroids(e, c, LLOYD_ROUNDS, knownTotal = n)
+        val books = scala.concurrent.Await.result(
+          booksF, scala.concurrent.duration.Duration.Inf)
         // adcK = 20K exact reranks per query: at sf0.1 the ADC top-10K cut
         // dropped true neighbors the coarse layer had kept (IVF recall
         // 0.96 vs IVF-PQ 0.86); doubling the rerank budget is ~100 exact
