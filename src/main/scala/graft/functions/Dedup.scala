@@ -1595,6 +1595,12 @@ object Dedup {
     * have been consumed ([[semdedup]] does). */
   def semdedupAssignments(e: DataFrame, clusterTarget: Long,
       thresh: Double, probesOverride: Option[Int] = None): (DataFrame, DataFrame) = {
+    // `e` deliberately NOT leased (measured, r20): columnar-caching the
+    // vector frame costs more than the parquet re-scans it saves — q79
+    // A/B read 2.91→3.11 s best with the lease, and the same pattern
+    // (caching the trainer's sampled slice) lost again at x8 scale
+    // (q67 3.59→4.95 s). The wide array column is cheap to re-scan and
+    // expensive to serialize into the in-memory cache.
     val n = e.count()
     val c = semdedupCells(n, clusterTarget)
     val p = probesOverride.getOrElse(semdedupProbes(c))
